@@ -1,0 +1,77 @@
+"""Parquet physical-layout extraction — the analog of the reference's
+`get_parquet_layout` (src/formats/parquet.rs:244-419) and the `.meta`
+page-layout table (backends/utils.py:83-97).
+
+Granularity difference (SURVEY §7.1): the reference's pruning unit (uid) is a
+Parquet *data page*; Spark has no page API, so ours is **(file_path,
+row_group)**. `row_group = -1` means "whole file" (used by indexes built with
+the native vectorized reader, where per-row-group provenance isn't available
+but per-file provenance is, via the `_metadata.file_path` column). Both
+granularities are correct because the exact refine step removes false
+positives — a coarser unit only costs extra rows scanned, never wrong answers.
+
+Layout extraction is distributed: one Spark task per batch of files, each
+doing a footer-only pyarrow metadata read. At 100 TB / ~100k files this is a
+metadata-only pass that parallelizes across the cluster, mirroring the
+reference's per-file async footer decode.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+LAYOUT_SCHEMA = (
+    "file_path string, row_group int, num_rows bigint, row_start bigint"
+)
+
+WHOLE_FILE = -1  # sentinel row_group meaning "the entire file"
+
+
+def extract_layout(spark: SparkSession, files: list[str]) -> DataFrame:
+    """One row per (file, row_group): num_rows + cumulative row offset.
+
+    The cumulative offset mirrors the reference's per-page row-offset window
+    aggregation (backends/utils.py:76-81).
+
+    NOTE (repo convention): executor-side functions are defined as *closures*
+    so cloudpickle serializes them by value — the package then doesn't have
+    to be importable on executors (the driver contract hands us a foreign
+    SparkSession with an unknown worker PYTHONPATH).
+    """
+
+    def layout_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # executor-side imports only
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["file_path"]:
+                md = pq.ParquetFile(path).metadata
+                row_start = 0
+                for rg in range(md.num_row_groups):
+                    n = md.row_group(rg).num_rows
+                    rows.append((path, rg, n, row_start))
+                    row_start += n
+            yield pd.DataFrame(
+                rows, columns=["file_path", "row_group", "num_rows", "row_start"]
+            )
+
+    files_df = spark.createDataFrame([(f,) for f in files], "file_path string")
+    # Spread files across tasks; footer reads are tiny and IO-bound.
+    n_part = max(1, min(len(files), 64))
+    return files_df.repartition(n_part).mapInPandas(layout_batches, LAYOUT_SCHEMA)
+
+
+def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
+    """Driver-side {file_path: num_rows} for binpack planning (catalog-scale,
+    not data-scale: one small row per file)."""
+    rows = (
+        extract_layout(spark, files)
+        .groupBy("file_path")
+        .sum("num_rows")
+        .collect()
+    )
+    return {r[0]: r[1] for r in rows}

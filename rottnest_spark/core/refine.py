@@ -1,0 +1,77 @@
+"""Candidate fetch + exact refine — the analog of the reference's
+`read_indexed_pages` (src/formats/parquet.rs:430-648) and
+`get_result_from_index_result` (backends/utils.py:147-185).
+
+Two fetch paths, chosen by candidate granularity:
+
+- **file granularity** (row_group == -1): `spark.read.parquet(*files)` — the
+  native vectorized reader, whole-stage codegen, predicate pushdown. This is
+  the default path; at 100 TB the win is reading 20 files instead of 20k.
+- **row-group granularity**: a `mapInPandas` over the candidate list doing
+  `pyarrow.ParquetFile.read_row_group` — page-precision analog, used when an
+  index stores per-row-group provenance. Arrow-batched, one task per batch of
+  candidates, scales horizontally.
+
+Either way the rows then pass through the index's exact `brute_force`
+predicate, which is what makes index pruning invisible to correctness.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from rottnest_spark.core.layout import WHOLE_FILE
+
+
+def read_candidates(
+    spark: SparkSession,
+    candidates: list[tuple[str, int]],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read the rows of the candidate (file, row_group) units."""
+    if not candidates:
+        raise ValueError("no candidates to read")
+
+    whole_files = sorted({f for f, rg in candidates if rg == WHOLE_FILE})
+    rg_cands = [(f, rg) for f, rg in candidates if rg != WHOLE_FILE]
+    parts: list[DataFrame] = []
+
+    if whole_files:
+        df = spark.read.parquet(*whole_files)
+        parts.append(df.select(*columns) if columns else df)
+
+    if rg_cands:
+        # Schema must be declared up front for mapInPandas: probe one file.
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        arrow_schema = pq.ParquetFile(rg_cands[0][0]).schema_arrow
+        if columns:
+            import pyarrow as pa
+
+            arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+        spark_schema = from_arrow_schema(arrow_schema)
+        cols = columns
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as pq  # executor-side import
+
+            for pdf in batches:
+                for path, group in pdf.groupby("file_path"):
+                    pf = pq.ParquetFile(path)
+                    for rg in group["row_group"]:
+                        tbl = pf.read_row_group(int(rg), columns=cols)
+                        yield tbl.to_pandas()
+
+        cand_df = spark.createDataFrame(
+            rg_cands, "file_path string, row_group int"
+        ).repartition(max(1, min(len(rg_cands), 64)))
+        parts.append(cand_df.mapInPandas(fetch, spark_schema))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,4 @@
+from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
+from rottnest_spark.indices.substring import SubstringIndex
+
+__all__ = ["BRUTE_FORCE", "SparkIndex", "SubstringIndex"]

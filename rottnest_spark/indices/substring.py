@@ -1,0 +1,117 @@
+"""Substring index — character n-gram posting lists.
+
+Semantics cloned from the reference's SubstringIndex
+(indices/substring_index.py:19-21): the exact predicate is case-insensitive
+literal containment `lower(col) CONTAINS lower(query)`, and the index is only
+a candidate-pruning device (SURVEY §0 invariant).
+
+Design (SURVEY §7.3): the reference builds a BWT/FM-index over tokenized text
+(src/lava/substring/build.rs:307-547). We instead store the **distinct
+character n-grams per (file, row_group)** as a Parquet table sorted by gram.
+Pruning guarantee: if `lower(query)` occurs in some row of a unit, then every
+character n-gram of `lower(query)` occurs in that unit → a unit missing any
+query gram can be skipped with zero false negatives. False positives are
+removed by the exact refine, same as the reference's plist→refine flow
+(backends/utils.py:227-230).
+
+Why this scales to 100 TB:
+- build is one shuffle: explode distinct grams per unit → `distinct` →
+  range-partition by gram → sorted Parquet (map-side combine via per-row
+  `array_distinct` keeps the explode bounded by text length, and the unit
+  granularity caps cardinality at |grams| × |units|, NOT |grams| × |rows|);
+- probe reads only the row groups of the index whose gram range intersects
+  the query grams (Parquet min/max pruning on the sort key — the analog of
+  the reference fetching only the plist chunks containing query tokens,
+  src/lava/bm25/bm25.rs:494-545);
+- the candidate count is bounded by units, so the hits→refine join is
+  metadata-scale.
+
+Query-gram cap: `max_query_grams` mirrors `token_viable_limit`
+(indices/substring_index.py:9-12) — fewer probe grams = cheaper probe, more
+candidates, never wrong results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rottnest_spark.core.layout import WHOLE_FILE
+from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
+
+
+def provenance_file_col():
+    """Normalized data-file path of each row (native reader provenance)."""
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+
+
+def char_ngrams(col, n: int):
+    """Distinct character n-grams of an (already normalized) string column —
+    pure built-in functions, stays inside whole-stage codegen."""
+    starts = F.when(
+        F.length(col) >= n, F.sequence(F.lit(1), F.length(col) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(F.transform(starts, lambda i: col.substr(i, F.lit(n))))
+
+
+class SubstringIndex(SparkIndex):
+    index_type = "substring"
+
+    def __init__(self, gram: int = 3, max_query_grams: int = 10):
+        self.gram = gram
+        self.max_query_grams = max_query_grams
+
+    def config(self) -> dict:
+        return {"gram": self.gram, "max_query_grams": self.max_query_grams}
+
+    # -- build ----------------------------------------------------------------
+
+    def build(
+        self, spark: SparkSession, files: list[str], column: str, out_path: str
+    ) -> None:
+        df = spark.read.parquet(*files)
+        norm = F.lower(F.col(column))
+        index_df = (
+            df.select(
+                provenance_file_col().alias("file_path"),
+                F.lit(WHOLE_FILE).alias("row_group"),
+                F.explode(char_ngrams(norm, self.gram)).alias("gram"),
+            )
+            .distinct()
+            .select("gram", "file_path", "row_group")
+        )
+        self._write_index(index_df, out_path, sort_cols=["gram"])
+
+    # -- search ---------------------------------------------------------------
+
+    def query_grams(self, query: str) -> list[str]:
+        q = query.lower()
+        if len(q) < self.gram:
+            return []
+        grams = list(dict.fromkeys(q[i : i + self.gram] for i in range(len(q) - self.gram + 1)))
+        if len(grams) > self.max_query_grams:
+            # deterministic spread across the query (skip-factor analog)
+            step = len(grams) / self.max_query_grams
+            grams = [grams[int(i * step)] for i in range(self.max_query_grams)]
+        return grams
+
+    def search(self, spark: SparkSession, index_paths: list[str], query: str):
+        grams = self.query_grams(query)
+        if not grams:
+            return BRUTE_FORCE  # query shorter than gram size — index can't prune
+        idx = spark.read.parquet(*index_paths)
+        return (
+            idx.filter(F.col("gram").isin(grams))
+            .groupBy("file_path", "row_group")
+            .agg(F.count_distinct("gram").alias("ngrams"))
+            .filter(F.col("ngrams") == len(grams))
+            .select("file_path", "row_group")
+        )
+
+    # -- exact refine (F1, indices/substring_index.py:19-21) -------------------
+
+    def brute_force(
+        self, df: DataFrame, column: str, query: str, k: int | None
+    ) -> DataFrame:
+        out = df.filter(F.contains(F.lower(F.col(column)), F.lit(query.lower())))
+        return out.limit(k) if k is not None else out

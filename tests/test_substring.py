@@ -1,0 +1,119 @@
+"""Substring index: the SURVEY §0 invariant — index-accelerated search ≡
+brute-force full scan — plus lifecycle properties (reference test/parquet_test.py:13-52)."""
+
+import pyspark.sql.functions as F
+
+from rottnest_spark import ParquetLake
+from rottnest_spark.indices import BRUTE_FORCE, SubstringIndex
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("doc_id").collect())
+
+
+def oracle_ids(spark, lake_dir, q):
+    df = spark.read.parquet(lake_dir)
+    return _ids(df.filter(F.contains(F.lower("text"), F.lit(q.lower()))))
+
+
+def test_search_equals_full_scan(spark, docs_lake_dir, tmp_path):
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    created = lake.build_index(idx, "text")
+    assert created
+    for q in ["merge sort", "window window", "zzz-not-there", "SPARK"]:
+        got = _ids(lake.search(idx, "text", q))
+        assert got == oracle_ids(spark, docs_lake_dir, q), q
+
+
+def test_k_limit(spark, docs_lake_dir, tmp_path):
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    full = oracle_ids(spark, docs_lake_dir, "spark")
+    got = lake.search(idx, "text", "spark", k=10)
+    rows = got.collect()
+    assert len(rows) == min(10, len(full))
+    assert set(r["doc_id"] for r in rows) <= set(full)
+
+
+def test_short_query_goes_brute_force(spark, docs_lake_dir, tmp_path):
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    assert idx.search(spark, [], "ab") is BRUTE_FORCE
+    assert _ids(lake.search(idx, "text", "ab")) == oracle_ids(
+        spark, docs_lake_dir, "ab"
+    )
+
+
+def test_index_prunes_files(spark, docs_lake_dir, tmp_path):
+    """A no-hit query must prune to zero candidate files."""
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    entry = lake.catalog.entries()[0]
+    cands = idx.search(spark, [entry["index_path"]], "qqqxyzzy")
+    assert cands.count() == 0
+
+
+def test_unindexed_files_scanned_in_situ(spark, docs_lake_dir, tmp_path, sf_dir):
+    """Searching a lake with zero indexes still gives exact results."""
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    got = _ids(lake.search(idx, "text", "merge sort"))
+    assert got == oracle_ids(spark, docs_lake_dir, "merge sort")
+
+
+def test_incremental_build_and_invariant(spark, docs_lake_dir, tmp_path, sf_dir):
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    first = lake.build_index(idx, "text")
+    assert lake.build_index(idx, "text") == []  # idempotent
+    # append new files to the lake → only they get indexed
+    extra = str(tmp_path / "docs_lake" / "extra")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    ).coalesce(1).write.parquet(extra)
+    import glob
+    import shutil
+
+    for f in glob.glob(extra + "/*.parquet"):
+        shutil.move(f, docs_lake_dir + "/extra_" + f.split("/")[-1])
+    shutil.rmtree(extra)
+    second = lake.build_index(idx, "text")
+    assert second and set(second) != set(first)
+    lake.catalog.validate()
+    got = _ids(lake.search(idx, "text", "merge sort"))
+    assert got == oracle_ids(spark, docs_lake_dir, "merge sort")
+
+
+def test_compaction_preserves_search(spark, docs_lake_dir, tmp_path):
+    """search(after compact) ≡ search(before) — reference test.py:48-49."""
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    # tiny binpack threshold → one index per file → mergeable
+    lake.build_index(idx, "text", binpack_row_threshold=1)
+    assert len(lake.catalog.entries()) > 1
+    before = _ids(lake.search(idx, "text", "merge sort"))
+    created = lake.compact_indices(idx, "text", row_threshold=10_000_000)
+    assert created
+    assert len(lake.catalog.entries_for("substring", "text")) == 1
+    after = _ids(lake.search(idx, "text", "merge sort"))
+    assert after == before
+    lake.catalog.validate()
+
+
+def test_vacuum_removes_orphans(spark, docs_lake_dir, tmp_path):
+    import os
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    orphan = str(tmp_path / "idx" / "orphan_dir")
+    os.makedirs(orphan)
+    removed = lake.vacuum()
+    assert "orphan_dir" in removed
+    assert not os.path.exists(orphan)
+    # live index untouched
+    assert lake.catalog.entries()
