@@ -35,6 +35,7 @@ from rottnest_spark.core.planner import (
     unindexed_files,
 )
 from rottnest_spark.core.refine import read_candidates
+from rottnest_spark.sources.reader import read_parquet
 from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
 
 
@@ -63,7 +64,7 @@ class ParquetLake:
         return sorted(glob.glob(self._data))
 
     def read(self, files: list[str] | None = None) -> DataFrame:
-        return self.spark.read.parquet(*(files or self.files))
+        return read_parquet(self.spark, files or self.files)
 
     # -- L1: build ------------------------------------------------------------
 

@@ -1,0 +1,250 @@
+"""Query registry backing __spark_entry__.py (the driver contract).
+
+Each query is a (spark, sf_dir) -> DataFrame callable paired with an ANSI-SQL
+oracle (run by DuckDB on the same parquet). Exact-index queries return the
+FULL match set (no LIMIT) so the order-insensitive hash compare is
+deterministic; float aggregates are rounded in both engines to absorb
+summation-order differences.
+
+Index-accelerated queries really exercise the index machinery: the index is
+built (once, cached by the idempotent catalog under /tmp) and the search goes
+plan → probe → candidate fetch → exact refine. The oracle is the full scan —
+which is exactly the SURVEY §0 invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rottnest_spark.core.lake import ParquetLake
+from rottnest_spark.indices.exact import ExactIndex
+from rottnest_spark.indices.substring import SubstringIndex
+from rottnest_spark.sources.reader import read_parquet
+
+INDEX_CACHE_ROOT = os.environ.get(
+    "ROTTNEST_SPARK_INDEX_CACHE", "/tmp/rottnest_spark_indexes"
+)
+
+SUBSTRING_QUERY = "merge sort"
+LOG_QUERY = '"k": 87'
+EXACT_KEY = 100
+Q1_CUTOFF = "1998-09-02"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{os.path.abspath(sf_dir)}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, [table_path(sf_dir, name)])
+
+
+def indexed_lake(
+    spark: SparkSession, sf_dir: str, table: str, column: str, index
+) -> ParquetLake:
+    """Build (or reuse — build_index is idempotent via the catalog) an index
+    over one testdata table, cached under /tmp keyed by (table, column, type)."""
+    import rottnest_spark
+
+    # version + config in the key: a format change must never reuse a stale
+    # cached index from a previous build of this package
+    key = hashlib.md5(
+        f"{table_path(sf_dir, table)}|{column}|{index.index_type}"
+        f"|{sorted(index.config().items())}|{rottnest_spark.__version__}".encode()
+    ).hexdigest()[:16]
+    lake = ParquetLake(
+        spark,
+        [table_path(sf_dir, table)],
+        os.path.join(INDEX_CACHE_ROOT, key),
+    )
+    lake.build_index(index, column)
+    return lake
+
+
+# --------------------------------------------------------------------------
+# Search operators (index-accelerated, exact semantics)
+# --------------------------------------------------------------------------
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 substring containment over documents.text via the n-gram index."""
+    idx = SubstringIndex()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return lake.search(idx, "text", SUBSTRING_QUERY).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 exact key lookup on orders.o_orderkey via zone-map + key index."""
+    idx = ExactIndex()
+    lake = indexed_lake(spark, sf_dir, "orders", "o_orderkey", idx)
+    return lake.search(idx, "o_orderkey", EXACT_KEY).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+
+
+def q_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 log keyword search over events.props (substring index — the
+    logcloud-exact refine is the same contains predicate)."""
+    idx = SubstringIndex()
+    lake = indexed_lake(spark, sf_dir, "events", "props", idx)
+    return lake.search(idx, "props", LOG_QUERY).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytics showcase (Catalyst-native: agg / join / window)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join: broadcast the small dimension, shuffle the fact
+    once, deterministic top-K via (rounded revenue, key) ordering."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sessionization: new session after a >30 min gap.
+    (Streaming-adjacent batch analog; per-user windows partition cleanly.)"""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "substring_search": q_substring_search,
+    "exact_match": q_exact_match,
+    "log_search": q_log_search,
+    "tpch_q1": q_tpch_q1,
+    "top_revenue_orders": q_top_revenue_orders,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES: dict[str, str] = {
+    "substring_search": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE contains(lower(text), '{SUBSTRING_QUERY}')
+    """,
+    "exact_match": f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey = {EXACT_KEY}
+    """,
+    "log_search": f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
+    """,
+    "tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)       AS sum_qty,
+               round(sum(l_extendedprice), 2)  AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4)       AS avg_qty,
+               count(*)                        AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    # Gap uses whole-second floors on both sides: Spark cast(ts AS long)
+    # floors to seconds; DuckDB date_diff('second') counts second boundaries.
+    "events_sessionize": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR date_diff('second',
+                                          lag(ts) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id),
+                                          ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sess AS (
+            SELECT user_id, value,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        ), per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               max(n_events) AS max_session_events,
+               round(sum(session_value), 2) AS total_value
+        FROM per_session GROUP BY user_id
+    """,
+}

@@ -1,0 +1,87 @@
+"""Exact-match index — the analog of the reference's UUID trie index
+(src/lava/uuid/uuid.rs:16-162, trie.rs) and of its "virtual mode" zone maps
+(backends/utils.py:110-126).
+
+Two index tables per build, both Parquet:
+
+- `zone/`  one row per (file, row_group): min/max of the key column — the
+  generalized zone map. O(units) rows, tiny.
+- `keys/`  distinct (key, file, row_group), **range-partitioned and sorted by
+  key** — the trie replacement. A point probe `key == q` reaches the Parquet
+  scan as a pushed filter, so row-group min/max stats skip everything but the
+  few row groups whose key range covers q. That is exactly the work the
+  reference's 16-level root LUT + leaf-trie walk does (trie.rs:130-180),
+  done by the Parquet reader instead of custom binary search.
+
+Refine predicate (F2, indices/uuid_index.py:13-15): equality on the raw
+column. Set `store_keys=False` to keep only zone maps (cheaper build, coarser
+pruning — right choice when the lake is written sorted/clustered by the key).
+
+Scale: `keys/` has ≤ one row per distinct (key, unit); the build is a single
+distinct-shuffle. Probe touches O(log) row groups. At 100 TB the zone table
+alone prunes to the few files whose range covers the probe key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rottnest_spark.core.layout import WHOLE_FILE
+from rottnest_spark.indices.base import SparkIndex
+from rottnest_spark.indices.substring import provenance_file_col
+from rottnest_spark.sources.reader import read_parquet
+
+
+class ExactIndex(SparkIndex):
+    index_type = "exact"
+
+    def __init__(self, store_keys: bool = True):
+        self.store_keys = store_keys
+
+    def config(self) -> dict:
+        return {"store_keys": self.store_keys}
+
+    def build(
+        self, spark: SparkSession, files: list[str], column: str, out_path: str
+    ) -> None:
+        df = read_parquet(spark, files).select(
+            provenance_file_col().alias("file_path"),
+            F.lit(WHOLE_FILE).alias("row_group"),
+            F.col(column).alias("key"),
+        )
+        zone = df.groupBy("file_path", "row_group").agg(
+            F.min("key").alias("min_key"), F.max("key").alias("max_key")
+        )
+        self._write_index(zone, f"{out_path}/zone")
+        if self.store_keys:
+            keys = df.distinct()
+            self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])
+
+    def search(self, spark: SparkSession, index_paths: list[str], query):
+        if self.store_keys:
+            keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
+            return (
+                keys.filter(F.col("key") == F.lit(query))
+                .select("file_path", "row_group")
+                .distinct()
+            )
+        zones = spark.read.parquet(*[f"{p}/zone" for p in index_paths])
+        return zones.filter(
+            (F.col("min_key") <= F.lit(query)) & (F.col("max_key") >= F.lit(query))
+        ).select("file_path", "row_group")
+
+    def brute_force(
+        self, df: DataFrame, column: str, query, k: int | None
+    ) -> DataFrame:
+        out = df.filter(F.col(column) == F.lit(query))
+        return out.limit(k) if k is not None else out
+
+    def compact(
+        self, spark: SparkSession, index_paths: list[str], out_path: str
+    ) -> None:
+        zones = spark.read.parquet(*[f"{p}/zone" for p in index_paths])
+        self._write_index(zones, f"{out_path}/zone")
+        if self.store_keys:
+            keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
+            self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from rottnest_spark.core.layout import WHOLE_FILE
 from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
+from rottnest_spark.sources.reader import read_parquet
 
 
 def provenance_file_col():
@@ -69,15 +70,23 @@ class SubstringIndex(SparkIndex):
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
-        df = spark.read.parquet(*files)
+        df = read_parquet(spark, files)
         norm = F.lower(F.col(column))
+        # Materialize provenance BEFORE repartitioning (hidden _metadata only
+        # exists on the scan), then spread rows across the cluster so the
+        # gram explode isn't bottlenecked by the input file count.
+        rows = df.select(
+            provenance_file_col().alias("file_path"),
+            F.lit(WHOLE_FILE).alias("row_group"),
+            norm.alias("__norm__"),
+        ).repartition(spark.sparkContext.defaultParallelism)
         index_df = (
-            df.select(
-                provenance_file_col().alias("file_path"),
-                F.lit(WHOLE_FILE).alias("row_group"),
-                F.explode(char_ngrams(norm, self.gram)).alias("gram"),
+            rows.select(
+                "file_path",
+                "row_group",
+                F.explode(char_ngrams(F.col("__norm__"), self.gram)).alias("gram"),
             )
-            .distinct()
+            .distinct()  # map-side partial agg keeps the shuffle ≈ |grams|×|units|
             .select("gram", "file_path", "row_group")
         )
         self._write_index(index_df, out_path, sort_cols=["gram"])

@@ -1,0 +1,61 @@
+"""Exact-match index: point-lookup ≡ full-scan equality (F2), zone-map and
+key-table pruning, range-clustered lake."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark import ParquetLake
+from rottnest_spark.indices.exact import ExactIndex
+
+
+@pytest.fixture(scope="module")
+def orders_lake(spark, sf_dir, tmp_path_factory):
+    """orders range-clustered by o_orderkey into 6 files (disjoint ranges)."""
+    out = str(tmp_path_factory.mktemp("orders") / "lake")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartitionByRange(6, "o_orderkey")
+        .write.parquet(out)
+    )
+    return out
+
+
+def _keys(df):
+    return sorted(r[0] for r in df.select("o_orderkey").collect())
+
+
+@pytest.mark.parametrize("store_keys", [True, False])
+def test_point_lookup_equals_oracle(spark, orders_lake, tmp_path, store_keys):
+    lake = ParquetLake(spark, orders_lake, str(tmp_path / "idx"))
+    idx = ExactIndex(store_keys=store_keys)
+    lake.build_index(idx, "o_orderkey")
+    probe = spark.read.parquet(orders_lake).select("o_orderkey").limit(1).collect()[0][0]
+    for q in [probe, -12345]:
+        got = _keys(lake.search(idx, "o_orderkey", q))
+        want = _keys(
+            spark.read.parquet(orders_lake).filter(F.col("o_orderkey") == q)
+        )
+        assert got == want, (store_keys, q)
+
+
+def test_prunes_to_one_file(spark, orders_lake, tmp_path):
+    lake = ParquetLake(spark, orders_lake, str(tmp_path / "idx"))
+    idx = ExactIndex()
+    lake.build_index(idx, "o_orderkey")
+    probe = spark.read.parquet(orders_lake).agg(F.min("o_orderkey")).collect()[0][0]
+    entry = lake.catalog.entries()[0]
+    cands = idx.search(spark, [entry["index_path"]], probe).collect()
+    # range-clustered lake → exactly one candidate file for a point probe
+    assert len(cands) == 1
+
+
+def test_compaction_preserves_lookup(spark, orders_lake, tmp_path):
+    lake = ParquetLake(spark, orders_lake, str(tmp_path / "idx"))
+    idx = ExactIndex()
+    lake.build_index(idx, "o_orderkey", binpack_row_threshold=1)
+    assert len(lake.catalog.entries()) > 1
+    probe = spark.read.parquet(orders_lake).select("o_orderkey").limit(1).collect()[0][0]
+    before = _keys(lake.search(idx, "o_orderkey", probe))
+    lake.compact_indices(idx, "o_orderkey", row_threshold=10_000_000)
+    after = _keys(lake.search(idx, "o_orderkey", probe))
+    assert before == after and before
