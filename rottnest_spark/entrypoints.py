@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rottnest_spark.core.lake import ParquetLake
+from rottnest_spark.indices.bm25 import BM25Index, bm25_topk, tokenize_query
 from rottnest_spark.indices.exact import ExactIndex
 from rottnest_spark.indices.substring import SubstringIndex
 from rottnest_spark.sources.reader import read_parquet
@@ -34,6 +35,8 @@ SUBSTRING_QUERY = "merge sort"
 LOG_QUERY = '"k": 87'
 EXACT_KEY = 100
 Q1_CUTOFF = "1998-09-02"
+BM25_QUERY = "spark window merge"
+BM25_K = 20
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -97,6 +100,46 @@ def q_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.search(idx, "props", LOG_QUERY).select(
         "event_id", "user_id", "event_type"
     )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/T1 exact BM25 top-K over documents.text via postings + global
+    stats from the index (exactness rationale in indices/bm25.py)."""
+    idx = BM25Index()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return bm25_topk(lake, idx, "text", BM25_QUERY, BM25_K, "doc_id")
+
+
+def _bm25_oracle_sql(query: str, k: int) -> str:
+    toks = ", ".join(f"'{t}'" for t in tokenize_query(query))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.tok AS token
+            FROM documents,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        doclen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+        corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                        (SELECT count(*) FROM toks)      AS total_len),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+                  WHERE token IN ({toks}) GROUP BY token),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+               WHERE token IN ({toks}) GROUP BY doc_id, token)
+        SELECT tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                         * tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * len
+                                        / (total_len * 1.0 / n_docs)))), 4)
+                   AS score
+        FROM tf
+        JOIN doclen USING (doc_id)
+        JOIN dfreq  USING (token)
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC
+        LIMIT {k}
+    """
 
 
 # --------------------------------------------------------------------------
@@ -177,6 +220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "exact_match": q_exact_match,
     "log_search": q_log_search,
+    "bm25_topk": q_bm25_topk,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
     "events_sessionize": q_events_sessionize,
@@ -195,6 +239,7 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, event_type FROM events
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
     """,
+    "bm25_topk": _bm25_oracle_sql(BM25_QUERY, BM25_K),
     "tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)       AS sum_qty,

@@ -1,0 +1,288 @@
+"""BM25 index — inverted postings + corpus statistics.
+
+Reference semantics (src/lava/bm25/bm25.rs:83-110,477-489 and
+indices/bm25_index.py:104-135): Okapi BM25 with k1=1.2, b=0.75,
+idf = ln((N - df + 0.5)/(df + 0.5) + 1); index prunes to candidate pages,
+then candidates are re-scored and top-K'd.
+
+Tokenizer: the reference serializes a HuggingFace tokenizer into the index
+header (src/lava/tokenizer_utils.rs:14-80); per SURVEY §7.3 / X2 we use a
+deterministic regex tokenizer (lowercase, split on [^a-z0-9]+) recorded in
+the catalog config — tokenizer identity was a config knob, and the probe
+must match the build, which the config round-trip guarantees.
+
+Exactness upgrade over the reference: the reference re-scores only the
+*fetched pages* with DuckDB FTS, so document frequencies come from the
+candidate subset and the result is approximate (hence its quality_factor·K
+oversampling, bm25_index.py:158). We persist **global** stats in the index —
+per-token df (rows containing the token) and (n_docs, total_len) — so the
+refine scores candidate rows with true corpus statistics. Because every row
+with a nonzero BM25 score contains ≥1 query token, and candidates are
+exactly the units containing ≥1 query token, the top-K is EXACT (no
+quality_factor needed).
+
+Index layout (per entry, under out_path/):
+    postings/  (token, file_path, row_group) distinct, sorted by token
+    stats/     (token, df)
+    meta/      (n_docs, total_len) single row
+
+All three merge by union + re-aggregation (the reference's 160-line k-way
+plist merge, bm25.rs:246-408, becomes one shuffle).
+
+Scale: postings/stats build is one explode→distinct shuffle; probe filters
+postings by query tokens (row-group pruned via the token sort); scoring joins
+candidates against a broadcast of the ≤|query| stats rows; top-K is
+TakeOrderedAndProject — no global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rottnest_spark.core.layout import WHOLE_FILE
+from rottnest_spark.indices.base import SparkIndex
+from rottnest_spark.indices.substring import provenance_file_col
+from rottnest_spark.sources.reader import read_parquet
+
+K1 = 1.2
+B = 0.75
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_col(col):
+    """array of tokens — MUST match the oracle SQL's
+    regexp_split_to_array(lower(x), '[^a-z0-9]+') with empties removed."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def tokenize_query(query: str) -> list[str]:
+    import re
+
+    return sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
+
+
+class BM25Index(SparkIndex):
+    index_type = "bm25"
+
+    def config(self) -> dict:
+        return {"tokenizer": f"regex:{TOKEN_SPLIT_RE}", "k1": K1, "b": B}
+
+    def build(
+        self, spark: SparkSession, files: list[str], column: str, out_path: str
+    ) -> None:
+        df = read_parquet(spark, files)
+        rows = df.select(
+            provenance_file_col().alias("file_path"),
+            F.lit(WHOLE_FILE).alias("row_group"),
+            tokens_col(F.col(column)).alias("toks"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        rows = rows.persist()
+        try:
+            per_row = rows.select(
+                "file_path",
+                "row_group",
+                F.explode(F.array_distinct("toks")).alias("token"),
+            )
+            postings = per_row.select("token", "file_path", "row_group").distinct()
+            self._write_index(postings, f"{out_path}/postings", sort_cols=["token"])
+            stats = per_row.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+            self._write_index(stats, f"{out_path}/stats", sort_cols=["token"])
+            meta = rows.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("total_len"),
+            )
+            meta.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")
+        finally:
+            rows.unpersist()
+
+    def search(self, spark: SparkSession, index_paths: list[str], query: str):
+        """Candidates = units containing ANY query token (union semantics —
+        BM25 scores rows with any overlap, unlike substring's all-grams)."""
+        toks = tokenize_query(query)
+        postings = spark.read.parquet(*[f"{p}/postings" for p in index_paths])
+        return (
+            postings.filter(F.col("token").isin(toks))
+            .select("file_path", "row_group")
+            .distinct()
+        )
+
+    def stats(self, spark: SparkSession, index_paths: list[str], query_tokens):
+        """(df per query token, n_docs, total_len) merged across entries."""
+        st = (
+            spark.read.parquet(*[f"{p}/stats" for p in index_paths])
+            .filter(F.col("token").isin(list(query_tokens)))
+            .groupBy("token")
+            .agg(F.sum("df").alias("df"))
+        )
+        meta = (
+            spark.read.parquet(*[f"{p}/meta" for p in index_paths])
+            .agg(F.sum("n_docs"), F.sum("total_len"))
+            .collect()[0]
+        )
+        return st, int(meta[0] or 0), int(meta[1] or 0)
+
+    def brute_force(
+        self, df: DataFrame, column: str, query: str, k: int | None
+    ) -> DataFrame:
+        """Self-contained exact BM25 over the given rows (stats derived from
+        df itself). Used for recall tests / ad-hoc scoring; lake-level search
+        goes through bm25_topk which uses global index stats."""
+        toks = tokenize_query(query)
+        row_id = "__bm25_row__"
+        with_id = df.withColumn(row_id, F.monotonically_increasing_id())
+        stats = derive_stats(with_id, column, toks)
+        scored = score_rows(with_id, column, toks, *stats, id_col=row_id)
+        out = with_id.join(scored, row_id).drop(row_id, "score")
+        return out.limit(k) if k is not None else out
+
+    def compact(
+        self, spark: SparkSession, index_paths: list[str], out_path: str
+    ) -> None:
+        postings = spark.read.parquet(*[f"{p}/postings" for p in index_paths])
+        self._write_index(postings.distinct(), f"{out_path}/postings", sort_cols=["token"])
+        stats = (
+            spark.read.parquet(*[f"{p}/stats" for p in index_paths])
+            .groupBy("token")
+            .agg(F.sum("df").alias("df"))
+        )
+        self._write_index(stats, f"{out_path}/stats", sort_cols=["token"])
+        meta = (
+            spark.read.parquet(*[f"{p}/meta" for p in index_paths])
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_len").alias("total_len"),
+            )
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")
+
+
+def derive_stats(df: DataFrame, column: str, query_tokens: list[str]):
+    """(stats_df(token, df), n_docs, total_len) computed from raw rows —
+    the in-situ analog for unindexed data."""
+    toks = df.select(tokens_col(F.col(column)).alias("toks"))
+    st = (
+        toks.select(F.explode(F.array_distinct("toks")).alias("token"))
+        .filter(F.col("token").isin(query_tokens))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    glob = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("tl"),
+    ).collect()[0]
+    return st, int(glob[0]), int(glob[1])
+
+
+def score_rows(
+    df: DataFrame,
+    column: str,
+    query_tokens: list[str],
+    stats_df: DataFrame,
+    n_docs: int,
+    total_len: int,
+    id_col: str,
+    k: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact Okapi BM25 of each row against the query tokens.
+
+    Returns (id_col, score) with score rounded (cross-engine float hygiene);
+    ties broken by id_col when k is set. Rows with no query token are
+    excluded (score would be 0).
+    """
+    if not query_tokens or n_docs == 0:
+        return df.select(id_col).limit(0).withColumn("score", F.lit(0.0))
+    avg_len = total_len / n_docs if n_docs else 1.0
+    # idf per token — tiny; compute driver-side then broadcast-join
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    ).alias("idf")
+    stats_small = stats_df.select("token", idf)
+
+    toks = df.select(id_col, tokens_col(F.col(column)).alias("toks"))
+    exploded = toks.select(
+        id_col, F.size("toks").alias("len"), F.explode("toks").alias("token")
+    ).filter(F.col("token").isin(list(query_tokens)))
+    tf = exploded.groupBy(id_col, "token", "len").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_token = tf.join(F.broadcast(stats_small), "token").select(
+        id_col,
+        (
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("len") / F.lit(avg_len)))
+        ).alias("partial"),
+    )
+    scored = per_token.groupBy(id_col).agg(
+        F.round(F.sum("partial"), round_to).alias("score")
+    )
+    if k is not None:
+        scored = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    return scored
+
+
+def bm25_topk(
+    lake,
+    index: BM25Index,
+    column: str,
+    query: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Lake-level exact BM25 top-K: global stats = index stats (covered
+    files) + derived stats (unindexed files); candidate rows = postings hits
+    + unindexed rows. Exact because candidates ⊇ every row containing ≥1
+    query token."""
+    from rottnest_spark.core.planner import plan_search
+    from rottnest_spark.core.refine import read_candidates
+
+    spark = lake.spark
+    toks = tokenize_query(query)
+    plan = plan_search(lake.catalog, index.index_type, column, lake.files)
+
+    stat_parts, n_docs, total_len = [], 0, 0
+    cand_parts: list[DataFrame] = []
+
+    if plan.entries:
+        paths = [e["index_path"] for e in plan.entries]
+        st, n, tl = index.stats(spark, paths, toks)
+        stat_parts.append(st)
+        n_docs += n
+        total_len += tl
+        cands = index.search(spark, paths, query)
+        covered = set(plan.covered_files)
+        cand_list = [(r[0], r[1]) for r in cands.collect() if r[0] in covered]
+        if len(cand_list) > lake.brute_force_threshold:
+            cand_parts.append(lake.read(plan.covered_files))
+        elif cand_list:
+            cand_parts.append(read_candidates(spark, cand_list))
+
+    if plan.unindexed_files:
+        raw = lake.read(plan.unindexed_files)
+        st, n, tl = derive_stats(raw, column, toks)
+        stat_parts.append(st)
+        n_docs += n
+        total_len += tl
+        cand_parts.append(raw)
+
+    if not cand_parts:
+        empty = lake.read(lake.files[:1]).limit(0)
+        return empty.select(id_col).withColumn("score", F.lit(0.0))
+
+    stats_df = stat_parts[0]
+    for s in stat_parts[1:]:
+        stats_df = stats_df.unionByName(s)
+    stats_df = stats_df.groupBy("token").agg(F.sum("df").alias("df"))
+
+    rows = cand_parts[0]
+    for c in cand_parts[1:]:
+        rows = rows.unionByName(c)
+    return score_rows(
+        rows, column, toks, stats_df, n_docs, total_len, id_col=id_col, k=k
+    )

@@ -1,0 +1,98 @@
+"""BM25: exactness of the index-accelerated top-K vs a from-scratch scorer,
+partial-coverage (index + in-situ) mixing, merge property (reference
+test.py:44-49 analog)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark import ParquetLake
+from rottnest_spark.indices.bm25 import BM25Index, bm25_topk, tokenize_query
+
+QUERY = "spark window merge"
+K = 15
+
+
+def exact_topk_python(spark, lake_dir, query, k):
+    """Independent reference scorer: pure Python over collected rows."""
+    rows = spark.read.parquet(lake_dir).select("doc_id", "text").collect()
+    import re
+
+    def toks(s):
+        return [t for t in re.split("[^a-z0-9]+", s.lower()) if t]
+
+    qtoks = tokenize_query(query)
+    docs = {r["doc_id"]: toks(r["text"]) for r in rows}
+    n = len(docs)
+    avg = sum(len(t) for t in docs.values()) / n
+    dfreq = {
+        q: sum(1 for t in docs.values() if q in t) for q in qtoks
+    }
+    out = []
+    for did, t in docs.items():
+        score = 0.0
+        for q in qtoks:
+            tf = t.count(q)
+            if not tf or not dfreq[q]:
+                continue
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1)
+            score += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avg))
+        if score > 0:
+            out.append((did, round(score, 4)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_bm25_topk_exact(spark, docs_lake_dir, tmp_path):
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = BM25Index()
+    lake.build_index(idx, "text")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(lake, idx, "text", QUERY, K, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    want = exact_topk_python(spark, docs_lake_dir, QUERY, K)
+    assert got == want
+
+
+def test_bm25_partial_coverage(spark, docs_lake_dir, tmp_path):
+    """Index some files, leave others in-situ → same exact answer."""
+    import glob
+
+    files = sorted(glob.glob(docs_lake_dir + "/*.parquet"))
+    lake_partial = ParquetLake(spark, files[:2], str(tmp_path / "idx"))
+    idx = BM25Index()
+    lake_partial.build_index(idx, "text")
+    lake_full = ParquetLake(spark, files, str(tmp_path / "idx"))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(lake_full, idx, "text", QUERY, K, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    want = exact_topk_python(spark, docs_lake_dir, QUERY, K)
+    assert got == want
+
+
+def test_bm25_compaction_preserves_topk(spark, docs_lake_dir, tmp_path):
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = BM25Index()
+    lake.build_index(idx, "text", binpack_row_threshold=1)
+    assert len(lake.catalog.entries_for("bm25", "text")) > 1
+    before = bm25_topk(lake, idx, "text", QUERY, K, "doc_id").collect()
+    lake.compact_indices(idx, "text", row_threshold=10_000_000)
+    assert len(lake.catalog.entries_for("bm25", "text")) == 1
+    after = bm25_topk(lake, idx, "text", QUERY, K, "doc_id").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_bm25_candidates_prune(spark, docs_lake_dir, tmp_path):
+    """A token absent from the corpus yields zero candidate units."""
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = BM25Index()
+    lake.build_index(idx, "text")
+    entry = lake.catalog.entries_for("bm25", "text")[0]
+    assert idx.search(spark, [entry["index_path"]], "xyzzy qwertyzzz").count() == 0
