@@ -25,6 +25,7 @@ from rottnest_spark.core.lake import ParquetLake
 from rottnest_spark.indices.bm25 import BM25Index, bm25_topk, tokenize_query
 from rottnest_spark.indices.exact import ExactIndex
 from rottnest_spark.indices.substring import SubstringIndex
+from rottnest_spark.indices.vector import VectorIndex, knn_topk
 from rottnest_spark.sources.reader import read_parquet
 
 INDEX_CACHE_ROOT = os.environ.get(
@@ -37,6 +38,8 @@ EXACT_KEY = 100
 Q1_CUTOFF = "1998-09-02"
 BM25_QUERY = "spark window merge"
 BM25_K = 20
+KNN_QUERY_ID = 0
+KNN_K = 10
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -142,6 +145,37 @@ def _bm25_oracle_sql(query: str, k: int) -> str:
     """
 
 
+def _knn_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    return [
+        float(x)
+        for x in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == KNN_QUERY_ID)
+        .collect()[0]["embedding"]
+    ]
+
+
+def q_vector_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 exact L2 top-K (brute-force baseline; zip_with/aggregate fold)."""
+    lake = ParquetLake(
+        spark, [table_path(sf_dir, "embeddings")], "/tmp/rottnest_noidx"
+    )
+    return knn_topk(
+        lake, VectorIndex(), "embedding", _knn_query_vec(spark, sf_dir),
+        KNN_K, "vec_id", exact=True,
+    )
+
+
+def q_vector_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I12 IVF-pruned approximate top-K (no SQL oracle — recall measured in
+    tests; the driver records a rows-only check, as with the reference's
+    recall-based evaluation msmarco.py:49-60)."""
+    idx = VectorIndex(rows_per_centroid=64, nprobes=8)
+    lake = indexed_lake(spark, sf_dir, "embeddings", "embedding", idx)
+    return knn_topk(
+        lake, idx, "embedding", _knn_query_vec(spark, sf_dir), KNN_K, "vec_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Analytics showcase (Catalyst-native: agg / join / window)
 # --------------------------------------------------------------------------
@@ -221,6 +255,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_match": q_exact_match,
     "log_search": q_log_search,
     "bm25_topk": q_bm25_topk,
+    "vector_knn_exact": q_vector_knn_exact,
+    "vector_knn_ivf": q_vector_knn_ivf,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
     "events_sessionize": q_events_sessionize,
@@ -240,6 +276,19 @@ ORACLES: dict[str, str] = {
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
     """,
     "bm25_topk": _bm25_oracle_sql(BM25_QUERY, BM25_K),
+    # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
+    "vector_knn_exact": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = {KNN_QUERY_ID})
+        SELECT e.vec_id,
+               round(sqrt(list_sum(list_transform(
+                   range(1, array_length(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(q.qv[i] AS DOUBLE)) ** 2))), 4) AS dist
+        FROM embeddings e CROSS JOIN q
+        ORDER BY dist ASC, e.vec_id ASC
+        LIMIT {KNN_K}
+    """,
     "tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)       AS sum_qty,

@@ -1,0 +1,83 @@
+"""Vector index: exact KNN correctness, IVF recall@K, pruning, compaction."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark import ParquetLake
+from rottnest_spark.indices.vector import VectorIndex, knn_topk
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb_lake(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("emb") / "lake")
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(4)
+        .write.parquet(out)
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def query_vec(spark, sf_dir):
+    return [
+        float(x)
+        for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+
+
+def exact_knn_numpy(spark, emb_lake, q, k):
+    import numpy as np
+
+    rows = spark.read.parquet(emb_lake).select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=float)
+    d = np.sqrt(((mat - np.array(q)) ** 2).sum(axis=1)).round(4)
+    order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:k]
+    return [(int(ids[i]), float(d[i])) for i in order]
+
+
+def test_exact_knn_matches_numpy(spark, emb_lake, query_vec, tmp_path):
+    lake = ParquetLake(spark, emb_lake, str(tmp_path / "idx"))
+    idx = VectorIndex()
+    got = [
+        (r["vec_id"], r["dist"])
+        for r in knn_topk(lake, idx, "embedding", query_vec, K, "vec_id", exact=True).collect()
+    ]
+    assert got == exact_knn_numpy(spark, emb_lake, query_vec, K)
+
+
+def test_ivf_recall(spark, emb_lake, query_vec, tmp_path):
+    lake = ParquetLake(spark, emb_lake, str(tmp_path / "idx"))
+    idx = VectorIndex(rows_per_centroid=32, nprobes=6)
+    lake.build_index(idx, "embedding")
+    got = {r["vec_id"] for r in knn_topk(lake, idx, "embedding", query_vec, K, "vec_id").collect()}
+    want = {v for v, _ in exact_knn_numpy(spark, emb_lake, query_vec, K)}
+    recall = len(got & want) / K
+    assert recall >= 0.8, recall
+
+
+def test_ivf_prunes_units(spark, emb_lake, query_vec, tmp_path):
+    lake = ParquetLake(spark, emb_lake, str(tmp_path / "idx"))
+    idx = VectorIndex(rows_per_centroid=16, nprobes=2)
+    lake.build_index(idx, "embedding")
+    entry = lake.catalog.entries_for("vector", "embedding")[0]
+    n_cands = idx.search(spark, [entry["index_path"]], query_vec).count()
+    # 4 lake files; nprobes=2 of ~30 centroids should not touch every file
+    assert n_cands <= 4
+
+
+def test_compaction_preserves_probe(spark, emb_lake, query_vec, tmp_path):
+    lake = ParquetLake(spark, emb_lake, str(tmp_path / "idx"))
+    idx = VectorIndex(rows_per_centroid=32, nprobes=6)
+    lake.build_index(idx, "embedding", binpack_row_threshold=1)
+    assert len(lake.catalog.entries_for("vector", "embedding")) > 1
+    before = {r["vec_id"] for r in knn_topk(lake, idx, "embedding", query_vec, K, "vec_id").collect()}
+    lake.compact_indices(idx, "embedding", row_threshold=10_000_000)
+    assert len(lake.catalog.entries_for("vector", "embedding")) == 1
+    after = {r["vec_id"] for r in knn_topk(lake, idx, "embedding", query_vec, K, "vec_id").collect()}
+    assert before == after
