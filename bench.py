@@ -38,8 +38,11 @@ def main() -> None:
     spark = get_spark("rottnest-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from rottnest_spark.indices.bm25 import BM25Index
     from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.indices.logcloud import LogIndex
     from rottnest_spark.indices.substring import SubstringIndex
+    from rottnest_spark.indices.vector import VectorIndex
 
     timings: dict[str, float] = {}
 
@@ -60,6 +63,21 @@ def main() -> None:
     timed(
         "exact_build_orders",
         lambda: ep.indexed_lake(spark, sf_dir, "orders", "o_orderkey", ExactIndex()),
+    )
+    timed(
+        "bm25_build_documents",
+        lambda: ep.indexed_lake(spark, sf_dir, "documents", "text", BM25Index()),
+    )
+    timed(
+        "logcloud_build_events",
+        lambda: ep.indexed_lake(spark, sf_dir, "events", "props", LogIndex()),
+    )
+    timed(
+        "ivf_build_embeddings",
+        lambda: ep.indexed_lake(
+            spark, sf_dir, "embeddings", "embedding",
+            VectorIndex(rows_per_centroid=64, nprobes=8),
+        ),
     )
 
     # -- queries (accelerated / Catalyst path) --------------------------------

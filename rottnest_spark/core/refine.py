@@ -24,6 +24,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from rottnest_spark.core.layout import WHOLE_FILE
+from rottnest_spark.sources.reader import read_parquet
+
+
+def _us_schema(arrow_schema):
+    """Downcast timestamp[ns] fields to µs — Spark's vectorized reader and
+    from_arrow_schema reject nanos; truncation matches reader.read_parquet."""
+    import pyarrow as pa
+
+    fields = []
+    for f in arrow_schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            f = f.with_type(pa.timestamp("us", tz=f.type.tz))
+        fields.append(f)
+    return pa.schema(fields)
 
 
 def read_candidates(
@@ -40,8 +54,7 @@ def read_candidates(
     parts: list[DataFrame] = []
 
     if whole_files:
-        df = spark.read.parquet(*whole_files)
-        parts.append(df.select(*columns) if columns else df)
+        parts.append(read_parquet(spark, whole_files, columns=columns))
 
     if rg_cands:
         # Schema must be declared up front for mapInPandas: probe one file.
@@ -53,6 +66,7 @@ def read_candidates(
             import pyarrow as pa
 
             arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+        arrow_schema = _us_schema(arrow_schema)
         spark_schema = from_arrow_schema(arrow_schema)
         cols = columns
 
@@ -64,7 +78,7 @@ def read_candidates(
                     pf = pq.ParquetFile(path)
                     for rg in group["row_group"]:
                         tbl = pf.read_row_group(int(rg), columns=cols)
-                        yield tbl.to_pandas()
+                        yield tbl.cast(_us_schema(tbl.schema)).to_pandas()
 
         cand_df = spark.createDataFrame(
             rg_cands, "file_path string, row_group int"

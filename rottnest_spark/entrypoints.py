@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from rottnest_spark.core.lake import ParquetLake
 from rottnest_spark.indices.bm25 import BM25Index, bm25_topk, tokenize_query
 from rottnest_spark.indices.exact import ExactIndex
+from rottnest_spark.indices.logcloud import LogIndex
 from rottnest_spark.indices.substring import SubstringIndex
 from rottnest_spark.indices.vector import VectorIndex, knn_topk
 from rottnest_spark.sources.reader import read_parquet
@@ -99,6 +100,17 @@ def q_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 log keyword search over events.props (substring index — the
     logcloud-exact refine is the same contains predicate)."""
     idx = SubstringIndex()
+    lake = indexed_lake(spark, sf_dir, "events", "props", idx)
+    return lake.search(idx, "props", LOG_QUERY).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_logcloud_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I14-I16 tiered log search: template/variable index prunes by the
+    query's digit-tokens (type-bitmask superset + containment), then a
+    case-SENSITIVE contains refine (reference indices/logcloud_index.py:62)."""
+    idx = LogIndex()
     lake = indexed_lake(spark, sf_dir, "events", "props", idx)
     return lake.search(idx, "props", LOG_QUERY).select(
         "event_id", "user_id", "event_type"
@@ -254,6 +266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "exact_match": q_exact_match,
     "log_search": q_log_search,
+    "logcloud_search": q_logcloud_search,
     "bm25_topk": q_bm25_topk,
     "vector_knn_exact": q_vector_knn_exact,
     "vector_knn_ivf": q_vector_knn_ivf,
@@ -272,6 +285,10 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_orderkey = {EXACT_KEY}
     """,
     "log_search": f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
+    """,
+    "logcloud_search": f"""
         SELECT event_id, user_id, event_type FROM events
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
     """,

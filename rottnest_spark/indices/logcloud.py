@@ -1,0 +1,197 @@
+"""Log-search index — the LogCloud analog (SURVEY I14-I16, X8).
+
+The reference's LogCloud (src/lava/logcloud/) mines LogCrisp templates with C
+libraries, splits lines into template-ids + typed variable streams, and
+searches tiered: (a) query matches a dict/template → flag "brute force
+everything" (logcloud.rs:450-455); (b) else scan typed variable blocks for
+containment, types restricted to supersets of the query's char-class type
+(logcloud_common.rs:9-24); fall back to raw scans with early stop.
+
+Spark rebuild with a simplified-but-sound template miner:
+
+- **template** = line with every digit-containing alphanumeric run replaced
+  by `<V>` (pure-regexp masking, whole-stage codegen). `templates/` table:
+  (template, n) per entry.
+- **variables** = the masked-out runs. `variables/` table: (vtype, value,
+  file_path, row_group) distinct, sorted by (vtype, value); vtype is the
+  reference's char-class bitmask: digits=1, a-f=2, A-F=4, other lower=8,
+  other upper=16 (logcloud_common.rs:9-24).
+
+Pruning rule (provable, unlike the reference's heuristic tiering): any
+maximal alphanumeric token of the query that contains a digit must — in any
+matching line — lie inside a digit-containing run, i.e. inside a variable.
+So candidates = INTERSECTION over the query's digit-tokens t of
+{units with a variable v: type(v) ⊇ type(t) AND contains(v, t)}.
+A query with no digit-token can't be pruned this way → if its masked form
+appears in a template, or always, BRUTE_FORCE (the reference's flag-0 path).
+False positives removed by the exact refine; refine is **case-sensitive**
+containment, cloning the reference's `col.str.contains(query)`
+(indices/logcloud_index.py:62) — note the difference from SubstringIndex's
+case-insensitive F1.
+
+Timestamps: the reference parses them out of line prefixes (X9,
+logcloud_rex.rs:303-341); our fixture keeps ts as a real column, so no
+prefix parsing is needed — time-range pruning composes via ExactIndex zone
+maps on the ts column instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rottnest_spark.core.layout import WHOLE_FILE
+from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
+from rottnest_spark.indices.substring import provenance_file_col
+from rottnest_spark.sources.reader import read_parquet
+
+VAR_RUN_RE = "[a-zA-Z0-9]*[0-9][a-zA-Z0-9]*"  # digit-containing alnum run
+PLACEHOLDER = "⟨V⟩"  # ⟨V⟩ — cannot collide with log text
+
+
+def type_bitmask(s: str) -> int:
+    """Char-class bitmask of the reference (logcloud_common.rs:9-24)."""
+    t = 0
+    for c in s:
+        if c.isdigit():
+            t |= 1
+        elif "a" <= c <= "f":
+            t |= 2
+        elif "A" <= c <= "F":
+            t |= 4
+        elif c.islower():
+            t |= 8
+        elif c.isupper():
+            t |= 16
+        else:
+            t |= 32
+    return t
+
+
+def vtype_col(value):
+    """Same bitmask as a built-in expression (values are alnum runs)."""
+    return (
+        F.when(value.rlike("[0-9]"), F.lit(1)).otherwise(0)
+        + F.when(value.rlike("[a-f]"), F.lit(2)).otherwise(0)
+        + F.when(value.rlike("[A-F]"), F.lit(4)).otherwise(0)
+        + F.when(value.rlike("[g-z]"), F.lit(8)).otherwise(0)
+        + F.when(value.rlike("[G-Z]"), F.lit(16)).otherwise(0)
+    )
+
+
+def mask(s: str) -> str:
+    return re.sub(VAR_RUN_RE, PLACEHOLDER, s)
+
+
+def digit_tokens(s: str) -> list[str]:
+    return sorted({t for t in re.findall("[a-zA-Z0-9]+", s) if re.search("[0-9]", t)})
+
+
+class LogIndex(SparkIndex):
+    index_type = "logcloud"
+
+    def __init__(self, max_templates: int = 10_000):
+        self.max_templates = max_templates
+
+    def config(self) -> dict:
+        return {"miner": f"mask:{VAR_RUN_RE}", "max_templates": self.max_templates}
+
+    def build(
+        self, spark: SparkSession, files: list[str], column: str, out_path: str
+    ) -> None:
+        df = read_parquet(spark, files)
+        rows = df.select(
+            provenance_file_col().alias("file_path"),
+            F.lit(WHOLE_FILE).alias("row_group"),
+            F.col(column).alias("line"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        rows = rows.persist()
+        try:
+            templates = (
+                rows.select(
+                    F.regexp_replace("line", VAR_RUN_RE, PLACEHOLDER).alias("template")
+                )
+                .groupBy("template")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            self._write_index(templates, f"{out_path}/templates")
+            variables = (
+                rows.select(
+                    "file_path",
+                    "row_group",
+                    F.explode(
+                        F.array_distinct(
+                            F.expr(f"regexp_extract_all(line, '{VAR_RUN_RE}', 0)")
+                        )
+                    ).alias("value"),
+                )
+                .distinct()
+                .select(
+                    vtype_col(F.col("value")).alias("vtype"),
+                    "value",
+                    "file_path",
+                    "row_group",
+                )
+            )
+            self._write_index(
+                variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
+            )
+        finally:
+            rows.unpersist()
+
+    def search(self, spark: SparkSession, index_paths: list[str], query: str):
+        vtoks = digit_tokens(query)
+        if not vtoks:
+            # No digit-run to anchor pruning (the reference's template/flag-0
+            # tier): correctness requires the full refine scan.
+            return BRUTE_FORCE
+        variables = spark.read.parquet(*[f"{p}/variables" for p in index_paths])
+        cand = None
+        for t in vtoks:
+            tmask = type_bitmask(t)
+            units = (
+                variables.filter(
+                    (F.col("vtype").bitwiseAND(F.lit(tmask)) == F.lit(tmask))
+                    & F.contains(F.col("value"), F.lit(t))
+                )
+                .select("file_path", "row_group")
+                .distinct()
+            )
+            cand = units if cand is None else cand.intersect(units)
+        return cand
+
+    def brute_force(
+        self, df: DataFrame, column: str, query: str, k: int | None
+    ) -> DataFrame:
+        # case-SENSITIVE containment (reference indices/logcloud_index.py:62)
+        out = df.filter(F.contains(F.col(column), F.lit(query)))
+        return out.limit(k) if k is not None else out
+
+    def compact(
+        self, spark: SparkSession, index_paths: list[str], out_path: str
+    ) -> None:
+        templates = (
+            spark.read.parquet(*[f"{p}/templates" for p in index_paths])
+            .groupBy("template")
+            .agg(F.sum("n").alias("n"))
+        )
+        self._write_index(templates, f"{out_path}/templates")
+        variables = spark.read.parquet(
+            *[f"{p}/variables" for p in index_paths]
+        ).distinct()
+        self._write_index(
+            variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
+        )
+
+    # -- introspection (the reference prints tier decisions; we expose them) --
+
+    def explain_query(self, query: str) -> dict:
+        vtoks = digit_tokens(query)
+        return {
+            "digit_tokens": vtoks,
+            "token_types": {t: type_bitmask(t) for t in vtoks},
+            "masked_query": mask(query),
+            "tier": "variables" if vtoks else "brute_force",
+        }

@@ -20,15 +20,27 @@ _NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def nanos_ts_columns(file: str) -> list[str]:
-    import pyarrow as pa
+    """Columns Spark cannot decode: INT64 + logical TIMESTAMP(NANOS).
+
+    Must inspect the PHYSICAL parquet type: Spark-written INT96 timestamps
+    are reported by pyarrow's *arrow* schema as timestamp[ns] too, but Spark
+    reads INT96 natively — flagging those would mis-convert valid columns.
+    """
     import pyarrow.parquet as pq
 
-    schema = pq.ParquetFile(file).schema_arrow
-    return [
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    schema = pq.ParquetFile(file).schema
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = col.logical_type
+        if (
+            col.physical_type == "INT64"
+            and lt is not None
+            and lt.type == "TIMESTAMP"
+            and "timeUnit=nanoseconds" in str(lt)
+        ):
+            out.append(col.name)
+    return out
 
 
 def read_parquet(
