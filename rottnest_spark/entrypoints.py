@@ -27,6 +27,7 @@ from rottnest_spark.indices.exact import ExactIndex
 from rottnest_spark.indices.logcloud import LogIndex
 from rottnest_spark.indices.substring import SubstringIndex
 from rottnest_spark.indices.vector import VectorIndex, knn_topk
+from rottnest_spark.ops import dedup
 from rottnest_spark.sources.reader import read_parquet
 
 INDEX_CACHE_ROOT = os.environ.get(
@@ -189,6 +190,103 @@ def q_vector_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deduplication suite (ops/dedup.py) — training-data pipeline operators
+# --------------------------------------------------------------------------
+
+COSINE_TAU = 0.4505  # mid-gap at sf0.01/sf0.1 probe — no boundary pairs
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(load(spark, sf_dir, "events"), "event_id", "props")
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", COSINE_TAU
+    )
+
+
+# DuckDB fragments shared by the dedup oracles: distinct word-3-gram
+# shingles per doc (1-based end-inclusive list slice == Spark slice(t,i,3)).
+_SH_DISTINCT = """
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+        i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS sh
+    FROM documents
+"""
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, tau: float = 0.5) -> str:
+    r = num_hashes // bands
+    return f"""
+        WITH sh AS ({_SH_DISTINCT}),
+        sig AS (
+            SELECT doc_id, sh,
+                   list_transform(range(0, {num_hashes}), s ->
+                       list_min(list_transform(sh, x ->
+                           md5(s::VARCHAR || '|' || x)))) AS mh
+            FROM sh WHERE len(sh) > 0
+        ),
+        banded AS (
+            SELECT DISTINCT doc_id, band_key FROM (
+                SELECT doc_id, unnest(list_transform(range(0, {bands}), b ->
+                    md5(b::VARCHAR || '#' ||
+                        array_to_string(mh[b*{r}+1 : b*{r}+{r}], ',')))) AS band_key
+                FROM sig
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                     (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+                   AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = id_a
+        JOIN sh y ON y.doc_id = id_b
+        WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+              >= {tau}
+    """
+
+
+_SIMHASH_SIG = """
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(hs, x ->
+                         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN 1 << b ELSE 0 END))::BIGINT AS sig
+    FROM (
+        SELECT doc_id, list_transform(
+            list_transform(
+                range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+                i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')),
+            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        FROM documents
+    )
+"""
+
+
+# --------------------------------------------------------------------------
 # Analytics showcase (Catalyst-native: agg / join / window)
 # --------------------------------------------------------------------------
 
@@ -270,6 +368,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "vector_knn_exact": q_vector_knn_exact,
     "vector_knn_ivf": q_vector_knn_ivf,
+    "exact_dedup": q_exact_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "ngram_jaccard_join": q_ngram_jaccard_join,
+    "embedding_dedup": q_embedding_dedup,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
     "events_sessionize": q_events_sessionize,
@@ -305,6 +408,40 @@ ORACLES: dict[str, str] = {
         FROM embeddings e CROSS JOIN q
         ORDER BY dist ASC, e.vec_id ASC
         LIMIT {KNN_K}
+    """,
+    "exact_dedup": """
+        SELECT md5(props) AS content_hash, count(*) AS n_dups,
+               min(event_id) AS keep_id
+        FROM events GROUP BY md5(props) HAVING count(*) > 1
+    """,
+    "minhash_dedup": _minhash_oracle(),
+    "simhash_dedup": f"""
+        WITH sig AS ({_SIMHASH_SIG})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """,
+    # exact similarity join: the oracle is the plain all-pairs definition;
+    # prefix filtering in the Spark plan is lossless so results coincide
+    "ngram_jaccard_join": f"""
+        WITH sh AS ({_SH_DISTINCT})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+              >= 0.5
+    """,
+    "embedding_dedup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
+              >= {COSINE_TAU}
     """,
     "tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,15 @@
+from rottnest_spark.ops.dedup import (
+    embedding_cosine_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+__all__ = [
+    "exact_dup_groups",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+]

@@ -1,0 +1,83 @@
+"""Dedup operators: exactness properties and cross-family agreement.
+
+- minhash LSH (approx recall) finds exactly the exact-join pairs on the
+  planted fixture — and never a pair below threshold (exact precision).
+- simhash chunk blocking is EXACT (pigeonhole): equals brute-force hamming.
+- exact groups partition the table.
+- cosine pairs match a numpy brute force.
+"""
+
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rottnest_spark.ops import dedup
+from rottnest_spark.sources.reader import read_parquet
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"]) for r in df.collect())
+
+
+def test_minhash_equals_exact_join_on_planted_pairs(spark, docs):
+    got = _pairs(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
+    want = _pairs(dedup.ngram_jaccard_pairs(docs, "doc_id", "text"))
+    assert len(want) > 0
+    # precision is exact by construction; on the planted fixture recall is
+    # 1.0 too (32 hashes / 8 bands s-curve @ tau=0.5)
+    assert got == want
+
+
+def test_minhash_no_pair_below_threshold(spark, docs):
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert out.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_simhash_blocking_is_exact(spark, docs):
+    """Pigeonhole blocking must equal the all-pairs brute force."""
+    got = _pairs(dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8))
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    want = sorted(
+        (min(a["id"], b["id"]), max(a["id"], b["id"]))
+        for i, a in enumerate(sigs)
+        for b in sigs[i + 1 :]
+        if bin(a["sig"] ^ b["sig"]).count("1") <= 8
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_exact_dup_groups_partition(spark, sf_dir):
+    ev = read_parquet(spark, [f"{sf_dir}/events.parquet"])
+    total = ev.count()
+    distinct = ev.select("props").distinct().count()
+    groups = dedup.exact_dup_groups(ev, "event_id", "props")
+    agg = groups.agg(
+        F.sum("n_dups").alias("in_groups"), F.count(F.lit(1)).alias("n_groups")
+    ).collect()[0]
+    # rows in dup groups + unique rows == total
+    assert (agg["in_groups"] or 0) + (distinct - (agg["n_groups"] or 0)) == total
+
+
+def test_embedding_cosine_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = m @ m.T
+    tau = 0.45
+    want = sorted(
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sim[i, j], 4) >= tau
+    )
+    got = _pairs(dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", tau))
+    assert got == want
