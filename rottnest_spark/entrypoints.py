@@ -27,7 +27,7 @@ from rottnest_spark.indices.exact import ExactIndex
 from rottnest_spark.indices.logcloud import LogIndex
 from rottnest_spark.indices.substring import SubstringIndex
 from rottnest_spark.indices.vector import VectorIndex, knn_topk
-from rottnest_spark.ops import dedup
+from rottnest_spark.ops import dedup, textstats
 from rottnest_spark.sources.reader import read_parquet
 
 INDEX_CACHE_ROOT = os.environ.get(
@@ -287,6 +287,41 @@ _SIMHASH_SIG = """
 
 
 # --------------------------------------------------------------------------
+# Text analysis (ops/textstats.py) — single-pass narrow projections
+# --------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_signals(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+
+
+def _lang_score(lang: str) -> str:
+    return (
+        f"round(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{_sw_list(lang)}], t))) * 1.0 / "
+        f"len(string_split(lower(text), ' ')), 4)"
+    )
+
+
+# --------------------------------------------------------------------------
 # Analytics showcase (Catalyst-native: agg / join / window)
 # --------------------------------------------------------------------------
 
@@ -368,6 +403,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "vector_knn_exact": q_vector_knn_exact,
     "vector_knn_ivf": q_vector_knn_ivf,
+    "token_stats": q_token_stats,
+    "quality_filter": q_quality_filter,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -408,6 +447,80 @@ ORACLES: dict[str, str] = {
         FROM embeddings e CROSS JOIN q
         ORDER BY dist ASC, e.vec_id ASC
         LIMIT {KNN_K}
+    """,
+    "token_stats": f"""
+        SELECT doc_id AS id,
+               len(string_split(lower(text), ' ')) AS n_tokens_ws,
+               len(regexp_extract_all(lower(text),
+                   '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+               length(text) AS n_chars,
+               round(list_sum(list_transform(string_split(lower(text), ' '),
+                     t -> length(t))) * 1.0 /
+                     len(string_split(lower(text), ' ')), 4) AS mean_token_len
+        FROM documents
+    """,
+    "quality_filter": f"""
+        WITH sig AS (
+            SELECT doc_id AS id, length(text) AS n_chars,
+                   round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                         * 1.0 / length(text), 4) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0 / length(text), 4) AS digit_ratio,
+                   round(len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains([{_sw_list("en")}], t))) * 1.0 /
+                         len(string_split(lower(text), ' ')), 4) AS stopword_ratio,
+                   round(list_sum(list_transform(string_split(lower(text), ' '),
+                         t -> length(t))) * 1.0 /
+                         len(string_split(lower(text), ' ')), 4) AS mean_word_len
+            FROM documents
+        )
+        SELECT *,
+               n_chars >= {textstats.MIN_CHARS}
+               AND mean_word_len >= {textstats.MIN_MEAN_LEN}
+               AND mean_word_len <= {textstats.MAX_MEAN_LEN}
+               AND stopword_ratio >= {textstats.MIN_STOPWORD_RATIO}
+               AND punct_ratio <= {textstats.MAX_PUNCT_RATIO} AS keep
+        FROM sig
+    """,
+    "lang_id": f"""
+        WITH s AS (
+            SELECT doc_id AS id,
+                   {_lang_score("en")} AS s_en, {_lang_score("de")} AS s_de,
+                   {_lang_score("fr")} AS s_fr, {_lang_score("es")} AS s_es,
+                   round(length(regexp_replace(text,
+                         '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                         * 1.0 / length(text), 4) AS s_zh
+            FROM documents
+        )
+        SELECT *,
+               CASE WHEN s_zh > 0.3 THEN 'zh'
+                    WHEN greatest(s_en, s_de, s_fr, s_es) < 0.02 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM s
+    """,
+    "doc_fingerprint": f"""
+        WITH n AS (
+            SELECT doc_id AS id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ), sh AS (
+            SELECT id, md5(t) AS content_fp,
+                   CASE WHEN len(string_split(t, ' ')) >= {textstats.WINNOW_N}
+                        THEN list_transform(
+                            range(1, len(string_split(t, ' '))
+                                     - {textstats.WINNOW_N - 1} + 1),
+                            i -> array_to_string(string_split(t, ' ')
+                                 [i:i+{textstats.WINNOW_N - 1}], ' '))
+                        ELSE [t] END AS shingles
+            FROM n
+        )
+        SELECT id, content_fp,
+               array_to_string(list_sort(list_transform(shingles, x -> md5(x)))
+                               [1:{textstats.WINNOW_K}], ':') AS winnow_fp
+        FROM sh
     """,
     "exact_dedup": """
         SELECT md5(props) AS content_hash, count(*) AS n_dups,

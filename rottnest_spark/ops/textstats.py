@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines.
+
+Four operator families over a (id, text) DataFrame, all single-pass
+Catalyst expressions (no UDFs, no shuffle — every one is a narrow
+projection, so they compose with any scan for free at 100 TB):
+
+- token_stats       whitespace token count, BPE-ish regex piece count,
+                    char count, mean token length
+- quality_signals   Gopher-style filter signals: punctuation ratio, digit
+                    ratio, English-stopword ratio, mean word length, plus a
+                    boolean `keep` under documented thresholds
+- lang_id           stopword-profile language ID (en/de/fr/es) + CJK char
+                    detection (zh); deterministic fixed precedence on ties
+- fingerprints      (a) content_fp: md5 of whitespace-normalized lowercase
+                    text (exact-dup key robust to spacing); (b) winnow_fp:
+                    bottom-k sketch of word 4-gram md5 hashes (k smallest,
+                    sorted, joined) — near-dup docs share most sketch
+                    elements; a SQL-friendly stand-in for rolling-hash
+                    winnowing with the same downstream use
+
+Everything is md5/regex-based so the DuckDB oracles in entrypoints.py
+reproduce results exactly (note: DuckDB regexp_replace needs the 'g' flag
+to match Spark's global-by-default behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small public stopword profiles; enough signal for a coarse heuristic ID
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "que", "por"],
+}
+# BPE-ish pieces: alphanumeric runs OR single non-space symbols — the same
+# shape a byte-level BPE pre-tokenizer produces before merges
+BPE_PIECE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+MIN_CHARS, MIN_MEAN_LEN, MAX_MEAN_LEN = 50, 2.0, 12.0
+MIN_STOPWORD_RATIO, MAX_PUNCT_RATIO = 0.02, 0.2
+WINNOW_K, WINNOW_N = 4, 4
+
+
+def _toks(col: str) -> str:
+    return f"split(lower({col}), ' ')"
+
+
+def token_stats(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    toks = _toks(col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size({toks})").alias("n_tokens_ws"),
+        # double the backslash: Spark SQL string literals consume one level
+        F.expr(
+            f"size(regexp_extract_all(lower({col}), "
+            f"'{BPE_PIECE_RE.replace(chr(92), chr(92) * 2)}', 0))"
+        ).alias("n_tokens_bpe"),
+        F.length(col).alias("n_chars"),
+        F.round(
+            F.expr(
+                f"aggregate({toks}, 0, (a, t) -> a + length(t)) / size({toks})"
+            ),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_signals(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Gopher-rule-style keep/drop signals. `keep` thresholds documented in
+    module constants; every ratio is also returned so downstream pipelines
+    can re-threshold without recompute."""
+    toks = _toks(col)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    punct = (
+        f"length(regexp_replace(lower({col}), '[a-z0-9 ]', '')) / length({col})"
+    )
+    digit = f"length(regexp_replace({col}, '[^0-9]', '')) / length({col})"
+    stop = (
+        f"size(filter({toks}, t -> array_contains(array({sw}), t))) / size({toks})"
+    )
+    mean_len = f"aggregate({toks}, 0, (a, t) -> a + length(t)) / size({toks})"
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.length(col).alias("n_chars"),
+        F.round(F.expr(punct), 4).alias("punct_ratio"),
+        F.round(F.expr(digit), 4).alias("digit_ratio"),
+        F.round(F.expr(stop), 4).alias("stopword_ratio"),
+        F.round(F.expr(mean_len), 4).alias("mean_word_len"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_chars") >= MIN_CHARS)
+        & (F.col("mean_word_len") >= MIN_MEAN_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_LEN)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Heuristic language ID: fraction of tokens in each language's
+    stopword profile; CJK codepoint ratio decides zh. Deterministic tie
+    precedence en > de > fr > es; 'und' when no profile reaches 2%."""
+    toks = _toks(col)
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        sw = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = (
+            f"size(filter({toks}, t -> array_contains(array({sw}), t)))"
+            f" / size({toks})"
+        )
+    cjk = (
+        f"length(regexp_replace({col}, '[^\\\\u4e00-\\\\u9fff]', ''))"
+        f" / length({col})"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.round(F.expr(expr), 4).alias(f"s_{lang}") for lang, expr in scores.items()],
+        F.round(F.expr(cjk), 4).alias("s_zh"),
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in STOPWORDS])
+    pred = (
+        F.when(F.col("s_zh") > 0.3, F.lit("zh"))
+        .when(best < 0.02, F.lit("und"))
+        .when(F.col("s_en") == best, F.lit("en"))
+        .when(F.col("s_de") == best, F.lit("de"))
+        .when(F.col("s_fr") == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return base.withColumn("pred_lang", pred)
+
+
+def fingerprints(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    norm = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    toks = f"split({norm}, ' ')"
+    shingles = (
+        f"CASE WHEN size({toks}) >= {WINNOW_N} THEN "
+        f"transform(sequence(1, size({toks}) - {WINNOW_N - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {WINNOW_N}))) "
+        f"ELSE array({norm}) END"
+    )
+    winnow = (
+        f"concat_ws(':', slice(array_sort(transform({shingles}, x -> md5(x))), "
+        f"1, {WINNOW_K}))"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"md5({norm})").alias("content_fp"),
+        F.expr(winnow).alias("winnow_fp"),
+    )
