@@ -27,7 +27,7 @@ from rottnest_spark.indices.exact import ExactIndex
 from rottnest_spark.indices.logcloud import LogIndex
 from rottnest_spark.indices.substring import SubstringIndex
 from rottnest_spark.indices.vector import VectorIndex, knn_topk
-from rottnest_spark.ops import dedup, textstats
+from rottnest_spark.ops import dedup, multimodal, textstats
 from rottnest_spark.sources.reader import read_parquet
 
 INDEX_CACHE_ROOT = os.environ.get(
@@ -322,6 +322,34 @@ def _lang_score(lang: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Multimodal plumbing (ops/multimodal.py)
+# --------------------------------------------------------------------------
+
+
+def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata pass: documents.text re-materialized as a
+    binary payload column (the fixture ships no media blobs), then the
+    codec-independent byte-level stats — size, md5, header tag."""
+    media = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("blob").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return multimodal.payload_stats(media)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features over deterministic synthetic media (numpy in
+    mapInPandas, Arrow-batched). No SQL oracle — the FAKE-codec payload
+    generation isn't SQL-expressible; rows-only check + pytest
+    determinism/invariance tests cover it."""
+    media = multimodal.synthesize_media(spark, 256)
+    return multimodal.media_features(media).select(
+        "media_id", F.round(F.element_at("features", 1), 4).alias("f0")
+    )
+
+
+# --------------------------------------------------------------------------
 # Analytics showcase (Catalyst-native: agg / join / window)
 # --------------------------------------------------------------------------
 
@@ -403,6 +431,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "vector_knn_exact": q_vector_knn_exact,
     "vector_knn_ivf": q_vector_knn_ivf,
+    "media_payload_stats": q_media_payload_stats,
+    "media_features": q_media_features,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -447,6 +477,15 @@ ORACLES: dict[str, str] = {
         FROM embeddings e CROSS JOIN q
         ORDER BY dist ASC, e.vec_id ASC
         LIMIT {KNN_K}
+    """,
+    # media_features: intentionally no oracle (mapInPandas over synthetic
+    # binary payloads; determinism covered by tests/test_multimodal.py)
+    "media_payload_stats": """
+        SELECT doc_id AS media_id, 'blob' AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5,
+               ('0x' || hex(encode(substr(text, 1, 4))))::BIGINT AS header_u32
+        FROM documents
     """,
     "token_stats": f"""
         SELECT doc_id AS id,

@@ -1,0 +1,225 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Convention: media rows are
+
+    media_id   bigint
+    kind       string            -- 'image' | 'audio' | 'video'
+    payload    binary            -- opaque encoded bytes
+    meta       struct<...>       -- typed metadata (codec, dims, rates)
+
+The Spark-side machinery here is REAL and tested: schemas, Arrow batch
+shapes, mapInPandas signatures, partitioning, and byte-level feature
+extraction (numpy over Arrow batches). Only the codec decode itself is
+stubbed: this container ships no image/audio libraries, so `decode_media`
+understands a deterministic FAKE codec (see `FAKE_MAGIC`) and raises
+`NotImplementedError` for real codecs — swap `_decode_real` for a
+PIL/libav call in a full environment and nothing else changes.
+
+Scale notes:
+- Binary payloads make rows wide: batches are bounded by
+  `spark.sql.execution.arrow.maxRecordsPerBatch` (rows) — for multi-MB
+  media set it low (e.g. 64) so an Arrow batch stays within executor
+  memory; the mapInPandas operators below are agnostic to the batch split
+  (verified by a repartition-invariance test).
+- Feature extraction emits small fixed-width vectors; downstream ANN /
+  dedup reuse the embedding operators (indices/vector.py, ops/dedup.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FAKE_MAGIC = b"FAKE"  # deterministic stand-in codec: FAKE | u16 h | u16 w | pixels
+HIST_BINS = 16
+
+
+def synthesize_media(
+    spark: SparkSession, n: int, kind: str = "image", partitions: int = 8
+) -> DataFrame:
+    """Deterministic fake media table for tests/demos: payload is a FAKE-
+    codec image whose pixels derive from media_id (seeded, reproducible)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                h, w = 8 + int(mid) % 8, 8 + int(mid) % 5
+                rng = np.random.default_rng(int(mid))
+                px = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+                payloads.append(
+                    FAKE_MAGIC + struct.pack("<HH", h, w) + px.tobytes()
+                )
+                metas.append({"codec": "fake", "height": h, "width": w})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kind,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("codec", T.StringType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("width", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "media_id")
+        .repartition(partitions, "media_id")
+        .mapInPandas(gen, schema)
+    )
+
+
+def _decode_fake(payload: bytes) -> np.ndarray:
+    h, w = struct.unpack("<HH", payload[4:8])
+    return np.frombuffer(payload[8 : 8 + h * w], dtype=np.uint8).reshape(h, w)
+
+
+def _decode_real(payload: bytes) -> np.ndarray:
+    # STUB: real codec decode requires PIL/av, not present in this
+    # container. Replace this function body in a full environment.
+    raise NotImplementedError(
+        "real media codecs unavailable in this environment; payload must "
+        "start with FAKE_MAGIC"
+    )
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    if payload[:4] == FAKE_MAGIC:
+        return _decode_fake(payload)
+    return _decode_real(payload)
+
+
+def payload_stats(df: DataFrame) -> DataFrame:
+    """Codec-independent byte-level metadata — pure Catalyst (no decode):
+    size, content hash, and the 4-byte header tag as an integer."""
+    return df.select(
+        "media_id",
+        "kind",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.expr(
+            "cast(conv(hex(substring(payload, 1, 4)), 16, 10) AS bigint)"
+        ).alias("header_u32"),
+    )
+
+
+def media_features(df: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """Byte-histogram feature vectors (L1-normalized, `bins` buckets) via
+    numpy over Arrow batches — real feature extraction, codec-agnostic.
+    Output embeds into the ANN/dedup operators unchanged."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - bins.bit_length() + 1), minlength=bins)
+                feats.append((hist / max(len(arr), 1)).astype(np.float32))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return df.select("media_id", "payload").mapInPandas(extract, schema)
+
+
+def decode_meta(df: DataFrame) -> DataFrame:
+    """Decode each payload (FAKE codec; real codecs raise) and report true
+    dimensions + pixel checksum — the decode-and-validate pipeline stage."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, sums = [], [], []
+            for payload in pdf["payload"]:
+                px = decode_pixels(payload)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": hs,
+                    "width": ws,
+                    "pixel_sum": sums,
+                }
+            )
+
+    schema = "media_id long, height int, width int, pixel_sum long"
+    return df.select("media_id", "payload").mapInPandas(dec, schema)
+
+
+def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded in the FAKE codec: the
+    shape-preserving transform stage (decode -> transform -> encode)."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                px = decode_pixels(payload)
+                h, w = px.shape
+                ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                out = px[np.ix_(ri, ci)].astype(np.uint8)
+                payloads.append(
+                    FAKE_MAGIC + struct.pack("<HH", out_h, out_w) + out.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                }
+            )
+
+    schema = "media_id long, kind string, payload binary"
+    return df.select("media_id", "kind", "payload").mapInPandas(rz, schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video-style frame sampling: treat each pixel ROW of the FAKE image
+    as a frame; emit every n-th as its own media row (explode-shaped
+    mapInPandas — output rows > input rows, schema changes)."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, fids, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_pixels(payload)
+                for i in range(0, px.shape[0], every_n):
+                    mids.append(mid)
+                    fids.append(i)
+                    frames.append(px[i].tobytes())
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_id": fids, "frame": frames}
+            )
+
+    schema = "media_id long, frame_id int, frame binary"
+    return df.select("media_id", "payload").mapInPandas(fs, schema)
