@@ -56,6 +56,13 @@ class ParquetLake:
         self.brute_force_threshold = brute_force_threshold
 
     @property
+    def data_dir(self) -> str:
+        """Lake root directory (required by the streaming file source)."""
+        if isinstance(self._data, str) and os.path.isdir(self._data):
+            return self._data
+        raise ValueError("streaming maintenance needs a directory-backed lake")
+
+    @property
     def files(self) -> list[str]:
         if isinstance(self._data, list):
             return sorted(self._data)

@@ -393,6 +393,15 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event-time aggregation — the identical logical plan
+    runs as a Structured Streaming job with watermarks (see
+    streaming/aggregate.py + tests/test_streaming.py for stream≡batch)."""
+    from rottnest_spark.streaming import windowed_event_counts
+
+    return windowed_event_counts(load(spark, sf_dir, "events"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function sessionization: new session after a >30 min gap.
     (Streaming-adjacent batch analog; per-user windows partition cleanly.)"""
@@ -444,6 +453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
+    "windowed_event_counts": q_windowed_event_counts,
     "events_sessionize": q_events_sessionize,
 }
 
@@ -616,6 +626,11 @@ ORACLES: dict[str, str] = {
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "windowed_event_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
     """,
     # Gap uses whole-second floors on both sides: Spark cast(ts AS long)
     # floors to seconds; DuckDB date_diff('second') counts second boundaries.

@@ -1,0 +1,81 @@
+"""Streaming: incremental index maintenance + watermarked window agg."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark import ParquetLake
+from rottnest_spark.indices.substring import SubstringIndex
+from rottnest_spark.sources.reader import read_parquet
+from rottnest_spark.streaming import (
+    stream_index_maintenance,
+    windowed_event_counts,
+)
+from rottnest_spark.streaming.aggregate import run_stream_to_memory
+
+
+def _write_half(spark, sf_dir, out, first: bool):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter(
+        (F.col("doc_id") % 2 == 0) if first else (F.col("doc_id") % 2 == 1)
+    )
+    half.repartition(2).write.mode("append").parquet(out)
+
+
+def test_incremental_maintenance_drains_new_files(spark, sf_dir, tmp_path):
+    lake_dir = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    _write_half(spark, sf_dir, lake_dir, first=True)
+
+    lake = ParquetLake(spark, lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    created1 = stream_index_maintenance(spark, lake, idx, "text", ckpt)
+    assert created1
+    covered1 = {
+        f for e in lake.catalog.entries_for("substring", "text") for f in e["file_paths"]
+    }
+    assert covered1 == set(lake.files)
+
+    # second drop of files → second drain indexes only the delta
+    _write_half(spark, sf_dir, lake_dir, first=False)
+    created2 = stream_index_maintenance(spark, lake, idx, "text", ckpt)
+    assert created2
+    covered2 = {
+        f for e in lake.catalog.entries_for("substring", "text") for f in e["file_paths"]
+    }
+    assert covered2 == set(lake.files) and len(covered2) > len(covered1)
+
+    # search over the maintained index == full-scan oracle
+    q = "merge sort"
+    got = sorted(
+        r["doc_id"] for r in lake.search(idx, "text", q).select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(lake_dir)
+        .filter(F.contains(F.lower("text"), F.lit(q)))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # a third drain with no new files is a no-op
+    assert stream_index_maintenance(spark, lake, idx, "text", ckpt) == []
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "ev_stream")
+    ev = read_parquet(spark, [f"{sf_dir}/events.parquet"])
+    ev.repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(static).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in run_stream_to_memory(
+            spark, src, static.schema, "win_counts_t"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
