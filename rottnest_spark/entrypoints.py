@@ -234,20 +234,30 @@ _SH_DISTINCT = """
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, tau: float = 0.5) -> str:
     r = num_hashes // bands
+    ca, cb = dedup._mh_coeffs(num_hashes)
+    a_lit = "[" + ", ".join(str(v) for v in ca) + "]"
+    b_lit = "[" + ", ".join(str(v) for v in cb) + "]"
     return f"""
         WITH sh AS ({_SH_DISTINCT}),
         sig AS (
             SELECT doc_id, sh,
                    list_transform(range(0, {num_hashes}), s ->
-                       list_min(list_transform(sh, x ->
-                           md5(s::VARCHAR || '|' || x)))) AS mh
-            FROM sh WHERE len(sh) > 0
+                       list_min(list_transform(hs, h ->
+                           ({a_lit}[s + 1] * h + {b_lit}[s + 1])
+                           % {dedup._MH_MOD}))) AS mh
+            FROM (
+                SELECT doc_id, sh,
+                       list_transform(sh, x ->
+                           ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+                FROM sh WHERE len(sh) > 0
+            )
         ),
         banded AS (
             SELECT DISTINCT doc_id, band_key FROM (
                 SELECT doc_id, unnest(list_transform(range(0, {bands}), b ->
                     md5(b::VARCHAR || '#' ||
-                        array_to_string(mh[b*{r}+1 : b*{r}+{r}], ',')))) AS band_key
+                        array_to_string(list_transform(
+                            mh[b*{r}+1 : b*{r}+{r}], v -> v::VARCHAR), ',')))) AS band_key
                 FROM sig
             )
         ),

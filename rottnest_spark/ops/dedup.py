@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,17 +50,73 @@ def tokens_col(col: str):
     return F.split(F.lower(F.col(col)), " ")
 
 
-def shingles_expr(col: str, n: int, distinct: bool) -> str:
-    """Word n-gram shingles as a SQL expression string (1-based slice,
-    empty array for docs shorter than n tokens — mirrored in the oracles)."""
-    toks = f"split(lower({col}), ' ')"
+def _verify_jaccard(
+    cands: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs. Shingles are recomputed for
+    the CANDIDATE ids only (semi-join first): at scale the candidate set is
+    orders of magnitude smaller than the corpus, so this beats both
+    materializing every doc's shingle array (checkpoint serialization cost)
+    and re-shingling the full corpus per join branch."""
+    # checkpoint the CANDIDATE PAIRS (small by construction): they feed the
+    # id semi-join and the final pair join, and re-running the candidate
+    # generation DAG twice costs far more than materializing a pair list
+    cands = cands.localCheckpoint()
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
+    )
+    cand_sh = shingled_docs(
+        df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["cid"], "leftsemi"),
+        id_col,
+        col,
+        n,
+        distinct=True,
+    )
+    sh_a = cand_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = cand_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def shingled_docs(
+    df: DataFrame, id_col: str, col: str, n: int, distinct: bool
+) -> DataFrame:
+    """(id, sh): word n-gram shingle arrays.
+
+    The token array binds to a column BEHIND a repartition barrier before
+    the shingling transform: expressions inside transform() lambdas are not
+    CSE'd, so an inlined split(lower(text)) would re-tokenize the document
+    for every element access (~3x measured). The barrier also makes the
+    exchange reusable when callers reference the shingles multiple times."""
+    bound = df.select(
+        F.col(id_col).alias("id"), tokens_col(col).alias("tk")
+    ).repartition("id")
+    parts = ", ' ', ".join(f"tk[i+{k}]" for k in range(n))
     base = (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(0, size(tk) - {n}), i -> concat({parts})) "
         f"ELSE array() END"
     )
-    return f"array_distinct({base})" if distinct else base
+    expr = f"array_distinct({base})" if distinct else base
+    return bound.select("id", F.expr(expr).alias("sh"))
 
 
 # --------------------------------------------------------------------------
@@ -87,6 +144,22 @@ def exact_dup_groups(df: DataFrame, id_col: str, col: str) -> DataFrame:
 # 2. MinHash + banded LSH
 # --------------------------------------------------------------------------
 
+_MH_MOD = 1 << 32
+
+
+def _mh_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic 2-universal family coefficients: h_i(x) = (a_i*h + b_i)
+    mod 2^32 over the 32-bit md5 prefix h. a_i odd and < 2^20 keeps every
+    product < 2^52 (exact in signed 64-bit on both engines)."""
+    import hashlib
+
+    def d(tag: str, i: int) -> int:
+        return int.from_bytes(hashlib.md5(f"{tag}-{i}".encode()).digest()[:8], "big")
+
+    a = [(d("minhash-a", i) % (1 << 20)) | 1 for i in range(num_hashes)]
+    b = [d("minhash-b", i) % _MH_MOD for i in range(num_hashes)]
+    return a, b
+
 
 def minhash_lsh_pairs(
     df: DataFrame,
@@ -100,11 +173,14 @@ def minhash_lsh_pairs(
     """Near-dup pairs (id_a, id_b, jaccard) with jaccard >= threshold among
     LSH candidates.
 
-    MinHash permutation i = md5("{i}|" + shingle); the signature component
-    is the lexicographic min of the fixed-width hex digests (equivalent to
-    min over a random permutation). Bands of r = num_hashes/bands rows are
-    hashed to a bucket key; pairs sharing any bucket are verified with the
-    exact Jaccard on distinct shingle sets (|A∩B| / (|A|+|B|-|A∩B|)).
+    Each shingle is md5-hashed ONCE (32-bit prefix); the `num_hashes`
+    permutations derive from a deterministic 2-universal integer family
+    (a_i*h + b_i mod 2^32) — 32x fewer digests than hashing per seed, and
+    the per-seed mins run as codegen'd MIN aggregates with map-side
+    combine, so the shuffle carries one row per doc. Bands of
+    r = num_hashes/bands signature values hash to a bucket key; pairs
+    sharing any bucket are verified with the exact Jaccard on distinct
+    shingle sets (|A∩B| / (|A|+|B|-|A∩B|)).
 
     Candidate generation is probabilistic (the classic s-curve at
     threshold ~ (1/bands)^(1/r)); the verify step removes false positives,
@@ -113,25 +189,25 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # repartition barrier: stops ProjectCollapse from re-inlining the
-    # shingling into every downstream expression, and the shared Exchange is
-    # reused (ReusedExchange) by the candidate and both verify joins instead
-    # of rescanning the lake three times
-    docs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.expr(shingles_expr(col, n, distinct=True)).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .repartition("id")
+    docs = shingled_docs(df, id_col, col, n, distinct=True).filter(
+        F.size("sh") > 0
     )
-    sigs = docs.select(
+    ca, cb = _mh_coeffs(num_hashes)
+    hashed = docs.select("id", F.explode("sh").alias("x")).select(
         "id",
-        "sh",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), "
-            f"s -> array_min(transform(sh, x -> md5(concat(cast(s AS string), '|', x)))))"
-        ).alias("sig"),
+        F.expr("cast(conv(substr(md5(x), 1, 8), 16, 10) AS bigint)").alias("h"),
+    )
+    sigs = (
+        hashed.groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(ca[i]) * F.col("h") + F.lit(cb[i])) % F.lit(_MH_MOD)).alias(
+                    f"m{i}"
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
     )
     banded = sigs.select(
         "id",
@@ -139,7 +215,8 @@ def minhash_lsh_pairs(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> md5(concat(cast(b AS string), '#', "
-                f"concat_ws(',', slice(sig, b * {r} + 1, {r})))))"
+                f"concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
+                f"v -> cast(v AS string))))))"
             )
         ).alias("band_key"),
     ).distinct()
@@ -150,23 +227,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh_a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cands, df, id_col, col, n, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -178,25 +239,52 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed 64-bit in both engines
 
 def simhash_signatures(df: DataFrame, id_col: str, col: str, n: int = 3) -> DataFrame:
     """(id, sig): 60-bit SimHash over word n-gram shingles WITH multiplicity
-    (classic frequency-weighted simhash). The shingle hashes materialize
-    once per row (`hs` column), then each bit is the sign of the +-1 vote
-    sum — two narrow projections, no shuffle."""
-    # barrier: without it ProjectCollapse inlines `hs` into all 60 bit
-    # expressions (60x md5 recompute per row — measured 6x slower)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"transform({shingles_expr(col, n, distinct=False)}, "
-            f"x -> cast(conv(substr(md5(x), 1, 15), 16, 10) AS bigint))"
-        ).alias("hs"),
-    ).repartition("id")
-    return hashed.select(
-        "id",
-        F.expr(
-            f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
-            f"IF(aggregate(hs, 0, (acc, x) -> acc + IF(shiftright(x, b) & 1 = 1, 1, -1)) > 0, "
-            f"shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
-        ).alias("sig"),
+    (classic frequency-weighted simhash).
+
+    Bit votes run as 60 codegen'd SUM aggregates over exploded shingle
+    hashes, NOT as higher-order-function lambdas: HOF lambdas evaluate
+    interpreted (measured ~7 ms/row for 60 bits x 150 shingles; this form
+    is ~20x faster). The explode looks expensive but map-side partial
+    aggregation collapses it to one 61-column row per doc per partition
+    before the shuffle, so shuffle volume stays O(#docs).
+
+    bit b of sig = 1  iff  2*(count of shingles with bit b set) > #shingles
+    (tie -> 0) — identical to the sign-of-the-vote-sum definition used by
+    the DuckDB oracle."""
+    # hash AFTER exploding: md5/conv on a flat column stays inside
+    # whole-stage codegen; the same md5 inside a transform() lambda runs
+    # interpreted (~3s vs ~0.5s for 26k shingles, measured)
+    shingled = shingled_docs(df, id_col, col, n, distinct=False)
+    votes = (
+        shingled.select("id", F.explode("sh").alias("x"))
+        .select(
+            "id",
+            F.expr("cast(conv(substr(md5(x), 1, 15), 16, 10) AS bigint)").alias("h"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            *[
+                F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+                for b in range(SIMHASH_BITS)
+            ],
+        )
+    )
+    sig = sum(
+        (
+            F.when(F.col(f"b{b}") * 2 > F.col("t"), F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ),
+        F.lit(0).cast("long"),
+    )
+    with_sig = votes.select("id", sig.alias("sig"))
+    # docs shorter than n tokens have no shingles and vanish in the explode;
+    # restore them with the empty signature 0 to match the definition.
+    # (ids come from a plain scan of df — no shingling recompute)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(with_sig, "id", "left")
+        .select("id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig"))
     )
 
 
@@ -216,9 +304,11 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = math.ceil(SIMHASH_BITS / chunks)
-    # barrier again: `sig` is referenced by the chunk explode AND both sides
-    # of the self-join — without it the 60-bit vote loop re-runs per chunk
-    sigs = simhash_signatures(df, id_col, col, n).repartition("id")
+    # Materialize signatures before the self-join: both join branches would
+    # otherwise recompute the full hash+vote DAG (exchange reuse does not
+    # survive the explode/alias rewrite). The table is one (id, sig) row
+    # per doc — tiny at any scale — so localCheckpoint is the right trade.
+    sigs = simhash_signatures(df, id_col, col, n).localCheckpoint()
     keyed = sigs.select(
         "id",
         "sig",
@@ -266,13 +356,8 @@ def ngram_jaccard_pairs(
     those prefix shingles enter the inverted-index join — the candidate set
     shrinks by ~1/(1-t) while staying lossless.
     """
-    docs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.expr(shingles_expr(col, n, distinct=True)).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .repartition("id")  # shared exchange: explode + both verify joins
+    docs = shingled_docs(df, id_col, col, n, distinct=True).filter(
+        F.size("sh") > 0
     )
 
     exploded = docs.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
@@ -300,23 +385,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh_a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cands, df, id_col, col, n, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -329,47 +398,74 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
+    blocks: int = 8,
 ) -> DataFrame:
     """EXACT all-pairs cosine similarity >= threshold: (id_a, id_b, cosine).
 
-    Brute-force O(n²) pairing — correct at any scale but quadratic; this is
-    the oracle-checkable baseline. The scale path is candidate blocking via
-    the IVF index (same centroid ⇒ candidate) + this exact verify; see
-    tests/test_dedup.py for the recall harness.
+    GEMM-blocked all-pairs: rows hash into `blocks` buckets; every
+    unordered bucket pair becomes one applyInPandas group that computes its
+    cross-similarities as ONE numpy float64 matmul. Versus the naive
+    crossJoin + interpreted zip_with (measured 12s at sf0.1 vs ~2s here):
 
-    Dot products run as `aggregate(zip_with(...))` — JVM codegen over the
-    float arrays, doubles for accumulation (matches DuckDB's
-    list_cosine_similarity numerics to ~1e-15 relative).
+    - per-pair work is a BLAS inner loop, not an interpreted lambda;
+    - data replication is x`blocks` (each row joins every bucket), not
+      x`n` — Arrow ships each vector `blocks` times total;
+    - bucket pairs are independent tasks: scale out by raising `blocks`
+      (~sqrt(cluster cores)); the n² FLOPs are unavoidable for the exact
+      result, so putting them in BLAS is the optimum shape.
+
+    Still quadratic by definition — the approximate scale path is IVF-
+    centroid blocking + this same verify (tests/test_dedup.py).
     """
+    pid_expr = (
+        f"array_distinct(transform(sequence(0, {blocks - 1}), "
+        f"o -> IF(o < blk, o * {blocks} + blk, blk * {blocks} + o)))"
+    )
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.sqrt(
-            F.expr(
-                f"aggregate({vec_col}, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))"
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("blk"),
+    )
+    replicated = vecs.select(
+        "id", "v", "blk", F.explode(F.expr(pid_expr)).alias("pid")
+    )
+
+    nblocks = blocks
+    tau = threshold
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # executor-side
+
+        pid = int(pdf["pid"].iloc[0])
+        bi, bj = pid // nblocks, pid % nblocks
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        if bi == bj:
+            sim = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+        else:
+            ai, aj = np.where(blk == bi)[0], np.where(blk == bj)[0]
+            sim = m[ai] @ m[aj].T
+            iu, ju = np.meshgrid(
+                np.arange(len(ai)), np.arange(len(aj)), indexing="ij"
             )
-        ).alias("norm"),
-    )
-    a = vecs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("norm").alias("n_a")
-    )
-    b = vecs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("norm").alias("n_b")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(v_a, v_b, (x, y) -> cast(x AS double) * cast(y AS double)), "
-                    "0D, (a, x) -> a + x)"
-                )
-                / (F.col("n_a") * F.col("n_b")),
-                4,
-            ),
+            iu, ju = iu.ravel(), ju.ravel()
+            ids_i, ids_j = ids[ai], ids[aj]
+        if bi == bj:
+            ids_i = ids_j = ids
+        cs = np.round(sim[iu, ju], 4)
+        keep = cs >= tau
+        ia, jb = ids_i[iu[keep]], ids_j[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, jb),
+                "id_b": np.maximum(ia, jb),
+                "cosine": cs[keep],
+            }
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+
+    return replicated.groupBy("pid").applyInPandas(
+        block_pair, "id_a long, id_b long, cosine double"
     )
