@@ -107,6 +107,18 @@ def q_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 query expansion: nearest index-vocab tokens by deterministic
+    embedding cosine, similarity-weighted BM25. No SQL oracle — the
+    embedder stub + expansion pipeline is exercised rows-only here and
+    property-tested in tests/test_bm25.py."""
+    idx = BM25Index()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return bm25_topk(
+        lake, idx, "text", BM25_QUERY, BM25_K, "doc_id", expansion_tokens=8
+    )
+
+
 def q_logcloud_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I14-I16 tiered log search: template/variable index prunes by the
     query's digit-tokens (type-bitmask superset + containment), then a
@@ -448,6 +460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
     "vector_knn_ivf": q_vector_knn_ivf,
     "media_payload_stats": q_media_payload_stats,

@@ -161,6 +161,78 @@ class BM25Index(SparkIndex):
         meta.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")
 
 
+# --------------------------------------------------------------------------
+# X7: query expansion (reference indices/bm25_index.py:12-95,140-158)
+# --------------------------------------------------------------------------
+#
+# The reference embeds the tokenizer vocabulary with BGE-M3/OpenAI and
+# expands the query to its `expansion_tokens`=20 nearest vocab tokens,
+# weighted by cosine similarity. No embedding model ships in this container,
+# so the embedder below is a clearly-marked deterministic STUB (md5-byte
+# vectors) — swap `token_embedding_col`/`embed_token` for a real model and
+# nothing else changes. The expansion mechanics (vocab = index stats tokens,
+# cosine top-N, similarity weights multiplying the per-token BM25 partials,
+# bm25.rs:547-555) are the real, tested machinery.
+
+EMB_DIM = 16
+DEFAULT_EXPANSION_TOKENS = 20
+
+
+def token_embedding_col(col):
+    """STUB embedder as a JVM expression: e_i = byte_i(md5(token)) - 127.5.
+    Deterministic, reproducible in SQL/DuckDB; cosine is scale-invariant so
+    no normalization is needed."""
+    return F.expr(
+        f"transform(sequence(0, {EMB_DIM - 1}), i -> "
+        f"cast(conv(substr(md5({col}), 2 * i + 1, 2), 16, 10) AS double) - 127.5)"
+    )
+
+
+def embed_token(token: str) -> list[float]:
+    import hashlib
+
+    dig = hashlib.md5(token.encode()).hexdigest()
+    return [int(dig[2 * i : 2 * i + 2], 16) - 127.5 for i in range(EMB_DIM)]
+
+
+def expand_query(
+    spark: SparkSession,
+    query: str,
+    vocab: DataFrame,
+    expansion_tokens: int = DEFAULT_EXPANSION_TOKENS,
+) -> dict[str, float]:
+    """{token: weight}: the query's own tokens at weight 1.0 plus the
+    `expansion_tokens` nearest vocab tokens by embedding cosine (weight =
+    similarity, clipped to [0, 1]). `vocab` is any DataFrame with a `token`
+    column — the lake path passes the index's stats tokens."""
+    qtoks = tokenize_query(query)
+    if not qtoks:
+        return {}
+    import numpy as np
+
+    qv = np.mean([embed_token(t) for t in qtoks], axis=0)
+    qn = float(np.linalg.norm(qv)) or 1.0
+    q_lit = "array(" + ", ".join(f"{x!r}D" for x in qv.tolist()) + ")"
+    scored = (
+        vocab.select("token").distinct()
+        .withColumn("e", token_embedding_col("token"))
+        .withColumn(
+            "cos",
+            F.expr(
+                f"aggregate(zip_with(e, {q_lit}, (a, b) -> a * b), 0D, (s, x) -> s + x)"
+                f" / (sqrt(aggregate(e, 0D, (s, x) -> s + x * x)) * {qn!r}D)"
+            ),
+        )
+        .orderBy(F.desc("cos"), F.asc("token"))
+        .limit(expansion_tokens)
+        .collect()
+    )
+    weights = {r["token"]: max(0.0, min(1.0, float(r["cos"]))) for r in scored}
+    for t in qtoks:  # original tokens always win at full weight
+        weights[t] = 1.0
+    return weights
+
+
 def derive_stats(df: DataFrame, column: str, query_tokens: list[str]):
     """(stats_df(token, df), n_docs, total_len) computed from raw rows —
     the in-situ analog for unindexed data."""
@@ -188,13 +260,15 @@ def score_rows(
     id_col: str,
     k: int | None = None,
     round_to: int = 4,
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Exact Okapi BM25 of each row against the query tokens.
 
     Returns (id_col, score) with score rounded (cross-engine float hygiene);
     ties broken by id_col when k is set. Rows with no query token are
-    excluded (score would be 0).
-    """
+    excluded (score would be 0). `weights` (X7 expansion) multiply each
+    token's partial score, mirroring the reference's weighted accumulation
+    (bm25.rs:547-555)."""
     if not query_tokens or n_docs == 0:
         return df.select(id_col).limit(0).withColumn("score", F.lit(0.0))
     avg_len = total_len / n_docs if n_docs else 1.0
@@ -203,6 +277,13 @@ def score_rows(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     ).alias("idf")
     stats_small = stats_df.select("token", idf)
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        stats_small = stats_small.withColumn(
+            "idf", F.col("idf") * F.coalesce(wmap[F.col("token")], F.lit(0.0))
+        )
 
     toks = df.select(id_col, tokens_col(F.col(column)).alias("toks"))
     exploded = toks.select(
@@ -234,17 +315,28 @@ def bm25_topk(
     query: str,
     k: int,
     id_col: str,
+    expansion_tokens: int = 0,
 ) -> DataFrame:
     """Lake-level exact BM25 top-K: global stats = index stats (covered
     files) + derived stats (unindexed files); candidate rows = postings hits
     + unindexed rows. Exact because candidates ⊇ every row containing ≥1
-    query token."""
+    query token. With expansion_tokens > 0 (X7), the query grows to its
+    nearest index-vocabulary tokens, similarity-weighted — exact for the
+    expanded token set."""
     from rottnest_spark.core.planner import plan_search
     from rottnest_spark.core.refine import read_candidates
 
     spark = lake.spark
     toks = tokenize_query(query)
+    weights = None
     plan = plan_search(lake.catalog, index.index_type, column, lake.files)
+    if expansion_tokens and plan.entries:
+        vocab = spark.read.parquet(
+            *[f"{e['index_path']}/stats" for e in plan.entries]
+        )
+        weights = expand_query(spark, query, vocab, expansion_tokens)
+        toks = sorted(weights)
+        query = " ".join(toks)  # downstream candidate probes use all tokens
 
     stat_parts, n_docs, total_len = [], 0, 0
     cand_parts: list[DataFrame] = []
@@ -284,5 +376,6 @@ def bm25_topk(
     for c in cand_parts[1:]:
         rows = rows.unionByName(c)
     return score_rows(
-        rows, column, toks, stats_df, n_docs, total_len, id_col=id_col, k=k
+        rows, column, toks, stats_df, n_docs, total_len,
+        id_col=id_col, k=k, weights=weights,
     )

@@ -96,3 +96,34 @@ def test_bm25_candidates_prune(spark, docs_lake_dir, tmp_path):
     lake.build_index(idx, "text")
     entry = lake.catalog.entries_for("bm25", "text")[0]
     assert idx.search(spark, [entry["index_path"]], "xyzzy qwertyzzz").count() == 0
+
+
+def test_query_expansion_weights(spark, docs_lake_dir, tmp_path):
+    """X7: expansion keeps original tokens at weight 1.0, adds nearest
+    vocab tokens by deterministic embedding cosine."""
+    from rottnest_spark.indices.bm25 import expand_query
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = BM25Index()
+    lake.build_index(idx, "text")
+    entry = lake.catalog.entries_for("bm25", "text")[0]
+    vocab = spark.read.parquet(f"{entry['index_path']}/stats")
+    w1 = expand_query(spark, QUERY, vocab, expansion_tokens=10)
+    w2 = expand_query(spark, QUERY, vocab, expansion_tokens=10)
+    assert w1 == w2  # deterministic
+    for t in tokenize_query(QUERY):
+        assert w1[t] == 1.0
+    assert len(w1) >= len(tokenize_query(QUERY))
+    assert all(0.0 <= v <= 1.0 for v in w1.values())
+
+
+def test_expanded_topk_runs_and_is_ordered(spark, docs_lake_dir, tmp_path):
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = BM25Index()
+    lake.build_index(idx, "text")
+    out = bm25_topk(
+        lake, idx, "text", QUERY, 10, "doc_id", expansion_tokens=8
+    ).collect()
+    assert len(out) == 10
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
