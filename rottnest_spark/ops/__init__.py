@@ -1,5 +1,6 @@
 from rottnest_spark.ops.dedup import (
     embedding_cosine_pairs,
+    embedding_cosine_pairs_ivf,
     exact_dup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -12,4 +13,5 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_ivf",
 ]

@@ -469,3 +469,83 @@ def embedding_cosine_pairs(
     return replicated.groupBy("pid").applyInPandas(
         block_pair, "id_a long, id_b long, cosine double"
     )
+
+
+def embedding_cosine_pairs_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    rows_per_centroid: int = 64,
+    probes: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: IVF-centroid blocking + exact verify.
+
+    The scale path for n too large for all-pairs: k-means centroids
+    partition the space; each vector is assigned to its `probes` nearest
+    centroids (multi-probe catches pairs straddling a cluster boundary);
+    candidate pairs share >=1 centroid and are verified with an exact
+    numpy cosine inside each centroid group. Precision is exact; recall is
+    approximate and rises with `probes` (recall harness in
+    tests/test_dedup.py). Work is O(sum of cluster sizes squared), i.e.
+    ~n * rows_per_centroid * probes^2 instead of n^2.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("features", array_to_vector(F.col("v").cast("array<double>")))
+    n = feat.count()
+    k = max(1, min(n // rows_per_centroid, 4096, n))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feat)
+    centers = np.array(model.clusterCenters())
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centers)
+    npr = min(probes, k)
+    tau = threshold
+
+    def assign(batches):
+        for pdf in batches:
+            c = bc.value
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # L2 to centroids; top `npr` per row
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            top = np.argsort(d, axis=1, kind="stable")[:, :npr]
+            ids = pdf["id"].to_numpy().repeat(npr)
+            yield pd.DataFrame(
+                {
+                    "cid": top.ravel(),
+                    "id": ids,
+                    "v": [v for v in pdf["v"] for _ in range(npr)],
+                }
+            )
+
+    assigned = feat.select("id", "v").mapInPandas(
+        assign, "cid int, id long, v array<float>"
+    )
+
+    def within(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["id"].to_numpy()
+        sim = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cs = np.round(sim[iu, ju], 4)
+        keep = (cs >= tau) & (ids[iu] != ids[ju])
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, jb),
+                "id_b": np.maximum(ia, jb),
+                "cosine": cs[keep],
+            }
+        )
+
+    return (
+        assigned.groupBy("cid")
+        .applyInPandas(within, "id_a long, id_b long, cosine double")
+        .distinct()  # a pair can surface in several probed clusters
+    )

@@ -81,3 +81,28 @@ def test_embedding_cosine_matches_numpy(spark, sf_dir):
     )
     got = _pairs(dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", tau))
     assert got == want
+
+
+def test_ivf_cosine_recall_and_precision(spark, sf_dir):
+    """IVF blocking: exact precision always; recall rises with probes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tau = 0.4505
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, "vec_id", "embedding", tau
+        ).collect()
+    )
+    assert exact
+    recalls = []
+    for probes in (1, 4):
+        got = set(
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_cosine_pairs_ivf(
+                emb, "vec_id", "embedding", tau, probes=probes
+            ).collect()
+        )
+        assert got <= exact  # precision 1.0: verify step is exact
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[-1] >= 0.9
+    assert recalls[0] <= recalls[-1] + 1e-9
