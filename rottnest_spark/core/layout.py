@@ -65,6 +65,50 @@ def extract_layout(spark: SparkSession, files: list[str]) -> DataFrame:
     return files_df.repartition(n_part).mapInPandas(layout_batches, LAYOUT_SCHEMA)
 
 
+def rows_with_rg_provenance(
+    spark: SparkSession, files: list[str], column: str
+) -> DataFrame:
+    """(file_path, row_group, <column>) — one output row per data row, read
+    via pyarrow row-group reads inside mapInPandas.
+
+    This is the build-side S1 analog: Spark's native reader only exposes
+    per-FILE provenance (`_metadata.file_path`), so indexes built on it can
+    prune at file granularity only. This reader tags every row with its row
+    group, letting an index prune *within* large files — the Spark
+    equivalent of the reference's page-uid granularity. One task per batch
+    of row groups; Arrow-batched decode of exactly one column."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow as pa
+
+    arrow_field = pq.ParquetFile(files[0]).schema_arrow.field(column)
+    if pa.types.is_timestamp(arrow_field.type) and arrow_field.type.unit == "ns":
+        arrow_field = arrow_field.with_type(
+            pa.timestamp("us", tz=arrow_field.type.tz)
+        )
+    col_type = from_arrow_schema(pa.schema([arrow_field]))[0].dataType.simpleString()
+    schema = f"file_path string, row_group int, {column} {col_type}"
+
+    def read_units(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # executor-side
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path, group in pdf.groupby("file_path"):
+                pf = pq.ParquetFile(path)
+                for rg in group["row_group"]:
+                    tbl = pf.read_row_group(int(rg), columns=[column])
+                    out = tbl.to_pandas()
+                    out.insert(0, "row_group", int(rg))
+                    out.insert(0, "file_path", path)
+                    yield out
+
+    units = extract_layout(spark, files).select("file_path", "row_group")
+    n_part = max(1, min(len(files) * 4, 64))
+    return units.repartition(n_part).mapInPandas(read_units, schema)
+
+
 def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
     """Driver-side {file_path: num_rows} for binpack planning (catalog-scale,
     not data-scale: one small row per file)."""

@@ -36,20 +36,29 @@ from rottnest_spark.sources.reader import read_parquet
 class ExactIndex(SparkIndex):
     index_type = "exact"
 
-    def __init__(self, store_keys: bool = True):
+    def __init__(self, store_keys: bool = True, granularity: str = "file"):
+        assert granularity in ("file", "row_group")
         self.store_keys = store_keys
+        self.granularity = granularity
 
     def config(self) -> dict:
-        return {"store_keys": self.store_keys}
+        return {"store_keys": self.store_keys, "granularity": self.granularity}
 
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
-        df = read_parquet(spark, files).select(
-            provenance_file_col().alias("file_path"),
-            F.lit(WHOLE_FILE).alias("row_group"),
-            F.col(column).alias("key"),
-        )
+        if self.granularity == "row_group":
+            from rottnest_spark.core.layout import rows_with_rg_provenance
+
+            df = rows_with_rg_provenance(spark, files, column).select(
+                "file_path", "row_group", F.col(column).alias("key")
+            )
+        else:
+            df = read_parquet(spark, files).select(
+                provenance_file_col().alias("file_path"),
+                F.lit(WHOLE_FILE).alias("row_group"),
+                F.col(column).alias("key"),
+            )
         zone = df.groupBy("file_path", "row_group").agg(
             F.min("key").alias("min_key"), F.max("key").alias("max_key")
         )

@@ -58,28 +58,51 @@ def char_ngrams(col, n: int):
 class SubstringIndex(SparkIndex):
     index_type = "substring"
 
-    def __init__(self, gram: int = 3, max_query_grams: int = 10):
+    def __init__(
+        self,
+        gram: int = 3,
+        max_query_grams: int = 10,
+        granularity: str = "file",
+    ):
+        assert granularity in ("file", "row_group")
         self.gram = gram
         self.max_query_grams = max_query_grams
+        self.granularity = granularity
 
     def config(self) -> dict:
-        return {"gram": self.gram, "max_query_grams": self.max_query_grams}
+        return {
+            "gram": self.gram,
+            "max_query_grams": self.max_query_grams,
+            "granularity": self.granularity,
+        }
 
     # -- build ----------------------------------------------------------------
 
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
-        df = read_parquet(spark, files)
-        norm = F.lower(F.col(column))
-        # Materialize provenance BEFORE repartitioning (hidden _metadata only
-        # exists on the scan), then spread rows across the cluster so the
-        # gram explode isn't bottlenecked by the input file count.
-        rows = df.select(
-            provenance_file_col().alias("file_path"),
-            F.lit(WHOLE_FILE).alias("row_group"),
-            norm.alias("__norm__"),
-        ).repartition(spark.sparkContext.defaultParallelism)
+        if self.granularity == "row_group":
+            # pyarrow row-group reader tags sub-file provenance — pruning
+            # then works WITHIN large files (the reference's page-uid analog)
+            from rottnest_spark.core.layout import rows_with_rg_provenance
+
+            src = rows_with_rg_provenance(spark, files, column)
+            rows = src.select(
+                "file_path",
+                "row_group",
+                F.lower(F.col(column)).alias("__norm__"),
+            )
+        else:
+            df = read_parquet(spark, files)
+            # Materialize provenance BEFORE repartitioning (hidden _metadata
+            # only exists on the scan), then spread rows across the cluster so
+            # the gram explode isn't bottlenecked by the input file count.
+            rows = df.select(
+                provenance_file_col().alias("file_path"),
+                F.lit(WHOLE_FILE).alias("row_group"),
+                F.lower(F.col(column)).alias("__norm__"),
+            )
+        rows = rows.repartition(spark.sparkContext.defaultParallelism)
         index_df = (
             rows.select(
                 "file_path",
