@@ -37,6 +37,7 @@ INDEX_CACHE_ROOT = os.environ.get(
 SUBSTRING_QUERY = "merge sort"
 LOG_QUERY = '"k": 87'
 EXACT_KEY = 100
+RANGE_LO, RANGE_HI = 5000, 5100
 Q1_CUTOFF = "1998-09-02"
 BM25_QUERY = "spark window merge"
 BM25_K = 20
@@ -116,6 +117,16 @@ def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
     return bm25_topk(
         lake, idx, "text", BM25_QUERY, BM25_K, "doc_id", expansion_tokens=8
+    )
+
+
+def q_exact_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map range scan: candidate units = those whose min/max key range
+    intersects [lo, hi]; exact BETWEEN refine."""
+    idx = ExactIndex()
+    lake = indexed_lake(spark, sf_dir, "orders", "o_orderkey", idx)
+    return lake.search(idx, "o_orderkey", (RANGE_LO, RANGE_HI)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
 
 
@@ -457,6 +468,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "exact_match": q_exact_match,
+    "exact_range": q_exact_range,
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
     "bm25_topk": q_bm25_topk,
@@ -488,6 +500,10 @@ ORACLES: dict[str, str] = {
     "exact_match": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         FROM orders WHERE o_orderkey = {EXACT_KEY}
+    """,
+    "exact_range": f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey BETWEEN {RANGE_LO} AND {RANGE_HI}
     """,
     "log_search": f"""
         SELECT event_id, user_id, event_type FROM events

@@ -68,6 +68,8 @@ class ExactIndex(SparkIndex):
             self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])
 
     def search(self, spark: SparkSession, index_paths: list[str], query):
+        if isinstance(query, tuple):  # (lo, hi) range probe → zone maps
+            return self.search_range(spark, index_paths, *query)
         if self.store_keys:
             keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
             return (
@@ -80,10 +82,25 @@ class ExactIndex(SparkIndex):
             (F.col("min_key") <= F.lit(query)) & (F.col("max_key") >= F.lit(query))
         ).select("file_path", "row_group")
 
+    def search_range(self, spark: SparkSession, index_paths: list[str], lo, hi):
+        """Candidate units whose key range intersects [lo, hi] — the classic
+        zone-map range scan. Uses the zone table regardless of store_keys
+        (O(units) rows beats a key-table range for wide ranges)."""
+        zones = spark.read.parquet(*[f"{p}/zone" for p in index_paths])
+        return zones.filter(
+            (F.col("min_key") <= F.lit(hi)) & (F.col("max_key") >= F.lit(lo))
+        ).select("file_path", "row_group")
+
+    def brute_force_range(self, df: DataFrame, column: str, lo, hi) -> DataFrame:
+        return df.filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+
     def brute_force(
         self, df: DataFrame, column: str, query, k: int | None
     ) -> DataFrame:
-        out = df.filter(F.col(column) == F.lit(query))
+        if isinstance(query, tuple):
+            out = self.brute_force_range(df, column, *query)
+        else:
+            out = df.filter(F.col(column) == F.lit(query))
         return out.limit(k) if k is not None else out
 
     def compact(

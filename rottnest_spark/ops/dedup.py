@@ -169,9 +169,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard) with jaccard >= threshold among
     LSH candidates.
+
+    `max_bucket` is the skew guard for the bucket self-join: a band key
+    shared by B docs emits B² candidates, so one degenerate bucket (e.g.
+    boilerplate-heavy corpora) can dominate the whole job. Buckets larger
+    than max_bucket are dropped — an explicit recall trade (pairs only
+    co-occurring in huge buckets are lost), OFF by default so results stay
+    oracle-exact.
 
     Each shingle is md5-hashed ONCE (32-bit prefix); the `num_hashes`
     permutations derive from a deterministic 2-universal integer family
@@ -220,6 +228,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     ).distinct()
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band_key")
+        )
+        banded = banded.join(ok, "band_key")
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")

@@ -106,3 +106,15 @@ def test_ivf_cosine_recall_and_precision(spark, sf_dir):
         recalls.append(len(got & exact) / len(exact))
     assert recalls[-1] >= 0.9
     assert recalls[0] <= recalls[-1] + 1e-9
+
+
+def test_minhash_max_bucket_skew_guard(spark, docs):
+    """Huge cap == unchanged; tiny cap only removes pairs (recall trade,
+    never precision)."""
+    full = _pairs(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
+    capped = _pairs(
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10_000)
+    )
+    assert capped == full
+    tiny = _pairs(dedup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=2))
+    assert set(tiny) <= set(full)

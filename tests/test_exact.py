@@ -59,3 +59,43 @@ def test_compaction_preserves_lookup(spark, orders_lake, tmp_path):
     lake.compact_indices(idx, "o_orderkey", row_threshold=10_000_000)
     after = _keys(lake.search(idx, "o_orderkey", probe))
     assert before == after and before
+
+
+def test_range_search_equals_between(spark, sf_dir, tmp_path):
+    """Zone-map range scan == BETWEEN full scan, and it prunes units."""
+    out = str(tmp_path / "orders_lake")
+    from rottnest_spark.sources.reader import read_parquet
+
+    read_parquet(spark, [f"{sf_dir}/orders.parquet"]).repartition(
+        8, "o_orderkey"
+    ).write.parquet(out)
+    # repartition by key clusters ranges poorly (hash), so also make a
+    # range-clustered lake for the pruning assertion
+    out2 = str(tmp_path / "orders_sorted")
+    read_parquet(spark, [f"{sf_dir}/orders.parquet"]).repartitionByRange(
+        8, "o_orderkey"
+    ).write.parquet(out2)
+
+    for lake_dir, expect_prune in ((out, False), (out2, True)):
+        lake = ParquetLake(spark, lake_dir, lake_dir + "_idx")
+        idx = ExactIndex()
+        lake.build_index(idx, "o_orderkey")
+        lo, hi = 100, 300
+        got = sorted(
+            r[0]
+            for r in lake.search(idx, "o_orderkey", (lo, hi))
+            .select("o_orderkey")
+            .collect()
+        )
+        want = sorted(
+            r[0]
+            for r in spark.read.parquet(lake_dir)
+            .filter(F.col("o_orderkey").between(lo, hi))
+            .select("o_orderkey")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+        if expect_prune:
+            entry = lake.catalog.entries_for("exact", "o_orderkey")[0]
+            cands = idx.search(spark, [entry["index_path"]], (lo, hi)).collect()
+            assert len(cands) < len(lake.files)
