@@ -426,6 +426,27 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union+window formulation): each event gets the
+    latest order date of its user at or before the event time. Payload is
+    the matched DATE (deterministic even when several orders share it)."""
+    from rottnest_spark.ops.relational import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("last_order_date")
+    ).distinct()
+    return asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="last_order_date",
+        payload=["last_order_date"],
+    )
+
+
 def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event-time aggregation — the identical logical plan
     runs as a Structured Streaming job with watermarks (see
@@ -488,6 +509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
+    "asof_join": q_asof_join,
     "windowed_event_counts": q_windowed_event_counts,
     "events_sessionize": q_events_sessionize,
 }
@@ -665,6 +687,13 @@ ORACLES: dict[str, str] = {
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "asof_join": """
+        SELECT e.event_id, e.user_id, e.ts, o.last_order_date
+        FROM events e ASOF JOIN
+             (SELECT DISTINCT o_custkey, o_orderdate AS last_order_date
+              FROM orders) o
+        ON e.user_id = o.o_custkey AND e.ts >= o.last_order_date
     """,
     "windowed_event_counts": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
