@@ -1,4 +1,10 @@
 from rottnest_spark.streaming.incremental import stream_index_maintenance
 from rottnest_spark.streaming.aggregate import windowed_event_counts
+from rottnest_spark.streaming.stateful import distinct_stream, run_streaming_dedup
 
-__all__ = ["stream_index_maintenance", "windowed_event_counts"]
+__all__ = [
+    "stream_index_maintenance",
+    "windowed_event_counts",
+    "distinct_stream",
+    "run_streaming_dedup",
+]

@@ -79,3 +79,30 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stateful_dedup_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: duplicates arriving in a LATER drain are
+    suppressed by persisted state (per-batch dropDuplicates cannot do this)."""
+    from rottnest_spark.streaming.stateful import run_streaming_dedup
+
+    src = str(tmp_path / "src")
+    ev = read_parquet(spark, [f"{sf_dir}/events.parquet"]).select(
+        "event_id", "user_id", "props"
+    )
+    first = ev.filter("event_id % 2 = 0")
+    first.repartition(2).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    args = (spark, src, schema, str(tmp_path / "ck"), "user_id", "event_id",
+            "props", str(tmp_path / "sink"))
+
+    out1 = run_streaming_dedup(*args)
+    want1 = first.select("user_id", F.md5("props")).distinct().count()
+    assert out1.count() == want1
+
+    # second drop REPLAYS the first half plus the rest
+    ev.repartition(2).write.mode("append").parquet(src)
+    out2 = run_streaming_dedup(*args)
+    want_all = ev.select("user_id", F.md5("props")).distinct().count()
+    assert out2.count() == want_all  # replayed rows stayed suppressed
+    assert out2.select("key", "content_hash").distinct().count() == want_all
