@@ -163,6 +163,42 @@ class ParquetLake:
             out = out.select(*columns)
         return out.limit(k) if k is not None else out
 
+    # -- hot-index caching (the reference's Redis cache-ranges analog, S5:
+    # backends/utils.py:128-145 pins .lava byte ranges; we pin the index
+    # DataFrames in Spark's block manager) ------------------------------------
+
+    def cache_indices(
+        self, index_type: str | None = None, column: str | None = None
+    ) -> list[str]:
+        """persist() every index table of the matching catalog entries and
+        materialize them; repeated searches then probe memory instead of
+        re-reading Parquet. Returns the cached paths."""
+        import glob as _glob
+
+        cached = []
+        for e in self.catalog.entries():
+            if index_type and e["index_type"] != index_type:
+                continue
+            if column and e["column_name"] != column:
+                continue
+            tables = [
+                d
+                for d in _glob.glob(os.path.join(e["index_path"], "*"))
+                if os.path.isdir(d)
+            ] or [e["index_path"]]
+            for t in tables:
+                df = self.spark.read.parquet(t).persist()
+                df.count()  # materialize now
+                self._cached = getattr(self, "_cached", {})
+                self._cached[t] = df
+                cached.append(t)
+        return cached
+
+    def uncache_indices(self) -> None:
+        for df in getattr(self, "_cached", {}).values():
+            df.unpersist()
+        self._cached = {}
+
     # -- L3: compact ----------------------------------------------------------
 
     def compact_indices(

@@ -456,6 +456,39 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(load(spark, sf_dir, "events"))
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: fact shuffles once per key chain, every
+    dimension (region→nation→customer/supplier) broadcasts."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust_n = cust.join(
+        F.broadcast(dims), cust.c_nationkey == dims.n_nationkey
+    ).select("c_custkey", "n_name")
+    supp_n = supp.join(
+        F.broadcast(dims), supp.s_nationkey == dims.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("s_n_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .filter(F.col("n_name") == F.col("s_n_name"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function sessionization: new session after a >30 min gap.
     (Streaming-adjacent batch analog; per-user windows partition cleanly.)"""
@@ -509,6 +542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
+    "revenue_by_nation": q_revenue_by_nation,
     "asof_join": q_asof_join,
     "windowed_event_counts": q_windowed_event_counts,
     "events_sessionize": q_events_sessionize,
@@ -687,6 +721,18 @@ ORACLES: dict[str, str] = {
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+        GROUP BY n_name
     """,
     "asof_join": """
         SELECT e.event_id, e.user_id, e.ts, o.last_order_date

@@ -99,3 +99,32 @@ def test_range_search_equals_between(spark, sf_dir, tmp_path):
             entry = lake.catalog.entries_for("exact", "o_orderkey")[0]
             cands = idx.search(spark, [entry["index_path"]], (lo, hi)).collect()
             assert len(cands) < len(lake.files)
+
+
+def test_cache_indices_substitutes_in_memory_scan(spark, sf_dir, tmp_path):
+    """S5 analog: persisted index tables are substituted into later probe
+    plans by Spark's cache manager (InMemoryTableScan)."""
+    from rottnest_spark.indices.substring import SubstringIndex
+    from rottnest_spark.sources.reader import read_parquet
+
+    out = str(tmp_path / "lake")
+    read_parquet(spark, [f"{sf_dir}/documents.parquet"]).repartition(
+        3
+    ).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    before = sorted(
+        r["doc_id"] for r in lake.search(idx, "text", "merge sort").collect()
+    )
+    cached = lake.cache_indices("substring", "text")
+    assert cached
+    entry = lake.catalog.entries_for("substring", "text")[0]
+    probe = idx.search(spark, [entry["index_path"]], "merge sort")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    after = sorted(
+        r["doc_id"] for r in lake.search(idx, "text", "merge sort").collect()
+    )
+    lake.uncache_indices()
+    assert before == after and len(before) > 0
