@@ -84,6 +84,78 @@ def main() -> None:
     for name, fn in ep.QUERIES.items():
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
+    # -- quality metrics promised in BASELINE.md ------------------------------
+    # pruning ratio = candidate units the index returns / total units
+    # (READ_RANGE_COUNTER analog); recall@K for the approximate vector path.
+    metrics: dict[str, float] = {}
+    try:
+        # fixture tables are single files, so measure sub-file pruning on a
+        # multi-row-group copy with the row_group-granular index
+        import pyarrow.parquet as pq
+
+        from rottnest_spark.core.lake import ParquetLake
+        from rottnest_spark.core.layout import extract_layout
+
+        rg_dir = os.path.join(bench_cache, "events_rg")
+        os.makedirs(rg_dir, exist_ok=True)
+        rg_file = os.path.join(rg_dir, "events.parquet")
+        pq.write_table(
+            pq.read_table(ep.table_path(sf_dir, "events")),
+            rg_file,
+            row_group_size=4096,
+        )
+        lake = ParquetLake(spark, rg_dir, os.path.join(bench_cache, "rg_idx"))
+        idx = SubstringIndex(granularity="row_group")
+        timed("substring_rg_build_events", lambda: lake.build_index(idx, "props"))
+        timed(
+            "substring_rg_search_events",
+            lambda: lake.search(idx, "props", ep.LOG_QUERY).collect(),
+        )
+        total_units = extract_layout(spark, [rg_file]).count()
+        paths = [
+            e["index_path"]
+            for e in lake.catalog.entries_for("substring", "props")
+        ]
+        metrics["substring_rg_pruning_ratio"] = round(
+            idx.search(spark, paths, ep.LOG_QUERY).count()
+            / max(total_units, 1),
+            4,
+        )
+        # zone-map pruning on a naturally key-clustered fact (orders are
+        # generated in key order, so row-group min/max ranges are disjoint)
+        rg_ord = os.path.join(rg_dir, "orders.parquet")
+        pq.write_table(
+            pq.read_table(ep.table_path(sf_dir, "orders")),
+            rg_ord,
+            row_group_size=4096,
+        )
+        olake = ParquetLake(
+            spark, [rg_ord], os.path.join(bench_cache, "rg_oidx")
+        )
+        oidx = ExactIndex(granularity="row_group")
+        olake.build_index(oidx, "o_orderkey")
+        opaths = [
+            e["index_path"]
+            for e in olake.catalog.entries_for("exact", "o_orderkey")
+        ]
+        o_units = extract_layout(spark, [rg_ord]).count()
+        metrics["exact_rg_pruning_ratio"] = round(
+            oidx.search(spark, opaths, ep.EXACT_KEY).count()
+            / max(o_units, 1),
+            4,
+        )
+        exact = {
+            r["vec_id"] for r in ep.q_vector_knn_exact(spark, sf_dir).collect()
+        }
+        ivf = {
+            r["vec_id"] for r in ep.q_vector_knn_ivf(spark, sf_dir).collect()
+        }
+        metrics["vector_ivf_recall_at_k"] = round(
+            len(exact & ivf) / max(len(exact), 1), 4
+        )
+    except Exception as exc:  # metrics must never fail the bench line
+        metrics["error"] = str(exc)[:200]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -92,6 +164,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "metrics": metrics,
                 "sf": sf,
             }
         )

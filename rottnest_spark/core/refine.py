@@ -78,7 +78,11 @@ def read_candidates(
                     pf = pq.ParquetFile(path)
                     for rg in group["row_group"]:
                         tbl = pf.read_row_group(int(rg), columns=cols)
-                        yield tbl.cast(_us_schema(tbl.schema)).to_pandas()
+                        # safe=False: ns->us truncation is intended (matches
+                        # read_parquet's div-1000) — safe mode refuses it
+                        yield tbl.cast(
+                            _us_schema(tbl.schema), safe=False
+                        ).to_pandas()
 
         cand_df = spark.createDataFrame(
             rg_cands, "file_path string, row_group int"

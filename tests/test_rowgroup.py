@@ -110,3 +110,29 @@ def test_rg_compaction_preserves_search(spark, rg_lake, tmp_path):
     lake.compact_indices(idx, "text", row_threshold=10_000_000)
     after = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
     assert before == after and len(before) > 0
+
+
+def test_rg_fetch_handles_nanos_timestamps(spark, sf_dir, tmp_path):
+    """Row-group candidate fetch must downcast ns timestamps (arrow cast is
+    safe-mode by default and refuses the truncation)."""
+    out = tmp_path / "ev_rg"
+    out.mkdir()
+    pq.write_table(
+        pq.read_table(f"{sf_dir}/events.parquet"),
+        str(out / "events.parquet"),
+        row_group_size=256,
+    )
+    lake = ParquetLake(spark, str(out), str(tmp_path / "idx"))
+    idx = SubstringIndex(granularity="row_group")
+    lake.build_index(idx, "props")
+    q = '"k": 87'
+    got = sorted(
+        r["event_id"] for r in lake.search(idx, "props", q).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in lake.read()
+        .filter(F.contains(F.lower("props"), F.lit(q)))
+        .collect()
+    )
+    assert got == want and len(got) > 0
