@@ -125,7 +125,13 @@ class ParquetLake:
         columns: list[str] | None = None,
     ) -> DataFrame:
         """Index-accelerated exact search ≡ brute_force(full scan).limit(k)."""
-        plan = plan_search(self.catalog, index.index_type, column, self.files)
+        plan = plan_search(
+            self.catalog,
+            index.index_type,
+            column,
+            self.files,
+            expect_config=IndexCatalog.config_json(**index.config()),
+        )
         parts: list[DataFrame] = []
 
         if plan.entries:
@@ -162,6 +168,54 @@ class ParquetLake:
         if columns:
             out = out.select(*columns)
         return out.limit(k) if k is not None else out
+
+    def explain_search(self, index: SparkIndex, column: str, query) -> dict:
+        """Structured plan introspection (the reference prints its tier
+        decisions at search time; this returns them): coverage split,
+        candidate count, pruning ratio, and the execution decision."""
+        plan = plan_search(
+            self.catalog,
+            index.index_type,
+            column,
+            self.files,
+            expect_config=IndexCatalog.config_json(**index.config()),
+        )
+        out = {
+            "index_type": index.index_type,
+            "column": column,
+            "n_entries": len(plan.entries),
+            "n_covered_files": len(plan.covered_files),
+            "n_unindexed_files": len(plan.unindexed_files),
+            "decision": "in_situ_only",
+            "n_candidates": None,
+            "total_units": None,
+            "pruning_ratio": None,
+        }
+        if not plan.entries:
+            return out
+        cands = index.search(
+            self.spark, [e["index_path"] for e in plan.entries], query
+        )
+        if cands is BRUTE_FORCE:
+            out["decision"] = "brute_force_flag"
+            return out
+        cand_rows = cands.collect()  # unit-scale (files x row groups), small
+        n = len(cand_rows)
+        if any(r["row_group"] != WHOLE_FILE for r in cand_rows):
+            from rottnest_spark.core.layout import extract_layout
+
+            total = extract_layout(self.spark, plan.covered_files).count()
+        else:
+            total = sum(len(e["file_paths"]) for e in plan.entries)
+        out["n_candidates"] = n
+        out["total_units"] = total
+        out["pruning_ratio"] = round(n / total, 4) if total else None
+        out["decision"] = (
+            "brute_force_threshold"
+            if n > self.brute_force_threshold
+            else "index_scan"
+        )
+        return out
 
     # -- hot-index caching (the reference's Redis cache-ranges analog, S5:
     # backends/utils.py:128-145 pins .lava byte ranges; we pin the index

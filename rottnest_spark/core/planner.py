@@ -60,14 +60,31 @@ class SearchPlan:
 
 
 def plan_search(
-    catalog: IndexCatalog, index_type: str, column_name: str, lake_files: list[str]
+    catalog: IndexCatalog,
+    index_type: str,
+    column_name: str,
+    lake_files: list[str],
+    expect_config: str | None = None,
 ) -> SearchPlan:
+    """expect_config (the probing index's config_json) guards against the
+    silent-wrong-results class of bug where probe parameters differ from
+    build parameters (e.g. different gram size or tokenizer): the probe
+    would under-match candidates and the refine could not recover the loss.
+    The reference enforces the same invariant for its serialized tokenizer
+    (src/lava/tokenizer_utils.rs:48-54)."""
     lake = set(lake_files)
     plan = SearchPlan()
     covered: set[str] = set()
     for e in catalog.entries_for(index_type, column_name):
         useful = [f for f in e["file_paths"] if f in lake]
         if useful:
+            if expect_config is not None and e.get("config") != expect_config:
+                raise ValueError(
+                    f"index entry {e['index_name']!r} was built with config "
+                    f"{e.get('config')} but the probing index has "
+                    f"{expect_config} — rebuild or probe with matching "
+                    f"parameters"
+                )
             plan.entries.append(e)
             covered.update(useful)
     plan.covered_files = sorted(covered)

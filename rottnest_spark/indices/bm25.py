@@ -326,10 +326,18 @@ def bm25_topk(
     from rottnest_spark.core.planner import plan_search
     from rottnest_spark.core.refine import read_candidates
 
+    from rottnest_spark.core.catalog import IndexCatalog
+
     spark = lake.spark
     toks = tokenize_query(query)
     weights = None
-    plan = plan_search(lake.catalog, index.index_type, column, lake.files)
+    plan = plan_search(
+        lake.catalog,
+        index.index_type,
+        column,
+        lake.files,
+        expect_config=IndexCatalog.config_json(**index.config()),
+    )
     if expansion_tokens and plan.entries:
         vocab = spark.read.parquet(
             *[f"{e['index_path']}/stats" for e in plan.entries]

@@ -92,11 +92,22 @@ def digit_tokens(s: str) -> list[str]:
 class LogIndex(SparkIndex):
     index_type = "logcloud"
 
-    def __init__(self, max_templates: int = 10_000):
+    def __init__(self, max_templates: int = 10_000, dict_frac: float = 0.5):
+        # dict_frac: variables present in more than this fraction of units
+        # go to the dict/ table instead of variables/ — they cannot prune
+        # (they match almost everywhere), so storing their posting lists
+        # only bloats the index. The reference's DICT_THRESHOLD=1000 merge
+        # routing (src/lava/logcloud/logcloud.rs:54,111-128) is the same
+        # idea keyed on absolute line count.
         self.max_templates = max_templates
+        self.dict_frac = dict_frac
 
     def config(self) -> dict:
-        return {"miner": f"mask:{VAR_RUN_RE}", "max_templates": self.max_templates}
+        return {
+            "miner": f"mask:{VAR_RUN_RE}",
+            "max_templates": self.max_templates,
+            "dict_frac": self.dict_frac,
+        }
 
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
@@ -117,7 +128,7 @@ class LogIndex(SparkIndex):
                 .agg(F.count(F.lit(1)).alias("n"))
             )
             self._write_index(templates, f"{out_path}/templates")
-            variables = (
+            all_vars = (
                 rows.select(
                     "file_path",
                     "row_group",
@@ -135,6 +146,28 @@ class LogIndex(SparkIndex):
                     "row_group",
                 )
             )
+            total_units = (
+                rows.select("file_path", "row_group").distinct().count()
+            )
+            cap = max(1, int(self.dict_frac * total_units))
+            unit_counts = all_vars.groupBy("vtype", "value").agg(
+                F.count(F.lit(1)).alias("n_units")
+            )
+            # dict tier: near-ubiquitous values can't prune — store the value
+            # once, not its posting list (the reference's DICT routing)
+            dict_vals = unit_counts.filter(F.col("n_units") > cap).select(
+                "vtype", "value"
+            )
+            self._write_index(dict_vals, f"{out_path}/dict", sort_cols=["value"])
+            dv = dict_vals.select(
+                F.col("vtype").alias("d_vtype"), F.col("value").alias("d_value")
+            )
+            variables = all_vars.join(
+                dv,
+                (all_vars["vtype"] == dv["d_vtype"])
+                & (all_vars["value"] == dv["d_value"]),
+                "left_anti",
+            )
             self._write_index(
                 variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
             )
@@ -148,18 +181,31 @@ class LogIndex(SparkIndex):
             # tier): correctness requires the full refine scan.
             return BRUTE_FORCE
         variables = spark.read.parquet(*[f"{p}/variables" for p in index_paths])
+        dicts = spark.read.parquet(*[f"{p}/dict" for p in index_paths])
         cand = None
         for t in vtoks:
             tmask = type_bitmask(t)
+            type_ok = F.col("vtype").bitwiseAND(F.lit(tmask)) == F.lit(tmask)
+            hits_dict = (
+                dicts.filter(type_ok & F.contains(F.col("value"), F.lit(t)))
+                .limit(1)
+                .count()
+                > 0
+            )
+            if hits_dict:
+                # t occurs inside a near-ubiquitous variable value whose
+                # postings were dict-routed — this token cannot prune
+                # (soundness: its units are not fully in variables/)
+                continue
             units = (
-                variables.filter(
-                    (F.col("vtype").bitwiseAND(F.lit(tmask)) == F.lit(tmask))
-                    & F.contains(F.col("value"), F.lit(t))
-                )
+                variables.filter(type_ok & F.contains(F.col("value"), F.lit(t)))
                 .select("file_path", "row_group")
                 .distinct()
             )
             cand = units if cand is None else cand.intersect(units)
+        if cand is None:
+            # every digit token was dict-routed: nothing can prune
+            return BRUTE_FORCE
         return cand
 
     def brute_force(
@@ -178,9 +224,24 @@ class LogIndex(SparkIndex):
             .agg(F.sum("n").alias("n"))
         )
         self._write_index(templates, f"{out_path}/templates")
-        variables = spark.read.parquet(
+        # a value dict-routed in ANY entry has incomplete postings in the
+        # merged view — it must stay dict-routed after the merge
+        dicts = spark.read.parquet(
+            *[f"{p}/dict" for p in index_paths]
+        ).distinct()
+        self._write_index(dicts, f"{out_path}/dict", sort_cols=["value"])
+        all_vars = spark.read.parquet(
             *[f"{p}/variables" for p in index_paths]
         ).distinct()
+        dv = dicts.select(
+            F.col("vtype").alias("d_vtype"), F.col("value").alias("d_value")
+        )
+        variables = all_vars.join(
+            dv,
+            (all_vars["vtype"] == dv["d_vtype"])
+            & (all_vars["value"] == dv["d_value"]),
+            "left_anti",
+        )
         self._write_index(
             variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
         )

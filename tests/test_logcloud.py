@@ -79,3 +79,38 @@ def test_compaction_preserves_search(spark, events_lake, tmp_path):
     lake.compact_indices(idx, "props", row_threshold=10_000_000)
     after = _ids(lake.search(idx, "props", q))
     assert before == after == oracle_ids(spark, events_lake, q)
+
+
+def test_dict_tier_routing_stays_correct(spark, events_lake, tmp_path):
+    """Aggressive dict routing (dict_frac=0) sends every variable to the
+    dict tier -> search degrades to brute force but stays exact."""
+    lake = ParquetLake(spark, events_lake, str(tmp_path / "idx"))
+    idx = LogIndex(dict_frac=0.0)
+    lake.build_index(idx, "props")
+    entry = lake.catalog.entries_for("logcloud", "props")[0]
+    # every digit token dict-routed -> flag-0 brute force
+    assert idx.search(spark, [entry["index_path"]], '"k": 87') is BRUTE_FORCE
+    for q in ['"k": 87', "no4040such"]:
+        got = _ids(lake.search(idx, "props", q))
+        assert got == oracle_ids(spark, events_lake, q), q
+
+
+def test_dict_tier_shrinks_variables_table(spark, events_lake, tmp_path):
+    """With default routing, near-ubiquitous values leave variables/."""
+    lake0 = ParquetLake(spark, events_lake, str(tmp_path / "i0"))
+    full = LogIndex(dict_frac=1.0)  # cap > total units -> nothing routed
+    lake0.build_index(full, "props")
+    e0 = lake0.catalog.entries_for("logcloud", "props")[0]
+    n_full = spark.read.parquet(f"{e0['index_path']}/variables").count()
+
+    lake1 = ParquetLake(spark, events_lake, str(tmp_path / "i1"))
+    routed = LogIndex(dict_frac=0.4)
+    lake1.build_index(routed, "props")
+    e1 = lake1.catalog.entries_for("logcloud", "props")[0]
+    n_routed = spark.read.parquet(f"{e1['index_path']}/variables").count()
+    n_dict = spark.read.parquet(f"{e1['index_path']}/dict").count()
+    assert n_dict > 0 and n_routed < n_full
+    # and search is still exact
+    q = '"k": 87'
+    got = _ids(lake1.search(routed, "props", q))
+    assert got == oracle_ids(spark, events_lake, q)

@@ -136,3 +136,15 @@ def test_rg_fetch_handles_nanos_timestamps(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_explain_search_reports_pruning(spark, rg_lake, tmp_path):
+    lake = ParquetLake(spark, rg_lake, str(tmp_path / "idx"))
+    idx = SubstringIndex(granularity="row_group")
+    lake.build_index(idx, "text")
+    info = lake.explain_search(idx, "text", MARKER)
+    assert info["decision"] == "index_scan"
+    assert 0 < info["n_candidates"] < info["total_units"]
+    assert 0 < info["pruning_ratio"] < 1
+    # sub-gram query -> flag-0 brute force
+    assert lake.explain_search(idx, "text", "ab")["decision"] == "brute_force_flag"

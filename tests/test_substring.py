@@ -2,6 +2,7 @@
 brute-force full scan — plus lifecycle properties (reference test/parquet_test.py:13-52)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from rottnest_spark import ParquetLake
 from rottnest_spark.indices import BRUTE_FORCE, SubstringIndex
@@ -117,3 +118,12 @@ def test_vacuum_removes_orphans(spark, docs_lake_dir, tmp_path):
     assert not os.path.exists(orphan)
     # live index untouched
     assert lake.catalog.entries()
+
+
+def test_config_mismatch_raises(spark, docs_lake_dir, tmp_path):
+    """Probing with different parameters than the build must fail loudly,
+    never silently under-match (reference tokenizer assert analog)."""
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    lake.build_index(SubstringIndex(gram=3), "text")
+    with pytest.raises(ValueError, match="config"):
+        lake.search(SubstringIndex(gram=4), "text", "merge sort").collect()
