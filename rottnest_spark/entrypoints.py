@@ -382,6 +382,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: quality filter -> exact dedup ->
+    MinHash near-dedup, one lazy DataFrame chain."""
+    from rottnest_spark.ops.pipeline import curate_documents
+
+    out = curate_documents(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", "lang", "source")
+
+
+# The pipeline's near-dedup runs on the quality+exact-dedup survivors; LSH
+# band keys and pair Jaccard are per-doc/per-pair quantities independent of
+# the corpus, so pairs(subset) == pairs(all) restricted to the subset — the
+# oracle reuses the full minhash pair query with both sides restricted.
+def _curate_oracle() -> str:
+    return f"""
+        WITH q AS (
+            SELECT doc_id, text, lang, source FROM documents
+            WHERE length(text) >= {textstats.MIN_CHARS}
+              AND round(list_sum(list_transform(string_split(lower(text), ' '),
+                    t -> length(t))) * 1.0 /
+                    len(string_split(lower(text), ' ')), 4)
+                  BETWEEN {textstats.MIN_MEAN_LEN} AND {textstats.MAX_MEAN_LEN}
+              AND round(len(list_filter(string_split(lower(text), ' '),
+                    t -> list_contains([{_sw_list("en")}], t))) * 1.0 /
+                    len(string_split(lower(text), ' ')), 4)
+                  >= {textstats.MIN_STOPWORD_RATIO}
+              AND round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                    * 1.0 / length(text), 4) <= {textstats.MAX_PUNCT_RATIO}
+        ),
+        ex AS (
+            SELECT q.* FROM q
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM q
+                  GROUP BY md5(text)) k
+              ON q.doc_id = k.keep
+        ),
+        pairs AS ({_minhash_oracle()}),
+        losers AS (
+            SELECT DISTINCT id_b FROM pairs
+            WHERE id_a IN (SELECT doc_id FROM ex)
+              AND id_b IN (SELECT doc_id FROM ex)
+        )
+        SELECT doc_id, lang, source FROM ex
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
 # --------------------------------------------------------------------------
 # Analytics showcase (Catalyst-native: agg / join / window)
 # --------------------------------------------------------------------------
@@ -540,6 +586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "embedding_dedup": q_embedding_dedup,
+    "curate_documents": q_curate_documents,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
@@ -700,6 +747,7 @@ ORACLES: dict[str, str] = {
         WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
               >= {COSINE_TAU}
     """,
+    "curate_documents": _curate_oracle(),
     "tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)       AS sum_qty,

@@ -1,0 +1,43 @@
+"""Curation pipeline: stage monotonicity, near-dup removal, report parity."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.ops import dedup
+from rottnest_spark.ops.pipeline import curate_documents, curation_report
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_stage_monotonicity_and_report(spark, docs):
+    rep = curation_report(docs, "doc_id", "text").collect()[0]
+    assert (
+        rep["n_input"]
+        >= rep["n_after_quality"]
+        >= rep["n_after_exact_dedup"]
+        >= rep["n_after_near_dedup"]
+        > 0
+    )
+    out = curate_documents(docs, "doc_id", "text")
+    assert out.count() == rep["n_after_near_dedup"]
+
+
+def test_no_surviving_near_dup_pair(spark, docs):
+    """No two survivors form a near-dup pair at the pipeline threshold."""
+    out = curate_documents(docs, "doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(out, "doc_id", "text", threshold=0.5)
+    assert pairs.count() == 0
+
+
+def test_exact_dups_collapse(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (3, "a completely different document about the spark optimizer and it"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(r["doc_id"] for r in curate_documents(df, "doc_id", "text").collect())
+    assert 2 not in out and 1 in out and 3 in out
