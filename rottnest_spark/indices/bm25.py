@@ -69,18 +69,34 @@ def tokenize_query(query: str) -> list[str]:
 class BM25Index(SparkIndex):
     index_type = "bm25"
 
+    def __init__(self, granularity: str = "file"):
+        assert granularity in ("file", "row_group")
+        self.granularity = granularity
+
     def config(self) -> dict:
-        return {"tokenizer": f"regex:{TOKEN_SPLIT_RE}", "k1": K1, "b": B}
+        return {
+            "tokenizer": f"regex:{TOKEN_SPLIT_RE}",
+            "k1": K1,
+            "b": B,
+            "granularity": self.granularity,
+        }
 
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
-        df = read_parquet(spark, files)
-        rows = df.select(
-            provenance_file_col().alias("file_path"),
-            F.lit(WHOLE_FILE).alias("row_group"),
-            tokens_col(F.col(column)).alias("toks"),
-        ).repartition(spark.sparkContext.defaultParallelism)
+        if self.granularity == "row_group":
+            from rottnest_spark.core.layout import rows_with_rg_provenance
+
+            rows = rows_with_rg_provenance(spark, files, column).select(
+                "file_path", "row_group", tokens_col(F.col(column)).alias("toks")
+            )
+        else:
+            rows = read_parquet(spark, files).select(
+                provenance_file_col().alias("file_path"),
+                F.lit(WHOLE_FILE).alias("row_group"),
+                tokens_col(F.col(column)).alias("toks"),
+            )
+        rows = rows.repartition(spark.sparkContext.defaultParallelism)
         rows = rows.persist()
         try:
             per_row = rows.select(

@@ -92,7 +92,14 @@ def digit_tokens(s: str) -> list[str]:
 class LogIndex(SparkIndex):
     index_type = "logcloud"
 
-    def __init__(self, max_templates: int = 10_000, dict_frac: float = 0.5):
+    def __init__(
+        self,
+        max_templates: int = 10_000,
+        dict_frac: float = 0.5,
+        granularity: str = "file",
+    ):
+        assert granularity in ("file", "row_group")
+        self.granularity = granularity
         # dict_frac: variables present in more than this fraction of units
         # go to the dict/ table instead of variables/ — they cannot prune
         # (they match almost everywhere), so storing their posting lists
@@ -107,17 +114,25 @@ class LogIndex(SparkIndex):
             "miner": f"mask:{VAR_RUN_RE}",
             "max_templates": self.max_templates,
             "dict_frac": self.dict_frac,
+            "granularity": self.granularity,
         }
 
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
-        df = read_parquet(spark, files)
-        rows = df.select(
-            provenance_file_col().alias("file_path"),
-            F.lit(WHOLE_FILE).alias("row_group"),
-            F.col(column).alias("line"),
-        ).repartition(spark.sparkContext.defaultParallelism)
+        if self.granularity == "row_group":
+            from rottnest_spark.core.layout import rows_with_rg_provenance
+
+            rows = rows_with_rg_provenance(spark, files, column).select(
+                "file_path", "row_group", F.col(column).alias("line")
+            )
+        else:
+            rows = read_parquet(spark, files).select(
+                provenance_file_col().alias("file_path"),
+                F.lit(WHOLE_FILE).alias("row_group"),
+                F.col(column).alias("line"),
+            )
+        rows = rows.repartition(spark.sparkContext.defaultParallelism)
         rows = rows.persist()
         try:
             templates = (

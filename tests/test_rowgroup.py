@@ -148,3 +148,42 @@ def test_explain_search_reports_pruning(spark, rg_lake, tmp_path):
     assert 0 < info["pruning_ratio"] < 1
     # sub-gram query -> flag-0 brute force
     assert lake.explain_search(idx, "text", "ab")["decision"] == "brute_force_flag"
+
+
+def test_bm25_and_logcloud_rg_granularity(spark, sf_dir, tmp_path):
+    """BM25 and LogCloud at row_group granularity: search == oracle and
+    candidates carry real row groups."""
+    from rottnest_spark.indices.bm25 import BM25Index, bm25_topk
+    from rottnest_spark.indices.logcloud import LogIndex
+
+    out = tmp_path / "ev_rg2"
+    out.mkdir()
+    pq.write_table(
+        pq.read_table(f"{sf_dir}/events.parquet"),
+        str(out / "events.parquet"),
+        row_group_size=256,
+    )
+    lake = ParquetLake(spark, str(out), str(tmp_path / "idx"))
+
+    # dict_frac=1.0: at 256-row units the probe value is near-ubiquitous and
+    # default routing would (correctly) flag brute force; disable routing to
+    # assert the row-group candidate shape
+    lidx = LogIndex(granularity="row_group", dict_frac=1.0)
+    lake.build_index(lidx, "props")
+    q = '"k": 87'
+    got = sorted(r["event_id"] for r in lake.search(lidx, "props", q).collect())
+    want = sorted(
+        r["event_id"]
+        for r in lake.read().filter(F.contains("props", F.lit(q))).collect()
+    )
+    assert got == want and len(got) > 0
+    entry = lake.catalog.entries_for("logcloud", "props")[0]
+    cands = lidx.search(spark, [entry["index_path"]], q).collect()
+    assert all(r["row_group"] != WHOLE_FILE for r in cands)
+
+    bidx = BM25Index(granularity="row_group")
+    lake.build_index(bidx, "props")
+    top = bm25_topk(lake, bidx, "props", "87", 5, "event_id").collect()
+    assert len(top) == 5
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
