@@ -382,6 +382,42 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (dataset mixing): hash-
+    bucket membership, reproducible across runs and engines."""
+    from rottnest_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch assignment, one independent packer per source."""
+    from rottnest_spark.ops.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("size(split(lower(text), ' '))").alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", 500, "source")
+
+
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rottnest_spark.ops.sampling import split_column
+
+    return split_column(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: quality filter -> exact dedup ->
     MinHash near-dedup, one lazy DataFrame chain."""
@@ -587,6 +623,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "embedding_dedup": q_embedding_dedup,
     "curate_documents": q_curate_documents,
+    "stratified_mixture": q_stratified_mixture,
+    "sequence_packing": q_sequence_packing,
+    "train_val_test": q_train_val_test,
     "tpch_q1": q_tpch_q1,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
@@ -748,6 +787,38 @@ ORACLES: dict[str, str] = {
               >= {COSINE_TAU}
     """,
     "curate_documents": _curate_oracle(),
+    # hash bucket: ('0x'||substr(md5(seed:id),1,12))::BIGINT % 1000000 —
+    # identical arithmetic to ops/sampling.py:_bucket
+    "stratified_mixture": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || substr(md5('strata:' || doc_id::VARCHAR), 1, 12))::BIGINT
+              % 1000000
+            < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+                        WHEN 'fr' THEN 250000 ELSE 100000 END
+    """,
+    "sequence_packing": """
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((cum - n_tokens) * 1.0 / 500) AS BIGINT) AS batch_id
+        FROM (
+            SELECT doc_id, source,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   sum(len(string_split(lower(text), ' ')))
+                       OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents
+        )
+    """,
+    "train_val_test": """
+        SELECT doc_id,
+               CASE
+                 WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                      % 1000000 < 50000 THEN 'test'
+                 WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                      % 1000000 < 950000 THEN 'train'
+                 ELSE 'val'
+               END AS split
+        FROM documents
+    """,
     "tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)       AS sum_qty,

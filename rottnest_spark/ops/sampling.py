@@ -1,0 +1,130 @@
+"""Deterministic sampling, splitting, and batch-packing for training data.
+
+Every operator here is reproducible BY CONSTRUCTION (hash arithmetic on
+stable ids, never RNG state), so reruns, retries, and other engines produce
+identical row sets — the property training pipelines actually need from
+"random" sampling. Hashes derive from md5 (cross-engine parity with the
+DuckDB oracles, same discipline as ops/dedup.py).
+
+- hash_sample          keep a deterministic ~fraction of rows per seed
+- split_column         train/val/test assignment by weighted hash buckets
+- stratified_sample    per-stratum fractions (e.g. downsample by language)
+- pack_sequences       greedy-by-order token-budget batching via a window
+                       cumsum; partition_col bounds the window state so
+                       packing parallelizes (one packer per partition value)
+
+Scale notes: the first three are narrow per-row projections/filters — they
+compose with any scan for free. pack_sequences is a window over
+(partition_col, order): with a real partition column (source, shard, date)
+state is per-group and distributes; without one it degrades to a single
+ordered reducer — callers at scale must pass partition_col (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BUCKETS = 1_000_000  # hash-bucket resolution: fraction granularity 1e-6
+
+
+def _bucket(id_col: str, seed: str) -> Column:
+    """Uniform deterministic bucket in [0, BUCKETS) from md5(seed:id)."""
+    return (
+        F.expr(
+            f"cast(conv(substr(md5(concat('{seed}', ':', cast({id_col} AS string))), "
+            f"1, 12), 16, 10) AS bigint)"
+        )
+        % BUCKETS
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic ~fraction subset: row kept iff its hash bucket falls
+    below fraction. Stable across runs/engines; disjoint seeds give
+    independent samples."""
+    return df.filter(_bucket(id_col, seed) < int(fraction * BUCKETS))
+
+
+def split_column(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Adds `split`: weighted assignment (e.g. {'train': .9, 'val': .05,
+    'test': .05}) by hash bucket — every row lands in exactly one split,
+    membership independent of row order and partitioning."""
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    b = _bucket(id_col, seed)
+    items = sorted(weights.items())  # deterministic boundary order
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = b < int(acc * BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the 'rebalance languages /
+    sources' op). Strata missing from `fractions` keep default_fraction."""
+    b = _bucket(id_col, seed)
+    thr = None
+    for k, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == k
+        lim = F.lit(int(frac * BUCKETS))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = (
+        F.lit(int(default_fraction * BUCKETS))
+        if thr is None
+        else thr.otherwise(F.lit(int(default_fraction * BUCKETS)))
+    )
+    return df.filter(b < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign rows (ordered by id within each partition) to consecutive
+    batches by chunking the cumulative token stream into budget-sized
+    ranges: batch_id = floor((cumsum - n_tokens) / budget).
+
+    This is the window-expressible (hence distributed) packing: a batch's
+    total is <= budget + (its first row's tokens - 1), i.e. only the
+    boundary-straddling row can overshoot. True greedy-reset packing needs
+    sequential state per partition and cannot be a window — when the hard
+    cap matters more than parallelism, run this per partition_col and
+    post-split oversized batches.
+
+    Returns df + `batch_id` (per partition_col value when given). At scale
+    ALWAYS pass partition_col: without it the window is one global ordered
+    reducer."""
+    part = [partition_col] if partition_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(n_tokens_col).over(w)
+    return df.withColumn(
+        "batch_id",
+        F.floor((cum - F.col(n_tokens_col)) / F.lit(budget)).cast("long"),
+    )

@@ -1,0 +1,74 @@
+"""Deterministic sampling/splitting/packing properties."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.ops import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_proportional(spark, docs):
+    n = docs.count()
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    assert a == b
+    assert 0.2 * n < len(a) < 0.4 * n
+    # a smaller fraction with the same seed is a subset (nested samples)
+    c = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.1).collect()}
+    assert c <= a
+    # a different seed gives a different (roughly independent) sample
+    d = {
+        r["doc_id"]
+        for r in sampling.hash_sample(docs, "doc_id", 0.3, seed="other").collect()
+    }
+    assert d != a
+
+
+def test_split_column_partitions(spark, docs):
+    out = sampling.split_column(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n  # every row in exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_stratified_fractions(spark, docs):
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.5
+    )
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert got["en"] == full["en"]  # fraction 1.0 keeps everything
+    assert "de" not in got          # fraction 0.0 drops the stratum
+    for lang in ("fr", "es", "zh"):
+        assert 0 < got[lang] < full[lang]
+
+
+def test_pack_sequences_budget_bound(spark, docs):
+    budget = 500
+    d = docs.select(
+        "doc_id", "source", F.expr("size(split(lower(text),' '))").alias("nt")
+    )
+    out = sampling.pack_sequences(d, "doc_id", "nt", budget, "source")
+    per_batch = (
+        out.groupBy("source", "batch_id")
+        .agg(F.sum("nt").alias("tot"), F.min("nt").alias("first_min"), F.max("nt").alias("mx"))
+        .collect()
+    )
+    assert len(per_batch) > 1
+    for r in per_batch:
+        # chunked-cumsum bound: only the straddling first row can overshoot
+        assert r["tot"] <= budget + r["mx"] - 1
+    # batch ids start at 0 per source and are contiguous
+    for src_row in out.groupBy("source").agg(
+        F.min("batch_id").alias("lo"),
+        F.max("batch_id").alias("hi"),
+        F.countDistinct("batch_id").alias("n"),
+    ).collect():
+        assert src_row["lo"] == 0
+        assert src_row["n"] == src_row["hi"] + 1
