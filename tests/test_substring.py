@@ -127,3 +127,39 @@ def test_config_mismatch_raises(spark, docs_lake_dir, tmp_path):
     lake.build_index(SubstringIndex(gram=3), "text")
     with pytest.raises(ValueError, match="config"):
         lake.search(SubstringIndex(gram=4), "text", "merge sort").collect()
+
+
+def test_vacuum_after_data_deletion_search_stays_exact(spark, sf_dir, tmp_path):
+    """Lake shrinks (files deleted) -> vacuum drops dead entries -> search
+    over the survivors still equals the full-scan oracle."""
+    import glob
+    import os
+
+    lake_dir = str(tmp_path / "lake")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(4)
+        .write.parquet(lake_dir)
+    )
+    lake = ParquetLake(spark, lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text", binpack_row_threshold=1)  # entry per file
+    n_entries = len(lake.catalog.entries_for("substring", "text"))
+    assert n_entries == 4
+
+    for f in sorted(glob.glob(lake_dir + "/*.parquet"))[:2]:
+        os.remove(f)
+    removed = lake.vacuum()
+    assert len(removed) >= 2
+    assert len(lake.catalog.entries_for("substring", "text")) == 2
+
+    q = "merge sort"
+    got = _ids(lake.search(idx, "text", q))
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(lake_dir)
+        .filter(F.contains(F.lower("text"), F.lit(q)))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want
