@@ -17,13 +17,15 @@ A from-scratch rebuild of the capabilities of marsupialtail/rottnest
 Subpackages:
     core/       lake, layout, catalog, planner, refine (the "backends/" analog)
     indices/    substring, exact, bm25, vector, logcloud (the "indices/" analog)
-    functions/  text analysis, dedup, similarity (LLM-pipeline operators)
-    operators/  multimodal column plumbing
-    streaming/  incremental index maintenance via Structured Streaming
+    ops/        dedup, textstats, multimodal, sampling, relational, pipeline
+                (the training-data-pipeline operators)
+    streaming/  incremental maintenance, windowed aggs, stateful dedup
 """
 
 from rottnest_spark.core.lake import ParquetLake
 from rottnest_spark.session import get_spark
 
 __all__ = ["ParquetLake", "get_spark"]
-__version__ = "0.1.0"
+# bumped on index-format changes: the contract-query cache key includes this,
+# so a format change can never reuse a stale on-disk index
+__version__ = "0.2.0"

@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the properties docs/PLANS.md documents
+must stay true — probe filters push to the index scan, refine prunes
+columns, top-K compiles to TakeOrderedAndProject."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rottnest_spark import ParquetLake
+from rottnest_spark.indices.substring import SubstringIndex
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("plans")
+    lake_dir = str(out / "lake")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(3)
+        .write.parquet(lake_dir)
+    )
+    lake = ParquetLake(spark, lake_dir, str(out / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    return lake, idx
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_scan_info(df) -> str:
+    # formatted explain includes the scan's PushedFilters/ReadSchema
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_probe_pushes_gram_filter_to_scan(spark, built):
+    lake, idx = built
+    entry = lake.catalog.entries_for("substring", "text")[0]
+    probe = idx.search(spark, [entry["index_path"]], "merge sort")
+    plan = _optimized_scan_info(probe)
+    assert "PushedFilters: [In(gram" in plan
+    # only the three index columns are read
+    assert "ReadSchema: struct<gram:string,file_path:string,row_group:int>" in plan
+
+
+def test_refine_prunes_columns(spark, built):
+    lake, idx = built
+    res = lake.search(idx, "text", "merge sort", columns=["doc_id"])
+    plan = _optimized_scan_info(res)
+    # the candidate scan reads only doc_id + the refine column, not lang etc.
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy(F.desc("n_chars"))
+        .limit(5)
+    )
+    assert "TakeOrderedAndProject" in _executed_plan(df)

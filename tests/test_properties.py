@@ -89,3 +89,24 @@ def test_minhash_family_stays_in_range(h):
         v = (a * h + b) % _MH_MOD
         assert 0 <= v < _MH_MOD
         assert a * h + b < 1 << 63  # no signed-64 overflow on either engine
+
+
+@given(
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=20, deadline=None)
+def test_hash_sample_nesting_property(f1, f2):
+    """Smaller fraction with the same seed is always a subset (pure bucket
+    arithmetic — checked without Spark)."""
+    from rottnest_spark.ops.sampling import BUCKETS
+
+    import hashlib
+
+    lo, hi = sorted((f1, f2))
+    for i in range(200):
+        h = int(
+            hashlib.md5(f"sample:{i}".encode()).hexdigest()[:12], 16
+        ) % BUCKETS
+        if h < int(lo * BUCKETS):
+            assert h < int(hi * BUCKETS)
