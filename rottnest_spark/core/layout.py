@@ -66,7 +66,7 @@ def extract_layout(spark: SparkSession, files: list[str]) -> DataFrame:
 
 
 def rows_with_rg_provenance(
-    spark: SparkSession, files: list[str], column: str
+    spark: SparkSession, files: list[str], column: str, with_pos: bool = False
 ) -> DataFrame:
     """(file_path, row_group, <column>) — one output row per data row, read
     via pyarrow row-group reads inside mapInPandas.
@@ -88,7 +88,9 @@ def rows_with_rg_provenance(
             pa.timestamp("us", tz=arrow_field.type.tz)
         )
     col_type = from_arrow_schema(pa.schema([arrow_field]))[0].dataType.simpleString()
-    schema = f"file_path string, row_group int, {column} {col_type}"
+    pos_part = "pos int, " if with_pos else ""
+    schema = f"file_path string, row_group int, {pos_part}{column} {col_type}"
+    add_pos = with_pos
 
     def read_units(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # executor-side
@@ -100,6 +102,8 @@ def rows_with_rg_provenance(
                 for rg in group["row_group"]:
                     tbl = pf.read_row_group(int(rg), columns=[column])
                     out = tbl.to_pandas()
+                    if add_pos:
+                        out.insert(0, "pos", range(len(out)))
                     out.insert(0, "row_group", int(rg))
                     out.insert(0, "file_path", path)
                     yield out

@@ -93,3 +93,42 @@ def read_candidates(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_rows_at(
+    spark: SparkSession,
+    triples: list[tuple[str, int, int]],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Fetch specific rows by (file_path, row_group, position-in-row-group)
+    — the row-precision analog of the reference's uid→page→row fetch
+    (backends/utils.py:41-61). One pyarrow row-group read per (file, rg),
+    then positional take; Arrow-batched, distributed over the triple list."""
+    if not triples:
+        raise ValueError("no rows to read")
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow as pa
+
+    arrow_schema = pq.ParquetFile(triples[0][0]).schema_arrow
+    if columns:
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    arrow_schema = _us_schema(arrow_schema)
+    spark_schema = from_arrow_schema(arrow_schema)
+    cols = columns
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq  # executor-side
+
+        for pdf in batches:
+            for (path, rg), grp in pdf.groupby(["file_path", "row_group"]):
+                pf = pq.ParquetFile(path)
+                tbl = pf.read_row_group(int(rg), columns=cols)
+                take = tbl.take(sorted(int(p) for p in grp["pos"]))
+                yield take.cast(_us_schema(take.schema), safe=False).to_pandas()
+
+    tri_df = spark.createDataFrame(
+        triples, "file_path string, row_group int, pos int"
+    ).repartition(max(1, min(len(triples) // 64 + 1, 64)), "file_path", "row_group")
+    return tri_df.mapInPandas(fetch, spark_schema)

@@ -212,6 +212,17 @@ def q_vector_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I11/I12 full 3-stage path: coarse probe -> PQ asymmetric-distance
+    top-refine -> exact fp32 rerank of only those rows. Rows-only check
+    (approximate recall, measured in tests/test_vector.py)."""
+    idx = VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=64)
+    lake = indexed_lake(spark, sf_dir, "embeddings", "embedding", idx)
+    return knn_topk(
+        lake, idx, "embedding", _knn_query_vec(spark, sf_dir), KNN_K, "vec_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication suite (ops/dedup.py) — training-data pipeline operators
 # --------------------------------------------------------------------------
@@ -611,6 +622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
     "vector_knn_ivf": q_vector_knn_ivf,
+    "vector_knn_pq": q_vector_knn_pq,
     "media_payload_stats": q_media_payload_stats,
     "media_features": q_media_features,
     "token_stats": q_token_stats,

@@ -64,11 +64,23 @@ class VectorIndex(SparkIndex):
         nprobes: int = 8,
         seed: int = 42,
         kmeans_sample_fraction: float = 1.0,
+        pq_m: int = 0,
+        pq_k: int = 16,
+        refine: int = 64,
     ):
+        # pq_m > 0 enables the product-quantization stage (reference
+        # I11/I12: 32 sub-quantizers x 8 bits, vector_index.py:50-117): rows
+        # carry m sub-codes; search scans CODES of the probed centroids,
+        # takes the `refine` best by approximate distance, and only those
+        # rows are fetched for the exact fp32 rerank (T2) — the bandwidth
+        # win the reference gets from PQ-decoding posting blocks.
         self.rows_per_centroid = rows_per_centroid
         self.nprobes = nprobes
         self.seed = seed
         self.kmeans_sample_fraction = kmeans_sample_fraction
+        self.pq_m = pq_m
+        self.pq_k = pq_k
+        self.refine = refine
 
     def config(self) -> dict:
         return {
@@ -76,6 +88,9 @@ class VectorIndex(SparkIndex):
             "nprobes": self.nprobes,
             "seed": self.seed,
             "metric": "l2",
+            "pq_m": self.pq_m,
+            "pq_k": self.pq_k,
+            "refine": self.refine,
         }
 
     def build(
@@ -116,8 +131,95 @@ class VectorIndex(SparkIndex):
                 .distinct()
             )
             self._write_index(postings, f"{out_path}/postings", sort_cols=["centroid_id"])
+            if self.pq_m:
+                self._build_pq(spark, files, column, out_path, centers)
         finally:
             df.unpersist()
+
+    def _build_pq(self, spark, files, column, out_path, centers) -> None:
+        """Codebooks + per-row codes keyed (centroid_id, file, rg, pos)."""
+        import numpy as np
+
+        from rottnest_spark.core.layout import rows_with_rg_provenance
+
+        sample = np.array(
+            [
+                r[column]
+                for r in read_parquet(spark, files)
+                .select(column)
+                .limit(20_000)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        d = sample.shape[1]
+        m = self.pq_m
+        assert d % m == 0, f"dim {d} not divisible by pq_m={m}"
+        dsub, k = d // m, self.pq_k
+        rng = np.random.default_rng(self.seed)
+
+        def lloyd(x: np.ndarray) -> np.ndarray:
+            cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+            for _ in range(10):
+                dist = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = dist.argmin(axis=1)
+                for c in range(len(cents)):
+                    pts = x[assign == c]
+                    if len(pts):
+                        cents[c] = pts.mean(axis=0)
+            return cents
+
+        books = np.stack(
+            [lloyd(sample[:, j * dsub : (j + 1) * dsub]) for j in range(m)]
+        )  # (m, k', dsub)
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in books[j, c]])
+                for j in range(books.shape[0])
+                for c in range(books.shape[1])
+            ],
+            "sub int, code int, center array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/pq_codebook")
+
+        coarse = np.array([c for _, c in sorted((i, v) for i, v in centers)])
+        sc = spark.sparkContext
+        bc_books, bc_coarse = sc.broadcast(books), sc.broadcast(coarse)
+
+        def encode(batches):
+            import pandas as pd
+
+            bk, cc = bc_books.value, bc_coarse.value
+            mm, dd = bk.shape[0], bk.shape[0] * bk.shape[2]
+            for pdf in batches:
+                v = np.array(pdf[column].tolist(), dtype=np.float64)
+                cids = (
+                    ((v[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                )
+                codes = np.empty((len(v), mm), dtype=np.int32)
+                dsub_ = dd // mm
+                for j in range(mm):
+                    sub = v[:, j * dsub_ : (j + 1) * dsub_]
+                    codes[:, j] = (
+                        ((sub[:, None, :] - bk[j][None, :, :]) ** 2)
+                        .sum(axis=2)
+                        .argmin(axis=1)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "centroid_id": cids.astype("int32"),
+                        "file_path": pdf["file_path"],
+                        "row_group": pdf["row_group"],
+                        "pos": pdf["pos"],
+                        "codes": [list(map(int, c)) for c in codes],
+                    }
+                )
+
+        rows = rows_with_rg_provenance(spark, files, column, with_pos=True)
+        codes_df = rows.mapInPandas(
+            encode,
+            "centroid_id int, file_path string, row_group int, pos int, codes array<int>",
+        )
+        self._write_index(codes_df, f"{out_path}/pq_codes", sort_cols=["centroid_id"])
 
     def nearest_centroids(
         self, spark: SparkSession, index_paths: list[str], query_vec: list[float]
@@ -161,6 +263,77 @@ class VectorIndex(SparkIndex):
         for x in parts[1:]:
             out = out.unionByName(x)
         return out.distinct()
+
+    def search_pq(
+        self, spark: SparkSession, index_paths: list[str], query_vec
+    ) -> list[tuple[str, int, int]]:
+        """Stages 1-2 of the reference's 3-stage vector search
+        (src/lava/vector/vector.rs:22-239): probe nprobes nearest coarse
+        centroids globally, scan only the PQ codes of those centroids
+        (row-group pruned via the centroid_id sort), score rows by the
+        asymmetric-distance table, and return the global top-`refine` row
+        addresses for the exact fp32 rerank."""
+        import numpy as np
+
+        probes = self.nearest_centroids(spark, index_paths, list(query_vec))
+        if not probes:
+            return []
+        q = np.array(list(query_vec), dtype=np.float64)
+        by_path: dict[str, list[int]] = {}
+        for p, cid in probes:
+            by_path.setdefault(p, []).append(cid)
+
+        best: list[tuple[float, str, int, int]] = []
+        sc = spark.sparkContext
+        for p, cids in by_path.items():
+            book_rows = spark.read.parquet(f"{p}/pq_codebook").collect()
+            m = max(r["sub"] for r in book_rows) + 1
+            k_ = max(r["code"] for r in book_rows) + 1
+            dsub = len(book_rows[0]["center"])
+            books = np.zeros((m, k_, dsub))
+            for r in book_rows:
+                books[r["sub"], r["code"]] = r["center"]
+            # asymmetric distance table: dtable[j, c] = ||q_j - center||^2
+            qsub = q.reshape(m, dsub)
+            dtable = ((qsub[:, None, :] - books) ** 2).sum(axis=2)
+            bc = sc.broadcast(dtable)
+            refine = self.refine
+
+            def adist(batches):
+                import pandas as pd
+
+                dt = bc.value
+                for pdf in batches:
+                    codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                    dist = dt[np.arange(dt.shape[0])[None, :], codes].sum(axis=1)
+                    out = pd.DataFrame(
+                        {
+                            "file_path": pdf["file_path"],
+                            "row_group": pdf["row_group"],
+                            "pos": pdf["pos"],
+                            "adist": dist,
+                        }
+                    )
+                    yield out.nsmallest(refine, "adist")  # per-batch prune
+
+                # (global prune happens in the orderBy below)
+
+            top = (
+                spark.read.parquet(f"{p}/pq_codes")
+                .filter(F.col("centroid_id").isin(cids))
+                .mapInPandas(
+                    adist,
+                    "file_path string, row_group int, pos int, adist double",
+                )
+                .orderBy(F.asc("adist"))
+                .limit(self.refine)
+                .collect()
+            )
+            best.extend(
+                (r["adist"], r["file_path"], r["row_group"], r["pos"]) for r in top
+            )
+        best.sort()
+        return [(f, rg, pos) for _, f, rg, pos in best[: self.refine]]
 
     def brute_force(
         self, df: DataFrame, column: str, query_vec, k: int | None
@@ -226,6 +399,17 @@ def knn_topk(
 
     if exact or not plan.entries:
         parts.append(lake.read())
+    elif index.pq_m:
+        # 3-stage: probe -> PQ approximate top-refine -> exact rerank of
+        # ONLY those rows (row-precision fetch)
+        from rottnest_spark.core.refine import read_rows_at
+
+        paths = [e["index_path"] for e in plan.entries]
+        triples = index.search_pq(spark, paths, query_vec)
+        if triples:
+            parts.append(read_rows_at(spark, triples))
+        if plan.unindexed_files:
+            parts.append(lake.read(plan.unindexed_files))
     else:
         paths = [e["index_path"] for e in plan.entries]
         cands = index.search(spark, paths, query_vec)
@@ -236,6 +420,8 @@ def knn_topk(
         if plan.unindexed_files:
             parts.append(lake.read(plan.unindexed_files))
 
+    if not parts:  # empty probe result and fully-covered lake
+        parts.append(lake.read().limit(0))
     rows = parts[0]
     for p in parts[1:]:
         rows = rows.unionByName(p)

@@ -81,3 +81,45 @@ def test_compaction_preserves_probe(spark, emb_lake, query_vec, tmp_path):
     assert len(lake.catalog.entries_for("vector", "embedding")) == 1
     after = {r["vec_id"] for r in knn_topk(lake, idx, "embedding", query_vec, K, "vec_id").collect()}
     assert before == after
+
+
+def test_pq_three_stage_recall(spark, sf_dir, tmp_path):
+    """PQ path (probe -> approx top-refine -> exact rerank of only those
+    rows) keeps recall@K high vs the exact scan."""
+    from rottnest_spark.sources.reader import read_parquet
+
+    out = str(tmp_path / "pq_lake")
+    read_parquet(spark, [f"{sf_dir}/embeddings.parquet"]).repartition(
+        3
+    ).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "pq_idx"))
+    idx = VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=64)
+    lake.build_index(idx, "embedding")
+    entry = lake.catalog.entries_for("vector", "embedding")[0]
+    import os
+
+    assert os.path.isdir(f"{entry['index_path']}/pq_codes")
+    assert os.path.isdir(f"{entry['index_path']}/pq_codebook")
+
+    q = [
+        float(x)
+        for x in spark.read.parquet(out)
+        .filter(F.col("vec_id") == 7)
+        .collect()[0]["embedding"]
+    ]
+    K = 10
+    got = {
+        r["vec_id"]: r["dist"]
+        for r in knn_topk(lake, idx, "embedding", q, K, "vec_id").collect()
+    }
+    want = {
+        r["vec_id"]: r["dist"]
+        for r in knn_topk(
+            lake, VectorIndex(), "embedding", q, K, "vec_id", exact=True
+        ).collect()
+    }
+    recall = len(set(got) & set(want)) / K
+    assert recall >= 0.8, recall
+    # distances of the found neighbors are EXACT (fp32 rerank on real rows)
+    for vid in set(got) & set(want):
+        assert abs(got[vid] - want[vid]) < 1e-6
