@@ -79,6 +79,13 @@ def main() -> None:
             VectorIndex(rows_per_centroid=64, nprobes=8),
         ),
     )
+    timed(
+        "pq_build_embeddings",
+        lambda: ep.indexed_lake(
+            spark, sf_dir, "embeddings", "embedding",
+            VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=64),
+        ),
+    )
 
     # -- queries (accelerated / Catalyst path) --------------------------------
     for name, fn in ep.QUERIES.items():
