@@ -1,0 +1,102 @@
+"""End-to-end demo — the analog of the reference's demo.py:10-37 (substring
++ uuid index build/search on local parquet), widened to every index family
+and the pipeline operators.
+
+Run:  python examples/demo.py  [sf_dir]  (default /root/testdata/sf0.001)
+Writes everything under a temp dir; prints one line per capability.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from rottnest_spark import ParquetLake, get_spark  # noqa: E402
+from rottnest_spark.indices.bm25 import BM25Index, bm25_topk  # noqa: E402
+from rottnest_spark.indices.exact import ExactIndex  # noqa: E402
+from rottnest_spark.indices.logcloud import LogIndex  # noqa: E402
+from rottnest_spark.indices.substring import SubstringIndex  # noqa: E402
+from rottnest_spark.indices.vector import VectorIndex, knn_topk  # noqa: E402
+from rottnest_spark.ops.pipeline import curation_report  # noqa: E402
+from rottnest_spark.sources.reader import read_parquet  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="rottnest_demo_")
+    spark = get_spark("rottnest-demo", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs_dir = os.path.join(work, "docs")
+        read_parquet(spark, [f"{sf_dir}/documents.parquet"]).repartition(
+            4
+        ).write.parquet(docs_dir)
+        lake = ParquetLake(spark, docs_dir, os.path.join(work, "idx"))
+
+        sub = SubstringIndex()
+        lake.build_index(sub, "text")
+        hits = lake.search(sub, "text", "merge sort", k=5)
+        print("substring search:", [r["doc_id"] for r in hits.collect()])
+        print("  plan:", lake.explain_search(sub, "text", "merge sort"))
+
+        bm = BM25Index()
+        lake.build_index(bm, "text")
+        top = bm25_topk(lake, bm, "text", "spark window merge", 5, "doc_id")
+        print("bm25 top-5:", [(r["doc_id"], r["score"]) for r in top.collect()])
+
+        ex = ExactIndex()
+        lake.build_index(ex, "doc_id")
+        print(
+            "exact match doc_id=42:",
+            lake.search(ex, "doc_id", 42).select("doc_id").collect(),
+        )
+
+        emb_dir = os.path.join(work, "emb")
+        read_parquet(spark, [f"{sf_dir}/embeddings.parquet"]).repartition(
+            3
+        ).write.parquet(emb_dir)
+        elake = ParquetLake(spark, emb_dir, os.path.join(work, "eidx"))
+        vec = VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16)
+        elake.build_index(vec, "embedding")
+        q = spark.read.parquet(emb_dir).limit(1).collect()[0]["embedding"]
+        nn = knn_topk(elake, vec, "embedding", list(q), 5, "vec_id")
+        print("vector 3-stage knn:", [r["vec_id"] for r in nn.collect()])
+
+        ev_dir = os.path.join(work, "events")
+        read_parquet(spark, [f"{sf_dir}/events.parquet"]).repartition(
+            4
+        ).write.parquet(ev_dir)
+        llake = ParquetLake(spark, ev_dir, os.path.join(work, "lidx"))
+        log = LogIndex()
+        llake.build_index(log, "props")
+        print(
+            'log search \'"k": 87\':',
+            llake.search(log, "props", '"k": 87').count(),
+            "rows",
+        )
+
+        docs = spark.read.parquet(docs_dir)
+        print(
+            "curation report:",
+            curation_report(docs, "doc_id", "text").collect()[0].asDict(),
+        )
+
+        # lifecycle: compaction + vacuum keep results identical
+        before = lake.search(sub, "text", "merge sort").count()
+        lake.compact_indices(sub, "text", row_threshold=10**9)
+        lake.vacuum()
+        assert lake.search(sub, "text", "merge sort").count() == before
+        print("compaction + vacuum: search unchanged")
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

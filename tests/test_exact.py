@@ -128,3 +128,24 @@ def test_cache_indices_substitutes_in_memory_scan(spark, sf_dir, tmp_path):
     )
     lake.uncache_indices()
     assert before == after and len(before) > 0
+
+
+def test_string_key_exact_match(spark, sf_dir, tmp_path):
+    """UUID-style string keys (the reference's uuid index use case,
+    demo.py:10-37): zone maps + key table work on lexicographic order."""
+    from rottnest_spark.sources.reader import read_parquet
+
+    out = str(tmp_path / "ev_lake")
+    ev = read_parquet(spark, [f"{sf_dir}/events.parquet"]).withColumn(
+        "uuid", F.md5(F.concat_ws(":", "event_id", "user_id"))
+    )
+    ev.repartition(4).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = ExactIndex()
+    lake.build_index(idx, "uuid")
+
+    probe = spark.read.parquet(out).limit(1).collect()[0]["uuid"]
+    got = [r["uuid"] for r in lake.search(idx, "uuid", probe).collect()]
+    assert got == [probe]
+    # absent key -> empty, not error
+    assert lake.search(idx, "uuid", "0" * 32).count() == 0
