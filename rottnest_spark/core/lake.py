@@ -169,6 +169,77 @@ class ParquetLake:
             out = out.select(*columns)
         return out.limit(k) if k is not None else out
 
+    def search_conj(
+        self,
+        specs: list[tuple[SparkIndex, str, object]],
+        k: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Conjunctive multi-index search: rows satisfying EVERY
+        (index, column, query) predicate, accelerated by INTERSECTING the
+        candidate units of each index that covers a file.
+
+        Unit semantics per file: a spec that covers the file contributes its
+        candidate unit set ({WHOLE_FILE} admits every row group); a spec
+        that does not cover it, or that returns BRUTE_FORCE, contributes no
+        constraint. A file with an empty intersection is skipped entirely.
+        The refine applies ALL predicates, so composition never loses
+        exactness (each index alone is already only a pruning device).
+
+        This is how the reference's time-windowed log search composes here
+        (X9): LogIndex on the message column ∩ ExactIndex zone maps on the
+        timestamp column."""
+        # per-file constraint maps: None = unconstrained so far
+        per_file: dict[str, set[int] | None] = {f: None for f in self.files}
+        for index, column, query in specs:
+            plan = plan_search(
+                self.catalog,
+                index.index_type,
+                column,
+                self.files,
+                expect_config=IndexCatalog.config_json(**index.config()),
+            )
+            if not plan.entries:
+                continue
+            cands = index.search(
+                self.spark, [e["index_path"] for e in plan.entries], query
+            )
+            if cands is BRUTE_FORCE:
+                continue
+            covered = set(plan.covered_files)
+            by_file: dict[str, set[int]] = {f: set() for f in covered}
+            for r in cands.collect():
+                if r["file_path"] in covered:
+                    by_file[r["file_path"]].add(r["row_group"])
+            for f in covered:
+                units = by_file[f]
+                prev = per_file.get(f)
+                if prev is None:
+                    per_file[f] = units
+                else:
+                    if WHOLE_FILE in prev:
+                        per_file[f] = units
+                    elif WHOLE_FILE not in units:
+                        per_file[f] = prev & units
+                    # else: units is whole-file → keep prev
+        cand_list: list[tuple[str, int]] = []
+        for f, units in per_file.items():
+            if units is None:
+                cand_list.append((f, WHOLE_FILE))  # no index constrained it
+            elif WHOLE_FILE in units:
+                cand_list.append((f, WHOLE_FILE))
+            else:
+                cand_list.extend((f, rg) for rg in sorted(units))
+        if not cand_list:
+            out = self.read(self.files[:1]).limit(0)
+        else:
+            out = read_candidates(self.spark, cand_list, columns=None)
+        for index, column, query in specs:
+            out = index.brute_force(out, column, query, None)
+        if columns:
+            out = out.select(*columns)
+        return out.limit(k) if k is not None else out
+
     def explain_search(self, index: SparkIndex, column: str, query) -> dict:
         """Structured plan introspection (the reference prints its tier
         decisions at search time; this returns them): coverage split,

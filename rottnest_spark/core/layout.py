@@ -94,13 +94,24 @@ def rows_with_rg_provenance(
 
     def read_units(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # executor-side
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        def us_fields(schema):
+            fs = []
+            for f in schema:
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                    f = f.with_type(pa.timestamp("us", tz=f.type.tz))
+                fs.append(f)
+            return pa.schema(fs)
 
         for pdf in batches:
             for path, group in pdf.groupby("file_path"):
                 pf = pq.ParquetFile(path)
                 for rg in group["row_group"]:
                     tbl = pf.read_row_group(int(rg), columns=[column])
+                    # ns->us truncation (safe=False): matches read_parquet
+                    tbl = tbl.cast(us_fields(tbl.schema), safe=False)
                     out = tbl.to_pandas()
                     if add_pos:
                         out.insert(0, "pos", range(len(out)))

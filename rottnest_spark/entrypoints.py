@@ -108,6 +108,37 @@ def q_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOG_T_LO, LOG_T_HI = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+
+
+def q_log_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 composition: conjunctive multi-index search — LogIndex candidates
+    on props INTERSECTED with ExactIndex(ts) zone-map candidates, then the
+    AND of both exact refines."""
+    import datetime
+
+    from rottnest_spark.ops import dedup  # noqa: F401  (stable import order)
+
+    lidx, tidx = LogIndex(), ExactIndex()
+    key = hashlib.md5(
+        f"{table_path(sf_dir, 'events')}|conj|{sorted(lidx.config().items())}"
+        f"|{sorted(tidx.config().items())}|{__import__('rottnest_spark').__version__}".encode()
+    ).hexdigest()[:16]
+    lake = ParquetLake(
+        spark,
+        [table_path(sf_dir, "events")],
+        os.path.join(INDEX_CACHE_ROOT, key),
+    )
+    lake.build_index(lidx, "props")
+    lake.build_index(tidx, "ts")
+    lo = datetime.datetime.fromisoformat(LOG_T_LO)
+    hi = datetime.datetime.fromisoformat(LOG_T_HI)
+    return lake.search_conj(
+        [(lidx, "props", LOG_QUERY), (tidx, "ts", (lo, hi))],
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+
 def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 query expansion: nearest index-vocab tokens by deterministic
     embedding cosine, similarity-weighted BM25. No SQL oracle — the
@@ -618,6 +649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_range": q_exact_range,
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
+    "log_timerange": q_log_timerange,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
@@ -666,6 +698,11 @@ ORACLES: dict[str, str] = {
     "logcloud_search": f"""
         SELECT event_id, user_id, event_type FROM events
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
+    """,
+    "log_timerange": f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
+          AND ts BETWEEN TIMESTAMP '{LOG_T_LO}' AND TIMESTAMP '{LOG_T_HI}'
     """,
     "bm25_topk": _bm25_oracle_sql(BM25_QUERY, BM25_K),
     # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)

@@ -187,3 +187,50 @@ def test_bm25_and_logcloud_rg_granularity(spark, sf_dir, tmp_path):
     assert len(top) == 5
     scores = [r["score"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_conjunctive_multi_index_search(spark, sf_dir, tmp_path):
+    """X9 composition: log containment AND time range, candidate sets
+    intersected across a LogIndex and an ExactIndex(ts) at rg granularity."""
+    from rottnest_spark.indices.logcloud import LogIndex
+
+    out = tmp_path / "ev_conj"
+    out.mkdir()
+    pq.write_table(
+        pq.read_table(f"{sf_dir}/events.parquet"),
+        str(out / "events.parquet"),
+        row_group_size=256,
+    )
+    lake = ParquetLake(spark, str(out), str(tmp_path / "idx"))
+    lidx = LogIndex(granularity="row_group", dict_frac=1.0)
+    tidx = ExactIndex(granularity="row_group")
+    lake.build_index(lidx, "props")
+    lake.build_index(tidx, "ts")
+
+    full = lake.read()
+    lo, hi = [
+        r[0]
+        for r in full.selectExpr(
+            "min(ts) + INTERVAL 2 DAYS", "min(ts) + INTERVAL 4 DAYS"
+        ).collect()[0:1]
+    ][0], full.selectExpr("min(ts) + INTERVAL 4 DAYS").collect()[0][0]
+
+    q = '"k": 87'
+    got = sorted(
+        r["event_id"]
+        for r in lake.search_conj(
+            [(lidx, "props", q), (tidx, "ts", (lo, hi))]
+        ).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in full.filter(
+            F.contains("props", F.lit(q)) & F.col("ts").between(lo, hi)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # the time window alone must prune row groups (events are time-ordered)
+    entry = lake.catalog.entries_for("exact", "ts")[0]
+    cands = tidx.search(spark, [entry["index_path"]], (lo, hi)).collect()
+    total = extract_layout(spark, [str(out / "events.parquet")]).count()
+    assert 0 < len(cands) < total
