@@ -29,7 +29,12 @@ from rottnest_spark.sources.reader import read_parquet
 
 def _us_schema(arrow_schema):
     """Downcast timestamp[ns] fields to µs — Spark's vectorized reader and
-    from_arrow_schema reject nanos; truncation matches reader.read_parquet."""
+    from_arrow_schema reject nanos; truncation matches reader.read_parquet.
+
+    NOTE: executor-side closures must NOT reference this module-level
+    function (cloudpickle serializes module functions by reference, and the
+    driver contract runs on sessions whose workers cannot import this
+    package) — each mapInPandas closure below carries its own local copy."""
     import pyarrow as pa
 
     fields = []
@@ -71,7 +76,18 @@ def read_candidates(
         cols = columns
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import pyarrow.parquet as pq  # executor-side import
+            import pyarrow as pa  # executor-side imports
+            import pyarrow.parquet as pq
+
+            def us(schema):  # local copy — see _us_schema NOTE
+                return pa.schema(
+                    [
+                        f.with_type(pa.timestamp("us", tz=f.type.tz))
+                        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                        else f
+                        for f in schema
+                    ]
+                )
 
             for pdf in batches:
                 for path, group in pdf.groupby("file_path"):
@@ -80,9 +96,7 @@ def read_candidates(
                         tbl = pf.read_row_group(int(rg), columns=cols)
                         # safe=False: ns->us truncation is intended (matches
                         # read_parquet's div-1000) — safe mode refuses it
-                        yield tbl.cast(
-                            _us_schema(tbl.schema), safe=False
-                        ).to_pandas()
+                        yield tbl.cast(us(tbl.schema), safe=False).to_pandas()
 
         cand_df = spark.createDataFrame(
             rg_cands, "file_path string, row_group int"
@@ -119,14 +133,25 @@ def read_rows_at(
     cols = columns
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq  # executor-side
+        import pyarrow as pa  # executor-side
+        import pyarrow.parquet as pq
+
+        def us(schema):  # local copy — see _us_schema NOTE
+            return pa.schema(
+                [
+                    f.with_type(pa.timestamp("us", tz=f.type.tz))
+                    if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                    else f
+                    for f in schema
+                ]
+            )
 
         for pdf in batches:
             for (path, rg), grp in pdf.groupby(["file_path", "row_group"]):
                 pf = pq.ParquetFile(path)
                 tbl = pf.read_row_group(int(rg), columns=cols)
                 take = tbl.take(sorted(int(p) for p in grp["pos"]))
-                yield take.cast(_us_schema(take.schema), safe=False).to_pandas()
+                yield take.cast(us(take.schema), safe=False).to_pandas()
 
     tri_df = spark.createDataFrame(
         triples, "file_path string, row_group int, pos int"

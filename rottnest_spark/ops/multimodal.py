@@ -111,6 +111,31 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     return _decode_real(payload)
 
 
+def _make_decoder():
+    """Self-contained decoder closure for executor shipping: module-level
+    functions pickle BY REFERENCE (workers would need this package on their
+    PYTHONPATH — not true for the driver-contract sessions), so executor
+    code must capture a by-value closure instead of decode_pixels itself."""
+    magic = FAKE_MAGIC
+
+    def decode(payload: bytes):
+        import struct as _struct
+
+        import numpy as _np
+
+        if payload[:4] == magic:
+            h, w = _struct.unpack("<HH", payload[4:8])
+            return _np.frombuffer(
+                payload[8 : 8 + h * w], dtype=_np.uint8
+            ).reshape(h, w)
+        raise NotImplementedError(
+            "real media codecs unavailable in this environment; payload "
+            "must start with FAKE_MAGIC"
+        )
+
+    return decode
+
+
 def payload_stats(df: DataFrame) -> DataFrame:
     """Codec-independent byte-level metadata — pure Catalyst (no decode):
     size, content hash, and the 4-byte header tag as an integer."""
@@ -154,11 +179,13 @@ def decode_meta(df: DataFrame) -> DataFrame:
     """Decode each payload (FAKE codec; real codecs raise) and report true
     dimensions + pixel checksum — the decode-and-validate pipeline stage."""
 
+    decode = _make_decoder()
+
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hs, ws, sums = [], [], []
             for payload in pdf["payload"]:
-                px = decode_pixels(payload)
+                px = decode(payload)
                 hs.append(px.shape[0])
                 ws.append(px.shape[1])
                 sums.append(int(px.sum()))
@@ -179,11 +206,13 @@ def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Nearest-neighbor resize, re-encoded in the FAKE codec: the
     shape-preserving transform stage (decode -> transform -> encode)."""
 
+    decode = _make_decoder()
+
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for payload in pdf["payload"]:
-                px = decode_pixels(payload)
+                px = decode(payload)
                 h, w = px.shape
                 ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
@@ -208,11 +237,13 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     as a frame; emit every n-th as its own media row (explode-shaped
     mapInPandas — output rows > input rows, schema changes)."""
 
+    decode = _make_decoder()
+
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, fids, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_pixels(payload)
+                px = decode(payload)
                 for i in range(0, px.shape[0], every_n):
                     mids.append(mid)
                     fids.append(i)
