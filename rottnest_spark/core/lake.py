@@ -71,7 +71,13 @@ class ParquetLake:
         return sorted(glob.glob(self._data))
 
     def read(self, files: list[str] | None = None) -> DataFrame:
-        return read_parquet(self.spark, files or self.files)
+        use = files or self.files
+        if not use:
+            raise ValueError(
+                f"lake at {self._data!r} has no data files (empty snapshot "
+                f"or wrong path)"
+            )
+        return read_parquet(self.spark, use)
 
     # -- L1: build ------------------------------------------------------------
 

@@ -49,6 +49,21 @@ def hash_sample(
     return df.filter(_bucket(id_col, seed) < int(fraction * BUCKETS))
 
 
+def hash_sample_n(
+    df: DataFrame, id_col: str, n: int, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic EXACT-size uniform sample without replacement: the n
+    smallest hash buckets (ties broken by id). Compiles to
+    TakeOrderedAndProject — no global sort; same reproducibility contract
+    as hash_sample, with an exact count instead of an expected fraction."""
+    return (
+        df.withColumn("__b__", _bucket(id_col, seed))
+        .orderBy("__b__", id_col)
+        .limit(n)
+        .drop("__b__")
+    )
+
+
 def split_column(
     df: DataFrame,
     id_col: str,

@@ -72,3 +72,23 @@ def test_pack_sequences_budget_bound(spark, docs):
     ).collect():
         assert src_row["lo"] == 0
         assert src_row["n"] == src_row["hi"] + 1
+
+
+def test_hash_sample_n_exact_and_deterministic(spark, docs):
+    a = sorted(r["doc_id"] for r in sampling.hash_sample_n(docs, "doc_id", 37).collect())
+    b = sorted(r["doc_id"] for r in sampling.hash_sample_n(docs, "doc_id", 37).collect())
+    assert a == b and len(a) == 37
+    # nested: top-10 is a subset of top-37 (same hash order)
+    c = sorted(r["doc_id"] for r in sampling.hash_sample_n(docs, "doc_id", 10).collect())
+    assert set(c) <= set(a)
+
+
+def test_empty_lake_raises_clearly(spark, tmp_path):
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    lake = ParquetLake(spark, str(empty), str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="no data files"):
+        lake.read()
