@@ -37,7 +37,6 @@ TakeOrderedAndProject — no global sort.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

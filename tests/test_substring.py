@@ -163,3 +163,25 @@ def test_vacuum_after_data_deletion_search_stays_exact(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_brute_force_threshold_falls_back_exactly(spark, docs_lake_dir, tmp_path):
+    """An unselective index (candidates > threshold) must fall back to the
+    full scan and still return exact results (utils.py:224-225 analog)."""
+    lake = ParquetLake(
+        spark, docs_lake_dir, str(tmp_path / "idx"), brute_force_threshold=0
+    )
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    q = "merge sort"
+    got = _ids(lake.search(idx, "text", q))
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(docs_lake_dir)
+        .filter(F.contains(F.lower("text"), F.lit(q)))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    info = lake.explain_search(idx, "text", q)
+    assert info["decision"] == "brute_force_threshold"
