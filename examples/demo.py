@@ -87,6 +87,18 @@ def main() -> None:
             curation_report(docs, "doc_id", "text").collect()[0].asDict(),
         )
 
+        # conjunctive multi-index: containment AND time range
+        tsx = ExactIndex()
+        llake.build_index(tsx, "ts")
+        import datetime
+
+        lo = datetime.datetime(2024, 1, 5)
+        hi = datetime.datetime(2024, 1, 12)
+        conj = llake.search_conj(
+            [(log, "props", '"k": 87'), (tsx, "ts", (lo, hi))]
+        )
+        print("conjunctive log+time search:", conj.count(), "rows")
+
         # lifecycle: compaction + vacuum keep results identical
         before = lake.search(sub, "text", "merge sort").count()
         lake.compact_indices(sub, "text", row_threshold=10**9)
