@@ -34,7 +34,7 @@ from rottnest_spark.core.planner import (
     plan_search,
     unindexed_files,
 )
-from rottnest_spark.core.refine import read_candidates
+from rottnest_spark.core.refine import collect_candidates_bounded, read_candidates
 from rottnest_spark.sources.reader import read_parquet
 from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
 
@@ -146,13 +146,15 @@ class ParquetLake:
             if cands is BRUTE_FORCE:
                 parts.append(self.read(plan.covered_files))
             else:
-                # Candidate list is unit-scale (files × row groups), not
-                # row-scale — safe to collect for planning the fetch.
-                covered = set(plan.covered_files)
-                cand_list = [
-                    (r[0], r[1]) for r in cands.collect() if r[0] in covered
-                ]
-                if len(cand_list) > self.brute_force_threshold:
+                # Bounded collect: learn "over threshold" from at most
+                # threshold+1 rows, never the full candidate list.
+                cand_list = collect_candidates_bounded(
+                    cands,
+                    {f for e in plan.entries for f in e["file_paths"]},
+                    set(plan.covered_files),
+                    self.brute_force_threshold,
+                )
+                if cand_list is None:
                     parts.append(self.read(plan.covered_files))
                 elif cand_list:
                     parts.append(
@@ -194,9 +196,18 @@ class ParquetLake:
 
         This is how the reference's time-windowed log search composes here
         (X9): LogIndex on the message column ∩ ExactIndex zone maps on the
-        timestamp column."""
-        # per-file constraint maps: None = unconstrained so far
-        per_file: dict[str, set[int] | None] = {f: None for f in self.files}
+        timestamp column.
+
+        Execution shape (scale notes): every constraining spec's candidate
+        DataFrame is UNIONED with a spec tag and the per-file intersection is
+        one Spark aggregation — the per-spec probes become independent
+        subtrees of a single job (scheduled concurrently), and no per-spec
+        candidate list is ever materialized on the driver. The final unit
+        list is collected with the same bounded limit as single-index search."""
+        from pyspark.sql import functions as F
+
+        # probe each spec; keep only the constraining ones
+        constraining: list[tuple[set[str], DataFrame]] = []
         for index, column, query in specs:
             plan = plan_search(
                 self.catalog,
@@ -212,31 +223,75 @@ class ParquetLake:
             )
             if cands is BRUTE_FORCE:
                 continue
-            covered = set(plan.covered_files)
-            by_file: dict[str, set[int]] = {f: set() for f in covered}
-            for r in cands.collect():
-                if r["file_path"] in covered:
-                    by_file[r["file_path"]].add(r["row_group"])
-            for f in covered:
-                units = by_file[f]
-                prev = per_file.get(f)
-                if prev is None:
-                    per_file[f] = units
-                else:
-                    if WHOLE_FILE in prev:
-                        per_file[f] = units
-                    elif WHOLE_FILE not in units:
-                        per_file[f] = prev & units
-                    # else: units is whole-file → keep prev
-        cand_list: list[tuple[str, int]] = []
-        for f, units in per_file.items():
-            if units is None:
-                cand_list.append((f, WHOLE_FILE))  # no index constrained it
-            elif WHOLE_FILE in units:
-                cand_list.append((f, WHOLE_FILE))
+            constraining.append((set(plan.covered_files), cands))
+
+        # files no spec constrains are scanned whole (metadata-scale list)
+        live = set(self.files)
+        n_specs: dict[str, int] = {}
+        for covered, _ in constraining:
+            for f in covered & live:
+                n_specs[f] = n_specs.get(f, 0) + 1
+        unconstrained = [(f, WHOLE_FILE) for f in sorted(live - n_specs.keys())]
+
+        cand_list: list[tuple[str, int]] | None = list(unconstrained)
+        if constraining:
+            tagged = None
+            for i, (_, cands) in enumerate(constraining):
+                t = cands.select(
+                    "file_path", "row_group", F.lit(i).alias("spec")
+                )
+                tagged = t if tagged is None else tagged.unionByName(t)
+            k_df = F.broadcast(
+                self.spark.createDataFrame(
+                    list(n_specs.items()), "file_path string, n_specs int"
+                )
+            )
+            # drop stale (dead-file) candidates + attach the per-file number
+            # of constraining specs in one broadcast join
+            tagged = tagged.join(k_df, "file_path")
+            # per (file, spec): did the spec admit the whole file?
+            per_spec = tagged.groupBy("file_path", "n_specs", "spec").agg(
+                F.max((F.col("row_group") == WHOLE_FILE).cast("int")).alias("wild")
+            )
+            # a file survives only if EVERY spec covering it admitted it
+            admitted = (
+                per_spec.groupBy("file_path", "n_specs")
+                .agg(F.count("*").alias("seen"), F.sum("wild").alias("n_wild"))
+                .filter(F.col("seen") == F.col("n_specs"))
+            )
+            whole = admitted.filter(F.col("n_wild") == F.col("n_specs")).select(
+                "file_path", F.lit(WHOLE_FILE).alias("row_group")
+            )
+            # row-group intersection across the non-wildcard specs
+            rg_rows = (
+                tagged.filter(F.col("row_group") != WHOLE_FILE)
+                .join(
+                    per_spec.filter(F.col("wild") == 0).select("file_path", "spec"),
+                    ["file_path", "spec"],
+                    "semi",
+                )
+                .join(
+                    admitted.select(
+                        "file_path",
+                        (F.col("n_specs") - F.col("n_wild")).alias("n_nonwild"),
+                    ),
+                    "file_path",
+                )
+                .groupBy("file_path", "row_group", "n_nonwild")
+                .agg(F.count_distinct("spec").alias("n_present"))
+                .filter(F.col("n_present") == F.col("n_nonwild"))
+                .select("file_path", "row_group")
+            )
+            inter = whole.unionByName(rg_rows)
+            rows = inter.limit(self.brute_force_threshold + 1).collect()
+            if len(rows) > self.brute_force_threshold:
+                cand_list = None  # unselective → scan everything live
             else:
-                cand_list.extend((f, rg) for rg in sorted(units))
-        if not cand_list:
+                cand_list.extend((r["file_path"], r["row_group"]) for r in rows)
+
+        if cand_list is None:
+            out = self.read(self.files)
+        elif not cand_list:
             out = self.read(self.files[:1]).limit(0)
         else:
             out = read_candidates(self.spark, cand_list, columns=None)
@@ -276,9 +331,15 @@ class ParquetLake:
         if cands is BRUTE_FORCE:
             out["decision"] = "brute_force_flag"
             return out
-        cand_rows = cands.collect()  # unit-scale (files x row groups), small
-        n = len(cand_rows)
-        if any(r["row_group"] != WHOLE_FILE for r in cand_rows):
+        from pyspark.sql import functions as F
+
+        # one aggregate — never materializes the candidate list driver-side
+        stat = cands.agg(
+            F.count("*").alias("n"),
+            F.max((F.col("row_group") != WHOLE_FILE).cast("int")).alias("has_rg"),
+        ).collect()[0]
+        n = stat["n"]
+        if stat["has_rg"]:
             from rottnest_spark.core.layout import extract_layout
 
             total = extract_layout(self.spark, plan.covered_files).count()

@@ -45,6 +45,40 @@ def _us_schema(arrow_schema):
     return pa.schema(fields)
 
 
+def collect_candidates_bounded(
+    cands: DataFrame,
+    entry_files: set[str],
+    covered: set[str],
+    threshold: int | None,
+) -> list[tuple[str, int]] | None:
+    """Collect candidate units with a hard driver-side bound.
+
+    Returns the unit list, or None when it exceeds `threshold` — the caller
+    then falls back to a full scan WITHOUT ever materializing the oversized
+    list on the driver (at 100 TB an unselective query can name millions of
+    units; learning "too many" must not require fetching them all,
+    reference brute_force_threshold analog backends/utils.py:224-225).
+
+    Stale-entry liveness (index entries can reference files since deleted
+    from the lake) is pushed into Spark as a broadcast semi-join, and only
+    when staleness is actually possible — filtering driver-side after a
+    LIMIT would silently drop live candidates."""
+    from pyspark.sql import functions as F
+
+    if entry_files - covered:
+        covered_df = cands.sparkSession.createDataFrame(
+            [(f,) for f in sorted(covered)], "file_path string"
+        )
+        cands = cands.join(F.broadcast(covered_df), "file_path", "semi")
+    if threshold is None:
+        rows = cands.collect()
+    else:
+        rows = cands.limit(threshold + 1).collect()
+        if len(rows) > threshold:
+            return None
+    return [(r["file_path"], r["row_group"]) for r in rows]
+
+
 def read_candidates(
     spark: SparkSession,
     candidates: list[tuple[str, int]],

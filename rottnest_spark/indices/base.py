@@ -30,6 +30,14 @@ class SparkIndex(ABC):
 
     index_type: str = "abstract"
 
+    #: probe-key sort of the single-table index layout; the default compact()
+    #: re-applies it so Parquet min/max pruning survives merges (indexes with
+    #: multi-table layouts override compact() and sort each table themselves)
+    sort_cols: list[str] | None = None
+
+    #: default compact() also refreshes the _unit_meta.json sidecar
+    unit_meta: bool = False
+
     def config(self) -> dict:
         """Build knobs recorded in the catalog (tokenizer-in-header analog,
         src/lava/tokenizer_utils.rs:48-54: probe must match build)."""
@@ -60,17 +68,72 @@ class SparkIndex(ABC):
         self, spark: SparkSession, index_paths: list[str], out_path: str
     ) -> None:
         """Merge several index directories into one. Default: union + rewrite
-        (Spark's shuffle IS the reference's merge tree, src/lava/merge.rs:17-205)."""
+        (Spark's shuffle IS the reference's merge tree, src/lava/merge.rs:17-205).
+        Reuses the index's probe-key sort so min/max pruning is preserved."""
         df = spark.read.parquet(*index_paths)
-        self._write_index(df, out_path)
+        self._write_index(
+            df, out_path, sort_cols=self.sort_cols, unit_meta=self.unit_meta
+        )
 
     # -- helpers shared by implementations -----------------------------------
 
     @staticmethod
-    def _write_index(df: DataFrame, out_path: str, sort_cols: list[str] | None = None):
+    def _write_index(
+        df: DataFrame,
+        out_path: str,
+        sort_cols: list[str] | None = None,
+        unit_meta: bool = False,
+    ):
         """Persist an index table sorted by its probe key so Parquet row-group
         min/max stats prune probe lookups (the analog of the reference's
-        chunked posting lists with offset directories, src/lava/bm25/bm25.rs:146-154)."""
+        chunked posting lists with offset directories, src/lava/bm25/bm25.rs:146-154).
+
+        With unit_meta=True, also writes `_unit_meta.json` {"n_units": N}
+        beside the table (N = distinct indexed (file_path, row_group) units),
+        so search-time selectivity decisions don't need a full index scan.
+        Underscore-prefixed files are invisible to Spark's Parquet reader."""
         if sort_cols:
             df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
         df.write.mode("overwrite").parquet(out_path)
+        if unit_meta:
+            SparkIndex.write_unit_meta(df.sparkSession, out_path)
+
+    @staticmethod
+    def write_unit_meta(spark: SparkSession, out_path: str) -> int:
+        """Count distinct units of a written index table (column-pruned read
+        of two dictionary-encoded columns) and record the sidecar."""
+        import json
+        import os
+
+        n = (
+            spark.read.parquet(out_path)
+            .select("file_path", "row_group")
+            .distinct()
+            .count()
+        )
+        with open(os.path.join(out_path, "_unit_meta.json"), "w") as f:
+            json.dump({"n_units": int(n)}, f)
+        return n
+
+    @staticmethod
+    def read_unit_meta(spark: SparkSession, index_paths: list[str]) -> int:
+        """Total indexed units across entries (units are disjoint between
+        entries — each covers its own file group). Falls back to a distinct
+        count for tables written before the sidecar existed."""
+        import json
+        import os
+
+        total = 0
+        for p in index_paths:
+            meta = os.path.join(p, "_unit_meta.json")
+            try:
+                with open(meta) as f:
+                    total += int(json.load(f)["n_units"])
+            except (OSError, ValueError, KeyError):
+                total += (
+                    spark.read.parquet(p)
+                    .select("file_path", "row_group")
+                    .distinct()
+                    .count()
+                )
+        return total

@@ -371,9 +371,15 @@ def bm25_topk(
         n_docs += n
         total_len += tl
         cands = index.search(spark, paths, query)
-        covered = set(plan.covered_files)
-        cand_list = [(r[0], r[1]) for r in cands.collect() if r[0] in covered]
-        if len(cand_list) > lake.brute_force_threshold:
+        from rottnest_spark.core.refine import collect_candidates_bounded
+
+        cand_list = collect_candidates_bounded(
+            cands,
+            {f for e in plan.entries for f in e["file_paths"]},
+            set(plan.covered_files),
+            lake.brute_force_threshold,
+        )
+        if cand_list is None:  # over threshold — never materialized
             cand_parts.append(lake.read(plan.covered_files))
         elif cand_list:
             cand_parts.append(read_candidates(spark, cand_list))

@@ -58,17 +58,29 @@ def char_ngrams(col, n: int):
 
 class SubstringIndex(SparkIndex):
     index_type = "substring"
+    sort_cols = ["gram"]
+    unit_meta = True
 
     def __init__(
         self,
         gram: int = 3,
         max_query_grams: int = 10,
         granularity: str = "file",
+        unselective_frac: float | None = 1.0,
     ):
         assert granularity in ("file", "row_group")
         self.gram = gram
         self.max_query_grams = max_query_grams
         self.granularity = granularity
+        # Search-time escape (NOT a build knob, so not in config()): declare
+        # BRUTE_FORCE when even the rarest query gram appears in >= frac of
+        # all indexed units — the probe then provably returns (nearly) every
+        # unit and is pure overhead. frac=1.0 fires only on the provable
+        # "rarest gram is in EVERY unit" case; None disables the escape.
+        # Reference analog: token-viability selection gating which tokens are
+        # worth probing (src/lava/substring/search.rs:397-428) and the
+        # "Brute Force Everything Please" escape (backends/utils.py:224-225).
+        self.unselective_frac = unselective_frac
 
     def config(self) -> dict:
         return {
@@ -130,31 +142,57 @@ class SubstringIndex(SparkIndex):
             )
             .distinct()
         )
-        self._write_index(index_df, out_path, sort_cols=["gram"])
+        self._write_index(index_df, out_path, sort_cols=["gram"], unit_meta=True)
 
     # -- search ---------------------------------------------------------------
 
     def query_grams(self, query: str) -> list[str]:
+        """All distinct grams of the normalized query (selection of which to
+        probe happens in search(), ranked by document frequency)."""
         q = query.lower()
         if len(q) < self.gram:
             return []
-        grams = list(dict.fromkeys(q[i : i + self.gram] for i in range(len(q) - self.gram + 1)))
-        if len(grams) > self.max_query_grams:
-            # deterministic spread across the query (skip-factor analog)
-            step = len(grams) / self.max_query_grams
-            grams = [grams[int(i * step)] for i in range(self.max_query_grams)]
-        return grams
+        return list(
+            dict.fromkeys(q[i : i + self.gram] for i in range(len(q) - self.gram + 1))
+        )
 
     def search(self, spark: SparkSession, index_paths: list[str], query: str):
+        """Two-pass probe, the analog of the reference's token-viability
+        selection (src/lava/substring/search.rs:397-428):
+
+        1. df pass — aggregate the per-gram unit counts for ALL query grams
+           (column-pruned, min/max-pruned read of the sorted gram table;
+           output is ≤ |query| rows — driver-safe at any scale).
+           * any gram absent from the index → NO unit can contain the query
+             → empty candidate set, zero data touched (absence proof);
+           * rarest gram in ≥ unselective_frac of units → the probe cannot
+             prune → BRUTE_FORCE escape.
+        2. postings pass — fetch (file, row_group) only for the
+           `max_query_grams` RAREST grams and intersect. Rarest-first keeps
+           both the index read and the candidate set minimal; stride-spread
+           selection (the previous design) probes frequent grams that prune
+           nothing on log-style text."""
         grams = self.query_grams(query)
         if not grams:
             return BRUTE_FORCE  # query shorter than gram size — index can't prune
         idx = spark.read.parquet(*index_paths)
+        df_rows = (
+            idx.filter(F.col("gram").isin(grams)).groupBy("gram").count().collect()
+        )
+        gram_df = {r["gram"]: r["count"] for r in df_rows}
+        if len(gram_df) < len(grams):
+            # some query gram occurs in no indexed unit → provably no hits
+            return spark.createDataFrame([], "file_path string, row_group int")
+        probe = sorted(grams, key=lambda g: gram_df[g])[: self.max_query_grams]
+        if self.unselective_frac is not None:
+            n_units = self.read_unit_meta(spark, index_paths)
+            if n_units and gram_df[probe[0]] >= self.unselective_frac * n_units:
+                return BRUTE_FORCE
         return (
-            idx.filter(F.col("gram").isin(grams))
+            idx.filter(F.col("gram").isin(probe))
             .groupBy("file_path", "row_group")
             .agg(F.count_distinct("gram").alias("ngrams"))
-            .filter(F.col("ngrams") == len(grams))
+            .filter(F.col("ngrams") == len(probe))
             .select("file_path", "row_group")
         )
 

@@ -413,9 +413,17 @@ def knn_topk(
     else:
         paths = [e["index_path"] for e in plan.entries]
         cands = index.search(spark, paths, query_vec)
-        covered = set(plan.covered_files)
-        cand_list = [(r[0], r[1]) for r in cands.collect() if r[0] in covered]
-        if cand_list:
+        from rottnest_spark.core.refine import collect_candidates_bounded
+
+        cand_list = collect_candidates_bounded(
+            cands,
+            {f for e in plan.entries for f in e["file_paths"]},
+            set(plan.covered_files),
+            lake.brute_force_threshold,
+        )
+        if cand_list is None:  # unselective probe — scan covered instead
+            parts.append(lake.read(plan.covered_files))
+        elif cand_list:
             parts.append(read_candidates(spark, cand_list))
         if plan.unindexed_files:
             parts.append(lake.read(plan.unindexed_files))

@@ -38,7 +38,10 @@ def _optimized_scan_info(df) -> str:
 def test_probe_pushes_gram_filter_to_scan(spark, built):
     lake, idx = built
     entry = lake.catalog.entries_for("substring", "text")[0]
-    probe = idx.search(spark, [entry["index_path"]], "merge sort")
+    # escape disabled: this test inspects the postings-probe plan itself
+    probe = SubstringIndex(unselective_frac=None).search(
+        spark, [entry["index_path"]], "merge sort"
+    )
     plan = _optimized_scan_info(probe)
     assert "PushedFilters: [In(gram" in plan
     # only the three index columns are read

@@ -171,7 +171,9 @@ def test_brute_force_threshold_falls_back_exactly(spark, docs_lake_dir, tmp_path
     lake = ParquetLake(
         spark, docs_lake_dir, str(tmp_path / "idx"), brute_force_threshold=0
     )
-    idx = SubstringIndex()
+    # unselective_frac=None: disable the index's own BRUTE_FORCE escape so
+    # this test exercises the lake-level threshold decision specifically
+    idx = SubstringIndex(unselective_frac=None)
     lake.build_index(idx, "text")
     q = "merge sort"
     got = _ids(lake.search(idx, "text", q))
@@ -185,3 +187,44 @@ def test_brute_force_threshold_falls_back_exactly(spark, docs_lake_dir, tmp_path
     assert got == want and len(got) > 0
     info = lake.explain_search(idx, "text", q)
     assert info["decision"] == "brute_force_threshold"
+
+
+def test_unselective_escape_and_df_ranking(spark, docs_lake_dir, tmp_path):
+    """Dense query (every gram in every unit) → the index declares
+    BRUTE_FORCE instead of probing; search stays exact via the scan path.
+    Rarest-gram ranking: probe grams must be the lowest-df grams."""
+    from rottnest_spark.indices.base import BRUTE_FORCE as BF
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    entries = lake.catalog.entries_for("substring", "text")
+    paths = [e["index_path"] for e in entries]
+    # "sort" appears in essentially every doc of the word-salad fixture →
+    # every gram of it is in every unit → provably unprunable
+    assert idx.search(spark, paths, "sort sort") is BF
+    got = _ids(lake.search(idx, "text", "sort"))
+    assert got == oracle_ids(spark, docs_lake_dir, "sort")
+    # unit-meta sidecar exists and counts the indexed units
+    import json
+    import os
+
+    n = sum(
+        json.load(open(os.path.join(p, "_unit_meta.json")))["n_units"]
+        for p in paths
+    )
+    assert n >= 1
+
+
+def test_absent_gram_short_circuits_to_empty(spark, docs_lake_dir, tmp_path):
+    """A query containing a gram absent from the index must return an empty
+    candidate set WITHOUT a postings probe (absence proof)."""
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    paths = [
+        e["index_path"] for e in lake.catalog.entries_for("substring", "text")
+    ]
+    cands = idx.search(spark, paths, "sort q9z sort")
+    assert cands is not None and cands.count() == 0
+    assert _ids(lake.search(idx, "text", "sort q9z sort")) == []
