@@ -139,11 +139,46 @@ def q_log_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_log_timerange_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 line-prefix variant: the timestamp lives INSIDE the log line text
+    (reference logcloud_rex.rs:303-341) — synthesize log lines from events
+    (1 in 17 corrupted), parse the 19-char prefix back, backfill invalid
+    lines from the previous valid one, then time-range + containment."""
+    from rottnest_spark.ops.logparse import parse_line_timestamps
+
+    ev = load(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 17 == 0,
+            F.concat(F.lit("CORRUPT> "), F.col("props")),
+        )
+        .otherwise(
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" "),
+                F.col("event_type"),
+                F.lit(" "),
+                F.col("props"),
+            )
+        )
+        .alias("line"),
+    )
+    parsed = parse_line_timestamps(lines, "line", order_col="event_id")
+    return parsed.filter(
+        (F.col("line_ts") >= F.lit(LOG_T_LO).cast("timestamp"))
+        & (F.col("line_ts") <= F.lit(LOG_T_HI).cast("timestamp"))
+        & F.contains(F.col("line"), F.lit(LOG_QUERY))
+    ).select("event_id", "user_id", "event_type", "line_ts")
+
+
 def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 query expansion: nearest index-vocab tokens by deterministic
-    embedding cosine, similarity-weighted BM25. No SQL oracle — the
-    embedder stub + expansion pipeline is exercised rows-only here and
-    property-tested in tests/test_bm25.py."""
+    embedding cosine, similarity-weighted BM25. Oracle-checked: the stub
+    embedder is md5-derived, so the whole expanded pipeline is replicated
+    in DuckDB SQL (_bm25_expanded_oracle_sql)."""
     idx = BM25Index()
     lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
     return bm25_topk(
@@ -205,6 +240,81 @@ def _bm25_oracle_sql(query: str, k: int) -> str:
         FROM tf
         JOIN doclen USING (doc_id)
         JOIN dfreq  USING (token)
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC
+        LIMIT {k}
+    """
+
+
+def _bm25_expanded_oracle_sql(query: str, k: int, expansion_tokens: int) -> str:
+    """DuckDB replica of the X7 expanded pipeline. The expansion embedder is
+    the documented deterministic md5-byte stub (indices/bm25.py:196-210), so
+    the WHOLE expanded query — vocab embedding, cosine top-N, similarity
+    weights, weighted BM25 — is SQL-expressible. The query-side vector (mean
+    of the query tokens' stub embeddings) is a constant, inlined with full
+    repr precision exactly as the Spark side inlines it."""
+    import numpy as np
+
+    from rottnest_spark.indices.bm25 import EMB_DIM, embed_token
+
+    qtoks = tokenize_query(query)
+    qv = np.mean([embed_token(t) for t in qtoks], axis=0)
+    qn = float(np.linalg.norm(qv)) or 1.0
+    qv_lit = "[" + ", ".join(repr(float(x)) for x in qv.tolist()) + "]"
+    qtok_vals = ", ".join(f"('{t}')" for t in qtoks)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.tok AS token
+            FROM documents,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        vocab AS (SELECT DISTINCT token FROM toks),
+        emb AS (
+            SELECT token,
+                   list_transform(range(0, {EMB_DIM}),
+                       i -> ('0x' || substr(md5(token), 2 * i + 1, 2))::BIGINT
+                            - 127.5) AS e
+            FROM vocab
+        ),
+        scored AS (
+            SELECT token,
+                   list_sum(list_transform(range(0, {EMB_DIM}),
+                       i -> e[i + 1] * ({qv_lit}::DOUBLE[])[i + 1]))
+                   / (sqrt(list_sum(list_transform(range(0, {EMB_DIM}),
+                          i -> e[i + 1] * e[i + 1]))) * {qn!r}) AS cos
+            FROM emb
+        ),
+        expansion AS (
+            SELECT token, greatest(0.0, least(1.0, cos)) AS w
+            FROM scored ORDER BY cos DESC, token ASC LIMIT {expansion_tokens}
+        ),
+        weights AS (
+            SELECT token, max(w) AS w FROM (
+                SELECT token, w FROM expansion
+                UNION ALL
+                SELECT token, 1.0 AS w FROM (VALUES {qtok_vals}) AS q(token)
+            ) GROUP BY token
+        ),
+        doclen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+        corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT count(*) FROM toks)      AS total_len),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+                  WHERE token IN (SELECT token FROM weights) GROUP BY token),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+               WHERE token IN (SELECT token FROM weights)
+               GROUP BY doc_id, token)
+        SELECT tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * w
+                         * tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * len
+                                        / (total_len * 1.0 / n_docs)))), 4)
+                   AS score
+        FROM tf
+        JOIN doclen  USING (doc_id)
+        JOIN dfreq   USING (token)
+        JOIN weights USING (token)
         CROSS JOIN corpus
         GROUP BY tf.doc_id
         ORDER BY score DESC, tf.doc_id ASC
@@ -650,6 +760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
     "log_timerange": q_log_timerange,
+    "log_timerange_prefix": q_log_timerange_prefix,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
@@ -704,7 +815,37 @@ ORACLES: dict[str, str] = {
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
           AND ts BETWEEN TIMESTAMP '{LOG_T_LO}' AND TIMESTAMP '{LOG_T_HI}'
     """,
+    "log_timerange_prefix": f"""
+        WITH lines AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 17 = 0 THEN 'CORRUPT> ' || props
+                        ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' ||
+                             event_type || ' ' || props END AS line
+            FROM events
+        ), parsed AS (
+            SELECT *, try_strptime(substr(line, 1, 19),
+                                   '%Y-%m-%d %H:%M:%S') AS p
+            FROM lines
+        ), valid AS (
+            SELECT *, CASE WHEN p >= TIMESTAMP '2000-01-01'
+                            AND p <  TIMESTAMP '2050-01-01'
+                           THEN p END AS pv
+            FROM parsed
+        ), filled AS (
+            SELECT event_id, user_id, event_type, line,
+                   last_value(pv IGNORE NULLS) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS line_ts
+            FROM valid
+        )
+        SELECT event_id, user_id, event_type, line_ts FROM filled
+        WHERE line_ts BETWEEN TIMESTAMP '{LOG_T_LO}'
+                          AND TIMESTAMP '{LOG_T_HI}'
+          AND contains(line, '{LOG_QUERY.replace("'", "''")}')
+    """,
     "bm25_topk": _bm25_oracle_sql(BM25_QUERY, BM25_K),
+    "bm25_topk_expanded": _bm25_expanded_oracle_sql(BM25_QUERY, BM25_K, 8),
     # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
     "vector_knn_exact": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings
