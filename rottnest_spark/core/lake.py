@@ -87,9 +87,16 @@ class ParquetLake:
         column: str,
         name: str | None = None,
         binpack_row_threshold: int = 100_000_000,
+        timeout: float | None = None,
     ) -> list[str]:
         """Index all not-yet-covered lake files. Returns new index names.
-        Idempotent: a second call is a no-op unless new files appeared."""
+        Idempotent: a second call is a no-op unless new files appeared.
+
+        `timeout` (seconds, per binpack group) is the analog of the
+        reference's index_timeout worker-thread guard
+        (backends/iceberg.py:178-211): a hung build raises TimeoutError,
+        its Spark jobs are cancelled, NO catalog entry is committed, and
+        any partially-written dir is an orphan that vacuum() reclaims."""
         todo = unindexed_files(self.catalog, index.index_type, column, self.files)
         if not todo:
             return []
@@ -104,7 +111,12 @@ class ParquetLake:
             # Build fully before committing the catalog record: a crash leaves
             # an orphan dir (cleaned by vacuum), never a catalog entry pointing
             # at a half-built index (reference cleanup-on-failure, iceberg.py:205-211).
-            index.build(self.spark, gfiles, column, index_path)
+            if timeout is None:
+                index.build(self.spark, gfiles, column, index_path)
+            else:
+                self._build_with_timeout(
+                    index, gfiles, column, index_path, timeout
+                )
             self.catalog.append(
                 {
                     "index_name": index_name,
@@ -119,6 +131,46 @@ class ParquetLake:
             created.append(index_name)
         self.catalog.validate()
         return created
+
+    def _build_with_timeout(
+        self,
+        index: SparkIndex,
+        files: list[str],
+        column: str,
+        index_path: str,
+        timeout: float,
+    ) -> None:
+        """Run one group's build in a worker thread with a deadline. PySpark
+        pins Python threads to JVM threads, so the job group set inside the
+        worker scopes exactly the build's Spark jobs — cancelling it on
+        timeout frees the cluster instead of leaking a runaway job."""
+        import threading
+
+        sc = self.spark.sparkContext
+        tag = f"rottnest-build-{uuid.uuid4().hex[:8]}"
+        err: list[BaseException] = []
+
+        def run():
+            try:
+                sc.setJobGroup(tag, f"index build {index_path}",
+                               interruptOnCancel=True)
+                index.build(self.spark, files, column, index_path)
+            except BaseException as e:  # surfaced to the caller below
+                err.append(e)
+
+        t = threading.Thread(target=run, daemon=True, name=tag)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            sc.cancelJobGroup(tag)
+            t.join(5.0)
+            raise TimeoutError(
+                f"index build for {index_path} exceeded {timeout}s — Spark "
+                f"jobs cancelled, no catalog entry committed; any partial "
+                f"output is an orphan dir reclaimed by vacuum()"
+            )
+        if err:
+            raise err[0]
 
     # -- L2: search -----------------------------------------------------------
 
@@ -402,7 +454,18 @@ class ParquetLake:
         """Merge small index entries. Commit is append-then-delete in one
         atomic catalog swap (crash-safe ordering, iceberg.py:471-479)."""
         entries = self.catalog.entries_for(index.index_type, column)
-        groups = group_mergeable(entries, row_threshold)
+        # never merge entries built under different configs: the merged entry
+        # would claim one config while containing data built under another,
+        # and probes would silently under-match (mixed configs arise
+        # naturally — new files indexed after the index class's knobs change)
+        by_config: dict[str | None, list[dict]] = {}
+        for e in entries:
+            by_config.setdefault(e.get("config"), []).append(e)
+        groups = [
+            g
+            for cfg_entries in by_config.values()
+            for g in group_mergeable(cfg_entries, row_threshold)
+        ]
         created = []
         for group in groups:
             index_name = f"{index.index_type}_{column}_c{uuid.uuid4().hex[:8]}"

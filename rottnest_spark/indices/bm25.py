@@ -149,7 +149,13 @@ class BM25Index(SparkIndex):
         goes through bm25_topk which uses global index stats."""
         toks = tokenize_query(query)
         row_id = "__bm25_row__"
-        with_id = df.withColumn(row_id, F.monotonically_increasing_id())
+        # localCheckpoint: the id-ed rows are branched three ways (stats,
+        # scoring, final join); monotonically_increasing_id is only stable
+        # if the partitioning is — a recompute with different task placement
+        # would mis-join. Materializing once pins the ids.
+        with_id = df.withColumn(
+            row_id, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
         stats = derive_stats(with_id, column, toks)
         scored = score_rows(with_id, column, toks, *stats, id_col=row_id)
         out = with_id.join(scored, row_id).drop(row_id, "score")

@@ -161,6 +161,88 @@ def _mh_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _lsh_banded(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, band_key): the LSH bucket assignment shared by the pair join and
+    the bucket-size audit. One md5 per shingle; permutations are a
+    2-universal integer family; per-seed mins are codegen'd MIN aggregates
+    with map-side combine (one row per doc crosses the shuffle)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    docs = shingled_docs(df, id_col, col, n, distinct=True).filter(
+        F.size("sh") > 0
+    )
+    ca, cb = _mh_coeffs(num_hashes)
+    hashed = docs.select("id", F.explode("sh").alias("x")).select(
+        "id",
+        F.expr("cast(conv(substr(md5(x), 1, 8), 16, 10) AS bigint)").alias("h"),
+    )
+    sigs = (
+        hashed.groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(ca[i]) * F.col("h") + F.lit(cb[i])) % F.lit(_MH_MOD)).alias(
+                    f"m{i}"
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    return sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> md5(concat(cast(b AS string), '#', "
+                f"concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
+                f"v -> cast(v AS string))))))"
+            )
+        ).alias("band_key"),
+    ).distinct()
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """One-row audit of the LSH bucket-size distribution — the "no silent
+    caps" report for the max_bucket skew guard: how many buckets exist, how
+    many the guard drops, and how many candidate pairs those buckets would
+    have emitted (B*(B-1)/2 each). Run it alongside any guarded dedup so a
+    capped run is visibly capped."""
+    sizes = (
+        _lsh_banded(df, id_col, col, n, num_hashes, bands)
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+    )
+    over = (
+        (F.col("bsz") > F.lit(max_bucket)).cast("long")
+        if max_bucket is not None
+        else F.lit(0).cast("long")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bsz").alias("max_bucket_size"),
+        F.sum(over).alias("n_dropped_buckets"),
+        F.sum(
+            over * (F.col("bsz") * (F.col("bsz") - 1) / 2).cast("long")
+        ).alias("dropped_candidate_pairs"),
+        F.lit(max_bucket).cast("long").alias("max_bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -195,39 +277,7 @@ def minhash_lsh_pairs(
     so precision is exact and only recall is approximate — the same
     contract as the reference's index-prune + refine (SURVEY §0).
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    docs = shingled_docs(df, id_col, col, n, distinct=True).filter(
-        F.size("sh") > 0
-    )
-    ca, cb = _mh_coeffs(num_hashes)
-    hashed = docs.select("id", F.explode("sh").alias("x")).select(
-        "id",
-        F.expr("cast(conv(substr(md5(x), 1, 8), 16, 10) AS bigint)").alias("h"),
-    )
-    sigs = (
-        hashed.groupBy("id")
-        .agg(
-            *[
-                F.min((F.lit(ca[i]) * F.col("h") + F.lit(cb[i])) % F.lit(_MH_MOD)).alias(
-                    f"m{i}"
-                )
-                for i in range(num_hashes)
-            ]
-        )
-        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
-    )
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> md5(concat(cast(b AS string), '#', "
-                f"concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
-                f"v -> cast(v AS string))))))"
-            )
-        ).alias("band_key"),
-    ).distinct()
+    banded = _lsh_banded(df, id_col, col, n, num_hashes, bands)
     if max_bucket is not None:
         ok = (
             banded.groupBy("band_key")

@@ -27,11 +27,22 @@ from pyspark.sql import functions as F
 from rottnest_spark.ops import dedup, textstats
 
 
+#: pipeline default for the LSH bucket skew guard: one boilerplate band key
+#: shared by B docs emits B² candidate pairs, so at corpus scale a single
+#: degenerate bucket can dominate the whole dedup job. 500 bounds any bucket
+#: to ~125k pairs. This is an explicit recall trade (pairs co-occurring ONLY
+#: in oversized buckets are missed) — `curation_report` surfaces the dropped
+#: count so a capped run is never silently capped. Pass max_bucket=None for
+#: the exact (oracle) behavior.
+DEFAULT_MAX_BUCKET = 500
+
+
 def curate_documents(
     df: DataFrame,
     id_col: str,
     text_col: str,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Surviving (id) rows after quality filter -> exact dedup -> near dedup."""
     quality = textstats.quality_signals(df, id_col, text_col).filter("keep")
@@ -49,7 +60,8 @@ def curate_documents(
 
     # near dedup among remaining docs: drop the max side of each pair
     pairs = dedup.minhash_lsh_pairs(
-        deduped, id_col, text_col, threshold=jaccard_threshold
+        deduped, id_col, text_col, threshold=jaccard_threshold,
+        max_bucket=max_bucket,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return deduped.join(losers, id_col, "left_anti")
@@ -60,8 +72,11 @@ def curation_report(
     id_col: str,
     text_col: str,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """One-row audit: input/survivor counts per stage."""
+    """One-row audit: input/survivor counts per stage, plus the skew-guard
+    report (buckets dropped by max_bucket and the candidate pairs they
+    would have emitted) — a capped run is never silently capped."""
     n_input = df.count()
     quality = textstats.quality_signals(df, id_col, text_col).filter("keep")
     survivors = df.join(
@@ -75,9 +90,25 @@ def curation_report(
     )
     deduped = survivors.join(keep_exact, id_col, "leftsemi")
     n_exact = deduped.count()
-    n_final = curate_documents(df, id_col, text_col, jaccard_threshold).count()
+    n_final = curate_documents(
+        df, id_col, text_col, jaccard_threshold, max_bucket=max_bucket
+    ).count()
+    guard = dedup.lsh_bucket_stats(
+        deduped, id_col, text_col, max_bucket=max_bucket
+    ).collect()[0]
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(n_input, n_quality, n_exact, n_final)],
-        "n_input long, n_after_quality long, n_after_exact_dedup long, n_after_near_dedup long",
+        [
+            (
+                n_input,
+                n_quality,
+                n_exact,
+                n_final,
+                guard["n_dropped_buckets"],
+                guard["dropped_candidate_pairs"],
+            )
+        ],
+        "n_input long, n_after_quality long, n_after_exact_dedup long, "
+        "n_after_near_dedup long, n_dropped_buckets long, "
+        "dropped_candidate_pairs long",
     )

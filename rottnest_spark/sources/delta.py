@@ -25,6 +25,60 @@ import os
 from rottnest_spark.core.lake import ParquetLake
 
 
+def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
+    """Locate the latest checkpoint: (version, parquet part files), or
+    (-1, []) when the log has no checkpoint.
+
+    `_last_checkpoint` is the authoritative pointer (Delta protocol —
+    readers must not rely on listing); multi-part checkpoints are named
+    `V.checkpoint.I.N.parquet`. Fails loudly on missing parts rather than
+    returning an incomplete live set."""
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            info = json.load(fh)
+        v = int(info["version"])
+        n_parts = int(info.get("parts") or 0)
+        base = f"{v:020d}"
+        if n_parts:
+            files = [
+                os.path.join(
+                    log_dir,
+                    f"{base}.checkpoint.{i + 1:010d}.{n_parts:010d}.parquet",
+                )
+                for i in range(n_parts)
+            ]
+        else:
+            files = [os.path.join(log_dir, f"{base}.checkpoint.parquet")]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"_last_checkpoint points at version {v} but parts are "
+                f"missing: {missing} — refusing to return a partial snapshot"
+            )
+        return v, files
+    # no pointer: glob both single- and multi-part names, newest version
+    found = glob.glob(os.path.join(log_dir, "*.checkpoint.parquet")) + glob.glob(
+        os.path.join(log_dir, "*.checkpoint.*.*.parquet")
+    )
+    if not found:
+        return -1, []
+    by_ver: dict[int, list[str]] = {}
+    for f in found:
+        by_ver.setdefault(int(os.path.basename(f).split(".")[0]), []).append(f)
+    v = max(by_ver)
+    parts = sorted(by_ver[v])
+    multi = [p for p in parts if len(os.path.basename(p).split(".")) == 5]
+    if multi:
+        expected = int(os.path.basename(multi[0]).split(".")[3])
+        if len(multi) != expected:
+            raise ValueError(
+                f"checkpoint {v} has {len(multi)}/{expected} parts — "
+                f"refusing to return a partial snapshot"
+            )
+    return v, parts
+
+
 def delta_live_files(table_path: str) -> list[str]:
     """Replay the _delta_log: returns absolute paths of live data files."""
     log_dir = os.path.join(table_path, "_delta_log")
@@ -32,21 +86,25 @@ def delta_live_files(table_path: str) -> list[str]:
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
 
     commits = sorted(glob.glob(os.path.join(log_dir, "*.json")))
-    checkpoints = sorted(glob.glob(os.path.join(log_dir, "*.checkpoint.parquet")))
 
     live: set[str] = set()
-    start_version = -1
-    if checkpoints:
+    start_version, cp_files = _checkpoint_parts(log_dir)
+    if cp_files:
         import pyarrow.parquet as pq
 
-        cp = checkpoints[-1]
-        start_version = int(os.path.basename(cp).split(".")[0])
-        tbl = pq.read_table(cp)
-        cols = tbl.column_names
-        if "add" in cols:
-            for rec in tbl.column("add").to_pylist():
-                if rec and rec.get("path"):
-                    live.add(rec["path"])
+        for cp in cp_files:
+            tbl = pq.read_table(cp)
+            if "add" in tbl.column_names:
+                for rec in tbl.column("add").to_pylist():
+                    if rec and rec.get("path"):
+                        live.add(rec["path"])
+
+    versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
+    if start_version < 0 and 0 not in versions:
+        raise ValueError(
+            f"{table_path}: commit 0 is absent and no checkpoint is "
+            f"readable — the replay would miss earlier add actions"
+        )
 
     for c in commits:
         version = int(os.path.basename(c).split(".")[0])

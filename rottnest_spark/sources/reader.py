@@ -52,8 +52,11 @@ def read_parquet(
     toward zero instead of flooring — acceptable for log/event data.
     """
     ns_cols = nanos_ts_columns(files[0])
-    if ns_cols:
-        spark.conf.set(_NANOS_FLAG, "true")
+    # Set the flag EXPLICITLY both ways: a stale true from an earlier read
+    # would make a later non-ns read silently decode ns columns (present in
+    # other files of the list but not files[0]) as raw bigint; with the flag
+    # false Spark fails loudly (PARQUET_TYPE_ILLEGAL) on such mixed lakes.
+    spark.conf.set(_NANOS_FLAG, "true" if ns_cols else "false")
     df = spark.read.parquet(*files)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

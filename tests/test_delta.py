@@ -69,6 +69,57 @@ def test_snapshot_consistent_search(spark, delta_table, tmp_path):
     assert all(d % 3 != 0 for d in got)
 
 
+def test_multipart_checkpoint_with_last_checkpoint(spark, delta_table):
+    """Multi-part checkpoint located via _last_checkpoint replaces the
+    cleaned-up pre-checkpoint commits; replay must not miss its adds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table, parts = delta_table
+    log = os.path.join(table, "_delta_log")
+    # checkpoint at v1: live set {parts[1], parts[2]} split across 2 parts
+    for i, p in enumerate([parts[1], parts[2]]):
+        tbl = pa.table({"add": [{"path": p}]})
+        pq.write_table(
+            tbl,
+            os.path.join(
+                log, f"{1:020d}.checkpoint.{i + 1:010d}.{2:010d}.parquet"
+            ),
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "parts": 2}, fh)
+    # simulate log cleanup: pre-checkpoint JSON commits deleted
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    _commit(log, 2, adds=[parts[0]])
+    names = {os.path.basename(f) for f in delta_live_files(table)}
+    assert names == {parts[0], parts[1], parts[2]}
+
+
+def test_missing_part_fails_loudly(spark, delta_table):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table, parts = delta_table
+    log = os.path.join(table, "_delta_log")
+    pq.write_table(
+        pa.table({"add": [{"path": parts[1]}]}),
+        os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "parts": 2}, fh)
+    with pytest.raises(ValueError, match="missing"):
+        delta_live_files(table)
+
+
+def test_truncated_log_without_checkpoint_fails_loudly(spark, delta_table):
+    table, _ = delta_table
+    log = os.path.join(table, "_delta_log")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="commit 0"):
+        delta_live_files(table)
+
+
 def test_incremental_build_on_new_commit(spark, delta_table, tmp_path):
     table, parts = delta_table
     lake = DeltaSnapshotLake(spark, table, str(tmp_path / "idx"))

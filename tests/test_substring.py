@@ -105,6 +105,34 @@ def test_compaction_preserves_search(spark, docs_lake_dir, tmp_path):
     lake.catalog.validate()
 
 
+def test_compaction_never_merges_mixed_configs(spark, sf_dir, tmp_path):
+    """Entries built under different configs must not be merged: the merged
+    entry would claim one config while containing data built under another,
+    silently under-matching probes."""
+    import glob
+    import shutil
+
+    lake_dir = str(tmp_path / "lake")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(lake_dir)
+    lake = ParquetLake(spark, lake_dir, str(tmp_path / "idx"))
+    lake.build_index(SubstringIndex(gram=3), "text")
+    # new files arrive; they get indexed under a DIFFERENT config
+    extra = str(tmp_path / "extra")
+    docs.filter("doc_id % 2 = 1").repartition(2).write.parquet(extra)
+    for i, f in enumerate(glob.glob(extra + "/*.parquet")):
+        shutil.move(f, f"{lake_dir}/extra_{i}.parquet")
+    idx4 = SubstringIndex(gram=4)
+    lake.build_index(idx4, "text", binpack_row_threshold=1)
+    cfgs = [e["config"] for e in lake.catalog.entries_for("substring", "text")]
+    assert len(set(cfgs)) == 2 and len(cfgs) == 3
+    lake.compact_indices(idx4, "text", row_threshold=10_000_000)
+    after = lake.catalog.entries_for("substring", "text")
+    # only the two gram=4 entries merged; the gram=3 entry is untouched
+    assert len(after) == 2
+    assert sorted(e["config"] for e in after) == sorted(set(cfgs))
+
+
 def test_vacuum_removes_orphans(spark, docs_lake_dir, tmp_path):
     import os
 
