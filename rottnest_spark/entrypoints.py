@@ -111,14 +111,10 @@ def q_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOG_T_LO, LOG_T_HI = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
 
 
-def q_log_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X9 composition: conjunctive multi-index search — LogIndex candidates
-    on props INTERSECTED with ExactIndex(ts) zone-map candidates, then the
-    AND of both exact refines."""
-    import datetime
-
-    from rottnest_spark.ops import dedup  # noqa: F401  (stable import order)
-
+def conj_events_lake(spark: SparkSession, sf_dir: str):
+    """The two-index events lake used by the conjunctive search: LogIndex on
+    props + ExactIndex zone maps on ts, built idempotently into one cached
+    catalog (bench pre-warms this exactly like the single-index lakes)."""
     lidx, tidx = LogIndex(), ExactIndex()
     key = hashlib.md5(
         f"{table_path(sf_dir, 'events')}|conj|{sorted(lidx.config().items())}"
@@ -131,6 +127,18 @@ def q_log_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lake.build_index(lidx, "props")
     lake.build_index(tidx, "ts")
+    return lake, lidx, tidx
+
+
+def q_log_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 composition: conjunctive multi-index search — LogIndex candidates
+    on props INTERSECTED with ExactIndex(ts) zone-map candidates, then the
+    AND of both exact refines."""
+    import datetime
+
+    from rottnest_spark.ops import dedup  # noqa: F401  (stable import order)
+
+    lake, lidx, tidx = conj_events_lake(spark, sf_dir)
     lo = datetime.datetime.fromisoformat(LOG_T_LO)
     hi = datetime.datetime.fromisoformat(LOG_T_HI)
     return lake.search_conj(

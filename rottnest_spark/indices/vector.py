@@ -41,6 +41,34 @@ from rottnest_spark.indices.substring import provenance_file_col
 from rottnest_spark.sources.reader import read_parquet
 
 
+def ensure_float_vectors(df: DataFrame, column: str) -> DataFrame:
+    """Accept `array<float|double>` embedding columns as-is, and BINARY
+    columns holding packed little-endian f32 buffers — the reference's
+    vector ingestion reinterprets large_binary exactly this way
+    (indices/vector_index.py:16-27: np.frombuffer(..., '<f4')).
+
+    The decode is an Arrow-batched pandas UDF (bytes → float32 array per
+    batch); defined as a closure so it pickles by value (foreign sessions
+    can't import this package on executors)."""
+    from pyspark.sql.types import BinaryType
+
+    if not isinstance(df.schema[column].dataType, BinaryType):
+        return df
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def dec(s):
+        import numpy as np
+
+        return s.map(
+            lambda b: None
+            if b is None
+            else np.frombuffer(b, dtype="<f4").tolist()
+        )
+
+    return df.withColumn(column, dec(F.col(column)))
+
+
 def l2_dist_col(column: str, query_vec: list[float], round_to: int = 4):
     """round(sqrt(Σ (v_i − q_i)²), r) as a built-in expression — the fold
     order (left-to-right) matches SQL list_sum/range oracles."""
@@ -99,7 +127,7 @@ class VectorIndex(SparkIndex):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        df = read_parquet(spark, files).select(
+        df = ensure_float_vectors(read_parquet(spark, files), column).select(
             provenance_file_col().alias("file_path"),
             F.lit(WHOLE_FILE).alias("row_group"),
             F.col(column).alias("emb"),
@@ -145,8 +173,9 @@ class VectorIndex(SparkIndex):
         sample = np.array(
             [
                 r[column]
-                for r in read_parquet(spark, files)
-                .select(column)
+                for r in ensure_float_vectors(
+                    read_parquet(spark, files).select(column), column
+                )
                 .limit(20_000)
                 .collect()
             ],
@@ -214,7 +243,9 @@ class VectorIndex(SparkIndex):
                     }
                 )
 
-        rows = rows_with_rg_provenance(spark, files, column, with_pos=True)
+        rows = ensure_float_vectors(
+            rows_with_rg_provenance(spark, files, column, with_pos=True), column
+        )
         codes_df = rows.mapInPandas(
             encode,
             "centroid_id int, file_path string, row_group int, pos int, codes array<int>",
@@ -338,7 +369,9 @@ class VectorIndex(SparkIndex):
     def brute_force(
         self, df: DataFrame, column: str, query_vec, k: int | None
     ) -> DataFrame:
-        out = df.withColumn("dist", l2_dist_col(column, list(query_vec)))
+        out = ensure_float_vectors(df, column).withColumn(
+            "dist", l2_dist_col(column, list(query_vec))
+        )
         if k is not None:
             out = out.orderBy(F.asc("dist")).limit(k)
         return out
@@ -434,7 +467,8 @@ def knn_topk(
     for p in parts[1:]:
         rows = rows.unionByName(p)
     return (
-        rows.select(id_col, l2_dist_col(column, query_vec).alias("dist"))
+        ensure_float_vectors(rows, column)
+        .select(id_col, l2_dist_col(column, query_vec).alias("dist"))
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )

@@ -83,6 +83,78 @@ def test_compaction_preserves_probe(spark, emb_lake, query_vec, tmp_path):
     assert before == after
 
 
+@pytest.fixture(scope="module")
+def bin_emb_lake(spark, sf_dir, tmp_path_factory):
+    """The embeddings fixture with the vector column re-encoded as packed
+    little-endian f32 BINARY (the reference's large_binary ingestion form,
+    indices/vector_index.py:16-27)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = tbl.column("embedding").to_pylist()
+    blobs = [np.asarray(v, dtype="<f4").tobytes() for v in vecs]
+    out_dir = tmp_path_factory.mktemp("bin_emb")
+    out = str(out_dir / "lake")
+    import os
+
+    os.makedirs(out)
+    pq.write_table(
+        pa.table({"vec_id": ids, "embedding": blobs}),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    return out
+
+
+def test_binary_vectors_exact_knn_identical(
+    spark, emb_lake, bin_emb_lake, query_vec, tmp_path
+):
+    """Exact top-K from the binary-encoded lake == from the array lake
+    (f32 reinterpret is lossless: fixture values are f32 to begin with)."""
+    lake_b = ParquetLake(spark, bin_emb_lake, str(tmp_path / "idxb"))
+    got = [
+        (r["vec_id"], r["dist"])
+        for r in knn_topk(
+            lake_b, VectorIndex(), "embedding", query_vec, K, "vec_id",
+            exact=True,
+        ).collect()
+    ]
+    assert got == exact_knn_numpy(spark, emb_lake, query_vec, K)
+
+
+def test_binary_vectors_ivf_identical_topk(
+    spark, bin_emb_lake, emb_lake, query_vec, tmp_path
+):
+    """IVF built FROM the binary column returns the same top-K as IVF built
+    from the equivalent array column (same seed, same data)."""
+    lake_b = ParquetLake(spark, bin_emb_lake, str(tmp_path / "idxb"))
+    lake_a = ParquetLake(spark, emb_lake, str(tmp_path / "idxa"))
+    idx = VectorIndex(rows_per_centroid=32, nprobes=6)
+    lake_b.build_index(idx, "embedding")
+    lake_a.build_index(idx, "embedding")
+    got_b = [
+        (r["vec_id"], r["dist"])
+        for r in knn_topk(lake_b, idx, "embedding", query_vec, K, "vec_id").collect()
+    ]
+    got_a = [
+        (r["vec_id"], r["dist"])
+        for r in knn_topk(lake_a, idx, "embedding", query_vec, K, "vec_id").collect()
+    ]
+    assert got_b == got_a and len(got_b) == K
+
+
+def test_binary_vectors_pq_path(spark, bin_emb_lake, query_vec, tmp_path):
+    """The 3-stage PQ path must also accept binary vectors (codes built via
+    the decoded rows, refine fetch reranks decoded fp32)."""
+    lake_b = ParquetLake(spark, bin_emb_lake, str(tmp_path / "idxb"))
+    idx = VectorIndex(rows_per_centroid=32, nprobes=6, pq_m=8, pq_k=16, refine=64)
+    lake_b.build_index(idx, "embedding")
+    out = knn_topk(lake_b, idx, "embedding", query_vec, K, "vec_id").collect()
+    assert len(out) == K
+
+
 def test_pq_three_stage_recall(spark, sf_dir, tmp_path):
     """PQ path (probe -> approx top-refine -> exact rerank of only those
     rows) keeps recall@K high vs the exact scan."""
