@@ -330,6 +330,79 @@ def _bm25_expanded_oracle_sql(query: str, k: int, expansion_tokens: int) -> str:
     """
 
 
+def _knn_oracle_sql(k: int) -> str:
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = {KNN_QUERY_ID})
+        SELECT e.vec_id,
+               round(sqrt(list_sum(list_transform(
+                   range(1, array_length(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(q.qv[i] AS DOUBLE)) ** 2))), 4) AS dist
+        FROM embeddings e CROSS JOIN q
+        ORDER BY dist ASC, e.vec_id ASC
+        LIMIT {k}
+    """
+
+
+#: hybrid retrieval knobs: each ranker contributes its top-N, RRF k0=60
+HYBRID_N, HYBRID_K, RRF_K0 = 50, 20, 60
+#: decontamination: 5-word grams, >=3 distinct shared grams = contaminated
+DECON_N, DECON_MIN_HITS = 5, 3
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-N fused with exact vector-KNN
+    top-N by reciprocal-rank fusion (documents and embeddings align 1:1 by
+    id in the fixture). Rankers are index-accelerated; fusion is top-N-scale
+    DataFrame algebra (ops/hybrid.py)."""
+    from rottnest_spark.ops.hybrid import ranked, rrf_fuse
+
+    idx = BM25Index()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    bm = bm25_topk(lake, idx, "text", BM25_QUERY, HYBRID_N, "doc_id")
+    bmr = ranked(bm, "doc_id", [F.desc("score"), F.asc("doc_id")])
+    vlake = ParquetLake(
+        spark, [table_path(sf_dir, "embeddings")], "/tmp/rottnest_noidx"
+    )
+    kn = knn_topk(
+        vlake, VectorIndex(), "embedding", _knn_query_vec(spark, sf_dir),
+        HYBRID_N, "vec_id", exact=True,
+    )
+    knr = ranked(kn, "vec_id", [F.asc("dist"), F.asc("vec_id")])
+    return rrf_fuse([bmr, knr], HYBRID_K, RRF_K0).select(
+        F.col("id").alias("doc_id"), "rrf"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination audit: docs outside the held-out
+    slice (doc_id % 50 == 0 plays the benchmark) flagged when they share
+    >= DECON_MIN_HITS distinct 5-grams with it. The fixture's planted
+    near-dup of an eval doc is exactly the leak this catches."""
+    from rottnest_spark.ops.decontam import ngram_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_overlap(
+        docs.filter("doc_id % 50 != 0"),
+        docs.filter("doc_id % 50 = 0"),
+        "doc_id",
+        "text",
+        n=DECON_N,
+        min_hits=DECON_MIN_HITS,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_overlap", "contaminated")
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition signal (duplicate word-3-gram ratio) + keep flag."""
+    from rottnest_spark.ops import textstats
+
+    return textstats.repetition_signals(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def _knn_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [
         float(x)
@@ -772,6 +845,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
+    "hybrid_search": q_hybrid_search,
+    "decontaminate": q_decontaminate,
+    "repetition_filter": q_repetition_filter,
     "vector_knn_ivf": q_vector_knn_ivf,
     "vector_knn_pq": q_vector_knn_pq,
     "media_payload_stats": q_media_payload_stats,
@@ -855,17 +931,79 @@ ORACLES: dict[str, str] = {
     "bm25_topk": _bm25_oracle_sql(BM25_QUERY, BM25_K),
     "bm25_topk_expanded": _bm25_expanded_oracle_sql(BM25_QUERY, BM25_K, 8),
     # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
-    "vector_knn_exact": f"""
-        WITH q AS (SELECT embedding AS qv FROM embeddings
-                   WHERE vec_id = {KNN_QUERY_ID})
-        SELECT e.vec_id,
-               round(sqrt(list_sum(list_transform(
-                   range(1, array_length(e.embedding) + 1),
-                   i -> (CAST(e.embedding[i] AS DOUBLE)
-                         - CAST(q.qv[i] AS DOUBLE)) ** 2))), 4) AS dist
-        FROM embeddings e CROSS JOIN q
-        ORDER BY dist ASC, e.vec_id ASC
-        LIMIT {KNN_K}
+    "vector_knn_exact": _knn_oracle_sql(KNN_K),
+    "hybrid_search": f"""
+        WITH bm AS (SELECT * FROM ({_bm25_oracle_sql(BM25_QUERY, HYBRID_N)})),
+        bmr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                FROM bm),
+        kn AS (SELECT * FROM ({_knn_oracle_sql(HYBRID_N)})),
+        knr AS (SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY dist ASC, vec_id) AS rnk
+                FROM kn),
+        u AS (SELECT doc_id, rnk FROM bmr
+              UNION ALL
+              SELECT doc_id, rnk FROM knr)
+        SELECT doc_id,
+               round(sum(1.0::DOUBLE / ({RRF_K0} + rnk)), 6) AS rrf
+        FROM u GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {HYBRID_K}
+    """,
+    "decontaminate": f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, array_to_string(w[i:i+{DECON_N - 1}], ' ') AS g
+            FROM words, unnest(range(1, len(w) - {DECON_N} + 2)) AS t(i)
+            WHERE len(w) >= {DECON_N}
+        ), eval_g AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        ), hits AS (
+            SELECT doc_id, count(DISTINCT g) AS n FROM grams
+            WHERE doc_id % 50 != 0 AND g IN (SELECT g FROM eval_g)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n, 0) AS n_overlap,
+               coalesce(h.n, 0) >= {DECON_MIN_HITS} AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 != 0
+    """,
+    "repetition_filter": f"""
+        WITH words AS (
+            SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM documents
+        ), g AS (
+            SELECT id,
+                   CASE WHEN len(w) >= {textstats.REP_N}
+                        THEN list_transform(
+                            range(1, len(w) - {textstats.REP_N} + 2),
+                            i -> array_to_string(
+                                w[i:i+{textstats.REP_N - 1}], ' '))
+                        ELSE [] END AS grams
+            FROM words
+        )
+        SELECT id,
+               len(grams) AS n_grams,
+               len(list_distinct(grams)) AS n_distinct_grams,
+               CASE WHEN len(grams) > 0
+                    THEN round(1.0::DOUBLE
+                               - len(list_distinct(grams)) * 1.0 / len(grams),
+                               4)
+                    ELSE 0.0 END AS rep_ratio,
+               (CASE WHEN len(grams) > 0
+                     THEN round(1.0::DOUBLE
+                                - len(list_distinct(grams)) * 1.0 / len(grams),
+                                4)
+                     ELSE 0.0 END) <= {textstats.MAX_REP_RATIO}
+                   AS keep_repetition
+        FROM words JOIN g USING (id)
     """,
     # media_features: intentionally no oracle (mapInPandas over synthetic
     # binary payloads; determinism covered by tests/test_multimodal.py)

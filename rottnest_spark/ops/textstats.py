@@ -132,6 +132,40 @@ def lang_id(df: DataFrame, id_col: str, col: str) -> DataFrame:
     return base.withColumn("pred_lang", pred)
 
 
+REP_N = 3  # word n-gram size for the repetition signal
+MAX_REP_RATIO = 0.2  # Gopher-style duplicate-3-gram cut
+
+
+def repetition_signals(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Intra-document repetition (the Gopher 'repetition' filters' core
+    signal): fraction of word 3-grams that are duplicates within the doc.
+    Boilerplate, keyword-stuffed, and looping generations score high.
+
+    One narrow projection, pure codegen: the gram list is built once as a
+    flat explode-free expression (transform over positions on an already-
+    bound words array), then size vs cardinality. Returns the ratio plus a
+    keep flag at MAX_REP_RATIO so pipelines can re-threshold for free."""
+    words = f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+    grams = (
+        f"CASE WHEN size({words}) >= {REP_N} THEN "
+        f"transform(sequence(1, size({words}) - {REP_N - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {REP_N}))) "
+        f"ELSE array() END"
+    )
+    n_grams = F.expr(f"size({grams})")
+    n_distinct = F.expr(f"size(array_distinct({grams}))")
+    ratio = F.when(n_grams > 0, F.round(1.0 - n_distinct / n_grams, 4)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        ratio.alias("rep_ratio"),
+        (ratio <= MAX_REP_RATIO).alias("keep_repetition"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, col: str) -> DataFrame:
     norm = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
     toks = f"split({norm}, ' ')"

@@ -1,0 +1,84 @@
+"""New curation/retrieval ops: decontamination, repetition signal, RRF."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.ops.decontam import ngram_overlap
+from rottnest_spark.ops.hybrid import ranked, rrf_fuse
+from rottnest_spark.ops.textstats import repetition_signals
+
+
+def test_decontam_flags_planted_leak(spark):
+    """A train doc that contains an eval doc's 5-gram run is flagged;
+    unrelated docs are not."""
+    evald = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon more tail"),
+            (2, "completely unrelated content with different words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in ngram_overlap(train, evald, "doc_id", "text", n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+
+
+def test_decontam_includes_zero_rows(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_overlap(
+        docs.filter("doc_id % 50 != 0"),
+        docs.filter("doc_id % 50 = 0"),
+        "doc_id",
+        "text",
+        n=5,
+        min_hits=3,
+    )
+    n_train = docs.filter("doc_id % 50 != 0").count()
+    assert out.count() == n_train  # complete audit, zeros included
+    flagged = out.filter("contaminated").count()
+    assert 1 <= flagged < n_train  # the planted near-dup leak, and only it-ish
+
+
+def test_repetition_signal_orders_docs(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "every word in this sentence is completely distinct here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert got[1]["rep_ratio"] > 0.8 and not got[1]["keep_repetition"]
+    assert got[2]["rep_ratio"] == 0.0 and got[2]["keep_repetition"]
+
+
+def test_repetition_short_doc_zero(spark):
+    df = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
+    r = repetition_signals(df, "doc_id", "text").collect()[0]
+    assert r["n_grams"] == 0 and r["rep_ratio"] == 0.0 and r["keep_repetition"]
+
+
+def test_rrf_prefers_doc_ranked_high_by_both(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["id", "rnk"])
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], ["id", "rnk"])
+    out = rrf_fuse([a, b], k=4).collect()
+    ids = [r["id"] for r in out]
+    # 10 and 20 appear in both lists → above single-list 30/40
+    assert set(ids[:2]) == {10, 20}
+    assert out[0]["rrf"] == out[1]["rrf"]  # symmetric ranks → tie
+    assert ids[0] == 10  # tie broken by id
+
+
+def test_ranked_is_deterministic_on_ties(spark):
+    df = spark.createDataFrame(
+        [(3, 1.0), (1, 1.0), (2, 2.0)], ["doc_id", "score"]
+    )
+    r = {
+        row["id"]: row["rnk"]
+        for row in ranked(
+            df, "doc_id", [F.desc("score"), F.asc("doc_id")]
+        ).collect()
+    }
+    assert r == {2: 1, 1: 2, 3: 3}

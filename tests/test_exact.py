@@ -120,7 +120,10 @@ def test_cache_indices_substitutes_in_memory_scan(spark, sf_dir, tmp_path):
     cached = lake.cache_indices("substring", "text")
     assert cached
     entry = lake.catalog.entries_for("substring", "text")[0]
-    probe = idx.search(spark, [entry["index_path"]], "merge sort")
+    # escape disabled: this inspects the postings-probe plan specifically
+    probe = SubstringIndex(unselective_frac=None).search(
+        spark, [entry["index_path"]], "merge sort"
+    )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     after = sorted(
