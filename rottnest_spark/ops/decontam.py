@@ -30,10 +30,15 @@ def _words(col):
 
 
 def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, g): every word n-gram of every row, flat-position explode."""
+    """(id, g): every word n-gram of every row, flat-position explode.
+
+    The repartition is a materialization barrier: without it
+    ProjectCollapse re-inlines the split into every downstream slice()
+    and the text is re-tokenized per gram position (no CSE inside HOF
+    lambdas — measured O(len²) blowup)."""
     words = df.select(
         F.col(id_col).alias("id"), _words(F.col(text_col)).alias("w")
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
         words.filter(F.size("w") >= n)
         .select(

@@ -141,28 +141,50 @@ def repetition_signals(df: DataFrame, id_col: str, col: str) -> DataFrame:
     signal): fraction of word 3-grams that are duplicates within the doc.
     Boilerplate, keyword-stuffed, and looping generations score high.
 
-    One narrow projection, pure codegen: the gram list is built once as a
-    flat explode-free expression (transform over positions on an already-
-    bound words array), then size vs cardinality. Returns the ratio plus a
-    keep flag at MAX_REP_RATIO so pipelines can re-threshold for free."""
-    words = f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+    Shape: bind the words array ONCE behind a repartition barrier, then a
+    flat position explode + codegen'd slice/concat projection and one
+    combine-enabled groupBy. An expression-only version (transform lambdas
+    referencing the split inline) re-tokenizes per gram position — no CSE
+    inside HOF lambdas — and measured ~10x slower at sf0.1."""
+    spark = df.sparkSession
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')").alias(
+            "w"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
     grams = (
-        f"CASE WHEN size({words}) >= {REP_N} THEN "
-        f"transform(sequence(1, size({words}) - {REP_N - 1}), "
-        f"i -> concat_ws(' ', slice({words}, i, {REP_N}))) "
-        f"ELSE array() END"
+        words.filter(F.size("w") >= REP_N)
+        .select(
+            "id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - F.lit(REP_N - 1))
+            ).alias("i"),
+        )
+        .select(
+            "id", F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), REP_N)).alias("g")
+        )
     )
-    n_grams = F.expr(f"size({grams})")
-    n_distinct = F.expr(f"size(array_distinct({grams}))")
+    agg = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams"),
+        F.count_distinct("g").cast("int").alias("n_distinct_grams"),
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0))
+    n_distinct = F.coalesce("n_distinct_grams", F.lit(0))
     ratio = F.when(n_grams > 0, F.round(1.0 - n_distinct / n_grams, 4)).otherwise(
         F.lit(0.0)
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_grams.alias("n_grams"),
-        n_distinct.alias("n_distinct_grams"),
-        ratio.alias("rep_ratio"),
-        (ratio <= MAX_REP_RATIO).alias("keep_repetition"),
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct_grams"),
+            ratio.alias("rep_ratio"),
+            (ratio <= MAX_REP_RATIO).alias("keep_repetition"),
+        )
     )
 
 
