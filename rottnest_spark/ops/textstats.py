@@ -189,20 +189,33 @@ def repetition_signals(df: DataFrame, id_col: str, col: str) -> DataFrame:
 
 
 def fingerprints(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """content_fp = md5 of the whitespace-normalized text; winnow_fp = the
+    WINNOW_K smallest md5s of the WINNOW_N-word shingles (winnowing sketch).
+
+    The normalized string and its word array are bound behind a repartition
+    barrier first: with them inline, the transform lambda's slice() carries
+    the whole split and the text is re-normalized/tokenized per shingle
+    position (no CSE inside HOF lambdas — the repo's measured O(len²)
+    pitfall)."""
+    spark = df.sparkSession
     norm = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
-    toks = f"split({norm}, ' ')"
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(norm).alias("__norm__"),
+        F.expr(f"split({norm}, ' ')").alias("__w__"),
+    ).repartition(spark.sparkContext.defaultParallelism)
     shingles = (
-        f"CASE WHEN size({toks}) >= {WINNOW_N} THEN "
-        f"transform(sequence(1, size({toks}) - {WINNOW_N - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {WINNOW_N}))) "
-        f"ELSE array({norm}) END"
+        f"CASE WHEN size(__w__) >= {WINNOW_N} THEN "
+        f"transform(sequence(1, size(__w__) - {WINNOW_N - 1}), "
+        f"i -> concat_ws(' ', slice(__w__, i, {WINNOW_N}))) "
+        f"ELSE array(__norm__) END"
     )
     winnow = (
         f"concat_ws(':', slice(array_sort(transform({shingles}, x -> md5(x))), "
         f"1, {WINNOW_K}))"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"md5({norm})").alias("content_fp"),
+    return bound.select(
+        "id",
+        F.expr("md5(__norm__)").alias("content_fp"),
         F.expr(winnow).alias("winnow_fp"),
     )
