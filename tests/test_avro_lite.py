@@ -113,6 +113,60 @@ def test_ocf_roundtrip_nested(tmp_path, codec):
     assert got_schema["name"] == "manifest_entry"
 
 
+_REC_SCHEMA = {
+    "type": "record",
+    "name": "prop_rec",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "maybe", "type": ["null", "long"]},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+    ],
+}
+
+
+def test_property_roundtrip(tmp_path):
+    """Hypothesis: arbitrary values under the manifest-like schema survive
+    write→read bit-exactly (the hand-rolled codec's safety net)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    longs = st.integers(min_value=-(2**62), max_value=2**62)
+    texts = st.text(max_size=20)
+    recs = st.fixed_dictionaries(
+        {
+            "i": longs,
+            "s": texts,
+            "maybe": st.one_of(st.none(), longs),
+            "xs": st.lists(longs, max_size=5),
+            "m": st.dictionaries(texts, texts, max_size=4),
+            "b": st.booleans(),
+            "d": st.floats(allow_nan=False, allow_infinity=False),
+        }
+    )
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(recs, max_size=8))
+    def check(rows):
+        import os
+        import uuid
+
+        p = str(tmp_path / f"prop_{uuid.uuid4().hex}.avro")
+        try:
+            write_ocf(p, _REC_SCHEMA, rows, codec="deflate")
+            _, got = read_ocf(p)
+            assert got == rows
+        finally:
+            if os.path.exists(p):
+                os.remove(p)
+
+    check()
+
+
 def test_unknown_codec_refused(tmp_path):
     p = str(tmp_path / "t.avro")
     write_ocf(p, {"type": "record", "name": "r", "fields": []}, [{}])

@@ -64,3 +64,52 @@ def test_topk_is_take_ordered(spark, sf_dir):
         .limit(5)
     )
     assert "TakeOrderedAndProject" in _executed_plan(df)
+
+
+def test_bounded_collect_never_materializes_oversized_list(spark):
+    """An unselective candidate set (way over threshold) must be detected
+    from a LIMIT — not by evaluating/collecting the whole set. Observed via
+    an accumulator counting evaluated candidate rows."""
+    from rottnest_spark.core.refine import collect_candidates_bounded
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("int")
+    def counted(x):
+        acc.add(1)
+        return x
+
+    n = 200_000
+    files = {f"/covered/f{i}" for i in range(50)}
+    cands = (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            F.concat(
+                F.lit("/covered/f"), (F.col("id") % 50).cast("string")
+            ).alias("file_path"),
+            counted((F.col("id") % 1000).cast("int")).alias("row_group"),
+        )
+    )
+    out = collect_candidates_bounded(cands, files, files, threshold=100)
+    assert out is None  # over threshold → caller falls back to full scan
+    # incremental limit execution touches at most a few partitions, never
+    # the whole candidate set
+    assert acc.value < n // 2, acc.value
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram side of decontamination must be a broadcast semi join:
+    at corpus scale the training side is never shuffled for it."""
+    from rottnest_spark.ops.decontam import ngram_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_overlap(
+        docs.filter("doc_id % 50 != 0"),
+        docs.filter("doc_id % 50 = 0"),
+        "doc_id",
+        "text",
+        n=5,
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
