@@ -256,6 +256,44 @@ class ParquetLake:
         subtrees of a single job (scheduled concurrently), and no per-spec
         candidate list is ever materialized on the driver. The final unit
         list is collected with the same bounded limit as single-index search."""
+        cand_list, _ = self._conj_candidates(specs)
+
+        if cand_list is None:
+            out = self.read(self.files)
+        elif not cand_list:
+            out = self.read(self.files[:1]).limit(0)
+        else:
+            out = read_candidates(self.spark, cand_list, columns=None)
+        for index, column, query in specs:
+            out = index.brute_force(out, column, query, None)
+        if columns:
+            out = out.select(*columns)
+        return out.limit(k) if k is not None else out
+
+    def explain_search_conj(
+        self, specs: list[tuple[SparkIndex, str, object]]
+    ) -> dict:
+        """Structured decision report for the conjunctive path, mirroring
+        explain_search: how many specs constrained, how many files escaped
+        all constraints, the intersected candidate count, and the final
+        execution decision."""
+        cand_list, diag = self._conj_candidates(specs)
+        if cand_list is None:
+            diag["decision"] = "brute_force_threshold"
+            diag["n_candidates"] = None
+        elif not cand_list:
+            diag["decision"] = "empty"
+            diag["n_candidates"] = 0
+        else:
+            diag["decision"] = "index_scan"
+            diag["n_candidates"] = len(cand_list)
+        return diag
+
+    def _conj_candidates(
+        self, specs: list[tuple[SparkIndex, str, object]]
+    ) -> tuple[list[tuple[str, int]] | None, dict]:
+        """Shared candidate computation for search_conj/explain_search_conj:
+        (unit list | None when over threshold, diagnostics dict)."""
         from pyspark.sql import functions as F
 
         # probe each spec; keep only the constraining ones
@@ -341,17 +379,13 @@ class ParquetLake:
             else:
                 cand_list.extend((r["file_path"], r["row_group"]) for r in rows)
 
-        if cand_list is None:
-            out = self.read(self.files)
-        elif not cand_list:
-            out = self.read(self.files[:1]).limit(0)
-        else:
-            out = read_candidates(self.spark, cand_list, columns=None)
-        for index, column, query in specs:
-            out = index.brute_force(out, column, query, None)
-        if columns:
-            out = out.select(*columns)
-        return out.limit(k) if k is not None else out
+        diag = {
+            "n_specs": len(specs),
+            "n_constraining_specs": len(constraining),
+            "n_constrained_files": len(n_specs),
+            "n_unconstrained_files": len(unconstrained),
+        }
+        return cand_list, diag
 
     def explain_search(self, index: SparkIndex, column: str, query) -> dict:
         """Structured plan introspection (the reference prints its tier

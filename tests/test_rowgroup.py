@@ -234,3 +234,10 @@ def test_conjunctive_multi_index_search(spark, sf_dir, tmp_path):
     cands = tidx.search(spark, [entry["index_path"]], (lo, hi)).collect()
     total = extract_layout(spark, [str(out / "events.parquet")]).count()
     assert 0 < len(cands) < total
+    # structured decision report mirrors the executed plan
+    diag = lake.explain_search_conj([(lidx, "props", q), (tidx, "ts", (lo, hi))])
+    assert diag["n_specs"] == 2
+    assert diag["n_constraining_specs"] >= 1
+    assert diag["decision"] == "index_scan"
+    assert 0 < diag["n_candidates"] < total + 1
+    assert diag["n_unconstrained_files"] == 0
