@@ -193,6 +193,38 @@ def test_vacuum_after_data_deletion_search_stays_exact(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_search_with_stale_entries_before_vacuum(spark, sf_dir, tmp_path):
+    """Files deleted from the lake but still referenced by index entries
+    (pre-vacuum window): candidates for dead files must be filtered by the
+    liveness semi-join, never fetched, and results must equal a full scan
+    of the survivors."""
+    import glob
+    import os
+
+    lake_dir = str(tmp_path / "lake")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(4)
+        .write.parquet(lake_dir)
+    )
+    lake = ParquetLake(spark, lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex(unselective_frac=None)  # force the probe path
+    lake.build_index(idx, "text")
+    for f in sorted(glob.glob(lake_dir + "/*.parquet"))[:2]:
+        os.remove(f)
+    # NO vacuum: catalog entries still list the dead files
+    q = "merge sort"
+    got = _ids(lake.search(idx, "text", q))
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(lake_dir)
+        .filter(F.contains(F.lower("text"), F.lit(q)))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_brute_force_threshold_falls_back_exactly(spark, docs_lake_dir, tmp_path):
     """An unselective index (candidates > threshold) must fall back to the
     full scan and still return exact results (utils.py:224-225 analog)."""
