@@ -719,6 +719,28 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-pass filtered aggregation — all four predicates are
+    plain comparisons, so they push to the Parquet scan (PushedFilters) and
+    shipdate min/max prunes row groups on date-clustered data."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_HI).cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style join: broadcast the small dimension, shuffle the fact
     once, deterministic top-K via (rounded revenue, key) ordering."""
@@ -866,6 +888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "train_val_test": q_train_val_test,
     "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
     "asof_join": q_asof_join,
@@ -1165,6 +1188,14 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q6": f"""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+          AND l_shipdate <  TIMESTAMP '{Q6_HI}'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
     """,
     "top_revenue_orders": """
         SELECT l_orderkey,

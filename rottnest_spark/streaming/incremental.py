@@ -35,10 +35,21 @@ def stream_index_maintenance(
     checkpoint_dir: str,
     binpack_row_threshold: int = 100_000_000,
     timeout_sec: int = 300,
+    path: str | None = None,
+    trigger_format: str = "parquet",
 ) -> list[str]:
     """Drain all not-yet-seen lake files and index them. Returns the names
-    of index entries created in this drain. Blocking (AvailableNow)."""
-    schema = lake.read(lake.files[:1]).schema
+    of index entries created in this drain. Blocking (AvailableNow).
+
+    `path`/`trigger_format` override the watched directory — the stream is
+    only the NEW-WORK TRIGGER; coverage is always decided by the catalog
+    anti-join against `lake.files`. For table-format lakes (Delta/Iceberg
+    snapshot lakes) watch the METADATA log as text
+    (`path=<table>/_delta_log, trigger_format="text"`): data files land on
+    disk BEFORE the commit, so watching the data directory would miss
+    commit-only snapshot changes, while each new commit/metadata file is
+    exactly one new trigger. Either way, files physically present but
+    outside the current snapshot are never indexed."""
     created: list[str] = []
 
     def build_batch(batch_df, batch_id: int) -> None:
@@ -50,11 +61,15 @@ def stream_index_maintenance(
             )
         )
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(lake.data_dir)
-    )
+    if trigger_format == "text":
+        stream = spark.readStream.text(path or lake.data_dir)
+    else:
+        schema = lake.read(lake.files[:1]).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(path or lake.data_dir)
+        )
     q = (
         stream.writeStream.foreachBatch(build_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -106,3 +106,72 @@ def test_stateful_dedup_across_batches(spark, sf_dir, tmp_path):
     want_all = ev.select("user_id", F.md5("props")).distinct().count()
     assert out2.count() == want_all  # replayed rows stayed suppressed
     assert out2.select("key", "content_hash").distinct().count() == want_all
+
+
+def test_snapshot_lake_streaming_maintenance(spark, sf_dir, tmp_path):
+    """Delta snapshot lake: the file stream is only the new-file trigger —
+    coverage follows the SNAPSHOT (catalog anti-join vs lake.files), so
+    snapshot-removed files discovered on disk are never indexed."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+
+    table = tmp_path / "dtable"
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = {}
+    for i, cond in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
+        name = f"part-{i:05d}.parquet"
+        docs.filter(cond).coalesce(1).write.parquet(str(table / f"_t{i}"))
+        src = glob.glob(str(table / f"_t{i}" / "*.parquet"))[0]
+        shutil.move(src, str(table / name))
+        shutil.rmtree(str(table / f"_t{i}"))
+        parts[i] = name
+
+    def commit(version, adds=(), removes=()):
+        lines = [json.dumps({"add": {"path": p, "dataChange": True}}) for p in adds]
+        lines += [json.dumps({"remove": {"path": p, "dataChange": True}}) for p in removes]
+        with open(os.path.join(str(log), f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    commit(0, adds=[parts[0]])
+    lake = DeltaSnapshotLake(spark, str(table), str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    ckpt = str(tmp_path / "ckpt")
+    created1 = stream_index_maintenance(
+        spark, lake, idx, "text", ckpt, path=str(log), trigger_format="text"
+    )
+    assert created1
+    covered = {
+        f
+        for e in lake.catalog.entries_for("substring", "text")
+        for f in e["file_paths"]
+    }
+    # part-1 exists on disk but is NOT in the snapshot → not indexed
+    assert covered == {os.path.join(str(table), parts[0])}
+
+    commit(1, adds=[parts[1]])
+    created2 = stream_index_maintenance(
+        spark, lake, idx, "text", ckpt, path=str(log), trigger_format="text"
+    )
+    assert created2
+    q = "merge sort"
+    got = sorted(
+        r["doc_id"] for r in lake.search(idx, "text", q).select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            *[os.path.join(str(table), p) for p in parts.values()]
+        )
+        .filter(F.contains(F.lower("text"), F.lit(q)))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
