@@ -99,6 +99,38 @@ def main() -> None:
         )
         print("conjunctive log+time search:", conj.count(), "rows")
 
+        # round 2: decontamination audit + hybrid lexical/vector retrieval
+        from rottnest_spark.ops.decontam import ngram_overlap
+        from rottnest_spark.ops.hybrid import ranked, rrf_fuse
+
+        flags = ngram_overlap(
+            docs.filter("doc_id % 50 != 0"),
+            docs.filter("doc_id % 50 = 0"),
+            "doc_id",
+            "text",
+            n=5,
+            min_hits=3,
+        )
+        print(
+            "decontamination: flagged",
+            flags.filter("contaminated").count(),
+            "of",
+            flags.count(),
+            "train docs",
+        )
+        bmr = ranked(
+            bm25_topk(lake, bm, "text", "spark window merge", 20, "doc_id"),
+            "doc_id",
+            [F.desc("score"), F.asc("doc_id")],
+        )
+        knr = ranked(
+            knn_topk(elake, vec, "embedding", list(q), 20, "vec_id"),
+            "vec_id",
+            [F.asc("dist"), F.asc("vec_id")],
+        )
+        fused = rrf_fuse([bmr, knr], k=5)
+        print("hybrid RRF top-5:", [(r["id"], r["rrf"]) for r in fused.collect()])
+
         # lifecycle: compaction + vacuum keep results identical
         before = lake.search(sub, "text", "merge sort").count()
         lake.compact_indices(sub, "text", row_threshold=10**9)

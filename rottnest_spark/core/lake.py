@@ -140,21 +140,27 @@ class ParquetLake:
         index_path: str,
         timeout: float,
     ) -> None:
-        """Run one group's build in a worker thread with a deadline. PySpark
-        pins Python threads to JVM threads, so the job group set inside the
-        worker scopes exactly the build's Spark jobs — cancelling it on
-        timeout frees the cluster instead of leaking a runaway job."""
+        self._run_with_timeout(
+            lambda: index.build(self.spark, files, column, index_path),
+            f"index build for {index_path}",
+            timeout,
+        )
+
+    def _run_with_timeout(self, fn, desc: str, timeout: float) -> None:
+        """Run a Spark-jobs-producing callable in a worker thread with a
+        deadline. PySpark pins Python threads to JVM threads, so the job
+        group set inside the worker scopes exactly this work — cancelling
+        it on timeout frees the cluster instead of leaking a runaway job."""
         import threading
 
         sc = self.spark.sparkContext
-        tag = f"rottnest-build-{uuid.uuid4().hex[:8]}"
+        tag = f"rottnest-guard-{uuid.uuid4().hex[:8]}"
         err: list[BaseException] = []
 
         def run():
             try:
-                sc.setJobGroup(tag, f"index build {index_path}",
-                               interruptOnCancel=True)
-                index.build(self.spark, files, column, index_path)
+                sc.setJobGroup(tag, desc, interruptOnCancel=True)
+                fn()
             except BaseException as e:  # surfaced to the caller below
                 err.append(e)
 
@@ -165,9 +171,9 @@ class ParquetLake:
             sc.cancelJobGroup(tag)
             t.join(5.0)
             raise TimeoutError(
-                f"index build for {index_path} exceeded {timeout}s — Spark "
-                f"jobs cancelled, no catalog entry committed; any partial "
-                f"output is an orphan dir reclaimed by vacuum()"
+                f"{desc} exceeded {timeout}s — Spark jobs cancelled, no "
+                f"catalog entry committed; any partial output is an orphan "
+                f"dir reclaimed by vacuum()"
             )
         if err:
             raise err[0]
@@ -484,9 +490,13 @@ class ParquetLake:
         index: SparkIndex,
         column: str,
         row_threshold: int = 100_000_000,
+        timeout: float | None = None,
     ) -> list[str]:
         """Merge small index entries. Commit is append-then-delete in one
-        atomic catalog swap (crash-safe ordering, iceberg.py:471-479)."""
+        atomic catalog swap (crash-safe ordering, iceberg.py:471-479).
+        `timeout` guards each merge like build_index's guard: on expiry the
+        merge's jobs are cancelled, the catalog keeps the ORIGINAL entries,
+        and the half-written merged dir is an orphan vacuum reclaims."""
         entries = self.catalog.entries_for(index.index_type, column)
         # never merge entries built under different configs: the merged entry
         # would claim one config while containing data built under another,
@@ -504,7 +514,15 @@ class ParquetLake:
         for group in groups:
             index_name = f"{index.index_type}_{column}_c{uuid.uuid4().hex[:8]}"
             index_path = os.path.join(self.index_dir, index_name)
-            index.compact(self.spark, [e["index_path"] for e in group], index_path)
+            paths = [e["index_path"] for e in group]
+            if timeout is None:
+                index.compact(self.spark, paths, index_path)
+            else:
+                self._run_with_timeout(
+                    lambda p=paths, o=index_path: index.compact(self.spark, p, o),
+                    f"compaction into {index_path}",
+                    timeout,
+                )
             record = {
                 "index_name": index_name,
                 "index_type": index.index_type,

@@ -63,6 +63,58 @@ def test_fast_build_unaffected_by_timeout(spark, docs_lake_dir, tmp_path):
     assert lake.catalog.entries_for("substring", "text")
 
 
+def test_compact_crash_leaves_catalog_intact(spark, docs_lake_dir, tmp_path):
+    """A compaction that dies AFTER writing its merged table but BEFORE the
+    catalog swap must leave the original entries live (search unchanged)
+    and only an orphan dir, which vacuum reclaims."""
+    import pyspark.sql.functions as F
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text", binpack_row_threshold=1)
+    entries_before = {e["index_name"] for e in lake.catalog.entries()}
+    assert len(entries_before) > 1
+    q = "merge sort"
+    before = sorted(
+        r["doc_id"] for r in lake.search(idx, "text", q).select("doc_id").collect()
+    )
+
+    # simulate the crash: run the merge exactly as compact_indices would,
+    # then "die" before catalog.replace
+    import os as _os
+    import uuid as _uuid
+
+    group = lake.catalog.entries_for("substring", "text")
+    orphan = _os.path.join(str(tmp_path / "idx"), f"crashed_{_uuid.uuid4().hex[:8]}")
+    idx.compact(spark, [e["index_path"] for e in group], orphan)
+    assert _os.path.isdir(orphan)
+
+    # catalog unchanged → search unchanged
+    assert {e["index_name"] for e in lake.catalog.entries()} == entries_before
+    after = sorted(
+        r["doc_id"] for r in lake.search(idx, "text", q).select("doc_id").collect()
+    )
+    assert after == before
+    removed = lake.vacuum()
+    assert _os.path.basename(orphan) in removed
+    assert not _os.path.exists(orphan)
+
+
+def test_compact_timeout_keeps_original_entries(spark, docs_lake_dir, tmp_path):
+    class SlowCompactIndex(SubstringIndex):
+        def compact(self, spark_, index_paths, out_path):
+            time.sleep(3.0)
+            super().compact(spark_, index_paths, out_path)
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SlowCompactIndex()
+    lake.build_index(idx, "text", binpack_row_threshold=1)
+    entries_before = {e["index_name"] for e in lake.catalog.entries()}
+    with pytest.raises(TimeoutError, match="compaction"):
+        lake.compact_indices(idx, "text", row_threshold=10_000_000, timeout=0.5)
+    assert {e["index_name"] for e in lake.catalog.entries()} == entries_before
+
+
 def test_build_error_propagates_through_guard(spark, docs_lake_dir, tmp_path):
     class BoomIndex(SlowIndex):
         index_type = "boom"
