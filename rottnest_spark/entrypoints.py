@@ -147,6 +147,62 @@ def q_log_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REGEX_QUERY = r"merge\s+(sort|join)"
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex search accelerated by the SUBSTRING index (no extra index):
+    required-literal extraction ("merge" here — the group is conservatively
+    ignored) prunes candidates, rlike refines with exact case-sensitive
+    regex semantics."""
+    from rottnest_spark.indices.substring import RegexSearch
+
+    lake = indexed_lake(spark, sf_dir, "documents", "text", SubstringIndex())
+    return lake.search(RegexSearch(), "text", REGEX_QUERY).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit: deterministic synthetic PII is
+    appended to documents (emails/phones/IPs on modular doc_id slices),
+    then counted and redacted; the redacted text is md5'd so the oracle
+    verifies the full rewrite without shipping long strings."""
+    from rottnest_spark.ops.redact import pii_counts, redact
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    lines = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), did, F.lit("@example.com now")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call +1 555-01"), did),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".25"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("line"),
+    )
+    counts = pii_counts(lines, "doc_id", "line")
+    red = redact(lines, "doc_id", "line")
+    return counts.join(
+        red.select("id", F.md5("redacted").alias("redacted_md5")), "id"
+    )
+
+
 def q_log_timerange_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 line-prefix variant: the timestamp lives INSIDE the log line text
     (reference logcloud_rex.rs:303-341) — synthesize log lines from events
@@ -864,6 +920,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logcloud_search": q_logcloud_search,
     "log_timerange": q_log_timerange,
     "log_timerange_prefix": q_log_timerange_prefix,
+    "regex_search": q_regex_search,
+    "pii_redact": q_pii_redact,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
@@ -921,6 +979,46 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, event_type FROM events
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
           AND ts BETWEEN TIMESTAMP '{LOG_T_LO}' AND TIMESTAMP '{LOG_T_HI}'
+    """,
+    "regex_search": r"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE regexp_matches(text, 'merge\s+(sort|join)')
+    """,
+    "pii_redact": r"""
+        WITH lines AS (
+            SELECT doc_id AS id,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || doc_id || '@example.com now'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ' call +1 555-01' || doc_id ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0
+                        THEN ' from 10.0.' || (doc_id % 256) || '.25'
+                        ELSE '' END AS line
+            FROM documents
+        )
+        SELECT id,
+               len(regexp_extract_all(line,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                   AS n_email,
+               len(regexp_extract_all(line,
+                   '\+?[0-9][0-9() .-]{6,}[0-9]')) AS n_phone,
+               len(regexp_extract_all(line,
+                   '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+               (len(regexp_extract_all(line,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
+                OR len(regexp_extract_all(line,
+                       '\+?[0-9][0-9() .-]{6,}[0-9]')) > 0
+                OR len(regexp_extract_all(line,
+                       '([0-9]{1,3}\.){3}[0-9]{1,3}')) > 0) AS has_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(line,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IPV4]', 'g'),
+                   '\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g'))
+                   AS redacted_md5
+        FROM lines
     """,
     "log_timerange_prefix": f"""
         WITH lines AS (

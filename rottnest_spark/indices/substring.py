@@ -56,6 +56,104 @@ def char_ngrams(col, n: int):
     return F.array_distinct(F.transform(starts, lambda i: col.substr(i, F.lit(n))))
 
 
+#: regex metacharacters; escaping one of these yields a literal char
+_RE_SPECIAL = set(".^$*+?()[]{}|\\/-")
+
+
+def required_literal_runs(pattern: str) -> list[str] | None:
+    """Literal substrings every match of `pattern` MUST contain, or None
+    when the pattern has top-level alternation (nothing is required).
+
+    Conservative by construction — the runs gate index pruning, so a
+    false "required" would cause false negatives while a dropped run only
+    costs pruning power:
+
+    - only depth-0 characters are collected; group contents are ignored
+      entirely (a trailing `?`/`*` could make them optional);
+    - a literal followed by `?`, `*`, or `{0,...}` is dropped; `+` and
+      `{1+,...}` keep a single copy;
+    - classes, `.`, and escape classes (\\d, \\w, ...) break the run;
+    - escaped metacharacters (\\., \\+, ...) are literals.
+    """
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def close() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    def quant(j: int) -> tuple[int, bool, bool]:
+        """(index after any quantifier at j, atom-required?, quantified?).
+
+        A quantified-but-required atom (x+, x{2,...}) contributes ONE copy
+        and then BREAKS the run: in `ab+c` the repeats sit between b and c,
+        so "ab" and "c" are required but "abc" is not."""
+        if j < len(pattern):
+            c = pattern[j]
+            if c in "?*":
+                return j + 1, False, True
+            if c == "+":
+                return j + 1, True, True
+            if c == "{":
+                k = pattern.find("}", j)
+                if k != -1:
+                    body = pattern[j + 1 : k].split(",")[0].strip()
+                    required = body.isdigit() and int(body) >= 1
+                    return k + 1, required, True
+        return j, True, False
+
+    i, n, depth = 0, len(pattern), 0
+    while i < n:
+        c = pattern[i]
+        if c == "(":
+            depth += 1
+            close()
+            i += 1
+            continue
+        if c == ")":
+            depth = max(0, depth - 1)
+            i, _, _ = quant(i + 1)
+            close()
+            continue
+        if depth > 0:
+            i += 1
+            continue
+        if c == "|":
+            return None  # top-level alternation: nothing is required
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            i, keep, quantified = quant(i + 2)
+            if nxt in _RE_SPECIAL and keep:
+                cur.append(nxt)
+            if not (nxt in _RE_SPECIAL) or not keep or quantified:
+                close()
+            continue
+        if c == "[":
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i, _, _ = quant(j + 1)
+            close()
+            continue
+        if c in ".^$":
+            i, _, _ = quant(i + 1)
+            close()
+            continue
+        # plain literal char
+        i, keep, quantified = quant(i + 1)
+        if keep:
+            cur.append(c)
+        if not keep or quantified:
+            close()
+    close()
+    return runs
+
+
 class SubstringIndex(SparkIndex):
     index_type = "substring"
     sort_cols = ["gram"]
@@ -202,4 +300,35 @@ class SubstringIndex(SparkIndex):
         self, df: DataFrame, column: str, query: str, k: int | None
     ) -> DataFrame:
         out = df.filter(F.contains(F.lower(F.col(column)), F.lit(query.lower())))
+        return out.limit(k) if k is not None else out
+
+
+class RegexSearch(SubstringIndex):
+    """Regex predicate accelerated by the SAME substring index tables.
+
+    `index_type`/`config()` are inherited, so a RegexSearch probe reuses
+    catalog entries built by SubstringIndex — no extra index. Pruning: any
+    match must contain every `required_literal_runs` literal, and the index
+    stores lowercase grams, so probing with the lowercased runs' grams can
+    never lose a match (case-folding only widens candidates); the rlike
+    refine restores exact case-SENSITIVE regex semantics. Patterns whose
+    extraction yields no usable run (top-level alternation, all-wildcard)
+    fall back to BRUTE_FORCE — still exact, just unpruned."""
+
+    def query_grams(self, pattern: str) -> list[str]:
+        runs = required_literal_runs(pattern)
+        if not runs:
+            return []
+        grams: list[str] = []
+        for r in runs:
+            r = r.lower()
+            grams.extend(
+                r[i : i + self.gram] for i in range(len(r) - self.gram + 1)
+            )
+        return list(dict.fromkeys(grams))
+
+    def brute_force(
+        self, df: DataFrame, column: str, pattern: str, k: int | None
+    ) -> DataFrame:
+        out = df.filter(F.col(column).rlike(pattern))
         return out.limit(k) if k is not None else out
