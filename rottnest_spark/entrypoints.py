@@ -518,6 +518,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level dedup: connected components over the MinHash near-dup
+    pair graph (component = min reachable id). Chains a~b, b~c collapse
+    into one group even when (a, c) was never emitted."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -938,6 +950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "minhash_dedup": q_minhash_dedup,
+    "dup_components": q_dup_components,
     "simhash_dedup": q_simhash_dedup,
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "embedding_dedup": q_embedding_dedup,
@@ -1215,6 +1228,22 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY md5(props) HAVING count(*) > 1
     """,
     "minhash_dedup": _minhash_oracle(),
+    "dup_components": f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.lbl
+            FROM walk w JOIN edges e ON w.id = e.dst
+        )
+        SELECT id AS doc_id, min(lbl) AS component
+        FROM walk GROUP BY id
+    """,
     "simhash_dedup": f"""
         WITH sig AS ({_SIMHASH_SIG})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

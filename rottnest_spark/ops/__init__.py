@@ -1,7 +1,9 @@
 from rottnest_spark.ops.dedup import (
+    connected_components,
     embedding_cosine_pairs,
     embedding_cosine_pairs_ivf,
     exact_dup_groups,
+    keep_group_representatives,
     lsh_bucket_stats,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -10,6 +12,8 @@ from rottnest_spark.ops.dedup import (
 
 __all__ = [
     "exact_dup_groups",
+    "connected_components",
+    "keep_group_representatives",
     "minhash_lsh_pairs",
     "lsh_bucket_stats",
     "simhash_pairs",

@@ -615,3 +615,89 @@ def embedding_cosine_pairs_ivf(
         .applyInPandas(within, "id_a long, id_b long, cosine double")
         .distinct()  # a pair can surface in several probed clusters
     )
+
+
+# --------------------------------------------------------------------------
+# 6. Connected components (group-level dedup)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component): transitive closure over a pair graph — component =
+    the MIN id reachable from each node. This is the group-level step pair
+    emitters (MinHash/SimHash/cosine) need: chains a~b, b~c collapse into
+    ONE group even when (a, c) was never emitted as a pair.
+
+    Algorithm: iterative min-label propagation. Each round joins labels
+    across the (symmetrized) edge list and keeps the per-node min; the
+    label table is localCheckpoint'ed per round (it is node-scale — tiny
+    next to the corpus — and checkpointing truncates the lineage that
+    would otherwise double every round). Rounds needed = graph diameter;
+    near-dup graphs are shallow (duplicate clusters, not paths), so the
+    default bound is generous. Raises if the bound is hit without
+    convergence rather than returning partial components."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nc", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        f"— pathological chain graph; raise max_iterations"
+    )
+
+
+def keep_group_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every row of a near-dup component except its min-id
+    representative — the transitive-closure-correct dedup policy (the
+    pairwise 'drop the max side of each pair' policy can over-drop on
+    chains)."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

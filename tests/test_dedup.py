@@ -118,3 +118,47 @@ def test_minhash_max_bucket_skew_guard(spark, docs):
     assert capped == full
     tiny = _pairs(dedup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=2))
     assert set(tiny) <= set(full)
+
+
+def test_connected_components_chain_and_star(spark):
+    """Chains collapse transitively; min id labels the component."""
+    from rottnest_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_convergence_guard(spark):
+    from rottnest_spark.ops.dedup import connected_components
+
+    # a path graph of length 12 needs ~12 rounds > the tiny bound
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iterations=2)
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_keep_group_representatives_vs_pairwise_policy(spark):
+    """On a chain a~b, b~c the component policy keeps exactly one doc."""
+    from rottnest_spark.ops.dedup import keep_group_representatives
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (9, "w")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_group_representatives(df, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 9]
