@@ -120,3 +120,12 @@ def test_redact_and_counts(spark):
     assert red[2].count("[PHONE]") == 2 and "4567" not in red[2]
     assert "[IPV4]" in red[3] and "192.168" not in red[3]
     assert red[4] == rows[3][1]
+
+
+def test_regex_config_mismatch_raises(spark, docs_lake_dir, tmp_path):
+    """RegexSearch must honor the same build/probe config guard as the
+    substring index it reuses."""
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    lake.build_index(SubstringIndex(gram=3), "text")
+    with pytest.raises(ValueError, match="config"):
+        lake.search(RegexSearch(gram=4), "text", r"merge\s+sort").collect()
