@@ -924,6 +924,73 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Aggregate analytics (ops/analytics.py) + duplicate-span dedup
+# --------------------------------------------------------------------------
+
+DUP_SPAN_WINDOW = 8
+NGRAM_TOP_K = 20
+
+# Irregular price bands (NOT bin-aligned — exercises the residual filter).
+PRICE_BANDS = [
+    ("micro", 0.0, 1_000.0),
+    ("small", 1_000.0, 5_000.0),
+    ("mid", 5_000.0, 20_000.0),
+    ("large", 20_000.0, 150_000.0),
+    ("jumbo", 150_000.0, 1_000_000.0),
+]
+RANGE_BIN_WIDTH = 10_000.0
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage detection (Lee et al. substring dedup as a
+    window-hash aggregate): 8-token spans occurring in 2+ documents."""
+    return dedup.duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", DUP_SPAN_WINDOW
+    )
+
+
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k 3-grams — the boilerplate/contamination audit that
+    pairs with `dup_spans` (what IS the repeated text?)."""
+    from rottnest_spark.ops.analytics import frequent_ngrams
+
+    return frequent_ngrams(load(spark, sf_dir, "documents"), "text", 3, NGRAM_TOP_K)
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: (day, event_type) leaves + daily
+    subtotals + grand total in ONE shuffle via ROLLUP grouping sets."""
+    from rottnest_spark.ops.analytics import time_rollup
+
+    return time_rollup(load(spark, sf_dir, "events"), "ts", "event_type", "value")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join as a binned equi-join (no BNLJ): orders
+    priced into irregular bands, then per-band rollup."""
+    from rottnest_spark.ops.analytics import range_join_binned
+
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_join_binned(
+        load(spark, sf_dir, "orders"), bands,
+        "o_totalprice", "lo", "hi", RANGE_BIN_WIDTH,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KPIs: exact distinct users + exact continuous-
+    interpolation percentiles (the oracle-checkable twin of the
+    sketch-based `group_kpis_approx` 100 TB path)."""
+    from rottnest_spark.ops.analytics import group_kpis
+
+    return group_kpis(load(spark, sf_dir, "events"), "event_type", "user_id", "value")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "exact_match": q_exact_match,
@@ -965,6 +1032,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "windowed_event_counts": q_windowed_event_counts,
     "events_sessionize": q_events_sessionize,
+    "dup_spans": q_dup_spans,
+    "frequent_ngrams": q_frequent_ngrams,
+    "events_rollup": q_events_rollup,
+    "range_join": q_range_join,
+    "event_kpis": q_event_kpis,
 }
 
 ORACLES: dict[str, str] = {
@@ -1388,5 +1460,69 @@ ORACLES: dict[str, str] = {
                max(n_events) AS max_session_events,
                round(sum(session_value), 2) AS total_value
         FROM per_session GROUP BY user_id
+    """,
+    # duplicate 8-token spans: tk[i:i+7] is 1-based end-INCLUSIVE (8 tokens),
+    # i ranges over the window starts 1..len-7 (range() end-exclusive).
+    "dup_spans": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        ), w AS (
+            SELECT doc_id, tk,
+                   unnest(range(1, len(tk) - {DUP_SPAN_WINDOW} + 2)) AS i
+            FROM t WHERE len(tk) >= {DUP_SPAN_WINDOW}
+        )
+        SELECT md5(array_to_string(tk[i:i+{DUP_SPAN_WINDOW - 1}], ' '))
+                   AS span_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occ,
+               min(doc_id) AS first_doc
+        FROM w
+        GROUP BY span_hash
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "frequent_ngrams": f"""
+        WITH t AS (
+            SELECT string_split(lower(text), ' ') AS tk FROM documents
+        ), g AS (
+            SELECT array_to_string(tk[i:i+2], ' ') AS gram
+            FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+                  FROM t WHERE len(tk) >= 3)
+        )
+        SELECT gram, count(*) AS n_occ
+        FROM g GROUP BY gram
+        ORDER BY n_occ DESC, gram LIMIT {NGRAM_TOP_K}
+    """,
+    # DuckDB date_trunc on a timestamp yields DATE; cast back to TIMESTAMP
+    # to align with Spark's date_trunc (midnight timestamp). GROUPING(a, b)
+    # is the same bitmask as Spark's grouping_id().
+    "events_rollup": """
+        WITH t AS (
+            SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+                   event_type AS key, value AS v
+            FROM events
+        )
+        SELECT bucket, key, GROUPING(bucket, key) AS lvl,
+               count(*) AS n_rows, round(sum(v), 2) AS total_value
+        FROM t GROUP BY ROLLUP(bucket, key)
+    """,
+    "range_join": """
+        WITH bands(band, lo, hi) AS (VALUES {bands})
+        SELECT band, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """.format(
+        bands=", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+    ),
+    "event_kpis": """
+        SELECT event_type AS key,
+               count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
     """,
 }

@@ -1,0 +1,160 @@
+"""Aggregate analytics operators: multi-grain rollups, binned range joins,
+corpus n-gram statistics, and grouped KPI summaries (exact + sketch paths).
+
+These round out the query surface a training-data / observability user runs
+next to the index queries (reference analog: the metadata aggregations in
+`python/rottnest/table.py` are file-level rollups; here they are first-class
+table operators).
+
+Scale notes (100 TB):
+- `time_rollup` is ONE shuffle: ROLLUP expands each row to its grouping sets
+  map-side and partial-aggregates before the exchange, so the shuffle volume
+  is bounded by the number of distinct (grain, key) groups, not by row count.
+- `range_join_binned` turns an interval predicate into an equi-join on a bin
+  key. A non-equi join would be a BroadcastNestedLoopJoin (every fact row
+  tested against every dim row — quadratic); binning keeps it a hash join
+  whose fan-out is range_width / bin_width per dim row.
+- `group_kpis` (exact distinct + exact percentiles) holds each group's values
+  on one reducer — correct at any scale but the per-group sort is the cost.
+  `group_kpis_approx` swaps in mergeable sketches (HLL for distincts,
+  t-digest-style percentile_approx) that partial-aggregate map-side; that is
+  the 100 TB default, with the exact variant as the oracle-checkable path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Hypertable-style rollup: (grain-bucket, key) aggregates PLUS per-bucket
+    subtotals PLUS the grand total, in one pass via ROLLUP grouping sets.
+
+    `lvl` is the grouping_id bitmask (0 = leaf, 1 = key rolled up,
+    3 = grand total) so consumers can split the levels without NULL-sniffing.
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
+    return (
+        df.select(bucket, F.col(key_col).alias("key"), F.col(value_col).alias("v"))
+        .rollup("bucket", "key")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+    )
+
+
+def range_join_binned(
+    fact: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Inner join `fact` rows to the `dim` interval containing them:
+    fact.value ∈ [dim.lo, dim.hi).
+
+    Each dim interval explodes to the bins it covers; each fact row computes
+    one bin; the interval predicate becomes an equi-join on `_bin` plus a
+    residual filter that trims the boundary bins. Intervals may overlap (a
+    fact row then matches every covering interval). Choose `bin_width` near
+    the median interval width: fan-out per dim row is width/bin_width + 1.
+    """
+    binned_dim = dim.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    binned_fact = fact.withColumn(
+        "_bin", F.floor(F.col(value_col) / F.lit(bin_width))
+    )
+    keep = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return binned_fact.join(binned_dim, "_bin").filter(keep).drop("_bin")
+
+
+def frequent_ngrams(
+    df: DataFrame, col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k token n-grams by occurrence count (whitespace
+    tokenization, lowercased — same tokenizer as the dedup shinglers).
+
+    groupBy gets map-side partial aggregation, so the shuffle carries one row
+    per distinct gram per task, not per occurrence; the top-k is a TakeOrdered
+    (no global sort materialization). Ties at the k boundary break on gram
+    text so the result is deterministic across cluster sizes.
+    """
+    docs = df.select(F.split(F.lower(F.col(col)), " ").alias("tk")).filter(
+        F.size("tk") >= n
+    )
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(tk, i, {n})))"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def _exact_pct(value: str, p: float) -> Column:
+    return F.round(F.percentile(F.col(value), F.lit(p)), 4)
+
+
+def group_kpis(
+    df: DataFrame, key_col: str, user_col: str, value_col: str
+) -> DataFrame:
+    """Per-key KPIs with EXACT distinct counts and EXACT continuous-
+    interpolation percentiles (matches DuckDB quantile_cont — oracle path)."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(user_col)).alias("n_users"),
+        _exact_pct(value_col, 0.5).alias("p50"),
+        _exact_pct(value_col, 0.9).alias("p90"),
+        _exact_pct(value_col, 0.99).alias("p99"),
+        F.round(F.sum(value_col), 2).alias("total_value"),
+    )
+
+
+def group_kpis_approx(
+    df: DataFrame,
+    key_col: str,
+    user_col: str,
+    value_col: str,
+    rsd: float = 0.02,
+    pct_accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based KPIs — the 100 TB path. approx_count_distinct is an HLL++
+    (mergeable, map-side combined, error ~rsd); percentile_approx is a
+    mergeable quantile sketch with rank error 1/pct_accuracy. Same schema as
+    `group_kpis` so the two are drop-in interchangeable."""
+    pcts = F.percentile_approx(
+        F.col(value_col), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(pct_accuracy),
+    )
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(F.col(user_col), rsd).alias("n_users"),
+        F.round(pcts[0], 4).alias("p50"),
+        F.round(pcts[1], 4).alias("p90"),
+        F.round(pcts[2], 4).alias("p99"),
+        F.round(F.sum(value_col), 2).alias("total_value"),
+    )

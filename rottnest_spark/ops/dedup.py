@@ -124,6 +124,45 @@ def shingled_docs(
 # --------------------------------------------------------------------------
 
 
+def duplicate_spans(
+    df: DataFrame, id_col: str, col: str, window: int = 8
+) -> DataFrame:
+    """Exact duplicate PASSAGES: token windows of length `window` that occur
+    in 2+ distinct documents (the train-set substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array scan re-expressed as a window-hash aggregate).
+
+    Returns (span_hash, n_docs, n_occ, first_doc). One shuffle on the md5
+    window hash — uniform, skew-free; occurrences partial-aggregate map-side
+    so the exchange carries one row per distinct span per task. A boilerplate
+    span shared by every document is ONE group row (count n), never a pair
+    blow-up, so unlike pair-joins this is safe against pathological overlap.
+    """
+    docs = (
+        df.select(F.col(id_col).alias("id"), tokens_col(col).alias("tk"))
+        .filter(F.size("tk") >= window)
+        .repartition("id")  # bind tk behind a barrier (see shingled_docs)
+    )
+    spans = docs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {window - 1}),"
+                f" i -> md5(concat_ws(' ', slice(tk, i, {window}))))"
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, col: str) -> DataFrame:
     """Groups of byte-identical values: (content_hash, n_dups, keep_id).
 
