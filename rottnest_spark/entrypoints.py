@@ -901,7 +901,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # NOTE: Spark 4 forbids TIMESTAMP_NTZ -> BIGINT directly; hop through
+    # TIMESTAMP (the tz offset cancels in the gap subtraction).
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     with_flag = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),

@@ -27,6 +27,12 @@ def windowed_event_counts(
     OR static `events` DataFrame (same plan both ways)."""
     df = events
     if df.isStreaming:
+        # Watermarks require TIMESTAMP (LTZ); parquet timestamps without a
+        # zone infer as TIMESTAMP_NTZ in Spark 4. The cast is value-identical
+        # under a UTC session zone and keeps the batch plan (and its oracle
+        # hash) untouched.
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
