@@ -546,6 +546,17 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means clusters + within-cluster
+    cosine + one representative per duplicate component. Approximate
+    (k-means) — recall/property harness in tests/test_dedup.py; returned
+    sorted for a stable rows-only record."""
+    kept = dedup.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", COSINE_TAU
+    )
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
 # DuckDB fragments shared by the dedup oracles: distinct word-3-gram
 # shingles per doc (1-based end-inclusive list slice == Spark slice(t,i,3)).
 _SH_DISTINCT = """
@@ -994,6 +1005,89 @@ def q_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_kpis(load(spark, sf_dir, "events"), "event_type", "user_id", "value")
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+Q3_CUTOFF = "1997-06-30"
+HIST_BIN_WIDTH = 25.0
+TOP_PER_SEGMENT = 3
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream (view → click →
+    purchase, each strictly after the previous step's first occurrence)."""
+    from rottnest_spark.ops.analytics import funnel
+
+    return funnel(load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+                  FUNNEL_STEPS)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention triangle over events."""
+    from rottnest_spark.ops.analytics import cohort_retention
+
+    return cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each market segment — the few-huge-groups
+    top-N (two-phase local/global window, not one task per segment)."""
+    from rottnest_spark.ops.analytics import grouped_top_n
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    return grouped_top_n(
+        joined,
+        ["c_mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        TOP_PER_SEGMENT,
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (one map-combined groupBy)."""
+    from rottnest_spark.ops.analytics import value_histogram
+
+    return value_histogram(load(spark, sf_dir, "events"), "value", HIST_BIN_WIDTH)
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted to the fixture's columns):
+    unshipped-order revenue for BUILDING customers, top 10. Dimension side
+    (filtered customers) broadcasts; the lineitem↔orders join shuffles on
+    the order key with both filters pushed to the scans."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "exact_match": q_exact_match,
@@ -1024,6 +1118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "embedding_dedup": q_embedding_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "curate_documents": q_curate_documents,
     "stratified_mixture": q_stratified_mixture,
     "sequence_packing": q_sequence_packing,
@@ -1040,6 +1135,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "range_join": q_range_join,
     "event_kpis": q_event_kpis,
+    "events_funnel": q_events_funnel,
+    "cohort_retention": q_cohort_retention,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "value_histogram": q_value_histogram,
+    "tpch_q3": q_tpch_q3,
 }
 
 ORACLES: dict[str, str] = {
@@ -1527,5 +1627,70 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.99), 4) AS p99,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
+    """,
+    "events_funnel": f"""
+        WITH s0 AS (
+            SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY u
+        ),
+        s1 AS (
+            SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+            JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+            WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+        ),
+        s2 AS (
+            SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+            JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+            WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+        )
+        SELECT CAST(0 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+               count(*) AS n_users FROM s0
+        UNION ALL SELECT 1, '{FUNNEL_STEPS[1]}', count(*) FROM s1
+        UNION ALL SELECT 2, '{FUNNEL_STEPS[2]}', count(*) FROM s2
+    """,
+    "cohort_retention": """
+        WITH act AS (
+            SELECT DISTINCT user_id AS u,
+                   date_trunc('day', ts)::TIMESTAMP AS day FROM events
+        ),
+        first AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u)
+        SELECT f.cohort_day,
+               CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+               count(*) AS n_active
+        FROM act a JOIN first f ON a.u = f.u
+        GROUP BY 1, 2
+    """,
+    "top_orders_per_segment": f"""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rnk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rnk <= {TOP_PER_SEGMENT}
+    """,
+    "value_histogram": f"""
+        SELECT count(*) AS n_rows,
+               round(sum(value), 2) AS sum_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value,
+               round(floor(value / {HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH}, 2)
+                   AS bin_lo
+        FROM events
+        GROUP BY floor(value / {HIST_BIN_WIDTH})
+    """,
+    "tpch_q3": f"""
+        SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '{Q3_CUTOFF}'
+          AND l_shipdate > DATE '{Q3_CUTOFF}'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
     """,
 }

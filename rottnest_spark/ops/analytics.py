@@ -96,17 +96,21 @@ def frequent_ngrams(
     (no global sort materialization). Ties at the k boundary break on gram
     text so the result is deterministic across cluster sizes.
     """
-    docs = df.select(F.split(F.lower(F.col(col)), " ").alias("tk")).filter(
-        F.size("tk") >= n
+    from rottnest_spark.core.tuning import tuned_for_lambda_explode
+
+    docs = (
+        tuned_for_lambda_explode(df)
+        .select(F.split(F.lower(F.col(col)), " ").alias("tk"))
+        .filter(F.size("tk") >= n)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
+    # flat-position explode + codegen'd slice/concat projection (HOF
+    # transform lambdas run interpreted and re-evaluate per element; see
+    # textstats.repetition_signals for the measured comparison)
     grams = docs.select(
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(tk) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(tk, i, {n})))"
-            )
-        ).alias("gram")
-    )
+        "tk",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - F.lit(n - 1))).alias("i"),
+    ).select(F.concat_ws(" ", F.slice(F.col("tk"), F.col("i"), n)).alias("gram"))
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -131,6 +135,132 @@ def group_kpis(
         _exact_pct(value_col, 0.9).alias("p90"),
         _exact_pct(value_col, 0.99).alias("p99"),
         F.round(F.sum(value_col), 2).alias("total_value"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel: how many users performed step[0], then step[1]
+    strictly after it, then step[2] strictly after that, ...
+
+    Each stage is min-over-filter: stage i keeps one row per user (the
+    earliest qualifying timestamp), so the per-stage join is between two
+    user-keyed aggregates that shrink monotonically — the shuffles are on
+    the same key throughout and AQE coalesces them as the frontier narrows.
+    Never collects per-user event lists (the classic sort-within-user
+    funnel holds a whole user history per task; this holds one timestamp).
+    """
+    u = F.col(user_col)
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias("_u"))
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = cur.agg(
+        F.lit(0).cast("long").alias("step_idx"),
+        F.lit(steps[0]).alias("step"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    for i, s in enumerate(steps[1:], 1):
+        ev = df.filter(F.col(type_col) == s).select(
+            u.alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        cur = (
+            ev.join(cur, "_u")
+            .filter(F.col("_ts") > F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        out = out.unionAll(
+            cur.agg(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    return out
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Day-grain cohort retention: users bucketed by first-active day;
+    for each (cohort_day, day_offset) count the cohort members active
+    that day.
+
+    The activity set is pre-deduplicated to one row per (user, day) before
+    the join, so the shuffle carries at most users × active-days rows, and
+    both join sides are keyed on the user — one co-partitioned join, then
+    a count over (cohort, offset) whose cardinality is days², not rows.
+    """
+    u = F.col(user_col)
+    # day bucket as a midnight timestamp (not DATE): matches what DuckDB /
+    # pandas round-trip losslessly, same convention as time_rollup
+    day = F.date_trunc("day", F.col(ts_col)).alias("_day")
+    act = df.select(u.alias("_u"), day).distinct()
+    first = act.groupBy("_u").agg(F.min("_day").alias("cohort_day"))
+    return (
+        act.join(first, "_u")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def grouped_top_n(
+    df: DataFrame, group_cols: list[str], ordering: list[Column], n: int
+) -> DataFrame:
+    """Top-n rows per group, scale-safe for few huge groups.
+
+    A single `row_number` window sorts each group on ONE task — with 5
+    groups and 100 TB that is 5 tasks doing all the work. Phase 1 instead
+    takes a local top-n per (group, input-partition) — embarrassingly
+    parallel, no shuffle — which is a superset of the global top-n; phase 2
+    runs the real window over at most n × num_partitions rows per group.
+    `ordering` must be a total order (include a tie-break column) for a
+    deterministic result.
+    """
+    from pyspark.sql.window import Window
+
+    w_local = Window.partitionBy(
+        *group_cols, F.spark_partition_id()
+    ).orderBy(*ordering)
+    local = (
+        df.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+    w_global = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (
+        local.withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= n)
+    )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, bin_width: float
+) -> DataFrame:
+    """Fixed-width histogram: per-bin row count, sum, min, max. One
+    map-side-combined groupBy; bin count = value range / width regardless
+    of row count."""
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.floor(v / F.lit(bin_width)).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(v), 2).alias("sum_value"),
+            F.round(F.min(v), 2).alias("min_value"),
+            F.round(F.max(v), 2).alias("max_value"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * F.lit(bin_width), 2))
+        .drop("bin")
     )
 
 

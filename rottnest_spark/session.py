@@ -42,5 +42,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # See core/tuning.py: InferFiltersFromGenerate re-evaluates
+        # lambda-built explode inputs per element access at the scan
+        # (O(len²)); every explode here guards emptiness on the array's
+        # inputs explicitly, so the rule is pure overhead.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     return builder.getOrCreate()

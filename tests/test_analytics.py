@@ -133,3 +133,93 @@ def test_duplicate_spans_short_docs_vanish(spark):
         [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
     )
     assert duplicate_spans(df, "doc_id", "text", window=8).count() == 0
+
+
+def test_funnel_strict_ordering(spark):
+    from rottnest_spark.ops.analytics import funnel
+
+    rows = [
+        # u1 completes view -> click -> buy in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "buy"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # u3 views only
+        (3, "2024-01-01 08:00:00", "view"),
+        # u4 view+click simultaneous: strict > excludes the click
+        (4, "2024-01-01 07:00:00", "view"),
+        (4, "2024-01-01 07:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step"]: r for r in funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "buy"]
+    ).collect()}
+    assert out["view"]["n_users"] == 4 and out["view"]["step_idx"] == 0
+    assert out["click"]["n_users"] == 1  # only u1
+    assert out["buy"]["n_users"] == 1
+
+
+def test_cohort_retention_triangle(spark):
+    from rottnest_spark.ops.analytics import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 23:00:00"),  # same day: one activity row
+        (1, "2024-01-03 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (2, "2024-01-02 11:00:00"),
+        (3, "2024-01-02 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert out == {
+        ("2024-01-01 00:00:00", 0): 2,  # u1, u2
+        ("2024-01-01 00:00:00", 1): 1,  # u2
+        ("2024-01-01 00:00:00", 2): 1,  # u1
+        ("2024-01-02 00:00:00", 0): 1,  # u3
+    }
+
+
+def test_grouped_top_n_matches_single_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from rottnest_spark.ops.analytics import grouped_top_n
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.col("o_orderkey") % 5).alias("g"), "o_orderkey", "o_totalprice"
+    )
+    ordering = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    got = sorted(
+        (r["g"], r["rnk"], r["o_orderkey"])
+        for r in grouped_top_n(df, ["g"], ordering, 4).collect()
+    )
+    w = Window.partitionBy("g").orderBy(*ordering)
+    want = sorted(
+        (r["g"], r["rnk"], r["o_orderkey"])
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .collect()
+    )
+    assert got == want and len(got) == 20
+
+
+def test_value_histogram_bins(spark):
+    from rottnest_spark.ops.analytics import value_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (25.0,), (-0.01,)], "v double"
+    )
+    out = {r["bin_lo"]: r for r in value_histogram(df, "v", 10.0).collect()}
+    assert out[0.0]["n_rows"] == 2 and out[0.0]["max_value"] == 9.99
+    assert out[10.0]["n_rows"] == 1
+    assert out[20.0]["n_rows"] == 1
+    assert out[-10.0]["n_rows"] == 1  # negatives floor downward

@@ -162,3 +162,43 @@ def test_keep_group_representatives_vs_pairwise_policy(spark):
         for r in keep_group_representatives(df, pairs, "doc_id").collect()
     )
     assert kept == [1, 9]
+
+
+def test_semantic_dedup_keeps_one_per_cluster_dup_group(spark):
+    """Synthetic: 3 tight semantic groups + 2 singletons. Every group keeps
+    exactly one member (min id) and singletons always survive; schema is
+    passthrough."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    groups = []
+    for g in range(3):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        members = []
+        for _ in range(4):
+            v = base + rng.normal(scale=0.005, size=16)  # cosine ~0.9999
+            rows.append((vid, [float(x) for x in v], g))
+            members.append(vid)
+            vid += 1
+        groups.append(members)
+    singles = []
+    for g in range(2):
+        v = rng.normal(size=16)  # random 16-dim: cosine ~0 to others
+        rows.append((vid, [float(x) for x in v], 100 + g))
+        singles.append(vid)
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    kept = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.95, rows_per_centroid=4
+    )
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert set(kept.columns) == {"vec_id", "embedding", "label"}
+    for members in groups:
+        assert len(kept_ids & set(members)) == 1
+        assert min(members) in kept_ids  # min-id representative
+    assert set(singles) <= kept_ids
