@@ -872,6 +872,15 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(load(spark, sf_dir, "events"))
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via F.session_window — the streaming-deployable
+    operator (same plan runs under readStream with a watermark; parity
+    asserted in tests/test_streaming.py). Oracle = lag/island SQL."""
+    from rottnest_spark.streaming.sessions import session_stats
+
+    return session_stats(load(spark, sf_dir, "events"))
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style star join: fact shuffles once per key chain, every
     dimension (region→nation→customer/supplier) broadcasts."""
@@ -1129,6 +1138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "asof_join": q_asof_join,
     "windowed_event_counts": q_windowed_event_counts,
+    "session_stats": q_session_stats,
     "events_sessionize": q_events_sessionize,
     "dup_spans": q_dup_spans,
     "frequent_ngrams": q_frequent_ngrams,
@@ -1627,6 +1637,24 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.99), 4) AS p99,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
+    """,
+    "session_stats": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, sid
     """,
     "events_funnel": f"""
         WITH s0 AS (

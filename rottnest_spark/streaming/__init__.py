@@ -1,10 +1,13 @@
 from rottnest_spark.streaming.incremental import stream_index_maintenance
 from rottnest_spark.streaming.aggregate import windowed_event_counts
+from rottnest_spark.streaming.sessions import session_stats, run_session_stream_to_memory
 from rottnest_spark.streaming.stateful import distinct_stream, run_streaming_dedup
 
 __all__ = [
     "stream_index_maintenance",
     "windowed_event_counts",
+    "session_stats",
+    "run_session_stream_to_memory",
     "distinct_stream",
     "run_streaming_dedup",
 ]

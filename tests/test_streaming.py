@@ -175,3 +175,33 @@ def test_snapshot_lake_streaming_maintenance(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_session_stats_stream_equals_batch(spark, sf_dir, tmp_path):
+    """F.session_window: streaming (complete mode, AvailableNow) reproduces
+    the batch plan exactly — same operator both modes."""
+    from rottnest_spark.streaming.sessions import (
+        run_session_stream_to_memory,
+        session_stats,
+    )
+
+    src = str(tmp_path / "ev_sessions")
+    ev = read_parquet(spark, [f"{sf_dir}/events.parquet"])
+    ev.repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    def key(rows):
+        return sorted(
+            (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+            for r in rows
+        )
+
+    batch = key(session_stats(static).collect())
+    streamed = key(
+        run_session_stream_to_memory(
+            spark, src, static.schema, "session_stats_t"
+        ).collect()
+    )
+    assert len(batch) > 0
+    # streaming casts ts NTZ->LTZ (UTC session): compare on rendered values
+    assert streamed == batch
