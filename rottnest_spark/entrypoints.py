@@ -881,6 +881,21 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load(spark, sf_dir, "events"))
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the same user's
+    latest click within the 1h lookback — the batch face of the
+    watermarked stream-stream interval join (streaming parity asserted in
+    tests/test_streaming.py)."""
+    from rottnest_spark.streaming.joins import attribution_join, last_touch
+
+    ev = load(spark, sf_dir, "events")
+    pairs = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return last_touch(pairs)
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style star join: fact shuffles once per key chain, every
     dimension (region→nation→customer/supplier) broadcasts."""
@@ -1199,6 +1214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "windowed_event_counts": q_windowed_event_counts,
     "session_stats": q_session_stats,
+    "attribution": q_attribution,
     "events_sessionize": q_events_sessionize,
     "dup_spans": q_dup_spans,
     "frequent_ngrams": q_frequent_ngrams,
@@ -1699,6 +1715,15 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.99), 4) AS p99,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
+    """,
+    "attribution": """
+        SELECT c.user_id, c.event_id AS conv_id, c.ts AS conv_ts,
+               c.value AS conv_value, max(t.ts) AS attributed_trig_ts
+        FROM events c
+        JOIN events t ON c.user_id = t.user_id
+         AND t.ts <= c.ts AND c.ts < t.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'purchase' AND t.event_type = 'click'
+        GROUP BY 1, 2, 3, 4
     """,
     "session_stats": """
         WITH flagged AS (

@@ -205,3 +205,46 @@ def test_session_stats_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(batch) > 0
     # streaming casts ts NTZ->LTZ (UTC session): compare on rendered values
     assert streamed == batch
+
+
+def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (click -> purchase within
+    1h): streaming emits exactly the batch pairs. Source files are written
+    time-sorted so watermark-driven state cleanup never races arrival
+    order (the production contract for file replays)."""
+    from rottnest_spark.streaming.joins import (
+        attribution_join,
+        last_touch,
+        run_attribution_stream_to_memory,
+    )
+
+    src = str(tmp_path / "ev_attr")
+    ev = read_parquet(spark, [f"{sf_dir}/events.parquet"])
+    ev.orderBy("ts").coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    batch_pairs = attribution_join(
+        static.filter(F.col("event_type") == "click"),
+        static.filter(F.col("event_type") == "purchase"),
+    )
+
+    def key(rows):
+        return sorted(
+            (r["user_id"], r["conv_id"], str(r["conv_ts"]), str(r["trig_ts"]))
+            for r in rows
+        )
+
+    streamed = run_attribution_stream_to_memory(
+        spark, src, static.schema, "attr_pairs_t"
+    )
+    assert len(key(batch_pairs.collect())) > 0
+    assert key(streamed.collect()) == key(batch_pairs.collect())
+
+    # last-touch collapse: one row per conversion, trigger = max qualifying
+    lt = last_touch(batch_pairs).collect()
+    assert len(lt) == batch_pairs.select("conv_id").distinct().count()
+    by_conv = {}
+    for r in batch_pairs.collect():
+        by_conv.setdefault(r["conv_id"], []).append(r["trig_ts"])
+    for r in lt:
+        assert r["attributed_trig_ts"] == max(by_conv[r["conv_id"]])
