@@ -131,6 +131,32 @@ def main() -> None:
         fused = rrf_fuse([bmr, knr], k=5)
         print("hybrid RRF top-5:", [(r["id"], r["rrf"]) for r in fused.collect()])
 
+        # round 3: event analytics + sessions + attribution + SemDeDup
+        from rottnest_spark.ops.analytics import cohort_retention, funnel
+        from rottnest_spark.ops.dedup import semantic_dedup
+        from rottnest_spark.streaming.joins import attribution_join, last_touch
+        from rottnest_spark.streaming.sessions import session_stats
+
+        events = spark.read.parquet(ev_dir)
+        fun = funnel(
+            events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        )
+        print("funnel:", [(r["step"], r["n_users"]) for r in fun.collect()])
+        print("cohort cells:", cohort_retention(events, "user_id", "ts").count())
+        print("sessions:", session_stats(events).count())
+        att = last_touch(
+            attribution_join(
+                events.filter("event_type = 'click'"),
+                events.filter("event_type = 'purchase'"),
+            )
+        )
+        print("last-touch attributed purchases:", att.count())
+        emb = spark.read.parquet(emb_dir)
+        kept = semantic_dedup(emb, "vec_id", "embedding", threshold=0.98)
+        print(
+            "semantic dedup kept", kept.count(), "of", emb.count(), "vectors"
+        )
+
         # lifecycle: compaction + vacuum keep results identical
         before = lake.search(sub, "text", "merge sort").count()
         lake.compact_indices(sub, "text", row_threshold=10**9)

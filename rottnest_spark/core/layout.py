@@ -126,11 +126,22 @@ def rows_with_rg_provenance(
 
 def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
     """Driver-side {file_path: num_rows} for binpack planning (catalog-scale,
-    not data-scale: one small row per file)."""
-    rows = (
-        extract_layout(spark, files)
-        .groupBy("file_path")
-        .sum("num_rows")
-        .collect()
-    )
-    return {r[0]: r[1] for r in rows}
+    not data-scale: one small row per file).
+
+    Fast path: read each footer directly with pyarrow — a parquet footer is
+    a few KB, so this is one metadata GET per file with no Spark job (the
+    reference's layout scan is likewise driver-orchestrated metadata I/O,
+    backends/utils.py:83-97). Falls back to the distributed layout scan for
+    filesystems pyarrow can't open (e.g. exotic Hadoop-only schemes)."""
+    try:
+        import pyarrow.parquet as papq
+
+        return {f: papq.ParquetFile(f).metadata.num_rows for f in files}
+    except Exception:
+        rows = (
+            extract_layout(spark, files)
+            .groupBy("file_path")
+            .sum("num_rows")
+            .collect()
+        )
+        return {r[0]: r[1] for r in rows}
