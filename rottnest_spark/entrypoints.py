@@ -881,6 +881,15 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load(spark, sf_dir, "events"))
 
 
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup per event type (time_bucket_gapfill): empty
+    hour×type cells appear as explicit zero rows."""
+    from rottnest_spark.ops.analytics import time_gapfill
+
+    return time_gapfill(load(spark, sf_dir, "events"), "ts", "event_type",
+                        "value", grain="hour")
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credited to the same user's
     latest click within the 1h lookback — the batch face of the
@@ -1215,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_counts": q_windowed_event_counts,
     "session_stats": q_session_stats,
     "attribution": q_attribution,
+    "time_gapfill": q_time_gapfill,
     "events_sessionize": q_events_sessionize,
     "dup_spans": q_dup_spans,
     "frequent_ngrams": q_frequent_ngrams,
@@ -1715,6 +1725,26 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.99), 4) AS p99,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
+    """,
+    "time_gapfill": """
+        WITH agg AS (
+            SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket,
+                   event_type AS key,
+                   count(*) AS n_rows, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        ),
+        axis AS (
+            SELECT unnest(generate_series(min(bucket), max(bucket),
+                                          INTERVAL 1 HOUR)) AS bucket
+            FROM agg
+        ),
+        keys AS (SELECT DISTINCT key FROM agg)
+        SELECT a.bucket, k.key,
+               coalesce(g.n_rows, 0) AS n_rows,
+               coalesce(g.total_value, 0.0) AS total_value
+        FROM axis a
+        CROSS JOIN keys k
+        LEFT JOIN agg g ON g.bucket = a.bucket AND g.key = k.key
     """,
     "attribution": """
         SELECT c.user_id, c.event_id AS conv_id, c.ts AS conv_ts,

@@ -264,6 +264,63 @@ def value_histogram(
     )
 
 
+def time_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Hypertable-style gap-filled rollup: per-(grain-bucket, key) counts
+    and sums with MISSING buckets materialized as zero rows — the
+    time_bucket_gapfill operation (a chart over sparse events needs the
+    zeros).
+
+    Shape: aggregate first (bucket × key cardinality), derive the global
+    [min, max] bucket range with a window over that AGGREGATE frame (one
+    single-partition pass over bucket×key rows — aggregate-scale, never
+    row-scale), then explode one `sequence(lo, hi, interval)` per key. No
+    cross join: the dense axis and the final left join are both between
+    aggregate-scale frames (broadcast-eligible)."""
+    from pyspark.sql.window import Window
+
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    agg = (
+        df.select(bucket.alias("bucket"), F.col(key_col).alias("key"),
+                  F.col(value_col).alias("v"))
+        .groupBy("bucket", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+    )
+    w = Window.partitionBy()  # global bounds; agg frame is tiny
+    dense = (
+        agg.select(
+            "key",
+            F.min("bucket").over(w).alias("lo"),
+            F.max("bucket").over(w).alias("hi"),
+        )
+        .groupBy("key", "lo", "hi")
+        .agg(F.lit(1))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {grain}"))
+            ).alias("bucket"),
+        )
+    )
+    return (
+        dense.join(agg, ["bucket", "key"], "left")
+        .select(
+            "bucket",
+            "key",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
 def group_kpis_approx(
     df: DataFrame,
     key_col: str,

@@ -223,3 +223,28 @@ def test_value_histogram_bins(spark):
     assert out[10.0]["n_rows"] == 1
     assert out[20.0]["n_rows"] == 1
     assert out[-10.0]["n_rows"] == 1  # negatives floor downward
+
+
+def test_time_gapfill_zero_rows(spark):
+    from rottnest_spark.ops.analytics import time_gapfill
+
+    rows = [
+        ("2024-01-01 10:00:00", "a", 1.0),
+        ("2024-01-01 10:30:00", "a", 2.0),
+        # hour 11 missing entirely; 'b' only appears at 12
+        ("2024-01-01 12:00:00", "b", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, k string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (str(r["bucket"]), r["key"]): (r["n_rows"], r["total_value"])
+        for r in time_gapfill(df, "ts", "k", "v", grain="hour").collect()
+    }
+    # dense axis: 3 hours x 2 keys = 6 cells
+    assert len(out) == 6
+    assert out[("2024-01-01 10:00:00", "a")] == (2, 3.0)
+    assert out[("2024-01-01 11:00:00", "a")] == (0, 0.0)
+    assert out[("2024-01-01 11:00:00", "b")] == (0, 0.0)
+    assert out[("2024-01-01 12:00:00", "b")] == (1, 4.0)
+    assert out[("2024-01-01 10:00:00", "b")] == (0, 0.0)
