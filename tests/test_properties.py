@@ -110,3 +110,102 @@ def test_hash_sample_nesting_property(f1, f2):
         ) % BUCKETS
         if h < int(lo * BUCKETS):
             assert h < int(hi * BUCKETS)
+
+
+# ---- round-3 operator laws ------------------------------------------------
+
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),          # user
+        st.integers(min_value=0, max_value=50),         # minute offset
+        st.sampled_from(["view", "click", "buy"]),      # type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=EVENT_ROWS)
+def test_funnel_matches_python_oracle(spark, rows):
+    """Distributed funnel == per-user sequential scan; counts never
+    increase along the funnel."""
+    from rottnest_spark.ops.analytics import funnel
+
+    data = [
+        (u, f"2024-01-01 10:{m:02d}:00", t) for (u, m, t) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    steps = ["view", "click", "buy"]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(df, "user_id", "ts", "event_type", steps).collect()
+    }
+
+    # python oracle: earliest qualifying time per stage, strictly increasing
+    def reaches(events, steps):
+        count = [0] * len(steps)
+        by_user = {}
+        for u, ts, t in sorted(data):
+            by_user.setdefault(u, []).append((ts, t))
+        for u, evs in by_user.items():
+            evs.sort()
+            t_prev = None
+            for i, s in enumerate(steps):
+                cand = [
+                    ts for ts, t in evs
+                    if t == s and (t_prev is None or ts > t_prev)
+                ]
+                if not cand:
+                    break
+                t_prev = min(cand)
+                count[i] += 1
+        return count
+
+    want = reaches(data, steps)
+    assert [got.get(s, 0) for s in steps] == want
+    assert all(
+        got.get(steps[i], 0) >= got.get(steps[i + 1], 0)
+        for i in range(len(steps) - 1)
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # join key
+            st.integers(min_value=0, max_value=99),  # payload / salt source
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    dims=st.lists(
+        st.integers(min_value=0, max_value=6), min_size=0, max_size=8
+    ),
+    salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_equals_plain_join(spark, pairs, dims, salts):
+    from rottnest_spark.ops.colocate import salted_join
+
+    big = spark.createDataFrame(
+        [(k, p) for k, p in pairs] or [(99, 0)], "k long, payload long"
+    )
+    small = spark.createDataFrame(
+        [(k, k * 10) for k in set(dims)] or [(98, 0)], "k long, dim long"
+    )
+    got = sorted(
+        map(tuple, salted_join(big, small, ["k"], "payload", salts).collect())
+    )
+    want = sorted(map(tuple, big.join(small, ["k"]).collect()))
+    assert got == want
