@@ -75,6 +75,35 @@ def assert_no_shuffle_join(df: DataFrame) -> None:
         )
 
 
+def key_skew_stats(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
+    """Skew diagnosis for a prospective shuffle key: the `top` heaviest key
+    groups with their share of all rows and a skew factor (heaviest /
+    mean). Run BEFORE picking a join/groupBy strategy at scale — a skew
+    factor in the hundreds is the signal to salt (salted_join) or rely on
+    AQE skew splitting; near 1 means a plain hash shuffle is fine.
+
+    One combine-enabled groupBy; the global aggregates ride a window over
+    the GROUPED frame (key-cardinality-scale, not row-scale)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("total", F.sum("n_rows").over(w))
+        .withColumn("n_keys", F.count(F.lit(1)).over(w))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 4).alias("row_share"),
+            F.round(
+                F.col("n_rows") / (F.col("total") / F.col("n_keys")), 2
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top)
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -99,3 +99,15 @@ def test_salted_join_matches_plain(spark, sf_dir, how):
     assert sorted(map(tuple, got.select(cols).collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_key_skew_stats(spark):
+    from rottnest_spark.ops.colocate import key_skew_stats
+
+    # key 1 holds 8 of 12 rows across 3 keys: skew = 8 / (12/3) = 2.0
+    rows = [(1,)] * 8 + [(2,)] * 3 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_stats(df, ["k"], top=2).collect()
+    assert [(r["k"], r["n_rows"]) for r in out] == [(1, 8), (2, 3)]
+    assert out[0]["row_share"] == round(8 / 12, 4)
+    assert out[0]["skew_factor"] == 2.0
