@@ -542,10 +542,12 @@ class ParquetLake:
 
     # -- L4: vacuum -----------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, live_files: set[str] | None = None) -> list[str]:
         """Drop catalog entries covering no live lake file; delete index dirs
-        not referenced by the catalog (≈ iceberg.py:307-384)."""
-        live = set(self.files)
+        not referenced by the catalog (≈ iceberg.py:307-384). `live_files`
+        widens the liveness set beyond the current snapshot (history-aware
+        vacuum — see IcebergSnapshotLake.vacuum)."""
+        live = set(self.files) if live_files is None else set(live_files)
         dead = [
             e["index_name"]
             for e in self.catalog.entries()

@@ -86,7 +86,6 @@ def _current_metadata(table_path: str) -> dict:
 def iceberg_live_files(table_path: str) -> list[str]:
     """Absolute paths of the data files live in the CURRENT snapshot."""
     md = _current_metadata(table_path)
-    location = md.get("location", "")
     snap_id = md.get("current-snapshot-id")
     snaps = md.get("snapshots", [])
     if snap_id in (None, -1) or not snaps:
@@ -96,7 +95,39 @@ def iceberg_live_files(table_path: str) -> list[str]:
         raise ValueError(
             f"current-snapshot-id {snap_id} not in the snapshot list"
         )
-    snap = by_id[snap_id]
+    return sorted(_snapshot_data_files(md, by_id[snap_id], table_path))
+
+
+def iceberg_history_files(
+    table_path: str, history_days: float, now_ms: int | None = None
+) -> list[str]:
+    """Union of data files across every snapshot whose `timestamp-ms` falls
+    within the last `history_days`, plus the current snapshot regardless of
+    age — the reference's history-aware vacuum liveness set
+    (backends/iceberg.py:307-384: indexes covering files readable by
+    time-travel within the retention window must survive vacuum).
+
+    `now_ms` defaults to the newest snapshot timestamp (wall-clock-free, so
+    tests and replayed tables behave deterministically)."""
+    md = _current_metadata(table_path)
+    snaps = md.get("snapshots", [])
+    if not snaps:
+        return []
+    stamps = [int(s.get("timestamp-ms") or 0) for s in snaps]
+    ref = now_ms if now_ms is not None else max(stamps)
+    cutoff = ref - int(history_days * 86_400_000)
+    cur = md.get("current-snapshot-id")
+    keep: set[str] = set()
+    for s, ts in zip(snaps, stamps):
+        if ts >= cutoff or s["snapshot-id"] == cur:
+            keep.update(_snapshot_data_files(md, s, table_path))
+    return sorted(keep)
+
+
+def _snapshot_data_files(md: dict, snap: dict, table_path: str) -> set[str]:
+    """Walk one snapshot's manifest list → manifests → data files, refusing
+    row-level deletes (see module docstring)."""
+    location = md.get("location", "")
 
     manifests: list[tuple[str, int]] = []  # (path, content)
     if "manifest-list" in snap:
@@ -115,7 +146,7 @@ def iceberg_live_files(table_path: str) -> list[str]:
             f"row-level deletes are not supported; compact the table first"
         )
 
-    live: list[str] = []
+    live: set[str] = set()
     for mpath, _ in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path))
         for e in entries:
@@ -129,8 +160,8 @@ def iceberg_live_files(table_path: str) -> list[str]:
                     f"({df.get('file_path')}) — row-level deletes are not "
                     f"supported; compact the table first"
                 )
-            live.append(_rebase(df["file_path"], location, table_path))
-    return sorted(set(live))
+            live.add(_rebase(df["file_path"], location, table_path))
+    return live
 
 
 class IcebergSnapshotLake(ParquetLake):
@@ -146,3 +177,20 @@ class IcebergSnapshotLake(ParquetLake):
     @property
     def files(self) -> list[str]:
         return iceberg_live_files(self._table_path)
+
+    def vacuum(
+        self,
+        live_files: set[str] | None = None,
+        history_days: float | None = None,
+        now_ms: int | None = None,
+    ) -> list[str]:
+        """History-aware vacuum (reference backends/iceberg.py:307-384):
+        with `history_days`, indexes covering files of any snapshot inside
+        the retention window survive even if the current snapshot no longer
+        references those files — time-travel reads within the window stay
+        accelerated. Without it, plain current-snapshot liveness."""
+        if history_days is not None:
+            live_files = set(
+                iceberg_history_files(self._table_path, history_days, now_ms)
+            )
+        return super().vacuum(live_files=live_files)

@@ -225,3 +225,51 @@ def test_empty_table_no_snapshot(spark, tmp_path):
             fh,
         )
     assert iceberg_live_files(str(table)) == []
+
+
+def test_history_aware_vacuum(spark, iceberg_table, tmp_path):
+    """Indexes over files only reachable via time travel survive vacuum
+    within the retention window and die outside it (reference
+    backends/iceberg.py:307-384)."""
+    import json
+
+    from rottnest_spark.sources.iceberg import iceberg_history_files
+
+    table, parts = iceberg_table
+    meta = os.path.join(table, "metadata")
+    lake = IcebergSnapshotLake(spark, table, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    assert lake.build_index(idx, "text")  # covers parts 1+2 (snapshot 2)
+
+    # snapshot 3 (one day later) replaces the data set with part0 only
+    T2 = 1_700_000_000_000
+    T3 = T2 + 86_400_000
+    m3 = _mk_manifest(meta, "m3h.avro", [(1, parts[0], 0)])
+    ml3 = _mk_manifest_list(meta, "snap-3h.avro", [m3])
+    md = {
+        "format-version": 2,
+        "location": ORIG_LOC,
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {"snapshot-id": 2, "timestamp-ms": T2,
+             "manifest-list": os.path.join(meta, "snap-2.avro")},
+            {"snapshot-id": 3, "timestamp-ms": T3, "manifest-list": ml3},
+        ],
+    }
+    with open(os.path.join(meta, "v3.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("3")
+
+    hist = {os.path.basename(f)
+            for f in iceberg_history_files(table, 2, now_ms=T3)}
+    assert hist == {parts[0], parts[1], parts[2]}
+
+    # within the window: the snapshot-2 index survives
+    removed = lake.vacuum(history_days=2, now_ms=T3)
+    assert removed == []
+    assert lake.catalog.entries_for("substring", "text")
+
+    # window shrunk below the snapshot age: the stale index is reclaimed
+    removed = lake.vacuum(history_days=0.5, now_ms=T3)
+    assert removed and not lake.catalog.entries_for("substring", "text")
