@@ -79,8 +79,15 @@ def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
     return v, parts
 
 
-def delta_live_files(table_path: str) -> list[str]:
-    """Replay the _delta_log: returns absolute paths of live data files."""
+def delta_live_files(
+    table_path: str, version_as_of: int | None = None
+) -> list[str]:
+    """Replay the _delta_log: returns absolute paths of live data files.
+
+    `version_as_of` stops the replay at that commit (inclusive) — Delta
+    time travel. Raises if the requested version precedes the earliest
+    replayable state (a checkpoint hides older commits) or exceeds the
+    log."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
@@ -89,6 +96,19 @@ def delta_live_files(table_path: str) -> list[str]:
 
     live: set[str] = set()
     start_version, cp_files = _checkpoint_parts(log_dir)
+    if version_as_of is not None:
+        all_versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
+        if all_versions and version_as_of > max(all_versions):
+            raise ValueError(
+                f"versionAsOf {version_as_of} exceeds the log "
+                f"(latest commit {max(all_versions)})"
+            )
+        if version_as_of < start_version:
+            raise ValueError(
+                f"versionAsOf {version_as_of} precedes the earliest "
+                f"checkpoint ({start_version}) — older commits may have "
+                f"been vacuumed; cannot reconstruct that snapshot"
+            )
     if cp_files:
         import pyarrow.parquet as pq
 
@@ -110,6 +130,8 @@ def delta_live_files(table_path: str) -> list[str]:
         version = int(os.path.basename(c).split(".")[0])
         if version <= start_version:
             continue
+        if version_as_of is not None and version > version_as_of:
+            break
         with open(c) as fh:
             for line in fh:
                 line = line.strip()
@@ -124,14 +146,25 @@ def delta_live_files(table_path: str) -> list[str]:
 
 
 class DeltaSnapshotLake(ParquetLake):
-    """ParquetLake over the CURRENT Delta snapshot. `.files` replays the
-    log on each access (the log is metadata-scale), so incremental builds
-    and searches always see the latest snapshot."""
+    """ParquetLake over a Delta snapshot. `.files` replays the log on each
+    access (the log is metadata-scale), so incremental builds and searches
+    always see the latest snapshot — or, with `version_as_of`, a pinned
+    historical snapshot (time travel): searches then cover exactly that
+    version's files, reusing whatever indexes apply and in-situ scanning
+    the rest."""
 
-    def __init__(self, spark, table_path: str, index_dir: str, **kw):
+    def __init__(
+        self,
+        spark,
+        table_path: str,
+        index_dir: str,
+        version_as_of: int | None = None,
+        **kw,
+    ):
         super().__init__(spark, table_path, index_dir, **kw)
         self._table_path = table_path
+        self._version_as_of = version_as_of
 
     @property
     def files(self) -> list[str]:
-        return delta_live_files(self._table_path)
+        return delta_live_files(self._table_path, self._version_as_of)

@@ -140,3 +140,31 @@ def test_incremental_build_on_new_commit(spark, delta_table, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_version_as_of_time_travel(spark, delta_table, tmp_path):
+    """versionAsOf pins the replay: v0 sees parts 0+1; searches over the
+    pinned lake return that snapshot's rows exactly."""
+    table, parts = delta_table
+    v0 = {os.path.basename(f) for f in delta_live_files(table, 0)}
+    assert v0 == {parts[0], parts[1]}
+
+    lake0 = DeltaSnapshotLake(
+        spark, table, str(tmp_path / "idx0"), version_as_of=0
+    )
+    idx = SubstringIndex()
+    lake0.build_index(idx, "text")
+    q = "merge sort"
+    got = sorted(r["doc_id"] for r in lake0.search(idx, "text", q).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            *[os.path.join(table, parts[i]) for i in (0, 1)]
+        )
+        .filter(F.contains(F.lower("text"), F.lit(q)))
+        .collect()
+    )
+    assert got == want and any(d % 3 == 0 for d in got)
+
+    with pytest.raises(ValueError, match="exceeds the log"):
+        delta_live_files(table, 9)
