@@ -25,6 +25,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rottnest_spark.core.catalog import IndexCatalog
 from rottnest_spark.core.layout import WHOLE_FILE, file_row_counts
@@ -234,6 +235,75 @@ class ParquetLake:
         if columns:
             out = out.select(*columns)
         return out.limit(k) if k is not None else out
+
+    def search_many(
+        self,
+        index: SparkIndex,
+        column: str,
+        queries: list[str],
+        k: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Batched search: one result frame for N queries, tagged with a
+        `__query__` column; per-query rows ≡ search(query). The search
+        plan is computed once, and indexes exposing `search_many` (e.g.
+        SubstringIndex) amortize their index scans across all queries —
+        the loop below only assembles per-query candidate fetches."""
+        plan = plan_search(
+            self.catalog,
+            index.index_type,
+            column,
+            self.files,
+            expect_config=IndexCatalog.config_json(**index.config()),
+        )
+        paths = [e["index_path"] for e in plan.entries]
+        if plan.entries and hasattr(index, "search_many"):
+            cands_by_q = index.search_many(self.spark, paths, queries)
+        elif plan.entries:
+            cands_by_q = {
+                q: index.search(self.spark, paths, q) for q in queries
+            }
+        else:
+            cands_by_q = {}
+
+        outs: list[DataFrame] = []
+        for q in queries:
+            parts: list[DataFrame] = []
+            if plan.entries:
+                cands = cands_by_q[q]
+                if cands is BRUTE_FORCE:
+                    parts.append(self.read(plan.covered_files))
+                else:
+                    cand_list = collect_candidates_bounded(
+                        cands,
+                        {f for e in plan.entries for f in e["file_paths"]},
+                        set(plan.covered_files),
+                        self.brute_force_threshold,
+                    )
+                    if cand_list is None:
+                        parts.append(self.read(plan.covered_files))
+                    elif cand_list:
+                        parts.append(
+                            read_candidates(self.spark, cand_list, columns=None)
+                        )
+            if plan.unindexed_files:
+                parts.append(self.read(plan.unindexed_files))
+            if not parts:
+                empty = self.read(self.files[:1]).limit(0)
+                parts = [empty]
+            refined = [index.brute_force(p, column, q, None) for p in parts]
+            one = refined[0]
+            for r in refined[1:]:
+                one = one.unionByName(r)
+            if columns:
+                one = one.select(*columns)
+            if k is not None:
+                one = one.limit(k)
+            outs.append(one.withColumn("__query__", F.lit(q)))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
 
     def search_conj(
         self,

@@ -89,6 +89,20 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTI_QUERIES = ["merge sort", "hash join", "window function"]
+
+
+def q_substring_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query substring search: N queries amortized over ONE
+    df pass + ONE postings pass of the gram index (SubstringIndex.
+    search_many), result tagged per query."""
+    idx = SubstringIndex()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return lake.search_many(idx, "text", MULTI_QUERIES).select(
+        "doc_id", "lang", "source", "n_chars", "__query__"
+    )
+
+
 def q_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 exact key lookup on orders.o_orderkey via zone-map + key index."""
     idx = ExactIndex()
@@ -1183,6 +1197,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
+    "substring_search_many": q_substring_search_many,
     "exact_match": q_exact_match,
     "exact_range": q_exact_range,
     "log_search": q_log_search,
@@ -1249,6 +1264,13 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         FROM orders WHERE o_orderkey = {EXACT_KEY}
     """,
+    "substring_search_many": " UNION ALL ".join(
+        f"""
+        SELECT doc_id, lang, source, n_chars, '{q}' AS __query__
+        FROM documents WHERE contains(lower(text), '{q}')
+        """
+        for q in MULTI_QUERIES
+    ),
     "exact_range": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         FROM orders WHERE o_orderkey BETWEEN {RANGE_LO} AND {RANGE_HI}

@@ -294,6 +294,73 @@ class SubstringIndex(SparkIndex):
             .select("file_path", "row_group")
         )
 
+    def search_many(
+        self, spark: SparkSession, index_paths: list[str], queries: list[str]
+    ) -> dict:
+        """Batched probe: N queries share ONE df pass and ONE postings pass
+        over the gram table instead of 2N index scans — the amortization a
+        bulk evaluation workload (eval-set leak scans, alert rule sweeps)
+        needs at 100 TB, where each index scan is the dominant cost.
+        Returns {query: candidates DataFrame | BRUTE_FORCE} with identical
+        per-query semantics to search()."""
+        per_q = {q: self.query_grams(q) for q in queries}
+        out: dict = {q: BRUTE_FORCE for q, g in per_q.items() if not g}
+        batched = {q: g for q, g in per_q.items() if g}
+        if not batched:
+            return out
+        all_grams = sorted({g for gs in batched.values() for g in gs})
+        idx = spark.read.parquet(*index_paths)
+        df_rows = (
+            idx.filter(F.col("gram").isin(all_grams))
+            .groupBy("gram")
+            .count()
+            .collect()
+        )
+        gram_df = {r["gram"]: r["count"] for r in df_rows}
+        n_units = (
+            self.read_unit_meta(spark, index_paths)
+            if self.unselective_frac is not None
+            else None
+        )
+        empty = spark.createDataFrame([], "file_path string, row_group int")
+        probes: dict[str, list[str]] = {}
+        for q, grams in batched.items():
+            if any(g not in gram_df for g in grams):
+                out[q] = empty  # absence proof, per-query
+                continue
+            probe = sorted(grams, key=lambda g: gram_df[g])[
+                : self.max_query_grams
+            ]
+            if (
+                self.unselective_frac is not None
+                and n_units
+                and gram_df[probe[0]] >= self.unselective_frac * n_units
+            ):
+                out[q] = BRUTE_FORCE
+                continue
+            probes[q] = probe
+        if not probes:
+            return out
+        probe_union = sorted({g for gs in probes.values() for g in gs})
+        # one postings scan for every query; the (gram, unit) table is
+        # |probe grams| x |units| — metadata-scale — and feeds N per-query
+        # intersections, so materialize it once
+        postings = (
+            idx.filter(F.col("gram").isin(probe_union))
+            .select("gram", "file_path", "row_group")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        for q, probe in probes.items():
+            out[q] = (
+                postings.filter(F.col("gram").isin(probe))
+                .groupBy("file_path", "row_group")
+                .agg(F.count_distinct("gram").alias("ngrams"))
+                .filter(F.col("ngrams") == len(probe))
+                .select("file_path", "row_group")
+            )
+        return out
+
     # -- exact refine (F1, indices/substring_index.py:19-21) -------------------
 
     def brute_force(

@@ -288,3 +288,34 @@ def test_absent_gram_short_circuits_to_empty(spark, docs_lake_dir, tmp_path):
     cands = idx.search(spark, paths, "sort q9z sort")
     assert cands is not None and cands.count() == 0
     assert _ids(lake.search(idx, "text", "sort q9z sort")) == []
+
+
+def test_search_many_equals_per_query(spark, sf_dir, tmp_path):
+    """Batched search ≡ per-query search for every query class: normal
+    hits, provable-empty (absent gram), too-short (BRUTE_FORCE), and
+    no-hit-but-present grams."""
+    out = str(tmp_path / "lake_many")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(4)
+        .write.parquet(out)
+    )
+    lake = ParquetLake(spark, out, out + "_idx")
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    queries = ["merge sort", "zzqqxx-not-there", "ab", "hash join"]
+    batched = lake.search_many(idx, "text", queries)
+    got = {
+        q: sorted(
+            r["doc_id"]
+            for r in batched.filter(F.col("__query__") == q).collect()
+        )
+        for q in queries
+    }
+    for q in queries:
+        want = sorted(
+            r["doc_id"] for r in lake.search(idx, "text", q).collect()
+        )
+        assert got[q] == want, q
+    assert got["zzqqxx-not-there"] == []
+    assert len(got["merge sort"]) > 0
