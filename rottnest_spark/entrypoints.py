@@ -264,6 +264,20 @@ def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_KEYS = [100, 2500, 4999]
+
+
+def q_exact_match_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point lookups: one index scan serves the whole key set
+    (ExactIndex.search_many)."""
+    idx = ExactIndex()
+    lake = indexed_lake(spark, sf_dir, "orders", "o_orderkey", idx)
+    return lake.search_many(idx, "o_orderkey", EXACT_KEYS).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "__query__",
+    ).withColumn("__query__", F.col("__query__").cast("long"))
+
+
 def q_exact_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map range scan: candidate units = those whose min/max key range
     intersects [lo, hi]; exact BETWEEN refine."""
@@ -1199,6 +1213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "substring_search_many": q_substring_search_many,
     "exact_match": q_exact_match,
+    "exact_match_many": q_exact_match_many,
     "exact_range": q_exact_range,
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
@@ -1264,6 +1279,14 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         FROM orders WHERE o_orderkey = {EXACT_KEY}
     """,
+    "exact_match_many": " UNION ALL ".join(
+        f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CAST({key} AS BIGINT) AS __query__
+        FROM orders WHERE o_orderkey = {key}
+        """
+        for key in EXACT_KEYS
+    ),
     "substring_search_many": " UNION ALL ".join(
         f"""
         SELECT doc_id, lang, source, n_chars, '{q}' AS __query__

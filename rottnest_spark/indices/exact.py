@@ -82,6 +82,36 @@ class ExactIndex(SparkIndex):
             (F.col("min_key") <= F.lit(query)) & (F.col("max_key") >= F.lit(query))
         ).select("file_path", "row_group")
 
+    def search_many(
+        self, spark: SparkSession, index_paths: list[str], queries: list
+    ) -> dict:
+        """Batched point lookups: one key-table (or zone) scan covers every
+        key via an IN-list — the min/max-sorted index prunes row groups for
+        the whole batch at once, versus one scan per key."""
+        if self.store_keys:
+            keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
+            hits = (
+                keys.filter(F.col("key").isin(queries))
+                .select("key", "file_path", "row_group")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            return {
+                q: hits.filter(F.col("key") == F.lit(q)).select(
+                    "file_path", "row_group"
+                )
+                for q in queries
+            }
+        zones = spark.read.parquet(
+            *[f"{p}/zone" for p in index_paths]
+        ).localCheckpoint(eager=True)
+        return {
+            q: zones.filter(
+                (F.col("min_key") <= F.lit(q)) & (F.col("max_key") >= F.lit(q))
+            ).select("file_path", "row_group")
+            for q in queries
+        }
+
     def search_range(self, spark: SparkSession, index_paths: list[str], lo, hi):
         """Candidate units whose key range intersects [lo, hi] — the classic
         zone-map range scan. Uses the zone table regardless of store_keys

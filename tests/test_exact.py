@@ -152,3 +152,28 @@ def test_string_key_exact_match(spark, sf_dir, tmp_path):
     assert got == [probe]
     # absent key -> empty, not error
     assert lake.search(idx, "uuid", "0" * 32).count() == 0
+
+
+def test_search_many_equals_per_key(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_many")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartition(4)
+        .write.parquet(out)
+    )
+    lake = ParquetLake(spark, out, out + "_idx")
+    idx = ExactIndex()
+    lake.build_index(idx, "o_orderkey")
+    keys = [1, 500, 999_999_999]  # last one: no hit
+    batched = lake.search_many(idx, "o_orderkey", keys)
+    for key in keys:
+        got = sorted(
+            r["o_orderkey"]
+            for r in batched.filter(F.col("__query__") == key).collect()
+        )
+        want = sorted(
+            r["o_orderkey"]
+            for r in lake.search(idx, "o_orderkey", key).collect()
+        )
+        assert got == want, key
+    assert batched.filter(F.col("__query__") == 999_999_999).count() == 0
