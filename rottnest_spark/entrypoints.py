@@ -546,6 +546,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_AUDIT_MAX_BUCKET = 3
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps audit: LSH bucket-size distribution + what a
+    max_bucket guard of {LSH_AUDIT_MAX_BUCKET} would drop."""
+    return dedup.lsh_bucket_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        max_bucket=LSH_AUDIT_MAX_BUCKET,
+    )
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-level dedup: connected components over the MinHash near-dup
     pair graph (component = min reachable id). Chains a~b, b~c collapse
@@ -593,6 +605,39 @@ _SH_DISTINCT = """
         i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS sh
     FROM documents
 """
+
+
+def _banded_cte(num_hashes: int = 32, bands: int = 8) -> str:
+    """Shared WITH-prefix replicating _lsh_banded bit-for-bit in DuckDB
+    (md5 32-bit prefix hash, 2-universal permutations, banded keys)."""
+    r = num_hashes // bands
+    ca, cb = dedup._mh_coeffs(num_hashes)
+    a_lit = "[" + ", ".join(str(v) for v in ca) + "]"
+    b_lit = "[" + ", ".join(str(v) for v in cb) + "]"
+    return f"""
+        sh AS ({_SH_DISTINCT}),
+        sig AS (
+            SELECT doc_id, sh,
+                   list_transform(range(0, {num_hashes}), s ->
+                       list_min(list_transform(hs, h ->
+                           ({a_lit}[s + 1] * h + {b_lit}[s + 1])
+                           % {dedup._MH_MOD}))) AS mh
+            FROM (
+                SELECT doc_id, sh,
+                       list_transform(sh, x ->
+                           ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+                FROM sh WHERE len(sh) > 0
+            )
+        ),
+        banded AS (
+            SELECT DISTINCT doc_id, band_key FROM (
+                SELECT doc_id, unnest(list_transform(range(0, {bands}), b ->
+                    md5(b::VARCHAR || '#' ||
+                        array_to_string(list_transform(
+                            mh[b*{r}+1 : b*{r}+{r}], v -> v::VARCHAR), ',')))) AS band_key
+                FROM sig
+            )
+        )"""
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, tau: float = 0.5) -> str:
@@ -1237,6 +1282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "minhash_dedup": q_minhash_dedup,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "dup_components": q_dup_components,
     "simhash_dedup": q_simhash_dedup,
     "ngram_jaccard_join": q_ngram_jaccard_join,
@@ -1546,6 +1592,22 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY md5(props) HAVING count(*) > 1
     """,
     "minhash_dedup": _minhash_oracle(),
+    "lsh_bucket_stats": f"""
+        WITH {_banded_cte()},
+        sizes AS (
+            SELECT band_key, count(*) AS bsz FROM banded GROUP BY band_key
+        )
+        SELECT count(*) AS n_buckets,
+               max(bsz) AS max_bucket_size,
+               CAST(sum(CASE WHEN bsz > {LSH_AUDIT_MAX_BUCKET}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped_buckets,
+               CAST(sum(CASE WHEN bsz > {LSH_AUDIT_MAX_BUCKET}
+                             THEN (bsz * (bsz - 1)) // 2 ELSE 0 END) AS BIGINT)
+                   AS dropped_candidate_pairs,
+               CAST({LSH_AUDIT_MAX_BUCKET} AS BIGINT) AS max_bucket
+        FROM sizes
+    """,
     "dup_components": f"""
         WITH RECURSIVE pairs AS ({_minhash_oracle()}),
         edges AS (
