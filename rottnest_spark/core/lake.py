@@ -612,11 +612,26 @@ class ParquetLake:
 
     # -- L4: vacuum -----------------------------------------------------------
 
-    def vacuum(self, live_files: set[str] | None = None) -> list[str]:
+    def vacuum(
+        self,
+        live_files: set[str] | None = None,
+        orphan_min_age_sec: float = 0.0,
+    ) -> list[str]:
         """Drop catalog entries covering no live lake file; delete index dirs
         not referenced by the catalog (≈ iceberg.py:307-384). `live_files`
         widens the liveness set beyond the current snapshot (history-aware
-        vacuum — see IcebergSnapshotLake.vacuum)."""
+        vacuum — see IcebergSnapshotLake.vacuum).
+
+        `orphan_min_age_sec` guards CONCURRENT builds: an uncommitted index
+        dir belonging to an in-flight build looks identical to a crash
+        orphan, so production vacuums should pass an age comfortably above
+        the build timeout — only unreferenced dirs whose mtime is older get
+        reclaimed (the reference's list-with-age-filter,
+        backends/s3_utils.py:11-38). Catalog-dead entries are always
+        reclaimed regardless of age (they were committed, then orphaned by
+        snapshot drift — no build still owns them)."""
+        import time as _time
+
         live = set(self.files) if live_files is None else set(live_files)
         dead = [
             e["index_name"]
@@ -631,9 +646,15 @@ class ParquetLake:
             self.catalog.delete(dead_set)
         referenced = {e["index_path"] for e in self.catalog.entries()}
         removed = list(dead)
+        cutoff = _time.time() - orphan_min_age_sec
         for d in glob.glob(os.path.join(self.index_dir, "*")):
             if d.endswith("_catalog") or d in referenced or not os.path.isdir(d):
                 continue
+            try:
+                if os.path.getmtime(d) > cutoff:
+                    continue  # possibly an in-flight build — leave it
+            except OSError:
+                continue  # vanished mid-scan (concurrent cleanup)
             shutil.rmtree(d, ignore_errors=True)
             removed.append(os.path.basename(d))
         return removed

@@ -183,6 +183,7 @@ class IcebergSnapshotLake(ParquetLake):
         live_files: set[str] | None = None,
         history_days: float | None = None,
         now_ms: int | None = None,
+        orphan_min_age_sec: float = 0.0,
     ) -> list[str]:
         """History-aware vacuum (reference backends/iceberg.py:307-384):
         with `history_days`, indexes covering files of any snapshot inside
@@ -193,4 +194,6 @@ class IcebergSnapshotLake(ParquetLake):
             live_files = set(
                 iceberg_history_files(self._table_path, history_days, now_ms)
             )
-        return super().vacuum(live_files=live_files)
+        return super().vacuum(
+            live_files=live_files, orphan_min_age_sec=orphan_min_age_sec
+        )

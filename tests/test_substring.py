@@ -319,3 +319,21 @@ def test_search_many_equals_per_query(spark, sf_dir, tmp_path):
         assert got[q] == want, q
     assert got["zzqqxx-not-there"] == []
     assert len(got["merge sort"]) > 0
+
+
+def test_vacuum_age_guard_spares_inflight_build_dirs(spark, docs_lake_dir, tmp_path):
+    """A fresh unreferenced dir (an in-flight build) survives an aged
+    vacuum; an immediate vacuum (age 0, the default) reclaims it."""
+    import os
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    inflight = os.path.join(str(tmp_path / "idx"), "substring_inflight_tmp")
+    os.makedirs(inflight)
+    removed = lake.vacuum(orphan_min_age_sec=3600)
+    assert removed == [] and os.path.isdir(inflight)
+    removed = lake.vacuum()
+    assert "substring_inflight_tmp" in removed and not os.path.isdir(inflight)
+    # the committed index is untouched either way
+    assert lake.search(idx, "text", "merge sort").count() > 0
