@@ -252,6 +252,19 @@ def q_log_timerange_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "line_ts")
 
 
+BM25_MANY = ["merge sort", "hash join", "window function"]
+
+
+def q_bm25_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: N queries share the stats scan and the postings probe
+    (indices/bm25.py:bm25_topk_many); per-query results ≡ bm25_topk."""
+    from rottnest_spark.indices.bm25 import bm25_topk_many
+
+    idx = BM25Index()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return bm25_topk_many(lake, idx, "text", BM25_MANY, BM25_K, "doc_id")
+
+
 def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 query expansion: nearest index-vocab tokens by deterministic
     embedding cosine, similarity-weighted BM25. Oracle-checked: the stub
@@ -1267,6 +1280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_search": q_regex_search,
     "pii_redact": q_pii_redact,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_many": q_bm25_topk_many,
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
     "hybrid_search": q_hybrid_search,
@@ -1427,6 +1441,10 @@ ORACLES: dict[str, str] = {
           AND contains(line, '{LOG_QUERY.replace("'", "''")}')
     """,
     "bm25_topk": _bm25_oracle_sql(BM25_QUERY, BM25_K),
+    "bm25_topk_many": " UNION ALL ".join(
+        f"SELECT *, '{q}' AS __query__ FROM ({_bm25_oracle_sql(q, BM25_K)})"
+        for q in BM25_MANY
+    ),
     "bm25_topk_expanded": _bm25_expanded_oracle_sql(BM25_QUERY, BM25_K, 8),
     # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
     "vector_knn_exact": _knn_oracle_sql(KNN_K),

@@ -414,3 +414,118 @@ def bm25_topk(
         rows, column, toks, stats_df, n_docs, total_len,
         id_col=id_col, k=k, weights=weights,
     )
+
+
+def bm25_topk_many(
+    lake,
+    index: BM25Index,
+    column: str,
+    queries: list[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Batched exact BM25: N queries share ONE stats scan, ONE postings
+    probe, and ONE unindexed stats derivation — only the per-query
+    candidate fetch and scoring remain per query (they touch per-query
+    data by construction). Per-query results ≡ bm25_topk(query), tagged
+    `__query__`. The bulk-retrieval shape (RAG eval sets, alert sweeps)
+    where at 100 TB the index scans dominate a single query's cost."""
+    from rottnest_spark.core.catalog import IndexCatalog
+    from rottnest_spark.core.planner import plan_search
+    from rottnest_spark.core.refine import (
+        collect_candidates_bounded,
+        read_candidates,
+    )
+
+    spark = lake.spark
+    toks_by_q = {q: tokenize_query(q) for q in queries}
+    union_toks = sorted({t for ts in toks_by_q.values() for t in ts})
+    plan = plan_search(
+        lake.catalog,
+        index.index_type,
+        column,
+        lake.files,
+        expect_config=IndexCatalog.config_json(**index.config()),
+    )
+
+    stat_parts, n_docs, total_len = [], 0, 0
+    probe = None
+    if plan.entries:
+        paths = [e["index_path"] for e in plan.entries]
+        st, n, tl = index.stats(spark, paths, union_toks)
+        stat_parts.append(st)
+        n_docs += n
+        total_len += tl
+        postings = spark.read.parquet(*[f"{p}/postings" for p in paths])
+        # one probe scan serves every query's candidate intersection
+        probe = (
+            postings.filter(F.col("token").isin(union_toks))
+            .select("token", "file_path", "row_group")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    raw = lake.read(plan.unindexed_files) if plan.unindexed_files else None
+    if raw is not None:
+        st, n, tl = derive_stats(raw, column, union_toks)
+        stat_parts.append(st)
+        n_docs += n
+        total_len += tl
+
+    if not stat_parts:
+        empty = lake.read(lake.files[:1]).limit(0)
+        return (
+            empty.select(id_col)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("__query__", F.lit(""))
+        )
+    stats_df = stat_parts[0]
+    for s in stat_parts[1:]:
+        stats_df = stats_df.unionByName(s)
+    stats_df = (
+        stats_df.groupBy("token").agg(F.sum("df").alias("df")).localCheckpoint()
+    )
+
+    outs: list[DataFrame] = []
+    for q in queries:
+        toks = toks_by_q[q]
+        cand_parts: list[DataFrame] = []
+        if probe is not None and toks:
+            cands = (
+                probe.filter(F.col("token").isin(toks))
+                .select("file_path", "row_group")
+                .distinct()
+            )
+            cand_list = collect_candidates_bounded(
+                cands,
+                {f for e in plan.entries for f in e["file_paths"]},
+                set(plan.covered_files),
+                lake.brute_force_threshold,
+            )
+            if cand_list is None:
+                cand_parts.append(lake.read(plan.covered_files))
+            elif cand_list:
+                cand_parts.append(read_candidates(spark, cand_list))
+        if raw is not None:
+            cand_parts.append(raw)
+        if not cand_parts:
+            continue
+        rows = cand_parts[0]
+        for c in cand_parts[1:]:
+            rows = rows.unionByName(c)
+        scored = score_rows(
+            rows, column, toks, stats_df, n_docs, total_len,
+            id_col=id_col, k=k,
+        )
+        outs.append(scored.withColumn("__query__", F.lit(q)))
+    if not outs:
+        empty = lake.read(lake.files[:1]).limit(0)
+        return (
+            empty.select(id_col)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("__query__", F.lit(""))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

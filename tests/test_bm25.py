@@ -127,3 +127,29 @@ def test_expanded_topk_runs_and_is_ordered(spark, docs_lake_dir, tmp_path):
     assert len(out) == 10
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topk_many_equals_per_query(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "bm25_many")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(4)
+        .write.parquet(out)
+    )
+    lake = ParquetLake(spark, out, out + "_idx")
+    idx = BM25Index()
+    lake.build_index(idx, "text")
+    queries = ["merge sort", "window function", "zzqq notinvocab"]
+    from rottnest_spark.indices.bm25 import bm25_topk_many
+
+    batched = bm25_topk_many(lake, idx, "text", queries, 10, "doc_id")
+    for q in queries:
+        got = sorted(
+            (r["doc_id"], r["score"])
+            for r in batched.filter(F.col("__query__") == q).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(lake, idx, "text", q, 10, "doc_id").collect()
+        )
+        assert got == want, q
