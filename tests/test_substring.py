@@ -337,3 +337,34 @@ def test_vacuum_age_guard_spares_inflight_build_dirs(spark, docs_lake_dir, tmp_p
     assert "substring_inflight_tmp" in removed and not os.path.isdir(inflight)
     # the committed index is untouched either way
     assert lake.search(idx, "text", "merge sort").count() > 0
+
+
+def test_search_many_k_and_columns(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lake_many_k")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(3)
+        .write.parquet(out)
+    )
+    lake = ParquetLake(spark, out, out + "_idx")
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    res = lake.search_many(
+        idx, "text", ["merge sort", "hash join"], k=3, columns=["doc_id"]
+    )
+    assert set(res.columns) == {"doc_id", "__query__"}
+    per_q = {
+        q: res.filter(F.col("__query__") == q).count()
+        for q in ["merge sort", "hash join"]
+    }
+    assert all(0 < n <= 3 for n in per_q.values())
+    # k rows must be actual hits (subset of the unlimited result)
+    full = {
+        r["doc_id"]
+        for r in lake.search(idx, "text", "merge sort").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in res.filter(F.col("__query__") == "merge sort").collect()
+    }
+    assert got <= full
