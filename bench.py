@@ -62,8 +62,14 @@ def main() -> None:
     warm_cache = os.path.join(bench_cache, "warmup_idx")
     try:
         for wq in ("token_stats", "frequent_ngrams", "windowed_event_counts",
-                   "tpch_q1", "minhash_dedup"):
+                   "tpch_q1"):
             ep.QUERIES[wq](spark, warm_dir).collect()
+        # dedup pipelines: sf0.001 is too small to cross the JVM's C2
+        # compile thresholds for the 32-min hash-agg loops — warm at
+        # sf0.01 (measured: first sf0.1 minhash run 12.6 s cold-JIT vs
+        # 3.5 s steady-state)
+        ep.QUERIES["minhash_dedup"](spark, "/root/testdata/sf0.01").collect()
+        ep.QUERIES["ngram_jaccard_join"](spark, "/root/testdata/sf0.01").collect()
         from rottnest_spark.core.lake import ParquetLake as _PL
 
         _lake = _PL(spark, [ep.table_path(warm_dir, "documents")], warm_cache)
