@@ -46,7 +46,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    def drop_persisted() -> None:
+        """Unpersist leftover storage blocks (localCheckpoints, persists)
+        between timed entries: queries are independent, but accumulated
+        blocks from 70 entries create storage-eviction + GC churn that
+        shows up as 5-10x outliers on whichever query runs when memory
+        tips (observed: semantic_dedup 45s mid-bench vs 5.5s isolated)."""
+        try:
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            it = m.entrySet().iterator()
+            while it.hasNext():
+                it.next().getValue().unpersist()
+        except Exception:
+            pass
+
     def timed(name: str, fn) -> None:
+        drop_persisted()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
