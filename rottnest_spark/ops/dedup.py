@@ -754,15 +754,36 @@ def connected_components(
 
 
 def keep_group_representatives(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, quality_col: str | None = None
 ) -> DataFrame:
-    """Drop every row of a near-dup component except its min-id
-    representative — the transitive-closure-correct dedup policy (the
-    pairwise 'drop the max side of each pair' policy can over-drop on
-    chains)."""
+    """Drop every row of a near-dup component except one representative —
+    the transitive-closure-correct dedup policy (the pairwise 'drop the
+    max side of each pair' policy can over-drop on chains).
+
+    Default representative: min id (deterministic, join-free). With
+    `quality_col`, keep the HIGHEST-quality member instead (ties break on
+    min id) — the SemDeDup-style curation policy of keeping the best
+    exemplar. The quality lookup joins only component members (a near-dup
+    subset of the corpus), aggregated per component with one max_by."""
     comps = connected_components(pairs)
-    losers = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if quality_col is None:
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    member_q = comps.join(
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q")),
+        "id",
+    )
+    best = member_q.groupBy("component").agg(
+        F.max_by(
+            "id", F.struct(F.col("_q"), -F.col("id"))
+        ).alias("keep_id")
+    )
+    losers = (
+        member_q.join(best, "component")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 
@@ -775,6 +796,7 @@ def semantic_dedup(
     rows_per_centroid: int = 64,
     probes: int = 1,
     seed: int = 42,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
     embedding space, call intra-cluster pairs with cosine >= threshold
@@ -792,4 +814,4 @@ def semantic_dedup(
         df, id_col, vec_col, threshold,
         rows_per_centroid=rows_per_centroid, probes=probes, seed=seed,
     )
-    return keep_group_representatives(df, pairs, id_col)
+    return keep_group_representatives(df, pairs, id_col, quality_col)

@@ -202,3 +202,22 @@ def test_semantic_dedup_keeps_one_per_cluster_dup_group(spark):
         assert len(kept_ids & set(members)) == 1
         assert min(members) in kept_ids  # min-id representative
     assert set(singles) <= kept_ids
+
+
+def test_keep_representatives_by_quality(spark):
+    """quality_col keeps the best member per component (ties -> min id);
+    default policy keeps min id."""
+    from rottnest_spark.ops.dedup import keep_group_representatives
+
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (10, 0.5), (20, 0.7)],
+        "id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    by_id = {r["id"] for r in keep_group_representatives(df, pairs, "id").collect()}
+    assert by_id == {1, 10, 20}
+    by_q = {
+        r["id"]
+        for r in keep_group_representatives(df, pairs, "id", "q").collect()
+    }
+    assert by_q == {2, 10, 20}  # 2 and 3 tie on q=0.9 -> min id 2
