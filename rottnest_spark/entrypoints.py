@@ -958,6 +958,27 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(load(spark, sf_dir, "events"))
 
 
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window (1h window / 15min slide) event counts — the sliding
+    variant of the tumbling rollup; same plan deploys under readStream with
+    a watermark (parity asserted in tests/test_streaming.py)."""
+    from rottnest_spark.streaming.aggregate import sliding_event_counts
+
+    return sliding_event_counts(load(spark, sf_dir, "events"))
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with trailing-7-day moving sum/avg and a z-score
+    anomaly flag — aggregate-first so the ROWS window passes over days,
+    never rows."""
+    from rottnest_spark.ops.analytics import rolling_agg
+
+    return rolling_agg(
+        load(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice",
+        trailing=7, z_thresh=2.0,
+    )
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions via F.session_window — the streaming-deployable
     operator (same plan runs under readStream with a watermark; parity
@@ -1312,6 +1333,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "asof_join": q_asof_join,
     "windowed_event_counts": q_windowed_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
+    "rolling_revenue": q_rolling_revenue,
     "session_stats": q_session_stats,
     "attribution": q_attribution,
     "time_gapfill": q_time_gapfill,
@@ -1756,6 +1779,36 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "sliding_event_counts": """
+        -- each event belongs to exactly window/slide = 4 hopping windows:
+        -- starts floor_15min(ts) - k*15min for k in 0..3 (epoch-aligned,
+        -- same alignment rule as Spark's F.window(ts, w, s))
+        WITH slides AS (SELECT unnest(range(4)) AS k)
+        SELECT make_timestamp(
+                   CAST(floor(epoch(ts) / 900) * 900 - k * 900 AS BIGINT)
+                   * 1000000) AS window_start,
+               event_type,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events CROSS JOIN slides
+        GROUP BY 1, 2
+    """,
+    "rolling_revenue": """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS bucket,
+                   count(*) AS n_rows, sum(o_totalprice) AS tv
+            FROM orders GROUP BY 1
+        )
+        SELECT bucket, n_rows,
+               round(tv, 2) AS total_value,
+               round(sum(tv) OVER w, 2) AS moving_sum,
+               round(avg(tv) OVER w, 2) AS moving_avg,
+               CASE WHEN stddev_samp(tv) OVER w > 0
+                         AND abs(tv - avg(tv) OVER w)
+                             > 2.0 * (stddev_samp(tv) OVER w)
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM daily
+        WINDOW w AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     # Gap uses whole-second floors on both sides: Spark cast(ts AS long)
     # floors to seconds; DuckDB date_diff('second') counts second boundaries.

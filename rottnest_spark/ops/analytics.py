@@ -321,6 +321,56 @@ def time_gapfill(
     )
 
 
+def rolling_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    trailing: int = 7,
+    z_thresh: float = 2.0,
+    grain: str = "day",
+) -> DataFrame:
+    """Per-bucket totals with trailing-N moving sum/avg and a z-score
+    anomaly flag (bucket flagged when it sits > z_thresh sample standard
+    deviations from its own trailing window's mean).
+
+    Shape: aggregate to grain buckets FIRST (one map-side-combined shuffle,
+    bucket-cardinality output), then run the ROWS-frame window over the
+    aggregate — the single-partition window pass touches days, never rows,
+    same altitude rule as `time_gapfill`. The frame is ROWS (not RANGE) so
+    the moving stats are over the N most recent *observed* buckets; compose
+    with `time_gapfill` first when calendar-dense frames are needed.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        df.groupBy(F.date_trunc(grain, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(value_col).alias("_tv"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(-(trailing - 1), 0)
+    avg = F.avg("_tv").over(w)
+    sd = F.stddev_samp("_tv").over(w)
+    return (
+        daily.select(
+            "bucket",
+            "n_rows",
+            F.round("_tv", 2).alias("total_value"),
+            F.round(F.sum("_tv").over(w), 2).alias("moving_sum"),
+            F.round(avg, 2).alias("moving_avg"),
+            F.when(
+                sd.isNotNull()
+                & (sd > 0)
+                & (F.abs(F.col("_tv") - avg) > F.lit(z_thresh) * sd),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+    )
+
+
 def group_kpis_approx(
     df: DataFrame,
     key_col: str,

@@ -49,6 +49,42 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hopping-window counts: each event lands in window/slide overlapping
+    windows (reference analog: the tumbling rollup above is the slide ==
+    window special case). Works on a streaming OR static `events` frame —
+    same plan both ways, so batch ≡ stream parity is testable.
+
+    Scale note: `F.window(ts, w, s)` expands each row to its w/s covering
+    windows MAP-SIDE and partial-aggregates before the exchange, so the
+    shuffle carries (windows × types) group rows, not row-count × fan-out.
+    """
+    df = events
+    if df.isStreaming:
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     src_dir: str,
@@ -57,11 +93,15 @@ def run_stream_to_memory(
     window: str = "1 hour",
     watermark: str = "2 hours",
     timeout_sec: int = 300,
+    agg_fn=None,
 ):
-    """Drive the windowed aggregation over a parquet directory with
+    """Drive a windowed aggregation (tumbling by default, pass
+    `agg_fn=sliding_event_counts` for hopping) over a parquet directory with
     AvailableNow into an in-memory sink (complete mode) for verification."""
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    agg = windowed_event_counts(stream, window, watermark)
+    agg = (agg_fn or windowed_event_counts)(
+        stream, window=window, watermark=watermark
+    )
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

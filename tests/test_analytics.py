@@ -248,3 +248,29 @@ def test_time_gapfill_zero_rows(spark):
     assert out[("2024-01-01 11:00:00", "b")] == (0, 0.0)
     assert out[("2024-01-01 12:00:00", "b")] == (1, 4.0)
     assert out[("2024-01-01 10:00:00", "b")] == (0, 0.0)
+
+
+def test_rolling_agg_window_and_anomaly(spark):
+    from rottnest_spark.ops.analytics import rolling_agg
+
+    # 9 days of flat value 10, one spike on day 8
+    rows = [(f"2024-01-{d:02d} 09:00:00", 10.0) for d in range(1, 10)]
+    rows[7] = ("2024-01-08 09:00:00", 1000.0)
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        str(r["bucket"]): r
+        for r in rolling_agg(df, "ts", "v", trailing=3, z_thresh=1.1).collect()
+    }
+    assert len(out) == 9
+    # trailing-3 frame: day1 = itself, day2 = 2 rows, day3+ = 3 rows
+    assert out["2024-01-01 00:00:00"]["moving_sum"] == 10.0
+    assert out["2024-01-02 00:00:00"]["moving_sum"] == 20.0
+    assert out["2024-01-03 00:00:00"]["moving_sum"] == 30.0
+    assert out["2024-01-03 00:00:00"]["moving_avg"] == 10.0
+    assert out["2024-01-08 00:00:00"]["moving_sum"] == 1020.0
+    # flat stretch: stddev 0 -> never anomalous; spike day flagged
+    flags = {d: out[d]["is_anomaly"] for d in out}
+    assert flags["2024-01-08 00:00:00"] == 1
+    assert sum(flags.values()) == 1

@@ -81,6 +81,33 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     assert streamed == batch and len(batch) > 0
 
 
+def test_sliding_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    from rottnest_spark.streaming.aggregate import sliding_event_counts
+
+    src = str(tmp_path / "ev_slide")
+    ev = read_parquet(spark, [f"{sf_dir}/events.parquet"])
+    ev.repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_counts(static).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in run_stream_to_memory(
+            spark, src, static.schema, "slide_counts_t",
+            agg_fn=sliding_event_counts,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # every tumbling hour has 4 hopping windows covering it: the hopping
+    # result must be a strict superset of the tumbling one in window count
+    assert len(batch) > len(
+        {r["window_start"] for r in windowed_event_counts(static).collect()}
+    )
+
+
 def test_stateful_dedup_across_batches(spark, sf_dir, tmp_path):
     """applyInPandasWithState: duplicates arriving in a LATER drain are
     suppressed by persisted state (per-batch dropDuplicates cannot do this)."""
