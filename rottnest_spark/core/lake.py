@@ -610,6 +610,108 @@ class ParquetLake:
         self.catalog.validate()
         return created
 
+    # -- L3b: data-file compaction (small-file problem) -----------------------
+
+    def compact_files(
+        self,
+        target_rows: int = 4_000_000,
+        small_row_threshold: int | None = None,
+    ) -> list[str]:
+        """Rewrite small DATA files into ~target_rows files (the small-file
+        problem: a 100 TB lake fed by streaming ingest accumulates millions
+        of tiny parquet files whose per-file open/footer cost dominates
+        scans). Returns the new file paths; [] when no rewrite pays off.
+
+        One Spark job: every small file (< small_row_threshold rows,
+        default target_rows/2 — footer-only counts) is read once and
+        round-robin repartitioned into ceil(rows/target) writer tasks, so
+        the rewrite parallelism is the output file count, not the input's.
+
+        Swap protocol (plain-prefix lakes have no metadata log, so the
+        multi-file swap cannot be atomic — this is the honest best-effort
+        ordering, with a manifest making every crash state recoverable):
+          1. stage outputs in a non-*.parquet dir INSIDE the lake dir
+             (invisible to the lake glob, same filesystem for atomic rename)
+          2. write a manifest (new names + replaced files) under
+             index_dir/_compactions
+          3. publish each staged part via atomic rename
+          4. delete the replaced files, then the manifest
+        A crash before 3 leaves originals intact (stale manifest discarded
+        by repair_files); a crash between 3 and 4 double-counts until
+        `repair_files()` completes the deletes — run it on recovery before
+        trusting scans, the same way Delta/Iceberg replay their logs.
+
+        Index composition: replaced files disappear from every search plan
+        (stale candidates are dropped by the bounded collect); new files are
+        unindexed until the next build_index(), and entries left covering
+        only replaced files are reclaimed by vacuum().
+        """
+        import json
+        import math
+
+        lake_dir = self.data_dir  # raises for non-directory lakes
+        counts = file_row_counts(self.spark, self.files)
+        thresh = small_row_threshold or max(target_rows // 2, 1)
+        small = [f for f in self.files if counts[f] < thresh]
+        total = sum(counts[f] for f in small)
+        n_out = max(1, math.ceil(total / target_rows))
+        if len(small) < 2 or n_out >= len(small):
+            return []
+
+        cid = uuid.uuid4().hex[:12]
+        stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
+        read_parquet(self.spark, small).repartition(n_out).write.parquet(stage)
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        new_files = [
+            os.path.join(lake_dir, f"compacted_{cid}_{i:05d}.parquet")
+            for i in range(len(parts))
+        ]
+        man_dir = os.path.join(self.index_dir, "_compactions")
+        os.makedirs(man_dir, exist_ok=True)
+        man_path = os.path.join(man_dir, f"{cid}.json")
+        with open(man_path, "w") as fh:
+            json.dump({"new_files": new_files, "replaces": small}, fh)
+        for part, dst in zip(parts, new_files):
+            os.replace(part, dst)
+        for f in small:
+            os.remove(f)
+        os.remove(man_path)
+        shutil.rmtree(stage, ignore_errors=True)
+        return new_files
+
+    def repair_files(self) -> list[str]:
+        """Complete file-compaction swaps interrupted by a crash (see
+        compact_files). Idempotent; safe to run at every startup. Returns
+        the replaced files it finished deleting."""
+        import json
+
+        man_dir = os.path.join(self.index_dir, "_compactions")
+        finished: list[str] = []
+        for man_path in sorted(glob.glob(os.path.join(man_dir, "*.json"))):
+            with open(man_path) as fh:
+                m = json.load(fh)
+            if all(os.path.exists(n) for n in m["new_files"]):
+                # published but deletes may be incomplete — finish the swap
+                for f in m["replaces"]:
+                    if os.path.exists(f):
+                        os.remove(f)
+                        finished.append(f)
+            # else: crashed before (or mid-) publish with originals intact —
+            # discard the attempt; a partially-published prefix of new files
+            # is removed so rows are never double-counted
+            else:
+                for n in m["new_files"]:
+                    if os.path.exists(n):
+                        os.remove(n)
+            os.remove(man_path)
+            # leftover stage dirs are invisible to the lake glob; sweep them
+            cid = os.path.splitext(os.path.basename(man_path))[0]
+            shutil.rmtree(
+                os.path.join(self.data_dir, f"_compact_stage_{cid}"),
+                ignore_errors=True,
+            )
+        return finished
+
     # -- L4: vacuum -----------------------------------------------------------
 
     def vacuum(
