@@ -1,0 +1,126 @@
+"""Z-order (Morton-curve) data layout rewrite: cluster a table on N columns
+at once so per-file zone maps (min/max) prune multi-column predicates.
+
+A sort on (a, b) gives perfect pruning on `a` and none on `b`; interleaving
+the bits of both ranks gives every file a tight min/max box on BOTH columns
+— the standard multi-dimensional clustering trick (Delta OPTIMIZE ZORDER BY,
+Iceberg sort orders). The reference's zone-map aggregation (A2,
+`indices/uuid_index.py` min/max per page) is the probe side; this op is the
+write side that makes those zone maps selective.
+
+Scale notes (100 TB):
+- the z-value is a pure codegen expression (shift/mask/or — no UDF), so the
+  rewrite is scan + RangePartitioner sample + shuffle + per-partition sort:
+  exactly one wide stage regardless of column count;
+- `repartitionByRange` on the z-value gives each output file a contiguous
+  z-range, which is what turns footer min/max into a bounding box;
+- normalization is uniform min/max binning: heavy skew degrades toward a
+  single-column sort on the skewed column — rank-normalize upstream (e.g.
+  percent_rank) if a column is pathologically skewed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    cols_with_bounds: list[tuple[str, float, float]], bits: int = 12
+) -> Column:
+    """Morton code over uniformly-binned columns: `bits` bits per column,
+    bit b of column i lands at position b*ncols + i. Pure codegen
+    (cast/arith/shift/or), no Python on the hot path."""
+    n = len(cols_with_bounds)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+    top = (1 << bits) - 1
+    quantized: list[Column] = []
+    for name, lo, hi in cols_with_bounds:
+        if hi > lo:
+            scaled = (F.col(name).cast("double") - F.lit(float(lo))) * F.lit(
+                top / (hi - lo)
+            )
+        else:  # constant column: contributes zero bits
+            scaled = F.lit(0.0)
+        quantized.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(F.lit(0).cast("long"), scaled.cast("long")),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    out_dir: str,
+    n_files: int,
+    bits: int = 12,
+) -> list[tuple[str, float, float]]:
+    """Rewrite `df` into `n_files` parquet files clustered on the Morton
+    curve over `cols`. Returns the (col, min, max) bounds used (persist them
+    if later increments must share the same binning).
+
+    Two jobs: a driver-scalar bounds aggregate, then the single wide
+    rewrite (sample → range-shuffle on z → sort-within-partition → write).
+    """
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    bounds = [(c, row[f"lo_{i}"], row[f"hi_{i}"]) for i, c in enumerate(cols)]
+    z = zorder_key(bounds, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(out_dir)
+    )
+    return bounds
+
+
+def file_zone_maps(files: list[str], cols: list[str]) -> list[dict]:
+    """Per-file min/max for `cols` from parquet footers (driver-side,
+    metadata-scale) — the zone maps a scan planner prunes with."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        zones: dict[str, tuple] = {}
+        for c in cols:
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            zones[c] = (lo, hi)
+        out.append({"file": f, **{c: zones[c] for c in cols}})
+    return out
+
+
+def prunable_files(
+    files: list[str], predicates: dict[str, tuple[float, float]]
+) -> tuple[list[str], list[str]]:
+    """Split files into (candidates, pruned) for a conjunctive box predicate
+    {col: (lo, hi)} using footer zone maps — the planner-side measure of how
+    much a layout rewrite bought."""
+    zones = file_zone_maps(files, list(predicates))
+    cand, pruned = [], []
+    for zinfo in zones:
+        ok = all(
+            not (zinfo[c][1] < lo or zinfo[c][0] > hi)
+            for c, (lo, hi) in predicates.items()
+        )
+        (cand if ok else pruned).append(zinfo["file"])
+    return cand, pruned
