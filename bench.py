@@ -224,6 +224,36 @@ def main() -> None:
         metrics["vector_ivf_recall_at_k"] = round(
             len(exact & ivf) / max(len(exact), 1), 4
         )
+        # z-order layout quality: candidate-file fraction for a top-decile
+        # predicate on the SECOND clustering column (a linear sort cannot
+        # prune this class at all — ratio 1.0 by construction)
+        import glob as _glob
+
+        from rottnest_spark.ops.zorder import prunable_files, zorder_write
+
+        ev = ep.load(spark, sf_dir, "events")
+        z_dir = os.path.join(bench_cache, "events_zorder")
+        n_zfiles = 32
+        timed(
+            "zorder_rewrite_events",
+            lambda: zorder_write(ev, ["user_id", "value"], z_dir, n_zfiles),
+        )
+        from pyspark.sql import functions as _F
+
+        vrow = ev.agg(
+            _F.min("user_id").alias("ulo"),
+            _F.max("user_id").alias("uhi"),
+            _F.expr("percentile(value, 0.9)").alias("vlo"),
+            _F.max("value").alias("vhi"),
+        ).collect()[0]
+        zc, _zp = prunable_files(
+            sorted(_glob.glob(os.path.join(z_dir, "*.parquet"))),
+            {
+                "user_id": (vrow["ulo"], vrow["uhi"]),
+                "value": (vrow["vlo"], vrow["vhi"]),
+            },
+        )
+        metrics["zorder_candidate_ratio"] = round(len(zc) / n_zfiles, 4)
     except Exception as exc:  # metrics must never fail the bench line
         metrics["error"] = str(exc)[:200]
 

@@ -517,6 +517,46 @@ class ParquetLake:
         )
         return out
 
+    # -- summary estimates ----------------------------------------------------
+
+    def distinct_estimate(
+        self,
+        column: str,
+        files: list[str] | None = None,
+        index=None,
+    ) -> dict:
+        """Distinct-count estimate for `column` over the given (default: all
+        live) files, answered ENTIRELY from the hll_stats summary index —
+        no data scan, metadata-scale. Uncovered files are reported in
+        `uncovered_files` (build_index(StatsSketchIndex(), column) to close
+        the gap); the estimate spans only covered files."""
+        from rottnest_spark.indices.sketches import StatsSketchIndex
+
+        idx = index or StatsSketchIndex()
+        scope = files if files is not None else self.files
+        plan = plan_search(
+            self.catalog,
+            idx.index_type,
+            column,
+            scope,
+            expect_config=IndexCatalog.config_json(**idx.config()),
+        )
+        if not plan.entries:
+            return {
+                "estimate": None,
+                "n_rows": 0,
+                "n_nonnull": 0,
+                "n_files": 0,
+                "uncovered_files": len(plan.unindexed_files),
+            }
+        out = StatsSketchIndex.estimate_distinct(
+            self.spark,
+            [e["index_path"] for e in plan.entries],
+            files=plan.covered_files,
+        )
+        out["uncovered_files"] = len(plan.unindexed_files)
+        return out
+
     # -- hot-index caching (the reference's Redis cache-ranges analog, S5:
     # backends/utils.py:128-145 pins .lava byte ranges; we pin the index
     # DataFrames in Spark's block manager) ------------------------------------

@@ -1,4 +1,5 @@
 from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
+from rottnest_spark.indices.sketches import StatsSketchIndex
 from rottnest_spark.indices.substring import SubstringIndex
 
-__all__ = ["BRUTE_FORCE", "SparkIndex", "SubstringIndex"]
+__all__ = ["BRUTE_FORCE", "SparkIndex", "StatsSketchIndex", "SubstringIndex"]
