@@ -108,6 +108,12 @@ def main() -> None:
         "exact_build_orders",
         lambda: ep.indexed_lake(spark, sf_dir, "orders", "o_orderkey", ExactIndex()),
     )
+    from rottnest_spark.indices.bloom import BloomIndex
+
+    timed(
+        "bloom_build_customer",
+        lambda: ep.indexed_lake(spark, sf_dir, "customer", "c_name", BloomIndex()),
+    )
     timed(
         "bm25_build_documents",
         lambda: ep.indexed_lake(spark, sf_dir, "documents", "text", BM25Index()),

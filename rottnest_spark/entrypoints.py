@@ -112,6 +112,23 @@ def q_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_KEY = "Customer#000000042"
+
+
+def q_bloom_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 exact lookup on the high-cardinality unclustered STRING key
+    customer.c_name via the Bloom membership index (~10 bits/key vs a full
+    key table; false positives only cost refine reads — §0 keeps the result
+    exact)."""
+    from rottnest_spark.indices.bloom import BloomIndex
+
+    idx = BloomIndex()
+    lake = indexed_lake(spark, sf_dir, "customer", "c_name", idx)
+    return lake.search(idx, "c_name", BLOOM_KEY).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+
+
 def q_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 log keyword search over events.props (substring index — the
     logcloud-exact refine is the same contains predicate)."""
@@ -1292,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "substring_search_many": q_substring_search_many,
     "exact_match": q_exact_match,
+    "bloom_match": q_bloom_match,
     "exact_match_many": q_exact_match_many,
     "exact_range": q_exact_range,
     "log_search": q_log_search,
@@ -1357,6 +1375,10 @@ ORACLES: dict[str, str] = {
     "substring_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE contains(lower(text), '{SUBSTRING_QUERY}')
+    """,
+    "bloom_match": f"""
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        FROM customer WHERE c_name = '{BLOOM_KEY}'
     """,
     "exact_match": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority

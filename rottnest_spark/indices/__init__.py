@@ -1,5 +1,12 @@
 from rottnest_spark.indices.base import BRUTE_FORCE, SparkIndex
+from rottnest_spark.indices.bloom import BloomIndex
 from rottnest_spark.indices.sketches import StatsSketchIndex
 from rottnest_spark.indices.substring import SubstringIndex
 
-__all__ = ["BRUTE_FORCE", "SparkIndex", "StatsSketchIndex", "SubstringIndex"]
+__all__ = [
+    "BRUTE_FORCE",
+    "BloomIndex",
+    "SparkIndex",
+    "StatsSketchIndex",
+    "SubstringIndex",
+]
