@@ -557,6 +557,79 @@ class ParquetLake:
         out["uncovered_files"] = len(plan.unindexed_files)
         return out
 
+    def _summary_plan(self, idx, column: str, files: list[str] | None):
+        from rottnest_spark.core.catalog import IndexCatalog as _IC
+
+        scope = files if files is not None else self.files
+        return plan_search(
+            self.catalog,
+            idx.index_type,
+            column,
+            scope,
+            expect_config=_IC.config_json(**idx.config()),
+        )
+
+    def quantile_estimate(
+        self,
+        column: str,
+        quantiles: list[float],
+        files: list[str] | None = None,
+        index=None,
+    ) -> dict:
+        """Quantile estimates for a numeric column over (a subset of) live
+        files from the kll_quantiles summary index — metadata-only, any
+        file subset. Requires build_index(QuantileSketchIndex(), column)."""
+        from rottnest_spark.indices.sketches import QuantileSketchIndex
+
+        idx = index or QuantileSketchIndex()
+        plan = self._summary_plan(idx, column, files)
+        if not plan.entries:
+            return {
+                "quantiles": {},
+                "n_rows": 0,
+                "n_files": 0,
+                "uncovered_files": len(plan.unindexed_files),
+            }
+        out = QuantileSketchIndex.estimate_quantiles(
+            self.spark,
+            [e["index_path"] for e in plan.entries],
+            quantiles,
+            files=plan.covered_files,
+        )
+        out["uncovered_files"] = len(plan.unindexed_files)
+        return out
+
+    def key_overlap_estimate(
+        self,
+        column: str,
+        files_a: list[str],
+        files_b: list[str],
+        index=None,
+    ) -> dict:
+        """Estimated distinct-key overlap between two file subsets from the
+        theta_keys summary index (dedup/ingest planning: skip or scope the
+        expensive dedup join when the overlap is ~0)."""
+        from rottnest_spark.indices.sketches import ThetaSketchIndex
+
+        idx = index or ThetaSketchIndex()
+        plan = self._summary_plan(idx, column, list(files_a) + list(files_b))
+        if not plan.entries:
+            return {
+                "a": 0,
+                "b": 0,
+                "overlap": 0,
+                "uncovered_files": len(plan.unindexed_files),
+            }
+        covered = set(plan.covered_files)
+        out = idx.estimate_overlap(
+            self.spark,
+            [e["index_path"] for e in plan.entries],
+            [f for f in files_a if f in covered],
+            [f for f in files_b if f in covered],
+        )
+        out["uncovered_files"] = len(plan.unindexed_files)
+        return out
+
     # -- hot-index caching (the reference's Redis cache-ranges analog, S5:
     # backends/utils.py:128-145 pins .lava byte ranges; we pin the index
     # DataFrames in Spark's block manager) ------------------------------------
