@@ -1222,6 +1222,95 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q45_LO, Q45_HI = "1996-01-01", "1997-01-01"
+Q5_REGION = "ASIA"
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adaptation (order-priority check): orders in a date window
+    that have at least one returned line. EXISTS becomes a LEFT SEMI join —
+    the date filter pushes to the orders scan, the returnflag filter to the
+    lineitem scan, and the semi-join shuffles only (orderkey) pairs, never
+    widening rows. (Fixture lacks l_commitdate/l_receiptdate, so 'late
+    delivery' is adapted to l_returnflag = 'R'.)"""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q45_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q45_HI).cast("timestamp"))
+    )
+    ret = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier revenue): the 6-way join. Dimension chain
+    region→nation→supplier broadcasts end-to-end; the only shuffles are
+    the two fact joins (lineitem⋈orders on orderkey, then ⋈customer on
+    custkey), with the c_nationkey = s_nationkey locality constraint
+    applied post-join as a codegen filter."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q45_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q45_HI).cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey", "n_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adaptation (shipping-priority split by return class;
+    fixture lacks l_shipmode, so l_returnflag stands in): one fact-fact
+    shuffle join + conditional codegen SUMs, shipdate window pushed to the
+    lineitem scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q45_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q45_HI).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 Q3_CUTOFF = "1997-06-30"
 HIST_BIN_WIDTH = 25.0
@@ -1367,7 +1456,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_segment": q_top_orders_per_segment,
     "value_histogram": q_value_histogram,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
     "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
     "tpch_q18": q_tpch_q18,
 }
 
@@ -2037,6 +2129,43 @@ ORACLES: dict[str, str] = {
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """,
+    "tpch_q4": f"""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{Q45_LO} 00:00:00'
+          AND o_orderdate < TIMESTAMP '{Q45_HI} 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q5": f"""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q5_REGION}'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '{Q45_LO} 00:00:00'
+          AND o_orderdate < TIMESTAMP '{Q45_HI} 00:00:00'
+        GROUP BY n_name
+    """,
+    "tpch_q12": f"""
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{Q45_LO} 00:00:00'
+          AND l_shipdate < TIMESTAMP '{Q45_HI} 00:00:00'
+        GROUP BY l_returnflag
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
