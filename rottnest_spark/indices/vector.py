@@ -6,7 +6,9 @@ faiss k-means centroids, PQ codes, per-centroid posting lists; search picks
 and reranks in fp32. Approximate top-K measured by recall (msmarco.py:49-60).
 
 Spark rebuild (SURVEY A8/I11/I12):
-- centroids via `pyspark.ml.clustering.KMeans` (distributed Lloyd's);
+- centroids via sample-trained Lloyd (driver numpy, blocked GEMM — the
+  faiss approach: bounded training sample regardless of lake size) and one
+  distributed GEMM assignment pass over Arrow batches;
 - postings = (centroid_id, file, row_group) distinct — unit-granularity
   pruning, the page-posting analog;
 - NO product quantization: PQ exists to shrink the bytes range-GET'd from
@@ -83,6 +85,43 @@ def l2_dist_col(column: str, query_vec: list[float], round_to: int = 4):
     )
 
 
+def _nearest_gemm(v, cents, block: int = 8192):
+    """argmin_c ||v - c||² via ||v||² − 2·v@Cᵀ + ||c||² — one BLAS GEMM per
+    row block instead of the O(n·k·d) broadcast temp of (v[:,None]-C)²."""
+    import numpy as np
+
+    cn = (cents * cents).sum(axis=1)  # (k,)
+    out = np.empty(len(v), dtype=np.int64)
+    for s in range(0, len(v), block):
+        vb = v[s : s + block]
+        d2 = cn[None, :] - 2.0 * (vb @ cents.T)  # ||v||² constant per row
+        out[s : s + block] = d2.argmin(axis=1)
+    return out
+
+
+def _lloyd_gemm(x, k: int, iters: int, seed: int):
+    """Plain Lloyd with GEMM distance, random-sample init, empty clusters
+    re-seeded from the farthest points. Deterministic for a given seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = _nearest_gemm(x, cents)
+        sums = np.zeros_like(cents)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if not nonempty.all():
+            # re-seed empties from points farthest from their centroid
+            d = ((x - cents[assign]) ** 2).sum(axis=1)
+            far = np.argsort(-d)[: int((~nonempty).sum())]
+            cents[~nonempty] = x[far]
+    return cents
+
+
 class VectorIndex(SparkIndex):
     index_type = "vector"
 
@@ -121,51 +160,75 @@ class VectorIndex(SparkIndex):
             "refine": self.refine,
         }
 
+    #: training sample target, points per centroid (faiss trains IVF coarse
+    #: quantizers on a bounded sample for exactly this reason — training on
+    #: all of a 100 TB lake buys nothing: centroid quality only shifts
+    #: recall, and the exact rerank (T2) pins recall anyway)
+    TRAIN_POINTS_PER_CENTROID = 40
+
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        """Sample-trained Lloyd (driver numpy, blocked GEMM) + one
+        distributed GEMM assignment pass. The sample is bounded by
+        k × TRAIN_POINTS_PER_CENTROID rows (k ≤ 4096 → ≤ 164k × d floats on
+        the driver regardless of lake size); assignment streams Arrow
+        batches through BLAS on the executors — no MLlib Vector UDT
+        conversion, no per-iteration full-data pass."""
+        import numpy as np
 
         df = ensure_float_vectors(read_parquet(spark, files), column).select(
             provenance_file_col().alias("file_path"),
             F.lit(WHOLE_FILE).alias("row_group"),
             F.col(column).alias("emb"),
         )
-        df = df.withColumn("features", array_to_vector(F.col("emb").cast("array<double>")))
         df = df.persist()
         try:
             n = df.count()
             k = max(1, min(n // self.rows_per_centroid, 4096, n))
-            train = (
-                df.sample(self.kmeans_sample_fraction, seed=self.seed)
-                if self.kmeans_sample_fraction < 1.0
-                else df
+            target = k * self.TRAIN_POINTS_PER_CENTROID
+            frac = min(
+                self.kmeans_sample_fraction, min(1.0, (target * 1.2) / max(n, 1))
             )
-            # maxIter=10: measured cost within 0.2% of the 20-iter default on
-            # the fixture at half the fit time; IVF bucketing needs balanced
-            # partitions, not converged centroids (reference uses fixed 30
-            # iters in faiss — indices/vector_index.py:50-117 — but ours
-            # reranks exactly, so centroid quality only shifts recall, which
-            # the tests pin).
-            model = KMeans(
-                k=k, seed=self.seed, maxIter=10, featuresCol="features"
-            ).fit(train)
-            centers = [
-                (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-            ]
+            train = df.sample(frac, seed=self.seed) if frac < 1.0 else df
+            x = np.array(
+                [r["emb"] for r in train.select("emb").collect()], dtype=np.float64
+            )
+            if len(x) < k:  # tiny lake / aggressive sample: top up
+                x = np.array(
+                    [r["emb"] for r in df.select("emb").limit(k).collect()],
+                    dtype=np.float64,
+                )
+            cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
+            centers = [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
             spark.createDataFrame(
                 centers, "centroid_id int, centroid array<double>"
             ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
-            postings = (
-                model.transform(df)
-                .select(
-                    F.col("prediction").alias("centroid_id"),
-                    "file_path",
-                    "row_group",
-                )
-                .distinct()
-            )
+
+            bc = spark.sparkContext.broadcast(cents)
+
+            # self-contained closure: executors may not have the package
+            # importable (driver contract), so the GEMM argmin is inlined
+            def assign(batches):
+                import numpy as np
+                import pandas as pd
+
+                cc = bc.value
+                cn = (cc * cc).sum(axis=1)
+                for pdf in batches:
+                    v = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                    cids = (cn[None, :] - 2.0 * (v @ cc.T)).argmin(axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "centroid_id": cids.astype("int32"),
+                            "file_path": pdf["file_path"],
+                            "row_group": pdf["row_group"],
+                        }
+                    )
+
+            postings = df.mapInPandas(
+                assign, "centroid_id int, file_path string, row_group int"
+            ).distinct()
             self._write_index(postings, f"{out_path}/postings", sort_cols=["centroid_id"])
             if self.pq_m:
                 self._build_pq(spark, files, column, out_path, centers)
@@ -193,21 +256,16 @@ class VectorIndex(SparkIndex):
         m = self.pq_m
         assert d % m == 0, f"dim {d} not divisible by pq_m={m}"
         dsub, k = d // m, self.pq_k
-        rng = np.random.default_rng(self.seed)
-
-        def lloyd(x: np.ndarray) -> np.ndarray:
-            cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
-            for _ in range(10):
-                dist = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-                assign = dist.argmin(axis=1)
-                for c in range(len(cents)):
-                    pts = x[assign == c]
-                    if len(pts):
-                        cents[c] = pts.mean(axis=0)
-            return cents
-
         books = np.stack(
-            [lloyd(sample[:, j * dsub : (j + 1) * dsub]) for j in range(m)]
+            [
+                _lloyd_gemm(
+                    sample[:, j * dsub : (j + 1) * dsub],
+                    min(k, len(sample)),
+                    iters=10,
+                    seed=self.seed + j,
+                )
+                for j in range(m)
+            ]
         )  # (m, k', dsub)
         spark.createDataFrame(
             [
@@ -223,23 +281,25 @@ class VectorIndex(SparkIndex):
         bc_books, bc_coarse = sc.broadcast(books), sc.broadcast(coarse)
 
         def encode(batches):
+            import numpy as np
             import pandas as pd
 
             bk, cc = bc_books.value, bc_coarse.value
             mm, dd = bk.shape[0], bk.shape[0] * bk.shape[2]
+            # GEMM distances (||c||² − 2·v@Cᵀ; ||v||² drops under argmin)
+            # instead of the O(rows·k·d) broadcast temp — a 10k-row Arrow
+            # batch against 1k centroids would otherwise materialize 5 GB
+            ccn = (cc * cc).sum(axis=1)
+            bkn = [(bk[j] * bk[j]).sum(axis=1) for j in range(mm)]
             for pdf in batches:
                 v = np.array(pdf[column].tolist(), dtype=np.float64)
-                cids = (
-                    ((v[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-                )
+                cids = (ccn[None, :] - 2.0 * (v @ cc.T)).argmin(axis=1)
                 codes = np.empty((len(v), mm), dtype=np.int32)
                 dsub_ = dd // mm
                 for j in range(mm):
                     sub = v[:, j * dsub_ : (j + 1) * dsub_]
                     codes[:, j] = (
-                        ((sub[:, None, :] - bk[j][None, :, :]) ** 2)
-                        .sum(axis=2)
-                        .argmin(axis=1)
+                        (bkn[j][None, :] - 2.0 * (sub @ bk[j].T)).argmin(axis=1)
                     )
                 yield pd.DataFrame(
                     {

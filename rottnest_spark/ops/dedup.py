@@ -622,16 +622,30 @@ def embedding_cosine_pairs_ivf(
     ~n * rows_per_centroid * probes^2 instead of n^2.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    feat = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("features", array_to_vector(F.col("v").cast("array<double>")))
+    from rottnest_spark.indices.vector import _lloyd_gemm
+
+    feat = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    feat = feat.persist()
     n = feat.count()
     k = max(1, min(n // rows_per_centroid, 4096, n))
-    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feat)
-    centers = np.array(model.clusterCenters())
+    # sample-trained Lloyd (bounded driver sample, GEMM distances) — same
+    # rationale as VectorIndex.build: centroids only shape the blocking,
+    # the within-block cosine verify is exact, so training on everything
+    # buys nothing at 100 TB
+    target = k * 40
+    frac = min(1.0, (target * 1.2) / max(n, 1))
+    sample_df = feat.sample(frac, seed=seed) if frac < 1.0 else feat
+    x = np.array(
+        [r["v"] for r in sample_df.select("v").collect()], dtype=np.float64
+    )
+    if len(x) < k:
+        x = np.array(
+            [r["v"] for r in feat.select("v").limit(k).collect()],
+            dtype=np.float64,
+        )
+    centers = _lloyd_gemm(x, k, iters=10, seed=seed)
+    k = len(centers)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(centers)
     npr = min(probes, k)
@@ -640,9 +654,10 @@ def embedding_cosine_pairs_ivf(
     def assign(batches):
         for pdf in batches:
             c = bc.value
+            cn = (c * c).sum(axis=1)
             m = np.array(pdf["v"].tolist(), dtype=np.float64)
-            # L2 to centroids; top `npr` per row
-            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # L2 to centroids via GEMM (||m||² drops under per-row argsort)
+            d = cn[None, :] - 2.0 * (m @ c.T)
             top = np.argsort(d, axis=1, kind="stable")[:, :npr]
             ids = pdf["id"].to_numpy().repeat(npr)
             yield pd.DataFrame(
