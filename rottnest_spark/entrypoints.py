@@ -811,6 +811,23 @@ def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling over the embedding table: cap
+    every k-means cluster at 16 rows, deterministic hash selection (the
+    post-dedup diversity pass of a curation pipeline). Rows-only contract:
+    k-means is iterative, not SQL-expressible; determinism + cap invariants
+    are pinned by tests/test_diversity_sample.py."""
+    from rottnest_spark.ops.sampling import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        load(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        rows_per_centroid=64,
+        cap_per_cluster=16,
+    ).select("vec_id", "label", "cluster_id")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget batch assignment, one independent packer per source."""
     from rottnest_spark.ops.sampling import pack_sequences
@@ -1432,6 +1449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "curate_documents": q_curate_documents,
     "stratified_mixture": q_stratified_mixture,
+    "diversity_sample": q_diversity_sample,
     "sequence_packing": q_sequence_packing,
     "train_val_test": q_train_val_test,
     "tpch_q1": q_tpch_q1,

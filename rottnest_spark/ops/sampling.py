@@ -143,3 +143,84 @@ def pack_sequences(
         "batch_id",
         F.floor((cum - F.col(n_tokens_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rows_per_centroid: int = 256,
+    cap_per_cluster: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity (cluster-balanced) sampling over an embedding column: train
+    k-means centroids on a bounded sample, assign every row to its nearest
+    centroid, then keep at most `cap_per_cluster` rows per cluster — chosen
+    by deterministic hash order, so reruns keep the SAME rows.
+
+    This flattens the cluster-size distribution: over-represented regions of
+    embedding space (boilerplate, templates, near-duplicates that survived
+    dedup) are downsampled while the long tail is kept whole — the standard
+    diversity pass of a training-data pipeline after dedup.
+
+    cap_per_cluster=None returns every row with its `cluster_id` (pure
+    clustering). Default cap = the mean cluster size (n/k), i.e. "no cluster
+    may exceed its fair share".
+
+    Scale: training reads a bounded driver sample (k·40 rows max, k ≤ 4096);
+    assignment is one GEMM pass over Arrow batches; the cap is one window
+    rank per cluster — a single shuffle on cluster_id. Deterministic given
+    `seed` (hash order, not RNG)."""
+    import numpy as np
+
+    from rottnest_spark.indices.vector import _lloyd_gemm
+
+    feat = df.persist()
+    n = feat.count()
+    k = max(1, min(n // rows_per_centroid, 4096, n))
+    target = k * 40
+    frac = min(1.0, (target * 1.2) / max(n, 1))
+    sample_df = (
+        feat.select(F.col(vec_col).alias("v")).sample(frac, seed=seed)
+        if frac < 1.0
+        else feat.select(F.col(vec_col).alias("v"))
+    )
+    x = np.array([r["v"] for r in sample_df.collect()], dtype=np.float64)
+    if len(x) < k:
+        x = np.array(
+            [r[0] for r in feat.select(vec_col).limit(k).collect()],
+            dtype=np.float64,
+        )
+    cents = _lloyd_gemm(x, k, iters=10, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+    cols = df.columns
+
+    # self-contained closure (executors may not import the package)
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cc = bc.value
+        cn = (cc * cc).sum(axis=1)
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = pdf[cols].copy()
+            out["cluster_id"] = (
+                (cn[None, :] - 2.0 * (v @ cc.T)).argmin(axis=1).astype("int32")
+            )
+            yield out
+
+    from pyspark.sql.types import IntegerType
+
+    schema = feat.select(*cols).schema.add("cluster_id", IntegerType())
+    clustered = feat.mapInPandas(assign, schema)
+    if cap_per_cluster is None:
+        cap_per_cluster = max(1, n // len(cents))
+    w = Window.partitionBy("cluster_id").orderBy(
+        _bucket(id_col, f"cluster:{seed}"), F.col(id_col)
+    )
+    return (
+        clustered.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= cap_per_cluster)
+        .drop("__rk__")
+    )
