@@ -526,6 +526,42 @@ def _knn_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     ]
 
 
+KNN_MANY_IDS = [0, 7, 19]
+
+
+def _knn_query_vecs(
+    spark: SparkSession, sf_dir: str, ids: list[int]
+) -> dict[str, list[float]]:
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    return {f"q{i}": by_id[i] for i in ids}
+
+
+def q_vector_knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact KNN: N query vectors in ONE scan (per-row codegen L2
+    array + explode), per-query top-k via window rank — the vector analog
+    of the other indexes' search_many."""
+    from rottnest_spark.indices.vector import knn_topk_many
+
+    lake = ParquetLake(
+        spark, [table_path(sf_dir, "embeddings")], "/tmp/rottnest_noidx"
+    )
+    return knn_topk_many(
+        lake,
+        VectorIndex(),
+        "embedding",
+        _knn_query_vecs(spark, sf_dir, KNN_MANY_IDS),
+        KNN_K,
+        "vec_id",
+        exact=True,
+    )
+
+
 def q_vector_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 exact L2 top-K (brute-force baseline; zip_with/aggregate fold)."""
     lake = ParquetLake(
@@ -1428,6 +1464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_many": q_bm25_topk_many,
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
+    "vector_knn_many": q_vector_knn_many,
     "hybrid_search": q_hybrid_search,
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
@@ -1603,6 +1640,23 @@ ORACLES: dict[str, str] = {
     "bm25_topk_expanded": _bm25_expanded_oracle_sql(BM25_QUERY, BM25_K, 8),
     # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
     "vector_knn_exact": _knn_oracle_sql(KNN_K),
+    "vector_knn_many": " UNION ALL ".join(
+        f"""
+        SELECT * FROM (
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = {qid})
+            SELECT e.vec_id, 'q{qid}' AS __query__,
+                   round(sqrt(list_sum(list_transform(
+                       range(1, array_length(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(q.qv[i] AS DOUBLE)) ** 2))), 4) AS dist
+            FROM embeddings e CROSS JOIN q
+            ORDER BY dist ASC, e.vec_id ASC
+            LIMIT {KNN_K}
+        )
+        """
+        for qid in KNN_MANY_IDS
+    ),
     "hybrid_search": f"""
         WITH bm AS (SELECT * FROM ({_bm25_oracle_sql(BM25_QUERY, HYBRID_N)})),
         bmr AS (SELECT doc_id,

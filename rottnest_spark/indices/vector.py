@@ -540,3 +540,129 @@ def knn_topk(
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_topk_many(
+    lake,
+    index: "VectorIndex",
+    column: str,
+    queries: dict[str, list[float]],
+    k: int,
+    id_col: str,
+    exact: bool = False,
+) -> DataFrame:
+    """Batched KNN: N query vectors answered with ONE data pass, tagged by
+    `__query__` — the vector analog of the other indexes' search_many
+    (amortized scans for N queries).
+
+    exact=True (or no index): one scan computes all N codegen'd L2
+    expressions per row; per-query top-k is a window rank partitioned on
+    the query tag. The pre-window shuffle carries rows × N — at scale run
+    the IVF path, where each query's rows are pruned to its probed
+    centroids' units first, so the shuffle carries only candidates.
+
+    IVF path: one centroid read picks every query's nprobes centroids, one
+    postings scan (centroid_id IN union of all probes) maps units→queries,
+    one candidate fetch covers the union of units; distances are computed
+    per (row, query) only for queries whose candidate set contains the
+    row's unit."""
+    from rottnest_spark.core.planner import plan_search
+    from rottnest_spark.core.refine import read_candidates
+    from rottnest_spark.sources.reader import read_parquet
+
+    spark = lake.spark
+    qitems = sorted(queries.items())
+    plan = plan_search(lake.catalog, index.index_type, column, lake.files)
+
+    def topk(scored: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("__query__").orderBy(
+            F.asc("dist"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= k)
+            .drop("__rn__")
+        )
+
+    if exact or not plan.entries:
+        rows = ensure_float_vectors(lake.read(), column)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("__query__"),
+                    l2_dist_col(column, vec).alias("dist"),
+                )
+                for qid, vec in qitems
+            ]
+        )
+        scored = rows.select(
+            id_col, F.explode(dists).alias("s")
+        ).select(id_col, "s.__query__", "s.dist")
+        return topk(scored)
+
+    # IVF: per-query probes -> one tagged postings scan -> union fetch
+    paths = [e["index_path"] for e in plan.entries]
+    probe_map: dict[tuple[str, int], list[str]] = {}
+    for qid, vec in qitems:
+        for p, cid in index.nearest_centroids(spark, paths, list(vec)):
+            probe_map.setdefault((p, cid), []).append(qid)
+
+    unit_q: dict[tuple[str, int], set[str]] = {}
+    for p in paths:
+        cids = sorted({cid for (pp, cid) in probe_map if pp == p})
+        if not cids:
+            continue
+        hits = (
+            spark.read.parquet(f"{p}/postings")
+            .filter(F.col("centroid_id").isin(cids))
+            .select("centroid_id", "file_path", "row_group")
+            .collect()
+        )
+        for r in hits:
+            unit = (r["file_path"], r["row_group"])
+            for qid in probe_map.get((p, r["centroid_id"]), []):
+                unit_q.setdefault(unit, set()).add(qid)
+
+    parts: list[DataFrame] = []
+    if unit_q:
+        # group units by the SET of queries interested in them: one fetch
+        # per distinct query-set (≤ 2^N in theory, a handful in practice),
+        # each tagged with its qids array — no per-row unit join needed
+        by_qset: dict[tuple[str, ...], list[tuple[str, int]]] = {}
+        for unit, qs in unit_q.items():
+            by_qset.setdefault(tuple(sorted(qs)), []).append(unit)
+        for qset, units in sorted(by_qset.items()):
+            chunk = read_candidates(spark, sorted(units)).withColumn(
+                "__qids__", F.array(*[F.lit(q) for q in qset])
+            )
+            parts.append(chunk)
+    if plan.unindexed_files:
+        all_q = F.array(*[F.lit(qid) for qid, _ in qitems])
+        parts.append(
+            lake.read(plan.unindexed_files).withColumn("__qids__", all_q)
+        )
+    if not parts:
+        parts.append(
+            lake.read().limit(0).withColumn(
+                "__qids__", F.array().cast("array<string>")
+            )
+        )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    rows = ensure_float_vectors(rows, column)
+    # distance only for (row, query) pairs the pruning admitted
+    dist = None
+    for qid, vec in qitems:
+        expr = l2_dist_col(column, vec)
+        dist = (
+            F.when(F.col("__query__") == qid, expr)
+            if dist is None
+            else dist.when(F.col("__query__") == qid, expr)
+        )
+    scored = rows.select(
+        id_col, F.explode("__qids__").alias("__query__"), F.col(column)
+    ).select(id_col, "__query__", dist.alias("dist"))
+    return topk(scored)

@@ -195,3 +195,72 @@ def test_pq_three_stage_recall(spark, sf_dir, tmp_path):
     # distances of the found neighbors are EXACT (fp32 rerank on real rows)
     for vid in set(got) & set(want):
         assert abs(got[vid] - want[vid]) < 1e-6
+
+
+def test_knn_topk_many_exact_equals_per_query(spark, sf_dir, tmp_path):
+    """Batched exact KNN == N independent exact KNNs."""
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.vector import (
+        VectorIndex,
+        knn_topk,
+        knn_topk_many,
+    )
+
+    lake = ParquetLake(
+        spark, [f"{sf_dir}/embeddings.parquet"], str(tmp_path / "noidx")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+        for r in emb.filter(emb.vec_id.isin([1, 5, 9])).collect()
+    }
+    idx = VectorIndex()
+    batched = knn_topk_many(
+        lake, idx, "embedding", vecs, 5, "vec_id", exact=True
+    ).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["__query__"], []).append((r["vec_id"], r["dist"]))
+    for qid, vec in vecs.items():
+        single = [
+            (r["vec_id"], r["dist"])
+            for r in knn_topk(
+                lake, idx, "embedding", vec, 5, "vec_id", exact=True
+            ).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
+
+
+def test_knn_topk_many_ivf_recall(spark, sf_dir, tmp_path):
+    """Batched IVF KNN: one postings scan for N queries, full recall on the
+    fixture (nprobes covers the true neighbors)."""
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.vector import (
+        VectorIndex,
+        knn_topk,
+        knn_topk_many,
+    )
+
+    lake_dir = str(tmp_path / "lake")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.repartition(4).write.parquet(lake_dir)
+    lake = ParquetLake(spark, lake_dir, str(tmp_path / "idx"))
+    idx = VectorIndex(rows_per_centroid=32, nprobes=8)
+    lake.build_index(idx, "embedding")
+    vecs = {
+        f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+        for r in emb.filter(emb.vec_id.isin([2, 11])).collect()
+    }
+    batched = knn_topk_many(lake, idx, "embedding", vecs, 5, "vec_id").collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["__query__"], set()).add(r["vec_id"])
+    for qid, vec in vecs.items():
+        exact = {
+            r["vec_id"]
+            for r in knn_topk(
+                lake, idx, "embedding", vec, 5, "vec_id", exact=True
+            ).collect()
+        }
+        recall = len(by_q.get(qid, set()) & exact) / len(exact)
+        assert recall >= 0.8, (qid, recall)
