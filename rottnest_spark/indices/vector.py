@@ -610,16 +610,26 @@ def knn_topk_many(
             probe_map.setdefault((p, cid), []).append(qid)
 
     unit_q: dict[tuple[str, int], set[str]] = {}
+    budget = lake.brute_force_threshold * max(1, len(qitems))
     for p in paths:
         cids = sorted({cid for (pp, cid) in probe_map if pp == p})
         if not cids:
             continue
+        # bounded collect: learn "too many" from at most budget+1 rows,
+        # never the full posting list (unselective-probe escape) — over
+        # budget the whole batch falls back to the one-scan exact path
         hits = (
             spark.read.parquet(f"{p}/postings")
             .filter(F.col("centroid_id").isin(cids))
             .select("centroid_id", "file_path", "row_group")
+            .limit(budget + 1)
             .collect()
         )
+        if len(hits) > budget:
+            return knn_topk_many(
+                lake, index, column, queries, k, id_col, exact=True
+            )
+        budget -= len(hits)
         for r in hits:
             unit = (r["file_path"], r["row_group"])
             for qid in probe_map.get((p, r["centroid_id"]), []):
