@@ -329,6 +329,21 @@ def q_logcloud_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOG_MULTI_QUERIES = ['"k": 87', '"k": 12', '"k": 55']
+
+
+def q_log_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched log search: N digit-anchored queries share ONE dict probe
+    and ONE variables scan (LogIndex.search_many unit×token matrix) instead
+    of 2×Σtokens serial index jobs; per-query refine stays case-sensitive
+    contains."""
+    idx = LogIndex()
+    lake = indexed_lake(spark, sf_dir, "events", "props", idx)
+    return lake.search_many(idx, "props", LOG_MULTI_QUERIES).select(
+        "event_id", "user_id", "event_type", "__query__"
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/T1 exact BM25 top-K over documents.text via postings + global
     stats from the index (exactness rationale in indices/bm25.py)."""
@@ -1456,6 +1471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_range": q_exact_range,
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
+    "log_search_many": q_log_search_many,
     "log_timerange": q_log_timerange,
     "log_timerange_prefix": q_log_timerange_prefix,
     "regex_search": q_regex_search,
@@ -1558,6 +1574,13 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, event_type FROM events
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')
     """,
+    "log_search_many": " UNION ALL ".join(
+        f"""
+        SELECT event_id, user_id, event_type, '{q.replace("'", "''")}' AS __query__
+        FROM events WHERE contains(props, '{q.replace("'", "''")}')
+        """
+        for q in LOG_MULTI_QUERIES
+    ),
     "log_timerange": f"""
         SELECT event_id, user_id, event_type FROM events
         WHERE contains(props, '{LOG_QUERY.replace("'", "''")}')

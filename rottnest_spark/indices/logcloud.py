@@ -223,6 +223,77 @@ class LogIndex(SparkIndex):
             return BRUTE_FORCE
         return cand
 
+    def search_many(
+        self, spark: SparkSession, index_paths: list[str], queries: list[str]
+    ) -> dict:
+        """Batched probe: N queries share ONE dict scan (which tokens are
+        dict-routed and cannot prune) and ONE variables scan (a unit×token
+        hit matrix, metadata-scale), instead of 2×Σtokens serial jobs.
+        Per-query semantics identical to search(): intersection of its
+        prunable tokens' unit sets, BRUTE_FORCE when nothing anchors."""
+        toks_by_q = {q: digit_tokens(q) for q in queries}
+        all_toks = sorted({t for ts in toks_by_q.values() for t in ts})
+        out: dict[str, object] = {}
+        if not all_toks:
+            return {q: BRUTE_FORCE for q in queries}
+
+        def type_ok(t: str):
+            m = type_bitmask(t)
+            return F.col("vtype").bitwiseAND(F.lit(m)) == F.lit(m)
+
+        dicts = spark.read.parquet(*[f"{p}/dict" for p in index_paths])
+        routed_row = dicts.agg(
+            *[
+                F.max(
+                    F.when(
+                        type_ok(t) & F.contains(F.col("value"), F.lit(t)), 1
+                    ).otherwise(0)
+                ).alias(f"t{i}")
+                for i, t in enumerate(all_toks)
+            ]
+        ).collect()[0]
+        routed = {
+            t for i, t in enumerate(all_toks) if (routed_row[f"t{i}"] or 0) > 0
+        }
+        prunable = [t for t in all_toks if t not in routed]
+
+        matrix = None
+        if prunable:
+            variables = spark.read.parquet(
+                *[f"{p}/variables" for p in index_paths]
+            )
+            matrix = (
+                variables.groupBy("file_path", "row_group")
+                .agg(
+                    *[
+                        F.max(
+                            F.when(
+                                type_ok(t)
+                                & F.contains(F.col("value"), F.lit(t)),
+                                1,
+                            ).otherwise(0)
+                        ).alias(f"t{i}")
+                        for i, t in enumerate(all_toks)
+                        if t not in routed
+                    ]
+                )
+                .localCheckpoint(eager=True)
+            )
+        flag_of = {
+            t: f"t{i}" for i, t in enumerate(all_toks) if t not in routed
+        }
+        for q in queries:
+            q_prunable = [t for t in toks_by_q[q] if t in flag_of]
+            if not q_prunable:
+                out[q] = BRUTE_FORCE
+                continue
+            cond = None
+            for t in q_prunable:
+                c = F.col(flag_of[t]) == 1
+                cond = c if cond is None else (cond & c)
+            out[q] = matrix.filter(cond).select("file_path", "row_group")
+        return out
+
     def brute_force(
         self, df: DataFrame, column: str, query: str, k: int | None
     ) -> DataFrame:

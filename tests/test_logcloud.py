@@ -114,3 +114,31 @@ def test_dict_tier_shrinks_variables_table(spark, events_lake, tmp_path):
     q = '"k": 87'
     got = _ids(lake1.search(routed, "props", q))
     assert got == oracle_ids(spark, events_lake, q)
+
+
+def test_search_many_equals_per_query(spark, sf_dir, tmp_path):
+    """Batched LogIndex probe == N independent searches (incl. a
+    non-anchorable query that must brute-force in both paths)."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.logcloud import LogIndex
+
+    out = str(tmp_path / "ev")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = LogIndex()
+    lake.build_index(idx, "props")
+    queries = ['"k": 87', '"k": 12', "nodigits"]
+    batched = lake.search_many(idx, "props", queries).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["__query__"], set()).add(r["event_id"])
+    for q in queries:
+        want = {
+            r["event_id"]
+            for r in spark.read.parquet(out)
+            .filter(F.contains("props", F.lit(q)))
+            .collect()
+        }
+        assert by_q.get(q, set()) == want, q
