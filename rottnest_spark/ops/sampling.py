@@ -224,3 +224,51 @@ def cluster_balanced_sample(
         .filter(F.col("__rk__") <= cap_per_cluster)
         .drop("__rk__")
     )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    partition_col: str,
+) -> DataFrame:
+    """HARD-CAP greedy packing: walk each partition's rows in id order,
+    start a new batch whenever adding the row would exceed `budget`. Unlike
+    `pack_sequences` (window cumsum chunking, batches may overshoot by one
+    straddling row), no batch exceeds the budget unless a single row alone
+    does (that row gets its own batch).
+
+    Greedy reset is inherently sequential, so it runs as one
+    `applyInPandas` per `partition_col` group — state never crosses groups,
+    which is what makes it distribute. The partition column is REQUIRED:
+    packing 100 TB in one sequential stream is a design error, shard first
+    (source, date, shard id).
+
+    Returns df + `batch_id` (dense per partition value, starting at 0).
+    Deterministic: same input → same batches."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField("batch_id", LongType())]
+    )
+    b = int(budget)
+    order_col, tok_col = id_col, n_tokens_col
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        batch_ids = []
+        cur, used = 0, 0
+        for t in pdf[tok_col]:
+            t = int(t)
+            if used and used + t > b:
+                cur += 1
+                used = 0
+            batch_ids.append(cur)
+            used += t
+        pdf["batch_id"] = pd.Series(batch_ids, dtype="int64")
+        return pdf
+
+    return df.groupBy(partition_col).applyInPandas(pack, out_schema)

@@ -92,3 +92,53 @@ def test_empty_lake_raises_clearly(spark, tmp_path):
     lake = ParquetLake(spark, str(empty), str(tmp_path / "idx"))
     with pytest.raises(ValueError, match="no data files"):
         lake.read()
+
+
+def test_pack_sequences_greedy_hard_cap(spark, sf_dir):
+    """Greedy packing: no batch exceeds the budget (unless one row alone
+    does), rows stay in id order within batches, deterministic."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.ops.sampling import pack_sequences_greedy
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.greatest(
+                (F.col("n_chars") / 4).cast("long"), F.lit(1)
+            ).alias("n_tok"),
+        )
+    )
+    budget = 500
+    out = pack_sequences_greedy(docs, "doc_id", "n_tok", budget, "source")
+    per_batch = (
+        out.groupBy("source", "batch_id")
+        .agg(F.sum("n_tok").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert per_batch
+    for r in per_batch:
+        assert r["tot"] <= budget or r["n"] == 1, r
+    # deterministic
+    a = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in out.select("doc_id", "batch_id").collect()
+    )
+    out2 = pack_sequences_greedy(docs, "doc_id", "n_tok", budget, "source")
+    b = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in out2.select("doc_id", "batch_id").collect()
+    )
+    assert a == b
+    # id-ordered within batch: batch ids are nondecreasing in id order
+    import itertools
+
+    rows = sorted(
+        (r["source"], r["doc_id"], r["batch_id"])
+        for r in out.collect()
+    )
+    for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
+        bids = [g[2] for g in grp]
+        assert bids == sorted(bids)
