@@ -666,6 +666,48 @@ class ParquetLake:
             df.unpersist()
         self._cached = {}
 
+    def describe_indices(self) -> list[dict]:
+        """Operational report, one dict per catalog entry: index type,
+        column, config, files covered, on-disk size, and the size ratio vs
+        the covered data files. Pure filesystem metadata — no Spark jobs —
+        so it's safe to call on a hot production lake."""
+
+        def du(path: str) -> int:
+            total = 0
+            for root, _dirs, fnames in os.walk(path):
+                for f in fnames:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        def fsize(path: str) -> int:
+            try:
+                return os.path.getsize(path)
+            except OSError:
+                return 0
+
+        out = []
+        for e in self.catalog.entries():
+            data_bytes = sum(fsize(f) for f in e["file_paths"])
+            idx_bytes = du(e["index_path"])
+            out.append(
+                {
+                    "index_type": e["index_type"],
+                    "column": e["column_name"],
+                    "config": e.get("config"),
+                    "n_files": len(e["file_paths"]),
+                    "index_bytes": idx_bytes,
+                    "data_bytes": data_bytes,
+                    "size_ratio": (
+                        round(idx_bytes / data_bytes, 4) if data_bytes else None
+                    ),
+                    "index_path": e["index_path"],
+                }
+            )
+        return out
+
     # -- L3: compact ----------------------------------------------------------
 
     def compact_indices(

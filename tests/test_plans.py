@@ -113,3 +113,26 @@ def test_decontam_broadcasts_eval_grams(spark, sf_dir):
     )
     plan = _executed_plan(out)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_describe_indices_reports_sizes(spark, sf_dir, tmp_path):
+    """describe_indices: one row per entry, real byte sizes, no Spark jobs
+    (callable on a hot lake)."""
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.indices.bloom import BloomIndex
+
+    out = str(tmp_path / "lake")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(3).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    lake.build_index(ExactIndex(), "o_orderkey")
+    lake.build_index(BloomIndex(), "o_orderkey")
+    rep = lake.describe_indices()
+    assert len(rep) == 2
+    types = {r["index_type"] for r in rep}
+    assert types == {"exact", "bloom"}
+    for r in rep:
+        assert r["n_files"] == 3
+        assert r["index_bytes"] > 0 and r["data_bytes"] > 0
+        assert r["size_ratio"] is not None
+        assert r["column"] == "o_orderkey"
