@@ -165,3 +165,71 @@ def test_vacuum_reclaims_bloom(spark, docs_lake, tmp_path):
     idx = BloomIndex()
     lake.build_index(idx, "uid")
     assert lake.vacuum() == []  # everything live
+
+
+def test_streaming_maintenance_covers_new_files(spark, sf_dir, tmp_path):
+    """BloomIndex slots into the streaming incremental-build path: a drain
+    indexes existing files; appended files get indexed by the next drain;
+    search stays exact throughout."""
+    from rottnest_spark.streaming.incremental import stream_index_maintenance
+
+    out = str(tmp_path / "lake")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "uid", F.concat(F.lit("doc-"), F.md5(F.col("doc_id").cast("string")))
+        )
+    )
+    base.limit(300).repartition(2).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = BloomIndex()
+    created = stream_index_maintenance(
+        spark, lake, idx, "uid", str(tmp_path / "ckpt")
+    )
+    assert created
+    # append new files -> drain again -> only the delta indexed
+    base.limit(400).repartition(2).write.mode("append").parquet(out)
+    lake2 = ParquetLake(spark, out, str(tmp_path / "idx"))
+    created2 = stream_index_maintenance(
+        spark, lake2, idx, "uid", str(tmp_path / "ckpt")
+    )
+    assert created2
+    q = probe_key(spark, out)
+    got = _ids(lake2.search(idx, "uid", q))
+    want = _ids(spark.read.parquet(out).filter(F.col("uid") == q))
+    assert got == want and got
+
+
+def test_bloom_in_conjunctive_search(spark, sf_dir, tmp_path):
+    """BloomIndex composes with ExactIndex zone maps in search_conj: the
+    bloom prunes by key membership, the zone map by range; refine applies
+    both predicates -> exact conjunction."""
+    from rottnest_spark.indices.exact import ExactIndex
+
+    out = str(tmp_path / "lake")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "uid", F.concat(F.lit("doc-"), F.md5(F.col("doc_id").cast("string")))
+        )
+        .repartition(4)
+        .write.parquet(out)
+    )
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    b, e = BloomIndex(), ExactIndex()
+    lake.build_index(b, "uid")
+    lake.build_index(e, "n_chars")
+    q = probe_key(spark, out)
+    row = (
+        spark.read.parquet(out).filter(F.col("uid") == q).collect()[0]
+    )
+    lo, hi = row["n_chars"] - 5, row["n_chars"] + 5
+    got = _ids(
+        lake.search_conj([(b, "uid", q), (e, "n_chars", (lo, hi))])
+    )
+    want = _ids(
+        spark.read.parquet(out).filter(
+            (F.col("uid") == q) & F.col("n_chars").between(lo, hi)
+        )
+    )
+    assert got == want and got
