@@ -666,6 +666,34 @@ class ParquetLake:
             df.unpersist()
         self._cached = {}
 
+    def search_range_virtual(
+        self,
+        column: str,
+        lo,
+        hi,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Range search with VIRTUAL zone maps: prune row groups from
+        Parquet FOOTER statistics (no index build, no data scan for the
+        pruning step), then exact BETWEEN refine — identical results to a
+        full scan. The no-catalog fallback path for lakes that haven't
+        built an ExactIndex yet (reference virtual mode,
+        backends/utils.py:110-126)."""
+        from rottnest_spark.core.layout import footer_zone_candidates
+
+        cands = footer_zone_candidates(self.spark, self.files, column, lo, hi)
+        cand_list = collect_candidates_bounded(
+            cands, set(), set(self.files), self.brute_force_threshold
+        )
+        if cand_list is None:
+            rows = self.read()
+        elif cand_list:
+            rows = read_candidates(self.spark, cand_list)
+        else:
+            rows = self.read(self.files[:1]).limit(0)
+        out = rows.filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+        return out.select(*columns) if columns else out
+
     def describe_indices(self) -> list[dict]:
         """Operational report, one dict per catalog entry: index type,
         column, config, files covered, on-disk size, and the size ratio vs

@@ -145,3 +145,53 @@ def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
             .collect()
         )
         return {r[0]: r[1] for r in rows}
+
+
+def footer_zone_candidates(
+    spark: SparkSession, files: list[str], column: str, lo, hi
+) -> DataFrame:
+    """VIRTUAL zone maps: candidate (file, row_group) units whose Parquet
+    FOOTER min/max statistics for `column` intersect [lo, hi] — no index
+    build, no data scan, just footers (the reference's virtual mode,
+    backends/utils.py:110-126, done one better: it re-scans the key column
+    to compute per-stride min/max; the footer already has them per row
+    group).
+
+    Soundness: a row group with missing/unusable statistics is ALWAYS a
+    candidate; the caller's exact refine keeps results correct. The footer
+    reads distribute over files (metadata-scale mapInPandas, same pattern
+    as extract_layout)."""
+
+    def zone_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # executor-side imports only
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["file_path"]:
+                md = pq.ParquetFile(path).metadata
+                try:
+                    ci = [
+                        md.schema.column(i).name
+                        for i in range(md.num_columns)
+                    ].index(column)
+                except ValueError:
+                    # column absent from this file: nothing to match
+                    continue
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    keep = True
+                    if st is not None and st.has_min_max:
+                        try:
+                            keep = not (st.min > hi or st.max < lo)
+                        except TypeError:
+                            keep = True  # incomparable stats: sound default
+                    if keep:
+                        rows.append((path, rg))
+            yield pd.DataFrame(rows, columns=["file_path", "row_group"])
+
+    files_df = spark.createDataFrame([(f,) for f in files], "file_path string")
+    n_part = max(1, min(len(files), 64))
+    return files_df.repartition(n_part).mapInPandas(
+        zone_batches, "file_path string, row_group int"
+    )

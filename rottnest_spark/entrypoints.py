@@ -318,6 +318,18 @@ def q_exact_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_range_virtual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual-mode range scan: row groups pruned from Parquet FOOTER
+    min/max statistics — NO index build, no pruning-side data scan; exact
+    BETWEEN refine (reference virtual mode, backends/utils.py:110-126)."""
+    lake = ParquetLake(
+        spark, [table_path(sf_dir, "orders")], "/tmp/rottnest_noidx_vz"
+    )
+    return lake.search_range_virtual(
+        "o_orderkey", RANGE_LO, RANGE_HI
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
 def q_logcloud_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I14-I16 tiered log search: template/variable index prunes by the
     query's digit-tokens (type-bitmask superset + containment), then a
@@ -1469,6 +1481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_match": q_bloom_match,
     "exact_match_many": q_exact_match_many,
     "exact_range": q_exact_range,
+    "exact_range_virtual": q_exact_range_virtual,
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
     "log_search_many": q_log_search_many,
@@ -1563,6 +1576,10 @@ ORACLES: dict[str, str] = {
         for q in MULTI_QUERIES
     ),
     "exact_range": f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey BETWEEN {RANGE_LO} AND {RANGE_HI}
+    """,
+    "exact_range_virtual": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         FROM orders WHERE o_orderkey BETWEEN {RANGE_LO} AND {RANGE_HI}
     """,

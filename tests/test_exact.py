@@ -177,3 +177,50 @@ def test_search_many_equals_per_key(spark, sf_dir, tmp_path):
         )
         assert got == want, key
     assert batched.filter(F.col("__query__") == 999_999_999).count() == 0
+
+
+def test_virtual_zone_search_equals_between_and_prunes(spark, sf_dir, tmp_path):
+    """Footer-stats virtual range search: exact results with NO index, and
+    on a key-clustered multi-row-group file most row groups are pruned."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.core.layout import footer_zone_candidates
+
+    rg_dir = str(tmp_path / "rg")
+    os.makedirs(rg_dir)
+    # orders are generated in key order -> row-group ranges are disjoint
+    pq_.write_table(
+        pq_.read_table(f"{sf_dir}/orders.parquet"),
+        os.path.join(rg_dir, "orders.parquet"),
+        row_group_size=512,
+    )
+    lake = ParquetLake(spark, rg_dir, str(tmp_path / "idx"))
+    lo, hi = 100, 200
+    got = sorted(
+        r[0]
+        for r in lake.search_range_virtual("o_orderkey", lo, hi)
+        .select("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in spark.read.parquet(rg_dir)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want and got
+    # pruning: candidates far fewer than total row groups
+    total = pq_.ParquetFile(os.path.join(rg_dir, "orders.parquet")).metadata.num_row_groups
+    cands = footer_zone_candidates(
+        spark, lake.files, "o_orderkey", lo, hi
+    ).count()
+    assert cands < total / 2, (cands, total)
+    # missing column: empty result, not an error
+    assert (
+        footer_zone_candidates(spark, lake.files, "no_such_col", 0, 1).count()
+        == 0
+    )
