@@ -157,6 +157,77 @@ def main() -> None:
             "semantic dedup kept", kept.count(), "of", emb.count(), "vectors"
         )
 
+        # Bloom membership index: ~10 bits/key for unclustered string keys
+        from rottnest_spark.indices.bloom import BloomIndex
+
+        uid_dir = os.path.join(work, "uid_lake")
+        (
+            spark.read.parquet(docs_dir)
+            .withColumn(
+                "uid",
+                F.concat(F.lit("doc-"), F.md5(F.col("doc_id").cast("string"))),
+            )
+            .repartition(4)
+            .write.parquet(uid_dir)
+        )
+        blake = ParquetLake(spark, uid_dir, os.path.join(work, "uid_idx"))
+        bloom = BloomIndex()
+        blake.build_index(bloom, "uid")
+        probe = (
+            spark.read.parquet(uid_dir).select("uid").orderBy("uid").first()[0]
+        )
+        print("bloom point lookup rows:", blake.search(bloom, "uid", probe).count())
+
+        # summary sketches: metadata-only distinct / quantiles / overlap
+        from rottnest_spark.indices.sketches import (
+            QuantileSketchIndex,
+            StatsSketchIndex,
+            ThetaSketchIndex,
+        )
+
+        blake.build_index(StatsSketchIndex(), "uid")
+        print("distinct uids ~", blake.distinct_estimate("uid")["estimate"])
+        blake.build_index(QuantileSketchIndex(), "n_chars")
+        print(
+            "n_chars p50/p99 ~",
+            blake.quantile_estimate("n_chars", [0.5, 0.99])["quantiles"],
+        )
+        blake.build_index(ThetaSketchIndex(), "uid")
+        half = len(blake.files) // 2
+        print(
+            "key overlap first/second half:",
+            blake.key_overlap_estimate(
+                "uid", blake.files[:half], blake.files[half:]
+            ),
+        )
+
+        # virtual-mode range scan: footer stats prune with NO index build
+        olake = ParquetLake(
+            spark,
+            ["/root/testdata/sf0.001/orders.parquet"],
+            os.path.join(work, "noidx"),
+        )
+        print(
+            "virtual range rows:",
+            olake.search_range_virtual("o_orderkey", 100, 200).count(),
+        )
+
+        # diversity sampling: cluster-balanced caps over embeddings
+        from rottnest_spark.ops.sampling import cluster_balanced_sample
+
+        div = cluster_balanced_sample(
+            spark.read.parquet(emb_dir), "vec_id", "embedding",
+            rows_per_centroid=64, cap_per_cluster=16,
+        )
+        print("diversity sample kept:", div.count())
+
+        # operational report
+        for row in blake.describe_indices():
+            print(
+                f"  index {row['index_type']}({row['column']}): "
+                f"{row['index_bytes']} bytes, ratio {row['size_ratio']}"
+            )
+
         # lifecycle: compaction + vacuum keep results identical
         before = lake.search(sub, "text", "merge sort").count()
         lake.compact_indices(sub, "text", row_threshold=10**9)
