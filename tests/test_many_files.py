@@ -1,0 +1,96 @@
+"""Metadata-scale smoke: a 64-file lake exercises the driver-side planning
+paths (anti-join, binpack, per-entry probes, compaction to one entry) at a
+file count where any per-file Spark job or quadratic driver loop would
+show. Correctness invariants only — no timing asserts."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark import ParquetLake
+from rottnest_spark.indices.bloom import BloomIndex
+from rottnest_spark.indices.exact import ExactIndex
+
+
+@pytest.fixture(scope="module")
+def wide_lake(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wide") / "lake")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartitionByRange(64, "o_orderkey")
+        .write.parquet(out)
+    )
+    return out
+
+
+def test_64_file_lifecycle(spark, wide_lake, tmp_path):
+    lake = ParquetLake(spark, wide_lake, str(tmp_path / "idx"))
+    assert len(lake.files) >= 60
+    # several entries via binpack, then point + range probes
+    idx = ExactIndex()
+    created = lake.build_index(idx, "o_orderkey", binpack_row_threshold=300)
+    assert len(created) >= 4
+    probe = (
+        spark.read.parquet(wide_lake)
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    got = sorted(
+        r[0]
+        for r in lake.search(idx, "o_orderkey", probe)
+        .select("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in spark.read.parquet(wide_lake)
+        .filter(F.col("o_orderkey") == probe)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want and got
+    # range-clustered 64-file lake: a point probe prunes to ~1 unit
+    paths = [e["index_path"] for e in lake.catalog.entries_for("exact", "o_orderkey")]
+    assert idx.search(spark, paths, probe).count() <= 2
+
+    # compact all entries into one; search unchanged
+    lake.compact_indices(idx, "o_orderkey", row_threshold=10**9)
+    assert len(lake.catalog.entries_for("exact", "o_orderkey")) == 1
+    got2 = sorted(
+        r[0]
+        for r in lake.search(idx, "o_orderkey", probe)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got2 == got
+    assert lake.vacuum() == []
+
+
+def test_64_file_bloom_prunes(spark, wide_lake, tmp_path):
+    lake = ParquetLake(spark, wide_lake, str(tmp_path / "idx"))
+    idx = BloomIndex(granularity="file")
+    lake.build_index(idx, "o_orderkey")
+    probe = (
+        spark.read.parquet(wide_lake).agg(F.max("o_orderkey")).collect()[0][0]
+    )
+    paths = [e["index_path"] for e in lake.catalog.entries_for("bloom", "o_orderkey")]
+    cands = idx.search(spark, paths, probe).count()
+    assert 1 <= cands <= 3  # 64 files -> a couple of candidates max
+    got = lake.search(idx, "o_orderkey", probe).count()
+    want = (
+        spark.read.parquet(wide_lake)
+        .filter(F.col("o_orderkey") == probe)
+        .count()
+    )
+    assert got == want >= 1
+
+
+def test_64_file_virtual_range(spark, wide_lake, tmp_path):
+    lake = ParquetLake(spark, wide_lake, str(tmp_path / "idx"))
+    lo, hi = 10, 60
+    got = lake.search_range_virtual("o_orderkey", lo, hi).count()
+    want = (
+        spark.read.parquet(wide_lake)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    assert got == want >= 1
