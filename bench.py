@@ -59,6 +59,14 @@ def main() -> None:
                 it.next().getValue().unpersist()
         except Exception:
             pass
+        try:
+            # settle the heap between entries: without this, whichever
+            # query runs when accumulated garbage tips a major GC eats a
+            # multi-second pause that looks like a query regression
+            # (measured: quality_filter 0.6 s isolated vs 2.9 s mid-bench)
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     def timed(name: str, fn) -> None:
         drop_persisted()
@@ -76,8 +84,8 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     warm_cache = os.path.join(bench_cache, "warmup_idx")
     try:
-        for wq in ("token_stats", "frequent_ngrams", "windowed_event_counts",
-                   "tpch_q1"):
+        for wq in ("token_stats", "quality_filter", "lang_id",
+                   "frequent_ngrams", "windowed_event_counts", "tpch_q1"):
             ep.QUERIES[wq](spark, warm_dir).collect()
         # dedup pipelines: sf0.001 is too small to cross the JVM's C2
         # compile thresholds for the 32-min hash-agg loops — warm at
