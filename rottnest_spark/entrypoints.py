@@ -874,6 +874,23 @@ def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+MIX_BUDGETS = {"src0": 2_000, "src1": 800, "src2": 300}
+
+
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset mixing: per source, keep docs in deterministic
+    hash order until the source's TOKEN budget is filled (the knob training
+    recipes specify — token shares, not document fractions)."""
+    from rottnest_spark.ops.sampling import mixture_by_tokens
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.lower("text"), " "))
+    )
+    return mixture_by_tokens(
+        docs, "doc_id", "source", "n_tokens", MIX_BUDGETS
+    ).select("doc_id", "source", "n_tokens")
+
+
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sampling over the embedding table: cap
     every k-means cluster at 16 rows, deterministic hash selection (the
@@ -1515,6 +1532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "curate_documents": q_curate_documents,
     "stratified_mixture": q_stratified_mixture,
+    "token_mixture": q_token_mixture,
     "diversity_sample": q_diversity_sample,
     "sequence_packing": q_sequence_packing,
     "train_val_test": q_train_val_test,
@@ -1928,6 +1946,21 @@ ORACLES: dict[str, str] = {
               % 1000000
             < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
                         WHEN 'fr' THEN 250000 ELSE 100000 END
+    """,
+    "token_mixture": """
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT doc_id, source,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   coalesce(sum(len(string_split(lower(text), ' '))) OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                                % 1000000 ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prior
+            FROM documents
+        )
+        WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 800
+                                  WHEN 'src2' THEN 300 ELSE 0 END
     """,
     "sequence_packing": """
         SELECT doc_id, source, n_tokens,

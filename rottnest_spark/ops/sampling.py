@@ -272,3 +272,49 @@ def pack_sequences_greedy(
         return pdf
 
     return df.groupBy(partition_col).applyInPandas(pack, out_schema)
+
+
+def mixture_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n_tokens_col: str,
+    budgets: dict[str, int],
+    seed: str = "mix",
+) -> DataFrame:
+    """Token-budget dataset mixing: per stratum (source, language, domain),
+    keep documents in deterministic hash order until the stratum's TOKEN
+    budget is reached — the mixing knob training recipes actually specify
+    ("20B tokens of code, 5B of forums"), as opposed to per-document
+    fractions.
+
+    A document is kept iff its stratum has a budget and the cumulative
+    token count of all hash-earlier documents in the stratum is still under
+    that budget — so the budget overshoots by at most one boundary
+    document, and membership is reproducible and engine-independent (pure
+    hash + window arithmetic, no RNG).
+
+    Scale: one shuffle (window partitioned by stratum, ordered by hash
+    bucket); strata are independent so skewed strata parallelize across
+    their partitions' tasks no worse than the underlying window."""
+    b = _bucket(id_col, seed)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(b.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0))
+    budget = None
+    for k, v in sorted(budgets.items()):
+        cond = F.col(strata_col) == k
+        budget = (
+            F.when(cond, F.lit(int(v)))
+            if budget is None
+            else budget.when(cond, F.lit(int(v)))
+        )
+    budget = F.lit(0) if budget is None else budget.otherwise(F.lit(0))
+    return (
+        df.withColumn("__prior__", prior)
+        .filter(F.col("__prior__") < budget)
+        .drop("__prior__")
+    )

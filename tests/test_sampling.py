@@ -142,3 +142,35 @@ def test_pack_sequences_greedy_hard_cap(spark, sf_dir):
     for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
         bids = [g[2] for g in grp]
         assert bids == sorted(bids)
+
+
+def test_mixture_by_tokens_budget_and_determinism(spark, sf_dir):
+    """Per-stratum token budgets: kept tokens <= budget + one boundary doc;
+    unbudgeted strata drop entirely; deterministic."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.ops.sampling import mixture_by_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", F.size(F.split(F.lower("text"), " "))
+    )
+    budgets = {"src0": 600, "src1": 150}
+    out = mixture_by_tokens(docs, "doc_id", "source", "n_tokens", budgets)
+    per = {
+        r["source"]: (r["tok"], r["mx"])
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"))
+        .collect()
+    }
+    assert set(per) <= set(budgets)
+    for s, (tok, mx) in per.items():
+        assert tok <= budgets[s] + mx, (s, tok, mx)
+        assert tok > 0
+    a = sorted(r[0] for r in out.select("doc_id").collect())
+    b = sorted(
+        r[0]
+        for r in mixture_by_tokens(
+            docs, "doc_id", "source", "n_tokens", budgets
+        ).select("doc_id").collect()
+    )
+    assert a == b and a
