@@ -275,3 +275,53 @@ def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path):
         by_conv.setdefault(r["conv_id"], []).append(r["trig_ts"])
     for r in lt:
         assert r["attributed_trig_ts"] == max(by_conv[r["conv_id"]])
+
+
+def test_stream_ingest_dedup_against_lake_index(spark, sf_dir, tmp_path):
+    """Dedup-at-ingest: a stream of new docs is filtered against the
+    lake's exact-index key set; intra-stream duplicates drop too."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.streaming.ingest import (
+        keys_already_in_lake,
+        stream_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lake_dir = str(tmp_path / "lake")
+    docs.filter(F.col("doc_id") < 250).repartition(2).write.parquet(lake_dir)
+    lake = ParquetLake(spark, lake_dir, str(tmp_path / "idx"))
+    lake.build_index(ExactIndex(), "doc_id")
+
+    # stream payload: ids 200-299 (overlap 200-249 with the lake) + an
+    # intra-stream duplicate of 260
+    incoming = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    ).select("doc_id", "source")
+    dup = incoming.filter(F.col("doc_id") == 260)
+    src = str(tmp_path / "stream_src")
+    incoming.unionByName(dup).repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    deduped = stream_ingest_dedup(stream, "doc_id", lake, "doc_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ingest_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        r["doc_id"] for r in spark.table("ingest_dedup_t").collect()
+    )
+    assert got == list(range(250, 300))  # lake overlap + stream dup removed
+
+    # unindexed lake refuses (silent pass-through would be a data bug)
+    lake2 = ParquetLake(spark, lake_dir, str(tmp_path / "idx2"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact index"):
+        keys_already_in_lake(lake2, "doc_id")
