@@ -874,6 +874,20 @@ def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (embedding/RAG prep) — pure
+    codegen explode + slice, chunk provenance kept."""
+    from rottnest_spark.ops.textstats import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+
+
 MIX_BUDGETS = {"src0": 2_000, "src1": 800, "src2": 300}
 
 
@@ -1533,6 +1547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_documents": q_curate_documents,
     "stratified_mixture": q_stratified_mixture,
     "token_mixture": q_token_mixture,
+    "chunk_documents": q_chunk_documents,
     "diversity_sample": q_diversity_sample,
     "sequence_packing": q_sequence_packing,
     "train_val_test": q_train_val_test,
@@ -1946,6 +1961,27 @@ ORACLES: dict[str, str] = {
               % 1000000
             < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
                         WHEN 'fr' THEN 250000 ELSE 100000 END
+    """,
+    "chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        ), c AS (
+            SELECT doc_id, tk,
+                   CAST(greatest(ceil((len(tk) - {CHUNK_OVERLAP})
+                        / {CHUNK_TOKENS - CHUNK_OVERLAP}.0), 1) AS INT) AS nch
+            FROM t
+        )
+        , c2 AS (
+            SELECT doc_id, tk, unnest(range(1, nch + 1)) AS i FROM c
+        )
+        SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+               CAST(len(tk[(i-1)*{CHUNK_TOKENS - CHUNK_OVERLAP}+1
+                         : (i-1)*{CHUNK_TOKENS - CHUNK_OVERLAP}+{CHUNK_TOKENS}])
+                    AS INT) AS n_chunk_tokens,
+               array_to_string(tk[(i-1)*{CHUNK_TOKENS - CHUNK_OVERLAP}+1
+                         : (i-1)*{CHUNK_TOKENS - CHUNK_OVERLAP}+{CHUNK_TOKENS}],
+                    ' ') AS chunk_text
+        FROM c2
     """,
     "token_mixture": """
         SELECT doc_id, source, n_tokens FROM (

@@ -219,3 +219,58 @@ def fingerprints(df: DataFrame, id_col: str, col: str) -> DataFrame:
         F.expr("md5(__norm__)").alias("content_fp"),
         F.expr(winnow).alias("winnow_fp"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the prep step
+    of an embedding/RAG pipeline (each chunk gets embedded and indexed with
+    provenance back to its document).
+
+    Whitespace tokenization (the repo's shingler convention); chunk i
+    covers tokens [i·stride, i·stride + chunk_tokens), stride =
+    chunk_tokens − overlap. The last chunk may be shorter; a document
+    shorter than one chunk yields exactly one chunk. Emits
+    (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Pure codegen: split → explode(sequence) over chunk starts → slice +
+    concat_ws. Rows fan out ~len/stride per doc with only the chunk text
+    carried (the token array is consumed by the projection, not stored),
+    so the op composes with any downstream embed/index pass at scale."""
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    toks = F.split(F.lower(F.col(col)), " ")
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, ... ; at least one chunk even when empty
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__tk__"),
+            F.explode(
+                F.sequence(F.lit(0), n_chunks - F.lit(1))
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("__tk__"),
+                F.col("chunk_id") * F.lit(stride) + F.lit(1),
+                chunk_tokens,
+            ).alias("__chunk__"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk__").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__chunk__").alias("chunk_text"),
+        )
+    )

@@ -75,3 +75,36 @@ def test_on_fixture_no_nulls(spark, sf_dir):
             " OR ".join(f"{c} IS NULL" for c in out.columns)
         ).count()
         assert null_rows == 0, fn.__name__
+
+
+def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
+    """Chunks reconstruct the document: consecutive chunks overlap by the
+    configured amount and their union covers every token in order."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.ops.textstats import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    ct, ov = 32, 8
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=ct, overlap=ov)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"].split(" "))
+        )
+    src = {
+        r["doc_id"]: r["text"].lower().split(" ") for r in docs.collect()
+    }
+    stride = ct - ov
+    for doc_id, chunks in by_doc.items():
+        chunks.sort()
+        toks = src[doc_id]
+        for cid, ctoks in chunks:
+            want = toks[cid * stride : cid * stride + ct]
+            assert ctoks == want, (doc_id, cid)
+        # full coverage: last chunk reaches the end
+        last_cid, last = chunks[-1]
+        assert last_cid * stride + len(last) == len(toks)
+        # every chunk except possibly the last is full-size
+        assert all(len(c) == ct for _, c in chunks[:-1])
