@@ -48,3 +48,51 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc("id"))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    k: int,
+    lam: float = 0.7,
+) -> list[tuple]:
+    """Maximal-Marginal-Relevance rerank of a top-N candidate set: greedily
+    pick k items maximizing lam·relevance − (1−lam)·max-cosine-to-selected,
+    trading a little relevance for diversity (the standard fix for
+    near-duplicate-saturated retrieval results).
+
+    MMR is inherently sequential over k picks, so it runs driver-side on
+    the COLLECTED top-N (N is retrieval-scale, ≤ a few hundred — the same
+    altitude as the reference's global top-K stage). Scores are min-max
+    normalized first so `lam` means the same thing across score families
+    (BM25, RRF, −distance). Deterministic: ties break on id.
+
+    Returns [(id, mmr_score), ...] in pick order."""
+    import numpy as np
+
+    rows = candidates.select(id_col, score_col, vec_col).collect()
+    if not rows:
+        return []
+    ids = [r[id_col] for r in rows]
+    rel = np.array([float(r[score_col]) for r in rows])
+    v = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    lo, hi = rel.min(), rel.max()
+    rel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+    sim = v @ v.T
+    picked: list[int] = []
+    out: list[tuple] = []
+    remaining = set(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        best, best_score = None, None
+        for i in sorted(remaining, key=lambda i: (ids[i],)):
+            penalty = max((sim[i][j] for j in picked), default=0.0)
+            s = lam * rel[i] - (1.0 - lam) * penalty
+            if best_score is None or s > best_score + 1e-12:
+                best, best_score = i, s
+        picked.append(best)
+        remaining.discard(best)
+        out.append((ids[best], round(float(best_score), 6)))
+    return out

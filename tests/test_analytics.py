@@ -274,3 +274,44 @@ def test_rolling_agg_window_and_anomaly(spark):
     flags = {d: out[d]["is_anomaly"] for d in out}
     assert flags["2024-01-08 00:00:00"] == 1
     assert sum(flags.values()) == 1
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR: deterministic, k items, and the picked set is more diverse
+    (lower mean pairwise cosine) than the plain top-k."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.ops.hybrid import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    # relevance = similarity to vec 0 (forces near-dup heavy top ranks)
+    rows = emb.collect()
+    q = np.array(rows[0]["embedding"], dtype=float)
+    data = [
+        (r["vec_id"], float(np.dot(r["embedding"], q)), r["embedding"])
+        for r in rows
+    ]
+    cands = spark.createDataFrame(
+        data, "vec_id long, score double, embedding array<float>"
+    )
+    k = 10
+    picked = mmr_rerank(cands, "vec_id", "score", "embedding", k, lam=0.5)
+    assert len(picked) == k
+    assert picked == mmr_rerank(
+        cands, "vec_id", "score", "embedding", k, lam=0.5
+    )
+
+    def mean_pairwise(ids):
+        m = np.array(
+            [r["embedding"] for r in rows if r["vec_id"] in set(ids)],
+            dtype=float,
+        )
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        s = m @ m.T
+        iu = np.triu_indices(len(m), 1)
+        return float(s[iu].mean())
+
+    topk_ids = [d[0] for d in sorted(data, key=lambda d: (-d[1], d[0]))[:k]]
+    mmr_ids = [p[0] for p in picked]
+    assert mean_pairwise(mmr_ids) <= mean_pairwise(topk_ids) + 1e-9
