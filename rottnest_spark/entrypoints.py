@@ -874,6 +874,17 @@ def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact data-quality profile of the orders table (one aggregation
+    pass: nulls, exact distincts, typed min/max per column)."""
+    from rottnest_spark.ops.analytics import profile_table
+
+    return profile_table(load(spark, sf_dir, "orders"), PROFILE_COLS)
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
 
 
@@ -1548,6 +1559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_mixture": q_stratified_mixture,
     "token_mixture": q_token_mixture,
     "chunk_documents": q_chunk_documents,
+    "profile_orders": q_profile_orders,
     "diversity_sample": q_diversity_sample,
     "sequence_packing": q_sequence_packing,
     "train_val_test": q_train_val_test,
@@ -1962,6 +1974,24 @@ ORACLES: dict[str, str] = {
             < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
                         WHEN 'fr' THEN 250000 ELSE 100000 END
     """,
+    "profile_orders": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column, count(*) AS n_rows,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               {f"CAST(min({c}) AS DOUBLE)" if num else "NULL::DOUBLE"} AS min_num,
+               {f"CAST(max({c}) AS DOUBLE)" if num else "NULL::DOUBLE"} AS max_num,
+               {f"min({c})" if not num else "NULL::VARCHAR"} AS min_str,
+               {f"max({c})" if not num else "NULL::VARCHAR"} AS max_str
+        FROM orders
+        """
+        for c, num in [
+            ("o_orderkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", True),
+            ("o_orderpriority", False),
+        ]
+    ),
     "chunk_documents": f"""
         WITH t AS (
             SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents

@@ -395,3 +395,57 @@ def group_kpis_approx(
         F.round(pcts[2], 4).alias("p99"),
         F.round(F.sum(value_col), 2).alias("total_value"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile, one row per column: n_rows, n_nulls, EXACT
+    n_distinct, and min/max (numeric columns as doubles, string columns as
+    strings — other types report counts only).
+
+    One aggregation job computes every column's stats in a single pass
+    (the scan reads each column once; count-distincts share the same
+    shuffle via Spark's expand). At 100 TB swap exact distincts for the
+    HLL summary index (`ParquetLake.distinct_estimate`) — this operator is
+    the exact, oracle-checkable profile."""
+    from pyspark.sql.types import NumericType, StringType
+
+    cols = columns or df.columns
+    spark = df.sparkSession
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+        if isinstance(dt, NumericType):
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"{c}__minn"),
+                F.max(F.col(c)).cast("double").alias(f"{c}__maxn"),
+            ]
+        elif isinstance(dt, StringType):
+            aggs += [
+                F.min(F.col(c)).alias(f"{c}__mins"),
+                F.max(F.col(c)).alias(f"{c}__maxs"),
+            ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        out.append(
+            (
+                c,
+                int(row[f"{c}__rows"]),
+                int(row[f"{c}__nulls"] or 0),
+                int(row[f"{c}__nd"]),
+                row[f"{c}__minn"] if f"{c}__minn" in row.asDict() else None,
+                row[f"{c}__maxn"] if f"{c}__maxn" in row.asDict() else None,
+                row[f"{c}__mins"] if f"{c}__mins" in row.asDict() else None,
+                row[f"{c}__maxs"] if f"{c}__maxs" in row.asDict() else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_num double, max_num double, min_str string, max_str string",
+    )

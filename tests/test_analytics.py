@@ -315,3 +315,24 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
     topk_ids = [d[0] for d in sorted(data, key=lambda d: (-d[1], d[0]))[:k]]
     mmr_ids = [p[0] for p in picked]
     assert mean_pairwise(mmr_ids) <= mean_pairwise(topk_ids) + 1e-9
+
+
+def test_profile_table_exactness(spark, sf_dir):
+    """profile_table: exact nulls/distincts/min/max per column in one pass."""
+    from rottnest_spark.ops.analytics import profile_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prof = {r["column"]: r for r in profile_table(orders).collect()}
+    assert set(prof) == set(orders.columns)
+    n = orders.count()
+    import pyspark.sql.functions as F
+
+    for c in ["o_orderkey", "o_orderstatus"]:
+        r = prof[c]
+        assert r["n_rows"] == n and r["n_nulls"] == 0
+        assert r["n_distinct"] == orders.select(c).distinct().count()
+    assert prof["o_orderkey"]["min_num"] == float(
+        orders.agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    assert prof["o_orderstatus"]["min_str"] is not None
+    assert prof["o_orderstatus"]["min_num"] is None
