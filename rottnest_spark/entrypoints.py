@@ -874,6 +874,14 @@ def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality: per-doc mean corpus-unigram ln P (CCNet-style
+    outlier signal) — two shuffles, no UDFs."""
+    from rottnest_spark.ops.textstats import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 
 
@@ -1560,6 +1568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mixture": q_token_mixture,
     "chunk_documents": q_chunk_documents,
     "profile_orders": q_profile_orders,
+    "unigram_logprob": q_unigram_logprob,
     "diversity_sample": q_diversity_sample,
     "sequence_packing": q_sequence_packing,
     "train_val_test": q_train_val_test,
@@ -1973,6 +1982,20 @@ ORACLES: dict[str, str] = {
               % 1000000
             < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
                         WHEN 'fr' THEN 250000 ELSE 100000 END
+    """,
+    "unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), total AS (SELECT sum(c) AS t FROM counts)
+        SELECT toks.doc_id,
+               round(avg(ln(counts.c / (SELECT t FROM total))), 4)
+                   AS unigram_logprob,
+               count(*) AS n_tokens
+        FROM toks JOIN counts USING (tok)
+        GROUP BY toks.doc_id
     """,
     "profile_orders": " UNION ALL ".join(
         f"""

@@ -274,3 +274,38 @@ def chunk_documents(
             F.concat_ws(" ", "__chunk__").alias("chunk_text"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, col: str, round_to: int = 4
+) -> DataFrame:
+    """Corpus-unigram log-probability score per document (the CCNet-style
+    statistical quality signal: documents whose tokens are improbable under
+    the corpus unigram LM are gibberish/boilerplate outliers; well-formed
+    text scores near the corpus mean).
+
+    score = mean over the document's tokens of ln P(token), with
+    P(token) = corpus_count(token) / corpus_total. Every token in the
+    corpus has a count ≥ 1, so no smoothing is needed for self-scoring.
+
+    Two aggregations: (1) corpus token counts (map-side combined groupBy),
+    (2) per-doc mean of ln P after an equi-join of exploded tokens to the
+    count table — both plain shuffles on the token key, no UDFs. At 100 TB
+    the count table is vocabulary-scale; Spark broadcast-joins it when
+    small and shuffle-joins otherwise — either plan is correct."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(col)), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    # corpus total from a NARROW scan (sum of per-doc token counts) — no
+    # second pass over the persisted count table, no recomputed explode
+    total = df.select(
+        F.sum(F.size(F.split(F.lower(F.col(col)), " "))).alias("t")
+    ).collect()[0]["t"]
+    scored = toks.join(counts, "tok").select(
+        id_col, (F.log(F.col("c") / F.lit(float(total)))).alias("lp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), round_to).alias("unigram_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

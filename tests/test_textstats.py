@@ -108,3 +108,22 @@ def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
         assert last_cid * stride + len(last) == len(toks)
         # every chunk except possibly the last is full-size
         assert all(len(c) == ct for _, c in chunks[:-1])
+
+
+def test_unigram_logprob_orders_quality(spark, sf_dir):
+    """Common-token docs score higher than rare-token docs; counts match."""
+    import math
+
+    from rottnest_spark.ops.textstats import unigram_logprob
+
+    rows = [
+        (1, "the the the the"),       # most common token
+        (2, "zzzuncommon qqqrare"),   # singletons
+        (3, "the zzzuncommon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    total = 8
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["unigram_logprob"] - round(math.log(5 / total), 4)) < 1e-9
+    assert out[1]["unigram_logprob"] > out[3]["unigram_logprob"] > out[2]["unigram_logprob"]
