@@ -68,7 +68,23 @@ class ParquetLake:
         if isinstance(self._data, list):
             return sorted(self._data)
         if os.path.isdir(self._data):
-            return sorted(glob.glob(os.path.join(self._data, "*.parquet")))
+            # recursive: hive-partitioned layouts (dt=2024-01-01/part.parquet)
+            # are the normal 100 TB shape. Underscore/dot-prefixed dirs and
+            # files stay invisible (Spark convention — also keeps compaction
+            # staging dirs and _delta_log out of the lake).
+            # NOTE: partition VALUES stay path-encoded; the lake reads the
+            # files' physical columns only (uniform-schema invariant).
+            out = []
+            for root, dirs, fnames in os.walk(self._data):
+                dirs[:] = [
+                    d for d in dirs if not d.startswith(("_", "."))
+                ]
+                out += [
+                    os.path.join(root, f)
+                    for f in fnames
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                ]
+            return sorted(out)
         return sorted(glob.glob(self._data))
 
     def read(self, files: list[str] | None = None) -> DataFrame:

@@ -94,3 +94,34 @@ def test_64_file_virtual_range(spark, wide_lake, tmp_path):
         .count()
     )
     assert got == want >= 1
+
+
+def test_hive_partitioned_lake_discovery_and_search(spark, sf_dir, tmp_path):
+    """A hive-partitioned lake (lang=.../part.parquet) is discovered
+    recursively; index build + search work across partitions; staging-style
+    underscore dirs stay invisible."""
+    import os
+
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    out = str(tmp_path / "part_lake")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(out)
+    # plant an underscore staging dir with a decoy parquet file
+    decoy = os.path.join(out, "_staging")
+    os.makedirs(decoy)
+    docs.limit(5).coalesce(1).write.parquet(os.path.join(decoy, "d"))
+
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    assert len(lake.files) >= 2  # one file per lang at least
+    assert all("_staging" not in f for f in lake.files)
+    n_expected = docs.count()
+    assert lake.read().count() == n_expected  # decoy invisible
+
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    got = lake.search(idx, "text", "merge sort").count()
+    want = docs.filter(
+        F.contains(F.lower("text"), F.lit("merge sort"))
+    ).count()
+    assert got == want > 0
