@@ -63,6 +63,27 @@ class ParquetLake:
             return self._data
         raise ValueError("streaming maintenance needs a directory-backed lake")
 
+    def partition_pruned(self, **partition_values) -> "ParquetLake":
+        """A view of this lake restricted to the files under the given hive
+        partition values (e.g. `lake.partition_pruned(lang="en",
+        dt="2024-01-01")`). Shares the same catalog, so index entries keep
+        covering the restricted files and every search plan prunes to the
+        partition's files BEFORE any index probe — partition pruning
+        composes with index pruning, the same layering Spark gives scans.
+        Raises if nothing matches (a typo'd value silently searching zero
+        files would read as 'no results')."""
+        pats = [f"{k}={v}" for k, v in partition_values.items()]
+        sub = [f for f in self.files if all(f"{os.sep}{p}{os.sep}" in f for p in pats)]
+        if not sub:
+            raise ValueError(
+                f"no lake files under partition(s) {pats} — "
+                f"{len(self.files)} files total"
+            )
+        view = ParquetLake(
+            self.spark, sub, self.index_dir, self.brute_force_threshold
+        )
+        return view
+
     @property
     def files(self) -> list[str]:
         if isinstance(self._data, list):

@@ -125,3 +125,36 @@ def test_hive_partitioned_lake_discovery_and_search(spark, sf_dir, tmp_path):
         F.contains(F.lower("text"), F.lit("merge sort"))
     ).count()
     assert got == want > 0
+
+
+def test_partition_pruned_search(spark, sf_dir, tmp_path):
+    """partition_pruned: search runs only over the partition's files while
+    sharing the parent lake's catalog (partition pruning composes with
+    index pruning)."""
+    import pytest as _pytest
+
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    out = str(tmp_path / "plake")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+
+    en = lake.partition_pruned(lang="en")
+    assert 0 < len(en.files) < len(lake.files)
+    got = sorted(
+        r[0] for r in en.search(idx, "text", "merge sort").select("doc_id").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in docs.filter(
+            (F.col("lang") == "en")
+            & F.contains(F.lower("text"), F.lit("merge sort"))
+        ).select("doc_id").collect()
+    )
+    assert got == want and got
+
+    with _pytest.raises(ValueError, match="no lake files"):
+        lake.partition_pruned(lang="nope")
