@@ -507,11 +507,19 @@ def ngram_jaccard_pairs(
             F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1,
         )
     )
-    prefix = ranked.filter(F.col("pos") <= F.col("prefix_len")).select("id", "g")
+    prefix = ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
+        "id", "sz", "g"
+    )
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "g")
         .filter(F.col("a.id") < F.col("b.id"))
+        # length filter (lossless): jaccard >= t forces t·|A| <= |B| <= |A|/t,
+        # so size-mismatched pairs drop before the distinct and the verify
+        .filter(
+            (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
