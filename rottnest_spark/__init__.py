@@ -28,4 +28,4 @@ from rottnest_spark.session import get_spark
 __all__ = ["ParquetLake", "get_spark"]
 # bumped on index-format changes: the contract-query cache key includes this,
 # so a format change can never reuse a stale on-disk index
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -703,6 +703,45 @@ class ParquetLake:
             df.unpersist()
         self._cached = {}
 
+    def count_matches(self, index: SparkIndex, column: str, query) -> int:
+        """Exact `count(*) WHERE column == query` with the covering-index
+        fast path: covered files are counted from the index's per-key row
+        counts alone (ExactIndex.count_key — no data fetch); only
+        unindexed files pay a refine scan. Falls back to a refine count
+        over covered files for indexes without index-only counting."""
+        plan = plan_search(
+            self.catalog,
+            index.index_type,
+            column,
+            self.files,
+            expect_config=IndexCatalog.config_json(**index.config()),
+        )
+        total = 0
+        if plan.entries:
+            paths = [e["index_path"] for e in plan.entries]
+            n = None
+            if hasattr(index, "count_key"):
+                entry_files = {f for e in plan.entries for f in e["file_paths"]}
+                stale_possible = bool(entry_files - set(plan.covered_files))
+                n = index.count_key(
+                    self.spark,
+                    paths,
+                    query,
+                    live_files=set(plan.covered_files)
+                    if stale_possible
+                    else None,
+                )
+            if n is None:
+                n = index.brute_force(
+                    self.read(plan.covered_files), column, query, None
+                ).count()
+            total += n
+        if plan.unindexed_files:
+            total += index.brute_force(
+                self.read(plan.unindexed_files), column, query, None
+            ).count()
+        return total
+
     def search_range_virtual(
         self,
         column: str,

@@ -112,6 +112,16 @@ def q_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covering-index count: count(*) for a key answered from the exact
+    index's per-key row counts alone — no data-file reads on the covered
+    path (index-only query answering)."""
+    idx = ExactIndex()
+    lake = indexed_lake(spark, sf_dir, "lineitem", "l_orderkey", idx)
+    n = lake.count_matches(idx, "l_orderkey", EXACT_KEY)
+    return spark.createDataFrame([(int(n),)], "n_rows long")
+
+
 BLOOM_KEY = "Customer#000000042"
 
 
@@ -1528,6 +1538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "substring_search_many": q_substring_search_many,
     "exact_match": q_exact_match,
+    "exact_count": q_exact_count,
     "bloom_match": q_bloom_match,
     "exact_match_many": q_exact_match_many,
     "exact_range": q_exact_range,
@@ -1605,6 +1616,9 @@ ORACLES: dict[str, str] = {
     "substring_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE contains(lower(text), '{SUBSTRING_QUERY}')
+    """,
+    "exact_count": f"""
+        SELECT count(*) AS n_rows FROM lineitem WHERE l_orderkey = {EXACT_KEY}
     """,
     "bloom_match": f"""
         SELECT c_custkey, c_name, c_nationkey, c_mktsegment

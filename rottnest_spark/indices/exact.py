@@ -64,7 +64,12 @@ class ExactIndex(SparkIndex):
         )
         self._write_index(zone, f"{out_path}/zone")
         if self.store_keys:
-            keys = df.distinct()
+            # per-(key, unit) row COUNTS make the key table a covering
+            # index: count-style queries are answered from the index alone
+            # (count_key / ParquetLake.count_matches), no data fetch
+            keys = df.groupBy("file_path", "row_group", "key").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
             self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])
 
     def search(self, spark: SparkSession, index_paths: list[str], query):
@@ -82,7 +87,30 @@ class ExactIndex(SparkIndex):
             (F.col("min_key") <= F.lit(query)) & (F.col("max_key") >= F.lit(query))
         ).select("file_path", "row_group")
 
+    def count_key(
+        self, spark: SparkSession, index_paths: list[str], query,
+        live_files: set | None = None,
+    ):
+        """INDEX-ONLY exact count of rows with key == query across the
+        covered units — the covering-index fast path: the key table stores
+        per-(key, unit) row counts, so count-style queries never touch data
+        files. Returns None when store_keys=False (zone maps cannot count).
+        `live_files` restricts to still-live lake files (stale entries may
+        reference deleted files)."""
+        if not self.store_keys:
+            return None
+        keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
+        hits = keys.filter(F.col("key") == F.lit(query))
+        if live_files is not None:
+            live_df = spark.createDataFrame(
+                [(f,) for f in sorted(live_files)], "file_path string"
+            )
+            hits = hits.join(F.broadcast(live_df), "file_path", "semi")
+        row = hits.agg(F.sum("cnt").alias("n")).collect()[0]
+        return int(row["n"] or 0)
+
     def search_many(
+
         self, spark: SparkSession, index_paths: list[str], queries: list
     ) -> dict:
         """Batched point lookups: one key-table (or zone) scan covers every

@@ -224,3 +224,34 @@ def test_virtual_zone_search_equals_between_and_prunes(spark, sf_dir, tmp_path):
         footer_zone_candidates(spark, lake.files, "no_such_col", 0, 1).count()
         == 0
     )
+
+
+def test_count_matches_index_only(spark, sf_dir, tmp_path):
+    """count_matches: covered files counted from the index's per-key cnt
+    column (no data fetch); unindexed files refine-counted; totals exact."""
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.exact import ExactIndex
+
+    out = str(tmp_path / "li")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(4).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = ExactIndex()
+    lake.build_index(idx, "l_orderkey")
+    key = li.select("l_orderkey").orderBy("l_orderkey").limit(1).collect()[0][0]
+    want = li.filter(F.col("l_orderkey") == key).count()
+    assert want >= 1
+    assert lake.count_matches(idx, "l_orderkey", key) == want
+    assert lake.count_matches(idx, "l_orderkey", -99) == 0
+
+    # partially-indexed lake: append files after the build
+    li.limit(200).coalesce(1).write.mode("append").parquet(out)
+    lake2 = ParquetLake(spark, out, str(tmp_path / "idx"))
+    want2 = spark.read.parquet(out).filter(F.col("l_orderkey") == key).count()
+    assert lake2.count_matches(idx, "l_orderkey", key) == want2
+
+    # zone-only index cannot count from the index -> refine fallback
+    lake3 = ParquetLake(spark, out, str(tmp_path / "idx3"))
+    z = ExactIndex(store_keys=False)
+    lake3.build_index(z, "l_orderkey")
+    assert lake3.count_matches(z, "l_orderkey", key) == want2
