@@ -742,6 +742,54 @@ class ParquetLake:
             ).count()
         return total
 
+    def key_histogram(
+        self, index: SparkIndex, column: str, k: int | None = None
+    ) -> DataFrame:
+        """`SELECT key, count(*) GROUP BY key` answered INDEX-ONLY for the
+        covered files (ExactIndex per-key counts aggregated — no data
+        reads) plus a refine aggregation over unindexed files. Top-k by
+        (count desc, key asc) when `k` is given, the full histogram
+        otherwise. The 100 TB win: a GROUP BY over the whole lake becomes
+        an aggregation of the key table (≤ one row per distinct
+        (key, unit)) — data-proportional only in distinct keys."""
+        plan = plan_search(
+            self.catalog,
+            index.index_type,
+            column,
+            self.files,
+            expect_config=IndexCatalog.config_json(**index.config()),
+        )
+        parts: list[DataFrame] = []
+        covered_counted = False
+        if plan.entries and getattr(index, "store_keys", False):
+            paths = [e["index_path"] for e in plan.entries]
+            keys = self.spark.read.parquet(*[f"{p}/keys" for p in paths])
+            entry_files = {f for e in plan.entries for f in e["file_paths"]}
+            if entry_files - set(plan.covered_files):
+                live_df = self.spark.createDataFrame(
+                    [(f,) for f in sorted(plan.covered_files)],
+                    "file_path string",
+                )
+                keys = keys.join(F.broadcast(live_df), "file_path", "semi")
+            parts.append(keys.select(F.col("key"), F.col("cnt")))
+            covered_counted = True
+        scan_files = list(plan.unindexed_files)
+        if not covered_counted:
+            scan_files += list(plan.covered_files)
+        if scan_files:
+            parts.append(
+                self.read(scan_files).select(
+                    F.col(column).alias("key"), F.lit(1).alias("cnt")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        hist = out.groupBy("key").agg(F.sum("cnt").alias("n_rows"))
+        if k is not None:
+            hist = hist.orderBy(F.desc("n_rows"), F.asc("key")).limit(k)
+        return hist
+
     def search_range_virtual(
         self,
         column: str,

@@ -122,6 +122,20 @@ def q_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(n),)], "n_rows long")
 
 
+HIST_K = 25
+
+
+def q_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-only GROUP BY: top-k order keys by lineitem count aggregated
+    from the covering exact index's per-key counts (no data reads on the
+    covered path)."""
+    idx = ExactIndex()
+    lake = indexed_lake(spark, sf_dir, "lineitem", "l_orderkey", idx)
+    return lake.key_histogram(idx, "l_orderkey", HIST_K).select(
+        F.col("key").alias("l_orderkey"), "n_rows"
+    )
+
+
 BLOOM_KEY = "Customer#000000042"
 
 
@@ -1539,6 +1553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search_many": q_substring_search_many,
     "exact_match": q_exact_match,
     "exact_count": q_exact_count,
+    "key_histogram": q_key_histogram,
     "bloom_match": q_bloom_match,
     "exact_match_many": q_exact_match_many,
     "exact_range": q_exact_range,
@@ -1619,6 +1634,11 @@ ORACLES: dict[str, str] = {
     """,
     "exact_count": f"""
         SELECT count(*) AS n_rows FROM lineitem WHERE l_orderkey = {EXACT_KEY}
+    """,
+    "key_histogram": f"""
+        SELECT l_orderkey, count(*) AS n_rows FROM lineitem
+        GROUP BY l_orderkey ORDER BY n_rows DESC, l_orderkey ASC
+        LIMIT {HIST_K}
     """,
     "bloom_match": f"""
         SELECT c_custkey, c_name, c_nationkey, c_mktsegment

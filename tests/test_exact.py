@@ -255,3 +255,35 @@ def test_count_matches_index_only(spark, sf_dir, tmp_path):
     z = ExactIndex(store_keys=False)
     lake3.build_index(z, "l_orderkey")
     assert lake3.count_matches(z, "l_orderkey", key) == want2
+
+
+def test_key_histogram_index_only_matches_groupby(spark, sf_dir, tmp_path):
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.exact import ExactIndex
+
+    out = str(tmp_path / "li")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(3).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = ExactIndex()
+    lake.build_index(idx, "l_orderkey")
+    got = {
+        r["key"]: r["n_rows"] for r in lake.key_histogram(idx, "l_orderkey").collect()
+    }
+    want = {
+        r["l_orderkey"]: r["count"]
+        for r in li.groupBy("l_orderkey").count().collect()
+    }
+    assert got == want
+    # partially indexed: appended files counted by refine scan
+    li.limit(300).coalesce(1).write.mode("append").parquet(out)
+    lake2 = ParquetLake(spark, out, str(tmp_path / "idx"))
+    got2 = {
+        r["key"]: r["n_rows"]
+        for r in lake2.key_histogram(idx, "l_orderkey").collect()
+    }
+    want2 = {
+        r["l_orderkey"]: r["count"]
+        for r in spark.read.parquet(out).groupBy("l_orderkey").count().collect()
+    }
+    assert got2 == want2
