@@ -818,6 +818,61 @@ class ParquetLake:
         out = rows.filter(F.col(column).between(F.lit(lo), F.lit(hi)))
         return out.select(*columns) if columns else out
 
+    def maintenance_report(
+        self,
+        compact_row_threshold: int = 1_000_000,
+        small_file_rows: int | None = None,
+    ) -> dict:
+        """What maintenance this lake needs, in one metadata-scale dict:
+
+        - `unindexed`: per (index_type, column), how many live files lack
+          coverage (run build_index to close);
+        - `mergeable_entries`: per (index_type, column), entry groups the
+          compactor would merge at `compact_row_threshold`;
+        - `stale_entries`: entries referencing deleted files (run vacuum);
+        - `small_files`: live data files under `small_file_rows` rows
+          (candidates for compact_files; default threshold = the median
+          file's rows / 2, None-safe for empty lakes).
+
+        No data reads: catalog + footers only."""
+        from rottnest_spark.core.planner import group_mergeable
+
+        live = set(self.files)
+        entries = self.catalog.entries()
+        combos = sorted({(e["index_type"], e["column_name"]) for e in entries})
+        unindexed = {}
+        mergeable = {}
+        for it, col in combos:
+            covered = self.catalog.indexed_files(it, col)
+            unindexed[f"{it}:{col}"] = len([f for f in live if f not in covered])
+            groups = group_mergeable(
+                self.catalog.entries_for(it, col), compact_row_threshold
+            )
+            mergeable[f"{it}:{col}"] = [
+                [e["index_name"] for e in g] for g in groups
+            ]
+        stale = [
+            e["index_name"]
+            for e in entries
+            if any(f not in live for f in e["file_paths"])
+        ]
+        counts = file_row_counts(self.spark, self.files) if self.files else {}
+        if small_file_rows is None and counts:
+            med = sorted(counts.values())[len(counts) // 2]
+            small_file_rows = max(1, med // 2)
+        small = (
+            [f for f, n in counts.items() if n < small_file_rows]
+            if small_file_rows
+            else []
+        )
+        return {
+            "n_files": len(live),
+            "unindexed": unindexed,
+            "mergeable_entries": mergeable,
+            "stale_entries": stale,
+            "small_files": sorted(small),
+        }
+
     def describe_indices(self) -> list[dict]:
         """Operational report, one dict per catalog entry: index type,
         column, config, files covered, on-disk size, and the size ratio vs

@@ -136,3 +136,36 @@ def test_describe_indices_reports_sizes(spark, sf_dir, tmp_path):
         assert r["index_bytes"] > 0 and r["data_bytes"] > 0
         assert r["size_ratio"] is not None
         assert r["column"] == "o_orderkey"
+
+
+def test_maintenance_report(spark, sf_dir, tmp_path):
+    """maintenance_report: unindexed counts, mergeable groups, stale
+    entries, and small-file candidates — catalog + footers only."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices.exact import ExactIndex
+
+    out = str(tmp_path / "lake")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(4).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = ExactIndex()
+    lake.build_index(idx, "o_orderkey", binpack_row_threshold=1)
+    rep = lake.maintenance_report()
+    assert rep["n_files"] == 4
+    assert rep["unindexed"]["exact:o_orderkey"] == 0
+    assert rep["mergeable_entries"]["exact:o_orderkey"]  # tiny entries merge
+    assert rep["stale_entries"] == []
+
+    # append an unindexed file + delete one indexed file -> both reported
+    victim = lake.files[0]  # an ORIGINAL (indexed) file
+    orders.limit(10).coalesce(1).write.mode("append").parquet(out)
+    os.remove(victim)
+    lake2 = ParquetLake(spark, out, str(tmp_path / "idx"))
+    rep2 = lake2.maintenance_report()
+    assert rep2["unindexed"]["exact:o_orderkey"] >= 1
+    assert rep2["stale_entries"]
+    assert rep2["small_files"]  # the 10-row file is under half-median
