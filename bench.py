@@ -45,6 +45,7 @@ def main() -> None:
     from rottnest_spark.indices.vector import VectorIndex
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def drop_persisted() -> None:
         """Unpersist leftover storage blocks (localCheckpoints, persists)
@@ -69,9 +70,18 @@ def main() -> None:
             pass
 
     def timed(name: str, fn) -> None:
+        # fail-soft: one broken entry must never zero out the whole bench
+        # line (round 2 lost ALL its numbers to a single AnalysisException)
         drop_persisted()
         t0 = time.time()
-        fn()
+        try:
+            fn()
+        except Exception as exc:
+            errors[name] = str(exc).splitlines()[-1][:300] if str(exc) else repr(exc)
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            return
         timings[name] = round(time.time() - t0, 3)
 
     # -- untimed JVM/JIT warmup ----------------------------------------------
@@ -157,11 +167,18 @@ def main() -> None:
     # above remain single cold-timed runs.
     for name, fn in ep.QUERIES.items():
         ts = []
-        for _ in range(2):
-            drop_persisted()
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            ts.append(time.time() - t0)
+        try:
+            for _ in range(2):
+                drop_persisted()
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                ts.append(time.time() - t0)
+        except Exception as exc:
+            errors[name] = str(exc).splitlines()[-1][:300] if str(exc) else repr(exc)
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            continue
         timings[name] = round(min(ts), 3)
 
     # -- quality metrics promised in BASELINE.md ------------------------------
@@ -292,6 +309,7 @@ def main() -> None:
                 "queries": timings,
                 "warmup_sec": warmup_sec,
                 "metrics": metrics,
+                "errors": errors,
                 "sf": sf,
             }
         )
