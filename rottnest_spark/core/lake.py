@@ -1074,6 +1074,112 @@ class ParquetLake:
             )
         return finished
 
+    # -- CDC merge (copy-on-write, file-pruned) -------------------------------
+
+    def merge_into(
+        self,
+        changes: DataFrame,
+        key_col: str,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        max_change_keys: int = 100_000,
+    ) -> dict:
+        """Apply a CDC changeset (MERGE INTO) with file-granular
+        copy-on-write: only files whose footer key range can contain a
+        changed key are rewritten; every other data file is untouched on
+        disk. The lakehouse analog of Delta/Iceberg MERGE for plain-prefix
+        lakes — at 100 TB a small CDC batch rewrites a handful of files,
+        never the lake.
+
+        Plan:
+          1. collapse the feed to final-state-per-key (`latest_changes`,
+             one max_by agg);
+          2. prune: collect the changed keys (bounded by
+             `max_change_keys`; an oversized feed falls back to
+             rewrite-everything, reported, never silent) and keep files
+             whose footer [min, max] contains at least one key — files
+             with unusable stats are always kept (sound);
+          3. rewrite the touched files merged with the changeset in one
+             Spark job; upserts for keys outside every touched file land
+             as inserts in the same output;
+          4. swap via the compact_files manifest protocol (stage →
+             manifest → atomic publish → delete originals), so a crash at
+             any point is recoverable by `repair_files()`.
+
+        Index entries covering replaced files go stale exactly as in
+        compact_files: they drop out of search plans (dead candidates are
+        discarded by the bounded collect) and are reclaimed by vacuum();
+        the new files are picked up by the next build_index().
+
+        Returns {"rewritten": [...], "new_files": [...], "pruned": n}.
+        """
+        import bisect
+        import json
+
+        from rottnest_spark.core.layout import footer_key_ranges
+        from rottnest_spark.ops.merge import DELETE_OP, latest_changes
+
+        lake_dir = self.data_dir
+        final = latest_changes(changes, [key_col], seq_col, op_col)
+        key_rows = (
+            final.select(key_col).limit(max_change_keys + 1).collect()
+        )
+        files = self.files
+        if len(key_rows) > max_change_keys:
+            touched = list(files)  # fall back: rewrite everything
+        else:
+            keys = sorted(r[0] for r in key_rows)
+            touched = []
+            for f, (lo, hi) in footer_key_ranges(
+                self.spark, files, key_col
+            ).items():
+                if lo is None:
+                    touched.append(f)  # no stats: could contain anything
+                    continue
+                i = bisect.bisect_left(keys, lo)
+                if i < len(keys) and keys[i] <= hi:
+                    touched.append(f)
+        if not touched and final.filter(
+            F.col(op_col) != DELETE_OP
+        ).isEmpty():
+            return {"rewritten": [], "new_files": [], "pruned": len(files)}
+
+        base = (
+            read_parquet(self.spark, touched)
+            if touched
+            else read_parquet(self.spark, files).limit(0)
+        )
+        keep = base.join(final.select(key_col), [key_col], "left_anti")
+        upserts = final.filter(F.col(op_col) != DELETE_OP).select(
+            *base.columns
+        )
+        merged = keep.unionByName(upserts)
+
+        cid = uuid.uuid4().hex[:12]
+        stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
+        merged.write.parquet(stage)
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        new_files = [
+            os.path.join(lake_dir, f"merged_{cid}_{i:05d}.parquet")
+            for i in range(len(parts))
+        ]
+        man_dir = os.path.join(self.index_dir, "_compactions")
+        os.makedirs(man_dir, exist_ok=True)
+        man_path = os.path.join(man_dir, f"{cid}.json")
+        with open(man_path, "w") as fh:
+            json.dump({"new_files": new_files, "replaces": touched}, fh)
+        for part, dst in zip(parts, new_files):
+            os.replace(part, dst)
+        for f in touched:
+            os.remove(f)
+        os.remove(man_path)
+        shutil.rmtree(stage, ignore_errors=True)
+        return {
+            "rewritten": touched,
+            "new_files": new_files,
+            "pruned": len(files) - len(touched),
+        }
+
     # -- L4: vacuum -----------------------------------------------------------
 
     def vacuum(

@@ -195,3 +195,36 @@ def footer_zone_candidates(
     return files_df.repartition(n_part).mapInPandas(
         zone_batches, "file_path string, row_group int"
     )
+
+
+def footer_key_ranges(
+    spark: SparkSession, files: list[str], column: str
+) -> dict[str, tuple]:
+    """Driver-side {file_path: (min, max)} for `column` from Parquet FOOTER
+    statistics (metadata-scale — one footer GET per file, same discipline
+    as file_row_counts). A file with missing/unusable stats maps to
+    (None, None), which callers must treat as "could contain anything"
+    (sound default). Used by ParquetLake.merge_into to prune the
+    copy-on-write rewrite to files whose key range can intersect the
+    changeset."""
+    import pyarrow.parquet as papq
+
+    out: dict[str, tuple] = {}
+    for f in files:
+        md = papq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            ci = names.index(column)
+        except ValueError:
+            out[f] = (None, None)
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[f] = (lo, hi)
+    return out

@@ -1548,6 +1548,64 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic CDC changeset over orders: updates (keys % 89), deletes
+# (keys % 97), inserts (keys % 997, offset into fresh key space). Keys
+# divisible by both 89 and 97 receive an update (seq 2) AND a delete
+# (seq 1) — latest-wins must keep the update.
+CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 89, 97, 997
+CDC_INS_OFFSET = 100_000_000
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE INTO (ops/merge.py): collapse a mixed
+    insert/update/delete feed to final-state-per-key (one max_by agg, no
+    window sort), apply it with one anti-join + union, and summarize the
+    merged table. The file-granular copy-on-write variant is
+    `ParquetLake.merge_into` (tests/test_merge.py)."""
+    from rottnest_spark.ops.merge import merge_changes
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    upd = (
+        orders.filter(key % CDC_UPD_MOD == 0)
+        .withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") + F.lit(1000.0), 2)
+        )
+        .withColumn("o_orderpriority", F.lit("cdc-update"))
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        orders.filter(key % CDC_DEL_MOD == 0)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        orders.filter(key % CDC_INS_MOD == 0)
+        .withColumn("o_orderkey", key + F.lit(CDC_INS_OFFSET))
+        .withColumn("o_orderpriority", F.lit("cdc-insert"))
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    merged = merge_changes(orders, changes, ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(
+                (F.col("o_orderpriority") == "cdc-update").cast("long")
+            ).alias("n_updated"),
+            F.sum(
+                (F.col("o_orderpriority") == "cdc-insert").cast("long")
+            ).alias("n_inserted"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search": q_substring_search,
     "substring_search_many": q_substring_search_many,
@@ -1625,6 +1683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
     "tpch_q18": q_tpch_q18,
+    "cdc_merge": q_cdc_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -2460,5 +2519,48 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """,
+    "cdc_merge": f"""
+        WITH changes AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice + 1000.0, 2) AS o_totalprice,
+                   o_orderdate, 'cdc-update' AS o_orderpriority,
+                   2 AS seq, 'U' AS op
+            FROM orders WHERE o_orderkey % {CDC_UPD_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 1, 'D'
+            FROM orders WHERE o_orderkey % {CDC_DEL_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey + {CDC_INS_OFFSET}, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, 'cdc-insert', 3, 'I'
+            FROM orders WHERE o_orderkey % {CDC_INS_MOD} = 0
+        ),
+        final AS (
+            SELECT * EXCLUDE (rn) FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY seq DESC
+                ) AS rn FROM changes
+            ) WHERE rn = 1
+        ),
+        merged AS (
+            SELECT o.* FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM final f WHERE f.o_orderkey = o.o_orderkey
+            )
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM final WHERE op <> 'D'
+        )
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               CAST(sum(CASE WHEN o_orderpriority = 'cdc-update'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(sum(CASE WHEN o_orderpriority = 'cdc-insert'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+               max(o_orderkey) AS max_key
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 }

@@ -1,0 +1,84 @@
+"""CDC merge: apply an insert/update/delete changeset to a keyed table
+(MERGE INTO semantics), as one declarative plan.
+
+This is part of the beyond-the-reference lakehouse surface (the reference's
+lakes are append-only — files enter via index build and leave via vacuum,
+`python/rottnest/backends/utils.py`); a training-data lake additionally
+needs upserts (refreshed crawls, label fixes) and deletes (takedowns,
+opt-outs). Semantics follow the public Delta/Iceberg MERGE model:
+copy-on-write, latest change per key wins.
+
+Scale notes (100 TB):
+- `latest_changes` is a `max_by` aggregation, not a window: partial
+  aggregation runs map-side, so the shuffle carries one row per key, and
+  there is no per-partition sort.
+- `merge_changes` is one shuffled join between target and the (usually
+  tiny) change set; Spark/AQE broadcasts the change side when it fits,
+  making the apply a scan-speed map job over the target.
+- File-granular copy-on-write lives in `ParquetLake.merge_into`
+  (core/lake.py): footer zone maps prune the rewrite to only the files
+  whose key range intersects the changeset, so a 100-row CDC batch
+  rewrites a handful of files, never the lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Op codes in the change feed. Anything not DELETE is an upsert (the
+#: insert/update distinction collapses under copy-on-write apply).
+DELETE_OP = "D"
+
+
+def latest_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a CDC feed to its final state per key: the row with the
+    highest `seq_col` wins. One partial-aggregatable `max_by` — no window
+    sort, one row per key crosses the shuffle.
+
+    Ties on (key, seq) are broken by op (DELETE loses), then by the full
+    row struct, so the result is deterministic even on malformed feeds.
+    """
+    others = [c for c in changes.columns if c not in key_cols]
+    pick = F.max_by(
+        F.struct(*[F.col(c) for c in others]),
+        F.struct(
+            F.col(seq_col),
+            # deterministic tie-breaks: prefer the non-delete, then the
+            # lexicographically largest payload
+            (F.col(op_col) != DELETE_OP).cast("int"),
+            *[F.col(c) for c in others],
+        ),
+    ).alias("__final__")
+    agg = changes.groupBy(*key_cols).agg(pick)
+    return agg.select(
+        *key_cols, *[F.col(f"__final__.{c}").alias(c) for c in others]
+    )
+
+
+def merge_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changeset to `target` and return the merged table:
+    rows whose key has a change are replaced by the latest change payload
+    (or dropped when that change is a DELETE); unchanged rows pass
+    through; changes for unseen keys become inserts.
+
+    The change schema is the target schema + `seq_col` + `op_col`.
+    Plan shape: one `max_by` agg over the changes, one left-anti join
+    (broadcast when the change set is small — the common CDC case), one
+    union. The target is scanned exactly once.
+    """
+    final = latest_changes(changes, key_cols, seq_col, op_col)
+    keep = target.join(final.select(*key_cols), key_cols, "left_anti")
+    upserts = final.filter(F.col(op_col) != DELETE_OP).select(*target.columns)
+    return keep.unionByName(upserts)

@@ -1,0 +1,152 @@
+"""CDC merge: pure-DataFrame apply (ops/merge.py) and file-pruned
+copy-on-write MERGE INTO (ParquetLake.merge_into)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rottnest_spark.core.lake import ParquetLake
+from rottnest_spark.ops.merge import latest_changes, merge_changes
+
+
+def _mk_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, v string, seq bigint, op string"
+    )
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    )
+
+
+def test_latest_change_per_key_wins(spark):
+    ch = _mk_changes(
+        spark,
+        [
+            (1, "old", 1, "U"),
+            (1, "new", 2, "U"),
+            (2, "x", 1, "U"),
+            (2, None, 2, "D"),
+        ],
+    )
+    final = {r["k"]: (r["v"], r["op"]) for r in
+             latest_changes(ch, ["k"], "seq").collect()}
+    assert final == {1: ("new", "U"), 2: (None, "D")}
+
+
+def test_merge_changes_upsert_delete_insert(spark, target):
+    ch = _mk_changes(
+        spark,
+        [
+            (3, "updated", 1, "U"),   # update existing
+            (5, None, 1, "D"),        # delete existing
+            (42, "inserted", 1, "I"), # insert new key
+        ],
+    )
+    out = {r["k"]: r["v"] for r in
+           merge_changes(target, ch, ["k"]).collect()}
+    assert out[3] == "updated"
+    assert 5 not in out
+    assert out[42] == "inserted"
+    assert len(out) == 10  # 10 - 1 delete + 1 insert
+    # untouched rows pass through
+    assert out[0] == "v0" and out[9] == "v9"
+
+
+def test_merge_changes_delete_then_reinsert(spark, target):
+    ch = _mk_changes(spark, [(7, None, 1, "D"), (7, "back", 2, "U")])
+    out = {r["k"]: r["v"] for r in
+           merge_changes(target, ch, ["k"]).collect()}
+    assert out[7] == "back"
+
+
+@pytest.fixture()
+def keyed_lake(spark, tmp_path):
+    """4 key-range-disjoint files (0-99, 100-199, ...) — the clustered
+    layout footer pruning needs."""
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    for part in range(4):
+        df = spark.createDataFrame(
+            [(part * 100 + i, f"v{part * 100 + i}") for i in range(100)],
+            "k bigint, v string",
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{part}"))
+        src = glob.glob(str(tmp_path / f"stage{part}" / "part-*.parquet"))[0]
+        os.replace(src, os.path.join(data_dir, f"part{part}.parquet"))
+    return ParquetLake(spark, data_dir, str(tmp_path / "idx"))
+
+
+def test_merge_into_rewrites_only_touched_files(spark, keyed_lake):
+    before = {f: os.path.getmtime(f) for f in keyed_lake.files}
+    ch = _mk_changes(
+        spark,
+        [
+            (5, "upd5", 1, "U"),      # file 0
+            (150, None, 1, "D"),      # file 1
+            (9999, "new", 1, "I"),    # outside every range: pure insert
+        ],
+    )
+    stats = keyed_lake.merge_into(ch, "k")
+    # files 2 and 3 hold keys 200-399: no change key in range → untouched
+    assert stats["pruned"] == 2
+    untouched = [f for f in before if os.path.exists(f)]
+    assert len(untouched) == 2
+    assert all(os.path.getmtime(f) == before[f] for f in untouched)
+    out = {r["k"]: r["v"] for r in keyed_lake.read().collect()}
+    assert out[5] == "upd5"
+    assert 150 not in out
+    assert out[9999] == "new"
+    assert len(out) == 400  # 400 - 1 delete + 1 insert
+
+    # result identical to the pure-DataFrame merge over the original data
+    assert out[0] == "v0" and out[399] == "v399"
+
+
+def test_merge_into_matches_full_recompute(spark, keyed_lake):
+    original = keyed_lake.read()
+    ch = _mk_changes(
+        spark,
+        [(k, f"u{k}", 1, "U") for k in (3, 101, 250, 399)]
+        + [(k, None, 1, "D") for k in (7, 205)]
+        + [(1000, "i1000", 1, "I")],
+    )
+    expected = sorted(
+        (r["k"], r["v"])
+        for r in merge_changes(original, ch, ["k"]).collect()
+    )
+    keyed_lake.merge_into(ch, "k")
+    got = sorted((r["k"], r["v"]) for r in keyed_lake.read().collect())
+    assert got == expected
+
+
+def test_merge_into_pure_insert_appends(spark, keyed_lake):
+    n_before = len(keyed_lake.files)
+    ch = _mk_changes(spark, [(5000, "late", 1, "I")])
+    stats = keyed_lake.merge_into(ch, "k")
+    assert stats["rewritten"] == []
+    assert stats["pruned"] == n_before
+    out = {r["k"]: r["v"] for r in keyed_lake.read().collect()}
+    assert out[5000] == "late" and len(out) == 401
+
+
+def test_merge_into_search_still_exact_after_merge(spark, keyed_lake):
+    """Index entries over replaced files go stale, not wrong: search after
+    a merge returns the merged truth (stale candidates dropped, new files
+    scanned in-situ)."""
+    from rottnest_spark.indices.exact import ExactIndex
+
+    idx = ExactIndex()
+    keyed_lake.build_index(idx, "k")
+    ch = _mk_changes(spark, [(150, None, 1, "D"), (155, "upd", 1, "U")])
+    keyed_lake.merge_into(ch, "k")
+    assert keyed_lake.search(idx, "k", 150).count() == 0
+    got = keyed_lake.search(idx, "k", 155).collect()
+    assert len(got) == 1 and got[0]["v"] == "upd"
+    # untouched file still served by its (live) index entry
+    assert keyed_lake.search(idx, "k", 250).count() == 1
