@@ -218,6 +218,19 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-boundary phrase search accelerated by the SUBSTRING index (no
+    extra index): each phrase token's char grams prune candidates; the
+    refine matches the phrase CONTIGUOUSLY in the normalized token stream
+    ("emerge sort" is not a match, "merge,  sort" is)."""
+    from rottnest_spark.indices.substring import PhraseSearch
+
+    lake = indexed_lake(spark, sf_dir, "documents", "text", SubstringIndex())
+    return lake.search(PhraseSearch(), "text", SUBSTRING_QUERY).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction audit: deterministic synthetic PII is
     appended to documents (emails/phones/IPs on modular doc_id slices),
@@ -1548,6 +1561,236 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_Z = 3.5
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score anomaly detection (ops/analytics.py): per-event-type
+    median/MAD flags value outliers without being poisoned by them; the
+    fact table is never shuffled (group scalars broadcast back)."""
+    from rottnest_spark.ops.analytics import robust_outliers
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return robust_outliers(ev, "event_type", "value", z=OUTLIER_Z).select(
+        "event_id", "event_type", "value", "score"
+    )
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_LO, Q7_HI = "1996-01-01", "1997-12-31"
+Q13_EXCL_PRIO = "1-URGENT"
+Q14_LO, Q14_HI = "1996-03-01", "1996-04-01"
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+Q17_BRAND = "Brand#13"
+Q19_ARMS = [  # (brand, max_size, qty_lo, qty_hi)
+    ("Brand#12", 15, 1, 21),
+    ("Brand#23", 25, 10, 30),
+    ("Brand#34", 35, 20, 40),
+]
+Q22_PRIO = "1-URGENT"
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the nation filter is
+    applied to the BROADCAST dimension before the fact joins, so only rows
+    of the two nations survive each hash join; the big lineitem⋈orders
+    shuffle carries only (orderkey, price, year) after pruning."""
+    n1 = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n1.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n1.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit(Q7_LO).cast("timestamp"), F.lit(Q7_HI).cast("timestamp")
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    the non-join predicate INSIDE the join condition (not a post-filter —
+    that would turn the outer join inner), then a two-level re-aggregation
+    whose second groupBy is on the tiny (c_count) domain."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                  "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != Q13_EXCL_PRIO),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): one broadcast join + one
+    conditional aggregation; the shipdate window pushes to the scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): per-supplier revenue in a window, then the
+    global max via an empty-partition window over the SUPPLIER-scale
+    aggregate (not the fact table) — ties kept, no cross join."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = rev.withColumn(
+        "__max__", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__max__"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        F.broadcast(top)
+        .join(supp, top.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): the correlated avg-quantity
+    subquery decorrelates into a per-part aggregate over the BRAND-pruned
+    lineitem slice (partkey determines brand, so pre-filtering by the
+    broadcast part list loses nothing), joined back on partkey."""
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == avg_q.ak)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive predicate revenue): equi-join on partkey with
+    the three OR arms as a post-join filter — the join stays a hash join
+    (never a nested-loop), and the quantity bounds (min of all arms' los,
+    max of his) pre-filter lineitem before the join."""
+    qty_lo = min(a[2] for a in Q19_ARMS)
+    qty_hi = max(a[3] for a in Q19_ARMS)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = None
+    for brand, max_size, lo, hi in Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adaptation (dormant rich customers): above-average balance
+    and no urgent order. The scalar avg is computed first (customer-scale
+    aggregate, one tiny job) and inlined as a literal; NOT EXISTS is a
+    LEFT ANTI join on the pre-filtered orders keys. (Fixture lacks c_phone,
+    so the country-prefix grouping is adapted to nation.)"""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal")
+    ).collect()[0][0]
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == Q22_PRIO)
+        .select("o_custkey")
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # deterministic CDC changeset over orders: updates (keys % 89), deletes
 # (keys % 97), inserts (keys % 997, offset into fresh key space). Keys
 # divisible by both 89 and 97 receive an update (seq 2) AND a delete
@@ -1622,6 +1865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_timerange": q_log_timerange,
     "log_timerange_prefix": q_log_timerange_prefix,
     "regex_search": q_regex_search,
+    "phrase_search": q_phrase_search,
     "pii_redact": q_pii_redact,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_many": q_bm25_topk_many,
@@ -1683,7 +1927,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
     "tpch_q18": q_tpch_q18,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
     "cdc_merge": q_cdc_merge,
+    "value_outliers": q_value_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -1753,6 +2005,18 @@ ORACLES: dict[str, str] = {
     "regex_search": r"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE regexp_matches(text, 'merge\s+(sort|join)')
+    """,
+    "phrase_search": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE contains(
+            ' ' || array_to_string(
+                list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> ''
+                ), ' '
+            ) || ' ',
+            ' {SUBSTRING_QUERY} '
+        )
     """,
     "pii_redact": r"""
         WITH lines AS (
@@ -2519,6 +2783,105 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """,
+    "value_outliers": f"""
+        WITH med AS (
+            SELECT event_type AS g, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m ON e.event_type = m.g
+        ),
+        mad AS (
+            SELECT event_type AS g, median(adev) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value,
+               round(d.adev / (1.4826 * m.mad), 4) AS score
+        FROM dev d JOIN mad m ON d.event_type = m.g
+        WHERE d.adev > {OUTLIER_Z} * 1.4826 * m.mad
+    """,
+    "tpch_q7": f"""
+        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+                OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+              AND l_shipdate BETWEEN DATE '{Q7_LO}' AND DATE '{Q7_HI}'
+        ) GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q13": f"""
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCL_PRIO}'
+            GROUP BY c_custkey
+        ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q14": f"""
+        SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+            / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '{Q14_LO}' AND l_shipdate < DATE '{Q14_HI}'
+    """,
+    "tpch_q15": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '{Q15_LO}'
+              AND l_shipdate < DATE '{Q15_HI}'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17": f"""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '{Q17_BRAND}'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+    """,
+    "tpch_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE {}
+    """.format(
+        " OR ".join(
+            f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+            f"AND l_quantity BETWEEN {lo} AND {hi})"
+            for b, s, lo, hi in Q19_ARMS
+        )
+    ),
+    "tpch_q22": f"""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT n_name, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT a FROM avg_bal)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '{Q22_PRIO}')
+        GROUP BY n_name ORDER BY n_name
     """,
     "cdc_merge": f"""
         WITH changes AS (

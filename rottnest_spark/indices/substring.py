@@ -399,3 +399,52 @@ class RegexSearch(SubstringIndex):
     ) -> DataFrame:
         out = df.filter(F.col(column).rlike(pattern))
         return out.limit(k) if k is not None else out
+
+
+class PhraseSearch(SubstringIndex):
+    """Token-boundary phrase predicate accelerated by the SAME substring
+    index tables (the RegexSearch pattern: `index_type`/`config()` are
+    inherited, so a probe reuses catalog entries built by SubstringIndex —
+    no extra index).
+
+    Semantics: a row matches when its normalized token stream (lowercase,
+    split on [^a-z0-9]+, empties dropped — the BM25 tokenizer) contains the
+    phrase's token sequence CONTIGUOUSLY. "emerge sort" does NOT match the
+    phrase "merge sort" even though it contains the substring, and
+    "merge,  sort" DOES — token boundaries, not bytes.
+
+    Pruning soundness: every match contains each phrase token as a literal
+    substring of the lowercased text, so probing with the union of the
+    tokens' char grams can never lose a match; the refine restores exact
+    adjacency. Tokens shorter than the gram size contribute no grams
+    (conservative); a phrase with no gram-sized token is BRUTE_FORCE."""
+
+    @staticmethod
+    def phrase_tokens(query: str) -> list[str]:
+        import re
+
+        from rottnest_spark.indices.bm25 import TOKEN_SPLIT_RE
+
+        return [t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t]
+
+    def query_grams(self, query: str) -> list[str]:
+        grams: list[str] = []
+        for t in self.phrase_tokens(query):
+            grams.extend(
+                t[i : i + self.gram] for i in range(len(t) - self.gram + 1)
+            )
+        return list(dict.fromkeys(grams))
+
+    def brute_force(
+        self, df: DataFrame, column: str, query: str, k: int | None
+    ) -> DataFrame:
+        from rottnest_spark.indices.bm25 import tokens_col
+
+        toks = self.phrase_tokens(query)
+        if not toks:
+            return df.limit(0)  # empty phrase matches nothing
+        hay = F.concat(
+            F.lit(" "), F.array_join(tokens_col(F.col(column)), " "), F.lit(" ")
+        )
+        out = df.filter(F.contains(hay, F.lit(" " + " ".join(toks) + " ")))
+        return out.limit(k) if k is not None else out

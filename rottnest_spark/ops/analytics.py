@@ -449,3 +449,43 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "column string, n_rows long, n_nulls long, n_distinct long, "
         "min_num double, max_num double, min_str string, max_str string",
     )
+
+
+MAD_SIGMA = 1.4826  # consistency constant: MAD -> std-dev equivalent
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z: float = 3.5,
+) -> DataFrame:
+    """Per-group robust z-score anomaly detection: flag rows where
+    |value − median| > z · 1.4826 · MAD (median absolute deviation).
+    Median/MAD instead of mean/std so the detector isn't poisoned by the
+    outliers it's hunting — the standard data-quality screen for metric
+    monitoring and training-data filtering.
+
+    Plan: two EXACT median aggregations over the small group domain (the
+    shuffle key is `group_col`, partial aggregation map-side) with the
+    per-group scalars broadcast back onto the fact — the fact table itself
+    is never shuffled. Adds `score` = the robust z-score.
+    """
+    med = df.groupBy(F.col(group_col).alias("__g__")).agg(
+        F.median(value_col).alias("__med__")
+    )
+    dev = df.join(
+        F.broadcast(med), F.col(group_col) == F.col("__g__")
+    ).withColumn("__adev__", F.abs(F.col(value_col) - F.col("__med__")))
+    mad = dev.groupBy(F.col("__g__").alias("__g2__")).agg(
+        F.median("__adev__").alias("__mad__")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("__g__") == F.col("__g2__"))
+        .filter(F.col("__adev__") > F.lit(z) * F.lit(MAD_SIGMA) * F.col("__mad__"))
+        .withColumn(
+            "score",
+            F.round(F.col("__adev__") / (F.lit(MAD_SIGMA) * F.col("__mad__")), 4),
+        )
+        .drop("__g__", "__g2__", "__med__", "__mad__", "__adev__")
+    )
