@@ -150,3 +150,39 @@ def test_merge_into_search_still_exact_after_merge(spark, keyed_lake):
     assert len(got) == 1 and got[0]["v"] == "upd"
     # untouched file still served by its (live) index entry
     assert keyed_lake.search(idx, "k", 250).count() == 1
+
+
+def test_stream_merge_maintenance(spark, keyed_lake, tmp_path):
+    """Change files land -> the lake converges to the merged state; a
+    second drain with no new files is a no-op (checkpointed)."""
+    import os
+
+    from rottnest_spark.streaming.cdc import stream_merge_maintenance
+
+    ch_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ch_dir)
+    schema = "k bigint, v string, seq bigint, op string"
+    _mk_changes(
+        spark, [(5, "s-upd", 1, "U"), (150, None, 1, "D")]
+    ).coalesce(1).write.mode("append").parquet(ch_dir)
+    stats = stream_merge_maintenance(
+        spark, ch_dir, schema, keyed_lake, "k", ckpt
+    )
+    assert len(stats) == 1 and len(stats[0]["rewritten"]) == 2
+    out = {r["k"]: r["v"] for r in keyed_lake.read().collect()}
+    assert out[5] == "s-upd" and 150 not in out and len(out) == 399
+
+    # drain again: committed batch is not re-delivered
+    stats2 = stream_merge_maintenance(
+        spark, ch_dir, schema, keyed_lake, "k", ckpt
+    )
+    assert stats2 == []
+
+    # a later change file supersedes the first (seq monotone)
+    _mk_changes(spark, [(5, "s-upd2", 2, "U")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(ch_dir)
+    stream_merge_maintenance(spark, ch_dir, schema, keyed_lake, "k", ckpt)
+    out2 = {r["k"]: r["v"] for r in keyed_lake.read().collect()}
+    assert out2[5] == "s-upd2" and len(out2) == 399
