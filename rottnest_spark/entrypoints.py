@@ -1561,6 +1561,47 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: extract a JSON field from the props
+    column (JVM-side get_json_object — no Python in the hot path) and
+    aggregate on it. The extraction is a scan-stage projection; the
+    shuffle key is the tiny (event_type, k_bucket) domain."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", "value", (k % 10).alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+PIVOT_DOWS = list(range(1, 8))  # Sunday=1 .. Saturday=7 (Spark dayofweek)
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide crosstab): event counts per type × day-of-week. The
+    pivot values are DECLARED (not discovered), so Spark skips the extra
+    distinct-values job and the plan is one partial-aggregated shuffle on
+    event_type alone."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return (
+        ev.groupBy("event_type")
+        .pivot("dow", PIVOT_DOWS)
+        .count()
+        .select(
+            "event_type",
+            *[F.coalesce(F.col(str(d)), F.lit(0)).alias(f"dow_{d}") for d in PIVOT_DOWS],
+        )
+        .orderBy("event_type")
+    )
+
+
 OUTLIER_Z = 3.5
 
 
@@ -1936,6 +1977,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22": q_tpch_q22,
     "cdc_merge": q_cdc_merge,
     "value_outliers": q_value_outliers,
+    "json_extract_agg": q_json_extract_agg,
+    "events_pivot": q_events_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -2783,6 +2826,26 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """,
+    "json_extract_agg": """
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type, k_bucket
+        ORDER BY event_type, k_bucket
+    """,
+    "events_pivot": """
+        SELECT event_type,
+               count(*) FILTER (dayofweek(ts) = 0) AS dow_1,
+               count(*) FILTER (dayofweek(ts) = 1) AS dow_2,
+               count(*) FILTER (dayofweek(ts) = 2) AS dow_3,
+               count(*) FILTER (dayofweek(ts) = 3) AS dow_4,
+               count(*) FILTER (dayofweek(ts) = 4) AS dow_5,
+               count(*) FILTER (dayofweek(ts) = 5) AS dow_6,
+               count(*) FILTER (dayofweek(ts) = 6) AS dow_7
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "value_outliers": f"""
         WITH med AS (
