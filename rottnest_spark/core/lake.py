@@ -1074,6 +1074,35 @@ class ParquetLake:
             )
         return finished
 
+    def refresh_indices(
+        self, orphan_min_age_sec: float = 0.0, timeout: float | None = None
+    ) -> dict:
+        """One-call index upkeep after data churn (appends, compact_files,
+        merge_into): vacuum entries orphaned by replaced files, then
+        re-index every not-yet-covered live file for EVERY (index_type,
+        column) combo the catalog knows — index instances are
+        reconstructed from their recorded build configs, so the refresh
+        build is guaranteed probe-compatible with the existing entries.
+        Returns {"vacuumed": [...], "built": {"type:column": [names]}}."""
+        import json
+
+        from rottnest_spark.indices import index_from_config
+
+        vacuumed = self.vacuum(orphan_min_age_sec=orphan_min_age_sec)
+        combos: dict = {}
+        for e in self.catalog.entries():
+            combos.setdefault(
+                (e["index_type"], e["column_name"]),
+                json.loads(e.get("config") or "{}"),
+            )
+        built = {}
+        for (itype, column), cfg in sorted(combos.items()):
+            idx = index_from_config(itype, cfg)
+            names = self.build_index(idx, column, timeout=timeout)
+            if names:
+                built[f"{itype}:{column}"] = names
+        return {"vacuumed": vacuumed, "built": built}
+
     # -- CDC merge (copy-on-write, file-pruned) -------------------------------
 
     def merge_into(

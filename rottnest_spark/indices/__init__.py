@@ -16,3 +16,32 @@ __all__ = [
     "SubstringIndex",
     "ThetaSketchIndex",
 ]
+
+
+def index_from_config(index_type: str, config: dict | None):
+    """Reconstruct an index instance from a catalog entry's (index_type,
+    config) — the inverse of SparkIndex.config(). Constructor kwargs are
+    filtered by signature, so informational config keys (tokenizer id,
+    miner regex, k1/b) pass through harmlessly. Raises KeyError for an
+    unknown type (custom SparkIndex subclasses must be passed as instances
+    where an index object is expected)."""
+    import inspect
+
+    from rottnest_spark.indices.bloom import BloomIndex
+    from rottnest_spark.indices.bm25 import BM25Index
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.indices.logcloud import LogIndex
+    from rottnest_spark.indices.vector import VectorIndex
+
+    registry = {
+        "substring": SubstringIndex,
+        "exact": ExactIndex,
+        "bm25": BM25Index,
+        "bloom": BloomIndex,
+        "logcloud": LogIndex,
+        "vector": VectorIndex,
+    }
+    cls = registry[index_type]
+    params = inspect.signature(cls.__init__).parameters
+    kwargs = {k: v for k, v in (config or {}).items() if k in params}
+    return cls(**kwargs)

@@ -186,3 +186,25 @@ def test_stream_merge_maintenance(spark, keyed_lake, tmp_path):
     stream_merge_maintenance(spark, ch_dir, schema, keyed_lake, "k", ckpt)
     out2 = {r["k"]: r["v"] for r in keyed_lake.read().collect()}
     assert out2[5] == "s-upd2" and len(out2) == 399
+
+
+def test_refresh_indices_after_merge(spark, keyed_lake):
+    """refresh_indices reconstructs each index from its catalog config,
+    vacuums entries orphaned by the merge, and covers the merged files —
+    the one-call upkeep for the post-merge lake."""
+    from rottnest_spark.indices.exact import ExactIndex
+
+    idx = ExactIndex()
+    keyed_lake.build_index(idx, "k")
+    keyed_lake.merge_into(
+        _mk_changes(spark, [(5, "upd", 1, "U"), (350, None, 1, "D")]), "k"
+    )
+    report = keyed_lake.refresh_indices()
+    assert report["vacuumed"]  # entries over the 2 replaced files
+    assert report["built"].get("exact:k")
+    # full coverage again: no unindexed remainder
+    assert not keyed_lake.maintenance_report()["unindexed"]["exact:k"]
+    # and the refreshed index serves exact results
+    got = keyed_lake.search(idx, "k", 5).collect()
+    assert len(got) == 1 and got[0]["v"] == "upd"
+    assert keyed_lake.search(idx, "k", 350).count() == 0
