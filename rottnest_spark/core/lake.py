@@ -1074,6 +1074,53 @@ class ParquetLake:
             )
         return finished
 
+    # -- auto-routed lookups (catalog picks the access path) ------------------
+
+    #: point-lookup routing preference when several index types cover the
+    #: column: exact (sorted keys + zone maps) beats bloom (membership
+    #: only) beats logcloud/substring (containment, not equality-tight)
+    _POINT_ROUTE = ["exact", "bloom"]
+
+    def lookup(
+        self, column: str, value, columns: list[str] | None = None
+    ) -> DataFrame:
+        """Point lookup with AUTOMATIC access-path selection, mirroring the
+        reference's catalog-driven search (the user names a column, the
+        engine picks the index): the best cataloged index for `column`
+        routes the probe; with no index at all, footer zone maps prune the
+        scan (virtual mode). Exact refine either way — identical results
+        to a full `col == value` scan, only the I/O differs."""
+        from rottnest_spark.indices import index_from_config
+
+        import json as _json
+
+        for itype in self._POINT_ROUTE:
+            entries = self.catalog.entries_for(itype, column)
+            if entries:
+                idx = index_from_config(
+                    itype, _json.loads(entries[0].get("config") or "{}")
+                )
+                return self.search(idx, column, value, columns=columns)
+        return self.search_range_virtual(column, value, value, columns=columns)
+
+    def lookup_range(
+        self, column: str, lo, hi, columns: list[str] | None = None
+    ) -> DataFrame:
+        """Range lookup with automatic access-path selection: the exact
+        index's per-unit zone maps when cataloged, else virtual footer
+        zones. (Bloom cannot serve ranges — membership only.)"""
+        import json as _json
+
+        from rottnest_spark.indices import index_from_config
+
+        entries = self.catalog.entries_for("exact", column)
+        if entries:
+            idx = index_from_config(
+                "exact", _json.loads(entries[0].get("config") or "{}")
+            )
+            return self.search(idx, column, (lo, hi), columns=columns)
+        return self.search_range_virtual(column, lo, hi, columns=columns)
+
     def refresh_indices(
         self, orphan_min_age_sec: float = 0.0, timeout: float | None = None
     ) -> dict:
