@@ -838,3 +838,86 @@ def semantic_dedup(
         rows_per_centroid=rows_per_centroid, probes=probes, seed=seed,
     )
     return keep_group_representatives(df, pairs, id_col, quality_col)
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Public (id, band_key) LSH bucket assignment — the PERSISTABLE
+    near-dup state. Write it per ingested batch and new batches dedup
+    against history by joining band keys instead of re-scanning (or
+    re-shingling) the lake. Deterministic: same text, same bands, on any
+    engine/run (md5-derived permutations)."""
+    return _lsh_banded(df, id_col, col, n, num_hashes, bands)
+
+
+def incremental_neardedup(
+    batch: DataFrame,
+    history_bands: DataFrame,
+    id_col: str,
+    col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    history_docs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an append-only corpus using only the
+    persisted band table — the lake's text is never re-scanned (with
+    `history_docs=None`) or touched only for candidate partners (verify
+    mode). Returns (clean_batch, clean_bands); append both.
+
+    - history_docs=None: a batch doc sharing ANY band bucket with history
+      is dropped (pure LSH — precision approximate, the s-curve's false
+      positives are dropped too; the cheap mode for boilerplate-heavy
+      feeds where collisions ARE near-dups).
+    - history_docs=(id, text) view of the corpus: candidates are verified
+      with the exact Jaccard, computed only for the candidate partner ids
+      (candidate-scale fetch, same discipline as _verify_jaccard).
+
+    Scale: the join shuffles the BATCH bands (batch-scale) against the
+    history band table keyed by band_key; persist the band table sorted by
+    band_key (e.g. `_write_index`-style) so bucket ranges prune the
+    history side's scan. Intra-batch near-dups: run minhash_lsh_pairs on
+    the batch first — this function handles batch-vs-history only.
+    """
+    bb = minhash_band_table(batch, id_col, col, n, num_hashes, bands)
+    bb = bb.localCheckpoint(eager=True)  # feeds suspect join AND clean-band output
+    hist = history_bands.select(
+        F.col("id").alias("hid"), F.col("band_key").alias("bk")
+    )
+    if history_docs is None:
+        dup_ids = (
+            bb.join(hist, bb.band_key == F.col("bk"), "inner")
+            .select("id")
+            .distinct()
+        )
+    else:
+        cand = (
+            bb.join(hist, bb.band_key == F.col("bk"), "inner")
+            .select(F.col("id").alias("id_a"), F.col("hid").alias("id_b"))
+            .distinct()
+        )
+        both = batch.select(
+            F.col(id_col).alias("__vid__"), F.col(col).alias("__vtxt__")
+        ).unionByName(
+            history_docs.select(
+                F.col(id_col).alias("__vid__"), F.col(col).alias("__vtxt__")
+            )
+        )
+        verified = _verify_jaccard(
+            cand, both, "__vid__", "__vtxt__", n, threshold
+        )
+        dup_ids = verified.select(F.col("id_a").alias("id")).distinct()
+    clean = batch.join(
+        dup_ids, batch[id_col] == dup_ids["id"], "left_anti"
+    )
+    clean_bands = bb.join(
+        dup_ids, bb["id"] == dup_ids["id"], "left_anti"
+    )
+    return clean, clean_bands

@@ -64,3 +64,75 @@ def stream_ingest_dedup(
     return out.join(
         keys, out[key_col] == F.col("__lake_key__"), "left_anti"
     )
+
+
+def stream_ingest_neardedup(
+    spark,
+    src_dir: str,
+    schema,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    bands_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    verify: bool = True,
+    timeout_sec: int = 300,
+) -> list[dict]:
+    """Continuous NEAR-dup-free ingestion: each micro-batch is deduped
+    against the persisted LSH band table (ops/dedup.py:
+    incremental_neardedup — the corpus text is only touched for candidate
+    partners, and only in verify mode), then the clean rows land in
+    `out_dir` and their bands extend `bands_dir`. The band table IS the
+    dedup state; no state store, no corpus re-scan, survives restarts by
+    construction. Returns per-batch {"in": n, "kept": n} stats."""
+    import os
+
+    from rottnest_spark.ops.dedup import incremental_neardedup
+
+    stats: list[dict] = []
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n_in = batch_df.count()
+        have_hist = os.path.isdir(bands_dir) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(bands_dir)
+            for f in fs
+        )
+        if have_hist:
+            hist = spark.read.parquet(bands_dir)
+            hdocs = (
+                spark.read.parquet(out_dir).select(id_col, text_col)
+                if verify
+                else None
+            )
+            clean, cbands = incremental_neardedup(
+                batch_df, hist, id_col, text_col,
+                threshold=threshold, history_docs=hdocs,
+            )
+        else:
+            from rottnest_spark.ops.dedup import minhash_band_table
+
+            clean, cbands = batch_df, minhash_band_table(
+                batch_df, id_col, text_col
+            )
+        clean = clean.localCheckpoint(eager=True)  # pin before double write
+        clean.write.mode("append").parquet(out_dir)
+        cbands.write.mode("append").parquet(bands_dir)
+        stats.append({"in": n_in, "kept": clean.count()})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stats

@@ -221,3 +221,93 @@ def test_keep_representatives_by_quality(spark):
         for r in keep_group_representatives(df, pairs, "id", "q").collect()
     }
     assert by_q == {2, 10, 20}  # 2 and 3 tie on q=0.9 -> min id 2
+
+
+# -- incremental near-dedup (band table as persisted state) -----------------
+
+_BASE = ("the quick brown fox jumps over the lazy dog while the band "
+         "plays a slow waltz in the warm evening light of september")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_neardedup_drops_history_dups(spark):
+    from rottnest_spark.ops.dedup import (
+        incremental_neardedup,
+        minhash_band_table,
+    )
+
+    hist = _docs(spark, [(1, _BASE), (2, "completely different text about "
+                                        "database engines and vectorized "
+                                        "execution plans for modern hardware")])
+    hbands = minhash_band_table(hist, "doc_id", "text")
+    batch = _docs(
+        spark,
+        [
+            (10, _BASE),  # exact copy of doc 1
+            (11, _BASE.replace("september", "october")),  # near-copy
+            (12, "a fresh unrelated document mentioning spark shuffles "
+                 "broadcast joins and adaptive query execution at scale"),
+        ],
+    )
+    clean, cbands = incremental_neardedup(
+        batch, hbands, "doc_id", "text", history_docs=hist
+    )
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    assert kept == [12]
+    assert sorted({r["id"] for r in cbands.collect()}) == [12]
+
+
+def test_incremental_neardedup_lsh_only_mode(spark):
+    from rottnest_spark.ops.dedup import (
+        incremental_neardedup,
+        minhash_band_table,
+    )
+
+    hist = _docs(spark, [(1, _BASE)])
+    hbands = minhash_band_table(hist, "doc_id", "text")
+    batch = _docs(spark, [(10, _BASE), (11, "entirely new words about "
+                                            "parquet footers zone maps and "
+                                            "row group statistics pruning")])
+    clean, _ = incremental_neardedup(
+        batch, hbands, "doc_id", "text", history_docs=None
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [11]
+
+
+def test_stream_ingest_neardedup(spark, tmp_path):
+    import os
+
+    from rottnest_spark.streaming.ingest import stream_ingest_neardedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    bands = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    _docs(spark, [(1, _BASE), (2, "independent corpus entry on columnar "
+                                  "storage formats and encodings for "
+                                  "nested data structures")]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    s1 = stream_ingest_neardedup(
+        spark, src, schema, "doc_id", "text", out, bands, ckpt
+    )
+    assert s1 == [{"in": 2, "kept": 2}]
+    # second batch: one near-dup of history, one fresh
+    _docs(spark, [(10, _BASE.replace("dog", "hound")),
+                  (11, "novel content regarding watermark semantics and "
+                       "late arriving data in streaming aggregations")]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    s2 = stream_ingest_neardedup(
+        spark, src, schema, "doc_id", "text", out, bands, ckpt
+    )
+    assert s2 == [{"in": 2, "kept": 1}]
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 11]
+    # band state covers exactly the kept docs
+    assert sorted({r["id"] for r in spark.read.parquet(bands).collect()}) == ids
