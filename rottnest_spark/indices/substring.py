@@ -165,11 +165,20 @@ class SubstringIndex(SparkIndex):
         max_query_grams: int = 10,
         granularity: str = "file",
         unselective_frac: float | None = 1.0,
+        skip_chars: str | None = None,
     ):
         assert granularity in ("file", "row_group")
         self.gram = gram
         self.max_query_grams = max_query_grams
         self.granularity = granularity
+        # F7 skip-char normalization (reference SKIP set,
+        # src/lava/substring/constants.rs:2): characters stripped from the
+        # text at BUILD and from the query at PROBE/refine, so punctuation
+        # variations don't break containment ("foo, bar" matches "foo bar"
+        # when ",. " ⊆ skip_chars). None = lowercase-only (the default
+        # contract of `substring_search`; a build-knob, recorded in config
+        # so probes are guaranteed normalization-compatible).
+        self.skip_chars = skip_chars
         # Search-time escape (NOT a build knob, so not in config()): declare
         # BRUTE_FORCE when even the rarest query gram appears in >= frac of
         # all indexed units — the probe then provably returns (nearly) every
@@ -185,7 +194,26 @@ class SubstringIndex(SparkIndex):
             "gram": self.gram,
             "max_query_grams": self.max_query_grams,
             "granularity": self.granularity,
+            "skip_chars": self.skip_chars,
         }
+
+    def _norm_col(self, col):
+        """lower + skip-char strip — identical at build, probe and refine."""
+        out = F.lower(col)
+        if self.skip_chars:
+            import re as _re
+
+            out = F.regexp_replace(
+                out, "[" + _re.escape(self.skip_chars) + "]", ""
+            )
+        return out
+
+    def _norm_str(self, s: str) -> str:
+        s = s.lower()
+        if self.skip_chars:
+            for ch in self.skip_chars:
+                s = s.replace(ch, "")
+        return s
 
     # -- build ----------------------------------------------------------------
 
@@ -201,7 +229,7 @@ class SubstringIndex(SparkIndex):
             rows = src.select(
                 "file_path",
                 "row_group",
-                F.lower(F.col(column)).alias("__norm__"),
+                self._norm_col(F.col(column)).alias("__norm__"),
             )
         else:
             df = read_parquet(spark, files)
@@ -211,7 +239,7 @@ class SubstringIndex(SparkIndex):
             rows = df.select(
                 provenance_file_col().alias("file_path"),
                 F.lit(WHOLE_FILE).alias("row_group"),
-                F.lower(F.col(column)).alias("__norm__"),
+                self._norm_col(F.col(column)).alias("__norm__"),
             )
         rows = rows.repartition(spark.sparkContext.defaultParallelism)
         # flat-position extraction: explode start positions, then substring()
@@ -247,7 +275,7 @@ class SubstringIndex(SparkIndex):
     def query_grams(self, query: str) -> list[str]:
         """All distinct grams of the normalized query (selection of which to
         probe happens in search(), ranked by document frequency)."""
-        q = query.lower()
+        q = self._norm_str(query)
         if len(q) < self.gram:
             return []
         return list(
@@ -366,7 +394,9 @@ class SubstringIndex(SparkIndex):
     def brute_force(
         self, df: DataFrame, column: str, query: str, k: int | None
     ) -> DataFrame:
-        out = df.filter(F.contains(F.lower(F.col(column)), F.lit(query.lower())))
+        out = df.filter(
+            F.contains(self._norm_col(F.col(column)), F.lit(self._norm_str(query)))
+        )
         return out.limit(k) if k is not None else out
 
 

@@ -64,3 +64,30 @@ def test_phrase_search_through_lake(spark, tmp_path, phrase_df):
     assert got == [0, 2]
     # absence proof: a phrase with an unseen token touches no data
     assert lake.search(PhraseSearch(), "text", "zzzgram sort").count() == 0
+
+
+def test_skip_chars_normalization(spark, tmp_path):
+    """F7: with a SKIP set, punctuation variations don't break containment
+    — build and probe normalize identically (knob recorded in config)."""
+    rows = [
+        (0, "foo, bar baz"),
+        (1, "foo bar qux"),
+        (2, "FOO.BAR"),
+        (3, "unrelated text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    data = str(tmp_path / "data")
+    df.coalesce(1).write.parquet(data)
+    from rottnest_spark.core.lake import ParquetLake
+
+    lake = ParquetLake(spark, data, str(tmp_path / "idx"))
+    idx = SubstringIndex(skip_chars=",. ")
+    lake.build_index(idx, "text")
+    got = sorted(r["id"] for r in lake.search(idx, "text", "foo bar").collect())
+    assert got == [0, 1, 2]  # "foo, bar", "foo bar", "FOO.BAR" all normalize
+    # default index is unchanged: punctuation is significant
+    plain = SubstringIndex()
+    got_plain = sorted(
+        r["id"] for r in plain.brute_force(df, "text", "foo bar", None).collect()
+    )
+    assert got_plain == [1]
