@@ -296,6 +296,39 @@ def main() -> None:
             },
         )
         metrics["zorder_candidate_ratio"] = round(len(zc) / n_zfiles, 4)
+        # copy-on-write CDC merge: key-clustered 16-file lake, 60-key
+        # changeset → the footer-range prune should rewrite only the files
+        # whose key range is hit (ratio = untouched fraction)
+        from rottnest_spark.ops.merge import DELETE_OP  # noqa: F401
+
+        m_dir = os.path.join(bench_cache, "merge_lake")
+        orders_df = ep.load(spark, sf_dir, "orders")
+        (
+            orders_df.repartitionByRange(16, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.parquet(m_dir)
+        )
+        mlake = ParquetLake(spark, m_dir, os.path.join(bench_cache, "m_idx"))
+        n_files = len(mlake.files)
+        # a realistic CDC batch touches a key NEIGHBORHOOD (recent orders),
+        # not a uniform spread — take one narrow slice so the clustered
+        # layout can prune
+        changes = (
+            orders_df.filter(_F.col("o_orderkey").between(10_000, 10_059))
+            .withColumn("seq", _F.lit(1))
+            .withColumn(
+                "op",
+                _F.when(_F.col("o_orderkey") % 2 == 0, _F.lit("D")).otherwise(
+                    _F.lit("U")
+                ),
+            )
+        )
+        t0m = time.time()
+        mstats = mlake.merge_into(changes, "o_orderkey")
+        timings["cdc_merge_into_lake"] = round(time.time() - t0m, 3)
+        metrics["merge_files_pruned_ratio"] = round(
+            mstats["pruned"] / max(n_files, 1), 4
+        )
     except Exception as exc:  # metrics must never fail the bench line
         metrics["error"] = str(exc)[:200]
 
