@@ -234,6 +234,28 @@ def main() -> None:
         lake.vacuum()
         assert lake.search(sub, "text", "merge sort").count() == before
         print("compaction + vacuum: search unchanged")
+
+        # token-boundary phrase search on the SAME substring index
+        from rottnest_spark.indices.substring import PhraseSearch
+
+        ph = lake.search(PhraseSearch(), "text", "merge sort").count()
+        print("phrase search hits:", ph)
+
+        # CDC merge: copy-on-write, footer-pruned; then one-call upkeep
+        ev = blake.read()
+        ch = (
+            ev.filter(F.col("uid") == probe)
+            .withColumn("seq", F.lit(1))
+            .withColumn("op", F.lit("D"))
+        )
+        st = blake.merge_into(ch, "uid")
+        print(
+            "cdc merge:", len(st["rewritten"]), "files rewritten,",
+            st["pruned"], "pruned",
+        )
+        print("post-merge upkeep:", blake.refresh_indices()["built"])
+        # auto-routed lookup: catalog picks the access path
+        print("auto-routed lookup rows:", blake.lookup("uid", probe).count())
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)

@@ -40,6 +40,9 @@ def index_from_config(index_type: str, config: dict | None):
         "bloom": BloomIndex,
         "logcloud": LogIndex,
         "vector": VectorIndex,
+        "hll_stats": StatsSketchIndex,
+        "kll_quantiles": QuantileSketchIndex,
+        "theta_keys": ThetaSketchIndex,
     }
     cls = registry[index_type]
     params = inspect.signature(cls.__init__).parameters
