@@ -28,6 +28,10 @@ DEFAULT = [
     "tpch_q5",
     "token_stats",
     "chunk_documents",
+    "phrase_search",
+    "cdc_merge",
+    "value_outliers",
+    "json_extract_agg",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
