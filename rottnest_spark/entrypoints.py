@@ -1561,6 +1561,23 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QW_CHARS = 400.0  # length prior: docs ≥ this many chars kept with certainty
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted curation sampling (ops/sampling.py): keep
+    probability = min(n_chars/{QW_CHARS}, 1) via deterministic hash
+    buckets — no RNG, reproducible on any engine/partitioning."""
+    from rottnest_spark.ops.sampling import quality_weighted_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") / F.lit(QW_CHARS)
+    )
+    return quality_weighted_sample(docs, "doc_id", "w").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics: extract a JSON field from the props
     column (JVM-side get_json_object — no Python in the hot path) and
@@ -1979,6 +1996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
+    "quality_weighted_sample": q_quality_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2826,6 +2844,12 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """,
+    "quality_weighted_sample": f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE ('0x' || substr(md5('qsample:' || doc_id::VARCHAR), 1, 12))::BIGINT
+              % 1000000
+            < CAST(floor(least(n_chars / {QW_CHARS}, 1.0) * 1000000) AS BIGINT)
     """,
     "json_extract_agg": """
         SELECT event_type,

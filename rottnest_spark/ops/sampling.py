@@ -318,3 +318,21 @@ def mixture_by_tokens(
         .filter(F.col("__prior__") < budget)
         .drop("__prior__")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, seed: str = "qsample"
+) -> DataFrame:
+    """Deterministic quality-weighted downsampling: row kept with
+    probability min(weight, 1) — the curation move of keeping high-quality
+    documents with certainty and tail-quality ones proportionally, without
+    a random number generator (hash bucket < weight·BUCKETS, reproducible
+    across runs/engines/partitionings, same contract as hash_sample).
+
+    Weights are per-row columns, so any quality signal composes: model
+    scores, unigram_logprob percentile, length priors. One codegen filter,
+    no shuffle."""
+    accept = F.least(F.col(weight_col).cast("double"), F.lit(1.0))
+    return df.filter(
+        _bucket(id_col, seed) < F.floor(accept * F.lit(BUCKETS))
+    )
