@@ -254,3 +254,54 @@ def test_bloom_never_false_negative(bloom_lake, key):
         .count()
     )
     assert got == (1 if key in present else 0)
+
+
+# -- CDC merge laws ----------------------------------------------------------
+
+_OPS = st.sampled_from(["U", "D", "I"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 30), _OPS, st.integers(1, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_merge_changes_equals_sequential_apply(spark, changes):
+    """merge_changes(target, feed) ≡ applying the feed one change at a
+    time in seq order (ties: latest_changes' documented tie-break) — the
+    defining law of latest-wins CDC."""
+    from rottnest_spark.ops.merge import merge_changes
+
+    target_rows = {k: f"v{k}" for k in range(0, 20)}
+    # make (key, seq) unique like a real CDC feed: keep the LAST change
+    # per (key, seq) slot in feed order (upstream log compaction)
+    slot: dict = {}
+    for k, op, seq in changes:
+        slot[(k, seq)] = op
+    feed = [
+        (k, f"p{k}s{seq}" if op != "D" else None, seq, op)
+        for (k, seq), op in slot.items()
+    ]
+    # sequential reference apply, seq ascending (stable within equal seq
+    # is irrelevant once (key, seq) is unique)
+    state = dict(target_rows)
+    for k, v, seq, op in sorted(feed, key=lambda r: r[2]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    target = spark.createDataFrame(
+        [(k, v) for k, v in target_rows.items()], "k bigint, v string"
+    )
+    ch = spark.createDataFrame(feed, "k bigint, v string, seq bigint, op string")
+    got = {
+        r["k"]: r["v"] for r in merge_changes(target, ch, ["k"]).collect()
+    }
+    assert got == state
