@@ -383,6 +383,99 @@ class ParquetLake:
             out = out.select(*columns)
         return out.limit(k) if k is not None else out
 
+    def search_disj(
+        self,
+        specs: list[tuple[SparkIndex, str, object]],
+        k: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Disjunctive multi-index search: rows satisfying ANY
+        (index, column, query) predicate, accelerated by UNIONING the
+        candidate units of the probes. A file is skipped only when EVERY
+        spec's index covers it and prunes it — sound, because a row
+        matching spec i must lie in one of spec i's candidate units.
+
+        OR-composition needs boolean-Column predicates, so every spec's
+        index must be predicate-style (`SparkIndex.predicate`); top-K
+        indexes (BM25, vector) cannot join a disjunction and raise. If
+        ANY spec cannot prune (no covering entries, or BRUTE_FORCE), its
+        matches could be anywhere and the whole disjunction degrades to
+        one full refine scan — still exact, and the refine applies all
+        predicates in a single pass either way.
+
+        The same bounded-collect discipline as everywhere: the unioned
+        unit list is LIMIT-checked before any driver materialization."""
+        preds = []
+        for index, column, query in specs:
+            p = index.predicate(column, query)
+            if p is None:
+                raise ValueError(
+                    f"{index.index_type} has top-K semantics and cannot "
+                    "join a disjunction (no row predicate)"
+                )
+            preds.append(p)
+        disj = preds[0]
+        for p in preds[1:]:
+            disj = disj | p
+
+        live = set(self.files)
+        union_cands: DataFrame | None = None
+        whole_files: set[str] = set()  # files some spec leaves uncovered
+        full_scan = False
+        for index, column, query in specs:
+            plan = plan_search(
+                self.catalog,
+                index.index_type,
+                column,
+                self.files,
+                expect_config=IndexCatalog.config_json(**index.config()),
+            )
+            if not plan.entries:
+                full_scan = True
+                break
+            cands = index.search(
+                self.spark, [e["index_path"] for e in plan.entries], query
+            )
+            if cands is BRUTE_FORCE:
+                full_scan = True
+                break
+            whole_files |= live - set(plan.covered_files)
+            union_cands = (
+                cands if union_cands is None else union_cands.unionByName(cands)
+            )
+
+        if full_scan:
+            out = self.read(self.files)
+        else:
+            entry_files = live - whole_files
+            cand_list = collect_candidates_bounded(
+                union_cands.distinct(),
+                entry_files,
+                entry_files,
+                self.brute_force_threshold,
+            )
+            if cand_list is None:
+                out = self.read(self.files)
+            else:
+                # whole-file admissions dominate row-group units of the
+                # same file (reading both would duplicate rows)
+                wholes = set(whole_files) | {
+                    f for f, rg in cand_list if rg == WHOLE_FILE
+                }
+                units = [(f, WHOLE_FILE) for f in sorted(wholes)] + [
+                    (f, rg)
+                    for f, rg in cand_list
+                    if rg != WHOLE_FILE and f not in wholes
+                ]
+                if units:
+                    out = read_candidates(self.spark, units)
+                else:
+                    out = self.read(self.files[:1]).limit(0)
+        out = out.filter(disj)
+        if columns:
+            out = out.select(*columns)
+        return out.limit(k) if k is not None else out
+
     def explain_search_conj(
         self, specs: list[tuple[SparkIndex, str, object]]
     ) -> dict:

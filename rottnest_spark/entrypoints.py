@@ -231,6 +231,20 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISJ_A, DISJ_B = "merge sort", "vector scan"
+
+
+def q_disj_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR) index search: candidate units are the UNION of the
+    two substring probes; one refine pass applies the OR predicate. A
+    file is skipped only when BOTH probes prune it."""
+    idx = SubstringIndex()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return lake.search_disj(
+        [(idx, "text", DISJ_A), (idx, "text", DISJ_B)]
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction audit: deterministic synthetic PII is
     appended to documents (emails/phones/IPs on modular doc_id slices),
@@ -1924,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_timerange_prefix": q_log_timerange_prefix,
     "regex_search": q_regex_search,
     "phrase_search": q_phrase_search,
+    "disj_search": q_disj_search,
     "pii_redact": q_pii_redact,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_many": q_bm25_topk_many,
@@ -2066,6 +2081,11 @@ ORACLES: dict[str, str] = {
     "regex_search": r"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE regexp_matches(text, 'merge\s+(sort|join)')
+    """,
+    "disj_search": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE contains(lower(text), '{DISJ_A}')
+           OR contains(lower(text), '{DISJ_B}')
     """,
     "phrase_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents

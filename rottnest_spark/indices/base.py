@@ -64,6 +64,14 @@ class SparkIndex(ABC):
         """Exact predicate on raw rows — defines the query semantics
         (SURVEY §2.2 F1-F5). Applied to candidate rows AND to in-situ scans."""
 
+    def predicate(self, column: str, query):
+        """The boolean Column form of brute_force's filter, or None when
+        the index's semantics are top-K rather than a row predicate (BM25,
+        vector). A non-None predicate makes the index OR-composable
+        (ParquetLake.search_disj) — filters compose only by chaining
+        (AND), Columns compose freely."""
+        return None
+
     def compact(
         self, spark: SparkSession, index_paths: list[str], out_path: str
     ) -> None:

@@ -190,10 +190,13 @@ class BloomIndex(SparkIndex):
         )
         return hits
 
+    def predicate(self, column: str, query):
+        return F.col(column) == F.lit(query)
+
     def brute_force(
         self, df: DataFrame, column: str, query, k: int | None
     ) -> DataFrame:
-        out = df.filter(F.col(column) == F.lit(query))
+        out = df.filter(self.predicate(column, query))
         return out.limit(k) if k is not None else out
 
     def compact(

@@ -152,13 +152,16 @@ class ExactIndex(SparkIndex):
     def brute_force_range(self, df: DataFrame, column: str, lo, hi) -> DataFrame:
         return df.filter(F.col(column).between(F.lit(lo), F.lit(hi)))
 
+    def predicate(self, column: str, query):
+        if isinstance(query, tuple):
+            lo, hi = query
+            return F.col(column).between(F.lit(lo), F.lit(hi))
+        return F.col(column) == F.lit(query)
+
     def brute_force(
         self, df: DataFrame, column: str, query, k: int | None
     ) -> DataFrame:
-        if isinstance(query, tuple):
-            out = self.brute_force_range(df, column, *query)
-        else:
-            out = df.filter(F.col(column) == F.lit(query))
+        out = df.filter(self.predicate(column, query))
         return out.limit(k) if k is not None else out
 
     def compact(

@@ -294,11 +294,14 @@ class LogIndex(SparkIndex):
             out[q] = matrix.filter(cond).select("file_path", "row_group")
         return out
 
+    def predicate(self, column: str, query: str):
+        # case-SENSITIVE containment (reference indices/logcloud_index.py:62)
+        return F.contains(F.col(column), F.lit(query))
+
     def brute_force(
         self, df: DataFrame, column: str, query: str, k: int | None
     ) -> DataFrame:
-        # case-SENSITIVE containment (reference indices/logcloud_index.py:62)
-        out = df.filter(F.contains(F.col(column), F.lit(query)))
+        out = df.filter(self.predicate(column, query))
         return out.limit(k) if k is not None else out
 
     def compact(

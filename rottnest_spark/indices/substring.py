@@ -391,12 +391,15 @@ class SubstringIndex(SparkIndex):
 
     # -- exact refine (F1, indices/substring_index.py:19-21) -------------------
 
+    def predicate(self, column: str, query: str):
+        return F.contains(
+            self._norm_col(F.col(column)), F.lit(self._norm_str(query))
+        )
+
     def brute_force(
         self, df: DataFrame, column: str, query: str, k: int | None
     ) -> DataFrame:
-        out = df.filter(
-            F.contains(self._norm_col(F.col(column)), F.lit(self._norm_str(query)))
-        )
+        out = df.filter(self.predicate(column, query))
         return out.limit(k) if k is not None else out
 
 
@@ -424,10 +427,13 @@ class RegexSearch(SubstringIndex):
             )
         return list(dict.fromkeys(grams))
 
+    def predicate(self, column: str, pattern: str):
+        return F.col(column).rlike(pattern)
+
     def brute_force(
         self, df: DataFrame, column: str, pattern: str, k: int | None
     ) -> DataFrame:
-        out = df.filter(F.col(column).rlike(pattern))
+        out = df.filter(self.predicate(column, pattern))
         return out.limit(k) if k is not None else out
 
 
@@ -465,16 +471,19 @@ class PhraseSearch(SubstringIndex):
             )
         return list(dict.fromkeys(grams))
 
-    def brute_force(
-        self, df: DataFrame, column: str, query: str, k: int | None
-    ) -> DataFrame:
+    def predicate(self, column: str, query: str):
         from rottnest_spark.indices.bm25 import tokens_col
 
         toks = self.phrase_tokens(query)
         if not toks:
-            return df.limit(0)  # empty phrase matches nothing
+            return F.lit(False)  # empty phrase matches nothing
         hay = F.concat(
             F.lit(" "), F.array_join(tokens_col(F.col(column)), " "), F.lit(" ")
         )
-        out = df.filter(F.contains(hay, F.lit(" " + " ".join(toks) + " ")))
+        return F.contains(hay, F.lit(" " + " ".join(toks) + " "))
+
+    def brute_force(
+        self, df: DataFrame, column: str, query: str, k: int | None
+    ) -> DataFrame:
+        out = df.filter(self.predicate(column, query))
         return out.limit(k) if k is not None else out
