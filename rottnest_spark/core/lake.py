@@ -1243,6 +1243,139 @@ class ParquetLake:
                 built[f"{itype}:{column}"] = names
         return {"vacuumed": vacuumed, "built": built}
 
+    # -- DML: append / delete -------------------------------------------------
+
+    def append(self, df: DataFrame) -> list[str]:
+        """Insert rows as new data files (stage → atomic rename, same
+        pattern as every other multi-file publish here). The files are
+        unindexed until the next build_index()/refresh_indices() — searches
+        stay exact meanwhile via the in-situ remainder scan. Returns the
+        new file paths."""
+        lake_dir = self.data_dir
+        cid = uuid.uuid4().hex[:12]
+        stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
+        df.write.parquet(stage)
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        new_files = []
+        for i, part in enumerate(parts):
+            dst = os.path.join(lake_dir, f"appended_{cid}_{i:05d}.parquet")
+            os.replace(part, dst)
+            new_files.append(dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        return new_files
+
+    def delete_matching(
+        self, index: SparkIndex, column: str, query
+    ) -> dict:
+        """Row-level DELETE of every row matching the index's predicate
+        (the takedown/opt-out workflow): the INDEX prunes the rewrite to
+        candidate files — exactly the files search() would touch — and
+        each is rewritten without the matching rows (copy-on-write,
+        manifest + atomic renames, `repair_files()` completes interrupted
+        swaps). Unindexed files are scanned by the refine predicate like
+        any in-situ search, so deletion is exact regardless of coverage.
+
+        Files whose rewrite removes no rows are left untouched (their
+        staged copy is discarded), so false-positive candidate units cost
+        I/O but never churn. Returns {"rewritten": n, "pruned": n,
+        "n_deleted": n}."""
+        import json
+
+        pred = index.predicate(column, query)
+        if pred is None:
+            raise ValueError(
+                f"{index.index_type} has top-K semantics — deletion needs "
+                "a row predicate"
+            )
+        lake_dir = self.data_dir
+        files = self.files
+        # candidate FILES via the search plan (row groups widen to files:
+        # rewrites are per-file)
+        plan = plan_search(
+            self.catalog,
+            index.index_type,
+            column,
+            files,
+            expect_config=IndexCatalog.config_json(**index.config()),
+        )
+        touched = set(files) - set(plan.covered_files)  # in-situ: must check
+        if plan.entries:
+            cands = index.search(
+                self.spark, [e["index_path"] for e in plan.entries], query
+            )
+            if cands is BRUTE_FORCE:
+                touched = set(files)
+            else:
+                cand_list = collect_candidates_bounded(
+                    cands, set(plan.covered_files), set(files), None
+                )
+                touched |= {f for f, _ in cand_list}
+        else:
+            touched = set(files)
+        touched = sorted(touched)
+        if not touched:
+            return {"rewritten": 0, "pruned": len(files), "n_deleted": 0}
+
+        # per-file kept rows; provenance (mapped to an integer partition id
+        # via a broadcast join — paths don't survive partition-dir
+        # encoding) decides each staged part's target
+        from rottnest_spark.indices.substring import provenance_file_col
+
+        src = read_parquet(self.spark, touched)
+        n_before = {f: c for f, c in file_row_counts(self.spark, touched).items()}
+        kept = src.filter(~F.coalesce(pred, F.lit(False)))
+        map_df = self.spark.createDataFrame(
+            [(f, i) for i, f in enumerate(touched)], "__mf__ string, __sidx__ int"
+        )
+        cid = uuid.uuid4().hex[:12]
+        stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
+        (
+            kept.withColumn("__prov__", provenance_file_col())
+            .join(F.broadcast(map_df), F.col("__prov__") == F.col("__mf__"))
+            .drop("__prov__", "__mf__")
+            .repartition("__sidx__")
+            .write.partitionBy("__sidx__")
+            .parquet(stage)
+        )
+        n_deleted = 0
+        man_dir = os.path.join(self.index_dir, "_compactions")
+        os.makedirs(man_dir, exist_ok=True)
+        swaps = []
+        for i, f in enumerate(touched):
+            part_dir = os.path.join(stage, f"__sidx__={i}")
+            parts = sorted(glob.glob(os.path.join(part_dir, "part-*.parquet")))
+            kept_rows = sum(
+                file_row_counts(self.spark, [p])[p] for p in parts
+            ) if parts else 0
+            if kept_rows == n_before.get(f, 0):
+                continue  # false-positive candidate: no row matched
+            n_deleted += n_before.get(f, 0) - kept_rows
+            news = [
+                os.path.join(lake_dir, f"deleted_{cid}_{len(swaps):05d}_{i:02d}.parquet")
+                for i in range(len(parts))
+            ]
+            swaps.append((f, parts, news))
+        man_path = os.path.join(man_dir, f"{cid}.json")
+        with open(man_path, "w") as fh:
+            json.dump(
+                {
+                    "new_files": [n for _, _, ns in swaps for n in ns],
+                    "replaces": [f for f, _, _ in swaps],
+                },
+                fh,
+            )
+        for f, parts, news in swaps:
+            for p, n in zip(parts, news):
+                os.replace(p, n)
+            os.remove(f)
+        os.remove(man_path)
+        shutil.rmtree(stage, ignore_errors=True)
+        return {
+            "rewritten": len(swaps),
+            "pruned": len(files) - len(touched),
+            "n_deleted": int(n_deleted),
+        }
+
     # -- CDC merge (copy-on-write, file-pruned) -------------------------------
 
     def merge_into(

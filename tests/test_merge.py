@@ -208,3 +208,63 @@ def test_refresh_indices_after_merge(spark, keyed_lake):
     got = keyed_lake.search(idx, "k", 5).collect()
     assert len(got) == 1 and got[0]["v"] == "upd"
     assert keyed_lake.search(idx, "k", 350).count() == 0
+
+
+def test_append_then_refresh(spark, keyed_lake):
+    new = spark.createDataFrame(
+        [(500 + i, f"n{i}") for i in range(10)], "k bigint, v string"
+    )
+    files = keyed_lake.append(new)
+    assert len(files) >= 1 and all(os.path.exists(f) for f in files)
+    assert keyed_lake.read().count() == 410
+    # unindexed until refresh; search stays exact via in-situ scan
+    from rottnest_spark.indices.exact import ExactIndex
+
+    idx = ExactIndex()
+    keyed_lake.build_index(idx, "k")
+    assert keyed_lake.search(idx, "k", 505).count() == 1
+
+
+def test_delete_matching_prunes_and_deletes(spark, keyed_lake):
+    from rottnest_spark.indices.exact import ExactIndex
+
+    idx = ExactIndex()
+    keyed_lake.build_index(idx, "k")
+    before = set(keyed_lake.files)
+    st = keyed_lake.delete_matching(idx, "k", (150, 160))
+    assert st == {"rewritten": 1, "pruned": 3, "n_deleted": 11}
+    out = keyed_lake.read()
+    assert out.count() == 389
+    assert out.filter((F.col("k") >= 150) & (F.col("k") <= 160)).count() == 0
+    # only the one touched file churned
+    assert len(before & set(keyed_lake.files)) == 3
+
+
+def test_delete_matching_substring_predicate(spark, tmp_path):
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    df = spark.createDataFrame(
+        [(i, "purge me please" if i % 10 == 0 else f"keep row {i}")
+         for i in range(100)],
+        "id bigint, text string",
+    )
+    data = str(tmp_path / "d")
+    df.repartition(2).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    sub = SubstringIndex()
+    lake.build_index(sub, "text")
+    st = lake.delete_matching(sub, "text", "purge me")
+    assert st["n_deleted"] == 10
+    assert lake.read().count() == 90
+    assert lake.search(sub, "text", "purge me").count() == 0
+
+
+def test_delete_matching_no_match_leaves_files(spark, keyed_lake):
+    from rottnest_spark.indices.exact import ExactIndex
+
+    idx = ExactIndex()
+    keyed_lake.build_index(idx, "k")
+    before = {f: os.path.getmtime(f) for f in keyed_lake.files}
+    st = keyed_lake.delete_matching(idx, "k", 99999)
+    assert st["n_deleted"] == 0 and st["rewritten"] == 0
+    assert {f: os.path.getmtime(f) for f in keyed_lake.files} == before
