@@ -132,6 +132,12 @@ def main() -> None:
         "bloom_build_customer",
         lambda: ep.indexed_lake(spark, sf_dir, "customer", "c_name", BloomIndex()),
     )
+    from rottnest_spark.indices.fuzzy import FuzzyIndex
+
+    timed(
+        "fuzzy_build_customer",
+        lambda: ep.indexed_lake(spark, sf_dir, "customer", "c_name", FuzzyIndex()),
+    )
     timed(
         "bm25_build_documents",
         lambda: ep.indexed_lake(spark, sf_dir, "documents", "text", BM25Index()),

@@ -231,6 +231,23 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_QUERY = "Customer#00000042X"  # one typo off ten real customer names
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant lookup (edit distance ≤ 1) via the SymSpell
+    deletion-neighborhood index (indices/fuzzy.py): the probe is an
+    IN-list of |query|+1 variants against the variant-sorted index;
+    the levenshtein refine pins exactness."""
+    from rottnest_spark.indices.fuzzy import FuzzyIndex
+
+    idx = FuzzyIndex()
+    lake = indexed_lake(spark, sf_dir, "customer", "c_name", idx)
+    return lake.search(idx, "c_name", FUZZY_QUERY).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 DISJ_A, DISJ_B = "merge sort", "vector scan"
 
 
@@ -1939,6 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_search": q_regex_search,
     "phrase_search": q_phrase_search,
     "disj_search": q_disj_search,
+    "fuzzy_match": q_fuzzy_match,
     "pii_redact": q_pii_redact,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_many": q_bm25_topk_many,
@@ -2081,6 +2099,10 @@ ORACLES: dict[str, str] = {
     "regex_search": r"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE regexp_matches(text, 'merge\s+(sort|join)')
+    """,
+    "fuzzy_match": f"""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE levenshtein(lower(c_name), lower('{FUZZY_QUERY}')) <= 1
     """,
     "disj_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents

@@ -30,6 +30,7 @@ def index_from_config(index_type: str, config: dict | None):
     from rottnest_spark.indices.bloom import BloomIndex
     from rottnest_spark.indices.bm25 import BM25Index
     from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.indices.fuzzy import FuzzyIndex
     from rottnest_spark.indices.logcloud import LogIndex
     from rottnest_spark.indices.vector import VectorIndex
 
@@ -38,6 +39,7 @@ def index_from_config(index_type: str, config: dict | None):
         "exact": ExactIndex,
         "bm25": BM25Index,
         "bloom": BloomIndex,
+        "fuzzy": FuzzyIndex,
         "logcloud": LogIndex,
         "vector": VectorIndex,
         "hll_stats": StatsSketchIndex,
