@@ -172,3 +172,31 @@ class ExactIndex(SparkIndex):
         if self.store_keys:
             keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
             self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])
+
+
+class PrefixSearch(ExactIndex):
+    """Prefix predicate (`startswith`) riding the SAME exact-index tables
+    (the RegexSearch/PhraseSearch reuse pattern: `index_type`/`config()`
+    are inherited, so a probe reuses catalog entries built by ExactIndex).
+
+    The reference's uuid trie serves prefix walks natively
+    (src/lava/uuid/trie.rs:554-595); here a prefix is the key range
+    [prefix, prefix + U+10FFFF): the zone table prunes units whose
+    min/max range misses it, and the key table's sorted layout prunes at
+    Parquet row-group level for point-y prefixes. Exact `startswith`
+    refine. String keys only."""
+
+    #: past any character that can follow a prefix in UTF-8 collation
+    _HI = "\U0010ffff"
+
+    def search(self, spark: SparkSession, index_paths: list[str], query: str):
+        return self.search_range(spark, index_paths, query, query + self._HI)
+
+    def predicate(self, column: str, query: str):
+        return F.col(column).startswith(F.lit(query))
+
+    def brute_force(
+        self, df: DataFrame, column: str, query: str, k: int | None
+    ) -> DataFrame:
+        out = df.filter(self.predicate(column, query))
+        return out.limit(k) if k is not None else out

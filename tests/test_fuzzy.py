@@ -70,3 +70,27 @@ def test_fuzzy_in_disjunction(spark, name_lake):
         ).collect()
     )
     assert got == [4, 5]
+
+
+# -- prefix search on the exact index ---------------------------------------
+
+
+def test_prefix_search_reuses_exact_entries(spark, tmp_path):
+    from rottnest_spark.indices.exact import ExactIndex, PrefixSearch
+
+    rows = [(i, f"user-{i:04d}") for i in range(300)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id bigint, uid string")
+    data = str(tmp_path / "d")
+    df.repartition(3).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    lake.build_index(ExactIndex(), "uid")  # ONE index serves both
+    got = sorted(
+        r["id"] for r in lake.search(PrefixSearch(), "uid", "user-02").collect()
+    )
+    assert got == list(range(200, 300))  # user-0200 .. user-0299
+    assert lake.search(PrefixSearch(), "uid", "nope-").count() == 0
+    # full-scan equivalence
+    expected = sorted(
+        r["id"] for r in df.filter(df.uid.startswith("user-02")).collect()
+    )
+    assert got == expected
