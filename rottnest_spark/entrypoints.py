@@ -248,6 +248,21 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_QUERY = "Customer#00000042"
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (`startswith`) search via the exact index's zone maps —
+    the uuid-trie prefix-walk analog (trie.rs:554-595): the prefix is the
+    key range [p, p+U+10FFFF), pruned before any data read."""
+    from rottnest_spark.indices.exact import PrefixSearch
+
+    lake = indexed_lake(spark, sf_dir, "customer", "c_name", ExactIndex())
+    return lake.search(PrefixSearch(), "c_name", PREFIX_QUERY).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 DISJ_A, DISJ_B = "merge sort", "vector scan"
 
 
@@ -1957,6 +1972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "disj_search": q_disj_search,
     "fuzzy_match": q_fuzzy_match,
+    "prefix_search": q_prefix_search,
     "pii_redact": q_pii_redact,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_many": q_bm25_topk_many,
@@ -2103,6 +2119,10 @@ ORACLES: dict[str, str] = {
     "fuzzy_match": f"""
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE levenshtein(lower(c_name), lower('{FUZZY_QUERY}')) <= 1
+    """,
+    "prefix_search": f"""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE starts_with(c_name, '{PREFIX_QUERY}')
     """,
     "disj_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
