@@ -1214,6 +1214,21 @@ class ParquetLake:
             return self.search(idx, column, (lo, hi), columns=columns)
         return self.search_range_virtual(column, lo, hi, columns=columns)
 
+    def lookup_prefix(
+        self, column: str, prefix: str, columns: list[str] | None = None
+    ) -> DataFrame:
+        """Prefix lookup with automatic access-path selection: the exact
+        index's zone maps when cataloged (PrefixSearch rides them), else
+        virtual footer zones over the prefix's key range."""
+        from rottnest_spark.indices.exact import PrefixSearch
+
+        if self.catalog.entries_for("exact", column):
+            return self.search(PrefixSearch(), column, prefix, columns=columns)
+        hi = prefix + PrefixSearch._HI
+        out = self.search_range_virtual(column, prefix, hi, columns=None)
+        out = out.filter(F.col(column).startswith(F.lit(prefix)))
+        return out.select(*columns) if columns else out
+
     def refresh_indices(
         self, orphan_min_age_sec: float = 0.0, timeout: float | None = None
     ) -> dict:

@@ -119,3 +119,18 @@ def test_search_disj_unindexed_falls_back_exact(klake):
         for r in klake.search_disj([(idx, "k", 3), (idx, "k", 399)]).collect()
     )
     assert got == [3, 399]
+
+
+def test_lookup_prefix_routes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"user-{i:04d}") for i in range(300)], "id bigint, uid string"
+    )
+    data = str(tmp_path / "d")
+    df.repartition(3).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    # virtual path (no index)
+    assert lake.lookup_prefix("uid", "user-01").count() == 100
+    # exact-index path, identical result
+    lake.build_index(ExactIndex(), "uid")
+    assert lake.lookup_prefix("uid", "user-01").count() == 100
+    assert lake.lookup_prefix("uid", "zz").count() == 0
