@@ -1321,10 +1321,19 @@ class ParquetLake:
             if cands is BRUTE_FORCE:
                 touched = set(files)
             else:
-                cand_list = collect_candidates_bounded(
-                    cands, set(plan.covered_files), set(files), None
+                # rewrites are per-FILE: dedupe units to files BEFORE the
+                # collect, so a row-group-granular index with many units
+                # still ships only a file list to the driver
+                live_df = self.spark.createDataFrame(
+                    [(f,) for f in files], "file_path string"
                 )
-                touched |= {f for f, _ in cand_list}
+                file_rows = (
+                    cands.select("file_path")
+                    .distinct()
+                    .join(F.broadcast(live_df), "file_path", "semi")
+                    .collect()
+                )
+                touched |= {r["file_path"] for r in file_rows}
         else:
             touched = set(files)
         touched = sorted(touched)
