@@ -67,6 +67,7 @@ def merge_changes(
     key_cols: list[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    update_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply a CDC changeset to `target` and return the merged table:
     rows whose key has a change are replaced by the latest change payload
@@ -77,8 +78,49 @@ def merge_changes(
     Plan shape: one `max_by` agg over the changes, one left-anti join
     (broadcast when the change set is small — the common CDC case), one
     union. The target is scanned exactly once.
+
+    `update_cols` enables PARTIAL updates (the Delta `UPDATE SET c1, c2`
+    form): update rows overwrite only the listed columns of existing
+    rows and keep the target's values elsewhere; inserts and deletes are
+    unaffected. The plan becomes target LEFT JOIN changes (change side
+    broadcastable) + inserts via an anti-join against the target's
+    column-pruned key projection — the wide target still scans once.
     """
     final = latest_changes(changes, key_cols, seq_col, op_col)
-    keep = target.join(final.select(*key_cols), key_cols, "left_anti")
-    upserts = final.filter(F.col(op_col) != DELETE_OP).select(*target.columns)
-    return keep.unionByName(upserts)
+    if update_cols is None:
+        keep = target.join(final.select(*key_cols), key_cols, "left_anti")
+        upserts = final.filter(F.col(op_col) != DELETE_OP).select(
+            *target.columns
+        )
+        return keep.unionByName(upserts)
+
+    bad = set(update_cols) & set(key_cols)
+    assert not bad, f"key columns cannot be update targets: {sorted(bad)}"
+    f = final.withColumn("__in_f__", F.lit(True))
+    f = f.select(
+        *key_cols,
+        "__in_f__",
+        F.col(op_col).alias("__op__"),
+        *[F.col(c).alias(f"__new_{c}__") for c in update_cols],
+    )
+    joined = target.join(f, key_cols, "left_outer").filter(
+        ~F.coalesce(F.col("__op__") == DELETE_OP, F.lit(False))
+    )
+    existing = joined.select(
+        *[
+            (
+                F.when(F.col("__in_f__"), F.col(f"__new_{c}__"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in update_cols
+                else F.col(c)
+            )
+            for c in target.columns
+        ]
+    )
+    inserts = (
+        final.filter(F.col(op_col) != DELETE_OP)
+        .join(target.select(*key_cols), key_cols, "left_anti")
+        .select(*target.columns)
+    )
+    return existing.unionByName(inserts)

@@ -268,3 +268,29 @@ def test_delete_matching_no_match_leaves_files(spark, keyed_lake):
     st = keyed_lake.delete_matching(idx, "k", 99999)
     assert st["n_deleted"] == 0 and st["rewritten"] == 0
     assert {f: os.path.getmtime(f) for f in keyed_lake.files} == before
+
+
+def test_merge_changes_partial_update_cols(spark):
+    from rottnest_spark.ops.merge import merge_changes
+
+    target = spark.createDataFrame(
+        [(1, "a1", "b1"), (2, "a2", "b2"), (3, "a3", "b3")],
+        "k bigint, a string, b string",
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, "aX", "bX", 1, "U"),   # only b may change
+            (3, None, None, 1, "D"),
+            (9, "a9", "b9", 1, "I"),   # insert takes the full payload
+        ],
+        "k bigint, a string, b string, seq bigint, op string",
+    )
+    got = {
+        r["k"]: (r["a"], r["b"])
+        for r in merge_changes(target, ch, ["k"], update_cols=["b"]).collect()
+    }
+    assert got == {
+        1: ("a1", "b1"),
+        2: ("a2", "bX"),  # a kept from target, b updated
+        9: ("a9", "b9"),
+    }
