@@ -294,3 +294,46 @@ def test_merge_changes_partial_update_cols(spark):
         2: ("a2", "bX"),  # a kept from target, b updated
         9: ("a9", "b9"),
     }
+
+
+def test_merge_into_empty_changes_is_noop(spark, keyed_lake):
+    ch = _mk_changes(spark, []).limit(0) if False else spark.createDataFrame(
+        [], "k bigint, v string, seq bigint, op string"
+    )
+    stats = keyed_lake.merge_into(ch, "k")
+    assert stats["rewritten"] == [] and stats["new_files"] == []
+    assert keyed_lake.read().count() == 400
+
+
+def test_merge_into_all_deletes_removes_file(spark, keyed_lake):
+    """Deleting every key of one file leaves 3 files and 300 rows."""
+    ch = _mk_changes(spark, [(k, None, 1, "D") for k in range(100, 200)])
+    keyed_lake.merge_into(ch, "k")
+    assert keyed_lake.read().count() == 300
+    got = {r["k"] for r in keyed_lake.read().select("k").collect()}
+    assert not any(100 <= k < 200 for k in got)
+
+
+def test_delete_matching_rowgroup_granular_index(spark, tmp_path):
+    """delete_matching widens row-group candidates to files correctly."""
+    import pyarrow.parquet as papq
+
+    from rottnest_spark.indices.exact import ExactIndex
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "k bigint, v string"
+    )
+    data = str(tmp_path / "d")
+    os.makedirs(data)
+    df.coalesce(1).write.parquet(str(tmp_path / "s"))
+    src = glob.glob(str(tmp_path / "s" / "part-*.parquet"))[0]
+    papq.write_table(
+        papq.read_table(src), os.path.join(data, "f.parquet"),
+        row_group_size=256,
+    )
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    idx = ExactIndex(granularity="row_group")
+    lake.build_index(idx, "k")
+    st = lake.delete_matching(idx, "k", (500, 520))
+    assert st["n_deleted"] == 21
+    assert lake.read().count() == 1979
