@@ -1409,6 +1409,7 @@ class ParquetLake:
         seq_col: str = "seq",
         op_col: str = "op",
         max_change_keys: int = 100_000,
+        update_cols: list[str] | None = None,
     ) -> dict:
         """Apply a CDC changeset (MERGE INTO) with file-granular
         copy-on-write: only files whose footer key range can contain a
@@ -1470,16 +1471,20 @@ class ParquetLake:
         ).isEmpty():
             return {"rewritten": [], "new_files": [], "pruned": len(files)}
 
+        from rottnest_spark.ops.merge import merge_changes
+
         base = (
             read_parquet(self.spark, touched)
             if touched
             else read_parquet(self.spark, files).limit(0)
         )
-        keep = base.join(final.select(key_col), [key_col], "left_anti")
-        upserts = final.filter(F.col(op_col) != DELETE_OP).select(
-            *base.columns
+        # the pure-DataFrame apply handles full-row AND partial-column
+        # (`update_cols`) semantics; pre-collapsing via `final` is shared
+        # with the pruning step, but merge_changes re-derives it — the
+        # aggregation is change-scale, not worth threading through
+        merged = merge_changes(
+            base, changes, [key_col], seq_col, op_col, update_cols
         )
-        merged = keep.unionByName(upserts)
 
         cid = uuid.uuid4().hex[:12]
         stage = os.path.join(lake_dir, f"_compact_stage_{cid}")

@@ -337,3 +337,13 @@ def test_delete_matching_rowgroup_granular_index(spark, tmp_path):
     st = lake.delete_matching(idx, "k", (500, 520))
     assert st["n_deleted"] == 21
     assert lake.read().count() == 1979
+
+
+def test_merge_into_partial_update_cols(spark, keyed_lake):
+    ch = spark.createDataFrame(
+        [(5, "IGNORED", 1, "U")], "k bigint, v string, seq bigint, op string"
+    )
+    # v is NOT an update target -> row keeps its target value
+    keyed_lake.merge_into(ch, "k", update_cols=[])
+    out = {r["k"]: r["v"] for r in keyed_lake.read().collect()}
+    assert out[5] == "v5" and len(out) == 400
