@@ -122,3 +122,29 @@ class FuzzyIndex(SparkIndex):
     ) -> DataFrame:
         out = df.filter(self.predicate(column, query))
         return out.limit(k) if k is not None else out
+
+
+def _search_many(self, spark, index_paths, queries):
+    """Batched typo-tolerant lookups: ONE variant-table scan serves every
+    query via the union IN-list; per-query candidate sets filter the
+    materialized (variant, unit) rows — the same amortization as the
+    other index types' search_many."""
+    per_q = {q: deletion_variants(q) for q in queries}
+    union = sorted({v for vs in per_q.values() for v in vs})
+    idx = spark.read.parquet(*index_paths)
+    hits = (
+        idx.filter(F.col("variant").isin(union))
+        .select("variant", "file_path", "row_group")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return {
+        q: hits.filter(F.col("variant").isin(vs))
+        .select("file_path", "row_group")
+        .distinct()
+        for q, vs in per_q.items()
+    }
+
+
+FuzzyIndex.search_many = _search_many
+del _search_many

@@ -94,3 +94,18 @@ def test_prefix_search_reuses_exact_entries(spark, tmp_path):
         r["id"] for r in df.filter(df.uid.startswith("user-02")).collect()
     )
     assert got == expected
+
+
+def test_fuzzy_search_many(spark, name_lake):
+    lake, df = name_lake
+    idx = FuzzyIndex()
+    lake.build_index(idx, "name")
+    res = lake.search_many(
+        idx, "name", ["gandalf", "frodoo", "sauron"]
+    ).collect()
+    got: dict = {"gandalf": [], "frodoo": [], "sauron": []}
+    for r in res:
+        got[r["__query__"]].append(r["id"])
+    assert sorted(got["gandalf"]) == [0, 1, 2, 3]
+    assert sorted(got["frodoo"]) == [5]
+    assert got["sauron"] == []
