@@ -1692,6 +1692,65 @@ Q19_ARMS = [  # (brand, max_size, qty_lo, qty_hi)
     ("Brand#34", 35, 20, 40),
 ]
 Q22_PRIO = "1-URGENT"
+Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_3", "ASIA", "ECONOMY"
+Q8_LO, Q8_HI = "1996-01-01", "1997-12-31"
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-way join where every dimension
+    (part, supplier, customer, nation ×2, region) broadcasts and only
+    lineitem⋈orders shuffles; the region/type/date filters prune their
+    scans before any join."""
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE
+    ).select("p_partkey")
+    n1 = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    ).select("r_regionkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit(Q8_LO).cast("timestamp"), F.lit(Q8_HI).cast("timestamp")
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        vol.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == Q8_NATION, F.col("volume"))
+                    .otherwise(0.0)
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
 
 
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2035,6 +2094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": q_tpch_q12,
     "tpch_q18": q_tpch_q18,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
@@ -2969,6 +3029,27 @@ ORACLES: dict[str, str] = {
               AND l_shipdate BETWEEN DATE '{Q7_LO}' AND DATE '{Q7_HI}'
         ) GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8": f"""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = '{Q8_NATION}' THEN volume
+                              ELSE 0 END) / sum(volume), 4) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = '{Q8_REGION}'
+              AND o_orderdate BETWEEN DATE '{Q8_LO}' AND DATE '{Q8_HI}'
+              AND p_type = '{Q8_TYPE}'
+        ) GROUP BY o_year ORDER BY o_year
     """,
     "tpch_q13": f"""
         SELECT c_count, count(*) AS custdist FROM (
