@@ -325,3 +325,32 @@ def test_stream_ingest_dedup_against_lake_index(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="exact index"):
         keys_already_in_lake(lake2, "doc_id")
+
+
+def test_streaming_anomaly_state_carries(spark, tmp_path):
+    """An outlier in batch 2 is judged against batch 1's learned baseline
+    (cross-batch state), and normal values never flag."""
+    import os
+
+    from rottnest_spark.streaming.anomaly import run_streaming_anomaly
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "out")
+    os.makedirs(src)
+    schema = "event_type string, event_id bigint, value double"
+    base = [("a", i, 100.0 + (i % 5)) for i in range(40)]
+    spark.createDataFrame(base, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out1 = run_streaming_anomaly(spark, src, schema, ckpt, sink, "event_type")
+    assert out1.count() == 0  # tight cluster: nothing flags
+
+    batch2 = [("a", 100, 102.0), ("a", 101, 500.0), ("a", 102, 101.0)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out2 = run_streaming_anomaly(spark, src, schema, ckpt, sink, "event_type")
+    flagged = [r["event_id"] for r in out2.collect()]
+    assert flagged == [101]
+    assert out2.collect()[0]["score"] > 3.0
