@@ -1665,6 +1665,58 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LTV_TOP = 25
+
+
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile banding (ntile) + per-band stats. NOTE the scale
+    trade, stated not hidden: an unpartitioned ORDER BY window is a
+    single-task sort — exact ntile semantics at fixture scale; the 100 TB
+    variant derives band BOUNDARIES from a distributed percentile
+    (ops/analytics.value_histogram-style banding) at the cost of exact
+    equal-count bands."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order totals (ROWS UNBOUNDED PRECEDING in a
+    deterministic order) → lifetime value + order count, top-{LTV_TOP}.
+    Partitioned window: shuffles once on o_custkey, no global sort."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = orders.withColumn(
+        "run_total",
+        F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        run.groupBy("o_custkey")
+        .agg(
+            F.round(F.max("run_total"), 2).alias("lifetime_value"),
+            F.max("rn").alias("n_orders"),
+        )
+        .orderBy(F.desc("lifetime_value"), F.asc("o_custkey"))
+        .limit(LTV_TOP)
+    )
+
+
 OUTLIER_Z = 3.5
 
 
@@ -2103,6 +2155,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22": q_tpch_q22,
     "cdc_merge": q_cdc_merge,
     "value_outliers": q_value_outliers,
+    "price_deciles": q_price_deciles,
+    "customer_ltv": q_customer_ltv,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -2992,6 +3046,36 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (dayofweek(ts) = 5) AS dow_6,
                count(*) FILTER (dayofweek(ts) = 6) AS dow_7
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "price_deciles": """
+        WITH d AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders
+        )
+        SELECT decile, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi,
+               round(sum(o_totalprice), 2) AS total
+        FROM d GROUP BY decile ORDER BY decile
+    """,
+    "customer_ltv": f"""
+        WITH r AS (
+            SELECT o_custkey,
+                   sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run_total,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        SELECT o_custkey, round(max(run_total), 2) AS lifetime_value,
+               max(rn) AS n_orders
+        FROM r GROUP BY o_custkey
+        ORDER BY lifetime_value DESC, o_custkey LIMIT {LTV_TOP}
     """,
     "value_outliers": f"""
         WITH med AS (
