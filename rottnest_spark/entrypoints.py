@@ -1665,6 +1665,64 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAG_QUERY = "hash join performance"
+RAG_K = 10
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval prep (ops/rag.py): overlapping chunking
+    with provenance → deterministic hash-embedding as codegen columns →
+    cosine top-{RAG_K} via TakeOrderedAndProject. The embedder is the
+    documented stub swap point; the Spark pipeline is the deliverable."""
+    from rottnest_spark.ops.rag import rag_retrieve
+
+    return rag_retrieve(
+        load(spark, sf_dir, "documents"), "doc_id", "text", RAG_QUERY,
+        k=RAG_K, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+
+
+def _rag_oracle() -> str:
+    from rottnest_spark.ops.rag import EMBED_DIM, hash_embed_py
+
+    qv = hash_embed_py(RAG_QUERY)
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+
+    def comp(j: int) -> str:
+        return (
+            f"(('0x' || substr(md5('emb:{j}:' || chunk_text), 1, 8))::BIGINT"
+            f" % 1000) / 1000.0"
+        )
+
+    dot = " + ".join(f"{comp(j)} * {qv[j]!r}" for j in range(EMBED_DIM))
+    nu = " + ".join(f"{comp(j)} * {comp(j)}" for j in range(EMBED_DIM))
+    nq = sum(v * v for v in qv)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        ), c AS (
+            SELECT doc_id, tk,
+                   CAST(greatest(ceil((len(tk) - {CHUNK_OVERLAP})
+                        / {stride}.0), 1) AS INT) AS nch
+            FROM t
+        ), c2 AS (
+            SELECT doc_id, tk, unnest(range(1, nch + 1)) AS i FROM c
+        ), chunks AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+                   CAST(len(tk[(i-1)*{stride}+1 : (i-1)*{stride}+{CHUNK_TOKENS}])
+                        AS INT) AS n_chunk_tokens,
+                   array_to_string(
+                       tk[(i-1)*{stride}+1 : (i-1)*{stride}+{CHUNK_TOKENS}], ' '
+                   ) AS chunk_text
+            FROM c2
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               round(({dot}) / sqrt(({nu}) * {nq!r}), 4) AS score
+        FROM chunks
+        ORDER BY score DESC, doc_id, chunk_id LIMIT {RAG_K}
+    """
+
+
 LTV_TOP = 25
 
 
@@ -2157,6 +2215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "price_deciles": q_price_deciles,
     "customer_ltv": q_customer_ltv,
+    "rag_retrieval": q_rag_retrieval,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -3047,6 +3106,7 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (dayofweek(ts) = 6) AS dow_7
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "rag_retrieval": _rag_oracle(),
     "price_deciles": """
         WITH d AS (
             SELECT o_totalprice,

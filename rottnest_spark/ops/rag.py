@@ -1,0 +1,79 @@
+"""RAG retrieval composition: chunk → embed → cosine top-k, end-to-end.
+
+The embedder is the repo's documented deterministic stub convention (this
+container ships no model libraries; see also the BM25 expansion embedder,
+indices/bm25.py): component j of embed(t) is an md5-derived uniform in
+[0, 1) — reproducible on any engine, replicable in ANSI SQL, and a
+one-function swap point for a real encoder. What this module actually
+exercises is the SPARK-SIDE pipeline a real RAG prep needs: overlapping
+chunking with provenance, a per-chunk embedding projection that stays in
+whole-stage codegen (the embedding lives in `dim` plain double columns,
+not an interpreted-HOF array), and a scan-wide top-k
+(TakeOrderedAndProject, no global sort).
+
+Scale: one pass over chunks; the query vector is `dim` literals folded
+into the projection. For corpus-scale serving, build the IVF/PQ index
+over the same embedding columns (indices/vector.py) — this brute-force
+path is the exactness baseline, the same contract as vector_knn_exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 16
+EMBED_PREFIX = "emb"
+_MOD = 1000
+
+
+def hash_embed_col(text_col: Column, j: int, prefix: str = EMBED_PREFIX) -> Column:
+    """Component j of the deterministic embedding, as a codegen Column."""
+    h = F.md5(F.concat(F.lit(f"{prefix}:{j}:"), text_col))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _MOD
+    ) / float(_MOD)
+
+
+def hash_embed_py(text: str, dim: int = EMBED_DIM, prefix: str = EMBED_PREFIX) -> list[float]:
+    """Driver-side mirror of hash_embed_col (bit-identical)."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{prefix}:{j}:{text}".encode()).hexdigest()
+        out.append((int(h[:8], 16) % _MOD) / float(_MOD))
+    return out
+
+
+def rag_retrieve(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Top-k chunks by cosine similarity to `query`, with document
+    provenance: (doc id, chunk_id, n_chunk_tokens, score). Deterministic
+    ties broken by (id, chunk_id)."""
+    from rottnest_spark.ops.textstats import chunk_documents
+
+    chunks = chunk_documents(
+        docs, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    qv = hash_embed_py(query, dim)
+    comps = [hash_embed_col(F.col("chunk_text"), j) for j in range(dim)]
+    dot = sum((c * F.lit(qv[j]) for j, c in enumerate(comps)), F.lit(0.0))
+    nu = sum((c * c for c in comps), F.lit(0.0))
+    nq = sum(v * v for v in qv)
+    score = F.round(dot / F.sqrt(nu * F.lit(nq)), 4)
+    return (
+        chunks.select(
+            id_col, "chunk_id", "n_chunk_tokens", score.alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col), F.asc("chunk_id"))
+        .limit(k)
+    )
