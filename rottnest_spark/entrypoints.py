@@ -1665,6 +1665,33 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (OLAP rollup lattice): all 4 aggregation levels
+    in ONE pass — Spark expands the cube via the Expand operator over a
+    single shuffle, vs 4 separate scans+shuffles for a UNION ALL of
+    groupings. grouping() disambiguates real NULLs from subtotal rows."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (
+                F.grouping("o_orderstatus")
+                + F.lit(2) * F.grouping("o_orderpriority")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
 RAG_QUERY = "hash join performance"
 RAG_K = 10
 
@@ -2216,6 +2243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_deciles": q_price_deciles,
     "customer_ltv": q_customer_ltv,
     "rag_retrieval": q_rag_retrieval,
+    "orders_cube": q_orders_cube,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -3107,6 +3135,16 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "rag_retrieval": _rag_oracle(),
+    "orders_cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus)
+                    + 2 * GROUPING(o_orderpriority) AS INT) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority
+    """,
     "price_deciles": """
         WITH d AS (
             SELECT o_totalprice,
