@@ -47,6 +47,7 @@ class ParquetLake:
         data: str | list[str],
         index_dir: str,
         brute_force_threshold: int = 1000,
+        retain_history: bool = False,
     ):
         self.spark = spark
         self._data = data
@@ -55,6 +56,13 @@ class ParquetLake:
         # candidate-unit count above which the index is deemed unselective
         # (reference brute_force_threshold=1000, utils.py:224-225)
         self.brute_force_threshold = brute_force_threshold
+        # time travel: when True, every rewriting operation (merge_into,
+        # compact_files, delete_matching) snapshots the pre-op live file
+        # list under _snapshots/ and MOVES replaced files into _history/
+        # (invisible to live reads) instead of deleting them — as_of()
+        # then reconstructs any snapshot; vacuum_history() bounds the
+        # retention. The plain-prefix analog of Delta/Iceberg time travel.
+        self.retain_history = retain_history
 
     @property
     def data_dir(self) -> str:
@@ -1105,9 +1113,10 @@ class ParquetLake:
         import math
 
         lake_dir = self.data_dir  # raises for non-directory lakes
-        counts = file_row_counts(self.spark, self.files)
+        pre_op = self.files
+        counts = file_row_counts(self.spark, pre_op)
         thresh = small_row_threshold or max(target_rows // 2, 1)
-        small = [f for f in self.files if counts[f] < thresh]
+        small = [f for f in pre_op if counts[f] < thresh]
         total = sum(counts[f] for f in small)
         n_out = max(1, math.ceil(total / target_rows))
         if len(small) < 2 or n_out >= len(small):
@@ -1128,8 +1137,7 @@ class ParquetLake:
             json.dump({"new_files": new_files, "replaces": small}, fh)
         for part, dst in zip(parts, new_files):
             os.replace(part, dst)
-        for f in small:
-            os.remove(f)
+        self._retire(small, pre_op)
         os.remove(man_path)
         shutil.rmtree(stage, ignore_errors=True)
         return new_files
@@ -1257,6 +1265,108 @@ class ParquetLake:
             if names:
                 built[f"{itype}:{column}"] = names
         return {"vacuumed": vacuumed, "built": built}
+
+    # -- time travel (plain-prefix snapshots) ---------------------------------
+
+    def _retire(
+        self, files_to_remove: list[str], pre_op_files: list[str]
+    ) -> None:
+        """Remove replaced data files — by deletion, or (retain_history)
+        by snapshotting the PRE-OPERATION live list (passed explicitly:
+        by the time deletes run, the operation's new files are already
+        published) and moving the replaced ones into _history/ (relative
+        paths preserved, so hive-partitioned basenames can't collide)."""
+        if not files_to_remove:
+            return
+        if self.retain_history:
+            import json
+
+            lake_dir = self.data_dir
+            snap_dir = os.path.join(lake_dir, "_snapshots")
+            os.makedirs(snap_dir, exist_ok=True)
+            sid = len(glob.glob(os.path.join(snap_dir, "*.json")))
+            with open(os.path.join(snap_dir, f"{sid:06d}.json"), "w") as fh:
+                json.dump({"files": sorted(pre_op_files)}, fh)
+            for f in files_to_remove:
+                rel = os.path.relpath(f, lake_dir)
+                dst = os.path.join(lake_dir, "_history", rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(f, dst)
+        else:
+            for f in files_to_remove:
+                os.remove(f)
+
+    def snapshots(self) -> list[int]:
+        """Available time-travel snapshot ids, oldest first."""
+        snap_dir = os.path.join(self.data_dir, "_snapshots")
+        return sorted(
+            int(os.path.splitext(os.path.basename(p))[0])
+            for p in glob.glob(os.path.join(snap_dir, "*.json"))
+        )
+
+    def as_of(self, snapshot_id: int) -> "ParquetLake":
+        """A read view of the lake as it was when `snapshot_id` was taken
+        (just before that snapshot's rewriting operation). Files still
+        live resolve to themselves; replaced ones resolve into _history/.
+        Raises if a needed file was reclaimed by vacuum_history()."""
+        import json
+
+        lake_dir = self.data_dir
+        with open(
+            os.path.join(lake_dir, "_snapshots", f"{snapshot_id:06d}.json")
+        ) as fh:
+            wanted = json.load(fh)["files"]
+        resolved = []
+        for f in wanted:
+            if os.path.exists(f):
+                resolved.append(f)
+                continue
+            hist = os.path.join(
+                lake_dir, "_history", os.path.relpath(f, lake_dir)
+            )
+            if os.path.exists(hist):
+                resolved.append(hist)
+            else:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id} needs {f}, which "
+                    "vacuum_history() has reclaimed"
+                )
+        return ParquetLake(
+            self.spark, resolved, self.index_dir,
+            brute_force_threshold=self.brute_force_threshold,
+        )
+
+    def vacuum_history(self, keep_last: int = 1) -> list[str]:
+        """Bound time-travel retention: keep the newest `keep_last`
+        snapshots, drop older manifests, and delete _history files no
+        kept snapshot references. Returns the reclaimed files."""
+        import json
+
+        lake_dir = self.data_dir
+        snap_dir = os.path.join(lake_dir, "_snapshots")
+        ids = self.snapshots()
+        keep = set(ids[len(ids) - keep_last :]) if keep_last > 0 else set()
+        referenced: set[str] = set()
+        for sid in keep:
+            with open(os.path.join(snap_dir, f"{sid:06d}.json")) as fh:
+                for f in json.load(fh)["files"]:
+                    referenced.add(
+                        os.path.join(
+                            lake_dir, "_history", os.path.relpath(f, lake_dir)
+                        )
+                    )
+        removed = []
+        hist_dir = os.path.join(lake_dir, "_history")
+        for root, _, fnames in os.walk(hist_dir):
+            for fn in fnames:
+                p = os.path.join(root, fn)
+                if p not in referenced:
+                    os.remove(p)
+                    removed.append(p)
+        for sid in ids:
+            if sid not in keep:
+                os.remove(os.path.join(snap_dir, f"{sid:06d}.json"))
+        return sorted(removed)
 
     # -- DML: append / delete -------------------------------------------------
 
@@ -1391,7 +1501,7 @@ class ParquetLake:
         for f, parts, news in swaps:
             for p, n in zip(parts, news):
                 os.replace(p, n)
-            os.remove(f)
+        self._retire([f for f, _, _ in swaps], files)
         os.remove(man_path)
         shutil.rmtree(stage, ignore_errors=True)
         return {
@@ -1501,8 +1611,7 @@ class ParquetLake:
             json.dump({"new_files": new_files, "replaces": touched}, fh)
         for part, dst in zip(parts, new_files):
             os.replace(part, dst)
-        for f in touched:
-            os.remove(f)
+        self._retire(touched, files)
         os.remove(man_path)
         shutil.rmtree(stage, ignore_errors=True)
         return {

@@ -347,3 +347,65 @@ def test_merge_into_partial_update_cols(spark, keyed_lake):
     keyed_lake.merge_into(ch, "k", update_cols=[])
     out = {r["k"]: r["v"] for r in keyed_lake.read().collect()}
     assert out[5] == "v5" and len(out) == 400
+
+
+# -- time travel -------------------------------------------------------------
+
+
+@pytest.fixture()
+def hist_lake(spark, tmp_path):
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    for part in range(4):
+        df = spark.createDataFrame(
+            [(part * 100 + i, f"v{part * 100 + i}") for i in range(100)],
+            "k bigint, v string",
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{part}"))
+        src = glob.glob(str(tmp_path / f"stage{part}" / "part-*.parquet"))[0]
+        os.replace(src, os.path.join(data_dir, f"part{part}.parquet"))
+    return ParquetLake(
+        spark, data_dir, str(tmp_path / "idx"), retain_history=True
+    )
+
+
+def test_time_travel_across_merge_and_delete(spark, hist_lake):
+    from rottnest_spark.indices.exact import ExactIndex
+
+    # op 1: merge (update + delete)
+    hist_lake.merge_into(
+        _mk_changes(spark, [(5, "upd", 1, "U"), (150, None, 1, "D")]), "k"
+    )
+    # op 2: predicate delete
+    idx = ExactIndex()
+    hist_lake.build_index(idx, "k")
+    hist_lake.delete_matching(idx, "k", (200, 210))
+    assert hist_lake.snapshots() == [0, 1]
+
+    # live state reflects both ops
+    live = {r["k"]: r["v"] for r in hist_lake.read().collect()}
+    assert live[5] == "upd" and 150 not in live and 205 not in live
+    assert len(live) == 388
+
+    # snapshot 0 = original table
+    s0 = {r["k"]: r["v"] for r in hist_lake.as_of(0).read().collect()}
+    assert len(s0) == 400 and s0[5] == "v5" and s0[150] == "v150"
+
+    # snapshot 1 = after merge, before delete
+    s1 = {r["k"]: r["v"] for r in hist_lake.as_of(1).read().collect()}
+    assert len(s1) == 399 and s1[5] == "upd" and 150 not in s1 and s1[205] == "v205"
+
+
+def test_vacuum_history_bounds_retention(spark, hist_lake):
+    hist_lake.merge_into(_mk_changes(spark, [(5, "a", 1, "U")]), "k")
+    hist_lake.merge_into(_mk_changes(spark, [(5, "b", 2, "U")]), "k")
+    assert hist_lake.snapshots() == [0, 1]
+    removed = hist_lake.vacuum_history(keep_last=1)
+    assert hist_lake.snapshots() == [1]
+    # newest snapshot still reconstructs; oldest is gone
+    assert {r["v"] for r in hist_lake.as_of(1).read().filter(
+        F.col("k") == 5
+    ).collect()} == {"a"}
+    with pytest.raises(FileNotFoundError):
+        hist_lake.as_of(0)
+    assert removed  # something was actually reclaimed
