@@ -11,11 +11,12 @@ Spark rebuild (SURVEY A8/I11/I12):
   distributed GEMM assignment pass over Arrow batches;
 - postings = (centroid_id, file, row_group) distinct — unit-granularity
   pruning, the page-posting analog;
-- NO product quantization: PQ exists to shrink the bytes range-GET'd from
-  object storage before rerank; Spark's candidate fetch is a columnar scan of
-  the pruned units, and the fp32 rerank reads those same vectors, so PQ would
-  add recall loss for no I/O win. Recorded here as a deliberate design
-  departure.
+- optional product quantization (pq_m > 0, the reference's I11/I12 stage):
+  per-row sub-codes + codebooks; search scans codes of the probed
+  centroids, keeps the `refine` best by asymmetric distance, and fetches
+  ONLY those rows for the exact fp32 rerank (read_rows_at row-precision
+  fetch) — the bandwidth win the reference gets from PQ-decoding posting
+  blocks, re-expressed as row-level fetch pruning.
 - search: query→nearest `nprobes` centroids (driver-side numpy over the tiny
   broadcast centroid table, mirroring the reference's global stage-2 pick,
   vector.rs:107-143) → posting filter → exact L2 rerank → top-K.
@@ -82,6 +83,48 @@ def l2_dist_col(column: str, query_vec: list[float], round_to: int = 4):
     )
     return F.round(
         F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), round_to
+    )
+
+
+def normalize_col(column: str):
+    """L2-normalize an array<float/double> column as a built-in expression.
+    Cosine KNN on Spark reduces to L2 on normalized vectors
+    (argmax cos(q, v) == argmin ||q/|q| − v/|v|||), so the ENTIRE IVF/PQ
+    machinery serves cosine unchanged: normalize the lake's vectors once
+    at write (or via this projection), normalize the query, and use the
+    same index — no separate metric implementation to maintain, which is
+    exactly how faiss METRIC_INNER_PRODUCT users handle cosine."""
+    arr = F.col(column).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    ))
+    return F.transform(arr, lambda x: x / nrm)
+
+
+def cosine_knn_exact(
+    df, column: str, query_vec: list[float], k: int, id_col: str
+):
+    """Exact cosine top-k over a vector column: codegen dot/norm fold +
+    TakeOrderedAndProject. The brute-force baseline for cosine the same
+    way knn_topk(exact=True) is for L2; ties broken by id."""
+    import math
+
+    q = list(map(float, query_vec))
+    qn = math.sqrt(sum(v * v for v in q)) or 1.0
+    arr = F.col(column).cast("array<double>")
+    qarr = F.array(*[F.lit(v) for v in q])
+    dot = F.aggregate(
+        F.zip_with(arr, qarr, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vn = F.sqrt(F.aggregate(
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    ))
+    cos = F.round(dot / (vn * F.lit(qn)), 4)
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
     )
 
 

@@ -264,3 +264,36 @@ def test_knn_topk_many_ivf_recall(spark, sf_dir, tmp_path):
         }
         recall = len(by_q.get(qid, set()) & exact) / len(exact)
         assert recall >= 0.8, (qid, recall)
+
+
+def test_cosine_knn_equals_numpy(spark):
+    import numpy as np
+
+    from rottnest_spark.indices.vector import cosine_knn_exact, normalize_col
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vid bigint, emb array<double>",
+    )
+    q = [float(x) for x in rng.normal(size=8)]
+    got = [r["vid"] for r in cosine_knn_exact(df, "emb", q, 10, "vid").collect()]
+    qn = np.array(q) / np.linalg.norm(q)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = list(np.argsort(-(vn @ qn), kind="stable")[:10])
+    assert got == [int(w) for w in want]
+
+    # cosine == L2-on-normalized equivalence: the IVF machinery serves
+    # cosine by normalizing at write + query
+    ndf = df.withColumn("emb", normalize_col("emb"))
+    from rottnest_spark.indices.vector import l2_dist_col
+
+    got_l2 = [
+        r["vid"]
+        for r in ndf.select("vid", l2_dist_col("emb", list(qn), 6).alias("d"))
+        .orderBy("d", "vid")
+        .limit(10)
+        .collect()
+    ]
+    assert got_l2 == got
