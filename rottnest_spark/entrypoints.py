@@ -683,6 +683,19 @@ def q_vector_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K (indices/vector.py:cosine_knn_exact): codegen
+    dot/norm folds + TakeOrderedAndProject. Cosine routes through the
+    SAME IVF/PQ index by normalize-at-write + normalize-the-query
+    (argmax cos == argmin L2 on normalized vectors)."""
+    from rottnest_spark.indices.vector import cosine_knn_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_knn_exact(
+        emb, "embedding", _knn_query_vec(spark, sf_dir), KNN_K, "vec_id"
+    )
+
+
 def q_vector_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I12 IVF-pruned approximate top-K (no SQL oracle — recall measured in
     tests; the driver records a rows-only check, as with the reference's
@@ -2174,6 +2187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_many": q_bm25_topk_many,
     "bm25_topk_expanded": q_bm25_topk_expanded,
     "vector_knn_exact": q_vector_knn_exact,
+    "vector_knn_cosine": q_vector_knn_cosine,
     "vector_knn_many": q_vector_knn_many,
     "hybrid_search": q_hybrid_search,
     "decontaminate": q_decontaminate,
@@ -2415,6 +2429,28 @@ ORACLES: dict[str, str] = {
     "bm25_topk_expanded": _bm25_expanded_oracle_sql(BM25_QUERY, BM25_K, 8),
     # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
     "vector_knn_exact": _knn_oracle_sql(KNN_K),
+    "vector_knn_cosine": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = {KNN_QUERY_ID})
+        SELECT e.vec_id,
+               round(
+                   list_sum(list_transform(
+                       range(1, array_length(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(
+                          range(1, array_length(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(
+                          range(1, array_length(q.qv) + 1),
+                          i -> CAST(q.qv[i] AS DOUBLE)
+                               * CAST(q.qv[i] AS DOUBLE))))),
+                   4) AS cosine
+        FROM embeddings e CROSS JOIN q
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {KNN_K}
+    """,
     "vector_knn_many": " UNION ALL ".join(
         f"""
         SELECT * FROM (
