@@ -124,3 +124,107 @@ def merge_changes(
         .select(*target.columns)
     )
     return existing.unionByName(inserts)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    seq: int = 1,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """The inverse of merge_changes: the CDC changeset turning `old` into
+    `new` — DELETE for keys only in old, upsert (U) for keys only in new
+    or whose payload differs. Law (tested):
+    merge_changes(old, table_diff(old, new), keys) ≡ new.
+
+    One full-outer join on the keys; payload comparison is a null-safe
+    struct equality (codegen)."""
+    others = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in others]).alias("__old__"),
+        F.lit(True).alias("__in_o__"),
+    )
+    n = new.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in others]).alias("__new__"),
+        F.lit(True).alias("__in_n__"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    deletes = j.filter(F.col("__in_n__").isNull()).select(
+        *key_cols,
+        *[F.col(f"__old__.{c}").alias(c) for c in others],
+        F.lit(seq).alias(seq_col),
+        F.lit(DELETE_OP).alias(op_col),
+    )
+    upserts = (
+        j.filter(
+            F.col("__in_n__").isNotNull()
+            & (
+                F.col("__in_o__").isNull()
+                | ~F.col("__old__").eqNullSafe(F.col("__new__"))
+            )
+        )
+        .select(
+            *key_cols,
+            *[F.col(f"__new__.{c}").alias(c) for c in others],
+            F.lit(seq).alias(seq_col),
+            F.lit("U").alias(op_col),
+        )
+    )
+    return deletes.unionByName(upserts)
+
+
+def snapshot_diff(lake, sid_a: int, sid_b: int | None, key_col: str) -> DataFrame:
+    """CDC feed between two time-travel snapshots of a lake (sid_b=None
+    means the live state) — the change-data-FEED side of CDC, derived
+    from storage instead of a transaction log.
+
+    Scale: data files are IMMUTABLE (every rewrite publishes new names),
+    so files whose ORIGINAL path appears in both snapshots cannot differ
+    and are skipped entirely; the diff join runs only over the symmetric
+    difference — proportional to what changed, never to the lake."""
+    import json
+    import os
+
+    lake_dir = lake.data_dir
+
+    def manifest_files(sid):
+        if sid is None:
+            return lake.files
+        with open(
+            os.path.join(lake_dir, "_snapshots", f"{sid:06d}.json")
+        ) as fh:
+            return json.load(fh)["files"]
+
+    fa, fb = manifest_files(sid_a), manifest_files(sid_b)
+    only_a = sorted(set(fa) - set(fb))
+    only_b = sorted(set(fb) - set(fa))
+
+    def resolve(paths):
+        out = []
+        for f in paths:
+            if os.path.exists(f):
+                out.append(f)
+            else:
+                h = os.path.join(
+                    lake_dir, "_history", os.path.relpath(f, lake_dir)
+                )
+                if not os.path.exists(h):
+                    raise FileNotFoundError(
+                        f"{f} reclaimed by vacuum_history()"
+                    )
+                out.append(h)
+        return out
+
+    from rottnest_spark.sources.reader import read_parquet
+
+    if not only_a and not only_b:
+        empty = lake.read(lake.files[:1]).limit(0)
+        return table_diff(empty, empty, [key_col])
+    base = lake.read(lake.files[:1]).limit(0)
+    old = read_parquet(lake.spark, resolve(only_a)) if only_a else base
+    new = read_parquet(lake.spark, resolve(only_b)) if only_b else base
+    return table_diff(old, new, [key_col])

@@ -409,3 +409,42 @@ def test_vacuum_history_bounds_retention(spark, hist_lake):
     with pytest.raises(FileNotFoundError):
         hist_lake.as_of(0)
     assert removed  # something was actually reclaimed
+
+
+def test_table_diff_roundtrip_law(spark):
+    from rottnest_spark.ops.merge import merge_changes, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k bigint, v string"
+    )
+    diff = table_diff(old, new, ["k"])
+    ops = {(r["k"], r["op"]) for r in diff.collect()}
+    assert ops == {(2, "U"), (3, "D"), (4, "U")}  # unchanged key 1 absent
+    merged = sorted(
+        (r["k"], r["v"]) for r in merge_changes(old, diff, ["k"]).collect()
+    )
+    assert merged == sorted((r["k"], r["v"]) for r in new.collect())
+
+
+def test_snapshot_diff_prunes_to_changed_files(spark, hist_lake):
+    from rottnest_spark.ops.merge import merge_changes, snapshot_diff
+
+    hist_lake.merge_into(
+        _mk_changes(spark, [(5, "upd", 1, "U"), (150, None, 1, "D"),
+                            (9999, "new", 1, "I")]), "k"
+    )
+    diff = snapshot_diff(hist_lake, 0, None, "k")
+    ops = {(r["k"], r["op"]) for r in diff.collect()}
+    assert ops == {(5, "U"), (150, "D"), (9999, "U")}
+    # the law: merge the derived feed onto the old snapshot -> live state
+    merged = sorted(
+        (r["k"], r["v"])
+        for r in merge_changes(
+            hist_lake.as_of(0).read(), diff, ["k"]
+        ).collect()
+    )
+    live = sorted((r["k"], r["v"]) for r in hist_lake.read().collect())
+    assert merged == live
