@@ -354,3 +354,37 @@ def test_streaming_anomaly_state_carries(spark, tmp_path):
     flagged = [r["event_id"] for r in out2.collect()]
     assert flagged == [101]
     assert out2.collect()[0]["score"] > 3.0
+
+
+def test_streaming_heavy_hitters_across_batches(spark, tmp_path):
+    """An item frequent ACROSS batches but not dominant within any single
+    batch still surfaces (cross-batch MG state), with the n/m error
+    bound holding against exact counts."""
+    import os
+
+    from rottnest_spark.streaming.heavyhitters import (
+        run_streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = "g string, item string"
+    # two batches: 'hot' appears 30x total (15 per batch) among 60 noise
+    # items that each appear once
+    for b in range(2):
+        rows = [("a", "hot")] * 15 + [("a", f"noise{b}_{i}") for i in range(30)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        got = run_streaming_heavy_hitters(
+            spark, src, schema, ckpt, "g", "item", capacity=8
+        )
+    by_item = {r[1]: r for r in got}
+    assert "hot" in by_item
+    key, item, est, n_total = by_item["hot"]
+    assert n_total == 90
+    true = 30
+    assert est <= true <= est + n_total // 8  # MG bound
+    # 'hot' leads the summary
+    assert max(r[2] for r in got) == est
