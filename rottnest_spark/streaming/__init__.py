@@ -26,3 +26,25 @@ __all__ = [
     "refresh_buckets",
     "read_rollup",
 ]
+
+# round 3 additions
+from rottnest_spark.streaming.anomaly import anomaly_stream, run_streaming_anomaly
+from rottnest_spark.streaming.cdc import stream_merge_maintenance
+from rottnest_spark.streaming.heavyhitters import (
+    heavy_hitters_stream,
+    run_streaming_heavy_hitters,
+)
+from rottnest_spark.streaming.ingest import (
+    stream_ingest_dedup,
+    stream_ingest_neardedup,
+)
+
+__all__ += [
+    "stream_merge_maintenance",
+    "anomaly_stream",
+    "run_streaming_anomaly",
+    "heavy_hitters_stream",
+    "run_streaming_heavy_hitters",
+    "stream_ingest_dedup",
+    "stream_ingest_neardedup",
+]
