@@ -1705,6 +1705,41 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_BLOCKLIST = ["site0.example.com", "site5.example.com"]
+DOMAIN_CAP = 10
+N_DOMAINS = 37
+
+
+def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level web curation (ops/webcurate.py): deterministic
+    synthetic URLs (the PII-query convention — the fixture has no URL
+    column), blocklist drop, then a per-domain cap selected by md5 hash
+    order so the kept set is engine/partitioning-independent."""
+    from rottnest_spark.ops.webcurate import apply_domain_policy, extract_domain
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % N_DOMAINS).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    kept = apply_domain_policy(
+        docs, "url", "doc_id", DOMAIN_BLOCKLIST, DOMAIN_CAP
+    )
+    return (
+        kept.groupBy(extract_domain(F.col("url")).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_kept"),
+            F.max("doc_id").alias("max_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
 RAG_QUERY = "hash join performance"
 RAG_K = 10
 
@@ -2258,6 +2293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_ltv": q_customer_ltv,
     "rag_retrieval": q_rag_retrieval,
     "orders_cube": q_orders_cube,
+    "domain_curation": q_domain_curation,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -3171,6 +3207,33 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "rag_retrieval": _rag_oracle(),
+    "domain_curation": f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   'https://site' || (doc_id % {N_DOMAINS})::VARCHAR
+                       || '.example.com/page/' || doc_id::VARCHAR AS url
+            FROM documents
+        ), dom AS (
+            SELECT doc_id,
+                   regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://([^/:?#]+).*$', 1) AS domain
+            FROM docs
+        ), allowed AS (
+            SELECT * FROM dom
+            WHERE domain NOT IN ({", ".join(f"'{d}'" for d in DOMAIN_BLOCKLIST)})
+        ), ranked AS (
+            SELECT doc_id, domain,
+                   row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ) AS rk
+            FROM allowed
+        )
+        SELECT domain, count(*) AS n_kept,
+               min(doc_id) AS min_kept, max(doc_id) AS max_kept
+        FROM ranked WHERE rk <= {DOMAIN_CAP}
+        GROUP BY domain ORDER BY domain
+    """,
     "orders_cube": """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,

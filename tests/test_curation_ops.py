@@ -82,3 +82,46 @@ def test_ranked_is_deterministic_on_ties(spark):
         ).collect()
     }
     assert r == {2: 1, 1: 2, 3: 3}
+
+
+# -- domain-level web curation ----------------------------------------------
+
+
+def test_domain_policy_blocklist_and_cap(spark):
+    from rottnest_spark.ops.webcurate import apply_domain_policy, domain_stats
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"https://d{i % 3}.example.com/p/{i}", 10) for i in range(60)]
+        + [(100, "not a url at all", 10), (101, None, 10)],
+        "id bigint, url string, n_tokens bigint",
+    )
+    kept = apply_domain_policy(
+        docs, "url", "id", ["d0.example.com"], max_docs_per_domain=5
+    )
+    doms = (
+        kept.withColumn(
+            "d", F.regexp_extract(F.lower("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+).*$", 1)
+        )
+        .groupBy("d").count().collect()
+    )
+    by = {r["d"]: r["count"] for r in doms}
+    assert "d0.example.com" not in {k for k in by if k}
+    assert by.get("d1.example.com") == 5 and by.get("d2.example.com") == 5
+    # unparseable + null URLs both pass the blocklist (capped together
+    # under the None domain inside the policy; the re-derived regexp here
+    # distinguishes '' from NULL, hence two singleton groups)
+    assert by.get("") == 1 and by.get(None) == 1
+    # deterministic: same kept ids on re-run
+    ids1 = sorted(r["id"] for r in kept.collect())
+    ids2 = sorted(
+        r["id"]
+        for r in apply_domain_policy(
+            docs.repartition(7), "url", "id", ["d0.example.com"], 5
+        ).collect()
+    )
+    assert ids1 == ids2
+
+    stats = {r["domain"]: r["n_docs"] for r in
+             domain_stats(docs, "url", "n_tokens").collect()}
+    assert stats["d0.example.com"] == 20 and stats[None] == 2
