@@ -355,6 +355,7 @@ class ParquetLake:
         specs: list[tuple[SparkIndex, str, object]],
         k: int | None = None,
         columns: list[str] | None = None,
+        exclude: list[tuple[SparkIndex, str, object]] | None = None,
     ) -> DataFrame:
         """Conjunctive multi-index search: rows satisfying EVERY
         (index, column, query) predicate, accelerated by INTERSECTING the
@@ -387,6 +388,20 @@ class ParquetLake:
             out = read_candidates(self.spark, cand_list, columns=None)
         for index, column, query in specs:
             out = index.brute_force(out, column, query, None)
+        # NOT-composition: exclusions cannot prune (the complement of a
+        # candidate set is everything else), so they are refine-only —
+        # the positive specs' pruning still bounds the scan, completing
+        # the boolean algebra (AND here, OR in search_disj, NOT here).
+        # NULL predicate results keep the row (a null text doesn't
+        # "contain" the excluded pattern).
+        for index, column, query in exclude or []:
+            p = index.predicate(column, query)
+            if p is None:
+                raise ValueError(
+                    f"{index.index_type} has top-K semantics and cannot "
+                    "be an exclusion (no row predicate)"
+                )
+            out = out.filter(~F.coalesce(p, F.lit(False)))
         if columns:
             out = out.select(*columns)
         return out.limit(k) if k is not None else out

@@ -1705,6 +1705,21 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONJ_NOT_POS, CONJ_NOT_NEG = "merge sort", "hash join"
+
+
+def q_conj_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND NOT through the index layer: the positive substring
+    spec prunes candidates; the exclusion is refine-only (a complement
+    cannot prune) — completing AND / OR / NOT composition."""
+    idx = SubstringIndex()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return lake.search_conj(
+        [(idx, "text", CONJ_NOT_POS)],
+        exclude=[(idx, "text", CONJ_NOT_NEG)],
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 DOMAIN_BLOCKLIST = ["site0.example.com", "site5.example.com"]
 DOMAIN_CAP = 10
 N_DOMAINS = 37
@@ -2294,6 +2309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag_retrieval": q_rag_retrieval,
     "orders_cube": q_orders_cube,
     "domain_curation": q_domain_curation,
+    "conj_not_search": q_conj_not_search,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -3207,6 +3223,11 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "rag_retrieval": _rag_oracle(),
+    "conj_not_search": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE contains(lower(text), '{CONJ_NOT_POS}')
+          AND NOT contains(lower(text), '{CONJ_NOT_NEG}')
+    """,
     "domain_curation": f"""
         WITH docs AS (
             SELECT doc_id,
