@@ -1598,11 +1598,14 @@ class ParquetLake:
 
         from rottnest_spark.ops.merge import merge_changes
 
-        base = (
-            read_parquet(self.spark, touched)
-            if touched
-            else read_parquet(self.spark, files).limit(0)
-        )
+        if touched:
+            base = read_parquet(self.spark, touched)
+        elif files:
+            base = read_parquet(self.spark, files).limit(0)
+        else:
+            # empty lake: a merge is a pure insert; the target schema is
+            # the change schema minus the CDC bookkeeping columns
+            base = changes.drop(seq_col, op_col).limit(0)
         # the pure-DataFrame apply handles full-row AND partial-column
         # (`update_cols`) semantics; pre-collapsing via `final` is shared
         # with the pruning step, but merge_changes re-derives it — the

@@ -448,3 +448,15 @@ def test_snapshot_diff_prunes_to_changed_files(spark, hist_lake):
     )
     live = sorted((r["k"], r["v"]) for r in hist_lake.read().collect())
     assert merged == live
+
+
+def test_merge_into_empty_lake_is_pure_insert(spark, tmp_path):
+    data = str(tmp_path / "empty_lake")
+    os.makedirs(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "idx"))
+    st = lake.merge_into(
+        _mk_changes(spark, [(1, "a", 1, "I"), (2, None, 1, "D")]), "k"
+    )
+    assert len(st["new_files"]) >= 1
+    out = {r["k"]: r["v"] for r in lake.read().collect()}
+    assert out == {1: "a"}  # the delete of an absent key is a no-op
