@@ -1705,6 +1705,23 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p95/p99 of event value): Spark's
+    `percentile` interpolates identically to SQL quantile_cont; one
+    partial-aggregatable pass on the small group domain. (The sketch-based
+    any-file-subset variant is ParquetLake.quantile_estimate.)"""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 CONJ_NOT_POS, CONJ_NOT_NEG = "merge sort", "hash join"
 
 
@@ -2310,6 +2327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_cube": q_orders_cube,
     "domain_curation": q_domain_curation,
     "conj_not_search": q_conj_not_search,
+    "value_percentiles": q_value_percentiles,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -3223,6 +3241,13 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "rag_retrieval": _rag_oracle(),
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "conj_not_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE contains(lower(text), '{CONJ_NOT_POS}')
