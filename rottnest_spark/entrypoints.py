@@ -1705,6 +1705,30 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: distinct (user, type) first — the
+    self-join then runs on the DEDUPLICATED set (users × ≤5 types), not
+    the raw events, so the join input shrinks by the per-user event count
+    before any pairing. Ordered pairs (a < b) avoid double counting."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "type_a", "type_b")
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles (p50/p95/p99 of event value): Spark's
     `percentile` interpolates identically to SQL quantile_cont; one
@@ -2328,6 +2352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_curation": q_domain_curation,
     "conj_not_search": q_conj_not_search,
     "value_percentiles": q_value_percentiles,
+    "event_cooccurrence": q_event_cooccurrence,
     "json_extract_agg": q_json_extract_agg,
     "events_pivot": q_events_pivot,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -3241,6 +3266,14 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "rag_retrieval": _rag_oracle(),
+    "event_cooccurrence": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b ORDER BY n_users DESC, type_a, type_b
+    """,
     "value_percentiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,
