@@ -91,3 +91,33 @@ def test_skip_chars_normalization(spark, tmp_path):
         r["id"] for r in plain.brute_force(df, "text", "foo bar", None).collect()
     )
     assert got_plain == [1]
+
+
+def test_phrase_and_disj_null_semantics(spark, tmp_path):
+    """NULL text rows never match a phrase, and never surface through an
+    OR of predicates (SQL three-valued logic: null OR false -> filtered)."""
+    from rottnest_spark.core.lake import ParquetLake
+    from rottnest_spark.indices.exact import ExactIndex
+
+    df = spark.createDataFrame(
+        [(0, "merge sort here", 1), (1, None, 2), (2, "nothing", None)],
+        "id bigint, text string, grp bigint",
+    )
+    got = sorted(
+        r["id"]
+        for r in PhraseSearch().brute_force(df, "text", "merge sort", None).collect()
+    )
+    assert got == [0]
+    data = str(tmp_path / "d")
+    df.coalesce(1).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    sub, ex = SubstringIndex(), ExactIndex()
+    lake.build_index(sub, "text")
+    lake.build_index(ex, "grp")
+    got2 = sorted(
+        r["id"]
+        for r in lake.search_disj(
+            [(sub, "text", "merge sort"), (ex, "grp", 2)]
+        ).collect()
+    )
+    assert got2 == [0, 1]  # null text row still matches via its grp
