@@ -22,10 +22,11 @@ Subpackages:
     streaming/  incremental maintenance, windowed aggs, stateful dedup
 """
 
+from rottnest_spark.core.fs import LakeFS, LocalFS
 from rottnest_spark.core.lake import ParquetLake
 from rottnest_spark.session import get_spark
 
-__all__ = ["ParquetLake", "get_spark"]
+__all__ = ["LakeFS", "LocalFS", "ParquetLake", "get_spark"]
 # bumped on index-format changes: the contract-query cache key includes this,
 # so a format change can never reuse a stale on-disk index
 __version__ = "0.3.0"

@@ -19,15 +19,14 @@ metadata (file lists, candidate unit lists) touches the driver.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rottnest_spark.core.catalog import IndexCatalog
+from rottnest_spark.core.fs import LakeFS, LocalFS
 from rottnest_spark.core.layout import WHOLE_FILE, file_row_counts
 from rottnest_spark.core.planner import (
     binpack,
@@ -48,10 +47,16 @@ class ParquetLake:
         index_dir: str,
         brute_force_threshold: int = 1000,
         retain_history: bool = False,
+        fs: LakeFS | None = None,
     ):
         self.spark = spark
         self._data = data
         self.index_dir = index_dir
+        # storage abstraction for the METADATA plane (listing, commit
+        # renames, manifests, vacuum deletes) — supply a LakeFS for
+        # non-POSIX stores; Spark's own Hadoop-FS layer still moves the
+        # Parquet bytes. See core/fs.py.
+        self.fs = fs or LocalFS()
         self.catalog = IndexCatalog(os.path.join(index_dir, "_catalog"))
         # candidate-unit count above which the index is deemed unselective
         # (reference brute_force_threshold=1000, utils.py:224-225)
@@ -67,7 +72,7 @@ class ParquetLake:
     @property
     def data_dir(self) -> str:
         """Lake root directory (required by the streaming file source)."""
-        if isinstance(self._data, str) and os.path.isdir(self._data):
+        if isinstance(self._data, str) and self.fs.isdir(self._data):
             return self._data
         raise ValueError("streaming maintenance needs a directory-backed lake")
 
@@ -88,7 +93,8 @@ class ParquetLake:
                 f"{len(self.files)} files total"
             )
         view = ParquetLake(
-            self.spark, sub, self.index_dir, self.brute_force_threshold
+            self.spark, sub, self.index_dir, self.brute_force_threshold,
+            fs=self.fs,
         )
         return view
 
@@ -96,25 +102,23 @@ class ParquetLake:
     def files(self) -> list[str]:
         if isinstance(self._data, list):
             return sorted(self._data)
-        if os.path.isdir(self._data):
+        if self.fs.isdir(self._data):
             # recursive: hive-partitioned layouts (dt=2024-01-01/part.parquet)
             # are the normal 100 TB shape. Underscore/dot-prefixed dirs and
             # files stay invisible (Spark convention — also keeps compaction
-            # staging dirs and _delta_log out of the lake).
+            # staging dirs, _history/ and _delta_log out of the lake).
             # NOTE: partition VALUES stay path-encoded; the lake reads the
             # files' physical columns only (uniform-schema invariant).
             out = []
-            for root, dirs, fnames in os.walk(self._data):
-                dirs[:] = [
-                    d for d in dirs if not d.startswith(("_", "."))
-                ]
-                out += [
-                    os.path.join(root, f)
-                    for f in fnames
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
-                ]
+            for p in self.fs.list_files(self._data):
+                parts = os.path.relpath(p, self._data).split(os.sep)
+                if any(s.startswith(("_", ".")) for s in parts[:-1]):
+                    continue
+                fn = parts[-1]
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    out.append(p)
             return sorted(out)
-        return sorted(glob.glob(self._data))
+        return sorted(self.fs.glob(self._data))
 
     def read(self, files: list[str] | None = None) -> DataFrame:
         use = files or self.files
@@ -427,7 +431,17 @@ class ParquetLake:
         predicates in a single pass either way.
 
         The same bounded-collect discipline as everywhere: the unioned
-        unit list is LIMIT-checked before any driver materialization."""
+        unit list is LIMIT-checked before any driver materialization.
+
+        Execution shape: specs sharing an (index type, column, config) are
+        grouped so they share ONE plan lookup and — when the index exposes
+        `search_many` — ONE batched probe job for all their queries (the
+        common OR-of-terms case runs a single index pass, mirroring
+        `_conj_candidates`' single-job treatment). Candidate units are
+        semi-joined against the LIVE covered files before the bounded
+        collect, so index entries that still reference files replaced by
+        compact/merge/delete (routine before vacuum) can never surface
+        dead paths to the reader."""
         preds = []
         for index, column, query in specs:
             p = index.predicate(column, query)
@@ -444,8 +458,22 @@ class ParquetLake:
         live = set(self.files)
         union_cands: DataFrame | None = None
         whole_files: set[str] = set()  # files some spec leaves uncovered
+        all_entry_files: set[str] = set()  # every file any probed entry names
         full_scan = False
+
+        # group same-index specs: one plan + one batched probe per group
+        grouped: dict[tuple, tuple[SparkIndex, str, list]] = {}
         for index, column, query in specs:
+            gk = (
+                index.index_type,
+                column,
+                IndexCatalog.config_json(**index.config()),
+            )
+            if gk not in grouped:
+                grouped[gk] = (index, column, [])
+            grouped[gk][2].append(query)
+
+        for index, column, queries in grouped.values():
             plan = plan_search(
                 self.catalog,
                 index.index_type,
@@ -456,25 +484,43 @@ class ParquetLake:
             if not plan.entries:
                 full_scan = True
                 break
-            cands = index.search(
-                self.spark, [e["index_path"] for e in plan.entries], query
-            )
-            if cands is BRUTE_FORCE:
+            paths = [e["index_path"] for e in plan.entries]
+            # search_many handles point probes only — tuple (range)
+            # queries keep the per-query search path
+            if (
+                len(queries) > 1
+                and hasattr(index, "search_many")
+                and not any(isinstance(q, tuple) for q in queries)
+            ):
+                by_q = index.search_many(self.spark, paths, queries)
+                cand_frames = [by_q[q] for q in queries]
+            else:
+                cand_frames = [
+                    index.search(self.spark, paths, q) for q in queries
+                ]
+            if any(c is BRUTE_FORCE for c in cand_frames):
                 full_scan = True
                 break
+            all_entry_files |= {
+                f for e in plan.entries for f in e["file_paths"]
+            }
             whole_files |= live - set(plan.covered_files)
-            union_cands = (
-                cands if union_cands is None else union_cands.unionByName(cands)
-            )
+            for c in cand_frames:
+                union_cands = (
+                    c if union_cands is None else union_cands.unionByName(c)
+                )
 
         if full_scan:
             out = self.read(self.files)
         else:
-            entry_files = live - whole_files
+            # liveness: entries may cover files already replaced by a
+            # rewrite — semi-join candidates against live covered files,
+            # matching search() (collect_candidates_bounded triggers the
+            # join exactly when all_entry_files ⊋ covered)
             cand_list = collect_candidates_bounded(
                 union_cands.distinct(),
-                entry_files,
-                entry_files,
+                all_entry_files,
+                live - whole_files,
                 self.brute_force_threshold,
             )
             if cand_list is None:
@@ -793,8 +839,6 @@ class ParquetLake:
         """persist() every index table of the matching catalog entries and
         materialize them; repeated searches then probe memory instead of
         re-reading Parquet. Returns the cached paths."""
-        import glob as _glob
-
         cached = []
         for e in self.catalog.entries():
             if index_type and e["index_type"] != index_type:
@@ -803,8 +847,8 @@ class ParquetLake:
                 continue
             tables = [
                 d
-                for d in _glob.glob(os.path.join(e["index_path"], "*"))
-                if os.path.isdir(d)
+                for d in self.fs.glob(os.path.join(e["index_path"], "*"))
+                if self.fs.isdir(d)
             ] or [e["index_path"]]
             for t in tables:
                 df = self.spark.read.parquet(t).persist()
@@ -997,17 +1041,18 @@ class ParquetLake:
 
         def du(path: str) -> int:
             total = 0
-            for root, _dirs, fnames in os.walk(path):
-                for f in fnames:
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
+            if not self.fs.isdir(path):
+                return 0
+            for f in self.fs.list_files(path):
+                try:
+                    total += self.fs.getsize(f)
+                except OSError:
+                    pass
             return total
 
         def fsize(path: str) -> int:
             try:
-                return os.path.getsize(path)
+                return self.fs.getsize(path)
             except OSError:
                 return 0
 
@@ -1083,7 +1128,7 @@ class ParquetLake:
             }
             self.catalog.replace([record], {e["index_name"] for e in group})
             for e in group:
-                shutil.rmtree(e["index_path"], ignore_errors=True)
+                self.fs.rmtree(e["index_path"])
             created.append(index_name)
         self.catalog.validate()
         return created
@@ -1140,21 +1185,22 @@ class ParquetLake:
         cid = uuid.uuid4().hex[:12]
         stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
         read_parquet(self.spark, small).repartition(n_out).write.parquet(stage)
-        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        parts = self.fs.glob(os.path.join(stage, "part-*.parquet"))
         new_files = [
             os.path.join(lake_dir, f"compacted_{cid}_{i:05d}.parquet")
             for i in range(len(parts))
         ]
         man_dir = os.path.join(self.index_dir, "_compactions")
-        os.makedirs(man_dir, exist_ok=True)
+        self.fs.makedirs(man_dir)
         man_path = os.path.join(man_dir, f"{cid}.json")
-        with open(man_path, "w") as fh:
-            json.dump({"new_files": new_files, "replaces": small}, fh)
+        self.fs.write_text(
+            man_path, json.dumps({"new_files": new_files, "replaces": small})
+        )
         for part, dst in zip(parts, new_files):
-            os.replace(part, dst)
+            self.fs.rename(part, dst)
         self._retire(small, pre_op)
-        os.remove(man_path)
-        shutil.rmtree(stage, ignore_errors=True)
+        self.fs.remove(man_path)
+        self.fs.rmtree(stage)
         return new_files
 
     def repair_files(self) -> list[str]:
@@ -1165,28 +1211,26 @@ class ParquetLake:
 
         man_dir = os.path.join(self.index_dir, "_compactions")
         finished: list[str] = []
-        for man_path in sorted(glob.glob(os.path.join(man_dir, "*.json"))):
-            with open(man_path) as fh:
-                m = json.load(fh)
-            if all(os.path.exists(n) for n in m["new_files"]):
+        for man_path in self.fs.glob(os.path.join(man_dir, "*.json")):
+            m = json.loads(self.fs.read_text(man_path))
+            if all(self.fs.exists(n) for n in m["new_files"]):
                 # published but deletes may be incomplete — finish the swap
                 for f in m["replaces"]:
-                    if os.path.exists(f):
-                        os.remove(f)
+                    if self.fs.exists(f):
+                        self.fs.remove(f)
                         finished.append(f)
             # else: crashed before (or mid-) publish with originals intact —
             # discard the attempt; a partially-published prefix of new files
             # is removed so rows are never double-counted
             else:
                 for n in m["new_files"]:
-                    if os.path.exists(n):
-                        os.remove(n)
-            os.remove(man_path)
+                    if self.fs.exists(n):
+                        self.fs.remove(n)
+            self.fs.remove(man_path)
             # leftover stage dirs are invisible to the lake glob; sweep them
             cid = os.path.splitext(os.path.basename(man_path))[0]
-            shutil.rmtree(
-                os.path.join(self.data_dir, f"_compact_stage_{cid}"),
-                ignore_errors=True,
+            self.fs.rmtree(
+                os.path.join(self.data_dir, f"_compact_stage_{cid}")
             )
         return finished
 
@@ -1247,9 +1291,21 @@ class ParquetLake:
 
         if self.catalog.entries_for("exact", column):
             return self.search(PrefixSearch(), column, prefix, columns=columns)
-        hi = prefix + PrefixSearch._HI
-        out = self.search_range_virtual(column, prefix, hi, columns=None)
-        out = out.filter(F.col(column).startswith(F.lit(prefix)))
+        from rottnest_spark.core.layout import footer_zone_candidates
+
+        cands = footer_zone_candidates(
+            self.spark, self.files, column, prefix, None, prefix=True
+        )
+        cand_list = collect_candidates_bounded(
+            cands, set(), set(self.files), self.brute_force_threshold
+        )
+        if cand_list is None:
+            rows = self.read()
+        elif cand_list:
+            rows = read_candidates(self.spark, cand_list)
+        else:
+            rows = self.read(self.files[:1]).limit(0)
+        out = rows.filter(F.col(column).startswith(F.lit(prefix)))
         return out.select(*columns) if columns else out
 
     def refresh_indices(
@@ -1298,25 +1354,34 @@ class ParquetLake:
 
             lake_dir = self.data_dir
             snap_dir = os.path.join(lake_dir, "_snapshots")
-            os.makedirs(snap_dir, exist_ok=True)
-            sid = len(glob.glob(os.path.join(snap_dir, "*.json")))
-            with open(os.path.join(snap_dir, f"{sid:06d}.json"), "w") as fh:
-                json.dump({"files": sorted(pre_op_files)}, fh)
+            self.fs.makedirs(snap_dir)
+            # max+1, not count: after vacuum_history() drops older
+            # manifests a count-derived id could collide with (and
+            # silently overwrite) a KEPT snapshot, corrupting time travel.
+            existing = [
+                int(os.path.splitext(os.path.basename(p))[0])
+                for p in self.fs.glob(os.path.join(snap_dir, "*.json"))
+            ]
+            sid = max(existing) + 1 if existing else 0
+            self.fs.write_text(
+                os.path.join(snap_dir, f"{sid:06d}.json"),
+                json.dumps({"files": sorted(pre_op_files)}),
+            )
             for f in files_to_remove:
                 rel = os.path.relpath(f, lake_dir)
                 dst = os.path.join(lake_dir, "_history", rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(f, dst)
+                self.fs.makedirs(os.path.dirname(dst))
+                self.fs.rename(f, dst)
         else:
             for f in files_to_remove:
-                os.remove(f)
+                self.fs.remove(f)
 
     def snapshots(self) -> list[int]:
         """Available time-travel snapshot ids, oldest first."""
         snap_dir = os.path.join(self.data_dir, "_snapshots")
         return sorted(
             int(os.path.splitext(os.path.basename(p))[0])
-            for p in glob.glob(os.path.join(snap_dir, "*.json"))
+            for p in self.fs.glob(os.path.join(snap_dir, "*.json"))
         )
 
     def as_of(self, snapshot_id: int) -> "ParquetLake":
@@ -1327,19 +1392,20 @@ class ParquetLake:
         import json
 
         lake_dir = self.data_dir
-        with open(
-            os.path.join(lake_dir, "_snapshots", f"{snapshot_id:06d}.json")
-        ) as fh:
-            wanted = json.load(fh)["files"]
+        wanted = json.loads(
+            self.fs.read_text(
+                os.path.join(lake_dir, "_snapshots", f"{snapshot_id:06d}.json")
+            )
+        )["files"]
         resolved = []
         for f in wanted:
-            if os.path.exists(f):
+            if self.fs.exists(f):
                 resolved.append(f)
                 continue
             hist = os.path.join(
                 lake_dir, "_history", os.path.relpath(f, lake_dir)
             )
-            if os.path.exists(hist):
+            if self.fs.exists(hist):
                 resolved.append(hist)
             else:
                 raise FileNotFoundError(
@@ -1349,6 +1415,7 @@ class ParquetLake:
         return ParquetLake(
             self.spark, resolved, self.index_dir,
             brute_force_threshold=self.brute_force_threshold,
+            fs=self.fs,
         )
 
     def vacuum_history(self, keep_last: int = 1) -> list[str]:
@@ -1363,24 +1430,25 @@ class ParquetLake:
         keep = set(ids[len(ids) - keep_last :]) if keep_last > 0 else set()
         referenced: set[str] = set()
         for sid in keep:
-            with open(os.path.join(snap_dir, f"{sid:06d}.json")) as fh:
-                for f in json.load(fh)["files"]:
-                    referenced.add(
-                        os.path.join(
-                            lake_dir, "_history", os.path.relpath(f, lake_dir)
-                        )
+            snap = json.loads(
+                self.fs.read_text(os.path.join(snap_dir, f"{sid:06d}.json"))
+            )
+            for f in snap["files"]:
+                referenced.add(
+                    os.path.join(
+                        lake_dir, "_history", os.path.relpath(f, lake_dir)
                     )
+                )
         removed = []
         hist_dir = os.path.join(lake_dir, "_history")
-        for root, _, fnames in os.walk(hist_dir):
-            for fn in fnames:
-                p = os.path.join(root, fn)
+        if self.fs.isdir(hist_dir):
+            for p in self.fs.list_files(hist_dir):
                 if p not in referenced:
-                    os.remove(p)
+                    self.fs.remove(p)
                     removed.append(p)
         for sid in ids:
             if sid not in keep:
-                os.remove(os.path.join(snap_dir, f"{sid:06d}.json"))
+                self.fs.remove(os.path.join(snap_dir, f"{sid:06d}.json"))
         return sorted(removed)
 
     # -- DML: append / delete -------------------------------------------------
@@ -1395,13 +1463,13 @@ class ParquetLake:
         cid = uuid.uuid4().hex[:12]
         stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
         df.write.parquet(stage)
-        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        parts = self.fs.glob(os.path.join(stage, "part-*.parquet"))
         new_files = []
         for i, part in enumerate(parts):
             dst = os.path.join(lake_dir, f"appended_{cid}_{i:05d}.parquet")
-            os.replace(part, dst)
+            self.fs.rename(part, dst)
             new_files.append(dst)
-        shutil.rmtree(stage, ignore_errors=True)
+        self.fs.rmtree(stage)
         return new_files
 
     def delete_matching(
@@ -1488,11 +1556,11 @@ class ParquetLake:
         )
         n_deleted = 0
         man_dir = os.path.join(self.index_dir, "_compactions")
-        os.makedirs(man_dir, exist_ok=True)
+        self.fs.makedirs(man_dir)
         swaps = []
         for i, f in enumerate(touched):
             part_dir = os.path.join(stage, f"__sidx__={i}")
-            parts = sorted(glob.glob(os.path.join(part_dir, "part-*.parquet")))
+            parts = self.fs.glob(os.path.join(part_dir, "part-*.parquet"))
             kept_rows = sum(
                 file_row_counts(self.spark, [p])[p] for p in parts
             ) if parts else 0
@@ -1505,20 +1573,21 @@ class ParquetLake:
             ]
             swaps.append((f, parts, news))
         man_path = os.path.join(man_dir, f"{cid}.json")
-        with open(man_path, "w") as fh:
-            json.dump(
+        self.fs.write_text(
+            man_path,
+            json.dumps(
                 {
                     "new_files": [n for _, _, ns in swaps for n in ns],
                     "replaces": [f for f, _, _ in swaps],
-                },
-                fh,
-            )
+                }
+            ),
+        )
         for f, parts, news in swaps:
             for p, n in zip(parts, news):
-                os.replace(p, n)
+                self.fs.rename(p, n)
         self._retire([f for f, _, _ in swaps], files)
-        os.remove(man_path)
-        shutil.rmtree(stage, ignore_errors=True)
+        self.fs.remove(man_path)
+        self.fs.rmtree(stage)
         return {
             "rewritten": len(swaps),
             "pruned": len(files) - len(touched),
@@ -1572,6 +1641,14 @@ class ParquetLake:
         from rottnest_spark.ops.merge import DELETE_OP, latest_changes
 
         lake_dir = self.data_dir
+        # NULL merge keys have no row identity: they would sort-crash the
+        # driver-side prune below and silently join nothing in
+        # merge_changes — reject them up front with a clear error.
+        if not changes.filter(F.col(key_col).isNull()).isEmpty():
+            raise ValueError(
+                f"merge_into: changeset contains NULL values in key "
+                f"column {key_col!r}; a CDC row must carry a non-null key"
+            )
         final = latest_changes(changes, [key_col], seq_col, op_col)
         key_rows = (
             final.select(key_col).limit(max_change_keys + 1).collect()
@@ -1617,21 +1694,22 @@ class ParquetLake:
         cid = uuid.uuid4().hex[:12]
         stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
         merged.write.parquet(stage)
-        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        parts = self.fs.glob(os.path.join(stage, "part-*.parquet"))
         new_files = [
             os.path.join(lake_dir, f"merged_{cid}_{i:05d}.parquet")
             for i in range(len(parts))
         ]
         man_dir = os.path.join(self.index_dir, "_compactions")
-        os.makedirs(man_dir, exist_ok=True)
+        self.fs.makedirs(man_dir)
         man_path = os.path.join(man_dir, f"{cid}.json")
-        with open(man_path, "w") as fh:
-            json.dump({"new_files": new_files, "replaces": touched}, fh)
+        self.fs.write_text(
+            man_path, json.dumps({"new_files": new_files, "replaces": touched})
+        )
         for part, dst in zip(parts, new_files):
-            os.replace(part, dst)
+            self.fs.rename(part, dst)
         self._retire(touched, files)
-        os.remove(man_path)
-        shutil.rmtree(stage, ignore_errors=True)
+        self.fs.remove(man_path)
+        self.fs.rmtree(stage)
         return {
             "rewritten": touched,
             "new_files": new_files,
@@ -1670,19 +1748,19 @@ class ParquetLake:
             dead_set = set(dead)
             for e in self.catalog.entries():
                 if e["index_name"] in dead_set:
-                    shutil.rmtree(e["index_path"], ignore_errors=True)
+                    self.fs.rmtree(e["index_path"])
             self.catalog.delete(dead_set)
         referenced = {e["index_path"] for e in self.catalog.entries()}
         removed = list(dead)
         cutoff = _time.time() - orphan_min_age_sec
-        for d in glob.glob(os.path.join(self.index_dir, "*")):
-            if d.endswith("_catalog") or d in referenced or not os.path.isdir(d):
+        for d in self.fs.glob(os.path.join(self.index_dir, "*")):
+            if d.endswith("_catalog") or d in referenced or not self.fs.isdir(d):
                 continue
             try:
-                if os.path.getmtime(d) > cutoff:
+                if self.fs.getmtime(d) > cutoff:
                     continue  # possibly an in-flight build — leave it
             except OSError:
                 continue  # vanished mid-scan (concurrent cleanup)
-            shutil.rmtree(d, ignore_errors=True)
+            self.fs.rmtree(d)
             removed.append(os.path.basename(d))
         return removed

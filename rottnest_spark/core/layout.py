@@ -148,7 +148,8 @@ def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
 
 
 def footer_zone_candidates(
-    spark: SparkSession, files: list[str], column: str, lo, hi
+    spark: SparkSession, files: list[str], column: str, lo, hi,
+    prefix: bool = False,
 ) -> DataFrame:
     """VIRTUAL zone maps: candidate (file, row_group) units whose Parquet
     FOOTER min/max statistics for `column` intersect [lo, hi] — no index
@@ -160,7 +161,12 @@ def footer_zone_candidates(
     Soundness: a row group with missing/unusable statistics is ALWAYS a
     candidate; the caller's exact refine keeps results correct. The footer
     reads distribute over files (metadata-scale mapInPandas, same pattern
-    as extract_layout)."""
+    as extract_layout).
+
+    `prefix=True` treats `lo` as a string prefix (hi ignored): a unit
+    survives iff max >= lo AND min truncated to len(lo) chars <= lo —
+    the unbounded-above prefix range has no finite hi, so the range test
+    would wrongly drop keys extending any chosen bound."""
 
     def zone_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # executor-side imports only
@@ -183,7 +189,14 @@ def footer_zone_candidates(
                     keep = True
                     if st is not None and st.has_min_max:
                         try:
-                            keep = not (st.min > hi or st.max < lo)
+                            if prefix:
+                                mn = st.min
+                                keep = not (
+                                    isinstance(mn, str)
+                                    and (mn[: len(lo)] > lo or st.max < lo)
+                                )
+                            else:
+                                keep = not (st.min > hi or st.max < lo)
                         except TypeError:
                             keep = True  # incomparable stats: sound default
                     if keep:

@@ -118,6 +118,15 @@ class BloomIndex(SparkIndex):
                 F.lit(WHOLE_FILE).alias("row_group"),
                 F.col(column).alias("key"),
             )
+        from pyspark.sql.types import BinaryType
+
+        if isinstance(df.schema["key"].dataType, BinaryType):
+            # binary keys: hex-encode before the string cast in _positions
+            # (cast(binary as string) is a UTF-8 decode — lossy for
+            # arbitrary bytes); the probe side mirrors this in
+            # _query_lanes. Reference indexes binary payloads through the
+            # same builders (indices/index_interface.py:10-16).
+            df = df.withColumn("key", F.hex("key"))
         keys = df.filter(F.col("key").isNotNull()).distinct()
         pos = self._positions(keys, "key")
         word, mask = self._lane("__pos__")
@@ -149,6 +158,8 @@ class BloomIndex(SparkIndex):
         """The probe's (word, required_mask) pairs — computed with the SAME
         xxhash64 expression as the build, via a 1-row local DataFrame (k
         rows collected; there is no driver-side xxhash64)."""
+        if isinstance(query, (bytes, bytearray)):
+            query = bytes(query).hex().upper()  # matches F.hex at build
         one = spark.createDataFrame([(str(query),)], ["key"])
         word, mask = self._lane("__pos__")
         rows = (

@@ -20,6 +20,13 @@ pruning — right choice when the lake is written sorted/clustered by the key).
 Scale: `keys/` has ≤ one row per distinct (key, unit); the build is a single
 distinct-shuffle. Probe touches O(log) row groups. At 100 TB the zone table
 alone prunes to the few files whose range covers the probe key.
+
+Binary keys (the reference indexes `data_type='binary'` payloads through
+the same trie builders, indices/index_interface.py:10-16,
+src/lava/uuid/uuid.rs:25-43): a BinaryType column is HEX-ENCODED into the
+index tables (uppercase, byte-order-preserving, so zone-map ranges stay
+meaningful) and a bytes probe is hex-encoded the same way; the refine
+still compares the raw binary column, so results are exact.
 """
 
 from __future__ import annotations
@@ -31,6 +38,26 @@ from rottnest_spark.core.layout import WHOLE_FILE
 from rottnest_spark.indices.base import SparkIndex
 from rottnest_spark.indices.substring import provenance_file_col
 from rottnest_spark.sources.reader import read_parquet
+
+
+def _hex_key(df: DataFrame, column: str):
+    """Key expression for the index tables: BinaryType hex-encodes (byte
+    order == hex string order, so min/max zones stay sound); other types
+    pass through."""
+    from pyspark.sql.types import BinaryType
+
+    col = F.col(column)
+    if isinstance(df.schema[column].dataType, BinaryType):
+        return F.hex(col)
+    return col
+
+
+def _hex_query(query):
+    """Probe-side twin of _hex_key: bytes → uppercase hex (matching
+    Spark's F.hex), scalars pass through."""
+    if isinstance(query, (bytes, bytearray)):
+        return bytes(query).hex().upper()
+    return query
 
 
 class ExactIndex(SparkIndex):
@@ -50,14 +77,16 @@ class ExactIndex(SparkIndex):
         if self.granularity == "row_group":
             from rottnest_spark.core.layout import rows_with_rg_provenance
 
-            df = rows_with_rg_provenance(spark, files, column).select(
-                "file_path", "row_group", F.col(column).alias("key")
+            src = rows_with_rg_provenance(spark, files, column)
+            df = src.select(
+                "file_path", "row_group", _hex_key(src, column).alias("key")
             )
         else:
-            df = read_parquet(spark, files).select(
+            src = read_parquet(spark, files)
+            df = src.select(
                 provenance_file_col().alias("file_path"),
                 F.lit(WHOLE_FILE).alias("row_group"),
-                F.col(column).alias("key"),
+                _hex_key(src, column).alias("key"),
             )
         zone = df.groupBy("file_path", "row_group").agg(
             F.min("key").alias("min_key"), F.max("key").alias("max_key")
@@ -75,6 +104,7 @@ class ExactIndex(SparkIndex):
     def search(self, spark: SparkSession, index_paths: list[str], query):
         if isinstance(query, tuple):  # (lo, hi) range probe → zone maps
             return self.search_range(spark, index_paths, *query)
+        query = _hex_query(query)
         if self.store_keys:
             keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
             return (
@@ -100,7 +130,7 @@ class ExactIndex(SparkIndex):
         if not self.store_keys:
             return None
         keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
-        hits = keys.filter(F.col("key") == F.lit(query))
+        hits = keys.filter(F.col("key") == F.lit(_hex_query(query)))
         if live_files is not None:
             live_df = spark.createDataFrame(
                 [(f,) for f in sorted(live_files)], "file_path string"
@@ -116,34 +146,36 @@ class ExactIndex(SparkIndex):
         """Batched point lookups: one key-table (or zone) scan covers every
         key via an IN-list — the min/max-sorted index prunes row groups for
         the whole batch at once, versus one scan per key."""
+        probes = [_hex_query(q) for q in queries]
         if self.store_keys:
             keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
             hits = (
-                keys.filter(F.col("key").isin(queries))
+                keys.filter(F.col("key").isin(probes))
                 .select("key", "file_path", "row_group")
                 .distinct()
                 .localCheckpoint(eager=True)
             )
             return {
-                q: hits.filter(F.col("key") == F.lit(q)).select(
+                q: hits.filter(F.col("key") == F.lit(p)).select(
                     "file_path", "row_group"
                 )
-                for q in queries
+                for q, p in zip(queries, probes)
             }
         zones = spark.read.parquet(
             *[f"{p}/zone" for p in index_paths]
         ).localCheckpoint(eager=True)
         return {
             q: zones.filter(
-                (F.col("min_key") <= F.lit(q)) & (F.col("max_key") >= F.lit(q))
+                (F.col("min_key") <= F.lit(p)) & (F.col("max_key") >= F.lit(p))
             ).select("file_path", "row_group")
-            for q in queries
+            for q, p in zip(queries, probes)
         }
 
     def search_range(self, spark: SparkSession, index_paths: list[str], lo, hi):
         """Candidate units whose key range intersects [lo, hi] — the classic
         zone-map range scan. Uses the zone table regardless of store_keys
         (O(units) rows beats a key-table range for wide ranges)."""
+        lo, hi = _hex_query(lo), _hex_query(hi)
         zones = spark.read.parquet(*[f"{p}/zone" for p in index_paths])
         return zones.filter(
             (F.col("min_key") <= F.lit(hi)) & (F.col("max_key") >= F.lit(lo))
@@ -180,17 +212,25 @@ class PrefixSearch(ExactIndex):
     are inherited, so a probe reuses catalog entries built by ExactIndex).
 
     The reference's uuid trie serves prefix walks natively
-    (src/lava/uuid/trie.rs:554-595); here a prefix is the key range
-    [prefix, prefix + U+10FFFF): the zone table prunes units whose
-    min/max range misses it, and the key table's sorted layout prunes at
-    Parquet row-group level for point-y prefixes. Exact `startswith`
-    refine. String keys only."""
+    (src/lava/uuid/trie.rs:554-595); here the zone table prunes units by
+    a sound prefix-overlap test: a unit can hold a match only if
+    `max_key >= prefix` (every match sorts >= prefix) AND
+    `substring(min_key, 1, len(prefix)) <= prefix` (lexicographic order
+    survives truncation, so the truncated min is <= the truncated match
+    == prefix). No finite upper bound appears — the old
+    `prefix + U+10FFFF` range could drop a true match whose key extended
+    the bound character. Exact `startswith` refine. String keys only."""
 
     #: past any character that can follow a prefix in UTF-8 collation
+    #: (kept for virtual-path callers that need a coarse range seed)
     _HI = "\U0010ffff"
 
     def search(self, spark: SparkSession, index_paths: list[str], query: str):
-        return self.search_range(spark, index_paths, query, query + self._HI)
+        zones = spark.read.parquet(*[f"{p}/zone" for p in index_paths])
+        return zones.filter(
+            (F.substring(F.col("min_key"), 1, len(query)) <= F.lit(query))
+            & (F.col("max_key") >= F.lit(query))
+        ).select("file_path", "row_group")
 
     def predicate(self, column: str, query: str):
         return F.col(column).startswith(F.lit(query))

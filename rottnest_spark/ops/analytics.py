@@ -420,9 +420,11 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.count_distinct(F.col(c)).alias(f"{c}__nd"),
         ]
         if isinstance(dt, NumericType):
+            # Fixed 4-decimal precision so the value survives any
+            # float-formatting normalization in downstream hashers.
             aggs += [
-                F.min(F.col(c)).cast("double").alias(f"{c}__minn"),
-                F.max(F.col(c)).cast("double").alias(f"{c}__maxn"),
+                F.round(F.min(F.col(c)).cast("double"), 4).alias(f"{c}__minn"),
+                F.round(F.max(F.col(c)).cast("double"), 4).alias(f"{c}__maxn"),
             ]
         elif isinstance(dt, StringType):
             aggs += [

@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_sig(df: DataFrame):
+    """Order-insensitive per-row signature over ALL columns (sorted by name
+    so write- and verify-side column order can't diverge): md5 of the
+    row's JSON form, truncated to 48 bits and summed per shard. Covering
+    every column means corruption or substitution of ANY field — the text
+    itself, not just the id — fails verification."""
+    cols = sorted(df.columns)
+    return F.conv(
+        F.substring(F.md5(F.to_json(F.struct(*cols))), 1, 12), 16, 10
+    ).cast("bigint")
+
+
 def write_token_shards(
     df: DataFrame,
     id_col: str,
@@ -36,8 +48,9 @@ def write_token_shards(
 
     Shard id = (partition value, packed batch id) flattened to a string;
     rows keep their full schema. The checksum is the xor-free SUM of
-    per-row md5 prefixes (order-insensitive, mergeable — the same
-    associativity argument as every partial aggregation here)."""
+    per-row md5 prefixes over the FULL row content (order-insensitive,
+    mergeable — the same associativity argument as every partial
+    aggregation here)."""
     from rottnest_spark.ops.sampling import pack_sequences
 
     packed = pack_sequences(
@@ -56,9 +69,7 @@ def write_token_shards(
     packed.write.partitionBy("shard_id").mode("overwrite").parquet(out_dir)
 
     written = packed.sparkSession.read.parquet(out_dir)
-    row_sig = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
-    ).cast("bigint")
+    row_sig = _row_sig(written)
     stats = (
         written.groupBy("shard_id")
         .agg(
@@ -74,8 +85,11 @@ def write_token_shards(
         "n_shards": len(stats),
         "total_docs": int(sum(r["n_docs"] for r in stats)),
         "total_tokens": int(sum(r["n_tokens"] for r in stats)),
+        # str() both here and in verify_shards: partition-value inference
+        # on read-back can type a numeric-looking shard_id as int, while
+        # JSON manifest keys are always strings
         "shards": {
-            r["shard_id"]: {
+            str(r["shard_id"]): {
                 "n_docs": int(r["n_docs"]),
                 "n_tokens": int(r["n_tokens"]),
                 "checksum": int(r["checksum"]),
@@ -95,11 +109,9 @@ def verify_shards(spark, out_dir: str, id_col: str, n_tokens_col: str) -> list[s
     with open(os.path.join(out_dir, "_manifest.json")) as fh:
         manifest = json.load(fh)
     written = spark.read.parquet(out_dir)
-    row_sig = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
-    ).cast("bigint")
+    row_sig = _row_sig(written)
     stats = {
-        r["shard_id"]: (int(r["n"]), int(r["t"]), int(r["c"]))
+        str(r["shard_id"]): (int(r["n"]), int(r["t"]), int(r["c"]))
         for r in written.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
