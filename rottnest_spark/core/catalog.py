@@ -23,10 +23,18 @@ the analog of the reference's overwrite-with-lock metadata upload
 (backends/s3_utils.py:83-109). Commit discipline for compaction is
 append-then-delete (backends/iceberg.py:471-479): `replace()` writes the new
 records before dropping the old ones in one atomic swap.
+
+Concurrent writers: every mutation (append/replace/delete) runs its
+read-modify-write under an exclusive flock on `.lock` in the catalog dir,
+so two simultaneous `build_index` calls serialize instead of losing one
+commit (the lock auto-releases on process death — no stale-lock states).
+On platforms/stores without flock the lock degrades to best-effort; a
+remote catalog should use its store's conditional-put instead.
 """
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import json
 import os
@@ -76,7 +84,31 @@ class IndexCatalog:
             out.update(e["file_paths"])
         return out
 
-    # -- write (atomic) -----------------------------------------------------
+    # -- write (atomic, serialized) -----------------------------------------
+
+    @contextlib.contextmanager
+    def _locked(self):
+        """Exclusive inter-process lock over a read-modify-write: two
+        concurrent mutators serialize instead of the later overwrite
+        dropping the earlier commit. flock releases automatically when
+        the holder dies — no stale-lock recovery protocol needed."""
+        fh = open(os.path.join(self.catalog_dir, ".lock"), "a+")
+        locked = False
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                locked = True
+            except (ImportError, OSError):
+                pass  # non-POSIX: best-effort (see module docstring)
+            yield
+        finally:
+            if locked:
+                import fcntl
+
+                fcntl.flock(fh, fcntl.LOCK_UN)
+            fh.close()
 
     def _write(self, records: list[dict]) -> None:
         table = pa.Table.from_pylist(records, schema=CATALOG_SCHEMA)
@@ -94,21 +126,64 @@ class IndexCatalog:
         record.setdefault(
             "rows_indexed", int(sum(record.get("record_counts", []) or [0]))
         )
-        self._write(self.entries() + [record])
+        with self._locked():
+            self._write(self.entries() + [record])
+
+    def commit_build(self, record: dict) -> list[str]:
+        """Commit a build entry under the lock, dropping any file a
+        CONCURRENT build of the same (type, column) already covered —
+        the two-writer `build_index` race resolves to disjoint coverage
+        instead of a validate() violation. Returns the files actually
+        committed; [] means the entry lost the whole race (the caller's
+        index dir becomes an orphan that vacuum() reclaims). Committing a
+        subset is sound: the index data may cover extra files, but plans
+        only trust `file_paths`, and surplus candidates are filtered by
+        the live-file semi-join."""
+        record = dict(record)
+        record.setdefault(
+            "created_at", datetime.datetime.now(datetime.timezone.utc).isoformat()
+        )
+        record.setdefault("config", "{}")
+        with self._locked():
+            covered = self.indexed_files(
+                record["index_type"], record["column_name"]
+            )
+            keep = [
+                i
+                for i, f in enumerate(record["file_paths"])
+                if f not in covered
+            ]
+            if not keep:
+                return []
+            record["file_paths"] = [record["file_paths"][i] for i in keep]
+            record["record_counts"] = [
+                record["record_counts"][i] for i in keep
+            ]
+            record["rows_indexed"] = int(sum(record["record_counts"]))
+            self._write(self.entries() + [record])
+            return list(record["file_paths"])
 
     def replace(self, new_records: list[dict], drop_index_names: set[str]) -> None:
         """Append-then-delete in one atomic swap (compaction commit)."""
-        kept = [e for e in self.entries() if e["index_name"] not in drop_index_names]
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        for r in new_records:
-            r = dict(r)
-            r.setdefault("created_at", now)
-            r.setdefault("config", "{}")
-            kept.append(r)
-        self._write(kept)
+        with self._locked():
+            kept = [
+                e
+                for e in self.entries()
+                if e["index_name"] not in drop_index_names
+            ]
+            for r in new_records:
+                r = dict(r)
+                r.setdefault("created_at", now)
+                r.setdefault("config", "{}")
+                kept.append(r)
+            self._write(kept)
 
     def delete(self, index_names: set[str]) -> None:
-        self._write([e for e in self.entries() if e["index_name"] not in index_names])
+        with self._locked():
+            self._write(
+                [e for e in self.entries() if e["index_name"] not in index_names]
+            )
 
     # -- invariants ----------------------------------------------------------
 

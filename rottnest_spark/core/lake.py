@@ -167,7 +167,11 @@ class ParquetLake:
                 self._build_with_timeout(
                     index, gfiles, column, index_path, timeout
                 )
-            self.catalog.append(
+            # conditional commit: a concurrent build_index may have
+            # covered some of gfiles since our plan — commit_build keeps
+            # only still-uncovered files (losing the whole race leaves
+            # this build's dir as an orphan for vacuum())
+            committed = self.catalog.commit_build(
                 {
                     "index_name": index_name,
                     "index_type": index.index_type,
@@ -178,7 +182,8 @@ class ParquetLake:
                     "config": IndexCatalog.config_json(**index.config()),
                 }
             )
-            created.append(index_name)
+            if committed:
+                created.append(index_name)
         self.catalog.validate()
         return created
 
@@ -270,8 +275,23 @@ class ParquetLake:
                     )
 
         if plan.unindexed_files:
-            # in-situ scan of unindexed files (utils.py:248-275)
-            parts.append(self.read(plan.unindexed_files))
+            # in-situ scan of unindexed files (utils.py:248-275). With a
+            # row budget k and a predicate-style index, scan newest-first
+            # file BATCHES and stop as soon as k rows are found — the
+            # reference's reverse-batch early stop
+            # (indices/logcloud_index.py:85-88): a huge unindexed tail
+            # costs opens only until the budget fills, not one open per
+            # file. Top-K indexes (BM25/vector) rank globally, so any-k
+            # early stop would be wrong for them — they take the full
+            # lazy path.
+            if k is not None and index.predicate(column, query) is not None:
+                parts.append(
+                    self._insitu_topk(
+                        plan.unindexed_files, index, column, query, k
+                    )
+                )
+            else:
+                parts.append(self.read(plan.unindexed_files))
 
         if not parts:
             empty = self.read(self.files[:1]).limit(0)
@@ -284,6 +304,49 @@ class ParquetLake:
         if columns:
             out = out.select(*columns)
         return out.limit(k) if k is not None else out
+
+    #: files per early-stop in-situ batch — one batch is one Spark job;
+    #: larger = fewer jobs on sparse queries, smaller = tighter open bound
+    insitu_batch_files = 32
+
+    def _insitu_topk(
+        self,
+        files: list[str],
+        index: SparkIndex,
+        column: str,
+        query,
+        k: int,
+    ) -> DataFrame:
+        """Scan `files` newest-first in batches, refining each batch and
+        stopping once `k` matching rows are in hand (limit semantics: ANY
+        k matches are a correct answer). Returns a local DataFrame of the
+        collected rows — row-budget-bounded by construction. Records the
+        files actually opened in `_insitu_files_scanned` (test/telemetry
+        observability for the open bound)."""
+
+        def mtime(f: str) -> float:
+            try:
+                return self.fs.getmtime(f)
+            except OSError:
+                return 0.0
+
+        ordered = sorted(files, key=mtime, reverse=True)
+        rows: list = []
+        scanned: list[str] = []
+        schema = None
+        for i in range(0, len(ordered), self.insitu_batch_files):
+            batch = ordered[i : i + self.insitu_batch_files]
+            scanned.extend(batch)
+            got = index.brute_force(
+                read_parquet(self.spark, batch), column, query, None
+            ).limit(k - len(rows))
+            if schema is None:
+                schema = got.schema
+            rows.extend(got.collect())
+            if len(rows) >= k:
+                break
+        self._insitu_files_scanned = scanned
+        return self.spark.createDataFrame(rows, schema)
 
     def search_many(
         self,

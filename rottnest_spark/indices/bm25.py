@@ -221,22 +221,34 @@ def expand_query(
     query: str,
     vocab: DataFrame,
     expansion_tokens: int = DEFAULT_EXPANSION_TOKENS,
+    embed_token_fn=None,
+    embed_col_fn=None,
 ) -> dict[str, float]:
     """{token: weight}: the query's own tokens at weight 1.0 plus the
     `expansion_tokens` nearest vocab tokens by embedding cosine (weight =
     similarity, clipped to [0, 1]). `vocab` is any DataFrame with a `token`
-    column — the lake path passes the index's stats tokens."""
+    column — the lake path passes the index's stats tokens.
+
+    EMBEDDER SWAP CONTRACT: `embed_token_fn(token) -> list[float]`
+    (driver-side, for the query tokens) and `embed_col_fn(col_name) ->
+    array<double> Column` (vocab-side, codegen or Pandas-UDF) replace the
+    md5 stub pair as one unit; a swap changes WEIGHTS only — original
+    query tokens still win at 1.0, weights stay clipped to [0, 1], and
+    the ranking machinery (cosine + deterministic tie-break) is
+    embedder-independent (tests/test_embedder_contract.py)."""
     qtoks = tokenize_query(query)
     if not qtoks:
         return {}
     import numpy as np
 
-    qv = np.mean([embed_token(t) for t in qtoks], axis=0)
+    embed_token_fn = embed_token_fn or embed_token
+    embed_col_fn = embed_col_fn or token_embedding_col
+    qv = np.mean([embed_token_fn(t) for t in qtoks], axis=0)
     qn = float(np.linalg.norm(qv)) or 1.0
     q_lit = "array(" + ", ".join(f"{x!r}D" for x in qv.tolist()) + ")"
     scored = (
         vocab.select("token").distinct()
-        .withColumn("e", token_embedding_col("token"))
+        .withColumn("e", embed_col_fn("token"))
         .withColumn(
             "cos",
             F.expr(

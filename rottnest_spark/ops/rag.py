@@ -55,17 +55,35 @@ def rag_retrieve(
     chunk_tokens: int = 64,
     overlap: int = 16,
     dim: int = EMBED_DIM,
+    embed_col_fn=None,
+    embed_py_fn=None,
 ) -> DataFrame:
     """Top-k chunks by cosine similarity to `query`, with document
     provenance: (doc id, chunk_id, n_chunk_tokens, score). Deterministic
-    ties broken by (id, chunk_id)."""
+    ties broken by (id, chunk_id).
+
+    EMBEDDER SWAP CONTRACT (the one-function upgrade path to a real
+    encoder): pass `embed_col_fn(text_col, j) -> Column` (component j of
+    the chunk embedding, any codegen-able expression — or a Pandas-UDF
+    column for a real model) and `embed_py_fn(text) -> list[float]` (the
+    driver-side query embedding, same dimensionality). Swapping the
+    embedder changes SCORES only: schema, plan shape (projection +
+    TakeOrderedAndProject), chunking, tie-breaking and determinism
+    machinery are embedder-independent — proven by
+    tests/test_embedder_contract.py."""
     from rottnest_spark.ops.textstats import chunk_documents
 
+    embed_col_fn = embed_col_fn or hash_embed_col
+    embed_py_fn = embed_py_fn or (lambda t: hash_embed_py(t, dim))
     chunks = chunk_documents(
         docs, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
-    qv = hash_embed_py(query, dim)
-    comps = [hash_embed_col(F.col("chunk_text"), j) for j in range(dim)]
+    qv = embed_py_fn(query)
+    if len(qv) != dim:
+        raise ValueError(
+            f"embed_py_fn returned dim {len(qv)}, expected {dim}"
+        )
+    comps = [embed_col_fn(F.col("chunk_text"), j) for j in range(dim)]
     dot = sum((c * F.lit(qv[j]) for j, c in enumerate(comps)), F.lit(0.0))
     nu = sum((c * c for c in comps), F.lit(0.0))
     nq = sum(v * v for v in qv)

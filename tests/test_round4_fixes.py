@@ -209,6 +209,48 @@ def test_bloom_index_binary_keys(spark, bin_lake):
     assert lake.search(idx, "bkey", hashlib.md5(b"zzz").digest()).count() == 0
 
 
+# -- early-stop in-situ scan (T6) --------------------------------------------
+
+
+def test_insitu_scan_early_stops_on_k(spark, tmp_path):
+    """With a row budget and a predicate index, the unindexed-file scan
+    batches newest-first and stops once k rows are found — bounded file
+    opens (reference: logcloud reverse-batch early stop)."""
+    import time
+
+    data = str(tmp_path / "d")
+    os.makedirs(data)
+    # 6 single-file writes with distinct mtimes; every file has matches
+    for part in range(6):
+        df = spark.createDataFrame(
+            [(part * 100 + i, f"m{(part * 100 + i) % 3}") for i in range(100)],
+            "k bigint, tag string",
+        ).coalesce(1)
+        stage = str(tmp_path / f"s{part}")
+        df.write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(data, f"f{part}.parquet")
+        os.replace(src, dst)
+        t = time.time() + part  # strictly increasing mtimes
+        os.utime(dst, (t, t))
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    lake.insitu_batch_files = 2
+
+    idx = ExactIndex()  # no index built: the whole lake is in-situ
+    got = lake.search(idx, "tag", "m1", k=5).collect()
+    assert len(got) == 5 and all(r["tag"] == "m1" for r in got)
+    # first 2-file batch has ~66 matches >= 5 → exactly one batch opened
+    assert len(lake._insitu_files_scanned) == 2
+    # newest files first (f5, f4)
+    assert [os.path.basename(f) for f in lake._insitu_files_scanned] == [
+        "f5.parquet", "f4.parquet",
+    ]
+
+    # unbatched correctness: no k → full lazy scan, all matches
+    all_rows = lake.search(idx, "tag", "m1").count()
+    assert all_rows == 200
+
+
 # -- NULL merge keys rejected ------------------------------------------------
 
 
