@@ -42,26 +42,39 @@ def main() -> None:
     from rottnest_spark.session import get_spark
 
     names = sys.argv[1:] or DEFAULT
+    sfs = list(SFS)
+    # synthetic sf1 (tools/make_sf1.py) extends the ladder when present —
+    # the 0.1 -> 1 column is the strongest sub-linearity evidence
+    sf1 = os.environ.get("SCALE_SF1_DIR", "/tmp/testdata_sf1")
+    if os.path.exists(os.path.join(sf1, "orders.parquet")):
+        sfs.append(sf1)
     spark = get_spark("scale-probe", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
     # steady-state: run everything once at the smallest sf first
     for n in names:
         try:
-            ep.QUERIES[n](spark, SFS[0]).collect()
+            ep.QUERIES[n](spark, sfs[0]).collect()
         except Exception:
             pass
-    print(f"{'query':24s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
-          f"{'x(.01/.001)':>12s} {'x(.1/.01)':>10s}")
+    labels = ["sf.001", "sf.01", "sf.1", "sf1"][: len(sfs)]
+    hdr = " ".join(f"{l:>8s}" for l in labels)
+    ratios = " ".join(
+        f"{'x(' + labels[i + 1] + ')':>10s}" for i in range(len(sfs) - 1)
+    )
+    print(f"{'query':24s} {hdr} {ratios}   (each x column is vs 10x data)")
     for n in names:
         ts = []
-        for sf in SFS:
+        for sf in sfs:
             t0 = time.time()
             ep.QUERIES[n](spark, sf).collect()
             ts.append(time.time() - t0)
-        r1 = ts[1] / ts[0] if ts[0] else float("nan")
-        r2 = ts[2] / ts[1] if ts[1] else float("nan")
-        print(f"{n:24s} {ts[0]:8.2f} {ts[1]:8.2f} {ts[2]:8.2f} "
-              f"{r1:12.2f} {r2:10.2f}")
+        rs = [
+            ts[i + 1] / ts[i] if ts[i] else float("nan")
+            for i in range(len(ts) - 1)
+        ]
+        tcols = " ".join(f"{t:8.2f}" for t in ts)
+        rcols = " ".join(f"{r:10.2f}" for r in rs)
+        print(f"{n:24s} {tcols} {rcols}")
 
 
 if __name__ == "__main__":
