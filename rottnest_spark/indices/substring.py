@@ -197,8 +197,15 @@ class SubstringIndex(SparkIndex):
             "skip_chars": self.skip_chars,
         }
 
+    #: set by build() from the column dtype; probes detect bytes queries
+    #: independently, so a fresh index object still probes correctly
+    _is_binary = False
+
     def _norm_col(self, col):
-        """lower + skip-char strip — identical at build, probe and refine."""
+        """lower + skip-char strip — identical at build, probe and refine.
+        Binary columns hex-encode instead (normalization is text-only)."""
+        if self._is_binary:
+            return F.hex(col)
         out = F.lower(col)
         if self.skip_chars:
             import re as _re
@@ -215,11 +222,28 @@ class SubstringIndex(SparkIndex):
                 s = s.replace(ch, "")
         return s
 
+    # -- binary payloads -------------------------------------------------------
+    # The reference feeds binary columns through the same substring
+    # builders (indices/index_interface.py:10-16). Here a BinaryType
+    # column is hex-encoded (uppercase) into the gram table with grams
+    # taken at EVEN hex offsets and 2x width, so one gram == self.gram
+    # raw bytes and odd-offset hex coincidences can't produce candidates;
+    # a bytes probe hex-encodes the same way and the refine compares the
+    # RAW binary column (F.contains supports BINARY), keeping results
+    # exact. Normalization (lowercase/skip-chars) is a text concept and
+    # is bypassed for bytes.
+
     # -- build ----------------------------------------------------------------
 
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
+        from pyspark.sql.types import BinaryType
+
+        probe_df = read_parquet(spark, files[:1])
+        self._is_binary = isinstance(
+            probe_df.schema[column].dataType, BinaryType
+        )
         if self.granularity == "row_group":
             # pyarrow row-group reader tags sub-file provenance — pruning
             # then works WITHIN large files (the reference's page-uid analog)
@@ -247,7 +271,11 @@ class SubstringIndex(SparkIndex):
         # lambda building the gram array per row (HOF lambdas run
         # interpreted). distinct()'s map-side partial aggregation dedups
         # before the shuffle, so shuffle volume stays ≈ |grams| x |units|.
-        n = self.gram
+        # Binary columns (hexed by _norm_col): gram width doubles and
+        # positions stride 2 so every gram is byte-aligned.
+        n, step = self.gram, 1
+        if self._is_binary:
+            n, step = 2 * self.gram, 2
         index_df = (
             rows.select(
                 "file_path",
@@ -256,7 +284,7 @@ class SubstringIndex(SparkIndex):
                 F.explode(
                     F.expr(
                         f"CASE WHEN length(__norm__) >= {n} THEN "
-                        f"sequence(1, length(__norm__) - {n - 1}) "
+                        f"sequence(1, length(__norm__) - {n - 1}, {step}) "
                         f"ELSE array() END"
                     )
                 ).alias("p"),
@@ -272,9 +300,21 @@ class SubstringIndex(SparkIndex):
 
     # -- search ---------------------------------------------------------------
 
-    def query_grams(self, query: str) -> list[str]:
+    def query_grams(self, query) -> list[str]:
         """All distinct grams of the normalized query (selection of which to
-        probe happens in search(), ranked by document frequency)."""
+        probe happens in search(), ranked by document frequency). Bytes
+        queries hex-encode with byte-aligned (even-offset, double-width)
+        grams, mirroring the build side."""
+        if isinstance(query, (bytes, bytearray)):
+            q = bytes(query).hex().upper()
+            n = 2 * self.gram
+            if len(q) < n:
+                return []
+            return list(
+                dict.fromkeys(
+                    q[i : i + n] for i in range(0, len(q) - n + 1, 2)
+                )
+            )
         q = self._norm_str(query)
         if len(q) < self.gram:
             return []
@@ -391,7 +431,11 @@ class SubstringIndex(SparkIndex):
 
     # -- exact refine (F1, indices/substring_index.py:19-21) -------------------
 
-    def predicate(self, column: str, query: str):
+    def predicate(self, column: str, query):
+        if isinstance(query, (bytes, bytearray)):
+            # raw byte containment — exact, regardless of how the index
+            # tables encode (F.contains supports BINARY since Spark 3.5)
+            return F.contains(F.col(column), F.lit(bytes(query)))
         return F.contains(
             self._norm_col(F.col(column)), F.lit(self._norm_str(query))
         )

@@ -251,6 +251,47 @@ def test_insitu_scan_early_stops_on_k(spark, tmp_path):
     assert all_rows == 200
 
 
+# -- binary payload substring search -----------------------------------------
+
+
+def test_substring_index_binary_payloads(spark, tmp_path):
+    """Byte-subsequence search through the substring index on a
+    BinaryType column: hex-encoded grams at even offsets (byte-aligned),
+    raw-binary refine. The odd-offset hex coincidence (payload A1B2
+    vs query 1B) must not match."""
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    needle = bytes([0xDE, 0xAD, 0xBE, 0xEF])
+    rows = []
+    for i in range(300):
+        body = bytes([(i * 7 + j) % 251 for j in range(40)])
+        if i % 50 == 0:
+            body = body[:10] + needle + body[10:]
+        rows.append((i, bytearray(body)))
+    # the hex-coincidence row: contains hex of needle at ODD offset only
+    # (payload 0DEA DBEE F... as bytes 0x0D 0xEA 0xDB 0xEE 0xF0)
+    rows.append((999, bytearray(bytes([0x0D, 0xEA, 0xDB, 0xEE, 0xF0] * 4))))
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    data = str(tmp_path / "d")
+    df.repartition(3).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    idx = SubstringIndex(gram=3)
+    lake.build_index(idx, "payload")
+
+    got = sorted(r["id"] for r in lake.search(idx, "payload", needle).collect())
+    expected = sorted(
+        r["id"]
+        for r in df.filter(
+            F.contains(F.col("payload"), F.lit(needle))
+        ).collect()
+    )
+    assert got == expected == [0, 50, 100, 150, 200, 250]
+    assert 999 not in got  # odd-offset hex coincidence rejected
+    # absent needle (byte values > 250 never occur in the fixture):
+    # absence proof, zero rows
+    assert lake.search(idx, "payload", bytes([0xFD, 0xFE, 0xFD, 0xFE])).count() == 0
+
+
 # -- NULL merge keys rejected ------------------------------------------------
 
 
