@@ -2290,6 +2290,43 @@ def q_exact_match_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIN_SUB_QUERY = b"merge sort"  # ASCII needle: byte == char containment
+
+
+def q_substring_search_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-subsequence search on a BINARY payload column through the
+    substring index (hex-gram branch, raw-binary refine). The scratch
+    lake stores payload = encode(text, 'UTF-8'); for an ASCII needle,
+    byte containment == case-SENSITIVE char containment (multi-byte
+    UTF-8 sequences have no bytes < 0x80), which DuckDB can oracle."""
+    import hashlib
+
+    src = table_path(sf_dir, "documents")
+    key = hashlib.md5(
+        f"{src}|binsublake|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    data = os.path.join(INDEX_CACHE_ROOT, key, "data")
+    if not os.path.exists(data):
+        (
+            load(spark, sf_dir, "documents")
+            .select(
+                "doc_id", "lang", "source", "n_chars",
+                F.encode("text", "UTF-8").alias("payload"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+    lake = ParquetLake(
+        spark, data, os.path.join(INDEX_CACHE_ROOT, key, "idx")
+    )
+    idx = SubstringIndex()
+    lake.build_index(idx, "payload")
+    return lake.search(idx, "payload", BIN_SUB_QUERY).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 TT_DEL_LO, TT_DEL_HI = 1000, 1200  # time_travel deletes this key range
 
 
@@ -2392,6 +2429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_counts": q_windowed_event_counts,
     "session_stats": q_session_stats,
     # --- past the window: variants, second tiers, rows-only paths ---
+    "substring_search_binary": q_substring_search_binary,
     "exact_count": q_exact_count,
     "key_histogram": q_key_histogram,
     "exact_range_virtual": q_exact_range_virtual,
@@ -2453,6 +2491,10 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         FROM orders
         WHERE md5(CAST(o_orderkey AS VARCHAR)) = md5('{BIN_KEY}')
+    """,
+    "substring_search_binary": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE contains(text, '{BIN_SUB_QUERY.decode()}')
     """,
     "time_travel": f"""
         SELECT 'as_of_0' AS snapshot, count(*) AS n_orders,

@@ -219,20 +219,26 @@ class PrefixSearch(ExactIndex):
     survives truncation, so the truncated min is <= the truncated match
     == prefix). No finite upper bound appears — the old
     `prefix + U+10FFFF` range could drop a true match whose key extended
-    the bound character. Exact `startswith` refine. String keys only."""
+    the bound character. Exact `startswith` refine. String keys, plus
+    bytes prefixes over binary key columns (hex-encoded index tables:
+    hex preserves byte order, and a byte prefix is an even-length hex
+    prefix, so the same truncated-min test applies)."""
 
     #: past any character that can follow a prefix in UTF-8 collation
     #: (kept for virtual-path callers that need a coarse range seed)
     _HI = "\U0010ffff"
 
-    def search(self, spark: SparkSession, index_paths: list[str], query: str):
+    def search(self, spark: SparkSession, index_paths: list[str], query):
+        query = _hex_query(query)
         zones = spark.read.parquet(*[f"{p}/zone" for p in index_paths])
         return zones.filter(
             (F.substring(F.col("min_key"), 1, len(query)) <= F.lit(query))
             & (F.col("max_key") >= F.lit(query))
         ).select("file_path", "row_group")
 
-    def predicate(self, column: str, query: str):
+    def predicate(self, column: str, query):
+        if isinstance(query, (bytes, bytearray)):
+            return F.startswith(F.col(column), F.lit(bytes(query)))
         return F.col(column).startswith(F.lit(query))
 
     def brute_force(

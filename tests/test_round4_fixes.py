@@ -195,6 +195,29 @@ def test_exact_index_binary_keys(spark, bin_lake):
     }
 
 
+def test_prefix_search_binary_keys(spark, bin_lake):
+    import hashlib
+
+    lake, df = bin_lake
+    lake.build_index(ExactIndex(), "bkey")
+    digest = hashlib.md5(b"42").digest()
+    got = [
+        r["k"]
+        for r in lake.search(PrefixSearch(), "bkey", digest[:4]).collect()
+    ]
+    assert got == [42]
+    # full-scan equivalence over a 1-byte prefix (multiple matches)
+    one = digest[:1]
+    got1 = sorted(
+        r["k"] for r in lake.search(PrefixSearch(), "bkey", one).collect()
+    )
+    exp1 = sorted(
+        r["k"]
+        for r in df.filter(F.startswith(F.col("bkey"), F.lit(one))).collect()
+    )
+    assert got1 == exp1 and 42 in got1
+
+
 def test_bloom_index_binary_keys(spark, bin_lake):
     import hashlib
 
@@ -249,6 +272,55 @@ def test_insitu_scan_early_stops_on_k(spark, tmp_path):
     # unbatched correctness: no k → full lazy scan, all matches
     all_rows = lake.search(idx, "tag", "m1").count()
     assert all_rows == 200
+
+
+# -- disj probe batching -----------------------------------------------------
+
+
+def test_search_disj_batches_same_index_specs(spark, tmp_path):
+    """N specs over the same (index, column) must issue ONE batched probe
+    (search_many), not N serial searches."""
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    df = spark.createDataFrame(
+        [(i, f"row number {i} tag_{i % 7}") for i in range(300)],
+        "id bigint, text string",
+    )
+    data = str(tmp_path / "d")
+    df.repartition(3).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+
+    calls = {"many": 0, "single": 0}
+    orig_many, orig_single = idx.search_many, idx.search
+
+    def counting_many(spark_, paths, queries):
+        calls["many"] += 1
+        return orig_many(spark_, paths, queries)
+
+    def counting_single(spark_, paths, q):
+        calls["single"] += 1
+        return orig_single(spark_, paths, q)
+
+    idx.search_many, idx.search = counting_many, counting_single
+    try:
+        got = sorted(
+            r["id"]
+            for r in lake.search_disj(
+                [(idx, "text", "tag_3"), (idx, "text", "tag_5")]
+            ).collect()
+        )
+    finally:
+        idx.search_many, idx.search = orig_many, orig_single
+    assert calls == {"many": 1, "single": 0}
+    expected = sorted(
+        r["id"]
+        for r in df.filter(
+            F.col("text").contains("tag_3") | F.col("text").contains("tag_5")
+        ).collect()
+    )
+    assert got == expected
 
 
 # -- binary payload substring search -----------------------------------------
