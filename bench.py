@@ -122,6 +122,14 @@ def main() -> None:
         "substring_build_events",
         lambda: ep.indexed_lake(spark, sf_dir, "events", "props", SubstringIndex()),
     )
+    from rottnest_spark.indices.suffix import SuffixArrayIndex
+
+    timed(
+        "suffix_build_documents",
+        lambda: ep.indexed_lake(
+            spark, sf_dir, "documents", "text", SuffixArrayIndex()
+        ),
+    )
     timed(
         "exact_build_orders",
         lambda: ep.indexed_lake(spark, sf_dir, "orders", "o_orderkey", ExactIndex()),

@@ -26,6 +26,7 @@ from rottnest_spark.indices.bm25 import BM25Index, bm25_topk, tokenize_query
 from rottnest_spark.indices.exact import ExactIndex
 from rottnest_spark.indices.logcloud import LogIndex
 from rottnest_spark.indices.substring import SubstringIndex
+from rottnest_spark.indices.suffix import SuffixArrayIndex
 from rottnest_spark.indices.vector import VectorIndex, knn_topk
 from rottnest_spark.ops import dedup, multimodal, textstats
 from rottnest_spark.sources.reader import read_parquet
@@ -35,6 +36,7 @@ INDEX_CACHE_ROOT = os.environ.get(
 )
 
 SUBSTRING_QUERY = "merge sort"
+SUFFIX_QUERY = "batch part"
 LOG_QUERY = '"k": 87'
 EXACT_KEY = 100
 RANGE_LO, RANGE_HI = 5000, 5100
@@ -100,6 +102,17 @@ def q_substring_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
     return lake.search_many(idx, "text", MULTI_QUERIES).select(
         "doc_id", "lang", "source", "n_chars", "__query__"
+    )
+
+
+def q_suffix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 suffix-array substring search: same containment contract as
+    q_substring_search, served by the sorted-suffix index's single
+    prefix-range probe (SuffixArrayIndex) instead of a gram intersection."""
+    idx = SuffixArrayIndex()
+    lake = indexed_lake(spark, sf_dir, "documents", "text", idx)
+    return lake.search(idx, "text", SUFFIX_QUERY).select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -2429,6 +2442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_counts": q_windowed_event_counts,
     "session_stats": q_session_stats,
     # --- past the window: variants, second tiers, rows-only paths ---
+    "suffix_search": q_suffix_search,
     "substring_search_binary": q_substring_search_binary,
     "exact_count": q_exact_count,
     "key_histogram": q_key_histogram,
@@ -2511,6 +2525,10 @@ ORACLES: dict[str, str] = {
     "substring_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE contains(lower(text), '{SUBSTRING_QUERY}')
+    """,
+    "suffix_search": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE contains(lower(text), '{SUFFIX_QUERY}')
     """,
     "exact_count": f"""
         SELECT count(*) AS n_rows FROM lineitem WHERE l_orderkey = {EXACT_KEY}

@@ -6,6 +6,7 @@ from rottnest_spark.indices.sketches import (
     ThetaSketchIndex,
 )
 from rottnest_spark.indices.substring import SubstringIndex
+from rottnest_spark.indices.suffix import SuffixArrayIndex
 
 __all__ = [
     "BRUTE_FORCE",
@@ -14,6 +15,7 @@ __all__ = [
     "SparkIndex",
     "StatsSketchIndex",
     "SubstringIndex",
+    "SuffixArrayIndex",
     "ThetaSketchIndex",
 ]
 
@@ -36,6 +38,7 @@ def index_from_config(index_type: str, config: dict | None):
 
     registry = {
         "substring": SubstringIndex,
+        "suffix": SuffixArrayIndex,
         "exact": ExactIndex,
         "bm25": BM25Index,
         "bloom": BloomIndex,
