@@ -6,10 +6,13 @@ idf = ln((N - df + 0.5)/(df + 0.5) + 1); index prunes to candidate pages,
 then candidates are re-scored and top-K'd.
 
 Tokenizer: the reference serializes a HuggingFace tokenizer into the index
-header (src/lava/tokenizer_utils.rs:14-80); per SURVEY §7.3 / X2 we use a
-deterministic regex tokenizer (lowercase, split on [^a-z0-9]+) recorded in
-the catalog config — tokenizer identity was a config knob, and the probe
-must match the build, which the config round-trip guarantees.
+header (src/lava/tokenizer_utils.rs:14-80); here the tokenizer is a
+pluggable `indices.tokenizers.Tokenizer` whose `ident` is recorded in the
+catalog config — the probe must match the build, which the config guard
+enforces. Default: the deterministic regex tokenizer (lowercase, split on
+[^a-z0-9]+ — ANSI-SQL-replicable, which is what lets the DuckDB oracle
+reproduce scores). `WordPieceTokenizer(vocab)` supplies BERT wordpiece
+parity for deployments with a vocab file (X2).
 
 Exactness upgrade over the reference: the reference re-scores only the
 *fetched pages* with DuckDB FTS, so document frequencies come from the
@@ -68,13 +71,33 @@ def tokenize_query(query: str) -> list[str]:
 class BM25Index(SparkIndex):
     index_type = "bm25"
 
-    def __init__(self, granularity: str = "file"):
+    def __init__(self, granularity: str = "file", tokenizer=None):
+        from rottnest_spark.indices.tokenizers import RegexTokenizer, Tokenizer
+
         assert granularity in ("file", "row_group")
         self.granularity = granularity
+        # X2: the tokenizer is part of the index identity (the reference
+        # serializes the HF tokenizer into the index header,
+        # src/lava/tokenizer_utils.rs:48-54); `ident` lands in the catalog
+        # config, so the existing config guard enforces probe == build.
+        if tokenizer is None:
+            tokenizer = RegexTokenizer(TOKEN_SPLIT_RE)
+        elif isinstance(tokenizer, str):
+            # catalog round-trip (index_from_config passes the ident back)
+            if tokenizer.startswith("regex:"):
+                tokenizer = RegexTokenizer(tokenizer.split(":", 1)[1])
+            else:
+                raise ValueError(
+                    f"tokenizer {tokenizer!r} cannot be reconstructed from "
+                    "its ident alone (the vocab is deployment-supplied) — "
+                    "pass the Tokenizer instance used at build time"
+                )
+        assert isinstance(tokenizer, Tokenizer)
+        self.tokenizer = tokenizer
 
     def config(self) -> dict:
         return {
-            "tokenizer": f"regex:{TOKEN_SPLIT_RE}",
+            "tokenizer": self.tokenizer.ident,
             "k1": K1,
             "b": B,
             "granularity": self.granularity,
@@ -83,17 +106,18 @@ class BM25Index(SparkIndex):
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str
     ) -> None:
+        tok_col = self.tokenizer.tokens_col
         if self.granularity == "row_group":
             from rottnest_spark.core.layout import rows_with_rg_provenance
 
             rows = rows_with_rg_provenance(spark, files, column).select(
-                "file_path", "row_group", tokens_col(F.col(column)).alias("toks")
+                "file_path", "row_group", tok_col(F.col(column)).alias("toks")
             )
         else:
             rows = read_parquet(spark, files).select(
                 provenance_file_col().alias("file_path"),
                 F.lit(WHOLE_FILE).alias("row_group"),
-                tokens_col(F.col(column)).alias("toks"),
+                tok_col(F.col(column)).alias("toks"),
             )
         rows = rows.repartition(spark.sparkContext.defaultParallelism)
         rows = rows.persist()
@@ -118,10 +142,19 @@ class BM25Index(SparkIndex):
     def search(self, spark: SparkSession, index_paths: list[str], query: str):
         """Candidates = units containing ANY query token (union semantics —
         BM25 scores rows with any overlap, unlike substring's all-grams)."""
-        toks = tokenize_query(query)
+        return self.search_tokens(
+            spark, index_paths, self.tokenizer.query_tokens(query)
+        )
+
+    def search_tokens(
+        self, spark: SparkSession, index_paths: list[str], toks: list[str]
+    ):
+        """Probe with an explicit token list (the expansion path already
+        holds tokens — re-joining and re-tokenizing would mangle wordpiece
+        '##' continuations)."""
         postings = spark.read.parquet(*[f"{p}/postings" for p in index_paths])
         return (
-            postings.filter(F.col("token").isin(toks))
+            postings.filter(F.col("token").isin(list(toks)))
             .select("file_path", "row_group")
             .distinct()
         )
@@ -147,7 +180,7 @@ class BM25Index(SparkIndex):
         """Self-contained exact BM25 over the given rows (stats derived from
         df itself). Used for recall tests / ad-hoc scoring; lake-level search
         goes through bm25_topk which uses global index stats."""
-        toks = tokenize_query(query)
+        toks = self.tokenizer.query_tokens(query)
         row_id = "__bm25_row__"
         # localCheckpoint: the id-ed rows are branched three ways (stats,
         # scoring, final join); monotonically_increasing_id is only stable
@@ -156,8 +189,11 @@ class BM25Index(SparkIndex):
         with_id = df.withColumn(
             row_id, F.monotonically_increasing_id()
         ).localCheckpoint(eager=True)
-        stats = derive_stats(with_id, column, toks)
-        scored = score_rows(with_id, column, toks, *stats, id_col=row_id)
+        tc = self.tokenizer.tokens_col
+        stats = derive_stats(with_id, column, toks, tok_col_fn=tc)
+        scored = score_rows(
+            with_id, column, toks, *stats, id_col=row_id, tok_col_fn=tc
+        )
         out = with_id.join(scored, row_id).drop(row_id, "score")
         return out.limit(k) if k is not None else out
 
@@ -223,6 +259,7 @@ def expand_query(
     expansion_tokens: int = DEFAULT_EXPANSION_TOKENS,
     embed_token_fn=None,
     embed_col_fn=None,
+    qtoks: list[str] | None = None,
 ) -> dict[str, float]:
     """{token: weight}: the query's own tokens at weight 1.0 plus the
     `expansion_tokens` nearest vocab tokens by embedding cosine (weight =
@@ -236,7 +273,8 @@ def expand_query(
     query tokens still win at 1.0, weights stay clipped to [0, 1], and
     the ranking machinery (cosine + deterministic tie-break) is
     embedder-independent (tests/test_embedder_contract.py)."""
-    qtoks = tokenize_query(query)
+    if qtoks is None:
+        qtoks = tokenize_query(query)
     if not qtoks:
         return {}
     import numpy as np
@@ -266,10 +304,13 @@ def expand_query(
     return weights
 
 
-def derive_stats(df: DataFrame, column: str, query_tokens: list[str]):
+def derive_stats(
+    df: DataFrame, column: str, query_tokens: list[str], tok_col_fn=None
+):
     """(stats_df(token, df), n_docs, total_len) computed from raw rows —
-    the in-situ analog for unindexed data."""
-    toks = df.select(tokens_col(F.col(column)).alias("toks"))
+    the in-situ analog for unindexed data. `tok_col_fn` (default: the
+    regex tokenizer) must match the tokenizer the scores will use."""
+    toks = df.select((tok_col_fn or tokens_col)(F.col(column)).alias("toks"))
     st = (
         toks.select(F.explode(F.array_distinct("toks")).alias("token"))
         .filter(F.col("token").isin(query_tokens))
@@ -294,6 +335,7 @@ def score_rows(
     k: int | None = None,
     round_to: int = 4,
     weights: dict[str, float] | None = None,
+    tok_col_fn=None,
 ) -> DataFrame:
     """Exact Okapi BM25 of each row against the query tokens.
 
@@ -318,7 +360,9 @@ def score_rows(
             "idf", F.col("idf") * F.coalesce(wmap[F.col("token")], F.lit(0.0))
         )
 
-    toks = df.select(id_col, tokens_col(F.col(column)).alias("toks"))
+    toks = df.select(
+        id_col, (tok_col_fn or tokens_col)(F.col(column)).alias("toks")
+    )
     exploded = toks.select(
         id_col, F.size("toks").alias("len"), F.explode("toks").alias("token")
     ).filter(F.col("token").isin(list(query_tokens)))
@@ -362,7 +406,7 @@ def bm25_topk(
     from rottnest_spark.core.catalog import IndexCatalog
 
     spark = lake.spark
-    toks = tokenize_query(query)
+    toks = index.tokenizer.query_tokens(query)
     weights = None
     plan = plan_search(
         lake.catalog,
@@ -375,9 +419,10 @@ def bm25_topk(
         vocab = spark.read.parquet(
             *[f"{e['index_path']}/stats" for e in plan.entries]
         )
-        weights = expand_query(spark, query, vocab, expansion_tokens)
-        toks = sorted(weights)
-        query = " ".join(toks)  # downstream candidate probes use all tokens
+        weights = expand_query(
+            spark, query, vocab, expansion_tokens, qtoks=toks
+        )
+        toks = sorted(weights)  # downstream candidate probes use all tokens
 
     stat_parts, n_docs, total_len = [], 0, 0
     cand_parts: list[DataFrame] = []
@@ -388,7 +433,7 @@ def bm25_topk(
         stat_parts.append(st)
         n_docs += n
         total_len += tl
-        cands = index.search(spark, paths, query)
+        cands = index.search_tokens(spark, paths, toks)
         from rottnest_spark.core.refine import collect_candidates_bounded
 
         cand_list = collect_candidates_bounded(
@@ -404,7 +449,9 @@ def bm25_topk(
 
     if plan.unindexed_files:
         raw = lake.read(plan.unindexed_files)
-        st, n, tl = derive_stats(raw, column, toks)
+        st, n, tl = derive_stats(
+            raw, column, toks, tok_col_fn=index.tokenizer.tokens_col
+        )
         stat_parts.append(st)
         n_docs += n
         total_len += tl
@@ -425,6 +472,7 @@ def bm25_topk(
     return score_rows(
         rows, column, toks, stats_df, n_docs, total_len,
         id_col=id_col, k=k, weights=weights,
+        tok_col_fn=index.tokenizer.tokens_col,
     )
 
 
@@ -450,7 +498,7 @@ def bm25_topk_many(
     )
 
     spark = lake.spark
-    toks_by_q = {q: tokenize_query(q) for q in queries}
+    toks_by_q = {q: index.tokenizer.query_tokens(q) for q in queries}
     union_toks = sorted({t for ts in toks_by_q.values() for t in ts})
     plan = plan_search(
         lake.catalog,
@@ -479,7 +527,9 @@ def bm25_topk_many(
 
     raw = lake.read(plan.unindexed_files) if plan.unindexed_files else None
     if raw is not None:
-        st, n, tl = derive_stats(raw, column, union_toks)
+        st, n, tl = derive_stats(
+            raw, column, union_toks, tok_col_fn=index.tokenizer.tokens_col
+        )
         stat_parts.append(st)
         n_docs += n
         total_len += tl
@@ -527,7 +577,7 @@ def bm25_topk_many(
             rows = rows.unionByName(c)
         scored = score_rows(
             rows, column, toks, stats_df, n_docs, total_len,
-            id_col=id_col, k=k,
+            id_col=id_col, k=k, tok_col_fn=index.tokenizer.tokens_col,
         )
         outs.append(scored.withColumn("__query__", F.lit(q)))
     if not outs:

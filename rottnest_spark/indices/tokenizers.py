@@ -1,0 +1,220 @@
+"""Pluggable tokenizers for the BM25 index — closing the X2 gap.
+
+The reference serializes a HuggingFace tokenizer into the index header and
+requires the probe-side tokenizer to match the build
+(src/lava/tokenizer_utils.rs:14-80, 48-54). This module supplies the same
+contract Spark-side:
+
+- a `Tokenizer` has an `ident` string recorded in the catalog config, so a
+  probe with a different tokenizer fails the existing config guard loudly
+  (never silently under-matches);
+- `tokens_col(col)` produces the token array as a Column — JVM codegen for
+  the regex default, an Arrow-batched pandas UDF for WordPiece (the
+  reference's HF tokenizer runs row-at-a-time Rust; a vectorized UDF is the
+  Spark-correct shape for tokenization that built-ins can't express);
+- `tokenize(s)` is the driver-side twin used for query strings.
+
+`WordPieceTokenizer` implements the BERT wordpiece algorithm from the
+public BERT reference implementation (greedy longest-match-first over a
+vocab, `##` continuation prefix, per-word [UNK] fallback, basic
+lowercase + punctuation-splitting pre-tokenization). Given the
+`bert-base-uncased` vocab.txt it reproduces the reference's tokenization
+without any model library; the container ships no vocab, so tests use toy
+vocabs — the algorithm, config plumbing and exactness machinery are fully
+real, only the vocab file is deployment-supplied.
+
+The tokenizer affects SCORES AND STATS only, never exactness: BM25's
+candidate set is "units containing >= 1 query token" *under the build
+tokenizer*, and the refine rescoring uses the same tokenizer, so top-K
+remains exact for any Tokenizer (the same argument as the embedder swap
+contract, tests/test_embedder_contract.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+class Tokenizer:
+    """Interface. `ident` must uniquely identify tokenization behavior —
+    it is the config value the probe/build match is enforced on."""
+
+    ident: str = "abstract"
+
+    def tokens_col(self, col):
+        """array<string> Column of the tokens of a string column (build,
+        refine and in-situ scoring all use this — one definition)."""
+        raise NotImplementedError
+
+    def tokenize(self, s: str) -> list[str]:
+        """Driver-side tokenization of a query string. Must agree with
+        tokens_col on every input."""
+        raise NotImplementedError
+
+    def query_tokens(self, s: str) -> list[str]:
+        """Distinct sorted tokens of a query (probe form)."""
+        return sorted(set(self.tokenize(s)))
+
+
+class RegexTokenizer(Tokenizer):
+    """The default: lowercase, split on runs of [^a-z0-9]. Pure JVM codegen
+    (split/filter), and exactly replicable in ANSI SQL — which is what lets
+    the DuckDB oracle reproduce BM25 scores bit-for-bit."""
+
+    def __init__(self, split_re: str = "[^a-z0-9]+"):
+        self.split_re = split_re
+        self.ident = f"regex:{split_re}"
+
+    def tokens_col(self, col):
+        return F.filter(
+            F.split(F.lower(col), self.split_re), lambda t: t != F.lit("")
+        )
+
+    def tokenize(self, s: str) -> list[str]:
+        import re
+
+        return [t for t in re.split(self.split_re, s.lower()) if t]
+
+
+def _wordpiece_word(word: str, vocab: frozenset, max_chars: int, unk: str):
+    """Greedy longest-match-first wordpiece of ONE pre-tokenized word —
+    the public BERT algorithm: repeatedly take the longest vocab entry
+    that prefixes the remainder (continuations carry '##'); any miss
+    makes the whole word [UNK]."""
+    if len(word) > max_chars:
+        return [unk]
+    pieces, start = [], 0
+    while start < len(word):
+        end, cur = len(word), None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [unk]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+def _basic_pretokenize(text: str) -> list[str]:
+    """BERT basic tokenizer, uncased: lowercase, then split on whitespace
+    with every punctuation character becoming its own token."""
+    import unicodedata
+
+    out: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        if cur:
+            out.append("".join(cur))
+            cur.clear()
+
+    for ch in text.lower():
+        cat = unicodedata.category(ch)
+        if ch.isspace():
+            flush()
+        elif cat.startswith("P"):
+            flush()
+            out.append(ch)
+        else:
+            cur.append(ch)
+    flush()
+    return out
+
+
+class WordPieceTokenizer(Tokenizer):
+    """BERT-style wordpiece over a deployment-supplied vocabulary.
+
+    `vocab` is a list of wordpiece entries (the lines of a vocab.txt —
+    order irrelevant here since we never need token ids) or a path to one.
+    The ident embeds an md5 of the sorted vocab, so two indexes built from
+    different vocab files can never be probed interchangeably."""
+
+    def __init__(self, vocab, unk_token: str = "[UNK]", max_chars: int = 200):
+        if isinstance(vocab, str):
+            with open(vocab) as fh:
+                vocab = [ln.strip() for ln in fh if ln.strip()]
+        self._vocab = frozenset(vocab)
+        self.unk_token = unk_token
+        self.max_chars = max_chars
+        digest = hashlib.md5(
+            "\n".join(sorted(self._vocab)).encode()
+        ).hexdigest()[:16]
+        self.ident = f"wordpiece:{digest}"
+
+    def tokenize(self, s: str) -> list[str]:
+        vocab, mc, unk = self._vocab, self.max_chars, self.unk_token
+        out: list[str] = []
+        for w in _basic_pretokenize(s):
+            out.extend(_wordpiece_word(w, vocab, mc, unk))
+        return out
+
+    def tokens_col(self, col):
+        """Arrow-batched pandas UDF. The vocab and the wordpiece routine
+        are captured by value in the closure (repo convention: executors
+        may not have the package importable), so the UDF is fully
+        self-contained."""
+        from pyspark.sql.functions import pandas_udf
+
+        vocab, mc, unk = self._vocab, self.max_chars, self.unk_token
+
+        def wp_word(word):
+            if len(word) > mc:
+                return [unk]
+            pieces, start = [], 0
+            while start < len(word):
+                end, cur = len(word), None
+                while start < end:
+                    sub = word[start:end]
+                    if start > 0:
+                        sub = "##" + sub
+                    if sub in vocab:
+                        cur = sub
+                        break
+                    end -= 1
+                if cur is None:
+                    return [unk]
+                pieces.append(cur)
+                start = end
+            return pieces
+
+        @pandas_udf("array<string>")
+        def wp(series: pd.Series) -> pd.Series:
+            import unicodedata
+
+            def pretok(text):
+                out, cur = [], []
+                for ch in text.lower():
+                    if ch.isspace():
+                        if cur:
+                            out.append("".join(cur))
+                            cur = []
+                    elif unicodedata.category(ch).startswith("P"):
+                        if cur:
+                            out.append("".join(cur))
+                            cur = []
+                        out.append(ch)
+                    else:
+                        cur.append(ch)
+                if cur:
+                    out.append("".join(cur))
+                return out
+
+            def tok(text):
+                if text is None:
+                    return []
+                out = []
+                for w in pretok(text):
+                    out.extend(wp_word(w))
+                return out
+
+            return series.map(tok)
+
+        return wp(col if not isinstance(col, str) else F.col(col))
