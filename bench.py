@@ -168,6 +168,15 @@ def main() -> None:
             VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=64),
         ),
     )
+    from rottnest_spark.indices.vamana import VamanaIndex
+
+    timed(
+        "vamana_build_embeddings",
+        lambda: ep.indexed_lake(
+            spark, sf_dir, "embeddings", "embedding",
+            VamanaIndex(rows_per_cluster=256, nprobes=4, refine=64),
+        ),
+    )
     timed(
         "conj_build_events",
         lambda: ep.conj_events_lake(spark, sf_dir),
@@ -279,6 +288,12 @@ def main() -> None:
         }
         metrics["vector_ivf_recall_at_k"] = round(
             len(exact & ivf) / max(len(exact), 1), 4
+        )
+        vam = {
+            r["vec_id"] for r in ep.q_vector_knn_vamana(spark, sf_dir).collect()
+        }
+        metrics["vector_vamana_recall_at_k"] = round(
+            len(exact & vam) / max(len(exact), 1), 4
         )
         # z-order layout quality: candidate-file fraction for a top-decile
         # predicate on the SECOND clustering column (a linear sort cannot

@@ -731,6 +731,20 @@ def q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_knn_vamana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I17 Vamana graph ANN: route to nprobes IVF shards, beam-search each
+    shard's graph in its own task, exact fp32 rerank of the returned row
+    addresses. Rows-only check (approximate recall, measured in
+    tests/test_vamana.py and the bench recall metric)."""
+    from rottnest_spark.indices.vamana import VamanaIndex
+
+    idx = VamanaIndex(rows_per_cluster=256, nprobes=4, refine=64)
+    lake = indexed_lake(spark, sf_dir, "embeddings", "embedding", idx)
+    return knn_topk(
+        lake, idx, "embedding", _knn_query_vec(spark, sf_dir), KNN_K, "vec_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication suite (ops/dedup.py) — training-data pipeline operators
 # --------------------------------------------------------------------------
@@ -2455,6 +2469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_knn_many": q_vector_knn_many,
     "vector_knn_ivf": q_vector_knn_ivf,
     "vector_knn_pq": q_vector_knn_pq,
+    "vector_knn_vamana": q_vector_knn_vamana,
     "media_features": q_media_features,
     "semantic_dedup": q_semantic_dedup,
     "lsh_bucket_stats": q_lsh_bucket_stats,

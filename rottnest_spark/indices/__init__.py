@@ -34,6 +34,7 @@ def index_from_config(index_type: str, config: dict | None):
     from rottnest_spark.indices.exact import ExactIndex
     from rottnest_spark.indices.fuzzy import FuzzyIndex
     from rottnest_spark.indices.logcloud import LogIndex
+    from rottnest_spark.indices.vamana import VamanaIndex
     from rottnest_spark.indices.vector import VectorIndex
 
     registry = {
@@ -45,6 +46,7 @@ def index_from_config(index_type: str, config: dict | None):
         "fuzzy": FuzzyIndex,
         "logcloud": LogIndex,
         "vector": VectorIndex,
+        "vamana": VamanaIndex,
         "hll_stats": StatsSketchIndex,
         "kll_quantiles": QuantileSketchIndex,
         "theta_keys": ThetaSketchIndex,

@@ -192,6 +192,13 @@ class VectorIndex(SparkIndex):
         self.pq_k = pq_k
         self.refine = refine
 
+    @property
+    def row_precision(self) -> bool:
+        """True when search_pq supplies row addresses for the exact fp32
+        rerank (knn_topk's 3-stage branch): the PQ mode here, always for
+        the Vamana graph subclass."""
+        return bool(self.pq_m)
+
     def config(self) -> dict:
         return {
             "rows_per_centroid": self.rows_per_centroid,
@@ -567,9 +574,9 @@ def knn_topk(
 
     if exact or not plan.entries:
         parts.append(lake.read())
-    elif index.pq_m:
-        # 3-stage: probe -> PQ approximate top-refine -> exact rerank of
-        # ONLY those rows (row-precision fetch)
+    elif index.row_precision:
+        # 3-stage: probe -> approximate top-refine row addresses (PQ codes
+        # or Vamana graph) -> exact rerank of ONLY those rows
         from rottnest_spark.core.refine import read_rows_at
 
         paths = [e["index_path"] for e in plan.entries]
