@@ -102,7 +102,11 @@ class SparkIndex(ABC):
         Underscore-prefixed files are invisible to Spark's Parquet reader."""
         if sort_cols:
             df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
-        df.write.mode("overwrite").parquet(out_path)
+        # zstd, matching the reference's zstd-compressed index blobs
+        # (X10, src/lava/merge.rs bincode+zstd): index tables are
+        # write-once read-many, where zstd's better ratio over snappy is
+        # free bandwidth at probe time
+        df.write.mode("overwrite").option("compression", "zstd").parquet(out_path)
         if unit_meta:
             SparkIndex.write_unit_meta(df.sparkSession, out_path)
 
