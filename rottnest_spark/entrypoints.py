@@ -1960,6 +1960,16 @@ Q19_ARMS = [  # (brand, max_size, qty_lo, qty_hi)
     ("Brand#34", 35, 20, 40),
 ]
 Q22_PRIO = "1-URGENT"
+# partsupp-dependent queries (Q2/Q9/Q11/Q16/Q20) adapt to the fixture's
+# supply relation DERIVED from lineitem — distinct (l_partkey, l_suppkey)
+# pairs with cost/value proxies from observed prices (documented per query);
+# Q21's lateness (no commit/receipt dates in the fixture) is ship-lag > 90d
+Q2_TYPE, Q2_SIZE, Q2_REGION = "PROMO", 9, "EUROPE"
+Q9_NAME = "widget"
+Q11_NATION, Q11_FRACTION = "NATION_3", 0.001
+Q16_BRAND, Q16_TYPE_PREFIX = "Brand#13", "ECONOMY"
+Q20_NAME, Q20_LO, Q20_HI = "bolt", "1997-01-01", "1998-01-01"
+Q21_NATION, Q21_LATE_DAYS = "NATION_1", 90
 Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_3", "ASIA", "ECONOMY"
 Q8_LO, Q8_HI = "1996-01-01", "1997-12-31"
 
@@ -2219,6 +2229,247 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture's supply relation (no partsupp table): distinct
+    (l_partkey, l_suppkey) pairs with min observed unit price as the
+    supply-cost proxy. One fact-table aggregate; every partsupp-shaped
+    query (Q2/Q11/Q16/Q20) derives from this."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_cost"))
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adaptation (min-cost supplier per part in a region): the
+    correlated MIN subquery decorrelates into a per-part aggregate over
+    the region-pruned supply relation, joined back on (partkey, cost).
+    Cost = min observed unit price (no division — both engines compare
+    bit-identical doubles). All dimensions broadcast."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == Q2_TYPE) & (F.col("p_size") == Q2_SIZE))
+        .select("p_partkey", "p_name")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    nation = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = ps.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_cost").alias("min_cost")
+    )
+    return (
+        ps.join(
+            F.broadcast(min_cost),
+            (ps.ps_partkey == min_cost.mk) & (ps.ps_cost == min_cost.min_cost),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("ps_cost", 2).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adaptation (product-type profit by nation and year):
+    supply cost proxy = 0.6 × p_retailprice (fixture has no
+    ps_supplycost). Name-filtered parts broadcast-prune lineitem first;
+    supplier→nation broadcast; the only shuffle joins are
+    lineitem⋈orders (both fact-scale, equi-join on orderkey) and the
+    final (nation, year) aggregate."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_NAME))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adaptation (important supply value by part): per-part
+    shipped value for one nation's suppliers, kept when above
+    `fraction` of the nation's total (the scalar subquery computed as a
+    one-row driver aggregate and inlined, the q22 discipline)."""
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = value.agg(F.sum("value")).collect()[0][0] or 0.0
+    return (
+        value.filter(F.col("value") > total * Q11_FRACTION)
+        .select("ps_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adaptation (supplier count by part attributes): distinct
+    suppliers per (brand, type, size) from the supply relation, excluding
+    one brand, one type prefix, and complaint suppliers (no s_comment in
+    the fixture — negative account balance is the complaint proxy) via a
+    broadcast LEFT ANTI join."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_BRAND)
+            & (~F.col("p_type").startswith(Q16_TYPE_PREFIX))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (suppliers with a dominant share of a part):
+    the nested IN subqueries become a correlated-aggregate semi-join —
+    a (part, supplier) qualifies when its shipped quantity of a
+    name-matched part in the window exceeds half the part's total; the
+    supplier list is the DISTINCT semi-join of qualifiers."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q20_NAME))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    qualifying = per_pair.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("pk")
+    ).filter(F.col("qty") > 0.5 * F.col("total_qty"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(
+            qualifying.select(F.col("l_suppkey").alias("s_suppkey")).distinct(),
+            "s_suppkey",
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adaptation (suppliers who kept orders waiting): the
+    fixture has no commit/receipt dates, so "late" = shipped more than
+    `Q21_LATE_DAYS` after the order date. The EXISTS / NOT-EXISTS pair
+    decorrelates into one per-order aggregate: an order counts against
+    supplier s when s shipped late, the order has ≥2 distinct suppliers,
+    and s is the ONLY late supplier — computed as counts, no
+    self-joins."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == Q21_NATION)
+    nat_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        li.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(per_order), "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(
+            F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )
 
 
@@ -2505,6 +2756,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "value_outliers": q_value_outliers,
     "price_deciles": q_price_deciles,
     "customer_ltv": q_customer_ltv,
@@ -3655,6 +3912,106 @@ ORACLES: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '{Q22_PRIO}')
         GROUP BY n_name ORDER BY n_name
+    """,
+    "tpch_q2": f"""
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   min(l_extendedprice) AS ps_cost
+            FROM lineitem GROUP BY 1, 2
+        ), s AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{Q2_REGION}'
+        ), p AS (
+            SELECT p_partkey, p_name FROM part
+            WHERE p_type = '{Q2_TYPE}' AND p_size = {Q2_SIZE}
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(ps_cost, 2) AS supplycost
+        FROM ps
+        JOIN p ON ps_partkey = p_partkey
+        JOIN s ON ps_suppkey = s_suppkey
+        WHERE ps_cost = (SELECT min(ps2.ps_cost) FROM ps ps2
+                         JOIN s s2 ON ps2.ps_suppkey = s2.s_suppkey
+                         WHERE ps2.ps_partkey = ps.ps_partkey)
+    """,
+    "tpch_q9": f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND contains(p_name, '{Q9_NAME}')
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """,
+    "tpch_q11": f"""
+        WITH v AS (
+            SELECT l_partkey AS ps_partkey, sum(l_extendedprice) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = '{Q11_NATION}'
+            GROUP BY 1
+        )
+        SELECT ps_partkey, round(value, 2) AS value FROM v
+        WHERE value > (SELECT sum(value) FROM v) * {Q11_FRACTION}
+    """,
+    "tpch_q16": f"""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                     l_suppkey AS ps_suppkey FROM lineitem) ps
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> '{Q16_BRAND}'
+          AND NOT starts_with(p_type, '{Q16_TYPE_PREFIX}')
+          AND ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q20": f"""
+        WITH li AS (
+            SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+                     AND contains(p_name, '{Q20_NAME}')
+            WHERE l_shipdate >= TIMESTAMP '{Q20_LO}'
+              AND l_shipdate < TIMESTAMP '{Q20_HI}'
+        ), pair AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM li GROUP BY 1, 2
+        ), tot AS (
+            SELECT l_partkey AS pk, sum(qty) AS total_qty
+            FROM pair GROUP BY 1
+        )
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM pair
+                            JOIN tot ON l_partkey = pk
+                            WHERE qty > 0.5 * total_qty)
+    """,
+    "tpch_q21": f"""
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate
+                    + INTERVAL {Q21_LATE_DAYS} DAY) AS late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), per_order AS (
+            SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late_supp
+            FROM li GROUP BY 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) w
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON w.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{Q21_NATION}' AND n_supp >= 2 AND n_late_supp = 1
+        GROUP BY 1
     """,
     "cdc_merge": f"""
         WITH changes AS (
