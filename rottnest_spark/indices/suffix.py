@@ -207,6 +207,73 @@ class SuffixArrayIndex(SparkIndex):
                 return BRUTE_FORCE
         return cands
 
+    def search_many(
+        self, spark: SparkSession, index_paths: list[str], queries: list
+    ) -> dict:
+        """Batched probe: N needles share ONE range-pruned scan of the
+        suffix table (the OR of N prefix ranges pushes down as one scan
+        filter); per-needle semantics identical to search()."""
+        probes = {q: self._probe_prefix(q) for q in queries}
+        out: dict = {q: BRUTE_FORCE for q, p in probes.items() if p is None}
+        todo = {q: p for q, p in probes.items() if p is not None}
+        if not todo:
+            return out
+        idx = spark.read.parquet(*index_paths)
+        pred = None
+        for p in todo.values():
+            c = F.col("suffix").startswith(F.lit(p))
+            pred = c if pred is None else (pred | c)
+        # tag each matching suffix row with every needle it serves, then
+        # one distinct over (needle, unit) — metadata-scale output
+        items = list(todo.items())
+        tags = F.array(
+            *[
+                F.when(
+                    F.col("suffix").startswith(F.lit(p)), F.lit(str(i))
+                )
+                for i, (_q, p) in enumerate(items)
+            ]
+        )
+        cands = (
+            idx.filter(pred)
+            .select(
+                F.explode(
+                    F.filter(tags, lambda x: x.isNotNull())
+                ).alias("__q__"),
+                "file_path",
+                "row_group",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            r["__q__"]: r["n"]
+            for r in cands.groupBy("__q__")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_units = (
+            self.read_unit_meta(spark, index_paths)
+            if self.unselective_frac is not None
+            else None
+        )
+        empty = spark.createDataFrame([], "file_path string, row_group int")
+        for i, (q, _p) in enumerate(items):
+            n_hit = counts.get(str(i), 0)
+            if (
+                self.unselective_frac is not None
+                and n_units
+                and n_hit >= self.unselective_frac * n_units
+            ):
+                out[q] = BRUTE_FORCE
+            elif n_hit == 0:
+                out[q] = empty
+            else:
+                out[q] = cands.filter(F.col("__q__") == str(i)).select(
+                    "file_path", "row_group"
+                )
+        return out
+
     # -- exact refine (F1 contract, indices/substring_index.py:19-21) ----------
 
     def predicate(self, column: str, query):

@@ -146,6 +146,27 @@ def test_binary_payloads(spark, tmp_path):
     )
 
 
+def test_search_many_equals_per_query(spark, docs_lake_dir, tmp_path):
+    """Batched probe ≡ per-query probe for every class: hits, provable
+    empty (absent char), unselective (BRUTE_FORCE escape)."""
+    import pyspark.sql.functions as F
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    idx = SuffixArrayIndex()
+    lake.build_index(idx, "text")
+    queries = ["merge sort", "x-not-there", "sort", "batch part"]
+    batched = lake.search_many(idx, "text", queries)
+    for q in queries:
+        got = sorted(
+            r["doc_id"]
+            for r in batched.filter(F.col("__query__") == q).collect()
+        )
+        want = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+        assert got == want, q
+    assert batched.filter(F.col("__query__") == "x-not-there").count() == 0
+    assert batched.filter(F.col("__query__") == "merge sort").count() > 0
+
+
 def test_config_mismatch_raises(spark, docs_lake_dir, tmp_path):
     lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
     lake.build_index(SuffixArrayIndex(prefix_len=16), "text")
