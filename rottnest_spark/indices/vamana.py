@@ -164,6 +164,7 @@ class VamanaIndex(VectorIndex):
     rerank (knn_topk's row-precision branch)."""
 
     index_type = "vamana"
+    has_postings = False  # graph table instead; knn_topk_many loops
 
     def __init__(
         self,

@@ -168,6 +168,10 @@ def _lloyd_gemm(x, k: int, iters: int, seed: int):
 class VectorIndex(SparkIndex):
     index_type = "vector"
 
+    #: whether the index writes a postings/ table (knn_topk_many's batched
+    #: unit-mapping path requires it; graph indexes set False)
+    has_postings = True
+
     def __init__(
         self,
         rows_per_centroid: int = 256,
@@ -647,6 +651,17 @@ def knn_topk_many(
     spark = lake.spark
     qitems = sorted(queries.items())
     plan = plan_search(lake.catalog, index.index_type, column, lake.files)
+
+    if plan.entries and not getattr(index, "has_postings", True):
+        # graph indexes (Vamana) have no postings table to batch over —
+        # each query's beam search is its own bounded job; union tagged
+        out = None
+        for name, vec in qitems:
+            one = knn_topk(lake, index, column, vec, k, id_col).withColumn(
+                "__query__", F.lit(name)
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
 
     def topk(scored: DataFrame) -> DataFrame:
         from pyspark.sql.window import Window

@@ -140,6 +140,30 @@ def test_compaction_preserves_recall(spark, emb_lake, tmp_path, query_vec):
     lake.catalog.validate()
 
 
+def test_knn_topk_many_loops_per_query(spark, emb_lake, tmp_path, query_vec):
+    """Batched KNN over a graph index (no postings table) must fall back
+    to per-query beam searches with identical results."""
+    from rottnest_spark.indices.vector import knn_topk_many
+
+    lake = ParquetLake(spark, emb_lake, str(tmp_path / "idx"))
+    idx = VamanaIndex(rows_per_cluster=128, nprobes=4, refine=64)
+    lake.build_index(idx, "embedding")
+    q2 = [v + 0.01 for v in query_vec]
+    res = knn_topk_many(
+        lake, idx, "embedding", {"a": query_vec, "b": q2}, K, "vec_id"
+    )
+    for name, vec in [("a", query_vec), ("b", q2)]:
+        got = sorted(
+            r["vec_id"]
+            for r in res.filter(F.col("__query__") == name).collect()
+        )
+        want = sorted(
+            r["vec_id"]
+            for r in knn_topk(lake, idx, "embedding", vec, K, "vec_id").collect()
+        )
+        assert got == want, name
+
+
 def test_index_from_config_roundtrip():
     from rottnest_spark.indices import index_from_config
 
