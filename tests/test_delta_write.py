@@ -1,0 +1,144 @@
+"""Delta log writer (S8 round-trip): commits written here must replay
+through sources/delta.py to the correct snapshot — convert, append,
+atomic rewrite, time travel, checkpoint + log vacuum, and index builds
+over the live snapshot."""
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.sources.delta import DeltaSnapshotLake, delta_live_files
+from rottnest_spark.sources.delta_write import (
+    delta_checkpoint,
+    delta_commit,
+    delta_convert,
+    delta_write,
+)
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "dtable")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+        .repartition(3)
+        .write.parquet(out)
+    )
+    return out
+
+
+def test_convert_and_replay(spark, table):
+    v = delta_convert(table)
+    assert v == 0
+    live = delta_live_files(table)
+    assert sorted(live) == sorted(glob.glob(table + "/*.parquet"))
+    # commit 0 carries protocol + metaData + adds
+    with open(glob.glob(table + "/_delta_log/*.json")[0]) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    assert actions[0]["protocol"]["minReaderVersion"] == 1
+    assert "schemaString" in actions[1]["metaData"]
+    assert sum(1 for a in actions if "add" in a) == len(live)
+    with pytest.raises(ValueError, match="already"):
+        delta_convert(table)
+
+
+def test_append_and_remove_replay(spark, sf_dir, table):
+    delta_convert(table)
+    extra = str(table + "_extra")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") >= 300)
+        .coalesce(1)
+        .write.parquet(extra)
+    )
+    import shutil
+
+    new_file = os.path.join(table, "part-extra.parquet")
+    shutil.move(glob.glob(extra + "/*.parquet")[0], new_file)
+    shutil.rmtree(extra)
+    v1 = delta_commit(table, add=[new_file])
+    assert v1 == 1
+    assert new_file in delta_live_files(table)
+    # atomic rewrite: remove one original, keep the rest (file stays on
+    # disk — the snapshot must exclude it anyway)
+    victim = sorted(glob.glob(table + "/part-0*.parquet"))[0]
+    v2 = delta_commit(table, remove=[victim])
+    assert v2 == 2
+    live = delta_live_files(table)
+    assert victim not in live and os.path.exists(victim)
+    # time travel on our own log
+    assert victim in delta_live_files(table, version_as_of=1)
+    assert new_file not in delta_live_files(table, version_as_of=0)
+
+
+def test_snapshot_lake_indexes_live_files_only(spark, table, tmp_path, sf_dir):
+    from rottnest_spark.indices import SubstringIndex
+
+    delta_convert(table)
+    lake = DeltaSnapshotLake(spark, table, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    assert lake.build_index(idx, "text")
+    q = "merge sort"
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") < 300) & F.contains(F.lower("text"), F.lit(q)))
+        .collect()
+    )
+    assert got == want
+    # remove a file from the snapshot: search must exclude its rows even
+    # though the file AND its index entry still exist
+    victim = sorted(glob.glob(table + "/part-0*.parquet"))[0]
+    delta_commit(table, remove=[victim])
+    after = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert set(after) <= set(want) and len(after) < len(want)
+
+
+def test_checkpoint_then_vacuumed_log_replays(spark, table):
+    delta_convert(table)
+    victim = sorted(glob.glob(table + "/part-0*.parquet"))[0]
+    delta_commit(table, remove=[victim])
+    want = delta_live_files(table)
+    v = delta_checkpoint(table)
+    assert v == 1
+    # vacuum the pre-checkpoint commits — replay must come from the cp
+    for c in glob.glob(table + "/_delta_log/*.json"):
+        if int(os.path.basename(c).split(".")[0]) <= v:
+            os.remove(c)
+    assert delta_live_files(table) == want
+    # and further commits on top of the checkpoint still apply
+    delta_commit(table, remove=[want[0]])
+    assert want[0] not in delta_live_files(table)
+
+
+def test_delta_write_dataframe_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "dw")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    v0 = delta_write(df, out)
+    assert v0 == 0
+    lake_files = delta_live_files(out)
+    assert lake_files
+    n0 = spark.read.parquet(*lake_files).count()
+    assert n0 == 100
+    v1 = delta_write(df.limit(20), out, mode="append")
+    assert v1 == 1
+    assert spark.read.parquet(*delta_live_files(out)).count() == 120
+    with pytest.raises(ValueError, match="already"):
+        delta_write(df, out)
+
+
+def test_concurrent_version_claim_loses_cleanly(table):
+    delta_convert(table)
+    f = sorted(glob.glob(table + "/*.parquet"))[0]
+    delta_commit(table, remove=[f])
+    # simulate the losing writer: same version already exists
+    from rottnest_spark.sources.delta_write import _write_commit
+    from rottnest_spark.core.fs import LocalFS
+
+    with pytest.raises(FileExistsError):
+        _write_commit(table + "/_delta_log", 1, [{"remove": {"path": "x"}}], LocalFS())
