@@ -1,0 +1,295 @@
+"""Minimal Apache Iceberg metadata WRITER — upgrading the S8 Iceberg
+backend from read-only snapshot listing to a round-trip backend (the
+reference's backends/iceberg.py is read-only over pyiceberg; this writes
+the public table spec directly, Avro via the hand-rolled `avro_lite`
+codec).
+
+Emits, per the Iceberg spec (https://iceberg.apache.org/spec/):
+
+    metadata/vN.metadata.json   table metadata: schema, snapshot log,
+                                current-snapshot-id
+    metadata/snap-*.avro        manifest list (one entry per manifest)
+    metadata/manifest-*.avro    manifest: entries (status, data_file)
+    metadata/version-hint.text  current metadata version pointer
+
+Scope, stated plainly:
+- unpartitioned v1 tables, data files only (no row-level deletes — the
+  reader refuses those by design, mirroring the reference);
+- each commit writes ONE full manifest of the post-commit live set
+  (existing + added entries, deleted entries for removals) — spec-valid,
+  trading manifest reuse for simplicity; compaction-friendly;
+- commit protocol = write vN.metadata.json with exclusive-create then
+  update version-hint.text: two writers racing the same version resolve
+  to one winner (FileExistsError for the loser), the hint update is a
+  one-line pointer swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from rottnest_spark.core.fs import LakeFS, LocalFS
+from rottnest_spark.sources.avro_lite import write_ocf
+
+#: manifest-list entry schema (spec fields the ecosystem expects; our
+#: reader consumes manifest_path + content)
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+#: manifest entry schema (status + data_file struct; content=0 data)
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _meta_dir(table_path: str) -> str:
+    return os.path.join(table_path, "metadata")
+
+
+def _record_count(f: str) -> int:
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(f).metadata.num_rows
+    except Exception:
+        return -1
+
+
+def _current_version(meta_dir: str, fs: LakeFS) -> int:
+    import re
+
+    best = 0
+    for f in fs.glob(os.path.join(meta_dir, "*.metadata.json")):
+        m = re.match(r"v?(\d+)", os.path.basename(f))
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _iceberg_schema(parquet_file: str) -> dict:
+    """Iceberg JSON schema from the parquet footer (best-effort type map —
+    the reader does not consume it, the spec requires it present)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def map_type(t):
+        if pa.types.is_integer(t):
+            return "long"
+        if pa.types.is_floating(t):
+            return "double"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return {
+                "type": "list",
+                "element-id": 1000,
+                "element": map_type(t.value_type),
+                "element-required": False,
+            }
+        return "string"
+
+    schema = pq.ParquetFile(parquet_file).schema_arrow
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": map_type(f.type),
+            }
+            for i, f in enumerate(schema)
+        ],
+    }
+
+
+def _commit_snapshot(
+    table_path: str,
+    live: list[str],
+    added: list[str],
+    removed: list[str],
+    fs: LakeFS,
+    timestamp_ms: int | None,
+    prior: dict | None,
+) -> int:
+    meta_dir = _meta_dir(table_path)
+    fs.makedirs(meta_dir)
+    version = _current_version(meta_dir, fs) + 1
+    snap_id = version
+    ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    added_set, removed_set = set(added), set(removed)
+
+    def entry(f: str, status: int) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap_id,
+            "data_file": {
+                "content": 0,
+                "file_path": os.path.abspath(f),
+                "file_format": "PARQUET",
+                "record_count": _record_count(f) if status != 2 else -1,
+                "file_size_in_bytes": (
+                    fs.getsize(f) if status != 2 and fs.exists(f) else -1
+                ),
+            },
+        }
+
+    entries = [
+        entry(f, 1 if f in added_set else 0) for f in sorted(live)
+    ] + [entry(f, 2) for f in sorted(removed_set)]
+    manifest = os.path.join(meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
+    write_ocf(manifest, MANIFEST_SCHEMA, entries)
+    ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
+    write_ocf(
+        ml,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": fs.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": ts,
+        "manifest-list": ml,
+        "summary": {"operation": "append" if not removed else "overwrite"},
+    }
+    md = {
+        "format-version": 1,
+        "table-uuid": (prior or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": os.path.abspath(table_path),
+        "last-updated-ms": ts,
+        "schema": (prior or {}).get("schema")
+        or (_iceberg_schema(live[0]) if live else {"type": "struct", "fields": []}),
+        "partition-spec": [],
+        "current-snapshot-id": snap_id,
+        "snapshots": ((prior or {}).get("snapshots") or []) + [snapshot],
+    }
+    md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(md_path, "x") as fh:  # exclusive-create: version-claim commit
+        json.dump(md, fh)
+    fs.write_text(os.path.join(meta_dir, "version-hint.text"), str(version))
+    return snap_id
+
+
+def iceberg_convert(
+    table_path: str,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Convert a plain parquet directory into an Iceberg table: snapshot 1
+    adds every existing data file. Returns the snapshot id."""
+    fs = fs or LocalFS()
+    if fs.isdir(_meta_dir(table_path)) and fs.glob(
+        os.path.join(_meta_dir(table_path), "*.metadata.json")
+    ):
+        raise ValueError(f"{table_path} already has Iceberg metadata")
+    data = sorted(
+        f
+        for f in fs.list_files(table_path)
+        if f.endswith(".parquet") and f"{os.sep}metadata{os.sep}" not in f
+    )
+    if not data:
+        raise ValueError(f"{table_path} has no parquet data files to convert")
+    return _commit_snapshot(
+        table_path, data, data, [], fs, timestamp_ms, prior=None
+    )
+
+
+def iceberg_commit(
+    table_path: str,
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Commit a data-file change set as a new snapshot (prior snapshots
+    stay in the log — `iceberg_history_files` time travel works over
+    them). Returns the new snapshot id."""
+    from rottnest_spark.sources.iceberg import _current_metadata, iceberg_live_files
+
+    fs = fs or LocalFS()
+    prior = _current_metadata(table_path)
+    live = set(iceberg_live_files(table_path))
+    add = [os.path.abspath(f) for f in (add or [])]
+    remove = [os.path.abspath(f) for f in (remove or [])]
+    if not add and not remove:
+        raise ValueError("empty commit — nothing to add or remove")
+    missing = [f for f in remove if f not in live]
+    if missing:
+        raise ValueError(f"cannot remove files not in the snapshot: {missing}")
+    new_live = sorted((live - set(remove)) | set(add))
+    return _commit_snapshot(
+        table_path, new_live, add, remove, fs, timestamp_ms, prior=prior
+    )
+
+
+def iceberg_write(
+    df, table_path: str, mode: str = "error", fs: LakeFS | None = None
+) -> int:
+    """Write a DataFrame as a new Iceberg table or append to one (the
+    delta_write staging discipline: stage parquet, move parts in, commit
+    the adds). Returns the snapshot id."""
+    assert mode in ("error", "append")
+    fs = fs or LocalFS()
+    meta_dir = _meta_dir(table_path)
+    exists = fs.isdir(meta_dir) and bool(
+        fs.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    if mode == "error" and exists:
+        raise ValueError(f"{table_path} is already an Iceberg table")
+    if mode == "append" and not exists:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    df.write.parquet(stage)
+    moved = []
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.glob(os.path.join(stage, "*.parquet")):
+        dst = os.path.join(table_path, "data", f"{uuid.uuid4().hex}.parquet")
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
+    if not exists:
+        return iceberg_convert(table_path, fs=fs)
+    return iceberg_commit(table_path, add=moved, fs=fs)

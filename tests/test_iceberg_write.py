@@ -1,0 +1,117 @@
+"""Iceberg metadata writer (S8 round-trip): snapshots written here must
+replay through sources/iceberg.py — convert, append, rewrite, snapshot
+history, version-hint pointer, and index builds over the live snapshot."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.sources.iceberg import (
+    IcebergSnapshotLake,
+    iceberg_history_files,
+    iceberg_live_files,
+)
+from rottnest_spark.sources.iceberg_write import (
+    iceberg_commit,
+    iceberg_convert,
+    iceberg_write,
+)
+
+DAY_MS = 86_400_000
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "itable")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+        .repartition(3)
+        .write.parquet(out)
+    )
+    return out
+
+
+def test_convert_and_replay(spark, table):
+    sid = iceberg_convert(table)
+    assert sid == 1
+    live = iceberg_live_files(table)
+    assert sorted(live) == sorted(
+        os.path.abspath(f) for f in glob.glob(table + "/*.parquet")
+    )
+    hint = open(os.path.join(table, "metadata", "version-hint.text")).read()
+    assert hint.strip() == "1"
+    with pytest.raises(ValueError, match="already"):
+        iceberg_convert(table)
+
+
+def test_commit_add_remove_and_history(spark, sf_dir, table):
+    iceberg_convert(table, timestamp_ms=10 * DAY_MS)
+    extra = table + "_extra"
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") >= 300)
+        .coalesce(1)
+        .write.parquet(extra)
+    )
+    import shutil
+
+    new_file = os.path.join(table, "part-extra.parquet")
+    shutil.move(glob.glob(extra + "/*.parquet")[0], new_file)
+    shutil.rmtree(extra)
+    sid2 = iceberg_commit(
+        table, add=[new_file], timestamp_ms=11 * DAY_MS
+    )
+    assert sid2 == 2
+    assert os.path.abspath(new_file) in iceberg_live_files(table)
+
+    victim = sorted(iceberg_live_files(table))[0]
+    iceberg_commit(table, remove=[victim], timestamp_ms=12 * DAY_MS)
+    live = iceberg_live_files(table)
+    assert victim not in live and os.path.exists(victim)
+    # history window: all three snapshots inside 3 days → victim kept
+    hist = iceberg_history_files(table, history_days=3)
+    assert victim in hist
+    # tight window: only the current snapshot → victim gone
+    hist0 = iceberg_history_files(table, history_days=0.5)
+    assert victim not in hist0
+    # removing an unknown file is refused
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        iceberg_commit(table, remove=["/nope.parquet"])
+
+
+def test_snapshot_lake_over_own_metadata(spark, table, tmp_path, sf_dir):
+    from rottnest_spark.indices import SubstringIndex
+
+    iceberg_convert(table)
+    lake = IcebergSnapshotLake(spark, table, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    assert lake.build_index(idx, "text")
+    q = "merge sort"
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") < 300) & F.contains(F.lower("text"), F.lit(q)))
+        .collect()
+    )
+    assert got == want
+    victim = sorted(iceberg_live_files(table))[0]
+    iceberg_commit(table, remove=[victim])
+    after = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert set(after) <= set(want) and len(after) < len(want)
+
+
+def test_iceberg_write_dataframe_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "iw")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    sid = iceberg_write(df, out)
+    assert sid == 1
+    assert spark.read.parquet(*iceberg_live_files(out)).count() == 100
+    sid2 = iceberg_write(df.limit(20), out, mode="append")
+    assert sid2 == 2
+    assert spark.read.parquet(*iceberg_live_files(out)).count() == 120
+    with pytest.raises(ValueError, match="already"):
+        iceberg_write(df, out)
