@@ -214,88 +214,93 @@ class VamanaIndex(VectorIndex):
     ) -> None:
         import numpy as np
 
-        from rottnest_spark.core.layout import rows_with_rg_provenance
+        from rottnest_spark.core.layout import (
+            file_row_counts,
+            rows_with_rg_provenance,
+        )
 
         rows = ensure_float_vectors(
             rows_with_rg_provenance(spark, files, column, with_pos=True), column
         ).select(
             "file_path", "row_group", "pos", F.col(column).alias("vec")
         )
-        rows = rows.persist()
-        try:
-            n = rows.count()
-            k = max(1, min(n // self.rows_per_cluster + 1, 4096, n))
-            target = k * self.TRAIN_POINTS_PER_CENTROID
-            frac = min(
-                self.kmeans_sample_fraction,
-                min(1.0, (target * 1.2) / max(n, 1)),
-            )
-            train = rows.sample(frac, seed=self.seed) if frac < 1.0 else rows
+        # footer row counts — no count job, no full-vector persist
+        # (the sample and assignment passes each stream their scan)
+        n = sum(file_row_counts(spark, files).values())
+        k = max(1, min(n // self.rows_per_cluster + 1, 4096, n))
+        target = k * self.TRAIN_POINTS_PER_CENTROID
+        frac = min(
+            self.kmeans_sample_fraction,
+            min(1.0, (target * 1.2) / max(n, 1)),
+        )
+        from rottnest_spark.indices.vector import _sample_pred
+
+        train = (
+            rows if frac >= 1.0 else rows.filter(_sample_pred("vec", frac, self.seed))
+        )
+        x = np.array(
+            [r["vec"] for r in train.select("vec").collect()],
+            dtype=np.float64,
+        )
+        if len(x) < k:
             x = np.array(
-                [r["vec"] for r in train.select("vec").collect()],
+                [r["vec"] for r in rows.select("vec").limit(k).collect()],
                 dtype=np.float64,
             )
-            if len(x) < k:
-                x = np.array(
-                    [r["vec"] for r in rows.select("vec").limit(k).collect()],
-                    dtype=np.float64,
+        cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
+        spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+            "centroid_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
+
+        bc = spark.sparkContext.broadcast(cents)
+        R, L, alpha, seed = self.R, self.L, self.alpha, self.seed
+        build_graph, _ = _make_kernels()  # by-value closure pair
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            cc = bc.value
+            ccn = (cc * cc).sum(axis=1)
+            for pdf in batches:
+                v = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                pdf = pdf.copy()
+                pdf["cluster_id"] = (
+                    (ccn[None, :] - 2.0 * (v @ cc.T)).argmin(axis=1).astype("int32")
                 )
-            cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
-            spark.createDataFrame(
-                [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
-                "centroid_id int, centroid array<double>",
-            ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
+                yield pdf
 
-            bc = spark.sparkContext.broadcast(cents)
-            R, L, alpha, seed = self.R, self.L, self.alpha, self.seed
-            build_graph, _ = _make_kernels()  # by-value closure pair
+        assigned = rows.mapInPandas(
+            assign,
+            "file_path string, row_group int, pos int, vec array<float>, "
+            "cluster_id int",
+        )
 
-            def assign(batches):
-                import numpy as np
-                import pandas as pd
+        def graph_per_cluster(pdf):
+            import numpy as np
+            import pandas as pd
 
-                cc = bc.value
-                ccn = (cc * cc).sum(axis=1)
-                for pdf in batches:
-                    v = np.array(pdf["vec"].tolist(), dtype=np.float64)
-                    pdf = pdf.copy()
-                    pdf["cluster_id"] = (
-                        (ccn[None, :] - 2.0 * (v @ cc.T)).argmin(axis=1).astype("int32")
-                    )
-                    yield pdf
-
-            assigned = rows.mapInPandas(
-                assign,
-                "file_path string, row_group int, pos int, vec array<float>, "
-                "cluster_id int",
+            cid = int(pdf["cluster_id"].iloc[0])
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            adj, medoid = build_graph(x, R, L, alpha, seed + cid)
+            return pd.DataFrame(
+                {
+                    "cluster_id": cid,
+                    "node_id": range(len(pdf)),
+                    "file_path": pdf["file_path"].values,
+                    "row_group": pdf["row_group"].values,
+                    "pos": pdf["pos"].values,
+                    "vec": pdf["vec"].values,
+                    "neighbors": [list(map(int, a)) for a in adj],
+                    "medoid": [i == medoid for i in range(len(pdf))],
+                }
             )
 
-            def graph_per_cluster(pdf):
-                import numpy as np
-                import pandas as pd
-
-                cid = int(pdf["cluster_id"].iloc[0])
-                x = np.array(pdf["vec"].tolist(), dtype=np.float64)
-                adj, medoid = build_graph(x, R, L, alpha, seed + cid)
-                return pd.DataFrame(
-                    {
-                        "cluster_id": cid,
-                        "node_id": range(len(pdf)),
-                        "file_path": pdf["file_path"].values,
-                        "row_group": pdf["row_group"].values,
-                        "pos": pdf["pos"].values,
-                        "vec": pdf["vec"].values,
-                        "neighbors": [list(map(int, a)) for a in adj],
-                        "medoid": [i == medoid for i in range(len(pdf))],
-                    }
-                )
-
-            graph = assigned.groupBy("cluster_id").applyInPandas(
-                graph_per_cluster, GRAPH_SCHEMA
-            )
-            self._write_index(graph, f"{out_path}/graph", sort_cols=["cluster_id"])
-        finally:
-            rows.unpersist()
+        graph = assigned.groupBy("cluster_id").applyInPandas(
+            graph_per_cluster, GRAPH_SCHEMA
+        )
+        self._write_index(graph, f"{out_path}/graph", sort_cols=["cluster_id"])
 
     # -- search ---------------------------------------------------------------
 

@@ -142,6 +142,18 @@ def _nearest_gemm(v, cents, block: int = 8192):
     return out
 
 
+def _sample_pred(column: str, frac: float, seed: int):
+    """Content-hash Bernoulli sample predicate — deterministic regardless
+    of partitioning or task order (the repo's hash-deterministic sampling
+    discipline, ops/sampling.py). `df.sample(frac, seed)` is NOT
+    reproducible across actions (measured: three samples of the same df
+    with the same seed select three different row sets), which made
+    k-means training — and therefore every IVF/PQ/Vamana index build —
+    run-to-run nondeterministic."""
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(column)), F.lit(1_000_000))
+    return bucket < int(frac * 1_000_000)
+
+
 def _lloyd_gemm(x, k: int, iters: int, seed: int):
     """Plain Lloyd with GEMM distance, random-sample init, empty clusters
     re-seeded from the farthest points. Deterministic for a given seed."""
@@ -231,79 +243,81 @@ class VectorIndex(SparkIndex):
         conversion, no per-iteration full-data pass."""
         import numpy as np
 
+        from rottnest_spark.core.layout import file_row_counts
+
         df = ensure_float_vectors(read_parquet(spark, files), column).select(
             provenance_file_col().alias("file_path"),
             F.lit(WHOLE_FILE).alias("row_group"),
             F.col(column).alias("emb"),
         )
-        df = df.persist()
-        try:
-            n = df.count()
-            k = max(1, min(n // self.rows_per_centroid, 4096, n))
-            target = k * self.TRAIN_POINTS_PER_CENTROID
-            frac = min(
-                self.kmeans_sample_fraction, min(1.0, (target * 1.2) / max(n, 1))
-            )
-            train = df.sample(frac, seed=self.seed) if frac < 1.0 else df
+        # row count from Parquet footers — no count job, and no
+        # persist of the full vector set (at 100 TB, caching the
+        # lake's vectors is the wrong plan; the two data passes —
+        # sample + assignment — each stream their own scan)
+        n = sum(file_row_counts(spark, files).values())
+        k = max(1, min(n // self.rows_per_centroid, 4096, n))
+        target = k * self.TRAIN_POINTS_PER_CENTROID
+        frac = min(
+            self.kmeans_sample_fraction, min(1.0, (target * 1.2) / max(n, 1))
+        )
+        train = df if frac >= 1.0 else df.filter(_sample_pred("emb", frac, self.seed))
+        x = np.array(
+            [r["emb"] for r in train.select("emb").collect()], dtype=np.float64
+        )
+        if len(x) < k:  # tiny lake / aggressive sample: top up
             x = np.array(
-                [r["emb"] for r in train.select("emb").collect()], dtype=np.float64
+                [r["emb"] for r in df.select("emb").limit(k).collect()],
+                dtype=np.float64,
             )
-            if len(x) < k:  # tiny lake / aggressive sample: top up
-                x = np.array(
-                    [r["emb"] for r in df.select("emb").limit(k).collect()],
-                    dtype=np.float64,
+        cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
+        centers = [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
+        spark.createDataFrame(
+            centers, "centroid_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
+
+        if self.pq_m:
+            # PQ mode: the encode pass computes the same coarse
+            # assignment the postings need — run it ONCE, then derive
+            # postings from the written codes table (an index-table
+            # scan of three dictionary-friendly columns, not a second
+            # full-data pass). The training sample is reused for the
+            # codebooks, so no extra data collect either.
+            self._build_pq(spark, files, column, out_path, centers, sample=x)
+            postings = (
+                spark.read.parquet(f"{out_path}/pq_codes")
+                .select("centroid_id", "file_path", "row_group")
+                .distinct()
+            )
+            self._write_index(
+                postings, f"{out_path}/postings", sort_cols=["centroid_id"]
+            )
+            return
+
+        bc = spark.sparkContext.broadcast(cents)
+
+        # self-contained closure: executors may not have the package
+        # importable (driver contract), so the GEMM argmin is inlined
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            cc = bc.value
+            cn = (cc * cc).sum(axis=1)
+            for pdf in batches:
+                v = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                cids = (cn[None, :] - 2.0 * (v @ cc.T)).argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "centroid_id": cids.astype("int32"),
+                        "file_path": pdf["file_path"],
+                        "row_group": pdf["row_group"],
+                    }
                 )
-            cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
-            centers = [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
-            spark.createDataFrame(
-                centers, "centroid_id int, centroid array<double>"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
 
-            if self.pq_m:
-                # PQ mode: the encode pass computes the same coarse
-                # assignment the postings need — run it ONCE, then derive
-                # postings from the written codes table (an index-table
-                # scan of three dictionary-friendly columns, not a second
-                # full-data pass). The training sample is reused for the
-                # codebooks, so no extra data collect either.
-                self._build_pq(spark, files, column, out_path, centers, sample=x)
-                postings = (
-                    spark.read.parquet(f"{out_path}/pq_codes")
-                    .select("centroid_id", "file_path", "row_group")
-                    .distinct()
-                )
-                self._write_index(
-                    postings, f"{out_path}/postings", sort_cols=["centroid_id"]
-                )
-                return
-
-            bc = spark.sparkContext.broadcast(cents)
-
-            # self-contained closure: executors may not have the package
-            # importable (driver contract), so the GEMM argmin is inlined
-            def assign(batches):
-                import numpy as np
-                import pandas as pd
-
-                cc = bc.value
-                cn = (cc * cc).sum(axis=1)
-                for pdf in batches:
-                    v = np.array(pdf["emb"].tolist(), dtype=np.float64)
-                    cids = (cn[None, :] - 2.0 * (v @ cc.T)).argmin(axis=1)
-                    yield pd.DataFrame(
-                        {
-                            "centroid_id": cids.astype("int32"),
-                            "file_path": pdf["file_path"],
-                            "row_group": pdf["row_group"],
-                        }
-                    )
-
-            postings = df.mapInPandas(
-                assign, "centroid_id int, file_path string, row_group int"
-            ).distinct()
-            self._write_index(postings, f"{out_path}/postings", sort_cols=["centroid_id"])
-        finally:
-            df.unpersist()
+        postings = df.mapInPandas(
+            assign, "centroid_id int, file_path string, row_group int"
+        ).distinct()
+        self._write_index(postings, f"{out_path}/postings", sort_cols=["centroid_id"])
 
     def _build_pq(
         self, spark, files, column, out_path, centers, sample=None

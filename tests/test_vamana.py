@@ -164,6 +164,29 @@ def test_knn_topk_many_loops_per_query(spark, emb_lake, tmp_path, query_vec):
         assert got == want, name
 
 
+def test_build_is_run_to_run_deterministic(spark, emb_lake, tmp_path):
+    """Two builds over the same lake produce identical graphs — the
+    training sample is a content-hash filter, not df.sample (which is not
+    reproducible across actions)."""
+    fps = []
+    for i in range(2):
+        lake = ParquetLake(spark, emb_lake, str(tmp_path / f"idx{i}"))
+        idx = VamanaIndex(rows_per_cluster=128, nprobes=4, kmeans_sample_fraction=0.6)
+        lake.build_index(idx, "embedding")
+        p = lake.catalog.entries_for("vamana", "embedding")[0]["index_path"]
+        cents = sorted(map(str, spark.read.parquet(p + "/centroids").collect()))
+        graph = sorted(
+            map(
+                str,
+                spark.read.parquet(p + "/graph")
+                .select("cluster_id", "node_id", "pos", "neighbors")
+                .collect(),
+            )
+        )
+        fps.append((tuple(cents), tuple(graph)))
+    assert fps[0] == fps[1]
+
+
 def test_index_from_config_roundtrip():
     from rottnest_spark.indices import index_from_config
 

@@ -32,6 +32,10 @@ DEFAULT = [
     "cdc_merge",
     "value_outliers",
     "json_extract_agg",
+    "suffix_search",
+    "vector_knn_vamana",
+    "tpch_q9",
+    "tpch_q21",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
