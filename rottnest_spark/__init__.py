@@ -29,4 +29,4 @@ from rottnest_spark.session import get_spark
 __all__ = ["LakeFS", "LocalFS", "ParquetLake", "get_spark"]
 # bumped on index-format changes: the contract-query cache key includes this,
 # so a format change can never reuse a stale on-disk index
-__version__ = "0.3.0"
+__version__ = "0.4.0"
