@@ -174,7 +174,7 @@ def main() -> None:
         "vamana_build_embeddings",
         lambda: ep.indexed_lake(
             spark, sf_dir, "embeddings", "embedding",
-            VamanaIndex(rows_per_cluster=256, nprobes=4, refine=64),
+            VamanaIndex(rows_per_cluster=256, nprobes=6, refine=64),
         ),
     )
     timed(

@@ -738,7 +738,7 @@ def q_vector_knn_vamana(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_vamana.py and the bench recall metric)."""
     from rottnest_spark.indices.vamana import VamanaIndex
 
-    idx = VamanaIndex(rows_per_cluster=256, nprobes=4, refine=64)
+    idx = VamanaIndex(rows_per_cluster=256, nprobes=6, refine=64)
     lake = indexed_lake(spark, sf_dir, "embeddings", "embedding", idx)
     return knn_topk(
         lake, idx, "embedding", _knn_query_vec(spark, sf_dir), KNN_K, "vec_id"

@@ -235,16 +235,26 @@ class VamanaIndex(VectorIndex):
         )
         from rottnest_spark.indices.vector import _sample_pred
 
+        # training needs VECTORS only — read them through the native
+        # columnar reader (JVM-vectorized scan + codegen hash filter), not
+        # the pyarrow provenance path the graph pass requires; on the
+        # fixture this is the difference between a ~6 s and a sub-second
+        # sample job, and at scale it keeps training off the Python path
+        native = ensure_float_vectors(
+            read_parquet(spark, files, columns=[column]), column
+        ).select(F.col(column).alias("vec"))
         train = (
-            rows if frac >= 1.0 else rows.filter(_sample_pred("vec", frac, self.seed))
+            native
+            if frac >= 1.0
+            else native.filter(_sample_pred("vec", frac, self.seed))
         )
         x = np.array(
-            [r["vec"] for r in train.select("vec").collect()],
+            [r["vec"] for r in train.collect()],
             dtype=np.float64,
         )
         if len(x) < k:
             x = np.array(
-                [r["vec"] for r in rows.select("vec").limit(k).collect()],
+                [r["vec"] for r in native.limit(k).collect()],
                 dtype=np.float64,
             )
         cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
@@ -300,6 +310,13 @@ class VamanaIndex(VectorIndex):
         graph = assigned.groupBy("cluster_id").applyInPandas(
             graph_per_cluster, GRAPH_SCHEMA
         )
+        # materialize once: the sorted write's repartitionByRange runs a
+        # range-boundary sampling pass first, which would otherwise
+        # recompute the whole read→assign→graph pipeline a second time
+        # (graph construction is the expensive stage). localCheckpoint is
+        # executor-disk-backed — the same order of transient storage the
+        # range exchange's shuffle files need anyway.
+        graph = graph.localCheckpoint(eager=True)
         self._write_index(graph, f"{out_path}/graph", sort_cols=["cluster_id"])
 
     # -- search ---------------------------------------------------------------

@@ -410,6 +410,10 @@ class VectorIndex(SparkIndex):
             encode,
             "centroid_id int, file_path string, row_group int, pos int, codes array<int>",
         )
+        # materialize once: there is NO shuffle boundary above, so the
+        # sorted write's repartitionByRange sampling pass would re-run the
+        # whole pyarrow-read + GEMM-encode chain a second time
+        codes_df = codes_df.localCheckpoint(eager=True)
         self._write_index(codes_df, f"{out_path}/pq_codes", sort_cols=["centroid_id"])
 
     def nearest_centroids(
