@@ -145,6 +145,40 @@ def delta_live_files(
     return sorted(os.path.join(table_path, p) for p in live)
 
 
+def delta_known_files(table_path: str) -> list[str]:
+    """Every data file the log has EVER referenced (live + logically
+    removed): the add actions of all commits and checkpoints, ignoring
+    later removes. Writable lakes diff the physical dir against this set
+    to find a rewrite's new files — a logically-removed file stays on
+    disk (format semantics) and must never be mistaken for new."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
+    known: set[str] = set()
+    _, cp_files = _checkpoint_parts(log_dir)
+    if cp_files:
+        import pyarrow.parquet as pq
+
+        for cp in cp_files:
+            tbl = pq.read_table(cp)
+            for col in ("add", "remove"):
+                if col in tbl.column_names:
+                    for rec in tbl.column(col).to_pylist():
+                        if rec and rec.get("path"):
+                            known.add(rec["path"])
+    for c in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
+        with open(c) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                for key in ("add", "remove"):
+                    if key in action:
+                        known.add(action[key]["path"])
+    return sorted(os.path.join(table_path, p) for p in known)
+
+
 class DeltaSnapshotLake(ParquetLake):
     """ParquetLake over a Delta snapshot. `.files` replays the log on each
     access (the log is metadata-scale), so incremental builds and searches

@@ -226,14 +226,29 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
         }
         for f in live
     ]
-    n = len(adds) + 2
-    tbl = pa.table(
+    # remove TOMBSTONES survive into the checkpoint (as in the Delta
+    # protocol): a logically-removed file must stay distinguishable from
+    # a brand-new one after pre-checkpoint commits are vacuumed
+    from rottnest_spark.sources.delta import delta_known_files
+
+    removed = sorted(set(delta_known_files(table_path)) - set(live))
+    tombs = [
         {
-            "protocol": [proto] + [None] * (n - 1),
-            "metaData": [None, meta] + [None] * (n - 2),
-            "add": [None, None] + adds,
+            "path": os.path.relpath(f, table_path),
+            "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": False,
         }
-    )
+        for f in removed
+    ]
+    n = len(adds) + len(tombs) + 2
+    cols = {
+        "protocol": [proto] + [None] * (n - 1),
+        "metaData": [None, meta] + [None] * (n - 2),
+        "add": [None, None] + adds + [None] * len(tombs),
+    }
+    if tombs:
+        cols["remove"] = [None] * (2 + len(adds)) + tombs
+    tbl = pa.table(cols)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(tbl, cp_path)
     fs.write_text(

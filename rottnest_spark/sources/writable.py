@@ -1,0 +1,136 @@
+"""DML on format-backed lakes — every ParquetLake mutation, committed to
+the table-format transaction log.
+
+`DeltaWritableLake` / `IcebergWritableLake` extend the snapshot lakes so
+the FULL DML surface (`append`, `delete_matching`, `merge_into`,
+`compact_files`, plus index lifecycle on top) runs against a Delta or
+Iceberg table and lands as proper log commits readable by any
+spec-conforming engine — closing the loop the writers
+(sources/delta_write.py, sources/iceberg_write.py) opened.
+
+How it works — the lake's mutations all funnel through two choke points:
+
+- `append(df)` publishes new data files → override commits them as adds;
+- every REWRITING op (compaction, copy-on-write merge, row-level delete)
+  publishes its new files by atomic rename and then calls
+  `_retire(replaced, pre_op)` → override commits ONE atomic
+  add+remove action set: removals are the retired files, adds are the
+  data files on disk that the log does not know yet (single-writer
+  mutations make that diff exactly the op's new files — and it also
+  self-heals a crash window where files were renamed in but the commit
+  was lost).
+
+Format semantics preserved:
+- retired files are NOT physically deleted — removal is logical (the
+  log), physical cleanup is the format's own VACUUM retention story, and
+  time travel (`version_as_of` / snapshot history) keeps working over
+  self-written history;
+- `.files` replays the log, so searches, in-situ scans, incremental
+  index builds, and index vacuum all track the committed snapshot
+  automatically (an index entry over a removed file is dropped by the
+  existing liveness machinery).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from rottnest_spark.core.lake import ParquetLake
+from rottnest_spark.sources.delta import DeltaSnapshotLake
+from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+
+
+class _FormatDML:
+    """Mixin: route the two mutation choke points into log commits.
+    Subclasses supply `_commit(add, remove)`."""
+
+    def _commit(self, add: list[str], remove: list[str]) -> None:
+        raise NotImplementedError
+
+    def _known_files(self) -> set[str]:
+        """Every data file the log has EVER referenced (live + logically
+        removed). The adds-diff must use this, not the live set: a
+        logically-removed file stays on disk (format semantics) and must
+        never be re-added by a later rewrite's commit."""
+        raise NotImplementedError
+
+    def _on_disk(self) -> set[str]:
+        """Physical parquet data files under the table dir (underscore /
+        dot entries invisible — same convention as ParquetLake.files)."""
+        out = set()
+        for p in self.fs.list_files(self.data_dir):
+            parts = os.path.relpath(p, self.data_dir).split(os.sep)
+            if any(s.startswith(("_", ".")) for s in parts[:-1]):
+                continue
+            fn = parts[-1]
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                out.add(p)
+        return out
+
+    def append(self, df: DataFrame) -> list[str]:
+        new_files = ParquetLake.append(self, df)
+        if new_files:  # an empty frame publishes nothing — no commit
+            self._commit(add=new_files, remove=[])
+        return new_files
+
+    def _retire(self, files_to_remove, pre_op_files) -> None:
+        # new files = physical dir minus everything the log ever knew
+        # (live + tombstoned); with single-writer mutations that diff is
+        # exactly the op's freshly-renamed files — and it self-heals the
+        # crash window where files were renamed in but the commit lost
+        adds = sorted(self._on_disk() - self._known_files())
+        if not adds and not files_to_remove:
+            return
+        self._commit(add=adds, remove=sorted(files_to_remove))
+
+
+class DeltaWritableLake(_FormatDML, DeltaSnapshotLake):
+    """Delta table with the full DML surface: mutations commit
+    add/remove actions to _delta_log (sources/delta_write.py)."""
+
+    def _commit(self, add: list[str], remove: list[str]) -> None:
+        from rottnest_spark.sources.delta_write import delta_commit
+
+        if self._version_as_of is not None:
+            raise ValueError(
+                "lake is pinned to versionAsOf "
+                f"{self._version_as_of} — time-travel views are read-only"
+            )
+        delta_commit(
+            self._table_path,
+            add=add or None,
+            remove=remove or None,
+            fs=self.fs,
+        )
+
+    def _known_files(self) -> set[str]:
+        from rottnest_spark.sources.delta import delta_known_files
+
+        return set(delta_known_files(self._table_path))
+
+
+class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):
+    """Iceberg table with the full DML surface: mutations commit new
+    snapshots (sources/iceberg_write.py); prior snapshots stay in the
+    log for history-aware vacuum / time travel."""
+
+    def _commit(self, add: list[str], remove: list[str]) -> None:
+        from rottnest_spark.sources.iceberg_write import iceberg_commit
+
+        iceberg_commit(
+            self._table_path, add=add or None, remove=remove or None, fs=self.fs
+        )
+
+    def _known_files(self) -> set[str]:
+        from rottnest_spark.sources.iceberg import (
+            _current_metadata,
+            _snapshot_data_files,
+        )
+
+        md = _current_metadata(self._table_path)
+        known: set[str] = set()
+        for s in md.get("snapshots", []):
+            known |= _snapshot_data_files(md, s, self._table_path)
+        return known
