@@ -106,6 +106,30 @@ def main() -> None:
             "iceberg: rewrite snapshot committed; history window still "
             "reaches the removed file (time-travel liveness for vacuum)"
         )
+
+        # -- full DML through the writable lakes --------------------------
+        from rottnest_spark.indices.exact import ExactIndex
+        from rottnest_spark.sources.writable import DeltaWritableLake
+
+        wt = os.path.join(work, "writable_delta")
+        delta_write(docs.filter("doc_id < 400").repartition(3), wt)
+        wlake = DeltaWritableLake(spark, wt, os.path.join(work, "widx"))
+        wlake.build_index(idx, "text")
+        wlake.append(docs.filter("doc_id >= 400"))
+        eidx = ExactIndex()
+        wlake.build_index(eidx, "doc_id")
+        victim_id = oracle[0]
+        wlake.delete_matching(eidx, "doc_id", victim_id)
+        wlake.compact_files(target_rows=10_000)
+        final = sorted(
+            r["doc_id"] for r in wlake.search(idx, "text", q).collect()
+        )
+        assert final == [d for d in oracle if d != victim_id]
+        print(
+            "writable delta lake: append + row delete + compaction all "
+            "landed as log commits; indexed search exact throughout "
+            f"({len(final)} rows, deleted row stays gone)"
+        )
         print("TOUR OK")
     finally:
         shutil.rmtree(work, ignore_errors=True)
