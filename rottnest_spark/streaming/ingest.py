@@ -66,6 +66,67 @@ def stream_ingest_dedup(
     )
 
 
+def stream_ingest_to_table(
+    spark,
+    src_dir: str,
+    schema,
+    lake,
+    checkpoint_dir: str,
+    dedup_key: str | None = None,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int = 64,
+) -> list[dict]:
+    """Continuous ingestion into a FORMAT-BACKED lake: each micro-batch
+    lands through `lake.append` — on a DeltaWritableLake /
+    IcebergWritableLake that is ONE atomic transaction-log commit per
+    batch, readable by any spec engine the moment it lands.
+
+    With `dedup_key`, each batch first drops intra-batch duplicates and
+    LEFT ANTI joins the lake's exact-index key table (the
+    stream_ingest_dedup discipline) — which also makes crash-replays
+    effectively idempotent for keyed data: a batch re-run after a crash
+    between append and checkpoint re-commits only keys the first attempt
+    failed to land. Without a key, replays are at-least-once (the
+    standard foreachBatch contract — stated, not hidden).
+
+    Returns per-batch {"batch": id, "rows": n, "files": n} stats."""
+    stats: list[dict] = []
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df
+        if dedup_key is not None:
+            b = b.dropDuplicates([dedup_key])
+            keys = keys_already_in_lake(lake, dedup_key).withColumnRenamed(
+                "key", "__lake_key__"
+            )
+            b = b.join(
+                keys, b[dedup_key] == F.col("__lake_key__"), "left_anti"
+            )
+            b = b.localCheckpoint(eager=True)  # pin before count + write
+            if b.isEmpty():
+                return
+        new = lake.append(b)
+        stats.append(
+            {"batch": int(batch_id), "rows": b.count(), "files": len(new)}
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stats
+
+
 def stream_ingest_neardedup(
     spark,
     src_dir: str,
