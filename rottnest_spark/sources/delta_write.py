@@ -161,6 +161,46 @@ def delta_commit(
     return _write_commit(log_dir, _next_version(log_dir, fs), actions, fs)
 
 
+def delta_commit_retry(
+    table_path: str,
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    fs: LakeFS | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Optimistic-concurrency commit: on losing a version race
+    (FileExistsError from the exclusive create), re-read the log and
+    retry at the next version — with Delta's conflict semantics:
+
+    - pure ADDs always retry blindly (appends commute);
+    - REMOVEs revalidate against the winner's snapshot first: if a file
+      this commit wants to remove is no longer live, a concurrent writer
+      removed (rewrote) it — retrying blindly would corrupt the table,
+      so a ConcurrentDeleteError-style ValueError is raised for the
+      caller to re-plan its rewrite.
+    """
+    fs = fs or LocalFS()
+    last: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            return delta_commit(table_path, add=add, remove=remove, fs=fs)
+        except FileExistsError as exc:
+            last = exc
+            if remove:
+                from rottnest_spark.sources.delta import delta_live_files
+
+                live = set(delta_live_files(table_path))
+                gone = [f for f in remove if f not in live]
+                if gone:
+                    raise ValueError(
+                        "concurrent writer removed files this commit "
+                        f"also removes: {gone} — re-plan the rewrite"
+                    ) from exc
+    raise TimeoutError(
+        f"could not claim a commit version after {max_retries} retries"
+    ) from last
+
+
 def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
     """Write a single-part parquet checkpoint of the current snapshot +
     the `_last_checkpoint` pointer. Readers then replay only commits

@@ -91,14 +91,17 @@ class DeltaWritableLake(_FormatDML, DeltaSnapshotLake):
     add/remove actions to _delta_log (sources/delta_write.py)."""
 
     def _commit(self, add: list[str], remove: list[str]) -> None:
-        from rottnest_spark.sources.delta_write import delta_commit
+        from rottnest_spark.sources.delta_write import delta_commit_retry
 
         if self._version_as_of is not None:
             raise ValueError(
                 "lake is pinned to versionAsOf "
                 f"{self._version_as_of} — time-travel views are read-only"
             )
-        delta_commit(
+        # OCC: pure-add commits (appends) retry through version races;
+        # remove-containing commits revalidate the removals against the
+        # winner's snapshot and raise for a re-plan if they conflict
+        delta_commit_retry(
             self._table_path,
             add=add or None,
             remove=remove or None,

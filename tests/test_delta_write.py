@@ -132,6 +132,60 @@ def test_delta_write_dataframe_roundtrip(spark, sf_dir, tmp_path):
         delta_write(df, out)
 
 
+def test_concurrent_add_commits_all_land(spark, sf_dir, table, tmp_path):
+    """8 processes blind-append concurrently with OCC retry: every add
+    lands in SOME version, no version is written twice, the final
+    snapshot holds all files."""
+    import subprocess
+    import sys
+
+    delta_convert(table)
+    # stage 8 extra files to add (one per process)
+    extras = []
+    for i in range(8):
+        p = str(tmp_path / f"x{i}")
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") == 300 + i)
+            .coalesce(1)
+            .write.parquet(p)
+        )
+        import shutil
+
+        dst = os.path.join(table, f"part-x{i}.parquet")
+        shutil.move(glob.glob(p + "/*.parquet")[0], dst)
+        shutil.rmtree(p)
+        extras.append(dst)
+
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+from rottnest_spark.sources.delta_write import delta_commit_retry
+v = delta_commit_retry({table!r}, add=[sys.argv[1]])
+print("committed", v)
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code.format(repo=repo, table=table), f],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for f in extras
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-400:]
+    live = set(delta_live_files(table))
+    assert set(extras) <= live
+    # versions are contiguous and unique (no clobbered commits)
+    versions = sorted(
+        int(os.path.basename(c).split(".")[0])
+        for c in glob.glob(table + "/_delta_log/*.json")
+    )
+    assert versions == list(range(len(versions)))
+
+
 def test_concurrent_version_claim_loses_cleanly(table):
     delta_convert(table)
     f = sorted(glob.glob(table + "/*.parquet"))[0]
