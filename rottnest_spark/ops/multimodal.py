@@ -97,25 +97,64 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 
 
 def _decode_real(payload: bytes) -> np.ndarray:
-    # STUB: real codec decode requires PIL/av, not present in this
-    # container. Replace this function body in a full environment.
+    # STUB for COMPRESSED codecs only (JPEG/PNG/MP4 need PIL/libav, not
+    # in this container). Uncompressed containers decode for real below
+    # (`_make_decoder`): BMP and PCM WAV are pure-struct formats.
     raise NotImplementedError(
-        "real media codecs unavailable in this environment; payload must "
-        "start with FAKE_MAGIC"
+        "compressed media codecs unavailable in this environment; "
+        "supported payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV"
+    )
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder (grayscale 2-D input,
+    each pixel replicated to BGR) — real spec bytes, used by tests and
+    demos to exercise the real decode path."""
+    h, w = px.shape
+    row = (w * 3 + 3) & ~3  # 4-byte row padding
+    size = 54 + row * h
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        r = bytearray()
+        for x in range(w):
+            v = int(px[y, x])
+            r += bytes((v, v, v))
+        r += b"\x00" * (row - len(r))
+        body += r
+    return head + info + bytes(body)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal PCM16 mono WAV encoder — real spec bytes for tests."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
     )
 
 
 def decode_pixels(payload: bytes) -> np.ndarray:
-    if payload[:4] == FAKE_MAGIC:
-        return _decode_fake(payload)
-    return _decode_real(payload)
+    return _make_decoder()(payload)
 
 
 def _make_decoder():
     """Self-contained decoder closure for executor shipping: module-level
     functions pickle BY REFERENCE (workers would need this package on their
     PYTHONPATH — not true for the driver-contract sessions), so executor
-    code must capture a by-value closure instead of decode_pixels itself."""
+    code must capture a by-value closure instead of decode_pixels itself.
+
+    REAL codecs handled in-repo (pure struct+numpy, public specs):
+    - BMP, uncompressed 8-bit or 24-bit (BITMAPINFOHEADER): returns a
+      2-D uint8 array (24-bit converted to BT.601 luma), honoring row
+      padding and bottom-up storage;
+    - WAV, PCM 8/16-bit (RIFF chunks walked properly): returns an
+      (n_samples, channels) int32 array.
+    The FAKE codec stays for deterministic fixtures; compressed codecs
+    (JPEG/PNG/MP4) raise with the swap instruction."""
     magic = FAKE_MAGIC
 
     def decode(payload: bytes):
@@ -128,9 +167,62 @@ def _make_decoder():
             return _np.frombuffer(
                 payload[8 : 8 + h * w], dtype=_np.uint8
             ).reshape(h, w)
+        if payload[:2] == b"BM":  # uncompressed BMP
+            off, = _struct.unpack_from("<I", payload, 10)
+            hdr, = _struct.unpack_from("<I", payload, 14)
+            w, h = _struct.unpack_from("<ii", payload, 18)
+            bpp, = _struct.unpack_from("<H", payload, 28)
+            comp, = _struct.unpack_from("<I", payload, 30)
+            if comp != 0 or bpp not in (8, 24) or hdr < 40:
+                raise NotImplementedError(
+                    f"BMP variant unsupported (bpp={bpp}, compression={comp})"
+                )
+            flip, h = h > 0, abs(h)
+            bytes_px = bpp // 8
+            row = (w * bytes_px + 3) & ~3
+            out = _np.empty((h, w), dtype=_np.uint8)
+            for i in range(h):
+                line = _np.frombuffer(
+                    payload, dtype=_np.uint8, count=w * bytes_px,
+                    offset=off + i * row,
+                )
+                y = h - 1 - i if flip else i
+                if bpp == 8:
+                    out[y] = line
+                else:  # BGR -> BT.601 luma
+                    b = line[0::3].astype(_np.float32)
+                    g = line[1::3].astype(_np.float32)
+                    r = line[2::3].astype(_np.float32)
+                    out[y] = (0.114 * b + 0.587 * g + 0.299 * r).astype(
+                        _np.uint8
+                    )
+            return out
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos, n = 12, len(payload)
+            fmt = None
+            while pos + 8 <= n:
+                cid = payload[pos : pos + 4]
+                clen, = _struct.unpack_from("<I", payload, pos + 4)
+                body = payload[pos + 8 : pos + 8 + clen]
+                if cid == b"fmt ":
+                    fmt = _struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    if fmt is None:
+                        raise ValueError("WAV data chunk before fmt")
+                    audio_fmt, ch, _rate, _bps, _ba, bits = fmt
+                    if audio_fmt != 1 or bits not in (8, 16):
+                        raise NotImplementedError(
+                            f"WAV variant unsupported (fmt={audio_fmt}, "
+                            f"bits={bits})"
+                        )
+                    dt = _np.uint8 if bits == 8 else _np.dtype("<i2")
+                    arr = _np.frombuffer(body, dtype=dt)
+                    return arr.reshape(-1, ch).astype(_np.int32)
+                pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+            raise ValueError("WAV has no data chunk")
         raise NotImplementedError(
-            "real media codecs unavailable in this environment; payload "
-            "must start with FAKE_MAGIC"
+            "compressed media codecs unavailable in this environment; "
+            "supported payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV"
         )
 
     return decode

@@ -64,3 +64,63 @@ def test_frame_sample_counts(spark, media):
 def test_real_codec_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_pixels(b"\xff\xd8\xff\xe0 fake jpeg header")
+
+
+# -- real codecs (round 4b): BMP + PCM WAV decode for real -------------------
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import decode_pixels, encode_bmp
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(11, 7), dtype=np.uint8)  # odd width: padding
+    payload = encode_bmp(px)
+    assert payload[:2] == b"BM"
+    got = decode_pixels(payload)
+    # gray pixels: luma of (v,v,v) == v (exact roundtrip)
+    assert got.shape == px.shape
+    assert (got == px).all()
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import decode_pixels, encode_wav
+
+    t = np.arange(800)
+    samples = (np.sin(t / 10.0) * 20000).astype(np.int16)
+    payload = encode_wav(samples, rate=8000)
+    got = decode_pixels(payload)
+    assert got.shape == (800, 1)
+    assert (got[:, 0] == samples.astype(np.int32)).all()
+
+
+def test_decode_meta_over_real_bmp(spark):
+    """The decode pipeline stage handles REAL BMP payloads mixed with the
+    FAKE fixture codec in one batch."""
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import decode_meta, encode_bmp
+
+    rows = []
+    for i in range(6):
+        px = np.full((4 + i, 5), i * 10, dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_bmp(px))))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_meta(df).collect()}
+    for i in range(6):
+        assert out[i]["height"] == 4 + i and out[i]["width"] == 5
+        assert out[i]["pixel_sum"] == (4 + i) * 5 * i * 10
+
+
+def test_unsupported_codec_raises_clearly():
+    import pytest as _pytest
+
+    from rottnest_spark.ops.multimodal import decode_pixels
+
+    with _pytest.raises(NotImplementedError, match="BMP|WAV|FAKE"):
+        decode_pixels(b"\x89PNG\r\n\x1a\n....")
