@@ -9,11 +9,12 @@ Convention: media rows are
 
 The Spark-side machinery here is REAL and tested: schemas, Arrow batch
 shapes, mapInPandas signatures, partitioning, and byte-level feature
-extraction (numpy over Arrow batches). Only the codec decode itself is
-stubbed: this container ships no image/audio libraries, so `decode_media`
-understands a deterministic FAKE codec (see `FAKE_MAGIC`) and raises
-`NotImplementedError` for real codecs — swap `_decode_real` for a
-PIL/libav call in a full environment and nothing else changes.
+extraction (numpy over Arrow batches). Decode handles the UNCOMPRESSED
+containers for real — BMP 8/24-bit and PCM WAV 8/16-bit are pure-struct
+public specs (see `_make_decoder`) — plus the deterministic FAKE fixture
+codec; only COMPRESSED codecs (JPEG/PNG/MP4, which need PIL/libav — not
+in this container) raise `NotImplementedError`, and swapping
+`_decode_real` for a real library call changes nothing else.
 
 Scale notes:
 - Binary payloads make rows wide: batches are bounded by
@@ -346,3 +347,78 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
 
     schema = "media_id long, frame_id int, frame binary"
     return df.select("media_id", "payload").mapInPandas(fs, schema)
+
+
+def media_quality(df: DataFrame) -> DataFrame:
+    """Per-media quality signals for multimodal curation — the decode-based
+    analog of the text quality filter (ops/textstats.py): decode each
+    payload (FAKE/BMP images, PCM WAV audio) and emit the signals a
+    filtering stage thresholds on.
+
+    images (2-D uint8): brightness (mean), contrast (std), entropy of the
+    256-bin histogram, extreme_frac (share of pixels at 0 or 255 —
+    blown/black frames);
+    audio ((n, ch) int): rms (loudness), zero-crossing rate (noisiness),
+    clip_frac (share of samples at the int16 rails — distorted takes),
+    n_samples.
+
+    One Arrow-batched pass, numpy only; composes with quality_weighted /
+    stratified sampling downstream exactly like the text signals."""
+
+    decode = _make_decoder()
+
+    def q(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {
+            "media_id": [], "kind": [], "brightness": [], "contrast": [],
+            "entropy": [], "extreme_frac": [], "rms": [], "zcr": [],
+            "clip_frac": [], "n_samples": [],
+        }
+        for pdf in batches:
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                arr = decode(payload)
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                if kind == "audio":
+                    s = arr[:, 0].astype(np.float64)
+                    n = max(len(s), 1)
+                    rows["rms"].append(float(np.sqrt((s * s).mean()))
+                                       if len(s) else 0.0)
+                    rows["zcr"].append(
+                        float((np.signbit(s[1:]) != np.signbit(s[:-1])).mean())
+                        if len(s) > 1 else 0.0
+                    )
+                    rows["clip_frac"].append(
+                        float((np.abs(s) >= 32767).mean()) if len(s) else 0.0
+                    )
+                    rows["n_samples"].append(int(arr.shape[0]))
+                    rows["brightness"].append(None)
+                    rows["contrast"].append(None)
+                    rows["entropy"].append(None)
+                    rows["extreme_frac"].append(None)
+                else:
+                    px = arr.astype(np.float64)
+                    n = max(px.size, 1)
+                    hist = np.bincount(
+                        arr.reshape(-1).astype(np.uint8), minlength=256
+                    ) / n
+                    nz = hist[hist > 0]
+                    rows["brightness"].append(float(px.mean()))
+                    rows["contrast"].append(float(px.std()))
+                    rows["entropy"].append(float(-(nz * np.log2(nz)).sum()))
+                    rows["extreme_frac"].append(
+                        float(((arr == 0) | (arr == 255)).mean())
+                    )
+                    rows["rms"].append(None)
+                    rows["zcr"].append(None)
+                    rows["clip_frac"].append(None)
+                    rows["n_samples"].append(None)
+        yield pd.DataFrame(rows)
+
+    schema = (
+        "media_id long, kind string, brightness double, contrast double, "
+        "entropy double, extreme_frac double, rms double, zcr double, "
+        "clip_frac double, n_samples long"
+    )
+    return df.select("media_id", "kind", "payload").mapInPandas(q, schema)

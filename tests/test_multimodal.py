@@ -124,3 +124,35 @@ def test_unsupported_codec_raises_clearly():
 
     with _pytest.raises(NotImplementedError, match="BMP|WAV|FAKE"):
         decode_pixels(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_media_quality_signals(spark):
+    """Decode-based curation signals: image brightness/contrast/entropy/
+    extremes and audio rms/zcr/clipping, hand-checked values."""
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import (
+        encode_bmp,
+        encode_wav,
+        media_quality,
+    )
+
+    flat = np.full((10, 10), 128, dtype=np.uint8)        # zero contrast
+    blown = np.full((10, 10), 255, dtype=np.uint8)       # all extreme
+    quiet = np.zeros(400, dtype=np.int16)                # silent audio
+    clipped = np.full(400, 32767, dtype=np.int16)        # fully clipped
+    rows = [
+        (0, "image", bytearray(encode_bmp(flat))),
+        (1, "image", bytearray(encode_bmp(blown))),
+        (2, "audio", bytearray(encode_wav(quiet))),
+        (3, "audio", bytearray(encode_wav(clipped))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in media_quality(df).collect()}
+    assert out[0]["brightness"] == 128.0 and out[0]["contrast"] == 0.0
+    assert out[0]["entropy"] == 0.0 and out[0]["extreme_frac"] == 0.0
+    assert out[1]["extreme_frac"] == 1.0
+    assert out[2]["rms"] == 0.0 and out[2]["clip_frac"] == 0.0
+    assert out[3]["clip_frac"] == 1.0 and out[3]["rms"] == 32767.0
+    assert out[2]["n_samples"] == 400 and out[2]["brightness"] is None
+    assert out[0]["rms"] is None
