@@ -983,6 +983,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-based multimodal quality signals (brightness/contrast/
+    entropy/extremes) over deterministic synthetic media. No SQL oracle —
+    decode isn't SQL-expressible; rows-only check + hand-checked values
+    in tests/test_multimodal.py."""
+    media = multimodal.synthesize_media(spark, 256)
+    return multimodal.media_quality(media).select(
+        "media_id",
+        "kind",
+        F.round("brightness", 2).alias("brightness"),
+        F.round("contrast", 2).alias("contrast"),
+        F.round("entropy", 3).alias("entropy"),
+    )
+
+
 def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling (dataset mixing): hash-
     bucket membership, reproducible across runs and engines."""
@@ -2722,6 +2737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_knn_pq": q_vector_knn_pq,
     "vector_knn_vamana": q_vector_knn_vamana,
     "media_features": q_media_features,
+    "media_quality": q_media_quality,
     "semantic_dedup": q_semantic_dedup,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "unigram_logprob": q_unigram_logprob,

@@ -174,6 +174,55 @@ def test_config_mismatch_raises(spark, docs_lake_dir, tmp_path):
         lake.search(SuffixArrayIndex(prefix_len=8), "text", "merge sort").collect()
 
 
+def test_row_group_granularity(spark, sf_dir, tmp_path):
+    """granularity='row_group' prunes WITHIN files; search stays exact."""
+    data = str(tmp_path / "d")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .coalesce(1)
+        .write.option("parquet.block.size", 16 * 1024)
+        .parquet(data)
+    )
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    idx = SuffixArrayIndex(granularity="row_group")
+    lake.build_index(idx, "text")
+    paths = [e["index_path"] for e in lake.catalog.entries_for("suffix", "text")]
+    idx_df = spark.read.parquet(*paths)
+    assert idx_df.select("row_group").distinct().count() > 1  # sub-file units
+    q = "batch part"
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert got == oracle_ids(spark, data, q)
+
+
+def test_suffix_composes_in_disjunction(spark, docs_lake_dir, tmp_path):
+    """OR-composition across index types: suffix containment OR exact
+    doc_id lookup, one disjunctive search, exact vs the OR-oracle."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.indices.exact import ExactIndex
+
+    lake = ParquetLake(spark, docs_lake_dir, str(tmp_path / "idx"))
+    sfx = SuffixArrayIndex()
+    ex = ExactIndex()
+    lake.build_index(sfx, "text")
+    lake.build_index(ex, "doc_id")
+    got = sorted(
+        r["doc_id"]
+        for r in lake.search_disj(
+            [(sfx, "text", "batch part"), (ex, "doc_id", 7)]
+        ).collect()
+    )
+    df = spark.read.parquet(docs_lake_dir)
+    want = sorted(
+        r["doc_id"]
+        for r in df.filter(
+            F.contains(F.lower("text"), F.lit("batch part"))
+            | (F.col("doc_id") == 7)
+        ).collect()
+    )
+    assert got == want and 7 in got
+
+
 def test_index_from_config_roundtrip(spark):
     from rottnest_spark.indices import index_from_config
 
