@@ -139,6 +139,27 @@ def _iceberg_schema(parquet_file: str) -> dict:
     }
 
 
+def _latest_metadata(table_path: str, fs: LakeFS) -> tuple[int, dict | None]:
+    """(version, metadata) of the NEWEST metadata file by filename version
+    — the WRITE-path state read. Writers must not use the version-hint
+    here: the hint trails the metadata create by a window, and rebasing a
+    retry on hint-state while allocating glob-max+1 versions would drop
+    the winner's snapshot (lost update). Reading max-version state and
+    claiming exactly version+1 makes any interleaving hit the exclusive
+    create and retry on fresh state."""
+    meta_dir = _meta_dir(table_path)
+    import re
+
+    best_v, best_f = 0, None
+    for f in fs.glob(os.path.join(meta_dir, "*.metadata.json")):
+        m = re.match(r"v?(\d+)", os.path.basename(f))
+        if m and int(m.group(1)) > best_v:
+            best_v, best_f = int(m.group(1)), f
+    if best_f is None:
+        return 0, None
+    return best_v, json.loads(fs.read_text(best_f))
+
+
 def _commit_snapshot(
     table_path: str,
     live: list[str],
@@ -147,10 +168,12 @@ def _commit_snapshot(
     fs: LakeFS,
     timestamp_ms: int | None,
     prior: dict | None,
+    version: int | None = None,
 ) -> int:
     meta_dir = _meta_dir(table_path)
     fs.makedirs(meta_dir)
-    version = _current_version(meta_dir, fs) + 1
+    if version is None:
+        version = _current_version(meta_dir, fs) + 1
     snap_id = version
     ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     added_set, removed_set = set(added), set(removed)
@@ -246,12 +269,29 @@ def iceberg_commit(
 ) -> int:
     """Commit a data-file change set as a new snapshot (prior snapshots
     stay in the log — `iceberg_history_files` time travel works over
-    them). Returns the new snapshot id."""
-    from rottnest_spark.sources.iceberg import _current_metadata, iceberg_live_files
+    them). Returns the new snapshot id.
+
+    Base state comes from the NEWEST metadata file (not the version
+    hint), and the commit claims exactly that version + 1 — so a
+    concurrent winner's snapshot can never be rebased away (see
+    `_latest_metadata`); the loser's exclusive create fails and
+    `iceberg_commit_retry` re-reads."""
+    from rottnest_spark.sources.iceberg import _snapshot_data_files
 
     fs = fs or LocalFS()
-    prior = _current_metadata(table_path)
-    live = set(iceberg_live_files(table_path))
+    prior_version, prior = _latest_metadata(table_path, fs)
+    if prior is None:
+        raise ValueError(
+            f"{table_path} is not an Iceberg table — iceberg_convert first"
+        )
+    snaps = prior.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur = prior.get("current-snapshot-id")
+    live = (
+        _snapshot_data_files(prior, by_id[cur], table_path)
+        if cur in by_id
+        else set()
+    )
     add = [os.path.abspath(f) for f in (add or [])]
     remove = [os.path.abspath(f) for f in (remove or [])]
     if not add and not remove:
@@ -261,8 +301,38 @@ def iceberg_commit(
         raise ValueError(f"cannot remove files not in the snapshot: {missing}")
     new_live = sorted((live - set(remove)) | set(add))
     return _commit_snapshot(
-        table_path, new_live, add, remove, fs, timestamp_ms, prior=prior
+        table_path, new_live, add, remove, fs, timestamp_ms, prior=prior,
+        version=prior_version + 1,
     )
+
+
+def iceberg_commit_retry(
+    table_path: str,
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Optimistic-concurrency snapshot commit (the delta_commit_retry
+    discipline): on losing the vN.metadata.json exclusive-create race,
+    re-read the (now newer) table state and retry — pure adds retry
+    blindly; removals are revalidated by iceberg_commit itself against
+    the fresh snapshot (it raises on files no longer live, the
+    concurrent-rewrite conflict a caller must re-plan)."""
+    fs = fs or LocalFS()
+    last: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            return iceberg_commit(
+                table_path, add=add, remove=remove, fs=fs,
+                timestamp_ms=timestamp_ms,
+            )
+        except FileExistsError as exc:
+            last = exc
+    raise TimeoutError(
+        f"could not claim a metadata version after {max_retries} retries"
+    ) from last
 
 
 def iceberg_write(

@@ -120,9 +120,9 @@ class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):
     log for history-aware vacuum / time travel."""
 
     def _commit(self, add: list[str], remove: list[str]) -> None:
-        from rottnest_spark.sources.iceberg_write import iceberg_commit
+        from rottnest_spark.sources.iceberg_write import iceberg_commit_retry
 
-        iceberg_commit(
+        iceberg_commit_retry(
             self._table_path, add=add or None, remove=remove or None, fs=self.fs
         )
 

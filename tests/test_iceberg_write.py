@@ -104,6 +104,54 @@ def test_snapshot_lake_over_own_metadata(spark, table, tmp_path, sf_dir):
     assert set(after) <= set(want) and len(after) < len(want)
 
 
+def test_concurrent_snapshot_commits_all_land(spark, sf_dir, table, tmp_path):
+    """6 processes append concurrently with OCC retry: every add lands,
+    metadata versions stay unique and contiguous."""
+    import subprocess
+    import sys
+    import shutil
+
+    iceberg_convert(table)
+    extras = []
+    for i in range(6):
+        p = str(tmp_path / f"x{i}")
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") == 300 + i)
+            .coalesce(1)
+            .write.parquet(p)
+        )
+        dst = os.path.join(table, f"part-x{i}.parquet")
+        shutil.move(glob.glob(p + "/*.parquet")[0], dst)
+        shutil.rmtree(p)
+        extras.append(dst)
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from rottnest_spark.sources.iceberg_write import iceberg_commit_retry\n"
+        f"print(iceberg_commit_retry({table!r}, add=[sys.argv[1]]))\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, f],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for f in extras
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-400:]
+    live = set(iceberg_live_files(table))
+    assert {os.path.abspath(f) for f in extras} <= live
+    import re
+
+    versions = sorted(
+        int(re.match(r"v(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(table + "/metadata/v*.metadata.json")
+    )
+    assert versions == list(range(1, len(versions) + 1))
+
+
 def test_iceberg_write_dataframe_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "iw")
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
