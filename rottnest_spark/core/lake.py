@@ -1385,13 +1385,16 @@ class ParquetLake:
 
         from rottnest_spark.indices import index_from_config
 
-        vacuumed = self.vacuum(orphan_min_age_sec=orphan_min_age_sec)
+        # snapshot combos BEFORE vacuum: when data churn replaced EVERY
+        # file a combo covered, all its entries are orphans — vacuum-first
+        # would forget the combo existed and silently stop maintaining it
         combos: dict = {}
         for e in self.catalog.entries():
             combos.setdefault(
                 (e["index_type"], e["column_name"]),
                 json.loads(e.get("config") or "{}"),
             )
+        vacuumed = self.vacuum(orphan_min_age_sec=orphan_min_age_sec)
         built = {}
         for (itype, column), cfg in sorted(combos.items()):
             idx = index_from_config(itype, cfg)
@@ -1399,6 +1402,59 @@ class ParquetLake:
             if names:
                 built[f"{itype}:{column}"] = names
         return {"vacuumed": vacuumed, "built": built}
+
+    def optimize(
+        self,
+        target_rows: int = 4_000_000,
+        index_row_threshold: int = 100_000_000,
+        orphan_min_age_sec: float = 0.0,
+        timeout: float | None = None,
+    ) -> dict:
+        """One-call table maintenance (the OPTIMIZE entry point): the four
+        upkeep passes in the one order that never leaves the table worse
+        than it found it —
+
+        1. data compaction (small files → ~target_rows files; atomic
+           manifest swap, searches exact throughout);
+        2. index refresh (vacuum entries orphaned by the rewrite, then
+           re-index every uncovered live file per recorded config);
+        3. index compaction (merge small same-config entries so probes
+           scan one sorted table per combo);
+        4. vacuum (reclaim orphan dirs past the age guard).
+
+        Works on plain, Delta-backed, and Iceberg-backed lakes alike: the
+        writable format lakes commit the data rewrite to their logs
+        through the same choke points every mutation uses. Returns a
+        report of what each pass did."""
+        import json
+
+        from rottnest_spark.indices import index_from_config
+
+        new_files = self.compact_files(target_rows=target_rows)
+        refreshed = self.refresh_indices(
+            orphan_min_age_sec=orphan_min_age_sec, timeout=timeout
+        )
+        combos: dict = {}
+        for e in self.catalog.entries():
+            combos.setdefault(
+                (e["index_type"], e["column_name"]),
+                json.loads(e.get("config") or "{}"),
+            )
+        index_compacted = {}
+        for (itype, column), cfg in sorted(combos.items()):
+            idx = index_from_config(itype, cfg)
+            merged = self.compact_indices(
+                idx, column, row_threshold=index_row_threshold, timeout=timeout
+            )
+            if merged:
+                index_compacted[f"{itype}:{column}"] = merged
+        vacuumed = self.vacuum(orphan_min_age_sec=orphan_min_age_sec)
+        return {
+            "data_files_compacted": new_files,
+            "indices_refreshed": refreshed,
+            "indices_compacted": index_compacted,
+            "vacuumed": vacuumed,
+        }
 
     # -- time travel (plain-prefix snapshots) ---------------------------------
 

@@ -137,3 +137,66 @@ def test_repair_rolls_back_partial_publish(spark, sf_dir, tmp_path):
     # rollback: the half-published file is gone, originals untouched
     assert not os.path.exists(pub[0])
     assert _rows(spark, lake_dir) == before
+
+
+def test_optimize_one_call_maintenance(spark, sf_dir, tmp_path):
+    """lake.optimize(): data compaction + index refresh + index compaction
+    + vacuum in one call; search exact before, during churn, and after."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark import ParquetLake
+    from rottnest_spark.indices import SubstringIndex
+
+    data = str(tmp_path / "lake")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(6).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text", binpack_row_threshold=1)  # entry per file
+    assert len(lake.catalog.entries_for("substring", "text")) == 6
+    q = "merge sort"
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.contains(F.lower("text"), F.lit(q))).collect()
+    )
+    report = lake.optimize(target_rows=10_000)
+    # small files merged, indexes refreshed over the new files, entries
+    # compacted down, orphans reclaimed
+    assert report["data_files_compacted"]
+    assert report["indices_refreshed"]["built"]
+    assert len(lake.catalog.entries_for("substring", "text")) == 1
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert got == want
+    lake.catalog.validate()
+
+
+def test_optimize_on_writable_delta_lake(spark, sf_dir, tmp_path):
+    """optimize() on a Delta-backed lake: the data rewrite lands as a log
+    commit and the snapshot search stays exact."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.indices import SubstringIndex
+    from rottnest_spark.sources.delta import delta_live_files
+    from rottnest_spark.sources.delta_write import delta_write
+    from rottnest_spark.sources.writable import DeltaWritableLake
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = str(tmp_path / "dt")
+    delta_write(docs.repartition(6), table)
+    lake = DeltaWritableLake(spark, table, str(tmp_path / "idx"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    pre_commits = len(_glob.glob(table + "/_delta_log/*.json"))
+    report = lake.optimize(target_rows=10_000)
+    assert report["data_files_compacted"]
+    assert len(_glob.glob(table + "/_delta_log/*.json")) > pre_commits
+    assert set(report["data_files_compacted"]) <= set(delta_live_files(table))
+    q = "merge sort"
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.contains(F.lower("text"), F.lit(q))).collect()
+    )
+    assert got == want
