@@ -2384,7 +2384,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         _supply(spark, sf_dir)
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        # no broadcast hint: the != / NOT-prefix filter keeps ~95% of
+        # part (GBs at SF100) — shuffle join on the part key, AQE decides.
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(bad_supp),
             F.col("ps_suppkey") == F.col("s_suppkey"),
@@ -2421,8 +2423,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("qty").alias("total_qty")
     )
+    # per_part is derived from lineitem — fact-scale at high SF; both
+    # sides are keyed on the part key, so the shuffle join co-locates and
+    # AQE broadcasts only when the name filter really made it small.
     qualifying = per_pair.join(
-        F.broadcast(per_part), F.col("l_partkey") == F.col("pk")
+        per_part, F.col("l_partkey") == F.col("pk")
     ).filter(F.col("qty") > 0.5 * F.col("total_qty"))
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -2475,7 +2480,10 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("late"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(per_order), "l_orderkey")
+        # per_order is one row per 'F' order — ~100M rows at SF100, never
+        # broadcastable; both sides shuffle on l_orderkey (same key as the
+        # aggregate that produced per_order, so AQE can reuse exchanges).
+        .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (

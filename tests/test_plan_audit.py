@@ -30,6 +30,94 @@ def test_no_forbidden_physical_operators(spark, sf_dir, name):
         assert op not in plan, f"{name}: forbidden operator {op} in plan:\n{plan}"
 
 
+def _fact_tainted_broadcasts():
+    """AST sweep of entrypoints.py: every explicit ``F.broadcast(x)`` where
+    ``x`` (transitively) derives from a fact table (lineitem / orders,
+    including the lineitem-derived ``_supply`` relation).
+
+    A broadcast hint forces the exchange regardless of runtime size, so a
+    hint on a fact-derived frame is the classic 100×-scale killer: it may
+    fit at sf0.1 and OOM every executor at SF100.  Dimension broadcasts
+    (region/nation/customer/supplier/part after selective filters) are fine
+    and not flagged.
+    """
+    import ast
+    import inspect
+
+    src = inspect.getsource(ep)
+    tree = ast.parse(src)
+    FACTS = {"lineitem", "orders"}
+    flagged = set()
+
+    def names_in(node):
+        return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+
+    def load_tables_in(node):
+        out = set()
+        for n in ast.walk(node):
+            if isinstance(n, ast.Call):
+                fn = n.func
+                if isinstance(fn, ast.Name) and fn.id == "load":
+                    for a in n.args:
+                        if isinstance(a, ast.Constant) and a.value in FACTS:
+                            out.add(a.value)
+                if isinstance(fn, ast.Name) and fn.id == "_supply":
+                    out.add("lineitem")
+        return out
+
+    for fn in tree.body:
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        taint = {}  # var name -> set of fact tables it derives from
+
+        def expr_taint(node):
+            t = set(load_tables_in(node))
+            for name in names_in(node):
+                t |= taint.get(name, set())
+            return t
+
+        for stmt in ast.walk(fn):
+            if isinstance(stmt, ast.Assign) and len(stmt.targets) == 1 and isinstance(
+                stmt.targets[0], ast.Name
+            ):
+                taint[stmt.targets[0].id] = expr_taint(stmt.value)
+            elif isinstance(stmt, ast.Call):
+                f = stmt.func
+                is_bc = (isinstance(f, ast.Attribute) and f.attr == "broadcast") or (
+                    isinstance(f, ast.Name) and f.id == "broadcast"
+                )
+                if is_bc and stmt.args:
+                    t = expr_taint(stmt.args[0])
+                    if t & FACTS:
+                        arg = ast.unparse(stmt.args[0])
+                        flagged.add((fn.name, arg.split(".")[0]))
+    return flagged
+
+
+# Fact-derived broadcasts that are provably tiny at any SF, with why:
+#   q15 `top`      — global max over the per-supplier aggregate: ≤ a few rows.
+#   q17 `avg_q`    — per-part average for ONE brand × ONE container
+#                    (~0.1% of part); bounded by the dimension, not the fact.
+#   q2  `min_cost` — per-part min cost for parts matching ONE type and ONE
+#                    size (~0.1% of part).
+# Anything NOT in this list that broadcasts a lineitem/orders-derived frame
+# fails the audit — add here only with a size argument that holds at SF100.
+ALLOWED_FACT_BROADCASTS = {
+    ("q_tpch_q15", "top"),
+    ("q_tpch_q17", "avg_q"),
+    ("q_tpch_q2", "min_cost"),
+}
+
+
+def test_no_unjustified_fact_scale_broadcasts():
+    extra = _fact_tainted_broadcasts() - ALLOWED_FACT_BROADCASTS
+    assert not extra, (
+        "explicit broadcast() on fact-derived frames (scale hazard): "
+        f"{sorted(extra)} — remove the hint (AQE will broadcast when truly "
+        "small) or allowlist with a size justification"
+    )
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     """Narrow filters must reach the parquet scan (PushedFilters), and the
     scan must prune to the referenced columns (ReadSchema)."""
