@@ -1380,8 +1380,14 @@ class ParquetLake:
         column) combo the catalog knows — index instances are
         reconstructed from their recorded build configs, so the refresh
         build is guaranteed probe-compatible with the existing entries.
-        Returns {"vacuumed": [...], "built": {"type:column": [names]}}."""
+        A combo whose index cannot be reconstructed (e.g. a WordPiece BM25
+        whose vocab artifact is gone) is SKIPPED with a warning and a
+        report entry — one broken combo must never block maintenance of
+        the rest of the lake.
+        Returns {"vacuumed": [...], "built": {"type:column": [names]},
+        "skipped": {"type:column": reason}}."""
         import json
+        import warnings
 
         from rottnest_spark.indices import index_from_config
 
@@ -1396,12 +1402,21 @@ class ParquetLake:
             )
         vacuumed = self.vacuum(orphan_min_age_sec=orphan_min_age_sec)
         built = {}
+        skipped = {}
         for (itype, column), cfg in sorted(combos.items()):
-            idx = index_from_config(itype, cfg)
+            try:
+                idx = index_from_config(itype, cfg)
+            except Exception as exc:  # noqa: BLE001 — report, don't block
+                skipped[f"{itype}:{column}"] = str(exc)
+                warnings.warn(
+                    f"refresh_indices: skipping {itype}:{column} — "
+                    f"index not reconstructable from catalog config: {exc}"
+                )
+                continue
             names = self.build_index(idx, column, timeout=timeout)
             if names:
                 built[f"{itype}:{column}"] = names
-        return {"vacuumed": vacuumed, "built": built}
+        return {"vacuumed": vacuumed, "built": built, "skipped": skipped}
 
     def optimize(
         self,
@@ -1441,8 +1456,13 @@ class ParquetLake:
                 json.loads(e.get("config") or "{}"),
             )
         index_compacted = {}
+        skipped = dict(refreshed.get("skipped") or {})
         for (itype, column), cfg in sorted(combos.items()):
-            idx = index_from_config(itype, cfg)
+            try:
+                idx = index_from_config(itype, cfg)
+            except Exception as exc:  # noqa: BLE001 — report, don't block
+                skipped.setdefault(f"{itype}:{column}", str(exc))
+                continue
             merged = self.compact_indices(
                 idx, column, row_threshold=index_row_threshold, timeout=timeout
             )
@@ -1454,6 +1474,7 @@ class ParquetLake:
             "indices_refreshed": refreshed,
             "indices_compacted": index_compacted,
             "vacuumed": vacuumed,
+            "skipped": skipped,
         }
 
     # -- time travel (plain-prefix snapshots) ---------------------------------

@@ -71,8 +71,17 @@ def tokenize_query(query: str) -> list[str]:
 class BM25Index(SparkIndex):
     index_type = "bm25"
 
-    def __init__(self, granularity: str = "file", tokenizer=None):
-        from rottnest_spark.indices.tokenizers import RegexTokenizer, Tokenizer
+    def __init__(
+        self,
+        granularity: str = "file",
+        tokenizer=None,
+        tokenizer_vocab_path: str | None = None,
+    ):
+        from rottnest_spark.indices.tokenizers import (
+            RegexTokenizer,
+            Tokenizer,
+            WordPieceTokenizer,
+        )
 
         assert granularity in ("file", "row_group")
         self.granularity = granularity
@@ -83,25 +92,41 @@ class BM25Index(SparkIndex):
         if tokenizer is None:
             tokenizer = RegexTokenizer(TOKEN_SPLIT_RE)
         elif isinstance(tokenizer, str):
-            # catalog round-trip (index_from_config passes the ident back)
+            # catalog round-trip (index_from_config passes the ident back,
+            # plus the recorded vocab path for wordpiece)
             if tokenizer.startswith("regex:"):
                 tokenizer = RegexTokenizer(tokenizer.split(":", 1)[1])
+            elif tokenizer.startswith("wordpiece:") and tokenizer_vocab_path:
+                wp = WordPieceTokenizer(tokenizer_vocab_path)
+                if wp.ident != tokenizer:
+                    raise ValueError(
+                        f"vocab at {tokenizer_vocab_path!r} hashes to "
+                        f"{wp.ident!r}, but the index was built with "
+                        f"{tokenizer!r} — the vocab file changed since "
+                        "build; probing with it would silently mis-score"
+                    )
+                tokenizer = wp
             else:
                 raise ValueError(
                     f"tokenizer {tokenizer!r} cannot be reconstructed from "
                     "its ident alone (the vocab is deployment-supplied) — "
-                    "pass the Tokenizer instance used at build time"
+                    "pass the Tokenizer instance used at build time, or "
+                    "build from a vocab file path so the catalog records it"
                 )
         assert isinstance(tokenizer, Tokenizer)
         self.tokenizer = tokenizer
 
     def config(self) -> dict:
-        return {
+        cfg = {
             "tokenizer": self.tokenizer.ident,
             "k1": K1,
             "b": B,
             "granularity": self.granularity,
         }
+        vocab_path = getattr(self.tokenizer, "vocab_path", None)
+        if vocab_path:
+            cfg["tokenizer_vocab_path"] = vocab_path
+        return cfg
 
     def build(
         self, spark: SparkSession, files: list[str], column: str, out_path: str

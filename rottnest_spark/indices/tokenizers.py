@@ -138,6 +138,12 @@ class WordPieceTokenizer(Tokenizer):
     different vocab files can never be probed interchangeably."""
 
     def __init__(self, vocab, unk_token: str = "[UNK]", max_chars: int = 200):
+        # the source path (when given one) is recorded so the catalog can
+        # round-trip the tokenizer: BM25Index.config() persists it and
+        # index_from_config reloads the vocab at maintenance time
+        # (mirrors the reference's tokenizer-artifact workflow,
+        # src/lava/tokenizer_utils.rs:14-80)
+        self.vocab_path = vocab if isinstance(vocab, str) else None
         if isinstance(vocab, str):
             with open(vocab) as fh:
                 vocab = [ln.strip() for ln in fh if ln.strip()]

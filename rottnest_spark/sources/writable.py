@@ -85,6 +85,50 @@ class _FormatDML:
             return
         self._commit(add=adds, remove=sorted(files_to_remove))
 
+    def repair_files(self) -> list[str]:
+        """Crash recovery for interrupted compact_files/merge swaps — the
+        FORMAT-AWARE version. The base ParquetLake recovery finishes a
+        published swap by physically deleting the replaced files; on a
+        log-backed table that is corruption (the log still lists those
+        files as live when the crash hit before the `_retire` commit, and
+        even post-commit they back time travel until VACUUM retention
+        expires). Here removal is always LOGICAL:
+
+        - swap fully published + commit lost → finish the swap by
+          committing add(new)+remove(replaces) through `_retire`'s
+          adds-diff; the replaced files stay on disk for the format's
+          VACUUM/retention story;
+        - swap fully published + commit landed → nothing to do but
+          manifest/stage cleanup (idempotent re-run);
+        - crash mid-publish → drop the partially-published new files
+          (never log-known, so physical delete is safe) and keep the
+          originals, which the log still serves.
+
+        Returns the replaced files whose logical removal it completed."""
+        import json
+
+        man_dir = os.path.join(self.index_dir, "_compactions")
+        finished: list[str] = []
+        for man_path in self.fs.glob(os.path.join(man_dir, "*.json")):
+            m = json.loads(self.fs.read_text(man_path))
+            if all(self.fs.exists(n) for n in m["new_files"]):
+                live = set(self.files)
+                pending = [f for f in m["replaces"] if f in live]
+                if pending:  # the _retire commit never ran — finish it
+                    self._retire(pending, None)
+                    finished.extend(pending)
+            else:
+                known = self._known_files()
+                for n in m["new_files"]:
+                    if n not in known and self.fs.exists(n):
+                        self.fs.remove(n)
+            self.fs.remove(man_path)
+            cid = os.path.splitext(os.path.basename(man_path))[0]
+            self.fs.rmtree(
+                os.path.join(self.data_dir, f"_compact_stage_{cid}")
+            )
+        return finished
+
 
 class DeltaWritableLake(_FormatDML, DeltaSnapshotLake):
     """Delta table with the full DML surface: mutations commit

@@ -26,9 +26,22 @@ from pyspark.sql import functions as F
 
 
 def keys_already_in_lake(lake, column: str) -> DataFrame:
-    """The distinct indexed key set of `column` (from every exact-index
-    entry). Raises if the lake has no exact index on the column — dedup
-    against an unindexed lake would silently pass everything."""
+    """The distinct LIVE key set of `column`: the exact-index key tables
+    UNIONed with the keys of live files the index does not cover yet
+    (`lake.append` never refreshes the index, so files appended since the
+    last build — including this very stream's earlier micro-batches —
+    exist only in the second leg). Without the union, a batch replayed
+    after a crash between append and checkpoint, or a key repeated across
+    micro-batches within one run, would re-land in full (round-4 ADVICE).
+
+    Raises if the lake has no exact index on the column — dedup against a
+    fully unindexed lake would scan everything every batch; the index is
+    the design's reference set, the unindexed-tail scan only bridges the
+    window until the next build_index()/refresh_indices().
+    """
+    from rottnest_spark.core.planner import unindexed_files
+    from rottnest_spark.indices.exact import _hex_key
+
     entries = lake.catalog.entries_for("exact", column)
     if not entries:
         raise ValueError(
@@ -37,7 +50,14 @@ def keys_already_in_lake(lake, column: str) -> DataFrame:
             "the index as its reference set"
         )
     paths = [f"{e['index_path']}/keys" for e in entries]
-    return lake.spark.read.parquet(*paths).select("key").distinct()
+    keys = lake.spark.read.parquet(*paths).select("key")
+    todo = unindexed_files(lake.catalog, "exact", column, lake.files)
+    if todo:
+        fresh = lake.read(todo)
+        keys = keys.unionByName(
+            fresh.select(_hex_key(fresh, column).alias("key"))
+        )
+    return keys.distinct()
 
 
 def stream_ingest_dedup(

@@ -83,3 +83,70 @@ def test_stream_dedup_key_skips_known_rows(spark, sf_dir, tmp_path):
         .collect()
     )
     assert ids == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+
+def test_stream_dedup_sees_unindexed_appends(spark, sf_dir, tmp_path):
+    """Round-4 ADVICE: the dedup reference set must include keys of files
+    appended since the last index build. Two scenarios in one flow:
+    (a) a key repeated across micro-batches within one run — the earlier
+    batch's append is unindexed but must still block the later batch;
+    (b) a full crash-replay (checkpoint lost, same source re-run) must
+    land ZERO rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = str(tmp_path / "dt")
+    delta_write(docs.filter("doc_id < 100").repartition(2), table)
+    lake = DeltaWritableLake(spark, table, str(tmp_path / "idx"))
+    lake.build_index(ExactIndex(), "doc_id")
+
+    # source: two files with OVERLAPPING new keys (500-599, 550-649),
+    # deterministic key ranges via row_number
+    src = str(tmp_path / "in3")
+    os.makedirs(src)
+    fill = docs.filter("doc_id < 100")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("text")
+    src_rows = fill.withColumn("__rn", F.row_number().over(w) - 1)
+    fa = src_rows.filter("__rn < 100").withColumn(
+        "doc_id", (F.col("__rn") + 500).cast(docs.schema["doc_id"].dataType)
+    ).drop("__rn").select(docs.columns)
+    fb = src_rows.filter("__rn < 100").withColumn(
+        "doc_id", (F.col("__rn") + 550).cast(docs.schema["doc_id"].dataType)
+    ).drop("__rn").select(docs.columns)
+    fa.coalesce(1).write.parquet(src + "/a")
+    fb.coalesce(1).write.parquet(src + "/b")
+    # flatten into one dir of two parquet files
+    import shutil
+
+    flat = str(tmp_path / "in3_flat")
+    os.makedirs(flat)
+    for i, d in enumerate(("a", "b")):
+        part = glob.glob(f"{src}/{d}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/f{i}.parquet")
+
+    stats = stream_ingest_to_table(
+        spark, flat, docs.schema, lake, str(tmp_path / "ckpt3"),
+        dedup_key="doc_id", max_files_per_trigger=1,
+    )
+    landed = sum(s["rows"] for s in stats)
+    assert landed == 150, f"overlap must dedup across batches, landed={landed}"
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(*delta_live_files(table))
+        .select("doc_id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == 100 + 150
+
+    # (b) crash replay: lose the checkpoint, re-run the same source — the
+    # appended files are still unindexed, yet nothing may re-land
+    stats2 = stream_ingest_to_table(
+        spark, flat, docs.schema, lake, str(tmp_path / "ckpt3b"),
+        dedup_key="doc_id", max_files_per_trigger=1,
+    )
+    assert sum(s["rows"] for s in stats2) == 0
+    ids2 = [
+        r["doc_id"]
+        for r in spark.read.parquet(*delta_live_files(table))
+        .select("doc_id").collect()
+    ]
+    assert sorted(ids2) == sorted(ids)

@@ -131,3 +131,84 @@ def test_index_from_config_roundtrip_and_wordpiece_guard():
     wp_cfg = BM25Index(tokenizer=WordPieceTokenizer(TOY_VOCAB)).config()
     with pytest.raises(ValueError, match="Tokenizer instance"):
         index_from_config("bm25", wp_cfg)
+
+
+def test_wordpiece_vocab_file_roundtrips_through_catalog(tmp_path):
+    """The reference accepts a tokenizer artifact file
+    (src/lava/tokenizer_utils.rs:14-80); building from a vocab.txt path
+    records that path in the catalog config so index_from_config can
+    reconstruct the tokenizer — and the md5 ident guard rejects a vocab
+    file that changed since build."""
+    from rottnest_spark.indices import index_from_config
+
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(TOY_VOCAB) + "\n")
+    tok = WordPieceTokenizer(str(vocab_file))
+    assert tok.ident == WordPieceTokenizer(TOY_VOCAB).ident  # path ≡ list
+    cfg = BM25Index(tokenizer=tok).config()
+    assert cfg["tokenizer_vocab_path"] == str(vocab_file)
+
+    back = index_from_config("bm25", cfg)
+    assert isinstance(back.tokenizer, WordPieceTokenizer)
+    assert back.tokenizer.ident == tok.ident
+    assert back.tokenizer.tokenize("unaffable") == ["un", "##aff", "##able"]
+
+    # vocab file mutated since build → loud refusal, never silent mis-score
+    vocab_file.write_text("\n".join(TOY_VOCAB[:-3]) + "\n")
+    with pytest.raises(ValueError, match="vocab file changed"):
+        index_from_config("bm25", cfg)
+
+
+def test_maintenance_skips_unreconstructable_combo(spark, tmp_path):
+    """ADVICE round-4: one WordPiece BM25 index (vocab supplied as a list,
+    so not reconstructable) must NOT make refresh_indices()/optimize()
+    fail — the combo is skipped with a report entry and every other combo
+    still gets maintained."""
+    from rottnest_spark.indices.exact import ExactIndex
+
+    docs = [(i, f"hello doc {i} merge sort") for i in range(8)]
+    data = str(tmp_path / "d")
+    spark.createDataFrame(docs, "doc_id int, text string").repartition(
+        2
+    ).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    lake.build_index(BM25Index(tokenizer=WordPieceTokenizer(TOY_VOCAB)), "text")
+    lake.build_index(ExactIndex(), "doc_id")
+
+    # churn: append new rows so both combos have uncovered files
+    lake.append(spark.createDataFrame(
+        [(100, "new row merge"), (101, "another hello")],
+        "doc_id int, text string",
+    ))
+    with pytest.warns(UserWarning, match="bm25:text"):
+        rep = lake.refresh_indices()
+    assert "bm25:text" in rep["skipped"]
+    assert "exact:doc_id" in rep["built"]  # the healthy combo refreshed
+
+    rep2 = lake.optimize(target_rows=1_000_000)
+    assert "bm25:text" in rep2["skipped"]
+
+    # and with a vocab FILE the same flow round-trips with no skips
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(TOY_VOCAB) + "\n")
+    data2 = str(tmp_path / "d2")
+    spark.createDataFrame(docs, "doc_id int, text string").repartition(
+        2
+    ).write.parquet(data2)
+    lake2 = ParquetLake(spark, data2, str(tmp_path / "i2"))
+    lake2.build_index(
+        BM25Index(tokenizer=WordPieceTokenizer(str(vocab_file))), "text"
+    )
+    lake2.append(spark.createDataFrame(
+        [(200, "fresh hello parts")], "doc_id int, text string"
+    ))
+    rep3 = lake2.refresh_indices()
+    assert rep3["skipped"] == {}
+    assert "bm25:text" in rep3["built"]
+    # the refreshed index answers queries (probe-compatible rebuild)
+    got = bm25_topk(
+        lake2,
+        BM25Index(tokenizer=WordPieceTokenizer(str(vocab_file))),
+        "text", "hello", k=9, id_col="doc_id",
+    )
+    assert 200 in {r["doc_id"] for r in got.collect()}

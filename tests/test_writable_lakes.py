@@ -130,6 +130,112 @@ def test_delete_then_compact_never_resurrects(spark, docs, tmp_path):
     ) == want
 
 
+def test_delta_repair_finishes_lost_commit_logically(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Crash between swap publish and the _retire commit: repair_files on a
+    format-backed lake must FINISH the commit (add new + remove replaces in
+    the log) and must NOT physically delete the replaced files — the log
+    still listed them as live at crash time (ADVICE round-4: the inherited
+    ParquetLake.repair_files deleted them, corrupting the table)."""
+    from rottnest_spark.sources import writable
+
+    table = str(tmp_path / "dt")
+    delta_write(docs.repartition(5), table)
+    lake = DeltaWritableLake(spark, table, str(tmp_path / "idx"))
+    before_rows = sorted(
+        r["doc_id"] for r in lake.read().select("doc_id").collect()
+    )
+    pre_live = set(delta_live_files(table))
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(self, *a, **k):
+        raise Boom("simulated crash before commit")
+
+    monkeypatch.setattr(writable._FormatDML, "_retire", crash)
+    with pytest.raises(Boom):
+        lake.compact_files(target_rows=10_000)
+    monkeypatch.undo()
+
+    # crash state: new files published on disk, log unchanged, manifest left
+    assert set(delta_live_files(table)) == pre_live
+    man = glob.glob(str(tmp_path / "idx" / "_compactions" / "*.json"))
+    assert man, "crash must leave the swap manifest"
+
+    finished = lake.repair_files()
+    assert finished, "repair must finish the lost logical removal"
+    # replaced files remain ON DISK (format semantics — VACUUM's job) ...
+    for f in finished:
+        assert os.path.exists(f)
+    # ... but are logically removed, and the new files are committed
+    live = set(delta_live_files(table))
+    assert not (set(finished) & live)
+    assert all(os.path.exists(f) for f in live)
+    after = sorted(r["doc_id"] for r in lake.read().select("doc_id").collect())
+    assert after == before_rows
+    # idempotent: second run is a no-op
+    assert lake.repair_files() == []
+
+
+def test_delta_repair_post_commit_is_noop(spark, docs, tmp_path):
+    """A stale manifest surviving a crash AFTER the commit landed: repair
+    must not touch any file (especially not delete the retired files that
+    back time travel)."""
+    import json
+
+    table = str(tmp_path / "dt")
+    delta_write(docs.repartition(4), table)
+    lake = DeltaWritableLake(spark, table, str(tmp_path / "idx"))
+    pre_live = set(delta_live_files(table))
+    new_files = lake.compact_files(target_rows=10_000)
+    assert new_files
+    replaced = sorted(pre_live - set(delta_live_files(table)))
+    assert replaced and all(os.path.exists(f) for f in replaced)
+    man_dir = tmp_path / "idx" / "_compactions"
+    os.makedirs(man_dir, exist_ok=True)
+    (man_dir / "stale.json").write_text(
+        json.dumps({"new_files": new_files, "replaces": replaced})
+    )
+    assert lake.repair_files() == []
+    assert all(os.path.exists(f) for f in replaced), "time travel preserved"
+    # pinned pre-compaction view still reads the retired files
+    pinned = DeltaWritableLake(
+        spark, table, str(tmp_path / "idx2"), version_as_of=0
+    )
+    assert pinned.read().count() == docs.count()
+
+
+def test_delta_repair_mid_publish_drops_partials_only(spark, docs, tmp_path):
+    """Crash mid-publish (some new files missing): the partially-published
+    files are unknown to the log and get dropped; log-known files are
+    untouched."""
+    import json
+
+    table = str(tmp_path / "dt")
+    delta_write(docs.repartition(3), table)
+    lake = DeltaWritableLake(spark, table, str(tmp_path / "idx"))
+    live = sorted(delta_live_files(table))
+    partial = str(tmp_path / "dt" / "compacted_dead_00000.parquet")
+    with open(partial, "wb") as f:
+        f.write(b"not really parquet")
+    man_dir = tmp_path / "idx" / "_compactions"
+    os.makedirs(man_dir, exist_ok=True)
+    (man_dir / "dead.json").write_text(
+        json.dumps(
+            {
+                "new_files": [partial, str(tmp_path / "dt" / "missing.parquet")],
+                "replaces": live[:1],
+            }
+        )
+    )
+    assert lake.repair_files() == []
+    assert not os.path.exists(partial)
+    assert all(os.path.exists(f) for f in live)
+    assert set(delta_live_files(table)) == set(live)
+
+
 def test_iceberg_dml_roundtrip(spark, docs, tmp_path):
     table = str(tmp_path / "it")
     iceberg_write(docs.filter("doc_id < 300").repartition(2), table)
