@@ -367,25 +367,51 @@ class VamanaIndex(VectorIndex):
                 }
             )
 
-        best: list[tuple[float, str, int, int]] = []
-        for p, cids in by_path.items():
-            top = (
-                spark.read.parquet(f"{p}/graph")
-                .filter(F.col("cluster_id").isin(cids))
-                .groupBy("cluster_id")
-                .applyInPandas(
-                    search_cluster,
-                    "file_path string, row_group int, pos int, gdist double",
+        # ONE scan of every probed entry's graph table (job count per query
+        # independent of entry count — round-4 verdict item 3). Cluster ids
+        # are per-entry, so the group key is (entry, cluster_id) and probe
+        # membership is checked per entry; the coarse isin prunes row
+        # groups on the cluster_id-sorted tables.
+        import re
+
+        cids_by = {
+            re.sub("^file:/+", "/", p): set(map(int, cids))
+            for p, cids in by_path.items()
+        }
+        bc_cids = sc.broadcast(cids_by)
+        all_cids = sorted({cid for cids in by_path.values() for cid in cids})
+
+        def search_cluster_entry(keys, pdf):
+            import pandas as pd
+
+            entry, cid = keys[0], int(keys[1])
+            if cid not in bc_cids.value.get(entry, ()):  # other entry's id
+                return pd.DataFrame(
+                    {
+                        "file_path": pd.Series(dtype="object"),
+                        "row_group": pd.Series(dtype="int32"),
+                        "pos": pd.Series(dtype="int32"),
+                        "gdist": pd.Series(dtype="float64"),
+                    }
                 )
-                .orderBy(F.asc("gdist"))
-                .limit(refine)
-                .collect()
+            return search_cluster(pdf)
+
+        top = (
+            spark.read.parquet(*[f"{p}/graph" for p in sorted(by_path)])
+            .filter(F.col("cluster_id").isin(all_cids))
+            .withColumn("__entry", self._entry_of_col())
+            .groupBy("__entry", "cluster_id")
+            .applyInPandas(
+                search_cluster_entry,
+                "file_path string, row_group int, pos int, gdist double",
             )
-            best.extend(
-                (r["gdist"], r["file_path"], r["row_group"], r["pos"])
-                for r in top
-            )
-        best.sort()
+            .orderBy(F.asc("gdist"))
+            .limit(refine)
+            .collect()
+        )
+        best = sorted(
+            (r["gdist"], r["file_path"], r["row_group"], r["pos"]) for r in top
+        )
         return [(f, rg, pos) for _, f, rg, pos in best[: self.refine]]
 
     def search(self, spark: SparkSession, index_paths: list[str], query_vec):
@@ -394,20 +420,30 @@ class VamanaIndex(VectorIndex):
         probes = self.nearest_centroids(spark, index_paths, list(query_vec))
         if not probes:
             return spark.createDataFrame([], "file_path string, row_group int")
+        import re
+
         by_path: dict[str, list[int]] = {}
         for p, cid in probes:
             by_path.setdefault(p, []).append(cid)
-        parts = []
-        for p, cids in by_path.items():
-            parts.append(
-                spark.read.parquet(f"{p}/graph")
-                .filter(F.col("cluster_id").isin(cids))
-                .select("file_path", "row_group")
-            )
-        out = parts[0]
-        for x in parts[1:]:
-            out = out.unionByName(x)
-        return out.distinct()
+        # one multi-entry scan + broadcast semi-join on (entry, cluster_id)
+        # — same shape as VectorIndex.search
+        all_cids = sorted({cid for cids in by_path.values() for cid in cids})
+        pairs = spark.createDataFrame(
+            [
+                (re.sub("^file:/+", "/", p), int(cid))
+                for p, cids in by_path.items()
+                for cid in cids
+            ],
+            "__entry string, cluster_id int",
+        )
+        return (
+            spark.read.parquet(*[f"{p}/graph" for p in sorted(by_path)])
+            .filter(F.col("cluster_id").isin(all_cids))
+            .withColumn("__entry", self._entry_of_col())
+            .join(F.broadcast(pairs), ["__entry", "cluster_id"], "left_semi")
+            .select("file_path", "row_group")
+            .distinct()
+        )
 
     def compact(
         self, spark: SparkSession, index_paths: list[str], out_path: str

