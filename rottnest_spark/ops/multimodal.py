@@ -127,10 +127,18 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return head + info + bytes(body)
 
 
-def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
-    """Minimal PCM16 mono WAV encoder — real spec bytes for tests."""
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+def encode_wav(samples: np.ndarray, rate: int = 16000, bits: int = 16) -> bytes:
+    """Minimal PCM mono WAV encoder — real spec bytes for tests. Input
+    samples are SIGNED (−128..127 for bits=8); 8-bit PCM is stored
+    unsigned centered at 128 per the spec, which the decoder re-centers."""
+    if bits == 8:
+        data = (samples.astype(np.int32) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = samples.astype("<i2").tobytes()
+    else:
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    step = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * step, step, bits)
     return (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
@@ -216,8 +224,19 @@ def _make_decoder():
                             f"WAV variant unsupported (fmt={audio_fmt}, "
                             f"bits={bits})"
                         )
-                    dt = _np.uint8 if bits == 8 else _np.dtype("<i2")
-                    arr = _np.frombuffer(body, dtype=dt)
+                    if bits == 8:
+                        # the spec stores 8-bit PCM UNSIGNED centered at
+                        # 128 — convert to signed so downstream quality
+                        # signals (rms without DC offset, sign-flip zcr,
+                        # clipping at ±127) are meaningful
+                        arr = (
+                            _np.frombuffer(body, dtype=_np.uint8).astype(
+                                _np.int32
+                            )
+                            - 128
+                        )
+                    else:
+                        arr = _np.frombuffer(body, dtype=_np.dtype("<i2"))
                     return arr.reshape(-1, ch).astype(_np.int32)
                 pos += 8 + clen + (clen & 1)  # chunks are word-aligned
             raise ValueError("WAV has no data chunk")
@@ -389,8 +408,14 @@ def media_quality(df: DataFrame) -> DataFrame:
                         float((np.signbit(s[1:]) != np.signbit(s[:-1])).mean())
                         if len(s) > 1 else 0.0
                     )
+                    # rails depend on bit depth: 8-bit decodes to −128..127
+                    # (decoder recenters unsigned PCM), 16-bit to ±32767.
+                    # Inferred from sample magnitude — an 8-bit take can
+                    # never exceed 128, and a 16-bit take that quiet has
+                    # nothing near either rail set anyway.
+                    rail = 127.0 if (len(s) and np.abs(s).max() <= 128) else 32767.0
                     rows["clip_frac"].append(
-                        float((np.abs(s) >= 32767).mean()) if len(s) else 0.0
+                        float((np.abs(s) >= rail).mean()) if len(s) else 0.0
                     )
                     rows["n_samples"].append(int(arr.shape[0]))
                     rows["brightness"].append(None)

@@ -245,21 +245,13 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
                                 meta = meta or rec
                             else:
                                 proto = proto or rec
-    def strip_empty(d):
-        """pyarrow cannot write empty-struct columns (inferred from {});
-        checkpoint structs drop empty-dict fields — optional per reader
-        (the JSON commits, which are the durable protocol record, keep
-        them)."""
-        return {
-            k: (strip_empty(v) if isinstance(v, dict) else v)
-            for k, v in d.items()
-            if v != {}
-        }
-
-    meta = strip_empty(meta) if meta else None
     adds = [
         {
             "path": os.path.relpath(f, table_path),
+            # spec-required field; this writer only produces unpartitioned
+            # tables, so the map is empty — but it must EXIST for
+            # third-party spec-conforming checkpoint readers
+            "partitionValues": {},
             "size": os.path.getsize(f),
             "modificationTime": int(os.path.getmtime(f) * 1000),
             "dataChange": False,
@@ -281,14 +273,63 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
         for f in removed
     ]
     n = len(adds) + len(tombs) + 2
-    cols = {
-        "protocol": [proto] + [None] * (n - 1),
-        "metaData": [None, meta] + [None] * (n - 2),
-        "add": [None, None] + adds + [None] * len(tombs),
+    # explicit Arrow types: empty maps ({} partitionValues/configuration)
+    # are not inferable from python dicts, and the Delta checkpoint schema
+    # requires those fields present — dropping them (the old strip_empty)
+    # made checkpoints unreadable by spec-conforming third-party readers
+    str_map = pa.map_(pa.string(), pa.string())
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            (
+                "format",
+                pa.struct([("provider", pa.string()), ("options", str_map)]),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    if meta is not None:
+        # spec: format/partitionColumns/configuration are required keys
+        meta.setdefault("format", {"provider": "parquet", "options": {}})
+        meta["format"].setdefault("options", {})
+        meta.setdefault("partitionColumns", [])
+        meta.setdefault("configuration", {})
+    arrays = {
+        "protocol": pa.array([proto] + [None] * (n - 1), type=proto_t),
+        "metaData": pa.array([None, meta] + [None] * (n - 2), type=meta_t),
+        "add": pa.array(
+            [None, None] + adds + [None] * len(tombs), type=add_t
+        ),
     }
     if tombs:
-        cols["remove"] = [None] * (2 + len(adds)) + tombs
-    tbl = pa.table(cols)
+        arrays["remove"] = pa.array(
+            [None] * (2 + len(adds)) + tombs, type=remove_t
+        )
+    tbl = pa.table(arrays)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(tbl, cp_path)
     fs.write_text(
@@ -323,4 +364,6 @@ def delta_write(
     fs.rmtree(stage)
     if not exists:
         return delta_convert(table_path, fs=fs)
-    return delta_commit(table_path, add=moved, fs=fs)
+    # OCC retry: a pure-add append conflicts with nothing and must win
+    # through version races with concurrent writers
+    return delta_commit_retry(table_path, add=moved, fs=fs)

@@ -196,3 +196,39 @@ def test_concurrent_version_claim_loses_cleanly(table):
 
     with pytest.raises(FileExistsError):
         _write_commit(table + "/_delta_log", 1, [{"remove": {"path": "x"}}], LocalFS())
+
+
+def test_checkpoint_schema_is_spec_conforming(table):
+    """Round-4 ADVICE: checkpoint add actions must carry the spec-required
+    partitionValues field (empty map for unpartitioned tables) and
+    metaData must keep format/partitionColumns/configuration — a
+    third-party spec-conforming reader consumes exactly these fields."""
+    import pyarrow.parquet as pq
+
+    delta_convert(table)
+    victim = sorted(glob.glob(table + "/part-0*.parquet"))[0]
+    delta_commit(table, remove=[victim])
+    delta_checkpoint(table)
+    cp = glob.glob(table + "/_delta_log/*.checkpoint.parquet")[0]
+    t = pq.read_table(cp)
+
+    add_fields = {f.name for f in t.schema.field("add").type}
+    assert {"path", "partitionValues", "size",
+            "modificationTime", "dataChange"} <= add_fields
+    import pyarrow as pa
+
+    pv_t = t.schema.field("add").type.field("partitionValues").type
+    assert pa.types.is_map(pv_t), f"partitionValues must be a map, got {pv_t}"
+
+    meta_fields = {f.name for f in t.schema.field("metaData").type}
+    assert {"id", "format", "schemaString",
+            "partitionColumns", "configuration"} <= meta_fields
+    metas = [m for m in t.column("metaData").to_pylist() if m]
+    assert metas and metas[0]["format"]["provider"] == "parquet"
+    assert metas[0]["partitionColumns"] == []
+    assert metas[0]["configuration"] == []  # empty map -> [] of pairs
+    adds = [a for a in t.column("add").to_pylist() if a]
+    assert adds and all(a["partitionValues"] == [] for a in adds)
+    # tombstone survives with the remove schema
+    removes = [r for r in t.column("remove").to_pylist() if r]
+    assert removes and removes[0]["path"].startswith("part-")

@@ -156,3 +156,40 @@ def test_media_quality_signals(spark):
     assert out[3]["clip_frac"] == 1.0 and out[3]["rms"] == 32767.0
     assert out[2]["n_samples"] == 400 and out[2]["brightness"] is None
     assert out[0]["rms"] is None
+
+
+def test_wav_8bit_signed_recentering(spark):
+    """Round-4 ADVICE: 8-bit PCM is stored unsigned centered at 128; the
+    decoder must re-center so rms has no ~128 DC offset, zcr flips sign,
+    and clip_frac triggers at the 8-bit rails."""
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import (
+        decode_pixels,
+        encode_wav,
+        media_quality,
+    )
+
+    t = np.arange(400)
+    sine = (np.sin(t / 5.0) * 100).round().astype(np.int32)  # ±100, 8-bit safe
+    clipped8 = np.where(t % 2 == 0, 127, -128).astype(np.int32)
+    silent8 = np.zeros(400, dtype=np.int32)
+
+    # exact roundtrip: signed in == signed out
+    got = decode_pixels(encode_wav(sine, rate=8000, bits=8))
+    assert got.shape == (400, 1)
+    assert (got[:, 0] == sine).all()
+
+    rows = [
+        (0, "audio", bytearray(encode_wav(sine, bits=8))),
+        (1, "audio", bytearray(encode_wav(clipped8, bits=8))),
+        (2, "audio", bytearray(encode_wav(silent8, bits=8))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in media_quality(df).collect()}
+    want_rms = float(np.sqrt((sine.astype(float) ** 2).mean()))
+    assert abs(out[0]["rms"] - want_rms) < 1e-9      # no 128 DC offset
+    assert out[0]["zcr"] > 0.0                        # sign actually flips
+    assert out[0]["clip_frac"] == 0.0                 # ±100 is not clipped
+    assert out[1]["clip_frac"] == 1.0                 # rails at ±(127/128)
+    assert out[2]["rms"] == 0.0 and out[2]["clip_frac"] == 0.0
