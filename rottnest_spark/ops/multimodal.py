@@ -12,9 +12,12 @@ shapes, mapInPandas signatures, partitioning, and byte-level feature
 extraction (numpy over Arrow batches). Decode handles the UNCOMPRESSED
 containers for real — BMP 8/24-bit and PCM WAV 8/16-bit are pure-struct
 public specs (see `_make_decoder`) — plus the deterministic FAKE fixture
-codec; only COMPRESSED codecs (JPEG/PNG/MP4, which need PIL/libav — not
-in this container) raise `NotImplementedError`, and swapping
-`_decode_real` for a real library call changes nothing else.
+codec. PNG (8-bit gray/RGB/RGBA, non-interlaced) decodes for real too —
+IDAT is a zlib stream and filters 0-4 are pure arithmetic, so stdlib
+zlib + numpy cover the public spec with no external library; only
+JPEG/MP4 (which need PIL/libav — not in this container) raise
+`NotImplementedError`, and swapping `_decode_real` for a real library
+call changes nothing else.
 
 Scale notes:
 - Binary payloads make rows wide: batches are bounded by
@@ -98,12 +101,13 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 
 
 def _decode_real(payload: bytes) -> np.ndarray:
-    # STUB for COMPRESSED codecs only (JPEG/PNG/MP4 need PIL/libav, not
-    # in this container). Uncompressed containers decode for real below
-    # (`_make_decoder`): BMP and PCM WAV are pure-struct formats.
+    # STUB for JPEG/MP4 only (need PIL/libav, not in this container).
+    # BMP, PCM WAV, and PNG decode for real below (`_make_decoder`):
+    # pure struct/zlib/numpy over the public specs.
     raise NotImplementedError(
-        "compressed media codecs unavailable in this environment; "
-        "supported payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV"
+        "JPEG/MP4 codecs unavailable in this environment; supported "
+        "payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV, PNG "
+        "(8-bit gray/RGB/RGBA non-interlaced)"
     )
 
 
@@ -125,6 +129,40 @@ def encode_bmp(px: np.ndarray) -> bytes:
         r += b"\x00" * (row - len(r))
         body += r
     return head + info + bytes(body)
+
+
+def encode_png(px: np.ndarray, color: str = "gray") -> bytes:
+    """Minimal PNG encoder (public spec: IHDR + IDAT zlib stream + IEND,
+    CRC32 per chunk). `px` is 2-D uint8 for gray, or (h, w, 3) for RGB.
+    Scanlines use filter 0 — valid PNG any conforming decoder reads;
+    used by tests/demos to exercise the real decode path."""
+    import zlib
+
+    if color == "gray":
+        h, w = px.shape
+        ctype, data_rows = 0, [px[y].tobytes() for y in range(h)]
+    elif color == "rgb":
+        h, w, _ = px.shape
+        ctype, data_rows = 2, [px[y].tobytes() for y in range(h)]
+    else:
+        raise ValueError(f"color must be gray|rgb, got {color}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in data_rows)  # filter 0 per line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000, bits: int = 16) -> bytes:
@@ -162,8 +200,11 @@ def _make_decoder():
       padding and bottom-up storage;
     - WAV, PCM 8/16-bit (RIFF chunks walked properly): returns an
       (n_samples, channels) int32 array.
-    The FAKE codec stays for deterministic fixtures; compressed codecs
-    (JPEG/PNG/MP4) raise with the swap instruction."""
+    - PNG, 8-bit gray/RGB/RGBA non-interlaced (IHDR/IDAT walked, zlib
+      inflate, scanline filters 0-4 reversed): returns 2-D uint8
+      (RGB(A) to BT.601 luma).
+    The FAKE codec stays for deterministic fixtures; JPEG/MP4 raise with
+    the swap instruction."""
     magic = FAKE_MAGIC
 
     def decode(payload: bytes):
@@ -206,6 +247,80 @@ def _make_decoder():
                         _np.uint8
                     )
             return out
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":  # PNG — stdlib zlib only
+            import zlib as _zlib
+
+            pos, n = 8, len(payload)
+            w = h = None
+            idat = bytearray()
+            while pos + 8 <= n:
+                (clen,) = _struct.unpack_from(">I", payload, pos)
+                tag = payload[pos + 4 : pos + 8]
+                body = payload[pos + 8 : pos + 8 + clen]
+                if tag == b"IHDR":
+                    w, h, depth, ctype, comp, filt, interlace = (
+                        _struct.unpack(">IIBBBBB", body)
+                    )
+                    if depth != 8 or ctype not in (0, 2, 6) or interlace:
+                        raise NotImplementedError(
+                            f"PNG variant unsupported (depth={depth}, "
+                            f"color={ctype}, interlace={interlace}) — "
+                            "8-bit gray/RGB/RGBA non-interlaced only"
+                        )
+                    ch = {0: 1, 2: 3, 6: 4}[ctype]
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+                pos += 12 + clen  # len + tag + body + crc
+            if w is None:
+                raise ValueError("PNG has no IHDR")
+            raw = _zlib.decompress(bytes(idat))
+            stride = w * ch
+            if len(raw) != h * (1 + stride):
+                raise ValueError("PNG scanline data size mismatch")
+            # per-scanline unfilter (spec filters 0-4); prev = reconstructed
+            # prior row, a/c lookbacks are one PIXEL (ch bytes) left
+            out = _np.empty((h, stride), dtype=_np.uint8)
+            prev = _np.zeros(stride, dtype=_np.int32)
+            for y in range(h):
+                ftype = raw[y * (1 + stride)]
+                line = _np.frombuffer(
+                    raw, dtype=_np.uint8, count=stride,
+                    offset=y * (1 + stride) + 1,
+                ).astype(_np.int32)
+                if ftype == 0:
+                    rec = line
+                elif ftype == 2:  # up
+                    rec = (line + prev) & 0xFF
+                else:  # sub/average/paeth need the in-progress row
+                    rec = _np.empty(stride, dtype=_np.int32)
+                    for i in range(stride):
+                        a = rec[i - ch] if i >= ch else 0
+                        b = prev[i]
+                        if ftype == 1:
+                            rec[i] = (line[i] + a) & 0xFF
+                        elif ftype == 3:
+                            rec[i] = (line[i] + (a + b) // 2) & 0xFF
+                        elif ftype == 4:
+                            c = prev[i - ch] if i >= ch else 0
+                            pp = a + b - c
+                            pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                            pr = a if (pa <= pb and pa <= pc) else (
+                                b if pb <= pc else c
+                            )
+                            rec[i] = (line[i] + pr) & 0xFF
+                        else:
+                            raise ValueError(f"bad PNG filter {ftype}")
+                out[y] = rec.astype(_np.uint8)
+                prev = rec
+            if ch == 1:
+                return out
+            px = out.reshape(h, w, ch)[:, :, :3].astype(_np.float32)
+            # RGB(A) -> BT.601 luma, same convention as the BMP path
+            return (
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            ).astype(_np.uint8)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             pos, n = 12, len(payload)
             fmt = None
@@ -241,8 +356,9 @@ def _make_decoder():
                 pos += 8 + clen + (clen & 1)  # chunks are word-aligned
             raise ValueError("WAV has no data chunk")
         raise NotImplementedError(
-            "compressed media codecs unavailable in this environment; "
-            "supported payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV"
+            "JPEG/MP4 codecs unavailable in this environment; supported "
+            "payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV, PNG "
+            "(8-bit gray/RGB/RGBA non-interlaced)"
         )
 
     return decode

@@ -122,7 +122,11 @@ def test_unsupported_codec_raises_clearly():
 
     from rottnest_spark.ops.multimodal import decode_pixels
 
-    with _pytest.raises(NotImplementedError, match="BMP|WAV|FAKE"):
+    # PNG decodes for real now; JPEG is the remaining documented gap
+    with _pytest.raises(NotImplementedError, match="BMP|WAV|FAKE|PNG"):
+        decode_pixels(b"\xff\xd8\xff\xe0 jpeg header")
+    # a truncated PNG is a parse error, not an unsupported codec
+    with _pytest.raises(ValueError, match="IHDR"):
         decode_pixels(b"\x89PNG\r\n\x1a\n....")
 
 
@@ -193,3 +197,131 @@ def test_wav_8bit_signed_recentering(spark):
     assert out[0]["clip_frac"] == 0.0                 # ±100 is not clipped
     assert out[1]["clip_frac"] == 1.0                 # rails at ±(127/128)
     assert out[2]["rms"] == 0.0 and out[2]["clip_frac"] == 0.0
+
+
+def test_png_roundtrip_gray_and_rgb():
+    """Real PNG decode via stdlib zlib (round-4 verdict item 4): exact
+    roundtrip for gray, BT.601 luma for RGB — same convention as BMP."""
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import decode_pixels, encode_png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(13, 9), dtype=np.uint8)
+    assert (decode_pixels(encode_png(gray)) == gray).all()
+
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    got = decode_pixels(encode_png(rgb, color="rgb"))
+    want = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    ).astype(np.uint8)
+    assert got.shape == (6, 5)
+    assert (got == want).all()
+
+
+def test_png_all_scanline_filters_decode():
+    """Hand-filter scanlines with every spec filter (1 sub, 2 up,
+    3 average, 4 paeth) and assert the decoder reconstructs the original
+    pixels — the part a naive 'unzip only' decoder gets wrong."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import decode_pixels
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 5, 7, 3
+    px = rng.integers(0, 256, size=(h, w * ch), dtype=np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, ftype in enumerate([1, 2, 3, 4, 0]):
+        line = px[y]
+        filt = np.empty(w * ch, dtype=np.int32)
+        for i in range(w * ch):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                filt[i] = line[i]
+            elif ftype == 1:
+                filt[i] = (line[i] - a) % 256
+            elif ftype == 2:
+                filt[i] = (line[i] - b) % 256
+            elif ftype == 3:
+                filt[i] = (line[i] - (a + b) // 2) % 256
+            else:
+                filt[i] = (line[i] - paeth(a, b, c)) % 256
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_pixels(payload)
+    rgb = px.reshape(h, w, ch).astype(np.float32)
+    want = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    ).astype(np.uint8)
+    assert (got == want).all()
+
+
+def test_png_through_media_quality(spark):
+    """media_quality covers a PNG payload end-to-end (executor decode)."""
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import encode_png, media_quality
+
+    flat = np.full((12, 10), 200, dtype=np.uint8)
+    rows = [(0, "image", bytearray(encode_png(flat)))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = media_quality(df).collect()[0]
+    assert out["brightness"] == 200.0 and out["contrast"] == 0.0
+    assert out["entropy"] == 0.0
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rottnest_spark.ops.multimodal import decode_pixels
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="PNG variant"):
+        decode_pixels(p)
+    # interlaced
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+    )
+    with _pytest.raises(NotImplementedError, match="PNG variant"):
+        decode_pixels(p)
