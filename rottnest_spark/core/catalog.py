@@ -18,18 +18,22 @@ index of a given (index_type, column_name). Enforced by the planner's
 anti-join; `validate()` re-checks it.
 
 The catalog is tiny (one row per index file group), so it lives driver-side
-as a single Parquet file with **atomic overwrite** (write temp + rename),
-the analog of the reference's overwrite-with-lock metadata upload
-(backends/s3_utils.py:83-109). Commit discipline for compaction is
-append-then-delete (backends/iceberg.py:471-479): `replace()` writes the new
-records before dropping the old ones in one atomic swap.
+as Parquet snapshots with a **rename-free versioned commit**: each mutation
+publishes `catalog.{N}.parquet` via the FS's atomic put-if-absent
+(`create_exclusive`) and readers take the highest N — the analog of the
+reference's overwrite-with-lock metadata upload (backends/s3_utils.py:
+83-109), made object-store safe (S3 has no atomic rename; conditional PUT
+is native). Commit discipline for compaction is append-then-delete
+(backends/iceberg.py:471-479): `replace()` writes the new records before
+dropping the old ones in one atomic snapshot swap.
 
 Concurrent writers: every mutation (append/replace/delete) runs its
 read-modify-write under an exclusive flock on `.lock` in the catalog dir,
 so two simultaneous `build_index` calls serialize instead of losing one
 commit (the lock auto-releases on process death — no stale-lock states).
-On platforms/stores without flock the lock degrades to best-effort; a
-remote catalog should use its store's conditional-put instead.
+On platforms/stores without flock, the version claim itself is the OCC:
+a losing writer's `create_exclusive` raises and the mutation re-reads and
+retries (`_rmw`).
 """
 
 from __future__ import annotations
@@ -38,10 +42,15 @@ import contextlib
 import datetime
 import json
 import os
-import tempfile
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+class ConcurrentCatalogWrite(RuntimeError):
+    """Another writer claimed the catalog version this commit targeted
+    (possible only on stores without flock serialization). Mutations
+    retry their read-modify-write automatically."""
+
 
 CATALOG_SCHEMA = pa.schema(
     [
@@ -58,18 +67,57 @@ CATALOG_SCHEMA = pa.schema(
 )
 
 
+#: versioned snapshots kept around after a commit (readers racing a commit
+#: may hold the previous version's path; older ones are pruned)
+KEEP_VERSIONS = 4
+
+
 class IndexCatalog:
-    def __init__(self, catalog_dir: str):
+    """Commit protocol (RENAME-FREE — object-store safe): each mutation
+    publishes a complete snapshot as `catalog.{N:020d}.parquet` via the
+    FS's atomic put-if-absent (`create_exclusive`); readers take the
+    highest N. S3 has no atomic rename, but conditional PUT is native —
+    this is the same version-claim discipline as the Delta log writer
+    (sources/delta_write.py), applied to the index catalog. A torn local
+    write cannot publish (the exclusive create writes the full buffer or
+    raises); on S3 a PUT is atomic per object. The flock still serializes
+    local read-modify-writes; on a remote store the exclusive create IS
+    the OCC — a losing writer's create raises and the mutation retries on
+    the winner's snapshot."""
+
+    def __init__(self, catalog_dir: str, fs=None):
+        from rottnest_spark.core.fs import LocalFS
+
+        self.fs = fs or LocalFS()
         self.catalog_dir = catalog_dir
-        os.makedirs(catalog_dir, exist_ok=True)
+        self.fs.makedirs(catalog_dir)
+        # legacy single-file location (pre-versioning); read-supported,
+        # superseded by the first versioned commit
         self.path = os.path.join(catalog_dir, "catalog.parquet")
 
     # -- read ---------------------------------------------------------------
 
+    def _versions(self) -> list[tuple[int, str]]:
+        out = []
+        for p in self.fs.glob(os.path.join(self.catalog_dir, "catalog.*.parquet")):
+            tag = os.path.basename(p).split(".")[1]
+            if tag.isdigit():
+                out.append((int(tag), p))
+        return sorted(out)
+
+    def _current_path(self) -> str | None:
+        versions = self._versions()
+        if versions:
+            return versions[-1][1]
+        if self.fs.exists(self.path):
+            return self.path
+        return None
+
     def entries(self) -> list[dict]:
-        if not os.path.exists(self.path):
+        cur = self._current_path()
+        if cur is None:
             return []
-        return pq.read_table(self.path).to_pylist()
+        return pq.read_table(pa.BufferReader(self.fs.read_bytes(cur))).to_pylist()
 
     def entries_for(self, index_type: str, column_name: str) -> list[dict]:
         return [
@@ -112,10 +160,53 @@ class IndexCatalog:
 
     def _write(self, records: list[dict]) -> None:
         table = pa.Table.from_pylist(records, schema=CATALOG_SCHEMA)
-        fd, tmp = tempfile.mkstemp(dir=self.catalog_dir, suffix=".parquet.tmp")
-        os.close(fd)
-        pq.write_table(table, tmp)
-        os.replace(tmp, self.path)  # atomic on POSIX
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf)
+        data = buf.getvalue().to_pybytes()
+        versions = self._versions()
+        next_v = (versions[-1][0] if versions else 0) + 1
+        dst = os.path.join(self.catalog_dir, f"catalog.{next_v:020d}.parquet")
+        try:
+            self.fs.create_exclusive(dst, data)
+        except FileExistsError:
+            # another writer claimed this version (store without flock):
+            # NOT safe to just bump — this snapshot was computed from a
+            # stale read. Surface the conflict; the mutators' OCC loop
+            # re-reads and retries the whole read-modify-write.
+            raise ConcurrentCatalogWrite(
+                f"catalog version {next_v} claimed concurrently"
+            )
+        # prune: superseded versions + the legacy single file
+        for v, p in versions[:-KEEP_VERSIONS]:
+            try:
+                self.fs.remove(p)
+            except OSError:
+                pass
+        if self.fs.exists(self.path):
+            try:
+                self.fs.remove(self.path)
+            except OSError:
+                pass
+
+    def _rmw(self, mutate, attempts: int = 16):
+        """Read-modify-write with OCC retry: `mutate(entries) -> (records,
+        result) | None` (None = nothing to write). Under flock the first
+        attempt always wins; on no-flock stores a lost version claim
+        re-reads and retries."""
+        with self._locked():
+            for _ in range(attempts):
+                out = mutate(self.entries())
+                if out is None:
+                    return None
+                records, result = out
+                try:
+                    self._write(records)
+                    return result
+                except ConcurrentCatalogWrite:
+                    continue
+            raise ConcurrentCatalogWrite(
+                f"catalog commit lost {attempts} consecutive version races"
+            )
 
     def append(self, record: dict) -> None:
         record = dict(record)
@@ -126,8 +217,7 @@ class IndexCatalog:
         record.setdefault(
             "rows_indexed", int(sum(record.get("record_counts", []) or [0]))
         )
-        with self._locked():
-            self._write(self.entries() + [record])
+        self._rmw(lambda entries: (entries + [record], None))
 
     def commit_build(self, record: dict) -> list[str]:
         """Commit a build entry under the lock, dropping any file a
@@ -144,46 +234,54 @@ class IndexCatalog:
             "created_at", datetime.datetime.now(datetime.timezone.utc).isoformat()
         )
         record.setdefault("config", "{}")
-        with self._locked():
-            covered = self.indexed_files(
-                record["index_type"], record["column_name"]
-            )
+
+        def mutate(entries):
+            covered: set[str] = set()
+            for e in entries:
+                if (
+                    e["index_type"] == record["index_type"]
+                    and e["column_name"] == record["column_name"]
+                ):
+                    covered.update(e["file_paths"])
             keep = [
                 i
                 for i, f in enumerate(record["file_paths"])
                 if f not in covered
             ]
             if not keep:
-                return []
-            record["file_paths"] = [record["file_paths"][i] for i in keep]
-            record["record_counts"] = [
-                record["record_counts"][i] for i in keep
-            ]
-            record["rows_indexed"] = int(sum(record["record_counts"]))
-            self._write(self.entries() + [record])
-            return list(record["file_paths"])
+                return None
+            rec = dict(record)
+            rec["file_paths"] = [record["file_paths"][i] for i in keep]
+            rec["record_counts"] = [record["record_counts"][i] for i in keep]
+            rec["rows_indexed"] = int(sum(rec["record_counts"]))
+            return entries + [rec], list(rec["file_paths"])
+
+        return self._rmw(mutate) or []
 
     def replace(self, new_records: list[dict], drop_index_names: set[str]) -> None:
         """Append-then-delete in one atomic swap (compaction commit)."""
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        with self._locked():
+
+        def mutate(entries):
             kept = [
-                e
-                for e in self.entries()
-                if e["index_name"] not in drop_index_names
+                e for e in entries if e["index_name"] not in drop_index_names
             ]
             for r in new_records:
                 r = dict(r)
                 r.setdefault("created_at", now)
                 r.setdefault("config", "{}")
                 kept.append(r)
-            self._write(kept)
+            return kept, None
+
+        self._rmw(mutate)
 
     def delete(self, index_names: set[str]) -> None:
-        with self._locked():
-            self._write(
-                [e for e in self.entries() if e["index_name"] not in index_names]
+        self._rmw(
+            lambda entries: (
+                [e for e in entries if e["index_name"] not in index_names],
+                None,
             )
+        )
 
     # -- invariants ----------------------------------------------------------
 

@@ -69,6 +69,19 @@ class LakeFS:
     def write_text(self, path: str, text: str) -> None:
         raise NotImplementedError
 
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        """Atomic put-if-absent: create `path` with `data`, raising
+        FileExistsError if it already exists. The RENAME-FREE commit
+        primitive — on POSIX this is O_CREAT|O_EXCL; on S3 it is a
+        conditional PUT (If-None-Match: *); both are native operations, so
+        commit protocols built on this (the versioned index catalog, the
+        Delta/Iceberg log writers) work on object stores with no atomic
+        rename."""
+        raise NotImplementedError
+
     def getsize(self, path: str) -> int:
         raise NotImplementedError
 
@@ -126,11 +139,157 @@ class LocalFS(LakeFS):
         with open(path, "w") as fh:
             fh.write(text)
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        with open(path, "xb") as fh:  # O_CREAT|O_EXCL
+            fh.write(data)
+
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
 
     def getmtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+
+class HadoopFS(LakeFS):
+    """LakeFS over Spark's JVM Hadoop FileSystem — the SAME code path an
+    `s3a://` / `hdfs://` / `abfs://` deployment takes (the reference's
+    most-used deployment is S3, src/formats/readers/aws_reader.rs:72-133).
+    Constructed from the live SparkSession so it shares Spark's Hadoop
+    configuration (credentials, endpoints).
+
+    Paths with the `file:` scheme are returned as plain local paths, so a
+    lake driven through HadoopFS over local storage behaves identically to
+    LocalFS while exercising the Hadoop transport end-to-end — that is the
+    in-sandbox integration test for the object-store path.
+
+    `create_exclusive` maps to `FileSystem.create(overwrite=false)`:
+    atomic create on HDFS/local; on S3A it is the conditional-create path
+    (existence check + conditional PUT on recent Hadoop), the same
+    primitive S3A committers rely on.
+
+    `rename` uses FileSystem.rename — on S3A that is copy+delete under
+    the hood, which is exactly why the lake's commit protocols (versioned
+    catalog snapshots, swap manifests + repair_files) never rely on its
+    atomicity."""
+
+    def __init__(self, spark):
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        jp = self._jpath(p)
+        return jp.getFileSystem(self._conf), jp
+
+    @staticmethod
+    def _to_str(jpath) -> str:
+        uri = jpath.toUri()
+        if uri.getScheme() in (None, "file"):
+            return uri.getPath()
+        return jpath.toString()
+
+    # -- interface ----------------------------------------------------------
+
+    def list_files(self, root: str) -> list[str]:
+        fs, jp = self._fs(root)
+        if not fs.exists(jp):
+            return []
+        out = []
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            out.append(self._to_str(it.next().getPath()))
+        return sorted(out)
+
+    def listdir(self, path: str) -> list[str]:
+        fs, jp = self._fs(path)
+        return sorted(st.getPath().getName() for st in fs.listStatus(jp))
+
+    def glob(self, pattern: str) -> list[str]:
+        fs, jp = self._fs(pattern)
+        stats = fs.globStatus(jp)
+        if stats is None:
+            return []
+        return sorted(self._to_str(st.getPath()) for st in stats)
+
+    def exists(self, path: str) -> bool:
+        fs, jp = self._fs(path)
+        return bool(fs.exists(jp))
+
+    def isdir(self, path: str) -> bool:
+        fs, jp = self._fs(path)
+        return bool(fs.exists(jp) and fs.getFileStatus(jp).isDirectory())
+
+    def makedirs(self, path: str) -> None:
+        fs, jp = self._fs(path)
+        fs.mkdirs(jp)
+
+    def rename(self, src: str, dst: str) -> None:
+        fs, jsrc = self._fs(src)
+        jdst = self._jpath(dst)
+        if fs.exists(jdst):  # os.replace semantics (LocalFS parity)
+            fs.delete(jdst, False)
+        if not fs.rename(jsrc, jdst):
+            raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def remove(self, path: str) -> None:
+        fs, jp = self._fs(path)
+        if not fs.delete(jp, False):
+            raise FileNotFoundError(path)
+
+    def rmtree(self, path: str) -> None:
+        fs, jp = self._fs(path)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+
+    def read_bytes(self, path: str) -> bytes:
+        fs, jp = self._fs(path)
+        stream = fs.open(jp)
+        try:
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, baos, 65536, False
+            )
+            return bytes(baos.toByteArray())
+        finally:
+            stream.close()
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode()
+
+    def _write_stream(self, path: str, data: bytes, overwrite: bool) -> None:
+        fs, jp = self._fs(path)
+        try:
+            stream = fs.create(jp, overwrite)
+        except Exception as exc:  # py4j wraps FileAlreadyExistsException
+            if "AlreadyExists" in str(exc) or "already exists" in str(exc):
+                raise FileExistsError(path) from None
+            raise
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        self._write_stream(path, text.encode(), overwrite=True)
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        self._write_stream(path, data, overwrite=False)
+
+    def getsize(self, path: str) -> int:
+        fs, jp = self._fs(path)
+        return int(fs.getFileStatus(jp).getLen())
+
+    def getmtime(self, path: str) -> float:
+        fs, jp = self._fs(path)
+        return fs.getFileStatus(jp).getModificationTime() / 1000.0
 
 
 class RecordingFS(LocalFS):
@@ -168,6 +327,10 @@ class RecordingFS(LocalFS):
     def write_text(self, path, text):
         self._rec("write_text", path)
         return super().write_text(path, text)
+
+    def create_exclusive(self, path, data):
+        self._rec("create_exclusive", path)
+        return super().create_exclusive(path, data)
 
     def ops(self, name: str) -> list[tuple]:
         return [c for c in self.calls if c[0] == name]

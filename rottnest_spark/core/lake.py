@@ -57,7 +57,9 @@ class ParquetLake:
         # non-POSIX stores; Spark's own Hadoop-FS layer still moves the
         # Parquet bytes. See core/fs.py.
         self.fs = fs or LocalFS()
-        self.catalog = IndexCatalog(os.path.join(index_dir, "_catalog"))
+        self.catalog = IndexCatalog(
+            os.path.join(index_dir, "_catalog"), fs=self.fs
+        )
         # candidate-unit count above which the index is deemed unselective
         # (reference brute_force_threshold=1000, utils.py:224-225)
         self.brute_force_threshold = brute_force_threshold

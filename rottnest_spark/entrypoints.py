@@ -2247,19 +2247,33 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-(application, sf_dir) materialized supply relation — Q2/Q11/Q16/Q20
+#: each need it, and recomputing the lineitem-wide distinct aggregate four
+#: times was the dominant cost of that whole query family (round-4 verdict
+#: item 7). At 100 TB this is "derive partsupp once, reuse all session".
+_SUPPLY_CACHE: dict = {}
+
+
 def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture's supply relation (no partsupp table): distinct
     (l_partkey, l_suppkey) pairs with min observed unit price as the
-    supply-cost proxy. One fact-table aggregate; every partsupp-shaped
-    query (Q2/Q11/Q16/Q20) derives from this."""
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
+    supply-cost proxy. One fact-table aggregate, persisted per session;
+    every partsupp-shaped query (Q2/Q11/Q16/Q20) reuses the same
+    materialization."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SUPPLY_CACHE.get(key)
+    if df is None:
+        df = (
+            load(spark, sf_dir, "lineitem")
+            .groupBy(
+                F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"),
+            )
+            .agg(F.min("l_extendedprice").alias("ps_cost"))
+            .persist()
         )
-        .agg(F.min("l_extendedprice").alias("ps_cost"))
-    )
+        _SUPPLY_CACHE[key] = df
+    return df
 
 
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:

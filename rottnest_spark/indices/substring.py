@@ -166,11 +166,30 @@ class SubstringIndex(SparkIndex):
         granularity: str = "file",
         unselective_frac: float | None = 1.0,
         skip_chars: str | None = None,
+        salt_write: bool = True,
     ):
         assert granularity in ("file", "row_group")
         self.gram = gram
         self.max_query_grams = max_query_grams
         self.granularity = granularity
+        # Skew guard for the sorted write (round-4 verdict item 9): the
+        # gram table is range-partitioned by gram before writing, and a
+        # DEGENERATE gram (all-spaces runs, repeated chars in log text)
+        # can account for a huge share of postings — with gram as the
+        # only range key, all of them land in ONE writer task (straggler +
+        # one giant row group). salt_write adds (file_path, row_group) as
+        # secondary range keys: equal-gram runs split across partitions at
+        # file boundaries while the table stays globally gram-sorted, so
+        # min/max row-group pruning is untouched. The dedup shuffle itself
+        # needs no salting — distinct()'s map-side partial aggregation is
+        # automatic per-partition salting. Physical-layout knob only:
+        # probes are unaffected, so it is NOT part of config().
+        self.salt_write = salt_write
+        # instance-level so the generic compact() path writes the same
+        # salted layout as build()
+        self.sort_cols = (
+            ["gram", "file_path", "row_group"] if salt_write else ["gram"]
+        )
         # F7 skip-char normalization (reference SKIP set,
         # src/lava/substring/constants.rs:2): characters stripped from the
         # text at BUILD and from the query at PROBE/refine, so punctuation
@@ -296,7 +315,10 @@ class SubstringIndex(SparkIndex):
             )
             .distinct()
         )
-        self._write_index(index_df, out_path, sort_cols=["gram"], unit_meta=True)
+        sort_cols = (
+            ["gram", "file_path", "row_group"] if self.salt_write else ["gram"]
+        )
+        self._write_index(index_df, out_path, sort_cols=sort_cols, unit_meta=True)
 
     # -- search ---------------------------------------------------------------
 

@@ -75,3 +75,90 @@ def test_lock_file_invisible_to_lake_listing(tmp_path):
         not os.path.basename(p).startswith(".lock")
         for p in [str(tmp_path / "cat" / "catalog.parquet")]
     )
+
+
+def test_catalog_commit_is_rename_free(tmp_path):
+    """Object-store safety (round-4 verdict item 2): catalog mutations
+    must never depend on rename — every snapshot publishes through the
+    atomic put-if-absent primitive (conditional PUT on S3)."""
+    from rottnest_spark.core.fs import RecordingFS
+
+    fs = RecordingFS()
+    cat = IndexCatalog(str(tmp_path / "cat"), fs=fs)
+    cat.append(_rec("a", ["/d/1.parquet"]))
+    cat.commit_build(_rec("b", ["/d/2.parquet"]))
+    cat.replace([_rec("m", ["/d/1.parquet", "/d/2.parquet"])], {"a", "b"})
+    cat.delete({"m"})
+    assert not fs.ops("rename"), f"catalog used rename: {fs.ops('rename')}"
+    assert len(fs.ops("create_exclusive")) == 4  # one snapshot per commit
+    assert cat.entries() == []
+    # versions are monotonic; superseded ones pruned to the keep window
+    import glob as g
+
+    vs = sorted(g.glob(str(tmp_path / "cat" / "catalog.*.parquet")))
+    assert len(vs) <= 4 and vs[-1].endswith("00000000000000000004.parquet")
+
+
+def test_catalog_occ_retry_without_flock(tmp_path, monkeypatch):
+    """On a store without flock, a lost version claim must re-read and
+    retry the whole read-modify-write — never bump-and-clobber with a
+    stale snapshot."""
+    import contextlib
+
+    from rottnest_spark.core.fs import LocalFS
+
+    class RacyFS(LocalFS):
+        """Fails the first create_exclusive by claiming the version for a
+        CONCURRENT writer (writing a different snapshot there)."""
+
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, data):
+            if not self.raced:
+                self.raced = True
+                super().create_exclusive(path, b"")  # rival claims version
+                # and the rival's commit appended its own record
+                import pyarrow as pa, pyarrow.parquet as pq
+                from rottnest_spark.core.catalog import CATALOG_SCHEMA
+
+                t = pa.Table.from_pylist(
+                    [_rec("rival", ["/d/r.parquet"]) | {"created_at": "x"}],
+                    schema=CATALOG_SCHEMA,
+                )
+                buf = pa.BufferOutputStream()
+                pq.write_table(t, buf)
+                os.remove(path)
+                super().create_exclusive(path, buf.getvalue().to_pybytes())
+            return super().create_exclusive(path, data)
+
+    fs = RacyFS()
+    cat = IndexCatalog(str(tmp_path / "cat"), fs=fs)
+    monkeypatch.setattr(
+        IndexCatalog, "_locked", contextlib.nullcontext
+    )  # no flock: remote-store mode
+    cat.append(_rec("mine", ["/d/m.parquet"]))
+    names = {e["index_name"] for e in cat.entries()}
+    # BOTH commits survive: the retry re-read the rival's snapshot
+    assert names == {"rival", "mine"}
+
+
+def test_legacy_single_file_catalog_migrates(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rottnest_spark.core.catalog import CATALOG_SCHEMA
+
+    d = tmp_path / "cat"
+    os.makedirs(d)
+    legacy = pa.Table.from_pylist(
+        [_rec("old", ["/d/o.parquet"]) | {"created_at": "x"}],
+        schema=CATALOG_SCHEMA,
+    )
+    pq.write_table(legacy, str(d / "catalog.parquet"))
+    cat = IndexCatalog(str(d))
+    assert [e["index_name"] for e in cat.entries()] == ["old"]
+    cat.append(_rec("new", ["/d/n.parquet"]))
+    assert {e["index_name"] for e in cat.entries()} == {"old", "new"}
+    assert not os.path.exists(str(d / "catalog.parquet"))  # superseded
+    assert os.path.exists(str(d / f"catalog.{1:020d}.parquet"))

@@ -99,3 +99,78 @@ def test_append_and_repair_route_through_fs(spark, rec_lake):
     )
     assert lake.repair_files() == []
     assert not fs.exists(os.path.join(man_dir, "deadbeef.json"))
+
+
+def test_hadoopfs_primitives(spark, tmp_path):
+    """HadoopFS drives the same JVM FileSystem API an s3a:// deployment
+    uses; over file: it must behave exactly like LocalFS."""
+    from rottnest_spark.core.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    d = str(tmp_path / "h")
+    fs.makedirs(d + "/sub")
+    fs.write_text(d + "/a.json", '{"x": 1}')
+    assert fs.read_text(d + "/a.json") == '{"x": 1}'
+    assert fs.exists(d + "/a.json") and fs.isdir(d + "/sub")
+    fs.write_text(d + "/sub/b.parquet", "")
+    assert fs.glob(d + "/*.json") == [d + "/a.json"]
+    assert fs.list_files(d) == [d + "/a.json", d + "/sub/b.parquet"]
+    assert fs.listdir(d) == ["a.json", "sub"]
+    # put-if-absent: the rename-free commit primitive
+    fs.create_exclusive(d + "/v1", b"snapshot")
+    assert fs.read_bytes(d + "/v1") == b"snapshot"
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(d + "/v1", b"loser")
+    assert fs.read_bytes(d + "/v1") == b"snapshot"  # loser wrote nothing
+    fs.rename(d + "/a.json", d + "/c.json")
+    assert not fs.exists(d + "/a.json") and fs.exists(d + "/c.json")
+    assert fs.getsize(d + "/v1") == len(b"snapshot")
+    assert fs.getmtime(d + "/v1") > 0
+    fs.remove(d + "/v1")
+    with pytest.raises(FileNotFoundError):
+        fs.remove(d + "/v1")
+    fs.rmtree(d)
+    assert not fs.exists(d)
+
+
+def test_full_lifecycle_over_hadoopfs(spark, sf_dir, tmp_path):
+    """Round-4 verdict item 2 'Done' criterion: the whole lake lifecycle
+    (build → search → append → refresh → compact_files → repair → vacuum)
+    over the Hadoop FileSystem transport, with search ≡ oracle at every
+    step — a user pointing the lake at s3a:// runs exactly these code
+    paths."""
+    from rottnest_spark.core.fs import HadoopFS
+    from rottnest_spark.indices import SubstringIndex
+
+    fs = HadoopFS(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    data = str(tmp_path / "data")
+    docs.filter("doc_id < 300").repartition(3).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "idx"), fs=fs)
+    idx = SubstringIndex()
+    assert lake.build_index(idx, "text")
+
+    def oracle(df, q):
+        return sorted(
+            r["doc_id"]
+            for r in df.filter(F.contains(F.lower("text"), F.lit(q))).collect()
+        )
+
+    q = "merge sort"
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert got == oracle(docs.filter("doc_id < 300"), q)
+
+    lake.append(docs.filter("doc_id >= 300"))
+    rep = lake.refresh_indices()
+    assert rep["built"]
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert got == oracle(docs, q)
+
+    new_files = lake.compact_files(target_rows=100_000)
+    assert new_files
+    assert lake.repair_files() == []  # clean swap, nothing to repair
+    lake.refresh_indices()
+    lake.vacuum()
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert got == oracle(docs, q)
+    lake.catalog.validate()
