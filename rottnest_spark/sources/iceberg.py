@@ -85,7 +85,14 @@ def _current_metadata(table_path: str) -> dict:
 
 def iceberg_live_files(table_path: str) -> list[str]:
     """Absolute paths of the data files live in the CURRENT snapshot."""
-    md = _current_metadata(table_path)
+    return live_files_from_metadata(_current_metadata(table_path), table_path)
+
+
+def live_files_from_metadata(md: dict, table_path: str) -> list[str]:
+    """Current-snapshot live set from an already-loaded TableMetadata dict —
+    the shared core for storage-resolved metadata (`_current_metadata`) and
+    catalog-served metadata (the REST adapter's LoadTableResult,
+    sources/iceberg_rest.py)."""
     snap_id = md.get("current-snapshot-id")
     snaps = md.get("snapshots", [])
     if snap_id in (None, -1) or not snaps:
@@ -109,7 +116,14 @@ def iceberg_history_files(
 
     `now_ms` defaults to the newest snapshot timestamp (wall-clock-free, so
     tests and replayed tables behave deterministically)."""
-    md = _current_metadata(table_path)
+    return history_files_from_metadata(
+        _current_metadata(table_path), table_path, history_days, now_ms
+    )
+
+
+def history_files_from_metadata(
+    md: dict, table_path: str, history_days: float, now_ms: int | None = None
+) -> list[str]:
     snaps = md.get("snapshots", [])
     if not snaps:
         return []

@@ -1,0 +1,221 @@
+"""Iceberg REST catalog client — the reference's network-catalog path
+(backends/iceberg.py:52-97 loads tables from Glue/REST catalogs via
+pyiceberg's `load_catalog`), re-expressed directly over the PUBLIC Iceberg
+REST Catalog OpenAPI spec (rest-catalog-open-api.yaml, apache/iceberg repo)
+with nothing but stdlib urllib — pyiceberg is not in this environment and
+is not needed: the catalog's only job here is answering "what is this
+table's current TableMetadata", after which the existing snapshot-replay
+machinery (sources/iceberg.py) takes over unchanged.
+
+Endpoints used (all GET, spec section "Catalog API"):
+
+    {uri}/v1/config?warehouse=W          -> {defaults, overrides}   (prefix)
+    {uri}/v1/{prefix}/namespaces         -> {namespaces: [[...], ...]}
+    {uri}/v1/{prefix}/namespaces/{ns}/tables          -> {identifiers}
+    {uri}/v1/{prefix}/namespaces/{ns}/tables/{table}  -> LoadTableResult
+        {"metadata-location": ..., "metadata": {TableMetadata...}}
+
+Multi-level namespaces join with the spec's unit separator %1F. Auth is a
+bearer token header when given (the spec's OAuth flows reduce to this for
+a pre-issued token). The transport is injectable (`opener`) so tests run
+against an in-process HTTP server or a plain fake — the same seam the
+reference gets from pyiceberg's mockable catalog object.
+
+Data access still goes through storage: the catalog serves METADATA only;
+manifest lists, manifests and data files are read from `table_path` (the
+local/s3a mount of the table's `location`), exactly as the storage-resolved
+`IcebergSnapshotLake` does.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from rottnest_spark.sources.iceberg import (
+    IcebergSnapshotLake,
+    _norm_uri,
+    history_files_from_metadata,
+    live_files_from_metadata,
+)
+
+#: spec: multi-level namespace parts joined by the 0x1F unit separator
+NS_SEP = "\x1f"
+
+
+class IcebergRestError(RuntimeError):
+    """Catalog returned an error response (carries the HTTP status)."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+
+
+def _default_opener(url: str, headers: dict) -> tuple[int, bytes]:
+    req = urllib.request.Request(url, headers=headers, method="GET")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:  # non-2xx still has a body
+        return e.code, e.read()
+
+
+class IcebergRestCatalog:
+    """Thin read-path client for an Iceberg REST catalog.
+
+    `opener(url, headers) -> (status, body_bytes)` is the whole transport
+    surface; the default is urllib. `warehouse` is forwarded to /v1/config
+    as the spec directs; a `prefix` returned in the config overrides is
+    inserted into every subsequent route."""
+
+    def __init__(
+        self,
+        uri: str,
+        warehouse: str | None = None,
+        token: str | None = None,
+        opener=None,
+    ):
+        self.uri = uri.rstrip("/")
+        self.warehouse = warehouse
+        self._opener = opener or _default_opener
+        self._headers = {"Accept": "application/json"}
+        if token:
+            self._headers["Authorization"] = f"Bearer {token}"
+        self._prefix: str | None = None  # resolved lazily from /v1/config
+
+    # -- transport ----------------------------------------------------------
+
+    def _get(self, route: str, query: dict | None = None) -> dict:
+        url = f"{self.uri}/v1/{route}"
+        if query:
+            url += "?" + urllib.parse.urlencode(query)
+        status, body = self._opener(url, dict(self._headers))
+        if status == 404:
+            raise IcebergRestError(404, f"not found: {route}")
+        if not 200 <= status < 300:
+            try:
+                msg = json.loads(body).get("error", {}).get("message", "")
+            except (ValueError, AttributeError):
+                msg = body[:200].decode(errors="replace")
+            raise IcebergRestError(status, msg or route)
+        return json.loads(body) if body else {}
+
+    def _route(self, route: str) -> str:
+        if self.prefix:
+            return f"{self.prefix}/{route}"
+        return route
+
+    @staticmethod
+    def _ns_path(namespace: str | list[str]) -> str:
+        parts = (
+            namespace.split(".")
+            if isinstance(namespace, str)
+            else list(namespace)
+        )
+        return urllib.parse.quote(NS_SEP.join(parts), safe="")
+
+    # -- catalog surface ----------------------------------------------------
+
+    @property
+    def prefix(self) -> str:
+        if self._prefix is None:
+            q = {"warehouse": self.warehouse} if self.warehouse else None
+            cfg = self._get("config", q)
+            merged = {**cfg.get("defaults", {}), **cfg.get("overrides", {})}
+            self._prefix = merged.get("prefix", "")
+        return self._prefix
+
+    def list_namespaces(self) -> list[list[str]]:
+        out = self._get(self._route("namespaces"))
+        return [list(ns) for ns in out.get("namespaces", [])]
+
+    def list_tables(self, namespace: str | list[str]) -> list[str]:
+        out = self._get(
+            self._route(f"namespaces/{self._ns_path(namespace)}/tables")
+        )
+        return [i["name"] for i in out.get("identifiers", [])]
+
+    def load_table(self, identifier: str) -> dict:
+        """LoadTableResult for `namespace.table` (last dot splits the table
+        name; everything before is the — possibly multi-level — namespace).
+        """
+        ns, _, name = identifier.rpartition(".")
+        if not ns:
+            raise ValueError(
+                f"identifier {identifier!r} must be namespace.table"
+            )
+        return self._get(
+            self._route(
+                f"namespaces/{self._ns_path(ns)}/tables/"
+                f"{urllib.parse.quote(name, safe='')}"
+            )
+        )
+
+    def table_metadata(self, identifier: str) -> dict:
+        result = self.load_table(identifier)
+        md = result.get("metadata")
+        if md is None:
+            raise IcebergRestError(
+                500, f"LoadTableResult for {identifier} has no metadata"
+            )
+        return md
+
+
+class IcebergRestLake(IcebergSnapshotLake):
+    """ParquetLake over the current snapshot of a REST-catalog table.
+
+    Metadata comes from the catalog (re-fetched on every `.files` access —
+    metadata-scale, and exactly the freshness the storage-resolved lake
+    gets from re-reading version-hint); manifests and data files are read
+    from `table_path`, the mounted location of the table (defaults to the
+    metadata's own `location`, which is correct whenever that URI is
+    directly readable, e.g. file:/ in tests or s3a-mounted paths on a
+    cluster)."""
+
+    def __init__(
+        self,
+        spark,
+        catalog: IcebergRestCatalog,
+        identifier: str,
+        index_dir: str,
+        table_path: str | None = None,
+        **kw,
+    ):
+        self.rest_catalog = catalog
+        self.identifier = identifier
+        if table_path is None:
+            table_path = _norm_uri(
+                catalog.table_metadata(identifier).get("location", "")
+            )
+            if not table_path:
+                raise ValueError(
+                    f"{identifier}: no table_path given and the catalog "
+                    f"metadata has no location"
+                )
+        super().__init__(spark, table_path, index_dir, **kw)
+
+    @property
+    def files(self) -> list[str]:
+        md = self.rest_catalog.table_metadata(self.identifier)
+        return live_files_from_metadata(md, self._table_path)
+
+    def vacuum(
+        self,
+        live_files: set[str] | None = None,
+        history_days: float | None = None,
+        now_ms: int | None = None,
+        orphan_min_age_sec: float = 0.0,
+    ) -> list[str]:
+        if history_days is not None:
+            md = self.rest_catalog.table_metadata(self.identifier)
+            live_files = set(
+                history_files_from_metadata(
+                    md, self._table_path, history_days, now_ms
+                )
+            )
+        # skip IcebergSnapshotLake.vacuum: it would re-resolve from storage
+        return super(IcebergSnapshotLake, self).vacuum(
+            live_files=live_files, orphan_min_age_sec=orphan_min_age_sec
+        )
