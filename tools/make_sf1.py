@@ -1,26 +1,33 @@
-"""Generate a synthetic ~sf1 dataset: 10x sf0.1 via union-multiply with
-key-shifted replicas (join keys shifted consistently across fact/dim
+"""Generate a synthetic scaled dataset: 10x a source dir via union-multiply
+with key-shifted replicas (join keys shifted consistently across fact/dim
 pairs so TPC-H joins keep their selectivity). One physical Parquet file
 per table (the lake fixtures are single files; per-file footer ops need
 real files, not directories).
 
-Usage: python tools/make_sf1.py [out_dir]   (default /tmp/testdata_sf1)
+Decades chain: each run multiplies its source by 10, with key strides
+scaled by the source's own decade so replica key ranges never collide.
+
+Usage:
+    python tools/make_sf1.py [out_dir]                      # sf0.1 -> sf1
+    python tools/make_sf1.py /tmp/testdata_sf10 \
+        --src /tmp/testdata_sf1 --stride-scale 10           # sf1 -> sf10
 """
 
 from __future__ import annotations
 
+import argparse
 import os
-import sys
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
-# per-table key columns shifted by replica * offset; offsets chosen far
-# above the sf0.1 key ranges so replicas never collide
+# per-table key columns shifted by replica * offset; base offsets chosen far
+# above the sf0.1 key ranges so replicas never collide. The SAME logical key
+# domain (orderkey in orders+lineitem, partkey in part+lineitem, ...) uses
+# the SAME stride, so shifted replicas keep their join partners.
 SHIFTS: dict[str, dict[str, int]] = {
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "lineitem": {
@@ -52,21 +59,36 @@ def shifted(tbl: pa.Table, shifts: dict[str, int], i: int) -> pa.Table:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
-    os.makedirs(out_dir, exist_ok=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="/tmp/testdata_sf1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--stride-scale",
+        type=int,
+        default=1,
+        help="multiply key strides by this (10 when the source is itself a "
+        "10x product of sf0.1, so replicas of the wider key range still "
+        "never collide)",
+    )
+    args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
     tables = [
         os.path.splitext(f)[0]
-        for f in sorted(os.listdir(SRC))
+        for f in sorted(os.listdir(args.src))
         if f.endswith(".parquet")
     ]
     for t in tables:
-        src = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
-        dst = os.path.join(out_dir, f"{t}.parquet")
+        src = pq.read_table(os.path.join(args.src, f"{t}.parquet"))
+        dst = os.path.join(args.out_dir, f"{t}.parquet")
         n = 1 if t in SINGLE else COPIES
+        shifts = {
+            c: off * args.stride_scale
+            for c, off in SHIFTS.get(t, {}).items()
+        }
         writer = pq.ParquetWriter(dst, src.schema)
         for i in range(n):
             writer.write_table(
-                shifted(src, SHIFTS.get(t, {}), i), row_group_size=1 << 20
+                shifted(src, shifts, i), row_group_size=1 << 20
             )
         writer.close()
         print(f"{t}: {src.num_rows} x {n} -> {pq.ParquetFile(dst).metadata.num_rows}")

@@ -47,11 +47,14 @@ def main() -> None:
 
     names = sys.argv[1:] or DEFAULT
     sfs = list(SFS)
-    # synthetic sf1 (tools/make_sf1.py) extends the ladder when present —
-    # the 0.1 -> 1 column is the strongest sub-linearity evidence
+    # synthetic sf1/sf10 (tools/make_sf1.py) extend the ladder when present
+    # — the 0.1 -> 1 -> 10 columns are the strongest sub-linearity evidence
     sf1 = os.environ.get("SCALE_SF1_DIR", "/tmp/testdata_sf1")
     if os.path.exists(os.path.join(sf1, "orders.parquet")):
         sfs.append(sf1)
+        sf10 = os.environ.get("SCALE_SF10_DIR", "/tmp/testdata_sf10")
+        if os.path.exists(os.path.join(sf10, "orders.parquet")):
+            sfs.append(sf10)
     spark = get_spark("scale-probe", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
     # steady-state: run everything once at the smallest sf first
@@ -60,7 +63,7 @@ def main() -> None:
             ep.QUERIES[n](spark, sfs[0]).collect()
         except Exception:
             pass
-    labels = ["sf.001", "sf.01", "sf.1", "sf1"][: len(sfs)]
+    labels = ["sf.001", "sf.01", "sf.1", "sf1", "sf10"][: len(sfs)]
     hdr = " ".join(f"{l:>8s}" for l in labels)
     ratios = " ".join(
         f"{'x(' + labels[i + 1] + ')':>10s}" for i in range(len(sfs) - 1)
