@@ -998,6 +998,61 @@ def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_quality_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals over REAL baseline-JPEG payloads (ops/jpegcodec.py,
+    pure struct+numpy T.81): deterministic gradient images are JPEG-encoded
+    in one mapInPandas pass and decoded by the executor-shipped decoder in
+    the next. No SQL oracle — codecs aren't SQL-expressible; rows-only
+    check + exact/tolerance tests in tests/test_multimodal.py."""
+    import numpy as _np
+
+    from rottnest_spark.ops.jpegcodec import encode_jpeg
+
+    # Fixture payloads are encoded driver-side (64 tiny images — metadata
+    # scale); the surface under test is the EXECUTOR-side decode inside
+    # media_quality, whose T.81 decoder ships as a by-value closure.
+    rows = []
+    for mid in range(64):
+        yy, xx = _np.mgrid[0 : 24 + mid % 8, 0:32]
+        px = (
+            128 + (30 + mid % 50) * _np.sin(yy / 5.0) * _np.cos(xx / 7.0)
+        ).astype(_np.uint8)
+        rows.append((mid, "image", bytearray(encode_jpeg(px, quality=90))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).repartition(8, "media_id")
+    return multimodal.media_quality(media).select(
+        "media_id",
+        F.round("brightness", 2).alias("brightness"),
+        F.round("contrast", 2).alias("contrast"),
+        F.round("entropy", 3).alias("entropy"),
+    )
+
+
+def q_mp4_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container metadata extraction (ISO BMFF box walk — real parse,
+    no frame decode): duration/dimensions/track stats a video-curation
+    stage filters on. Rows-only — box formats aren't SQL-expressible."""
+    rows = [
+        (
+            mid,
+            "video",
+            bytearray(
+                multimodal.encode_mp4_meta(
+                    2.0 + mid % 7, 320 + 16 * (mid % 5), 240
+                )
+            ),
+        )
+        for mid in range(64)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).repartition(8, "media_id")
+    return multimodal.mp4_meta(media).select(
+        "media_id", "brand", "duration_sec", "width", "height", "n_tracks"
+    )
+
+
 def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling (dataset mixing): hash-
     bucket membership, reproducible across runs and engines."""
@@ -2740,6 +2795,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "media_payload_stats": q_media_payload_stats,
     "media_quality": q_media_quality,
+    "media_quality_jpeg": q_media_quality_jpeg,
+    "mp4_container_meta": q_mp4_container_meta,
     "curate_documents": q_curate_documents,
     "stratified_mixture": q_stratified_mixture,
     "sequence_packing": q_sequence_packing,

@@ -14,10 +14,13 @@ containers for real — BMP 8/24-bit and PCM WAV 8/16-bit are pure-struct
 public specs (see `_make_decoder`) — plus the deterministic FAKE fixture
 codec. PNG (8-bit gray/RGB/RGBA, non-interlaced) decodes for real too —
 IDAT is a zlib stream and filters 0-4 are pure arithmetic, so stdlib
-zlib + numpy cover the public spec with no external library; only
-JPEG/MP4 (which need PIL/libav — not in this container) raise
-`NotImplementedError`, and swapping `_decode_real` for a real library
-call changes nothing else.
+zlib + numpy cover the public spec with no external library. Baseline
+JPEG (SOF0, gray/YCbCr up to 2x2 sampling, restart markers) decodes for
+real as well — `ops/jpegcodec.py`, pure struct+numpy over ITU-T T.81;
+only MP4 *frame decode* (H.264, genuinely needs libav) raises
+`NotImplementedError` — MP4 container metadata still parses for real
+(ISO BMFF box walk, `parse_mp4_meta`). Swapping `_decode_real` for a
+library call changes nothing else.
 
 Scale notes:
 - Binary payloads make rows wide: batches are bounded by
@@ -101,13 +104,14 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 
 
 def _decode_real(payload: bytes) -> np.ndarray:
-    # STUB for JPEG/MP4 only (need PIL/libav, not in this container).
-    # BMP, PCM WAV, and PNG decode for real below (`_make_decoder`):
-    # pure struct/zlib/numpy over the public specs.
+    # STUB for MP4 frame decode only (H.264 needs libav, not in this
+    # container; container METADATA parses for real — parse_mp4_meta).
+    # BMP, PCM WAV, PNG, and baseline JPEG decode for real below
+    # (`_make_decoder`): pure struct/zlib/numpy over the public specs.
     raise NotImplementedError(
-        "JPEG/MP4 codecs unavailable in this environment; supported "
+        "MP4 frame decode unavailable in this environment; supported "
         "payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV, PNG "
-        "(8-bit gray/RGB/RGBA non-interlaced)"
+        "(8-bit gray/RGB/RGBA non-interlaced), baseline JPEG (SOF0)"
     )
 
 
@@ -203,9 +207,16 @@ def _make_decoder():
     - PNG, 8-bit gray/RGB/RGBA non-interlaced (IHDR/IDAT walked, zlib
       inflate, scanline filters 0-4 reversed): returns 2-D uint8
       (RGB(A) to BT.601 luma).
-    The FAKE codec stays for deterministic fixtures; JPEG/MP4 raise with
-    the swap instruction."""
+    - JPEG, baseline sequential (SOF0), gray or YCbCr up to 2x2 sampling,
+      restart markers: returns 2-D uint8 luma (the Y channel IS the
+      BT.601 luma, so chroma blocks are entropy-walked but not IDCT'd) —
+      `ops/jpegcodec.py`.
+    The FAKE codec stays for deterministic fixtures; MP4 frame decode
+    raises with the swap instruction."""
+    from rottnest_spark.ops.jpegcodec import make_jpeg_decoder
+
     magic = FAKE_MAGIC
+    jpeg = make_jpeg_decoder()  # nested closure -> pickled by value
 
     def decode(payload: bytes):
         import struct as _struct
@@ -321,6 +332,8 @@ def _make_decoder():
             return (
                 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
             ).astype(_np.uint8)
+        if payload[:2] == b"\xff\xd8":  # JPEG — baseline T.81 decoder
+            return jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             pos, n = 12, len(payload)
             fmt = None
@@ -356,9 +369,9 @@ def _make_decoder():
                 pos += 8 + clen + (clen & 1)  # chunks are word-aligned
             raise ValueError("WAV has no data chunk")
         raise NotImplementedError(
-            "JPEG/MP4 codecs unavailable in this environment; supported "
+            "MP4 frame decode unavailable in this environment; supported "
             "payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV, PNG "
-            "(8-bit gray/RGB/RGBA non-interlaced)"
+            "(8-bit gray/RGB/RGBA non-interlaced), baseline JPEG (SOF0)"
         )
 
     return decode
@@ -482,6 +495,155 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
 
     schema = "media_id long, frame_id int, frame binary"
     return df.select("media_id", "payload").mapInPandas(fs, schema)
+
+
+def _make_mp4_parser():
+    """ISO BMFF (MP4) container-metadata parser — public spec (ISO/IEC
+    14496-12) box walk, pure struct. Frame decode needs an H.264 codec
+    (not in this container) and stays stubbed; the container metadata a
+    curation pipeline filters on (duration, dimensions, track count,
+    handler types, brand) parses for real. Closure-shipped like
+    `_make_decoder`."""
+
+    def parse(payload: bytes) -> dict:
+        import struct as _struct
+
+        n = len(payload)
+        meta = {
+            "brand": None, "timescale": None, "duration": None,
+            "n_tracks": 0, "width": None, "height": None, "handlers": [],
+        }
+
+        def walk(lo: int, hi: int, depth: int = 0):
+            pos = lo
+            while pos + 8 <= hi:
+                (size,) = _struct.unpack_from(">I", payload, pos)
+                tag = payload[pos + 4 : pos + 8]
+                body = pos + 8
+                if size == 1:  # 64-bit largesize
+                    (size,) = _struct.unpack_from(">Q", payload, pos + 8)
+                    body = pos + 16
+                elif size == 0:  # to end of enclosing box
+                    size = hi - pos
+                if size < 8 or pos + size > hi:
+                    raise ValueError(f"bad MP4 box at {pos}")
+                end = pos + size
+                if tag == b"ftyp":
+                    meta["brand"] = payload[body : body + 4].decode(
+                        "ascii", "replace"
+                    )
+                elif tag in (b"moov", b"trak", b"mdia"):
+                    walk(body, end, depth + 1)
+                elif tag == b"mvhd":
+                    ver = payload[body]
+                    if ver == 1:
+                        ts, dur = _struct.unpack_from(
+                            ">IQ", payload, body + 4 + 16
+                        )
+                    else:
+                        ts, dur = _struct.unpack_from(
+                            ">II", payload, body + 4 + 8
+                        )
+                    meta["timescale"], meta["duration"] = ts, dur
+                elif tag == b"tkhd":
+                    ver = payload[body]
+                    off = body + 4 + (32 if ver == 1 else 16) + 4 \
+                        + (8 if ver == 1 else 4) + 8 + 2 + 2 + 2 + 2 + 36
+                    wfx, hfx = _struct.unpack_from(">II", payload, off)
+                    if wfx and hfx:  # 16.16 fixed point; audio tracks are 0
+                        meta["width"] = wfx >> 16
+                        meta["height"] = hfx >> 16
+                    meta["n_tracks"] += 1
+                elif tag == b"hdlr":
+                    meta["handlers"].append(
+                        payload[body + 8 : body + 12].decode(
+                            "ascii", "replace"
+                        )
+                    )
+                pos = end
+
+        walk(0, n)
+        return meta
+
+    return parse
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Driver-side convenience wrapper (tests/demos)."""
+    return _make_mp4_parser()(payload)
+
+
+def encode_mp4_meta(
+    duration_sec: float, width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """Minimal spec-conforming MP4 metadata skeleton (ftyp + moov with
+    mvhd/trak/tkhd/mdia/hdlr, no media data) — real ISO BMFF bytes for
+    tests and demos of the container-metadata path."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    dur = int(round(duration_sec * timescale))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3xIIII", 0, 3, 0, 0, 1)
+        + struct.pack(">II", 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur) + b"\x00" * 4
+    )
+    hdlr = box(b"hdlr", struct.pack(">B3x4x", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    mdia = box(b"mdia", mdhd + hdlr)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def mp4_meta(df: DataFrame) -> DataFrame:
+    """Container-metadata extraction over MP4 payload columns: the video
+    analog of `decode_meta` — one Arrow-batched pass, struct-only parse,
+    no frame decode required."""
+
+    parse = _make_mp4_parser()
+
+    def m(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "brand": [], "duration_sec": [],
+                "width": [], "height": [], "n_tracks": [], "handlers": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["brand"].append(info["brand"])
+                ts = info["timescale"] or 0
+                rows["duration_sec"].append(
+                    float(info["duration"]) / ts if ts else None
+                )
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["n_tracks"].append(info["n_tracks"])
+                rows["handlers"].append(",".join(info["handlers"]))
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "media_id long, brand string, duration_sec double, width int, "
+        "height int, n_tracks int, handlers string"
+    )
+    return df.select("media_id", "payload").mapInPandas(m, schema)
 
 
 def media_quality(df: DataFrame) -> DataFrame:

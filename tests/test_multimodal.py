@@ -62,8 +62,9 @@ def test_frame_sample_counts(spark, media):
 
 
 def test_real_codec_raises():
+    # MP4 payloads (frame decode) are the remaining documented stub
     with pytest.raises(NotImplementedError):
-        mm.decode_pixels(b"\xff\xd8\xff\xe0 fake jpeg header")
+        mm.decode_pixels(b"\x00\x00\x00\x18ftypisom not a pixel codec")
 
 
 # -- real codecs (round 4b): BMP + PCM WAV decode for real -------------------
@@ -122,12 +123,19 @@ def test_unsupported_codec_raises_clearly():
 
     from rottnest_spark.ops.multimodal import decode_pixels
 
-    # PNG decodes for real now; JPEG is the remaining documented gap
-    with _pytest.raises(NotImplementedError, match="BMP|WAV|FAKE|PNG"):
-        decode_pixels(b"\xff\xd8\xff\xe0 jpeg header")
-    # a truncated PNG is a parse error, not an unsupported codec
+    # PNG and baseline JPEG decode for real now; MP4 frames remain stubbed
+    with _pytest.raises(NotImplementedError, match="MP4"):
+        decode_pixels(b"\x00\x00\x00\x18ftypisom container, not pixels")
+    # a truncated PNG/JPEG is a parse error, not an unsupported codec
     with _pytest.raises(ValueError, match="IHDR"):
         decode_pixels(b"\x89PNG\r\n\x1a\n....")
+    with _pytest.raises(ValueError, match="SOF|SOS"):
+        decode_pixels(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    # progressive JPEG raises the documented mode error
+    with _pytest.raises(NotImplementedError, match="SOF0"):
+        decode_pixels(
+            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
 
 
 def test_media_quality_signals(spark):
@@ -325,3 +333,139 @@ def test_png_unsupported_variants_raise():
     )
     with _pytest.raises(NotImplementedError, match="PNG variant"):
         decode_pixels(p)
+
+
+# -- baseline JPEG (round 5): ITU-T T.81 in pure struct+numpy ----------------
+
+
+def test_jpeg_roundtrip_gray():
+    """Encode->decode error bounded by quantization: near-exact at q=100
+    (all-ones tables), small at q=90 on smooth content."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import decode_jpeg_luma, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    d = decode_jpeg_luma(encode_jpeg(noise, quality=100))
+    assert d.shape == (32, 40)
+    assert np.abs(d.astype(int) - noise.astype(int)).max() <= 1
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = (128 + 80 * np.sin(yy / 9) * np.cos(xx / 11)).astype(np.uint8)
+    d = decode_jpeg_luma(encode_jpeg(smooth, quality=90))
+    err = np.abs(d.astype(int) - smooth.astype(int))
+    assert err.mean() < 1.5 and err.max() <= 8
+
+
+def test_jpeg_dc_only_exact():
+    """A flat image is DC-only: reconstruction is exact at any quality
+    whose quantized DC survives rounding — validates quant/dequant, the
+    DC huffman path, and the IDCT normalization in isolation."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import decode_jpeg_luma, encode_jpeg
+
+    px = np.full((16, 24), 130, dtype=np.uint8)
+    d = decode_jpeg_luma(encode_jpeg(px, quality=95))
+    assert (d == px).all()
+
+
+def test_jpeg_color_and_subsampling():
+    """YCbCr 4:4:4 and 4:2:0 MCU layouts both decode to the BT.601 luma
+    of the source; 4:2:0 exercises multi-block-per-MCU bitstream walk,
+    restart markers exercise the RSTn/DC-reset path."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import decode_jpeg_luma, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    base = (128 + 70 * np.sin(yy / 7) * np.cos(xx / 9)).astype(np.uint8)
+    rgb = np.stack([base, 255 - base, np.roll(base, 5, 1)], axis=-1)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for kw in (
+        {"subsample": (1, 1)},
+        {"subsample": (2, 2)},
+        {"subsample": (2, 2), "restart_interval": 2},
+        {"subsample": (2, 1)},
+    ):
+        d = decode_jpeg_luma(encode_jpeg(rgb, quality=90, **kw))
+        assert d.shape == luma.shape
+        err = np.abs(d.astype(float) - luma)
+        assert err.mean() < 2.0, (kw, err.mean())
+
+
+def test_jpeg_odd_dimensions():
+    """Non-multiple-of-8 (and of-16 for 4:2:0) dims: edge blocks padded at
+    encode, cropped at decode."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import decode_jpeg_luma, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    for h, w in ((9, 13), (17, 31), (45, 57)):
+        smooth = np.tile(
+            np.linspace(20, 230, w).astype(np.uint8), (h, 1)
+        )
+        d = decode_jpeg_luma(encode_jpeg(smooth, quality=92))
+        assert d.shape == (h, w)
+        assert np.abs(d.astype(int) - smooth.astype(int)).mean() < 2.0
+
+
+def test_jpeg_through_media_quality(spark):
+    """REAL JPEG payloads through the executor-side decode path
+    (mapInPandas -> closure-shipped T.81 decoder): quality signals match
+    the source statistics."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import encode_jpeg
+    from rottnest_spark.ops.multimodal import media_quality
+
+    rows = []
+    expected = {}
+    for i in range(6):
+        yy, xx = np.mgrid[0 : 24 + i, 0:32]
+        px = (128 + (40 + 5 * i) * np.sin(yy / 5) * np.cos(xx / 7)).astype(
+            np.uint8
+        )
+        rows.append((i, "image", bytearray(encode_jpeg(px, quality=93))))
+        expected[i] = (float(px.mean()), float(px.std()))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in media_quality(df).collect()}
+    for i, (mean, std) in expected.items():
+        assert abs(out[i]["brightness"] - mean) < 1.5
+        assert abs(out[i]["contrast"] - std) < 1.5
+
+
+def test_mp4_container_meta(spark):
+    """MP4 container metadata parses for real (ISO BMFF box walk) even
+    though frame decode stays stubbed — driver parse + executor
+    mapInPandas both checked."""
+    from rottnest_spark.ops.multimodal import (
+        encode_mp4_meta,
+        mp4_meta,
+        parse_mp4_meta,
+    )
+
+    b = encode_mp4_meta(12.5, 640, 360)
+    info = parse_mp4_meta(b)
+    assert info["brand"] == "isom"
+    assert info["duration"] / info["timescale"] == 12.5
+    assert (info["width"], info["height"]) == (640, 360)
+    assert info["handlers"] == ["vide"]
+
+    rows = [
+        (i, "video", bytearray(encode_mp4_meta(3.0 + i, 320 + 16 * i, 240)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in mp4_meta(df).collect()}
+    for i in range(4):
+        assert out[i]["duration_sec"] == 3.0 + i
+        assert out[i]["width"] == 320 + 16 * i
+        assert out[i]["n_tracks"] == 1
+        assert out[i]["handlers"] == "vide"
