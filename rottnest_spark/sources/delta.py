@@ -79,22 +79,23 @@ def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
     return v, parts
 
 
-def delta_live_files(
+def delta_live_adds(
     table_path: str, version_as_of: int | None = None
-) -> list[str]:
-    """Replay the _delta_log: returns absolute paths of live data files.
+) -> dict[str, dict]:
+    """Replay the _delta_log: {absolute data-file path: partitionValues}.
 
     `version_as_of` stops the replay at that commit (inclusive) — Delta
     time travel. Raises if the requested version precedes the earliest
     replayable state (a checkpoint hides older commits) or exceeds the
-    log."""
+    log. partitionValues comes from the add action (the AUTHORITATIVE
+    source per the protocol — file paths need not be hive-encoded)."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
 
     commits = sorted(glob.glob(os.path.join(log_dir, "*.json")))
 
-    live: set[str] = set()
+    live: dict[str, dict] = {}
     start_version, cp_files = _checkpoint_parts(log_dir)
     if version_as_of is not None:
         all_versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
@@ -117,7 +118,7 @@ def delta_live_files(
             if "add" in tbl.column_names:
                 for rec in tbl.column("add").to_pylist():
                     if rec and rec.get("path"):
-                        live.add(rec["path"])
+                        live[rec["path"]] = dict(rec.get("partitionValues") or {})
 
     versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
     if start_version < 0 and 0 not in versions:
@@ -139,10 +140,67 @@ def delta_live_files(
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live.add(action["add"]["path"])
+                    live[action["add"]["path"]] = dict(
+                        action["add"].get("partitionValues") or {}
+                    )
                 elif "remove" in action:
-                    live.discard(action["remove"]["path"])
-    return sorted(os.path.join(table_path, p) for p in live)
+                    live.pop(action["remove"]["path"], None)
+    return {os.path.join(table_path, p): pv for p, pv in live.items()}
+
+
+def delta_live_files(
+    table_path: str, version_as_of: int | None = None
+) -> list[str]:
+    """Replay the _delta_log: returns absolute paths of live data files
+    (see delta_live_adds for the partitionValues-carrying form)."""
+    return sorted(delta_live_adds(table_path, version_as_of))
+
+
+def delta_table_meta(table_path: str) -> dict | None:
+    """Latest metaData action (schemaString, partitionColumns, ...) from
+    the log — checkpoint first (it snapshots metaData), then any commit
+    after it. None when the table has no metaData (not spec-valid, but
+    degrade gracefully to 'unpartitioned, schema from footers')."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
+    meta = None
+    start_version, cp_files = _checkpoint_parts(log_dir)
+    if cp_files:
+        import pyarrow.parquet as pq
+
+        for cp in cp_files:
+            tbl = pq.read_table(cp)
+            if "metaData" in tbl.column_names:
+                for rec in tbl.column("metaData").to_pylist():
+                    if rec and rec.get("id"):
+                        meta = rec
+    for c in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
+        if int(os.path.basename(c).split(".")[0]) <= start_version:
+            continue
+        with open(c) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+    return meta
+
+
+def delta_partition_columns(table_path: str) -> list[str]:
+    meta = delta_table_meta(table_path)
+    return list((meta or {}).get("partitionColumns") or [])
+
+
+def delta_schema(table_path: str):
+    """The table's full Spark schema (INCLUDING partition columns, which
+    data files do not physically carry) as a StructType, or None."""
+    from pyspark.sql.types import StructType
+
+    meta = delta_table_meta(table_path)
+    ss = (meta or {}).get("schemaString")
+    return StructType.fromJson(json.loads(ss)) if ss else None
 
 
 def delta_known_files(table_path: str) -> list[str]:
@@ -202,3 +260,89 @@ class DeltaSnapshotLake(ParquetLake):
     @property
     def files(self) -> list[str]:
         return delta_live_files(self._table_path, self._version_as_of)
+
+    def build_index(self, index, column: str, *a, **kw):
+        """Partition columns are path-encoded, not physical — an index
+        over one would build against the reconstructed read but refine
+        against data files that lack the column. Partition PRUNING
+        (`partition_pruned(col=value)`) already serves those predicates
+        at zero index cost, so refuse with that pointer."""
+        if column in delta_partition_columns(self._table_path):
+            raise ValueError(
+                f"{column!r} is a partition column — it has no physical "
+                "column in the data files. Use partition_pruned("
+                f"{column}=...) for exact pruning instead of an index."
+            )
+        return super().build_index(index, column, *a, **kw)
+
+    def read(self, files: list[str] | None = None):
+        """Snapshot read with PARTITION-COLUMN reconstruction: Delta data
+        files do not physically carry partition columns — their values
+        live in the log's add actions. Unpartitioned tables take the base
+        path untouched.
+
+        Plan shape (scale): one `spark.read.parquet` over the whole file
+        set with `basePath` + the log's schemaString when the layout is
+        hive-encoded and consistent with the log (one scan; Spark prunes
+        and types partition columns from the explicit schema — no
+        inference, no per-partition jobs). Non-hive layouts (Delta allows
+        arbitrary file names) fall back to one scan per DISTINCT
+        partition tuple with typed literal columns, unioned — bounded by
+        partition count, not file count."""
+        pcols = delta_partition_columns(self._table_path)
+        if not pcols:
+            return super().read(files)
+        use = files or self.files
+        if not use:
+            raise ValueError(
+                f"Delta table at {self._table_path!r} has no live data files"
+            )
+        adds = delta_live_adds(self._table_path, self._version_as_of)
+        schema = delta_schema(self._table_path)
+        unknown = [f for f in use if f not in adds]
+        if unknown:
+            raise ValueError(
+                f"files not in the Delta snapshot: {unknown[:3]} — "
+                "partition values unknown"
+            )
+
+        def hive_consistent(f: str) -> bool:
+            from urllib.parse import unquote
+
+            segs = os.path.relpath(f, self._table_path).split(os.sep)[:-1]
+            got = {}
+            for s in segs:
+                if "=" in s:
+                    k, _, v = s.partition("=")
+                    got[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
+            return all(got.get(c) == adds[f].get(c) for c in pcols)
+
+        if schema is not None and all(hive_consistent(f) for f in use):
+            return (
+                self.spark.read.schema(schema)
+                .option("basePath", self._table_path)
+                .parquet(*use)
+            )
+        # fallback: group by partition tuple, literal columns, one union
+        from pyspark.sql import functions as F
+
+        groups: dict[tuple, list[str]] = {}
+        for f in use:
+            key = tuple((adds[f] or {}).get(c) for c in pcols)
+            groups.setdefault(key, []).append(f)
+        types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        parts = []
+        for key, fl in sorted(groups.items()):
+            df = super().read(fl)
+            for c, v in zip(pcols, key):
+                lit = F.lit(v)
+                if c in types:
+                    lit = lit.cast(types[c])
+                df = df.withColumn(c, lit)
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out

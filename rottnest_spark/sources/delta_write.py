@@ -15,7 +15,11 @@ Scope notes, stated rather than hidden:
   exclusive-create (`open(..., "x")`) commit, so two racing writers
   cannot BOTH claim a version — the loser gets FileExistsError and
   retries (object stores: put-if-absent, same contract);
-- unpartitioned tables (partitionValues always {});
+- hive-layout partitioned tables supported (round 5): partitionValues
+  parse from `col=value/` path segments at commit time, metaData carries
+  partitionColumns + a schema that includes them; rewriting DML on
+  partitioned format-backed lakes is refused up front (see
+  sources/writable.py) rather than committing wrong partition values;
 - checkpoints carry `protocol`/`metaData`/`add` rows (what a reader
   needs to reconstruct the snapshot without older commits).
 """
@@ -68,12 +72,45 @@ def _next_version(log_dir: str, fs: LakeFS) -> int:
     return max(versions) + 1
 
 
-def _add_action(table_path: str, f: str) -> dict:
+def _hive_partition_values(
+    table_path: str, f: str, partition_columns: list[str]
+) -> dict:
+    """Parse `col=value` path segments (Spark/Hive layout) into the add
+    action's partitionValues map. `__HIVE_DEFAULT_PARTITION__` is the
+    hive null sentinel -> JSON null. Raises when a declared partition
+    column is missing from the path — a file landed outside the layout
+    (e.g. a root-level rewrite on a partitioned table) would otherwise
+    be committed with silently-wrong partition values."""
+    from urllib.parse import unquote
+
     rel = os.path.relpath(f, table_path)
+    got: dict = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            got[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    missing = [c for c in partition_columns if c not in got]
+    if missing:
+        raise ValueError(
+            f"data file {rel!r} lacks hive path segments for partition "
+            f"column(s) {missing} — cannot derive partitionValues"
+        )
+    return {c: got[c] for c in partition_columns}
+
+
+def _add_action(
+    table_path: str, f: str, partition_columns: list[str] | None = None
+) -> dict:
+    rel = os.path.relpath(f, table_path)
+    pvals = (
+        _hive_partition_values(table_path, f, partition_columns)
+        if partition_columns
+        else {}
+    )
     return {
         "add": {
             "path": rel,
-            "partitionValues": {},
+            "partitionValues": pvals,
             "size": os.path.getsize(f),
             "modificationTime": int(os.path.getmtime(f) * 1000),
             "dataChange": True,
@@ -96,13 +133,26 @@ def _write_commit(
     return version
 
 
-def delta_convert(table_path: str, fs: LakeFS | None = None) -> int:
+def delta_convert(
+    table_path: str,
+    fs: LakeFS | None = None,
+    partition_columns: list[str] | None = None,
+    schema_string: str | None = None,
+) -> int:
     """Convert a plain parquet directory into a Delta table: commit 0 =
     protocol + metaData + one add per existing data file (Delta's
     CONVERT TO DELTA). Returns the committed version (0). Refuses if a
-    log already exists."""
+    log already exists.
+
+    `partition_columns` converts a hive-layout directory: each add's
+    partitionValues parse from its `col=value/` path segments. The
+    schemaString must then include the partition columns (data files do
+    NOT carry them physically) — pass `schema_string` (Spark
+    StructType.json()) with the true types; without it, hive convention
+    applies and partition columns are appended as strings."""
     fs = fs or LocalFS()
     log_dir = _log_dir(table_path)
+    partition_columns = list(partition_columns or [])
     if _is_delta(log_dir, fs):
         raise ValueError(f"{table_path} already has a _delta_log")
     data = [
@@ -112,18 +162,35 @@ def delta_convert(table_path: str, fs: LakeFS | None = None) -> int:
     ]
     if not data:
         raise ValueError(f"{table_path} has no parquet data files to convert")
+    ss = schema_string or _schema_string(data[0])
+    if partition_columns and schema_string is None:
+        s = json.loads(ss)
+        have = {f["name"] for f in s["fields"]}
+        for c in partition_columns:
+            if c not in have:
+                s["fields"].append(
+                    {
+                        "name": c,
+                        "type": "string",
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                )
+        ss = json.dumps(s)
     meta = {
         "metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": _schema_string(data[0]),
-            "partitionColumns": [],
+            "schemaString": ss,
+            "partitionColumns": partition_columns,
             "configuration": {},
             "createdTime": int(time.time() * 1000),
         }
     }
     actions = [{"protocol": PROTOCOL}, meta]
-    actions += [_add_action(table_path, f) for f in sorted(data)]
+    actions += [
+        _add_action(table_path, f, partition_columns) for f in sorted(data)
+    ]
     return _write_commit(log_dir, 0, actions, fs)
 
 
@@ -142,10 +209,13 @@ def delta_commit(
         raise ValueError(
             f"{table_path} is not a Delta table — delta_convert it first"
         )
+    from rottnest_spark.sources.delta import delta_partition_columns
+
+    pcols = delta_partition_columns(table_path)
     now = int(time.time() * 1000)
     actions: list[dict] = []
     for f in sorted(add or []):
-        actions.append(_add_action(table_path, f))
+        actions.append(_add_action(table_path, f, pcols))
     for f in sorted(remove or []):
         actions.append(
             {
@@ -245,13 +315,15 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
                                 meta = meta or rec
                             else:
                                 proto = proto or rec
+    from rottnest_spark.sources.delta import delta_live_adds
+
+    live_pvals = delta_live_adds(table_path)
     adds = [
         {
             "path": os.path.relpath(f, table_path),
-            # spec-required field; this writer only produces unpartitioned
-            # tables, so the map is empty — but it must EXIST for
-            # third-party spec-conforming checkpoint readers
-            "partitionValues": {},
+            # spec-required field; the AUTHORITATIVE values come from the
+            # log's add actions (partitioned tables carry real maps here)
+            "partitionValues": live_pvals.get(f, {}),
             "size": os.path.getsize(f),
             "modificationTime": int(os.path.getmtime(f) * 1000),
             "dataChange": False,
@@ -340,12 +412,24 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
 
 
 def delta_write(
-    df, table_path: str, mode: str = "error", fs: LakeFS | None = None
+    df,
+    table_path: str,
+    mode: str = "error",
+    fs: LakeFS | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write a DataFrame as a new Delta table (mode='error'; the dir must
     not already be a table) or append to one (mode='append'): stage the
     parquet under a temp subdir, move the part files in, commit the adds.
-    Returns the committed version."""
+    Returns the committed version.
+
+    `partition_by` creates/extends a hive-layout PARTITIONED table: data
+    files land under `col=value/` subdirs without the partition columns
+    physically (Spark partitionBy semantics), add actions carry real
+    partitionValues, and metaData records partitionColumns + the FULL
+    schema (from `df`, so partition columns keep their true types). On
+    append the argument is optional — the table's own partitionColumns
+    apply; passing a CONFLICTING spec raises."""
     assert mode in ("error", "append")
     fs = fs or LocalFS()
     log_dir = _log_dir(table_path)
@@ -354,16 +438,45 @@ def delta_write(
         raise ValueError(f"{table_path} is already a Delta table")
     if mode == "append" and not exists:
         raise ValueError(f"{table_path} is not a Delta table")
+    pcols = list(partition_by or [])
+    if exists:
+        from rottnest_spark.sources.delta import delta_partition_columns
+
+        table_pcols = delta_partition_columns(table_path)
+        if partition_by is not None and pcols != table_pcols:
+            raise ValueError(
+                f"partition_by={pcols} conflicts with the table's "
+                f"partitionColumns={table_pcols}"
+            )
+        pcols = table_pcols
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(stage)
+    if pcols:
+        df.write.partitionBy(*pcols).parquet(stage)
+    else:
+        df.write.parquet(stage)
     moved = []
-    for f in fs.glob(os.path.join(stage, "*.parquet")):
-        dst = os.path.join(table_path, f"part-{uuid.uuid4().hex}.parquet")
+    for f in fs.list_files(stage):
+        rel = os.path.relpath(f, stage)
+        segs = rel.split(os.sep)
+        if not segs[-1].endswith(".parquet") or segs[-1].startswith(
+            ("_", ".")
+        ):
+            continue
+        # keep the hive partition dirs; uniquify only the leaf name
+        dst = os.path.join(
+            table_path, *segs[:-1], f"part-{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
         fs.rename(f, dst)
         moved.append(dst)
     fs.rmtree(stage)
     if not exists:
-        return delta_convert(table_path, fs=fs)
+        return delta_convert(
+            table_path,
+            fs=fs,
+            partition_columns=pcols,
+            schema_string=df.schema.json() if pcols else None,
+        )
     # OCC retry: a pure-add append conflicts with nothing and must win
     # through version races with concurrent writers
     return delta_commit_retry(table_path, add=moved, fs=fs)

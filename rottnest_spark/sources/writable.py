@@ -69,11 +69,67 @@ class _FormatDML:
                 out.add(p)
         return out
 
+    def _partition_columns(self) -> list[str]:
+        """The format's declared partition columns ([] = unpartitioned)."""
+        return []
+
+    def _guard_rewrite(self, op: str) -> None:
+        """Rewriting ops (compaction, copy-on-write delete/merge) publish
+        files at the table root — on a PARTITIONED table that would
+        commit wrong/empty partitionValues. Refuse up front with the
+        workaround rather than corrupting the log."""
+        pcols = self._partition_columns()
+        if pcols:
+            raise NotImplementedError(
+                f"{op} on a partitioned format-backed table (partition "
+                f"columns {pcols}) is not supported: the rewrite would "
+                "publish files outside the hive layout. Rewrite via "
+                "delta_write/iceberg_write into a new table, or run the "
+                "op on an unpartitioned table."
+            )
+
     def append(self, df: DataFrame) -> list[str]:
-        new_files = ParquetLake.append(self, df)
+        pcols = self._partition_columns()
+        if not pcols:
+            new_files = ParquetLake.append(self, df)
+        else:
+            # hive-layout staging: partition subdirs preserved on publish,
+            # so _commit's add actions parse real partitionValues
+            import uuid as _uuid
+
+            cid = _uuid.uuid4().hex[:12]
+            stage = os.path.join(self.data_dir, f"_compact_stage_{cid}")
+            df.write.partitionBy(*pcols).parquet(stage)
+            new_files = []
+            for f in self.fs.list_files(stage):
+                segs = os.path.relpath(f, stage).split(os.sep)
+                leaf = segs[-1]
+                if not leaf.endswith(".parquet") or leaf.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                dst = os.path.join(
+                    self.data_dir, *segs[:-1], f"appended_{cid}_{leaf}"
+                )
+                self.fs.makedirs(os.path.dirname(dst))
+                self.fs.rename(f, dst)
+                new_files.append(dst)
+            self.fs.rmtree(stage)
         if new_files:  # an empty frame publishes nothing — no commit
             self._commit(add=new_files, remove=[])
         return new_files
+
+    def compact_files(self, *a, **kw):
+        self._guard_rewrite("compact_files")
+        return ParquetLake.compact_files(self, *a, **kw)
+
+    def delete_matching(self, *a, **kw):
+        self._guard_rewrite("delete_matching")
+        return ParquetLake.delete_matching(self, *a, **kw)
+
+    def merge_into(self, *a, **kw):
+        self._guard_rewrite("merge_into")
+        return ParquetLake.merge_into(self, *a, **kw)
 
     def _retire(self, files_to_remove, pre_op_files) -> None:
         # new files = physical dir minus everything the log ever knew
@@ -156,6 +212,11 @@ class DeltaWritableLake(_FormatDML, DeltaSnapshotLake):
         from rottnest_spark.sources.delta import delta_known_files
 
         return set(delta_known_files(self._table_path))
+
+    def _partition_columns(self) -> list[str]:
+        from rottnest_spark.sources.delta import delta_partition_columns
+
+        return delta_partition_columns(self._table_path)
 
 
 class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):

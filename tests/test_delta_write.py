@@ -232,3 +232,177 @@ def test_checkpoint_schema_is_spec_conforming(table):
     # tombstone survives with the remove schema
     removes = [r for r in t.column("remove").to_pylist() if r]
     assert removes and removes[0]["path"].startswith("part-")
+
+
+# -- partitioned tables (round 5) --------------------------------------------
+
+
+def test_partitioned_write_and_read(spark, sf_dir, tmp_path):
+    """delta_write(partition_by=) produces a hive-layout table whose add
+    actions carry real partitionValues; DeltaSnapshotLake.read
+    reconstructs the partition columns with their TRUE types (from the
+    metaData schemaString, not hive string inference)."""
+    from rottnest_spark.sources.delta import (
+        DeltaSnapshotLake,
+        delta_live_adds,
+        delta_partition_columns,
+        delta_schema,
+    )
+
+    out = str(tmp_path / "ptable")
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "lang", "text")
+    )
+    delta_write(src, out, partition_by=["lang"])
+
+    assert delta_partition_columns(out) == ["lang"]
+    adds = delta_live_adds(out)
+    assert adds and all(set(pv) == {"lang"} for pv in adds.values())
+    # data files physically LACK the partition column
+    import pyarrow.parquet as pq
+
+    f0 = sorted(adds)[0]
+    assert "lang" not in pq.ParquetFile(f0).schema_arrow.names
+    assert f"lang={adds[f0]['lang']}" in f0
+    # the log schema still carries it, typed
+    schema = delta_schema(out)
+    assert "lang" in schema.fieldNames()
+
+    lake = DeltaSnapshotLake(spark, out, str(tmp_path / "idx"))
+    got = lake.read()
+    want = src
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got.count() == want.count()
+    assert (
+        got.groupBy("lang").count().orderBy("lang").collect()
+        == want.groupBy("lang").count().orderBy("lang").collect()
+    )
+
+
+def test_partitioned_append_and_subset_read(spark, sf_dir, tmp_path):
+    """Appends extend existing partitions and create new ones; read(files=
+    subset) keeps reconstruction correct for any file subset."""
+    from rottnest_spark.sources.delta import DeltaSnapshotLake, delta_live_adds
+
+    out = str(tmp_path / "ptable")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    delta_write(docs.filter("doc_id < 200"), out, partition_by=["lang"])
+    delta_write(
+        docs.filter("doc_id >= 200 AND doc_id < 420"), out, mode="append"
+    )
+    lake = DeltaSnapshotLake(spark, out, str(tmp_path / "idx"))
+    want = docs.filter("doc_id < 420")
+    assert lake.read().count() == want.count()
+
+    adds = delta_live_adds(out)
+    one_lang = next(iter(adds.values()))["lang"]
+    subset = [f for f, pv in adds.items() if pv["lang"] == one_lang]
+    got = lake.read(files=subset)
+    assert got.select("lang").distinct().collect()[0][0] == one_lang
+    assert got.count() == want.filter(F.col("lang") == one_lang).count()
+
+
+def test_partitioned_append_conflicting_spec_raises(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "ptable")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    delta_write(docs.filter("doc_id < 100"), out, partition_by=["lang"])
+    with pytest.raises(ValueError, match="conflicts"):
+        delta_write(
+            docs.filter("doc_id >= 100 AND doc_id < 120"),
+            out,
+            mode="append",
+            partition_by=["doc_id"],
+        )
+
+
+def test_partitioned_checkpoint_carries_values(spark, sf_dir, tmp_path):
+    """Checkpoint add records keep real partitionValues; a replay from
+    checkpoint-only state (commits vacuumed) still reconstructs
+    partition columns."""
+    import pyarrow.parquet as pq
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake, delta_live_adds
+
+    out = str(tmp_path / "ptable")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    delta_write(docs.filter("doc_id < 150"), out, partition_by=["lang"])
+    delta_write(
+        docs.filter("doc_id >= 150 AND doc_id < 300"), out, mode="append"
+    )
+    n_before = len(delta_live_adds(out))
+    v = delta_checkpoint(out)
+    cp = os.path.join(out, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    tbl = pq.read_table(cp)
+    addrecs = [r for r in tbl.column("add").to_pylist() if r]
+    assert addrecs and all(
+        dict(r["partitionValues"]).get("lang") for r in addrecs
+    )
+    # vacuum the pre-checkpoint commits; replay must still be complete
+    for c in glob.glob(os.path.join(out, "_delta_log", "*.json")):
+        if int(os.path.basename(c).split(".")[0]) <= v:
+            os.remove(c)
+    adds = delta_live_adds(out)
+    assert len(adds) == n_before
+    assert all(pv.get("lang") for pv in adds.values())
+    lake = DeltaSnapshotLake(spark, out, str(tmp_path / "idx"))
+    assert "lang" in lake.read().columns
+
+
+def test_partitioned_writable_lake_dml(spark, sf_dir, tmp_path):
+    """DML surface on a partitioned Delta table: append routes through
+    hive staging (new partitions land correctly); rewriting ops refuse
+    up front; indexing a partition column points at partition_pruned."""
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.sources.writable import DeltaWritableLake
+
+    out = str(tmp_path / "ptable")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    delta_write(docs.filter("doc_id < 150"), out, partition_by=["lang"])
+    lake = DeltaWritableLake(spark, out, str(tmp_path / "idx"))
+
+    extra = docs.filter("doc_id >= 150 AND doc_id < 260")
+    new_files = lake.append(extra)
+    assert new_files and all("lang=" in f for f in new_files)
+    assert lake.read().count() == docs.filter("doc_id < 260").count()
+
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        lake.compact_files(max_rows=10**9)
+    with pytest.raises(ValueError, match="partition column"):
+        lake.build_index(ExactIndex(), "lang")
+
+    # partition pruning still serves partition predicates exactly
+    langs = [r[0] for r in lake.read().select("lang").distinct().collect()]
+    view = lake.partition_pruned(lang=langs[0])
+    assert view.read().count() == lake.read().filter(
+        F.col("lang") == langs[0]
+    ).count()
+
+
+def test_partitioned_null_values_roundtrip(spark, tmp_path):
+    """__HIVE_DEFAULT_PARTITION__ (null partition value) parses to JSON
+    null in the add action and reconstructs as NULL on read."""
+    from rottnest_spark.sources.delta import DeltaSnapshotLake, delta_live_adds
+
+    out = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "y"), (3, "b", "z")],
+        "id long, grp string, val string",
+    )
+    delta_write(df, out, partition_by=["grp"])
+    adds = delta_live_adds(out)
+    assert sorted(
+        (pv["grp"] if pv["grp"] is not None else "<null>") for pv in adds.values()
+    ) == ["<null>", "a", "b"]
+    lake = DeltaSnapshotLake(spark, out, str(tmp_path / "idx"))
+    got = sorted((r["id"], r["grp"]) for r in lake.read().collect())
+    assert got == [(1, "a"), (2, None), (3, "b")]
