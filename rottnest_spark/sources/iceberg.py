@@ -178,6 +178,56 @@ def _snapshot_data_files(md: dict, snap: dict, table_path: str) -> set[str]:
     return live
 
 
+def iceberg_partition_columns(table_path: str) -> list[str]:
+    """Identity-transform partition column names of the current spec.
+    Non-identity transforms (bucket/day/truncate) are ignored here: their
+    SOURCE columns stay physical in the data files, so reads need no
+    reconstruction for them."""
+    md = _current_metadata(table_path)
+    spec = md.get("partition-spec")
+    if spec is None and md.get("partition-specs"):
+        sid = md.get("default-spec-id", 0)
+        for s in md["partition-specs"]:
+            if s.get("spec-id") == sid:
+                spec = s.get("fields")
+    return [
+        f["name"]
+        for f in (spec or [])
+        if f.get("transform", "identity") == "identity"
+    ]
+
+
+def iceberg_live_adds(table_path: str) -> dict[str, dict]:
+    """{absolute data-file path: partition-values dict} for the CURRENT
+    snapshot — the manifests' r102 partition records (authoritative per
+    the spec; identity values are typed at write time)."""
+    md = _current_metadata(table_path)
+    by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    cur = md.get("current-snapshot-id")
+    if cur not in by_id:
+        return {}
+    location = md.get("location", "")
+    snap = by_id[cur]
+    manifests: list[str] = []
+    if "manifest-list" in snap:
+        ml_path = _rebase(snap["manifest-list"], location, table_path)
+        _, entries = read_ocf(ml_path)
+        manifests = [e["manifest_path"] for e in entries]
+    else:
+        manifests = list(snap.get("manifests", []))
+    out: dict[str, dict] = {}
+    for mpath in manifests:
+        _, entries = read_ocf(_rebase(mpath, location, table_path))
+        for e in entries:
+            if int(e.get("status") or 0) == 2:
+                continue
+            df = e["data_file"]
+            out[_rebase(df["file_path"], location, table_path)] = dict(
+                df.get("partition") or {}
+            )
+    return out
+
+
 class IcebergSnapshotLake(ParquetLake):
     """ParquetLake over the CURRENT Iceberg snapshot. `.files` re-resolves
     the snapshot on each access (metadata-scale), so incremental builds
@@ -191,6 +241,91 @@ class IcebergSnapshotLake(ParquetLake):
     @property
     def files(self) -> list[str]:
         return iceberg_live_files(self._table_path)
+
+    def build_index(self, index, column: str, *a, **kw):
+        """Identity partition columns of a hive-migrated-style table are
+        not physical in the data files — same refusal-with-pointer as
+        DeltaSnapshotLake (partition pruning serves those predicates)."""
+        if column in iceberg_partition_columns(self._table_path):
+            import pyarrow.parquet as pq
+
+            probe = self.files[:1]
+            if probe and column not in pq.ParquetFile(
+                probe[0]
+            ).schema_arrow.names:
+                raise ValueError(
+                    f"{column!r} is an identity partition column with no "
+                    "physical data-file column. Use partition_pruned("
+                    f"{column}=...) for exact pruning instead of an index."
+                )
+        return super().build_index(index, column, *a, **kw)
+
+    def read(self, files: list[str] | None = None):
+        """Snapshot read with identity-partition-column reconstruction
+        when the data files physically LACK those columns (hive-migrated
+        / add_files-style tables — exactly what iceberg_write
+        partition_by produces). Tables whose files carry the columns
+        physically (normal engine-written Iceberg) take the base path.
+
+        Plan shape: values come from the manifests (typed at write), so
+        reconstruction is one scan per DISTINCT partition tuple with
+        literal columns, unioned — bounded by partition count, not file
+        count; no schema-widening risk from a forced global schema."""
+        pcols = iceberg_partition_columns(self._table_path)
+        if not pcols:
+            return super().read(files)
+        use = files or self.files
+        if not use:
+            raise ValueError(
+                f"Iceberg table at {self._table_path!r} has no live data files"
+            )
+        import pyarrow.parquet as pq
+
+        physical = set(pq.ParquetFile(use[0]).schema_arrow.names)
+        missing = [c for c in pcols if c not in physical]
+        if not missing:
+            return super().read(files)
+        adds = iceberg_live_adds(self._table_path)
+        unknown = [f for f in use if f not in adds]
+        if unknown:
+            raise ValueError(
+                f"files not in the Iceberg snapshot: {unknown[:3]} — "
+                "partition values unknown"
+            )
+        from pyspark.sql import functions as F
+
+        # literal types follow the table schema (F.lit would narrow a
+        # long partition value to IntegerType)
+        _spark_of_iceberg = {
+            "long": "bigint", "int": "bigint", "double": "double",
+            "float": "double", "boolean": "boolean",
+            "timestamp": "timestamp", "string": "string",
+        }
+        md = _current_metadata(self._table_path)
+        casts = {}
+        for f in md.get("schema", {}).get("fields", []):
+            if f["name"] in missing and isinstance(f.get("type"), str):
+                casts[f["name"]] = _spark_of_iceberg.get(f["type"], "string")
+
+        groups: dict[tuple, list[str]] = {}
+        for f in use:
+            key = tuple(adds[f].get(c) for c in missing)
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key, fl in sorted(
+            groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+        ):
+            df = super().read(fl)
+            for c, v in zip(missing, key):
+                lit = F.lit(v)
+                if c in casts:
+                    lit = lit.cast(casts[c])
+                df = df.withColumn(c, lit)
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
 
     def vacuum(
         self,

@@ -13,8 +13,14 @@ Emits, per the Iceberg spec (https://iceberg.apache.org/spec/):
     metadata/version-hint.text  current metadata version pointer
 
 Scope, stated plainly:
-- unpartitioned v1 tables, data files only (no row-level deletes — the
-  reader refuses those by design, mirroring the reference);
+- v1 tables, data files only (no row-level deletes — the reader refuses
+  those by design, mirroring the reference);
+- identity-partitioned tables supported (round 5): hive-laid data files,
+  typed partition values in the manifests' r102 record, partition-spec
+  (+partition-specs/default-spec-id) in metadata; the table schema then
+  comes from the DataFrame since data files lack the partition columns
+  (the hive-migrated/add_files shape a conforming reader fills from the
+  partition tuple);
 - each commit writes ONE full manifest of the post-commit live set
   (existing + added entries, deleted entries for removals) — spec-valid,
   trading manifest reuse for simplicity; compaction-friendly;
@@ -48,29 +54,65 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-#: manifest entry schema (status + data_file struct; content=0 data)
-MANIFEST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
-        {
-            "name": "data_file",
-            "type": {
-                "type": "record",
-                "name": "data_file",
-                "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ],
-            },
-        },
-    ],
+#: avro type for an iceberg partition-source type (identity transform)
+_AVRO_OF_ICEBERG = {
+    "long": "long",
+    "int": "int",
+    "double": "double",
+    "float": "double",
+    "boolean": "boolean",
+    "string": "string",
 }
+
+
+def _manifest_schema(pfields: list[tuple[str, str]]) -> dict:
+    """Manifest entry schema: status + data_file struct with the
+    spec-required `partition` record (r102) — one nullable field per
+    partition column (identity transform keeps the source type)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {
+                                        "name": name,
+                                        "type": [
+                                            "null",
+                                            _AVRO_OF_ICEBERG.get(t, "string"),
+                                        ],
+                                        "default": None,
+                                    }
+                                    for name, t in pfields
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+#: unpartitioned manifest entry schema (empty partition record)
+MANIFEST_SCHEMA = _manifest_schema([])
 
 
 def _meta_dir(table_path: str) -> str:
@@ -139,6 +181,83 @@ def _iceberg_schema(parquet_file: str) -> dict:
     }
 
 
+def _iceberg_schema_from_spark(spark_schema) -> dict:
+    """Iceberg JSON schema from a Spark StructType — needed for
+    partitioned creates, where the staged data files physically LACK the
+    partition columns (partitionBy semantics) so the footer cannot
+    supply the full schema."""
+
+    def map_type(dt) -> object:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return "long"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "double"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.TimestampType):
+            return "timestamp"
+        if isinstance(dt, T.BinaryType):
+            return "binary"
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "list",
+                "element-id": 1000,
+                "element": map_type(dt.elementType),
+                "element-required": False,
+            }
+        return "string"
+
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": map_type(f.dataType),
+            }
+            for i, f in enumerate(spark_schema.fields)
+        ],
+    }
+
+
+def _hive_pvals(table_path: str, f: str, pfields: list[tuple[str, str]]):
+    """Typed partition values for a data file from its hive path segments
+    (`col=value/`) — identity transform, so values convert to the source
+    column's iceberg type. Raises when a partition column is missing
+    from the path (a file landed outside the layout)."""
+    from urllib.parse import unquote
+
+    rel = os.path.relpath(f, table_path)
+    got: dict = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            got[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    out = {}
+    for name, t in pfields:
+        if name not in got:
+            raise ValueError(
+                f"data file {rel!r} lacks a hive path segment for "
+                f"partition column {name!r}"
+            )
+        v = got[name]
+        if v is None:
+            out[name] = None
+        elif t in ("long", "int"):
+            out[name] = int(v)
+        elif t in ("double", "float"):
+            out[name] = float(v)
+        elif t == "boolean":
+            out[name] = v.lower() == "true"
+        else:
+            out[name] = v
+    return out
+
+
 def _latest_metadata(table_path: str, fs: LakeFS) -> tuple[int, dict | None]:
     """(version, metadata) of the NEWEST metadata file by filename version
     — the WRITE-path state read. Writers must not use the version-hint
@@ -160,6 +279,23 @@ def _latest_metadata(table_path: str, fs: LakeFS) -> tuple[int, dict | None]:
     return best_v, json.loads(fs.read_text(best_f))
 
 
+def _identity_partition_fields(md: dict | None) -> list[str]:
+    """Identity-transform partition column names from table metadata."""
+    if not md:
+        return []
+    spec = md.get("partition-spec")
+    if spec is None and md.get("partition-specs"):
+        sid = md.get("default-spec-id", 0)
+        for s in md["partition-specs"]:
+            if s.get("spec-id") == sid:
+                spec = s.get("fields")
+    return [
+        f["name"]
+        for f in (spec or [])
+        if f.get("transform", "identity") == "identity"
+    ]
+
+
 def _commit_snapshot(
     table_path: str,
     live: list[str],
@@ -169,6 +305,8 @@ def _commit_snapshot(
     timestamp_ms: int | None,
     prior: dict | None,
     version: int | None = None,
+    partition_by: list[str] | None = None,
+    schema: dict | None = None,
 ) -> int:
     meta_dir = _meta_dir(table_path)
     fs.makedirs(meta_dir)
@@ -178,7 +316,36 @@ def _commit_snapshot(
     ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     added_set, removed_set = set(added), set(removed)
 
+    schema = schema or (prior or {}).get("schema") or (
+        _iceberg_schema(live[0]) if live else {"type": "struct", "fields": []}
+    )
+    pcols = (
+        list(partition_by)
+        if partition_by is not None
+        else _identity_partition_fields(prior)
+    )
+    field_by_name = {f["name"]: f for f in schema.get("fields", [])}
+    pfields = []
+    for c in pcols:
+        f = field_by_name.get(c)
+        if f is None:
+            raise ValueError(
+                f"partition column {c!r} is not in the table schema"
+            )
+        t = f["type"] if isinstance(f["type"], str) else "string"
+        pfields.append((c, t))
+
     def entry(f: str, status: int) -> dict:
+        if pfields:
+            try:
+                partition = _hive_pvals(table_path, f, pfields)
+            except ValueError:
+                if status == 2:  # tombstone of a pre-layout file: no values
+                    partition = {name: None for name, _ in pfields}
+                else:
+                    raise
+        else:
+            partition = {}
         return {
             "status": status,
             "snapshot_id": snap_id,
@@ -186,6 +353,7 @@ def _commit_snapshot(
                 "content": 0,
                 "file_path": os.path.abspath(f),
                 "file_format": "PARQUET",
+                "partition": partition,
                 "record_count": _record_count(f) if status != 2 else -1,
                 "file_size_in_bytes": (
                     fs.getsize(f) if status != 2 and fs.exists(f) else -1
@@ -197,7 +365,7 @@ def _commit_snapshot(
         entry(f, 1 if f in added_set else 0) for f in sorted(live)
     ] + [entry(f, 2) for f in sorted(removed_set)]
     manifest = os.path.join(meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
-    write_ocf(manifest, MANIFEST_SCHEMA, entries)
+    write_ocf(manifest, _manifest_schema(pfields), entries)
     ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_ocf(
         ml,
@@ -218,14 +386,24 @@ def _commit_snapshot(
         "manifest-list": ml,
         "summary": {"operation": "append" if not removed else "overwrite"},
     }
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": field_by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(pcols)
+    ]
     md = {
         "format-version": 1,
         "table-uuid": (prior or {}).get("table-uuid", str(uuid.uuid4())),
         "location": os.path.abspath(table_path),
         "last-updated-ms": ts,
-        "schema": (prior or {}).get("schema")
-        or (_iceberg_schema(live[0]) if live else {"type": "struct", "fields": []}),
-        "partition-spec": [],
+        "schema": schema,
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
         "current-snapshot-id": snap_id,
         "snapshots": ((prior or {}).get("snapshots") or []) + [snapshot],
     }
@@ -336,11 +514,24 @@ def iceberg_commit_retry(
 
 
 def iceberg_write(
-    df, table_path: str, mode: str = "error", fs: LakeFS | None = None
+    df,
+    table_path: str,
+    mode: str = "error",
+    fs: LakeFS | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write a DataFrame as a new Iceberg table or append to one (the
     delta_write staging discipline: stage parquet, move parts in, commit
-    the adds). Returns the snapshot id."""
+    the adds). Returns the snapshot id.
+
+    `partition_by` creates an identity-partitioned v1 table: data files
+    land hive-laid under data/col=value/, manifests carry the
+    spec-required partition record (r102) with TYPED values, metadata
+    records partition-spec(+specs) — and the table schema comes from
+    `df` (data files physically lack the partition columns, like a
+    hive-migrated/add_files Iceberg table; IcebergSnapshotLake.read
+    reconstructs them from the manifests). Appends inherit the table's
+    spec; a conflicting explicit spec raises."""
     assert mode in ("error", "append")
     fs = fs or LocalFS()
     meta_dir = _meta_dir(table_path)
@@ -351,15 +542,48 @@ def iceberg_write(
         raise ValueError(f"{table_path} is already an Iceberg table")
     if mode == "append" and not exists:
         raise ValueError(f"{table_path} is not an Iceberg table")
+    pcols = list(partition_by or [])
+    prior = None
+    if exists:
+        _, prior = _latest_metadata(table_path, fs)
+        table_pcols = _identity_partition_fields(prior)
+        if partition_by is not None and pcols != table_pcols:
+            raise ValueError(
+                f"partition_by={pcols} conflicts with the table's "
+                f"partition spec {table_pcols}"
+            )
+        pcols = table_pcols
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(stage)
+    if pcols:
+        df.write.partitionBy(*pcols).parquet(stage)
+    else:
+        df.write.parquet(stage)
     moved = []
     fs.makedirs(os.path.join(table_path, "data"))
-    for f in fs.glob(os.path.join(stage, "*.parquet")):
-        dst = os.path.join(table_path, "data", f"{uuid.uuid4().hex}.parquet")
+    for f in fs.list_files(stage):
+        segs = os.path.relpath(f, stage).split(os.sep)
+        leaf = segs[-1]
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        dst = os.path.join(
+            table_path, "data", *segs[:-1], f"{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
         fs.rename(f, dst)
         moved.append(dst)
     fs.rmtree(stage)
     if not exists:
+        if pcols:
+            return _commit_snapshot(
+                table_path,
+                sorted(moved),
+                sorted(moved),
+                [],
+                fs,
+                None,
+                prior=None,
+                partition_by=pcols,
+                schema=_iceberg_schema_from_spark(df.schema),
+            )
         return iceberg_convert(table_path, fs=fs)
     return iceberg_commit(table_path, add=moved, fs=fs)

@@ -231,6 +231,11 @@ class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):
             self._table_path, add=add or None, remove=remove or None, fs=self.fs
         )
 
+    def _partition_columns(self) -> list[str]:
+        from rottnest_spark.sources.iceberg import iceberg_partition_columns
+
+        return iceberg_partition_columns(self._table_path)
+
     def _known_files(self) -> set[str]:
         from rottnest_spark.sources.iceberg import (
             _current_metadata,

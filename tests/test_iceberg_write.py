@@ -163,3 +163,137 @@ def test_iceberg_write_dataframe_roundtrip(spark, sf_dir, tmp_path):
     assert spark.read.parquet(*iceberg_live_files(out)).count() == 120
     with pytest.raises(ValueError, match="already"):
         iceberg_write(df, out)
+
+
+# -- identity-partitioned tables (round 5) -----------------------------------
+
+
+def test_partitioned_write_spec_and_manifests(spark, sf_dir, tmp_path):
+    """iceberg_write(partition_by=) records the identity spec in metadata
+    and TYPED partition values in the manifests' r102 record; data files
+    are hive-laid and physically lack the partition column."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from rottnest_spark.sources.avro_lite import read_ocf
+    from rottnest_spark.sources.iceberg import (
+        iceberg_live_adds,
+        iceberg_partition_columns,
+    )
+
+    out = str(tmp_path / "ptable")
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "lang", "text")
+    )
+    iceberg_write(src, out, partition_by=["lang"])
+
+    assert iceberg_partition_columns(out) == ["lang"]
+    md = json.loads(
+        open(sorted(glob.glob(os.path.join(out, "metadata", "v*.metadata.json")))[-1]).read()
+    )
+    assert md["partition-spec"][0] == {
+        "name": "lang", "transform": "identity",
+        "source-id": 2, "field-id": 1000,
+    }
+    assert md["default-spec-id"] == 0
+    # schema includes the partition column even though files lack it
+    names = [f["name"] for f in md["schema"]["fields"]]
+    assert names == ["doc_id", "lang", "text"]
+
+    adds = iceberg_live_adds(out)
+    assert adds and all(
+        isinstance(pv.get("lang"), str) for pv in adds.values()
+    )
+    f0 = sorted(adds)[0]
+    assert "lang=" in f0
+    assert "lang" not in pq.ParquetFile(f0).schema_arrow.names
+    # manifest partition record is spec-shaped (r102 with a lang field)
+    man = sorted(glob.glob(os.path.join(out, "metadata", "manifest-*.avro")))[-1]
+    schema, entries = read_ocf(man)
+    dfields = {
+        f["name"] for f in schema["fields"] if f["name"] == "data_file"
+    }
+    assert dfields and all(
+        "partition" in e["data_file"] for e in entries
+    )
+
+
+def test_partitioned_read_reconstructs_columns(spark, sf_dir, tmp_path):
+    from rottnest_spark.sources.iceberg import iceberg_live_adds
+
+    out = str(tmp_path / "ptable")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    iceberg_write(docs.filter("doc_id < 200"), out, partition_by=["lang"])
+    iceberg_write(
+        docs.filter("doc_id >= 200 AND doc_id < 420"), out, mode="append"
+    )
+    lake = IcebergSnapshotLake(spark, out, str(tmp_path / "idx"))
+    want = docs.filter("doc_id < 420")
+    got = lake.read()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert (
+        got.groupBy("lang").count().orderBy("lang").collect()
+        == want.groupBy("lang").count().orderBy("lang").collect()
+    )
+    # subset read keeps reconstruction exact
+    adds = iceberg_live_adds(out)
+    one = next(iter(adds.values()))["lang"]
+    subset = [f for f, pv in adds.items() if pv["lang"] == one]
+    sub = lake.read(files=subset)
+    assert sub.select("lang").distinct().collect()[0][0] == one
+    assert sub.count() == want.filter(F.col("lang") == one).count()
+
+
+def test_partitioned_typed_long_partition(spark, tmp_path):
+    """A LONG partition column round-trips typed (manifest carries avro
+    long, not a string)."""
+    from rottnest_spark.sources.iceberg import iceberg_live_adds
+
+    out = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "id long, bucket long, val string"
+    )
+    iceberg_write(df, out, partition_by=["bucket"])
+    adds = iceberg_live_adds(out)
+    assert adds and all(
+        isinstance(pv["bucket"], int) for pv in adds.values()
+    )
+    lake = IcebergSnapshotLake(spark, out, str(tmp_path / "idx"))
+    got = lake.read()
+    assert dict(got.dtypes)["bucket"] == "bigint"
+    assert got.filter("bucket = 1").count() == 10
+
+
+def test_partitioned_writable_lake_guards(spark, sf_dir, tmp_path):
+    """DML surface on a partitioned Iceberg table: hive-staged appends
+    commit typed values; rewrites refuse up front."""
+    from rottnest_spark.sources.iceberg import iceberg_live_adds
+    from rottnest_spark.sources.writable import IcebergWritableLake
+
+    out = str(tmp_path / "ptable")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    iceberg_write(docs.filter("doc_id < 150"), out, partition_by=["lang"])
+    lake = IcebergWritableLake(spark, out, str(tmp_path / "idx"))
+    new_files = lake.append(docs.filter("doc_id >= 150 AND doc_id < 260"))
+    assert new_files and all("lang=" in f for f in new_files)
+    assert lake.read().count() == docs.filter("doc_id < 260").count()
+    adds = iceberg_live_adds(out)
+    assert all(pv.get("lang") for pv in adds.values())
+
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        lake.compact_files(max_rows=10**9)
+
+    with pytest.raises(ValueError, match="conflicts"):
+        iceberg_write(
+            docs.filter("doc_id >= 260 AND doc_id < 280"),
+            out,
+            mode="append",
+            partition_by=["doc_id"],
+        )
