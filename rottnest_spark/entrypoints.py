@@ -1247,8 +1247,10 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style join: broadcast the small dimension, shuffle the fact
-    once, deterministic top-K via (rounded revenue, key) ordering."""
+    """TPC-H Q3-style join: shuffle the fact once, deterministic top-K via
+    (rounded revenue, key) ordering. No broadcast hint on the filtered
+    customer — it is still 1/5 of an SF-proportional table (GBs at SF100);
+    AQE broadcasts it at runtime whenever it is genuinely small."""
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1256,7 +1258,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
         .agg(
             F.round(
@@ -1353,8 +1355,10 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style star join: fact shuffles once per key chain, every
-    dimension (region→nation→customer/supplier) broadcasts."""
+    """TPC-H Q5-style star join: fact shuffles once per key chain; the
+    bounded dimensions (region=5 rows, nation=25, supplier=SF×10k)
+    broadcast, but customer (SF×150k, linear in SF) is left to AQE — a
+    forced hint on it is a multi-GB exchange at SF100."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -1373,7 +1377,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", F.col("n_name").alias("s_n_name"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
         .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
         .filter(F.col("n_name") == F.col("s_n_name"))
         .groupBy("n_name")
@@ -1491,8 +1495,9 @@ Q18_QTY = 150.0
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item revenue, adapted to fixture columns): top-20
     customers by revenue lost to returns. lineitem filter pushes to the
-    scan; customer×nation broadcasts; one shuffle on the order key and one
-    on the customer grouping."""
+    scan; nation broadcasts (25 rows); customer is SF×150k so it joins
+    un-hinted (AQE decides) — one shuffle on the order key and one on the
+    customer grouping."""
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
@@ -1505,7 +1510,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -1522,7 +1527,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-quantity orders): orders whose line quantities sum
     past a threshold, with their customer. The HAVING pre-aggregates
     map-side on the order key BEFORE the customer join, so only qualifying
-    orders (a tiny set) reach the join."""
+    orders (a tiny set) reach the join. customer is SF×150k, so it gets
+    no forced hint — AQE broadcasts whichever side shrank at runtime."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -1535,7 +1541,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",
@@ -1664,9 +1670,10 @@ def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+    # customer is SF×150k (unfiltered): shuffle equi-join, no forced hint.
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select("c_mktsegment", "o_orderkey", "o_totalprice")
     return grouped_top_n(
         joined,
@@ -1685,9 +1692,10 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority, adapted to the fixture's columns):
-    unshipped-order revenue for BUILDING customers, top 10. Dimension side
-    (filtered customers) broadcasts; the lineitem↔orders join shuffles on
-    the order key with both filters pushed to the scans."""
+    unshipped-order revenue for BUILDING customers, top 10. The filtered
+    customer side is still 1/5 of an SF-proportional table, so no forced
+    broadcast (AQE promotes it when small); the lineitem↔orders join
+    shuffles on the order key with both filters pushed to the scans."""
     cust = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -1705,7 +1713,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -2045,10 +2053,12 @@ Q8_LO, Q8_HI = "1996-01-01", "1997-12-31"
 
 
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 (national market share): 8-way join where every dimension
-    (part, supplier, customer, nation ×2, region) broadcasts and only
-    lineitem⋈orders shuffles; the region/type/date filters prune their
-    scans before any join."""
+    """TPC-H Q8 (national market share): 8-way join. Provably-tiny frames
+    broadcast: part filtered to ONE p_type (1/150 of the table → SF×1.3k
+    rows), supplier (SF×10k), nation, region. customer — even
+    region-filtered, still 1/5 of SF×150k — joins un-hinted so AQE decides;
+    only lineitem⋈orders and the customer join shuffle, and the
+    region/type/date filters prune their scans before any join."""
     part = load(spark, sf_dir, "part").filter(
         F.col("p_type") == Q8_TYPE
     ).select("p_partkey")
@@ -2083,7 +2093,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     return (
         vol.groupBy(F.year("o_orderdate").alias("o_year"))
@@ -2134,7 +2144,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust is nation-filtered customer (2/25 of SF×150k = SF×12k) —
+        # small today, but SF-proportional: AQE decides, no forced hint.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -2172,8 +2184,10 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 (promo revenue share): one broadcast join + one
-    conditional aggregation; the shipdate window pushes to the scan."""
+    """TPC-H Q14 (promo revenue share): equi-join on partkey + one
+    conditional aggregation; the shipdate window pushes to the scan.
+    part is unfiltered SF×200k so no forced broadcast — AQE promotes it
+    while it fits, shuffle-joins when it no longer does."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
@@ -2181,7 +2195,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -2225,19 +2239,24 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery decorrelates into a per-part aggregate over the BRAND-pruned
     lineitem slice (partkey determines brand, so pre-filtering by the
     broadcast part list loses nothing), joined back on partkey."""
+    # ONE brand = 1/25 of part — small now, but still SF-proportional
+    # (SF×8k keys, ~8M at SF1000): un-hinted, AQE promotes while tiny.
     part = load(spark, sf_dir, "part").filter(
         F.col("p_brand") == Q17_BRAND
     ).select("p_partkey")
     li = (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     avg_q = li.groupBy(F.col("l_partkey").alias("ak")).agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(avg_q), li.l_partkey == avg_q.ak)
+        # avg_q has one row per brand-filtered part (SF×8k, SF-linear):
+        # un-hinted; the groupBy output is already hash-partitioned on the
+        # key, so the self-join co-locates when AQE keeps it a shuffle.
+        li.join(avg_q, li.l_partkey == avg_q.ak)
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -2253,7 +2272,19 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").between(qty_lo, qty_hi)
     )
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    # Pre-filter part by the disjunction of the part-only predicates so the
+    # scan prunes to the qualifying brands (~3/25 of SF×200k); the coupled
+    # brand×quantity arms remain a post-join filter. No forced broadcast —
+    # the filtered frame is still SF-proportional, AQE promotes when small.
+    part_arm = None
+    for brand, max_size, _lo, _hi in Q19_ARMS:
+        c = (F.col("p_brand") == brand) & F.col("p_size").between(1, max_size)
+        part_arm = c if part_arm is None else (part_arm | c)
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(part_arm)
+        .select("p_partkey", "p_brand", "p_size")
+    )
     arm = None
     for brand, max_size, lo, hi in Q19_ARMS:
         cond = (
@@ -2263,7 +2294,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         arm = cond if arm is None else (arm | cond)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm)
         .agg(
             F.round(
@@ -2377,10 +2408,11 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adaptation (product-type profit by nation and year):
     supply cost proxy = 0.6 × p_retailprice (fixture has no
-    ps_supplycost). Name-filtered parts broadcast-prune lineitem first;
-    supplier→nation broadcast; the only shuffle joins are
-    lineitem⋈orders (both fact-scale, equi-join on orderkey) and the
-    final (nation, year) aggregate."""
+    ps_supplycost). Name-filtered parts prune lineitem first (the filter
+    keeps ~1/17 of an SF-proportional table, so AQE — not a forced hint —
+    decides broadcast vs shuffle); supplier→nation broadcast; the only
+    guaranteed shuffle joins are lineitem⋈orders (both fact-scale,
+    equi-join on orderkey) and the final (nation, year) aggregate."""
     part = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").contains(Q9_NAME))
@@ -2391,7 +2423,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2473,6 +2505,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (part, supplier) qualifies when its shipped quantity of a
     name-matched part in the window exceeds half the part's total; the
     supplier list is the DISTINCT semi-join of qualifiers."""
+    # Name filter keeps ~1/17 of part — SF-proportional, so no forced
+    # broadcast; AQE promotes the join while the filtered side stays small.
     part = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").contains(Q20_NAME))
@@ -2484,7 +2518,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("qty")

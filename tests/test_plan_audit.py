@@ -32,21 +32,25 @@ def test_no_forbidden_physical_operators(spark, sf_dir, name):
 
 def _fact_tainted_broadcasts():
     """AST sweep of entrypoints.py: every explicit ``F.broadcast(x)`` where
-    ``x`` (transitively) derives from a fact table (lineitem / orders,
-    including the lineitem-derived ``_supply`` relation).
+    ``x`` (transitively) derives from an SF-proportional table (lineitem /
+    orders / customer / part / partsupp, including the lineitem-derived
+    ``_supply`` relation).
 
     A broadcast hint forces the exchange regardless of runtime size, so a
-    hint on a fact-derived frame is the classic 100×-scale killer: it may
-    fit at sf0.1 and OOM every executor at SF100.  Dimension broadcasts
-    (region/nation/customer/supplier/part after selective filters) are fine
-    and not flagged.
+    hint on an SF-proportional frame is the classic 100×-scale killer: it
+    may fit at sf0.1 and OOM every executor at SF100.  customer (SF×150k)
+    and part (SF×200k) grow linearly just like the facts — a hint on them,
+    even region/segment-filtered (1/5 of the table), is a forced multi-GB
+    exchange at SF100.  Bounded dimensions (region=5, nation=25) and
+    SF×10k supplier are fine and not tainted; provably-tiny filtered
+    frames go on the explicit allowlist below with a size argument.
     """
     import ast
     import inspect
 
     src = inspect.getsource(ep)
     tree = ast.parse(src)
-    FACTS = {"lineitem", "orders"}
+    FACTS = {"lineitem", "orders", "customer", "part", "partsupp"}
     flagged = set()
 
     def names_in(node):
@@ -94,18 +98,20 @@ def _fact_tainted_broadcasts():
     return flagged
 
 
-# Fact-derived broadcasts that are provably tiny at any SF, with why:
+# SF-proportional-derived broadcasts that are provably tiny at any SF:
 #   q15 `top`      — global max over the per-supplier aggregate: ≤ a few rows.
-#   q17 `avg_q`    — per-part average for ONE brand × ONE container
-#                    (~0.1% of part); bounded by the dimension, not the fact.
-#   q2  `min_cost` — per-part min cost for parts matching ONE type and ONE
-#                    size (~0.1% of part).
-# Anything NOT in this list that broadcasts a lineitem/orders-derived frame
-# fails the audit — add here only with a size argument that holds at SF100.
+#   q2  `part`     — ONE p_type × ONE p_size (≈1/7500 of part: SF×27 rows).
+#   q2  `min_cost` — per-part min cost keyed on that same 1/7500 part set.
+#   q8  `part`     — ONE p_type (1/150 of part: SF×1.3k rows, ~130k keys at
+#                    SF100 — a few MB of longs).
+# Anything NOT in this list that broadcasts a frame derived from an
+# SF-proportional table fails the audit — add here only with a
+# multiplicative-selectivity size argument that holds at SF1000.
 ALLOWED_FACT_BROADCASTS = {
     ("q_tpch_q15", "top"),
-    ("q_tpch_q17", "avg_q"),
+    ("q_tpch_q2", "part"),
     ("q_tpch_q2", "min_cost"),
+    ("q_tpch_q8", "part"),
 }
 
 
