@@ -139,24 +139,35 @@ class IndexCatalog:
         """Exclusive inter-process lock over a read-modify-write: two
         concurrent mutators serialize instead of the later overwrite
         dropping the earlier commit. flock releases automatically when
-        the holder dies — no stale-lock recovery protocol needed."""
-        fh = open(os.path.join(self.catalog_dir, ".lock"), "a+")
+        the holder dies — no stale-lock recovery protocol needed.
+
+        The lock is a local-filesystem fast path only: on a remote
+        catalog_dir (s3a:// via HadoopFS) there is no flock, so we skip
+        straight to OCC-only mode — create_exclusive version claims in
+        `_write` plus the mutators' re-read-and-retry loop remain the
+        correctness mechanism; the lock merely avoids wasted retries."""
+        from rottnest_spark.core.fs import LocalFS
+
+        fh = None
         locked = False
-        try:
+        if isinstance(self.fs, LocalFS):
             try:
+                fh = open(os.path.join(self.catalog_dir, ".lock"), "a+")
                 import fcntl
 
                 fcntl.flock(fh, fcntl.LOCK_EX)
                 locked = True
             except (ImportError, OSError):
-                pass  # non-POSIX: best-effort (see module docstring)
+                pass  # non-POSIX / remote path: OCC-only (see docstring)
+        try:
             yield
         finally:
             if locked:
                 import fcntl
 
                 fcntl.flock(fh, fcntl.LOCK_UN)
-            fh.close()
+            if fh is not None:
+                fh.close()
 
     def _write(self, records: list[dict]) -> None:
         table = pa.Table.from_pylist(records, schema=CATALOG_SCHEMA)

@@ -72,6 +72,9 @@ class LakeFS:
     def read_bytes(self, path: str) -> bytes:
         raise NotImplementedError
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
     def create_exclusive(self, path: str, data: bytes) -> None:
         """Atomic put-if-absent: create `path` with `data`, raising
         FileExistsError if it already exists. The RENAME-FREE commit
@@ -142,6 +145,10 @@ class LocalFS(LakeFS):
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as fh:
             return fh.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as fh:
+            fh.write(data)
 
     def create_exclusive(self, path: str, data: bytes) -> None:
         with open(path, "xb") as fh:  # O_CREAT|O_EXCL
@@ -280,8 +287,24 @@ class HadoopFS(LakeFS):
     def write_text(self, path: str, text: str) -> None:
         self._write_stream(path, text.encode(), overwrite=True)
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._write_stream(path, data, overwrite=True)
+
     def create_exclusive(self, path: str, data: bytes) -> None:
         self._write_stream(path, data, overwrite=False)
+        # S3A maps create(overwrite=false) to exists-check-then-PUT, which
+        # is only atomic when fs.s3a conditional writes are active (Hadoop
+        # 3.4.1+, `fs.s3a.create.conditional.enabled`, default on). For any
+        # non-local scheme, verify the claim: read back and compare — a
+        # lost race surfaces as FileExistsError instead of a silent
+        # lost-commit. One extra GET per commit, metadata-scale.
+        scheme = path.split("://", 1)[0] if "://" in path else "file"
+        if scheme not in ("file",):
+            if self.read_bytes(path) != data:
+                raise FileExistsError(
+                    f"{path}: post-write verification found different "
+                    "bytes — a concurrent writer won this version"
+                )
 
     def getsize(self, path: str) -> int:
         fs, jp = self._fs(path)
@@ -334,3 +357,153 @@ class RecordingFS(LocalFS):
 
     def ops(self, name: str) -> list[tuple]:
         return [c for c in self.calls if c[0] == name]
+
+
+class FakeObjectStoreFS(LakeFS):
+    """Object-store-semantics conformance double, backed by a local
+    directory so Spark jobs can still read/write the data files.
+
+    Emulates what S3-class stores actually provide — and withhold:
+
+    - **no atomic rename**: `rename` is copy-then-delete (the S3A
+      emulation) and records itself, so tests can assert a commit
+      protocol never *depends* on rename, let alone its atomicity;
+    - **no directories**: `makedirs` is a no-op; writing ``a/b/c``
+      implicitly creates the prefix (keys, not dirs);
+    - **conditional PUT**: `create_exclusive` is an exists-check + write
+      under the store's own mutex (If-None-Match: *), NOT POSIX
+      O_CREAT|O_EXCL — the primitive the rename-free versioned commits
+      are designed for;
+    - **strong list-after-write** (S3 since 2020), with an optional
+      `list_lag` knob that hides the `lag_hidden` most-recent writes
+      from listings (exists/read stay strong) to probe protocols under
+      the older eventual-consistency model.
+
+    Not a LocalFS subclass on purpose: the catalog's flock fast path must
+    skip itself (OCC-only mode) exactly as it would against s3a://.
+    """
+
+    def __init__(self, root: str | None = None, list_lag: int = 0):
+        import tempfile
+
+        self.root = root or tempfile.mkdtemp(prefix="fake-object-store-")
+        self.calls: list[tuple] = []
+        self.list_lag = list_lag
+        self._recent: list[str] = []  # newest-last write order
+        import threading
+
+        self._mutex = threading.Lock()
+
+    def _rec(self, op: str, *args) -> None:
+        self.calls.append((op, *args))
+
+    def ops(self, name: str) -> list[tuple]:
+        return [c for c in self.calls if c[0] == name]
+
+    def _visible(self, paths: list[str]) -> list[str]:
+        if not self.list_lag:
+            return paths
+        hidden = set(self._recent[-self.list_lag:])
+        return [p for p in paths if p not in hidden]
+
+    def _mark_written(self, path: str) -> None:
+        self._recent.append(path)
+
+    # -- listing (key-prefix semantics) --------------------------------
+    def list_files(self, root):
+        self._rec("list_files", root)
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            out.extend(os.path.join(dirpath, f) for f in files)
+        return self._visible(sorted(out))
+
+    def listdir(self, path):
+        self._rec("listdir", path)
+        return sorted(os.listdir(path)) if os.path.isdir(path) else []
+
+    def glob(self, pattern):
+        self._rec("glob", pattern)
+        import glob as _glob
+
+        return self._visible(sorted(_glob.glob(pattern)))
+
+    def exists(self, path):
+        return os.path.exists(path)
+
+    def isdir(self, path):
+        # a "directory" exists iff some key carries the prefix
+        return os.path.isdir(path)
+
+    def makedirs(self, path):
+        # object stores have no directories; keys create their prefixes.
+        # The local backing store materializes them lazily in _parents().
+        self._rec("makedirs", path)
+
+    def _parents(self, path: str) -> None:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+    # -- mutation -------------------------------------------------------
+    def rename(self, src, dst):
+        """S3A-style emulation: COPY then DELETE — visible intermediate
+        state, no atomicity. Recorded so tests can forbid it entirely
+        on commit paths."""
+        self._rec("rename", src, dst)
+        self._parents(dst)
+        with open(src, "rb") as s, open(dst, "wb") as d:
+            d.write(s.read())
+        os.remove(src)
+        self._mark_written(dst)
+
+    def remove(self, path):
+        self._rec("remove", path)
+        os.remove(path)
+
+    def rmtree(self, path):
+        self._rec("rmtree", path)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    # -- bytes ----------------------------------------------------------
+    def read_text(self, path):
+        with open(path) as fh:
+            return fh.read()
+
+    def read_bytes(self, path):
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def write_text(self, path, text):
+        self._rec("write_text", path)
+        self._parents(path)
+        with open(path, "w") as fh:
+            fh.write(text)
+        self._mark_written(path)
+
+    def write_bytes(self, path, data):
+        self._rec("write_bytes", path)
+        self._parents(path)
+        with open(path, "wb") as fh:
+            fh.write(data)
+        self._mark_written(path)
+
+    def create_exclusive(self, path, data):
+        """Conditional PUT (If-None-Match: *): the store's own atomic
+        check-and-put, not POSIX O_EXCL — losing writers get
+        FileExistsError, the signal the OCC retry loops consume."""
+        self._rec("create_exclusive", path)
+        with self._mutex:
+            if os.path.exists(path):
+                raise FileExistsError(path)
+            self._parents(path)
+            with open(path, "wb") as fh:
+                fh.write(data)
+            self._mark_written(path)
+
+    def getsize(self, path):
+        return os.path.getsize(path)
+
+    def getmtime(self, path):
+        return os.path.getmtime(path)

@@ -546,9 +546,12 @@ def _make_mp4_parser():
                         )
                     meta["timescale"], meta["duration"] = ts, dur
                 elif tag == b"tkhd":
+                    # ISO 14496-12 §8.3.2: after the 4-byte FullBox header,
+                    # v1 times/ids/duration take 8+8+4+4+8=32 bytes (v0:
+                    # 4*5=20), then reserved[2] (8) + layer/alt/volume/
+                    # reserved (8) + matrix (36) precede width/height.
                     ver = payload[body]
-                    off = body + 4 + (32 if ver == 1 else 16) + 4 \
-                        + (8 if ver == 1 else 4) + 8 + 2 + 2 + 2 + 2 + 36
+                    off = body + 4 + (32 if ver == 1 else 20) + 8 + 8 + 36
                     wfx, hfx = _struct.unpack_from(">II", payload, off)
                     if wfx and hfx:  # 16.16 fixed point; audio tracks are 0
                         meta["width"] = wfx >> 16
@@ -595,8 +598,11 @@ def encode_mp4_meta(
     )
     tkhd = box(
         b"tkhd",
-        struct.pack(">B3xIIII", 0, 3, 0, 0, 1)
-        + struct.pack(">II", 0, dur)
+        # version=0 + 24-bit flags=3 (enabled|in_movie), then the five
+        # 32-bit v0 fields: creation, modification, track_ID, reserved,
+        # duration — per ISO 14496-12 §8.3.2 (84-byte v0 body).
+        struct.pack(">I", 3)
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0, 0)
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)

@@ -18,14 +18,29 @@ plain directory listing cannot give.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
+from rottnest_spark.core.fs import LakeFS, LocalFS
 from rottnest_spark.core.lake import ParquetLake
 
 
-def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
+def _read_cp_table(fs: LakeFS, path: str):
+    """Parquet checkpoint read through the FS seam (works on s3a:// —
+    checkpoints are metadata-scale, an in-memory buffer is fine)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pq.read_table(pa.BufferReader(fs.read_bytes(path)))
+
+
+def _log_lines(fs: LakeFS, path: str):
+    return [ln for ln in fs.read_text(path).splitlines() if ln.strip()]
+
+
+def _checkpoint_parts(
+    log_dir: str, fs: LakeFS | None = None
+) -> tuple[int, list[str]]:
     """Locate the latest checkpoint: (version, parquet part files), or
     (-1, []) when the log has no checkpoint.
 
@@ -33,10 +48,10 @@ def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
     readers must not rely on listing); multi-part checkpoints are named
     `V.checkpoint.I.N.parquet`. Fails loudly on missing parts rather than
     returning an incomplete live set."""
+    fs = fs or LocalFS()
     lc = os.path.join(log_dir, "_last_checkpoint")
-    if os.path.exists(lc):
-        with open(lc) as fh:
-            info = json.load(fh)
+    if fs.exists(lc):
+        info = json.loads(fs.read_text(lc))
         v = int(info["version"])
         n_parts = int(info.get("parts") or 0)
         base = f"{v:020d}"
@@ -50,7 +65,7 @@ def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
             ]
         else:
             files = [os.path.join(log_dir, f"{base}.checkpoint.parquet")]
-        missing = [f for f in files if not os.path.exists(f)]
+        missing = [f for f in files if not fs.exists(f)]
         if missing:
             raise ValueError(
                 f"_last_checkpoint points at version {v} but parts are "
@@ -58,7 +73,7 @@ def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
             )
         return v, files
     # no pointer: glob both single- and multi-part names, newest version
-    found = glob.glob(os.path.join(log_dir, "*.checkpoint.parquet")) + glob.glob(
+    found = fs.glob(os.path.join(log_dir, "*.checkpoint.parquet")) + fs.glob(
         os.path.join(log_dir, "*.checkpoint.*.*.parquet")
     )
     if not found:
@@ -80,7 +95,9 @@ def _checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
 
 
 def delta_live_adds(
-    table_path: str, version_as_of: int | None = None
+    table_path: str,
+    version_as_of: int | None = None,
+    fs: LakeFS | None = None,
 ) -> dict[str, dict]:
     """Replay the _delta_log: {absolute data-file path: partitionValues}.
 
@@ -89,14 +106,15 @@ def delta_live_adds(
     replayable state (a checkpoint hides older commits) or exceeds the
     log. partitionValues comes from the add action (the AUTHORITATIVE
     source per the protocol — file paths need not be hive-encoded)."""
+    fs = fs or LocalFS()
     log_dir = os.path.join(table_path, "_delta_log")
-    if not os.path.isdir(log_dir):
+    if not fs.isdir(log_dir):
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
 
-    commits = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+    commits = sorted(fs.glob(os.path.join(log_dir, "*.json")))
 
     live: dict[str, dict] = {}
-    start_version, cp_files = _checkpoint_parts(log_dir)
+    start_version, cp_files = _checkpoint_parts(log_dir, fs)
     if version_as_of is not None:
         all_versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
         if all_versions and version_as_of > max(all_versions):
@@ -111,10 +129,8 @@ def delta_live_adds(
                 f"been vacuumed; cannot reconstruct that snapshot"
             )
     if cp_files:
-        import pyarrow.parquet as pq
-
         for cp in cp_files:
-            tbl = pq.read_table(cp)
+            tbl = _read_cp_table(fs, cp)
             if "add" in tbl.column_names:
                 for rec in tbl.column("add").to_pylist():
                     if rec and rec.get("path"):
@@ -133,11 +149,7 @@ def delta_live_adds(
             continue
         if version_as_of is not None and version > version_as_of:
             break
-        with open(c) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
+        for line in _log_lines(fs, c):
                 action = json.loads(line)
                 if "add" in action:
                     live[action["add"]["path"]] = dict(
@@ -149,91 +161,88 @@ def delta_live_adds(
 
 
 def delta_live_files(
-    table_path: str, version_as_of: int | None = None
+    table_path: str,
+    version_as_of: int | None = None,
+    fs: LakeFS | None = None,
 ) -> list[str]:
     """Replay the _delta_log: returns absolute paths of live data files
     (see delta_live_adds for the partitionValues-carrying form)."""
-    return sorted(delta_live_adds(table_path, version_as_of))
+    return sorted(delta_live_adds(table_path, version_as_of, fs=fs))
 
 
-def delta_table_meta(table_path: str) -> dict | None:
+def delta_table_meta(
+    table_path: str, fs: LakeFS | None = None
+) -> dict | None:
     """Latest metaData action (schemaString, partitionColumns, ...) from
     the log — checkpoint first (it snapshots metaData), then any commit
     after it. None when the table has no metaData (not spec-valid, but
     degrade gracefully to 'unpartitioned, schema from footers')."""
+    fs = fs or LocalFS()
     log_dir = os.path.join(table_path, "_delta_log")
-    if not os.path.isdir(log_dir):
+    if not fs.isdir(log_dir):
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     meta = None
-    start_version, cp_files = _checkpoint_parts(log_dir)
-    if cp_files:
-        import pyarrow.parquet as pq
-
-        for cp in cp_files:
-            tbl = pq.read_table(cp)
-            if "metaData" in tbl.column_names:
-                for rec in tbl.column("metaData").to_pylist():
-                    if rec and rec.get("id"):
-                        meta = rec
-    for c in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
+    start_version, cp_files = _checkpoint_parts(log_dir, fs)
+    for cp in cp_files:
+        tbl = _read_cp_table(fs, cp)
+        if "metaData" in tbl.column_names:
+            for rec in tbl.column("metaData").to_pylist():
+                if rec and rec.get("id"):
+                    meta = rec
+    for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
         if int(os.path.basename(c).split(".")[0]) <= start_version:
             continue
-        with open(c) as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    a = json.loads(line)
-                    if "metaData" in a:
-                        meta = a["metaData"]
+        for line in _log_lines(fs, c):
+            a = json.loads(line)
+            if "metaData" in a:
+                meta = a["metaData"]
     return meta
 
 
-def delta_partition_columns(table_path: str) -> list[str]:
-    meta = delta_table_meta(table_path)
+def delta_partition_columns(
+    table_path: str, fs: LakeFS | None = None
+) -> list[str]:
+    meta = delta_table_meta(table_path, fs=fs)
     return list((meta or {}).get("partitionColumns") or [])
 
 
-def delta_schema(table_path: str):
+def delta_schema(table_path: str, fs: LakeFS | None = None):
     """The table's full Spark schema (INCLUDING partition columns, which
     data files do not physically carry) as a StructType, or None."""
     from pyspark.sql.types import StructType
 
-    meta = delta_table_meta(table_path)
+    meta = delta_table_meta(table_path, fs=fs)
     ss = (meta or {}).get("schemaString")
     return StructType.fromJson(json.loads(ss)) if ss else None
 
 
-def delta_known_files(table_path: str) -> list[str]:
+def delta_known_files(
+    table_path: str, fs: LakeFS | None = None
+) -> list[str]:
     """Every data file the log has EVER referenced (live + logically
     removed): the add actions of all commits and checkpoints, ignoring
     later removes. Writable lakes diff the physical dir against this set
     to find a rewrite's new files — a logically-removed file stays on
     disk (format semantics) and must never be mistaken for new."""
+    fs = fs or LocalFS()
     log_dir = os.path.join(table_path, "_delta_log")
-    if not os.path.isdir(log_dir):
+    if not fs.isdir(log_dir):
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     known: set[str] = set()
-    _, cp_files = _checkpoint_parts(log_dir)
-    if cp_files:
-        import pyarrow.parquet as pq
-
-        for cp in cp_files:
-            tbl = pq.read_table(cp)
-            for col in ("add", "remove"):
-                if col in tbl.column_names:
-                    for rec in tbl.column(col).to_pylist():
-                        if rec and rec.get("path"):
-                            known.add(rec["path"])
-    for c in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
-        with open(c) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                for key in ("add", "remove"):
-                    if key in action:
-                        known.add(action[key]["path"])
+    _, cp_files = _checkpoint_parts(log_dir, fs)
+    for cp in cp_files:
+        tbl = _read_cp_table(fs, cp)
+        for col in ("add", "remove"):
+            if col in tbl.column_names:
+                for rec in tbl.column(col).to_pylist():
+                    if rec and rec.get("path"):
+                        known.add(rec["path"])
+    for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
+        for line in _log_lines(fs, c):
+            action = json.loads(line)
+            for key in ("add", "remove"):
+                if key in action:
+                    known.add(action[key]["path"])
     return sorted(os.path.join(table_path, p) for p in known)
 
 
@@ -259,7 +268,9 @@ class DeltaSnapshotLake(ParquetLake):
 
     @property
     def files(self) -> list[str]:
-        return delta_live_files(self._table_path, self._version_as_of)
+        return delta_live_files(
+            self._table_path, self._version_as_of, fs=self.fs
+        )
 
     def build_index(self, index, column: str, *a, **kw):
         """Partition columns are path-encoded, not physical — an index
@@ -267,7 +278,7 @@ class DeltaSnapshotLake(ParquetLake):
         against data files that lack the column. Partition PRUNING
         (`partition_pruned(col=value)`) already serves those predicates
         at zero index cost, so refuse with that pointer."""
-        if column in delta_partition_columns(self._table_path):
+        if column in delta_partition_columns(self._table_path, fs=self.fs):
             raise ValueError(
                 f"{column!r} is a partition column — it has no physical "
                 "column in the data files. Use partition_pruned("
@@ -289,7 +300,7 @@ class DeltaSnapshotLake(ParquetLake):
         arbitrary file names) fall back to one scan per DISTINCT
         partition tuple with typed literal columns, unioned — bounded by
         partition count, not file count."""
-        pcols = delta_partition_columns(self._table_path)
+        pcols = delta_partition_columns(self._table_path, fs=self.fs)
         if not pcols:
             return super().read(files)
         use = files or self.files
@@ -297,8 +308,10 @@ class DeltaSnapshotLake(ParquetLake):
             raise ValueError(
                 f"Delta table at {self._table_path!r} has no live data files"
             )
-        adds = delta_live_adds(self._table_path, self._version_as_of)
-        schema = delta_schema(self._table_path)
+        adds = delta_live_adds(
+            self._table_path, self._version_as_of, fs=self.fs
+        )
+        schema = delta_schema(self._table_path, fs=self.fs)
         unknown = [f for f in use if f not in adds]
         if unknown:
             raise ValueError(

@@ -67,7 +67,7 @@ def _next_version(log_dir: str, fs: LakeFS) -> int:
         int(os.path.basename(p).split(".")[0])
         for p in fs.glob(os.path.join(log_dir, "*.json"))
     ]
-    cp_version, _ = _checkpoint_parts(log_dir)
+    cp_version, _ = _checkpoint_parts(log_dir, fs)
     versions.append(cp_version)  # -1 when absent
     return max(versions) + 1
 
@@ -99,8 +99,12 @@ def _hive_partition_values(
 
 
 def _add_action(
-    table_path: str, f: str, partition_columns: list[str] | None = None
+    table_path: str,
+    f: str,
+    partition_columns: list[str] | None = None,
+    fs: LakeFS | None = None,
 ) -> dict:
+    fs = fs or LocalFS()
     rel = os.path.relpath(f, table_path)
     pvals = (
         _hive_partition_values(table_path, f, partition_columns)
@@ -111,8 +115,8 @@ def _add_action(
         "add": {
             "path": rel,
             "partitionValues": pvals,
-            "size": os.path.getsize(f),
-            "modificationTime": int(os.path.getmtime(f) * 1000),
+            "size": fs.getsize(f),
+            "modificationTime": int(fs.getmtime(f) * 1000),
             "dataChange": True,
         }
     }
@@ -125,11 +129,11 @@ def _write_commit(
     contract. Raises FileExistsError on a concurrent writer's win."""
     fs.makedirs(log_dir)
     path = os.path.join(log_dir, f"{version:020d}.json")
-    # open("x") is the local put-if-absent; a remote LakeFS supplies its
-    # store's conditional put through write_text_exclusive if present
-    with open(path, "x") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
+    body = "".join(json.dumps(a) + "\n" for a in actions)
+    # put-if-absent through the FS seam: O_CREAT|O_EXCL locally, the
+    # store's conditional PUT (with post-write verification) remotely —
+    # the same rename-free discipline as the versioned index catalog.
+    fs.create_exclusive(path, body.encode())
     return version
 
 
@@ -211,11 +215,11 @@ def delta_commit(
         )
     from rottnest_spark.sources.delta import delta_partition_columns
 
-    pcols = delta_partition_columns(table_path)
+    pcols = delta_partition_columns(table_path, fs=fs)
     now = int(time.time() * 1000)
     actions: list[dict] = []
     for f in sorted(add or []):
-        actions.append(_add_action(table_path, f, pcols))
+        actions.append(_add_action(table_path, f, pcols, fs=fs))
     for f in sorted(remove or []):
         actions.append(
             {
@@ -259,7 +263,7 @@ def delta_commit_retry(
             if remove:
                 from rottnest_spark.sources.delta import delta_live_files
 
-                live = set(delta_live_files(table_path))
+                live = set(delta_live_files(table_path, fs=fs))
                 gone = [f for f in remove if f not in live]
                 if gone:
                     raise ValueError(
@@ -287,26 +291,25 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
         raise ValueError(f"{table_path} is not a Delta table")
     from rottnest_spark.sources.delta import _checkpoint_parts
 
-    prior_cp_version, prior_cp_files = _checkpoint_parts(log_dir)
+    prior_cp_version, prior_cp_files = _checkpoint_parts(log_dir, fs)
     version = max(
         [int(os.path.basename(p).split(".")[0]) for p in commits]
         + [prior_cp_version]
     )
-    live = delta_live_files(table_path)
+    live = delta_live_files(table_path, fs=fs)
 
     # reconstruct protocol/metaData from the log (commit 0 or a prior cp)
     meta = proto = None
     for c in sorted(commits):
-        with open(c) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                meta = a.get("metaData", meta)
-                proto = a.get("protocol", proto)
+        for line in fs.read_text(c).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            meta = a.get("metaData", meta)
+            proto = a.get("protocol", proto)
     if meta is None and prior_cp_files:
         for cp in prior_cp_files:
-            t = pq.read_table(cp)
+            t = pq.read_table(pa.BufferReader(fs.read_bytes(cp)))
             for col, cur in (("metaData", meta), ("protocol", proto)):
                 if col in t.column_names:
                     for rec in t.column(col).to_pylist():
@@ -317,15 +320,15 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
                                 proto = proto or rec
     from rottnest_spark.sources.delta import delta_live_adds
 
-    live_pvals = delta_live_adds(table_path)
+    live_pvals = delta_live_adds(table_path, fs=fs)
     adds = [
         {
             "path": os.path.relpath(f, table_path),
             # spec-required field; the AUTHORITATIVE values come from the
             # log's add actions (partitioned tables carry real maps here)
             "partitionValues": live_pvals.get(f, {}),
-            "size": os.path.getsize(f),
-            "modificationTime": int(os.path.getmtime(f) * 1000),
+            "size": fs.getsize(f),
+            "modificationTime": int(fs.getmtime(f) * 1000),
             "dataChange": False,
         }
         for f in live
@@ -335,7 +338,7 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
     # a brand-new one after pre-checkpoint commits are vacuumed
     from rottnest_spark.sources.delta import delta_known_files
 
-    removed = sorted(set(delta_known_files(table_path)) - set(live))
+    removed = sorted(set(delta_known_files(table_path, fs=fs)) - set(live))
     tombs = [
         {
             "path": os.path.relpath(f, table_path),
@@ -403,7 +406,9 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
         )
     tbl = pa.table(arrays)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    pq.write_table(tbl, cp_path)
+    buf = pa.BufferOutputStream()
+    pq.write_table(tbl, buf)
+    fs.write_bytes(cp_path, buf.getvalue().to_pybytes())
     fs.write_text(
         os.path.join(log_dir, "_last_checkpoint"),
         json.dumps({"version": version, "size": n}),
@@ -442,7 +447,7 @@ def delta_write(
     if exists:
         from rottnest_spark.sources.delta import delta_partition_columns
 
-        table_pcols = delta_partition_columns(table_path)
+        table_pcols = delta_partition_columns(table_path, fs=fs)
         if partition_by is not None and pcols != table_pcols:
             raise ValueError(
                 f"partition_by={pcols} conflicts with the table's "

@@ -586,4 +586,6 @@ def iceberg_write(
                 schema=_iceberg_schema_from_spark(df.schema),
             )
         return iceberg_convert(table_path, fs=fs)
-    return iceberg_commit(table_path, add=moved, fs=fs)
+    # a pure-add append commutes with concurrent appends: win through
+    # version races the same way the delta_write path does
+    return iceberg_commit_retry(table_path, add=moved, fs=fs)

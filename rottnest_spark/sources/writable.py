@@ -211,12 +211,12 @@ class DeltaWritableLake(_FormatDML, DeltaSnapshotLake):
     def _known_files(self) -> set[str]:
         from rottnest_spark.sources.delta import delta_known_files
 
-        return set(delta_known_files(self._table_path))
+        return set(delta_known_files(self._table_path, fs=self.fs))
 
     def _partition_columns(self) -> list[str]:
         from rottnest_spark.sources.delta import delta_partition_columns
 
-        return delta_partition_columns(self._table_path)
+        return delta_partition_columns(self._table_path, fs=self.fs)
 
 
 class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):

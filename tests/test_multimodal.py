@@ -469,3 +469,70 @@ def test_mp4_container_meta(spark):
         assert out[i]["width"] == 320 + 16 * i
         assert out[i]["n_tracks"] == 1
         assert out[i]["handlers"] == "vide"
+
+
+def test_mp4_tkhd_spec_offsets_external_fixture():
+    """Round-trip against a hand-laid-out ISO 14496-12 moov built field by
+    field from the spec's box tables (independent of encode_mp4_meta), the
+    way ffmpeg/phone muxers emit it: v0 mvhd, one v0 audio tkhd
+    (width=height=0) and one v1 video tkhd. Guards the §8.3.2 offsets —
+    width sits at body+76 (v0) / body+88 (v1), NOT +80/+100."""
+    import struct
+
+    from rottnest_spark.ops.multimodal import parse_mp4_meta
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+    # mvhd v0: version+flags, creation, modification, timescale, duration,
+    # rate, volume+reserved, reserved[2], matrix[9], pre_defined[6], next_id
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)
+        + struct.pack(">IIII", 0, 0, 90000, 90000 * 7)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+
+    unity = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    # audio track: tkhd v0 — width/height zero, per spec for sound tracks
+    tkhd_a = box(
+        b"tkhd",
+        struct.pack(">I", 7)
+        + struct.pack(">IIIII", 0, 0, 1, 0, 90000 * 7)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + unity
+        + struct.pack(">II", 0, 0),
+    )
+    hdlr_a = box(
+        b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13
+    )
+    trak_a = box(b"trak", tkhd_a + box(b"mdia", hdlr_a))
+    # video track: tkhd v1 — 64-bit times/duration (8+8+4+4+8 = 32 bytes)
+    tkhd_v = box(
+        b"tkhd",
+        struct.pack(">I", (1 << 24) | 7)
+        + struct.pack(">QQII Q".replace(" ", ""), 0, 0, 2, 0, 90000 * 7)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", 1920 << 16, 1080 << 16),
+    )
+    hdlr_v = box(
+        b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13
+    )
+    trak_v = box(b"trak", tkhd_v + box(b"mdia", hdlr_v))
+    payload = ftyp + box(b"moov", mvhd + trak_a + trak_v)
+
+    info = parse_mp4_meta(payload)
+    assert info["brand"] == "mp42"
+    assert info["timescale"] == 90000
+    assert info["duration"] == 90000 * 7
+    assert info["n_tracks"] == 2
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert info["handlers"] == ["soun", "vide"]
