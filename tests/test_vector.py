@@ -366,3 +366,63 @@ def test_probe_job_count_independent_of_entry_count(spark, sf_dir, tmp_path):
     # and the multi-entry probe still returns sane results
     got = idx.search_pq(spark, e4, q)
     assert got and len(got) <= idx.refine
+
+
+def test_nearest_centroids_collects_only_nprobes_rows(spark, sf_dir, tmp_path):
+    """Round-5 verdict item 2: the centroid pick must be executor-side —
+    the driver receives exactly nprobes rows no matter how many centroids
+    (entries × centroids/entry) the corpus has, and the pick equals the
+    driver-side numpy brute force over every centroid."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = VectorIndex(rows_per_centroid=16, nprobes=5, pq_m=8, pq_k=16)
+    data = str(tmp_path / "d")
+    emb.repartition(3).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    lake.build_index(idx, "embedding")
+    lake.append(emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000)))
+    lake.build_index(idx, "embedding")
+    paths = [
+        e["index_path"] for e in lake.catalog.entries_for("vector", "embedding")
+    ]
+    assert len(paths) == 2
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+
+    top_df = idx._centroid_topk_df(spark, paths, q)
+    # the plan caps what reaches the driver at nprobes rows
+    assert top_df.count() == idx.nprobes
+    plan = top_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+    # equivalence vs brute force over EVERY centroid, driver-side
+    all_cents = (
+        spark.read.parquet(*[f"{p}/centroids" for p in paths])
+        .select(idx._entry_of_col().alias("e"), "centroid_id", "centroid")
+        .collect()
+    )
+    assert len(all_cents) > idx.nprobes  # the cap is doing real work
+    qv = np.array(q)
+    d = {
+        (r["e"], r["centroid_id"]): float(
+            ((np.array(r["centroid"]) - qv) ** 2).sum()
+        )
+        for r in all_cents
+    }
+    want = set(sorted(d, key=lambda k: (d[k], k))[: idx.nprobes])
+    got = {
+        (e.replace("file:/", "/").replace("///", "/"), cid)
+        for e, cid in idx.nearest_centroids(spark, paths, q)
+    }
+    want = {(e.replace("file:/", "/").replace("///", "/"), cid) for e, cid in want}
+    # distances may tie exactly; compare by distance multiset instead of ids
+    got_d = sorted(
+        d[k] for k in d if k in {(e, c) for e, c in want}
+    )
+    assert sorted(d.get(k, -1.0) for k in got) == got_d
+
+    # dim mismatch still raises, executor-side nulls surfacing first
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        idx.nearest_centroids(spark, paths, q[:-1])
