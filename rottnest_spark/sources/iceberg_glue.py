@@ -1,0 +1,206 @@
+"""AWS Glue Data Catalog adapter for Iceberg tables — the reference's
+DEFAULT catalog deployment (backends/iceberg.py:29-39 builds a pyiceberg
+`load_catalog(.., type='glue', ..)` from CATALOG_NAME/CATALOG_AWS_REGION
+env vars and loads every table through it).
+
+Glue stores an Iceberg table as a Glue table whose ``Parameters`` carry
+the public pyiceberg/Glue convention (documented in the Iceberg AWS
+integration spec, iceberg.apache.org/docs/latest/aws):
+
+    Parameters: {"table_type": "ICEBERG",
+                 "metadata_location": "s3://.../metadata/v7.metadata.json"}
+
+i.e. the catalog is a POINTER STORE: the current TableMetadata lives in
+storage at `metadata_location`, and catalog commits swap the pointer.
+So the adapter's whole job is (a) Glue API calls to fetch the pointer and
+(b) one `fs.read_text` of the metadata JSON — after which the existing
+snapshot-replay machinery (sources/iceberg.py) takes over unchanged,
+exactly as it does for the REST catalog (sources/iceberg_rest.py).
+
+The transport is injectable like the REST opener: `client` is any
+boto3-shaped Glue client (``get_table`` / ``get_tables`` /
+``get_databases``, NextToken pagination). Tests replay recorded response
+dicts through a fake; production passes ``boto3.client("glue", ...)``
+(boto3 is not in this container, so the default constructor gates the
+import behind a clear error instead of requiring it at module load).
+"""
+
+from __future__ import annotations
+
+import json
+
+from rottnest_spark.core.fs import LakeFS, LocalFS
+from rottnest_spark.sources.iceberg import (
+    IcebergSnapshotLake,
+    _norm_uri,
+    history_files_from_metadata,
+    live_files_from_metadata,
+)
+
+
+class IcebergGlueError(RuntimeError):
+    """Glue returned an error / a table that is not an Iceberg table."""
+
+
+def _default_client(region: str | None):
+    try:
+        import boto3  # noqa: F401 — optional, absent in this container
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise IcebergGlueError(
+            "boto3 is not installed — pass an explicit `client` (any "
+            "object with get_table/get_tables/get_databases) or install "
+            "boto3 for the real AWS Glue transport"
+        ) from exc
+    return boto3.client("glue", region_name=region)  # pragma: no cover
+
+
+class IcebergGlueCatalog:
+    """Read-path client for Iceberg tables registered in AWS Glue.
+
+    `identifier` is ``database.table`` (Glue namespaces are single-level).
+    `fs` reads the metadata JSON the catalog points at — LocalFS for
+    tests, HadoopFS for s3:// locations on a cluster."""
+
+    def __init__(
+        self,
+        region: str | None = None,
+        client=None,
+        fs: LakeFS | None = None,
+        catalog_id: str | None = None,
+    ):
+        self._client = client if client is not None else _default_client(region)
+        self.fs = fs or LocalFS()
+        self.catalog_id = catalog_id  # cross-account catalogs
+
+    # -- transport ----------------------------------------------------------
+
+    def _call(self, op: str, **kwargs):
+        if self.catalog_id:
+            kwargs["CatalogId"] = self.catalog_id
+        fn = getattr(self._client, op)
+        try:
+            return fn(**kwargs)
+        except Exception as exc:
+            name = type(exc).__name__
+            if "EntityNotFound" in name or "NotFound" in str(exc):
+                raise IcebergGlueError(f"not found: {kwargs}") from exc
+            raise
+
+    def _paged(self, op: str, list_key: str, **kwargs):
+        """Drain NextToken pagination (Glue pages at 100 entries)."""
+        token = None
+        while True:
+            page = self._call(
+                op, **({**kwargs, "NextToken": token} if token else kwargs)
+            )
+            yield from page.get(list_key, [])
+            token = page.get("NextToken")
+            if not token:
+                return
+
+    # -- catalog surface ------------------------------------------------
+
+    def list_namespaces(self) -> list[list[str]]:
+        return [
+            [d["Name"]] for d in self._paged("get_databases", "DatabaseList")
+        ]
+
+    def list_tables(self, namespace: str) -> list[str]:
+        """Iceberg tables in a Glue database (non-Iceberg Glue tables —
+        hive/csv — are filtered out by the table_type parameter)."""
+        out = []
+        for t in self._paged(
+            "get_tables", "TableList", DatabaseName=namespace
+        ):
+            params = t.get("Parameters") or {}
+            if params.get("table_type", "").upper() == "ICEBERG":
+                out.append(t["Name"])
+        return out
+
+    @staticmethod
+    def _split(identifier: str) -> tuple[str, str]:
+        db, _, name = identifier.rpartition(".")
+        if not db:
+            raise ValueError(
+                f"identifier {identifier!r} must be database.table"
+            )
+        return db, name
+
+    def metadata_location(self, identifier: str) -> str:
+        """The current metadata pointer — one GetTable call."""
+        db, name = self._split(identifier)
+        table = self._call("get_table", DatabaseName=db, Name=name).get(
+            "Table", {}
+        )
+        params = table.get("Parameters") or {}
+        if params.get("table_type", "").upper() != "ICEBERG":
+            raise IcebergGlueError(
+                f"{identifier}: Glue table_type is "
+                f"{params.get('table_type')!r}, not ICEBERG"
+            )
+        loc = params.get("metadata_location")
+        if not loc:
+            raise IcebergGlueError(
+                f"{identifier}: Glue parameters carry no metadata_location"
+            )
+        return loc
+
+    def table_metadata(self, identifier: str) -> dict:
+        """Current TableMetadata: pointer from Glue, JSON from storage."""
+        return json.loads(
+            self.fs.read_text(_norm_uri(self.metadata_location(identifier)))
+        )
+
+
+class IcebergGlueLake(IcebergSnapshotLake):
+    """ParquetLake over the current snapshot of a Glue-cataloged Iceberg
+    table — the Glue twin of IcebergRestLake: `.files` re-fetches the
+    metadata pointer on every access (one GetTable + one metadata-JSON
+    read, both metadata-scale), so incremental builds and searches track
+    catalog commits made by any other engine."""
+
+    def __init__(
+        self,
+        spark,
+        catalog: IcebergGlueCatalog,
+        identifier: str,
+        index_dir: str,
+        table_path: str | None = None,
+        **kw,
+    ):
+        self.glue_catalog = catalog
+        self.identifier = identifier
+        if table_path is None:
+            table_path = _norm_uri(
+                catalog.table_metadata(identifier).get("location", "")
+            )
+            if not table_path:
+                raise ValueError(
+                    f"{identifier}: no table_path given and the catalog "
+                    f"metadata has no location"
+                )
+        super().__init__(spark, table_path, index_dir, **kw)
+
+    @property
+    def files(self) -> list[str]:
+        md = self.glue_catalog.table_metadata(self.identifier)
+        return live_files_from_metadata(md, self._table_path)
+
+    def vacuum(
+        self,
+        live_files: set[str] | None = None,
+        history_days: float | None = None,
+        now_ms: int | None = None,
+        orphan_min_age_sec: float = 0.0,
+    ) -> list[str]:
+        if history_days is not None:
+            md = self.glue_catalog.table_metadata(self.identifier)
+            live_files = set(
+                history_files_from_metadata(
+                    md, self._table_path, history_days, now_ms
+                )
+            )
+        # skip IcebergSnapshotLake.vacuum: it would re-resolve from storage
+        return super(IcebergSnapshotLake, self).vacuum(
+            live_files=live_files, orphan_min_age_sec=orphan_min_age_sec
+        )

@@ -1,0 +1,196 @@
+"""AWS Glue catalog adapter: boto3-shaped replay client (recorded
+GetTable/GetTables/GetDatabases responses, NextToken pagination), plus an
+end-to-end lake whose snapshot advances when the Glue pointer swaps —
+mirroring tests/test_iceberg_rest.py for the reference's default catalog
+deployment (backends/iceberg.py:29-39)."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.indices.substring import SubstringIndex
+from rottnest_spark.sources.iceberg_glue import (
+    IcebergGlueCatalog,
+    IcebergGlueError,
+    IcebergGlueLake,
+)
+
+# reuse the spec-shaped table builders from the storage-backend tests
+from test_iceberg import _mk_manifest, _mk_manifest_list, _write_metadata
+
+
+class FakeGlueClient:
+    """Replays boto3-shaped Glue responses; records every call."""
+
+    def __init__(self, databases=None, tables=None):
+        # tables: {db: [table-dicts]}; mutable so tests can swap pointers
+        self.databases = databases or []
+        self.tables = tables or {}
+        self.calls = []
+
+    class EntityNotFoundException(Exception):
+        pass
+
+    def get_databases(self, NextToken=None, **kw):
+        self.calls.append(("get_databases", NextToken))
+        # two-page replay to exercise pagination
+        if NextToken is None and len(self.databases) > 1:
+            return {
+                "DatabaseList": [{"Name": self.databases[0]}],
+                "NextToken": "p2",
+            }
+        rest = self.databases[1:] if NextToken else self.databases
+        return {"DatabaseList": [{"Name": d} for d in rest]}
+
+    def get_tables(self, DatabaseName, NextToken=None, **kw):
+        self.calls.append(("get_tables", DatabaseName))
+        if DatabaseName not in self.tables:
+            raise self.EntityNotFoundException(f"EntityNotFound {DatabaseName}")
+        return {"TableList": self.tables[DatabaseName]}
+
+    def get_table(self, DatabaseName, Name, **kw):
+        self.calls.append(("get_table", DatabaseName, Name))
+        for t in self.tables.get(DatabaseName, []):
+            if t["Name"] == Name:
+                return {"Table": t}
+        raise self.EntityNotFoundException(
+            f"EntityNotFound {DatabaseName}.{Name}"
+        )
+
+
+def _glue_table(name, metadata_location, table_type="ICEBERG"):
+    return {
+        "Name": name,
+        "Parameters": {
+            "table_type": table_type,
+            "metadata_location": metadata_location,
+        },
+    }
+
+
+def test_glue_catalog_surface(tmp_path):
+    md_path = str(tmp_path / "v1.metadata.json")
+    with open(md_path, "w") as fh:
+        json.dump({"location": "file:///wh/t", "snapshots": []}, fh)
+    client = FakeGlueClient(
+        databases=["db", "other"],
+        tables={
+            "db": [
+                _glue_table("t", md_path),
+                _glue_table("hive_t", "", table_type="EXTERNAL_TABLE"),
+            ]
+        },
+    )
+    cat = IcebergGlueCatalog(client=client)
+    assert cat.list_namespaces() == [["db"], ["other"]]  # paginated replay
+    assert cat.list_tables("db") == ["t"]  # non-Iceberg filtered out
+    assert cat.metadata_location("db.t") == md_path
+    assert cat.table_metadata("db.t")["location"] == "file:///wh/t"
+    assert ("get_databases", "p2") in client.calls  # NextToken drained
+
+
+def test_glue_errors(tmp_path):
+    client = FakeGlueClient(databases=["db"], tables={"db": []})
+    cat = IcebergGlueCatalog(client=client)
+    with pytest.raises(IcebergGlueError, match="not found"):
+        cat.metadata_location("db.missing")
+    with pytest.raises(ValueError, match="database.table"):
+        cat.metadata_location("bare")
+    # a Glue table that is not Iceberg must refuse, not misparse
+    client.tables["db"] = [_glue_table("h", "x", table_type="EXTERNAL_TABLE")]
+    with pytest.raises(IcebergGlueError, match="not ICEBERG"):
+        cat.metadata_location("db.h")
+    # Iceberg-typed but pointerless (mid-create) must refuse too
+    client.tables["db"] = [
+        {"Name": "p", "Parameters": {"table_type": "ICEBERG"}}
+    ]
+    with pytest.raises(IcebergGlueError, match="metadata_location"):
+        cat.metadata_location("db.p")
+
+
+@pytest.fixture()
+def glue_table(spark, sf_dir, tmp_path):
+    """Two-part physical table + a fake Glue catalog pointing at v1."""
+    import glob as g
+    import shutil
+
+    table = tmp_path / "gtable"
+    (table / "data").mkdir(parents=True)
+    (table / "metadata").mkdir()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for i, cond in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
+        docs.filter(cond).coalesce(1).write.parquet(str(table / f"_t{i}"))
+        src = g.glob(str(table / f"_t{i}" / "*.parquet"))[0]
+        shutil.move(src, str(table / "data" / f"part-{i:05d}.parquet"))
+        shutil.rmtree(str(table / f"_t{i}"))
+    meta = str(table / "metadata")
+    m1 = _mk_manifest(meta, "m1.avro", [(1, "part-00000.parquet", 0)])
+    ml1 = _mk_manifest_list(meta, "snap-1.avro", [m1])
+    _write_metadata(meta, 1, 1, ml1)
+    client = FakeGlueClient(
+        databases=["db"],
+        tables={"db": [_glue_table("evt", f"{meta}/v1.metadata.json")]},
+    )
+    return str(table), client, m1
+
+
+def test_glue_lake_end_to_end(spark, glue_table, tmp_path):
+    """Build → search ≡ oracle over Glue-resolved metadata; a pointer swap
+    in Glue (the catalog commit) is picked up on the next access."""
+    table, client, m1 = glue_table
+    cat = IcebergGlueCatalog(client=client)
+    lake = IcebergGlueLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    assert len(lake.files) == 1  # snapshot 1: only part 0
+    idx = SubstringIndex()
+    assert lake.build_index(idx, "text")
+    docs = spark.read.parquet(f"{table}/data")
+    q = "the"
+
+    def oracle(df):
+        return sorted(
+            r["doc_id"]
+            for r in df.filter(
+                F.contains(F.lower("text"), F.lit(q))
+            ).collect()
+        )
+
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert got == oracle(docs.filter("doc_id % 2 = 0"))
+
+    # another engine commits snapshot 2 (both parts live) and swaps the
+    # Glue pointer to v2.metadata.json — the catalog commit protocol
+    meta = f"{table}/metadata"
+    m2 = _mk_manifest(meta, "m2.avro", [(1, "part-00001.parquet", 0)])
+    ml2 = _mk_manifest_list(meta, "snap-2.avro", [m1, m2])
+    _write_metadata(meta, 2, 2, ml2)
+    client.tables["db"] = [_glue_table("evt", f"{meta}/v2.metadata.json")]
+
+    assert len(lake.files) == 2
+    rep = lake.refresh_indices()
+    assert rep["built"]  # incremental: indexes exactly the new file
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    assert got == oracle(docs)
+
+
+def test_glue_lake_resolves_location(spark, glue_table, tmp_path):
+    """Without table_path, the lake mounts the metadata's own location."""
+    table, client, _m1 = glue_table
+    meta = f"{table}/metadata"
+    # metadata whose recorded location IS the readable path (no rebase)
+    with open(f"{meta}/v1.metadata.json", "w") as fh:
+        json.dump(
+            {
+                "format-version": 2,
+                "location": table,
+                "current-snapshot-id": None,
+                "snapshots": [],
+            },
+            fh,
+        )
+    cat = IcebergGlueCatalog(client=client)
+    lake = IcebergGlueLake(spark, cat, "db.evt", str(tmp_path / "idx2"))
+    assert lake._table_path == table
+    assert lake.files == []  # empty table: no snapshot yet
