@@ -78,11 +78,13 @@ class RegexTokenizer(Tokenizer):
         return [t for t in re.split(self.split_re, s.lower()) if t]
 
 
-def _wordpiece_word(word: str, vocab: frozenset, max_chars: int, unk: str):
+def _wordpiece_word(
+    word: str, vocab: frozenset, max_chars: int, unk: str, prefix: str = "##"
+):
     """Greedy longest-match-first wordpiece of ONE pre-tokenized word —
     the public BERT algorithm: repeatedly take the longest vocab entry
-    that prefixes the remainder (continuations carry '##'); any miss
-    makes the whole word [UNK]."""
+    that prefixes the remainder (continuations carry the subword prefix,
+    '##' for BERT); any miss makes the whole word [UNK]."""
     if len(word) > max_chars:
         return [unk]
     pieces, start = [], 0
@@ -91,7 +93,7 @@ def _wordpiece_word(word: str, vocab: frozenset, max_chars: int, unk: str):
         while start < end:
             sub = word[start:end]
             if start > 0:
-                sub = "##" + sub
+                sub = prefix + sub
             if sub in vocab:
                 cur = sub
                 break
@@ -133,11 +135,25 @@ class WordPieceTokenizer(Tokenizer):
     """BERT-style wordpiece over a deployment-supplied vocabulary.
 
     `vocab` is a list of wordpiece entries (the lines of a vocab.txt —
-    order irrelevant here since we never need token ids) or a path to one.
-    The ident embeds an md5 of the sorted vocab, so two indexes built from
-    different vocab files can never be probed interchangeably."""
+    order irrelevant here since we never need token ids), a path to a
+    vocab.txt, or a path to a serialized HF fast tokenizer
+    (`tokenizer.json`, the more common export — the artifact the
+    reference accepts, src/lava/tokenizer_utils.rs:14-80): its
+    ``model.vocab`` map supplies the entries and ``model.unk_token`` /
+    ``model.continuing_subword_prefix`` /
+    ``model.max_input_chars_per_word`` override the wordpiece knobs.
+    The ident embeds an md5 of the sorted vocab (plus any non-default
+    knobs), so two indexes built from different vocab files — or the same
+    vocab under different wordpiece parameters — can never be probed
+    interchangeably."""
 
-    def __init__(self, vocab, unk_token: str = "[UNK]", max_chars: int = 200):
+    def __init__(
+        self,
+        vocab,
+        unk_token: str = "[UNK]",
+        max_chars: int = 200,
+        cont_prefix: str = "##",
+    ):
         # the source path (when given one) is recorded so the catalog can
         # round-trip the tokenizer: BM25Index.config() persists it and
         # index_from_config reloads the vocab at maintenance time
@@ -145,21 +161,56 @@ class WordPieceTokenizer(Tokenizer):
         # src/lava/tokenizer_utils.rs:14-80)
         self.vocab_path = vocab if isinstance(vocab, str) else None
         if isinstance(vocab, str):
-            with open(vocab) as fh:
-                vocab = [ln.strip() for ln in fh if ln.strip()]
+            if vocab.endswith(".json"):
+                vocab, unk_token, max_chars, cont_prefix = (
+                    self._parse_tokenizer_json(vocab)
+                )
+            else:
+                with open(vocab) as fh:
+                    vocab = [ln.strip() for ln in fh if ln.strip()]
         self._vocab = frozenset(vocab)
         self.unk_token = unk_token
         self.max_chars = max_chars
-        digest = hashlib.md5(
-            "\n".join(sorted(self._vocab)).encode()
-        ).hexdigest()[:16]
+        self.cont_prefix = cont_prefix
+        hashed = "\n".join(sorted(self._vocab))
+        if (unk_token, max_chars, cont_prefix) != ("[UNK]", 200, "##"):
+            # appended ONLY when non-default so pre-existing catalog
+            # idents (vocab-only hash) remain valid
+            hashed += f"\x00unk={unk_token}|max={max_chars}|cont={cont_prefix}"
+        digest = hashlib.md5(hashed.encode()).hexdigest()[:16]
         self.ident = f"wordpiece:{digest}"
+
+    @staticmethod
+    def _parse_tokenizer_json(path: str):
+        """(vocab_entries, unk, max_chars, cont_prefix) from a serialized
+        HF fast tokenizer. Only WordPiece models are loadable — a BPE/
+        Unigram tokenizer.json must refuse loudly, not mis-tokenize."""
+        import json
+
+        with open(path) as fh:
+            doc = json.load(fh)
+        model = doc.get("model") or {}
+        mtype = model.get("type", "WordPiece")
+        if mtype != "WordPiece":
+            raise ValueError(
+                f"{path}: tokenizer.json model type is {mtype!r} — only "
+                "WordPiece models load into WordPieceTokenizer"
+            )
+        vocab_map = model.get("vocab")
+        if not isinstance(vocab_map, dict) or not vocab_map:
+            raise ValueError(f"{path}: model.vocab map missing or empty")
+        return (
+            list(vocab_map),
+            model.get("unk_token", "[UNK]"),
+            int(model.get("max_input_chars_per_word", 100)),
+            model.get("continuing_subword_prefix", "##"),
+        )
 
     def tokenize(self, s: str) -> list[str]:
         vocab, mc, unk = self._vocab, self.max_chars, self.unk_token
         out: list[str] = []
         for w in _basic_pretokenize(s):
-            out.extend(_wordpiece_word(w, vocab, mc, unk))
+            out.extend(_wordpiece_word(w, vocab, mc, unk, self.cont_prefix))
         return out
 
     def tokens_col(self, col):
@@ -170,6 +221,7 @@ class WordPieceTokenizer(Tokenizer):
         from pyspark.sql.functions import pandas_udf
 
         vocab, mc, unk = self._vocab, self.max_chars, self.unk_token
+        prefix = self.cont_prefix
 
         def wp_word(word):
             if len(word) > mc:
@@ -180,7 +232,7 @@ class WordPieceTokenizer(Tokenizer):
                 while start < end:
                     sub = word[start:end]
                     if start > 0:
-                        sub = "##" + sub
+                        sub = prefix + sub
                     if sub in vocab:
                         cur = sub
                         break
