@@ -1204,6 +1204,8 @@ class ParquetLake:
         self,
         target_rows: int = 4_000_000,
         small_row_threshold: int | None = None,
+        per_directory: bool = False,
+        group_key=None,
     ) -> list[str]:
         """Rewrite small DATA files into ~target_rows files (the small-file
         problem: a 100 TB lake fed by streaming ingest accumulates millions
@@ -1233,6 +1235,15 @@ class ParquetLake:
         (stale candidates are dropped by the bounded collect); new files are
         unindexed until the next build_index(), and entries left covering
         only replaced files are reclaimed by vacuum().
+
+        `per_directory=True` compacts WITHIN each parent directory and
+        publishes each group's outputs into that directory — the mode
+        partitioned format-backed lakes need (a hive `col=value/` file
+        must stay inside its partition dir so the commit's
+        partitionValues parse correctly). Still ONE Spark job for all
+        groups: rows route to a global writer slot (group offset +
+        round-robin within group) and one partitionBy write stages every
+        output, so the job count never scales with partition count.
         """
         import json
         import math
@@ -1242,6 +1253,10 @@ class ParquetLake:
         counts = file_row_counts(self.spark, pre_op)
         thresh = small_row_threshold or max(target_rows // 2, 1)
         small = [f for f in pre_op if counts[f] < thresh]
+        if per_directory:
+            return self._compact_grouped(
+                small, counts, target_rows, pre_op, group_key
+            )
         total = sum(counts[f] for f in small)
         n_out = max(1, math.ceil(total / target_rows))
         if len(small) < 2 or n_out >= len(small):
@@ -1264,6 +1279,105 @@ class ParquetLake:
         for part, dst in zip(parts, new_files):
             self.fs.rename(part, dst)
         self._retire(small, pre_op)
+        self.fs.remove(man_path)
+        self.fs.rmtree(stage)
+        return new_files
+
+    def _compact_grouped(
+        self,
+        small: list[str],
+        counts: dict,
+        target_rows: int,
+        pre_op: list[str],
+        group_key=None,
+    ) -> list[str]:
+        """Directory-grouped compaction (see compact_files per_directory).
+        One job: provenance → (slot offset, group width) broadcast map,
+        row slot = offset + round-robin, partitionBy('__slot__') stages
+        one output file per slot, published into the slot's group dir.
+
+        `group_key(file) -> hashable` overrides the grouping (default:
+        parent directory). Format-backed lakes group by hive partition
+        TUPLE instead, so the same partition split across two layout
+        roots (e.g. Iceberg's `data/lang=x` plus an appended `lang=x`)
+        still compacts together; outputs publish into the group's first
+        file's directory, preserving its hive segments."""
+        import json
+        import math
+
+        from rottnest_spark.indices.substring import provenance_file_col
+
+        lake_dir = self.data_dir
+        key_of = group_key or os.path.dirname
+        groups: dict = {}
+        for f in small:
+            groups.setdefault(key_of(f), []).append(f)
+        plan = []  # (publish dir, files, n_out)
+        for gkey in sorted(groups, key=str):
+            gfiles = sorted(groups[gkey])
+            g_out = max(
+                1, math.ceil(sum(counts[f] for f in gfiles) / target_rows)
+            )
+            if len(gfiles) >= 2 and g_out < len(gfiles):
+                plan.append((os.path.dirname(gfiles[0]), gfiles, g_out))
+        if not plan:
+            return []
+
+        slot_dst: dict[int, str] = {}
+        file_rows = []  # (file, slot offset of its group, group width)
+        off = 0
+        for gdir, gfiles, g_out in plan:
+            for f in gfiles:
+                file_rows.append((f, off, g_out))
+            for s in range(g_out):
+                slot_dst[off + s] = gdir
+            off += g_out
+        all_small = [f for _, gf, _ in plan for f in gf]
+        map_df = self.spark.createDataFrame(
+            file_rows, "__mf__ string, __off__ int, __n__ int"
+        )
+        cid = uuid.uuid4().hex[:12]
+        stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
+        (
+            read_parquet(self.spark, all_small)
+            .withColumn("__prov__", provenance_file_col())
+            .join(F.broadcast(map_df), F.col("__prov__") == F.col("__mf__"))
+            .withColumn(
+                "__slot__",
+                (
+                    F.col("__off__")
+                    + F.pmod(
+                        F.monotonically_increasing_id(), F.col("__n__")
+                    ).cast("int")
+                ),
+            )
+            .drop("__prov__", "__mf__", "__off__", "__n__")
+            .repartition("__slot__")
+            .write.partitionBy("__slot__")
+            .parquet(stage)
+        )
+        swaps = []  # (staged part, destination)
+        new_files = []
+        for s, gdir in sorted(slot_dst.items()):
+            parts = self.fs.glob(
+                os.path.join(stage, f"__slot__={s}", "part-*.parquet")
+            )
+            for j, p in enumerate(parts):
+                dst = os.path.join(
+                    gdir, f"compacted_{cid}_{s:05d}_{j:02d}.parquet"
+                )
+                swaps.append((p, dst))
+                new_files.append(dst)
+        man_dir = os.path.join(self.index_dir, "_compactions")
+        self.fs.makedirs(man_dir)
+        man_path = os.path.join(man_dir, f"{cid}.json")
+        self.fs.write_text(
+            man_path,
+            json.dumps({"new_files": new_files, "replaces": all_small}),
+        )
+        for p, dst in swaps:
+            self.fs.rename(p, dst)
+        self._retire(all_small, pre_op)
         self.fs.remove(man_path)
         self.fs.rmtree(stage)
         return new_files
@@ -1709,9 +1823,17 @@ class ParquetLake:
             if kept_rows == n_before.get(f, 0):
                 continue  # false-positive candidate: no row matched
             n_deleted += n_before.get(f, 0) - kept_rows
+            # publish NEXT TO the file being replaced, not at the lake
+            # root: a hive-partitioned layout keeps its col=value path
+            # segments, so format-backed lakes commit correct
+            # partitionValues for the rewrite (and plain lakes are
+            # unaffected — their files live at the root anyway)
             news = [
-                os.path.join(lake_dir, f"deleted_{cid}_{len(swaps):05d}_{i:02d}.parquet")
-                for i in range(len(parts))
+                os.path.join(
+                    os.path.dirname(f),
+                    f"deleted_{cid}_{len(swaps):05d}_{j:02d}.parquet",
+                )
+                for j in range(len(parts))
             ]
             swaps.append((f, parts, news))
         man_path = os.path.join(man_dir, f"{cid}.json")
@@ -1737,6 +1859,37 @@ class ParquetLake:
         }
 
     # -- CDC merge (copy-on-write, file-pruned) -------------------------------
+
+    def _merge_touched(
+        self,
+        final: DataFrame,
+        key_col: str,
+        max_change_keys: int,
+        files: list[str],
+    ) -> list[str]:
+        """Files a CDC changeset can touch: footer key ranges vs the
+        (driver-collected, bounded) changed-key set. Over the bound, the
+        prune degrades to rewrite-everything rather than collecting an
+        unbounded key list."""
+        import bisect
+
+        from rottnest_spark.core.layout import footer_key_ranges
+
+        key_rows = final.select(key_col).limit(max_change_keys + 1).collect()
+        if len(key_rows) > max_change_keys:
+            return list(files)  # fall back: rewrite everything
+        keys = sorted(r[0] for r in key_rows)
+        touched = []
+        for f, (lo, hi) in footer_key_ranges(
+            self.spark, files, key_col
+        ).items():
+            if lo is None:
+                touched.append(f)  # no stats: could contain anything
+                continue
+            i = bisect.bisect_left(keys, lo)
+            if i < len(keys) and keys[i] <= hi:
+                touched.append(f)
+        return touched
 
     def merge_into(
         self,
@@ -1776,10 +1929,8 @@ class ParquetLake:
 
         Returns {"rewritten": [...], "new_files": [...], "pruned": n}.
         """
-        import bisect
         import json
 
-        from rottnest_spark.core.layout import footer_key_ranges
         from rottnest_spark.ops.merge import DELETE_OP, latest_changes
 
         lake_dir = self.data_dir
@@ -1792,24 +1943,8 @@ class ParquetLake:
                 f"column {key_col!r}; a CDC row must carry a non-null key"
             )
         final = latest_changes(changes, [key_col], seq_col, op_col)
-        key_rows = (
-            final.select(key_col).limit(max_change_keys + 1).collect()
-        )
         files = self.files
-        if len(key_rows) > max_change_keys:
-            touched = list(files)  # fall back: rewrite everything
-        else:
-            keys = sorted(r[0] for r in key_rows)
-            touched = []
-            for f, (lo, hi) in footer_key_ranges(
-                self.spark, files, key_col
-            ).items():
-                if lo is None:
-                    touched.append(f)  # no stats: could contain anything
-                    continue
-                i = bisect.bisect_left(keys, lo)
-                if i < len(keys) and keys[i] <= hi:
-                    touched.append(f)
+        touched = self._merge_touched(final, key_col, max_change_keys, files)
         if not touched and final.filter(
             F.col(op_col) != DELETE_OP
         ).isEmpty():

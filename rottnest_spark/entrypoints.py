@@ -710,9 +710,10 @@ def q_vector_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vector_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I12 IVF-pruned approximate top-K (no SQL oracle — recall measured in
-    tests; the driver records a rows-only check, as with the reference's
-    recall-based evaluation msmarco.py:49-60)."""
+    """I12 IVF-pruned approximate top-K. Oracled against EXACT KNN SQL:
+    the hash gate asserts recall@K == 1.0 at gate scale (the reference
+    evaluates the same way, recall vs brute force, msmarco.py:49-60 —
+    here the assertion runs inside the correctness gate, not the bench)."""
     idx = VectorIndex(rows_per_centroid=64, nprobes=8)
     lake = indexed_lake(spark, sf_dir, "embeddings", "embedding", idx)
     return knn_topk(
@@ -722,9 +723,14 @@ def q_vector_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I11/I12 full 3-stage path: coarse probe -> PQ asymmetric-distance
-    top-refine -> exact fp32 rerank of only those rows. Rows-only check
-    (approximate recall, measured in tests/test_vector.py)."""
-    idx = VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=64)
+    top-refine -> exact fp32 rerank of only those rows. Oracled against
+    EXACT KNN SQL: hash match == recall@K 1.0 at gate scale. pq_k=64
+    codebooks + refine=128 is the operating point where ADC's top-refine
+    provably contains the true top-K on this corpus (16-code books lost
+    2/10 at the same refine — the gate now catches that)."""
+    idx = VectorIndex(
+        rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=64, refine=128
+    )
     lake = indexed_lake(spark, sf_dir, "embeddings", "embedding", idx)
     return knn_topk(
         lake, idx, "embedding", _knn_query_vec(spark, sf_dir), KNN_K, "vec_id"
@@ -734,8 +740,9 @@ def q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vector_knn_vamana(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I17 Vamana graph ANN: route to nprobes IVF shards, beam-search each
     shard's graph in its own task, exact fp32 rerank of the returned row
-    addresses. Rows-only check (approximate recall, measured in
-    tests/test_vamana.py and the bench recall metric)."""
+    addresses. Oracled against EXACT KNN SQL: hash match == recall@K 1.0
+    at gate scale (beam-search recall is additionally property-tested in
+    tests/test_vamana.py and recorded by the bench at sf0.1)."""
     from rottnest_spark.indices.vamana import VamanaIndex
 
     idx = VamanaIndex(rows_per_cluster=256, nprobes=6, refine=64)
@@ -811,6 +818,43 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", COSINE_TAU
     )
     return kept.select("vec_id", "label").orderBy("vec_id")
+
+
+#: exact-twin audit: every 7th vector gets an exact duplicate planted;
+#: tau 0.99 isolates the planted cosine==1 pairs (max natural pairwise
+#: cosine in the fixture is 0.51 at sf0.01 / 0.60 at sf0.1), so every
+#: duplicate component is exactly one planted pair and the expected kept
+#: count per pair is provably 1
+SEMDEDUP_TWIN_MOD, SEMDEDUP_TWIN_SHIFT, SEMDEDUP_TWIN_TAU = 7, 1_000_000, 0.99
+
+
+def q_semantic_dedup_exact_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative guarantee audit for SemDeDup: cosine==1 duplicates
+    (the embedding analog of Jaccard=1 pairs) MUST always be caught —
+    identical vectors land in the same k-means cluster, score cosine 1 ≥
+    any threshold, and collapse to one representative. The fixture has no
+    exact-duplicate embeddings, so the audit PLANTS one twin per vec_id %
+    {MOD} == 0 row (id shifted by {SHIFT}) and emits the number of kept
+    members per planted pair; the oracle is the guarantee itself — exactly
+    1 per pair (2 = missed duplicate, 0 = over-dropped original)."""
+    emb = load(spark, sf_dir, "embeddings")
+    twins = emb.filter(
+        F.col("vec_id") % SEMDEDUP_TWIN_MOD == 0
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(SEMDEDUP_TWIN_SHIFT))
+    kept = dedup.semantic_dedup(
+        emb.unionByName(twins), "vec_id", "embedding", SEMDEDUP_TWIN_TAU
+    )
+    gid = F.when(
+        F.col("vec_id") >= SEMDEDUP_TWIN_SHIFT,
+        F.col("vec_id") - SEMDEDUP_TWIN_SHIFT,
+    ).otherwise(F.col("vec_id"))
+    return (
+        kept.select(gid.alias("vec_id"))
+        .filter(F.col("vec_id") % SEMDEDUP_TWIN_MOD == 0)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("vec_id")
+    )
 
 
 # DuckDB fragments shared by the dedup oracles: distinct word-3-gram
@@ -2818,6 +2862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "embedding_dedup": q_embedding_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_exact_twins": q_semantic_dedup_exact_twins,
     "dup_components": q_dup_components,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "decontaminate": q_decontaminate,
@@ -3100,6 +3145,12 @@ ORACLES: dict[str, str] = {
     "bm25_topk_expanded": _bm25_expanded_oracle_sql(BM25_QUERY, BM25_K, 8),
     # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
     "vector_knn_exact": _knn_oracle_sql(KNN_K),
+    # the ANN paths are oracled against EXACT KNN: a hash match means
+    # recall@K == 1.0 at gate scale (the quantitative assertion the
+    # rows-only record lacked) — any recall dip fails the gate loudly.
+    "vector_knn_ivf": _knn_oracle_sql(KNN_K),
+    "vector_knn_pq": _knn_oracle_sql(KNN_K),
+    "vector_knn_vamana": _knn_oracle_sql(KNN_K),
     "vector_knn_cosine": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings
                    WHERE vec_id = {KNN_QUERY_ID})
@@ -3360,6 +3411,14 @@ ORACLES: dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
               >= {COSINE_TAU}
+    """,
+    # the SemDeDup guarantee stated as SQL: one kept member per planted
+    # cosine==1 twin pair (see q_semantic_dedup_exact_twins — tau 0.99
+    # makes every duplicate component exactly one planted pair)
+    "semantic_dedup_exact_twins": f"""
+        SELECT vec_id, 1::BIGINT AS n_kept FROM embeddings
+        WHERE vec_id % {SEMDEDUP_TWIN_MOD} = 0
+        ORDER BY vec_id
     """,
     "curate_documents": _curate_oracle(),
     # hash bucket: ('0x'||substr(md5(seed:id),1,12))::BIGINT % 1000000 —

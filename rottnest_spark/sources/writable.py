@@ -73,63 +73,167 @@ class _FormatDML:
         """The format's declared partition columns ([] = unpartitioned)."""
         return []
 
-    def _guard_rewrite(self, op: str) -> None:
-        """Rewriting ops (compaction, copy-on-write delete/merge) publish
-        files at the table root — on a PARTITIONED table that would
-        commit wrong/empty partitionValues. Refuse up front with the
-        workaround rather than corrupting the log."""
+    def _stage_hive(self, df: DataFrame, prefix: str):
+        """Stage `df` with partitionBy(partition columns); plan one
+        publish move per staged part into its hive subdirectory, so
+        _commit's add actions parse real partitionValues. Returns
+        (cid, stage dir, [(staged src, destination), ...]) — the caller
+        decides when to execute the moves (rewrites write their manifest
+        FIRST so a crash mid-publish is repairable)."""
+        import uuid as _uuid
+
         pcols = self._partition_columns()
-        if pcols:
-            raise NotImplementedError(
-                f"{op} on a partitioned format-backed table (partition "
-                f"columns {pcols}) is not supported: the rewrite would "
-                "publish files outside the hive layout. Rewrite via "
-                "delta_write/iceberg_write into a new table, or run the "
-                "op on an unpartitioned table."
+        cid = _uuid.uuid4().hex[:12]
+        stage = os.path.join(self.data_dir, f"_compact_stage_{cid}")
+        df.write.partitionBy(*pcols).parquet(stage)
+        moves = []
+        for f in self.fs.list_files(stage):
+            segs = os.path.relpath(f, stage).split(os.sep)
+            leaf = segs[-1]
+            if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+                continue
+            dst = os.path.join(
+                self.data_dir, *segs[:-1], f"{prefix}_{cid}_{leaf}"
             )
+            moves.append((f, dst))
+        return cid, stage, moves
+
+    def _publish_hive(self, df: DataFrame, prefix: str) -> list[str]:
+        """Stage + publish in one step (append: a partial publish is
+        self-healing — the orphan adds-diff of the NEXT commit completes
+        it, and appended rows committed late are still a correct state)."""
+        _cid, stage, moves = self._stage_hive(df, prefix)
+        for src, dst in moves:
+            self.fs.makedirs(os.path.dirname(dst))
+            self.fs.rename(src, dst)
+        self.fs.rmtree(stage)
+        return [dst for _, dst in moves]
 
     def append(self, df: DataFrame) -> list[str]:
-        pcols = self._partition_columns()
-        if not pcols:
+        if not self._partition_columns():
             new_files = ParquetLake.append(self, df)
         else:
-            # hive-layout staging: partition subdirs preserved on publish,
-            # so _commit's add actions parse real partitionValues
-            import uuid as _uuid
-
-            cid = _uuid.uuid4().hex[:12]
-            stage = os.path.join(self.data_dir, f"_compact_stage_{cid}")
-            df.write.partitionBy(*pcols).parquet(stage)
-            new_files = []
-            for f in self.fs.list_files(stage):
-                segs = os.path.relpath(f, stage).split(os.sep)
-                leaf = segs[-1]
-                if not leaf.endswith(".parquet") or leaf.startswith(
-                    ("_", ".")
-                ):
-                    continue
-                dst = os.path.join(
-                    self.data_dir, *segs[:-1], f"appended_{cid}_{leaf}"
-                )
-                self.fs.makedirs(os.path.dirname(dst))
-                self.fs.rename(f, dst)
-                new_files.append(dst)
-            self.fs.rmtree(stage)
+            new_files = self._publish_hive(df, "appended")
         if new_files:  # an empty frame publishes nothing — no commit
             self._commit(add=new_files, remove=[])
         return new_files
 
     def compact_files(self, *a, **kw):
-        self._guard_rewrite("compact_files")
+        # partitioned tables compact WITHIN each hive partition (one job
+        # for all groups), so rewritten files keep their col=value path
+        # segments and the commit's partitionValues stay correct. Group
+        # by partition TUPLE, not directory: the same partition can live
+        # under two layout roots (Iceberg's data/ plus appended files).
+        pcols = self._partition_columns()
+        if pcols:
+            pset = set(pcols)
+
+            def hive_tuple(f):
+                segs = [
+                    s
+                    for s in f.split(os.sep)
+                    if "=" in s and s.split("=", 1)[0] in pset
+                ]
+                return tuple(sorted(segs))
+
+            kw["per_directory"] = True
+            kw["group_key"] = hive_tuple
         return ParquetLake.compact_files(self, *a, **kw)
 
     def delete_matching(self, *a, **kw):
-        self._guard_rewrite("delete_matching")
+        # per-file copy-on-write publishes next to the replaced file
+        # (core/lake.py), which preserves the hive layout — partitioned
+        # tables need no special casing beyond that
         return ParquetLake.delete_matching(self, *a, **kw)
 
-    def merge_into(self, *a, **kw):
-        self._guard_rewrite("merge_into")
-        return ParquetLake.merge_into(self, *a, **kw)
+    def merge_into(
+        self,
+        changes: DataFrame,
+        key_col: str,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        max_change_keys: int = 100_000,
+        update_cols: list[str] | None = None,
+    ) -> dict:
+        pcols = self._partition_columns()
+        if not pcols:
+            return ParquetLake.merge_into(
+                self, changes, key_col, seq_col, op_col,
+                max_change_keys, update_cols,
+            )
+        # Partitioned path: base rows are read through the snapshot
+        # lake's partition-reconstructing read (data files physically
+        # LACK the partition columns), the merge runs over the full
+        # logical schema, and the output re-publishes through hive
+        # staging so every rewritten/inserted row lands in its
+        # partition's directory with correct commit partitionValues.
+        if key_col in pcols:
+            raise ValueError(
+                f"merge key {key_col!r} is a partition column — it has no "
+                "physical data-file column to merge on"
+            )
+        missing = [c for c in pcols if c not in changes.columns]
+        if missing:
+            raise ValueError(
+                "merge_into on a partitioned table needs the changeset to "
+                f"carry the partition column(s) {missing} — inserted rows "
+                "cannot be routed to a partition otherwise"
+            )
+        import json
+
+        from pyspark.sql import functions as F
+
+        from rottnest_spark.ops.merge import (
+            DELETE_OP,
+            latest_changes,
+            merge_changes,
+        )
+
+        if not changes.filter(F.col(key_col).isNull()).isEmpty():
+            raise ValueError(
+                f"merge_into: changeset contains NULL values in key "
+                f"column {key_col!r}; a CDC row must carry a non-null key"
+            )
+        final = latest_changes(changes, [key_col], seq_col, op_col)
+        files = self.files
+        touched = self._merge_touched(final, key_col, max_change_keys, files)
+        if not touched and final.filter(
+            F.col(op_col) != DELETE_OP
+        ).isEmpty():
+            return {"rewritten": [], "new_files": [], "pruned": len(files)}
+        if touched:
+            base = self.read(touched)  # reconstructs partition columns
+        elif files:
+            base = self.read(files).limit(0)
+        else:
+            base = changes.drop(seq_col, op_col).limit(0)
+        merged = merge_changes(
+            base, changes, [key_col], seq_col, op_col, update_cols
+        )
+        # manifest BEFORE publish (compact_files protocol): a crash
+        # mid-publish leaves a manifest whose new_files are incomplete —
+        # repair_files drops the published-but-uncommitted parts and the
+        # originals stay live in the log
+        cid, stage, moves = self._stage_hive(merged, "merged")
+        new_files = [dst for _, dst in moves]
+        man_dir = os.path.join(self.index_dir, "_compactions")
+        self.fs.makedirs(man_dir)
+        man_path = os.path.join(man_dir, f"{cid}.json")
+        self.fs.write_text(
+            man_path,
+            json.dumps({"new_files": new_files, "replaces": touched}),
+        )
+        for src, dst in moves:
+            self.fs.makedirs(os.path.dirname(dst))
+            self.fs.rename(src, dst)
+        self.fs.rmtree(stage)
+        self._retire(touched, files)
+        self.fs.remove(man_path)
+        return {
+            "rewritten": touched,
+            "new_files": new_files,
+            "pruned": len(files) - len(touched),
+        }
 
     def _retire(self, files_to_remove, pre_op_files) -> None:
         # new files = physical dir minus everything the log ever knew

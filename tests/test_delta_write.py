@@ -357,10 +357,12 @@ def test_partitioned_checkpoint_carries_values(spark, sf_dir, tmp_path):
 
 
 def test_partitioned_writable_lake_dml(spark, sf_dir, tmp_path):
-    """DML surface on a partitioned Delta table: append routes through
-    hive staging (new partitions land correctly); rewriting ops refuse
-    up front; indexing a partition column points at partition_pruned."""
+    """FULL DML surface on a partitioned Delta table: append routes
+    through hive staging; compact/delete/merge rewrite WITHIN partitions
+    so every commit's partitionValues parse correctly; indexing a
+    partition column still points at partition_pruned."""
     from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.sources.delta import delta_live_adds
     from rottnest_spark.sources.writable import DeltaWritableLake
 
     out = str(tmp_path / "ptable")
@@ -374,14 +376,74 @@ def test_partitioned_writable_lake_dml(spark, sf_dir, tmp_path):
     new_files = lake.append(extra)
     assert new_files and all("lang=" in f for f in new_files)
     assert lake.read().count() == docs.filter("doc_id < 260").count()
-
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        lake.compact_files(max_rows=10**9)
     with pytest.raises(ValueError, match="partition column"):
         lake.build_index(ExactIndex(), "lang")
 
+    def pvals_consistent():
+        """Every live add's partitionValues equal its hive path segment."""
+        adds = delta_live_adds(out)
+        assert adds
+        for f, pv in adds.items():
+            assert set(pv) == {"lang"}
+            seg = [s for s in f.split("/") if s.startswith("lang=")]
+            assert len(seg) == 1
+            want = seg[0].split("=", 1)[1]
+            assert pv["lang"] == (
+                None if want == "__HIVE_DEFAULT_PARTITION__" else want
+            )
+
+    pvals_consistent()
+    before = sorted(
+        (r["doc_id"], r["lang"]) for r in lake.read().collect()
+    )
+
+    # compaction: per-partition rewrite, content unchanged
+    compacted = lake.compact_files(target_rows=10**9)
+    assert compacted and all("lang=" in f for f in compacted)
+    pvals_consistent()
+    assert sorted(
+        (r["doc_id"], r["lang"]) for r in lake.read().collect()
+    ) == before
+
+    # row-level delete: copy-on-write inside the partition dirs
+    idx = ExactIndex()
+    lake.build_index(idx, "doc_id")
+    rep = lake.delete_matching(idx, "doc_id", 42)
+    assert rep["n_deleted"] == 1
+    pvals_consistent()
+    assert lake.read().filter("doc_id = 42").count() == 0
+
+    # CDC merge: update one row, delete one, insert one (changeset
+    # carries the partition column so inserts route to their partition)
+    langs = sorted(
+        r[0] for r in lake.read().select("lang").distinct().collect()
+    )
+    changes = spark.createDataFrame(
+        [
+            (7, langs[0], "updated-text", 1, "U"),
+            (11, langs[0], None, 1, "D"),
+            (9_999, langs[-1], "inserted-text", 1, "U"),
+        ],
+        "doc_id long, lang string, text string, seq long, op string",
+    )
+    mrep = lake.merge_into(changes, "doc_id")
+    assert mrep["rewritten"] and mrep["new_files"]
+    assert all("lang=" in f for f in mrep["new_files"])
+    pvals_consistent()
+    after = lake.read()
+    assert after.filter("doc_id = 11").count() == 0
+    assert [
+        r["text"] for r in after.filter("doc_id = 7").collect()
+    ] == ["updated-text"]
+    ins = after.filter("doc_id = 9999").collect()
+    assert len(ins) == 1 and ins[0]["lang"] == langs[-1]
+    # merge key must be a physical column; changeset must carry pcols
+    with pytest.raises(ValueError, match="partition column"):
+        lake.merge_into(changes, "lang")
+    with pytest.raises(ValueError, match="carry the partition"):
+        lake.merge_into(changes.drop("lang"), "doc_id")
+
     # partition pruning still serves partition predicates exactly
-    langs = [r[0] for r in lake.read().select("lang").distinct().collect()]
     view = lake.partition_pruned(lang=langs[0])
     assert view.read().count() == lake.read().filter(
         F.col("lang") == langs[0]

@@ -270,8 +270,11 @@ def test_partitioned_typed_long_partition(spark, tmp_path):
 
 
 def test_partitioned_writable_lake_guards(spark, sf_dir, tmp_path):
-    """DML surface on a partitioned Iceberg table: hive-staged appends
-    commit typed values; rewrites refuse up front."""
+    """FULL DML surface on a partitioned Iceberg table: hive-staged
+    appends commit typed values; compact/delete/merge rewrite within
+    partition dirs and every commit's manifest partition records stay
+    correct."""
+    from rottnest_spark.indices.exact import ExactIndex
     from rottnest_spark.sources.iceberg import iceberg_live_adds
     from rottnest_spark.sources.writable import IcebergWritableLake
 
@@ -284,11 +287,55 @@ def test_partitioned_writable_lake_guards(spark, sf_dir, tmp_path):
     new_files = lake.append(docs.filter("doc_id >= 150 AND doc_id < 260"))
     assert new_files and all("lang=" in f for f in new_files)
     assert lake.read().count() == docs.filter("doc_id < 260").count()
-    adds = iceberg_live_adds(out)
-    assert all(pv.get("lang") for pv in adds.values())
 
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        lake.compact_files(max_rows=10**9)
+    def pvals_consistent():
+        adds = iceberg_live_adds(out)
+        assert adds
+        for f, pv in adds.items():
+            seg = [s for s in f.split("/") if s.startswith("lang=")]
+            assert len(seg) == 1
+            assert pv.get("lang") == seg[0].split("=", 1)[1]
+
+    pvals_consistent()
+    before = sorted(
+        (r["doc_id"], r["lang"]) for r in lake.read().collect()
+    )
+
+    # per-partition compaction, content unchanged
+    compacted = lake.compact_files(target_rows=10**9)
+    assert compacted and all("lang=" in f for f in compacted)
+    pvals_consistent()
+    assert sorted(
+        (r["doc_id"], r["lang"]) for r in lake.read().collect()
+    ) == before
+
+    # row-level delete inside partition dirs
+    idx = ExactIndex()
+    lake.build_index(idx, "doc_id")
+    rep = lake.delete_matching(idx, "doc_id", 42)
+    assert rep["n_deleted"] == 1
+    pvals_consistent()
+    assert lake.read().filter("doc_id = 42").count() == 0
+
+    # CDC merge with partition-column-carrying changeset
+    langs = sorted(
+        r[0] for r in lake.read().select("lang").distinct().collect()
+    )
+    changes = spark.createDataFrame(
+        [
+            (7, langs[0], "updated-text", 1, "U"),
+            (9_999, langs[-1], "inserted-text", 1, "U"),
+        ],
+        "doc_id long, lang string, text string, seq long, op string",
+    )
+    mrep = lake.merge_into(changes, "doc_id")
+    assert mrep["new_files"] and all("lang=" in f for f in mrep["new_files"])
+    pvals_consistent()
+    after = lake.read()
+    assert [
+        r["text"] for r in after.filter("doc_id = 7").collect()
+    ] == ["updated-text"]
+    assert after.filter("doc_id = 9999").count() == 1
 
     with pytest.raises(ValueError, match="conflicts"):
         iceberg_write(
