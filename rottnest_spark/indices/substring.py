@@ -166,9 +166,10 @@ class SubstringIndex(SparkIndex):
         granularity: str = "file",
         unselective_frac: float | None = 1.0,
         skip_chars: str | None = None,
-        salt_write: bool = True,
+        salt_write="auto",
     ):
         assert granularity in ("file", "row_group")
+        assert salt_write in (True, False, "auto")
         self.gram = gram
         self.max_query_grams = max_query_grams
         self.granularity = granularity
@@ -184,9 +185,19 @@ class SubstringIndex(SparkIndex):
         # needs no salting — distinct()'s map-side partial aggregation is
         # automatic per-partition salting. Physical-layout knob only:
         # probes are unaffected, so it is NOT part of config().
+        #
+        # "auto" (default, round-6 cost knob): only degenerate corpora
+        # need the salt, and the 3-key repartitionByRange costs ~1.5× the
+        # single-key write (its sampling pass re-runs the explode chain
+        # per extra key) — so build() first measures the max gram share
+        # on a bounded row sample (one cheap job, no shuffle) and salts
+        # only when it exceeds SALT_SKEW_SHARE. True/False force either
+        # layout.
         self.salt_write = salt_write
         # instance-level so the generic compact() path writes the same
-        # salted layout as build()
+        # salted layout as build(); under "auto", compaction stays salted
+        # (inputs may union entries built under either decision, and the
+        # union's skew is unknown without re-sampling)
         self.sort_cols = (
             ["gram", "file_path", "row_group"] if salt_write else ["gram"]
         )
@@ -315,10 +326,83 @@ class SubstringIndex(SparkIndex):
             )
             .distinct()
         )
-        sort_cols = (
-            ["gram", "file_path", "row_group"] if self.salt_write else ["gram"]
-        )
+        salt = self.salt_write
+        if salt == "auto":
+            # probe the RAW column (plain one-file scan + limit), not the
+            # provenance-tagged `rows` chain — the row-group reader is a
+            # pandas pass that would cost more than the salt decision saves
+            salt = self._gram_skew_needs_salt(
+                read_parquet(spark, files[:1]).select(
+                    self._norm_col(F.col(column)).alias("__norm__")
+                ),
+                n,
+                step,
+            )
+        sort_cols = ["gram", "file_path", "row_group"] if salt else ["gram"]
         self._write_index(index_df, out_path, sort_cols=sort_cols, unit_meta=True)
+
+    #: auto-salt trigger: max single-gram share of the estimated postings
+    #: table. The index stores DISTINCT (gram, unit) rows, so a gram's
+    #: postings share is bounded by 1 / (avg distinct grams per unit) —
+    #: diverse corpora (prose, JSON with varying values: hundreds of
+    #: distinct grams per row) sit well under 2%, while a degenerate
+    #: corpus (runs of one character → a handful of distinct grams per
+    #: row) concentrates tens of percent of postings in one gram. 5%
+    #: separates the regimes with margin on both sides.
+    SALT_SKEW_SHARE = 0.05
+    #: bounded sample for the skew probe — enough rows that a >5% gram
+    #: cannot hide, small enough that the probe is milliseconds
+    SALT_SAMPLE_ROWS = 20_000
+
+    #: rows per pseudo-unit in the skew probe — same order as the
+    #: row-group units the index actually stores, so the sampled postings
+    #: distribution matches the written table's
+    SALT_PROBE_UNIT_ROWS = 512
+
+    def _gram_skew_needs_salt(self, rows, n: int, step: int) -> bool:
+        """One cheap bounded job estimating the postings-table share of
+        the most common gram. The index stores DISTINCT (gram, unit)
+        rows, so the probe reproduces that structure on a sample: group
+        the first SALT_SAMPLE_ROWS rows into pseudo-units of
+        SALT_PROBE_UNIT_ROWS, distinct (unit, gram), and compare the top
+        gram's unit count against the sampled postings total. A diverse
+        corpus (hundreds of distinct grams per unit, even when every one
+        of them is ubiquitous) lands near 1/|grams-per-unit| ≪ 5%; a
+        degenerate run corpus (a handful of grams per unit) concentrates
+        tens of percent in one gram. Degenerate grams are corpus-wide
+        properties, so a prefix sample sees them."""
+        top = (
+            rows.select("__norm__")
+            .limit(self.SALT_SAMPLE_ROWS)
+            .select(
+                (
+                    F.monotonically_increasing_id()
+                    / self.SALT_PROBE_UNIT_ROWS
+                ).cast("long").alias("u"),
+                "__norm__",
+            )
+            .select(
+                "u",
+                F.explode(
+                    F.expr(
+                        f"CASE WHEN length(__norm__) >= {n} THEN "
+                        f"sequence(1, length(__norm__) - {n - 1}, {step}) "
+                        f"ELSE array() END"
+                    )
+                ).alias("p"),
+                "__norm__",
+            )
+            .select(
+                "u", F.expr(f"substring(__norm__, p, {n})").alias("gram")
+            )
+            .groupBy("gram")
+            .agg(F.count_distinct("u").alias("c"))
+            .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+            .collect()[0]
+        )
+        if not top["tot"]:
+            return False
+        return top["mx"] / top["tot"] > self.SALT_SKEW_SHARE
 
     # -- search ---------------------------------------------------------------
 

@@ -368,3 +368,51 @@ def test_search_many_k_and_columns(spark, sf_dir, tmp_path):
         for r in res.filter(F.col("__query__") == "merge sort").collect()
     }
     assert got <= full
+
+
+def test_salt_write_auto_decision_and_equivalence(spark, tmp_path):
+    """Round-6 cost knob: salt_write='auto' measures postings skew on a
+    bounded sample and salts only degenerate corpora. Decisions: diverse
+    text → unsalted; run-degenerate text → salted. Search results are
+    identical under every layout (physical knob only)."""
+    from rottnest_spark.core.layout import WHOLE_FILE
+    from rottnest_spark.indices.substring import provenance_file_col
+
+    idx = SubstringIndex()
+
+    def norm_rows(df, col):
+        return df.select(
+            F.lit("f").alias("file_path"),
+            F.lit(WHOLE_FILE).alias("row_group"),
+            idx._norm_col(F.col(col)).alias("__norm__"),
+        )
+
+    diverse = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over row {i*7}") for i in range(400)],
+        "id int, t string",
+    )
+    degenerate = spark.createDataFrame(
+        [(i, "a" * 300) for i in range(400)], "id int, t string"
+    )
+    assert not idx._gram_skew_needs_salt(norm_rows(diverse, "t"), 3, 1)
+    assert idx._gram_skew_needs_salt(norm_rows(degenerate, "t"), 3, 1)
+
+    # equivalence: auto / forced-salt / forced-plain builds answer alike
+    data = str(tmp_path / "d")
+    diverse.union(
+        spark.createDataFrame(
+            [(1000 + i, "zzz needle zzz") for i in range(3)], "id int, t string"
+        )
+    ).repartition(3).write.parquet(data)
+    results = {}
+    for salt in ("auto", True, False):
+        lake = ParquetLake(
+            spark, data, str(tmp_path / f"i{salt}"), brute_force_threshold=1
+        )
+        sidx = SubstringIndex(salt_write=salt)
+        lake.build_index(sidx, "t")
+        results[salt] = sorted(
+            r["id"] for r in lake.search(sidx, "t", "needle").collect()
+        )
+    assert results["auto"] == results[True] == results[False]
+    assert len(results["auto"]) == 3
