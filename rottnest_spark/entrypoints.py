@@ -1076,7 +1076,10 @@ def q_media_quality_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mp4_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4 container metadata extraction (ISO BMFF box walk — real parse,
     no frame decode): duration/dimensions/track stats a video-curation
-    stage filters on. Rows-only — box formats aren't SQL-expressible."""
+    stage filters on. Oracled as a round-trip: the payloads encode
+    deterministic formulas of media_id, so the SQL oracle states the
+    exact values the spec-offset parse must recover — a tkhd/mvhd offset
+    regression (the round-5 bug class) hash-fails the gate."""
     rows = [
         (
             mid,
@@ -3415,6 +3418,16 @@ ORACLES: dict[str, str] = {
     # the SemDeDup guarantee stated as SQL: one kept member per planted
     # cosine==1 twin pair (see q_semantic_dedup_exact_twins — tau 0.99
     # makes every duplicate component exactly one planted pair)
+    # round-trip oracle: the encoded container parameters are pure
+    # formulas of media_id (see q_mp4_container_meta) — the ISO 14496-12
+    # parse must recover them exactly at the spec offsets
+    "mp4_container_meta": """
+        SELECT mid AS media_id, 'isom' AS brand,
+               CAST(2.0 + mid % 7 AS DOUBLE) AS duration_sec,
+               320 + 16 * (mid % 5) AS width,
+               240 AS height, 1 AS n_tracks
+        FROM range(64) t(mid)
+    """,
     "semantic_dedup_exact_twins": f"""
         SELECT vec_id, 1::BIGINT AS n_kept FROM embeddings
         WHERE vec_id % {SEMDEDUP_TWIN_MOD} = 0
