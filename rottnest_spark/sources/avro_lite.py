@@ -252,10 +252,15 @@ def _matches(schema, value, env: _Env) -> bool:
 # -- object container file ---------------------------------------------------
 
 
-def read_ocf(path: str) -> tuple[dict, list]:
-    """(writer_schema, records) from an Avro Object Container File."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+def read_ocf(path: str, fs=None) -> tuple[dict, list]:
+    """(writer_schema, records) from an Avro Object Container File.
+    `fs` (a LakeFS) routes the byte read for remote stores; default is a
+    plain local read."""
+    if fs is not None:
+        data = fs.read_bytes(path)
+    else:
+        with open(path, "rb") as fh:
+            data = fh.read()
     buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
@@ -281,8 +286,11 @@ def read_ocf(path: str) -> tuple[dict, list]:
     return schema, records
 
 
-def write_ocf(path: str, schema: dict, records: list, codec: str = "null") -> None:
-    """Write an OCF (tests + tooling). One block; null or deflate codec."""
+def write_ocf(
+    path: str, schema: dict, records: list, codec: str = "null", fs=None
+) -> None:
+    """Write an OCF (tests + tooling). One block; null or deflate codec.
+    `fs` (a LakeFS) routes the byte write for remote stores."""
     body = io.BytesIO()
     for rec in records:
         write_value(schema, rec, body, _Env())
@@ -302,5 +310,8 @@ def write_ocf(path: str, schema: dict, records: list, codec: str = "null") -> No
     _write_long(out, len(payload))
     out.write(payload)
     out.write(sync)
-    with open(path, "wb") as fh:
-        fh.write(out.getvalue())
+    if fs is not None:
+        fs.write_bytes(path, out.getvalue())
+    else:
+        with open(path, "wb") as fh:
+            fh.write(out.getvalue())

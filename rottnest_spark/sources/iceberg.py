@@ -26,7 +26,7 @@ rebased onto the actual table directory (file:// URIs normalized).
 
 from __future__ import annotations
 
-import glob
+
 import json
 import os
 import re
@@ -49,29 +49,30 @@ def _rebase(path: str, location: str, table_path: str) -> str:
     return os.path.join(table_path, path.lstrip("/"))
 
 
-def _current_metadata(table_path: str) -> dict:
+def _current_metadata(table_path: str, fs=None) -> dict:
+    from rottnest_spark.core.fs import LocalFS
+
+    fs = fs or LocalFS()
     meta_dir = os.path.join(table_path, "metadata")
-    if not os.path.isdir(meta_dir):
+    if not fs.isdir(meta_dir):
         raise ValueError(
             f"{table_path} has no metadata/ dir — not an Iceberg table"
         )
     hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as fh:
-            v = fh.read().strip()
+    if fs.exists(hint):
+        v = fs.read_text(hint).strip()
         cand = [
             os.path.join(meta_dir, f"v{v}.metadata.json"),
             os.path.join(meta_dir, f"{v}.metadata.json"),
         ]
         for c in cand:
-            if os.path.exists(c):
-                with open(c) as fh:
-                    return json.load(fh)
+            if fs.exists(c):
+                return json.loads(fs.read_text(c))
         raise ValueError(
             f"version-hint.text names version {v} but no matching "
             f"metadata.json exists"
         )
-    files = glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    files = fs.glob(os.path.join(meta_dir, "*.metadata.json"))
     if not files:
         raise ValueError(f"{meta_dir} has no *.metadata.json")
 
@@ -79,16 +80,17 @@ def _current_metadata(table_path: str) -> dict:
         m = re.match(r"v?(\d+)", os.path.basename(f))
         return int(m.group(1)) if m else -1
 
-    with open(max(files, key=_ver)) as fh:
-        return json.load(fh)
+    return json.loads(fs.read_text(max(files, key=_ver)))
 
 
-def iceberg_live_files(table_path: str) -> list[str]:
+def iceberg_live_files(table_path: str, fs=None) -> list[str]:
     """Absolute paths of the data files live in the CURRENT snapshot."""
-    return live_files_from_metadata(_current_metadata(table_path), table_path)
+    return live_files_from_metadata(
+        _current_metadata(table_path, fs), table_path, fs
+    )
 
 
-def live_files_from_metadata(md: dict, table_path: str) -> list[str]:
+def live_files_from_metadata(md: dict, table_path: str, fs=None) -> list[str]:
     """Current-snapshot live set from an already-loaded TableMetadata dict —
     the shared core for storage-resolved metadata (`_current_metadata`) and
     catalog-served metadata (the REST adapter's LoadTableResult,
@@ -102,11 +104,14 @@ def live_files_from_metadata(md: dict, table_path: str) -> list[str]:
         raise ValueError(
             f"current-snapshot-id {snap_id} not in the snapshot list"
         )
-    return sorted(_snapshot_data_files(md, by_id[snap_id], table_path))
+    return sorted(_snapshot_data_files(md, by_id[snap_id], table_path, fs))
 
 
 def iceberg_history_files(
-    table_path: str, history_days: float, now_ms: int | None = None
+    table_path: str,
+    history_days: float,
+    now_ms: int | None = None,
+    fs=None,
 ) -> list[str]:
     """Union of data files across every snapshot whose `timestamp-ms` falls
     within the last `history_days`, plus the current snapshot regardless of
@@ -117,12 +122,17 @@ def iceberg_history_files(
     `now_ms` defaults to the newest snapshot timestamp (wall-clock-free, so
     tests and replayed tables behave deterministically)."""
     return history_files_from_metadata(
-        _current_metadata(table_path), table_path, history_days, now_ms
+        _current_metadata(table_path, fs), table_path, history_days, now_ms,
+        fs=fs,
     )
 
 
 def history_files_from_metadata(
-    md: dict, table_path: str, history_days: float, now_ms: int | None = None
+    md: dict,
+    table_path: str,
+    history_days: float,
+    now_ms: int | None = None,
+    fs=None,
 ) -> list[str]:
     snaps = md.get("snapshots", [])
     if not snaps:
@@ -134,11 +144,13 @@ def history_files_from_metadata(
     keep: set[str] = set()
     for s, ts in zip(snaps, stamps):
         if ts >= cutoff or s["snapshot-id"] == cur:
-            keep.update(_snapshot_data_files(md, s, table_path))
+            keep.update(_snapshot_data_files(md, s, table_path, fs))
     return sorted(keep)
 
 
-def _snapshot_data_files(md: dict, snap: dict, table_path: str) -> set[str]:
+def _snapshot_data_files(
+    md: dict, snap: dict, table_path: str, fs=None
+) -> set[str]:
     """Walk one snapshot's manifest list → manifests → data files, refusing
     row-level deletes (see module docstring)."""
     location = md.get("location", "")
@@ -146,7 +158,7 @@ def _snapshot_data_files(md: dict, snap: dict, table_path: str) -> set[str]:
     manifests: list[tuple[str, int]] = []  # (path, content)
     if "manifest-list" in snap:
         ml_path = _rebase(snap["manifest-list"], location, table_path)
-        _, entries = read_ocf(ml_path)
+        _, entries = read_ocf(ml_path, fs=fs)
         for e in entries:
             manifests.append((e["manifest_path"], int(e.get("content") or 0)))
     else:  # v1 tables may inline "manifests"
@@ -162,7 +174,7 @@ def _snapshot_data_files(md: dict, snap: dict, table_path: str) -> set[str]:
 
     live: set[str] = set()
     for mpath, _ in manifests:
-        _, entries = read_ocf(_rebase(mpath, location, table_path))
+        _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
         for e in entries:
             status = int(e.get("status") or 0)  # 0 existing, 1 added, 2 deleted
             if status == 2:
@@ -178,12 +190,12 @@ def _snapshot_data_files(md: dict, snap: dict, table_path: str) -> set[str]:
     return live
 
 
-def iceberg_partition_columns(table_path: str) -> list[str]:
+def iceberg_partition_columns(table_path: str, fs=None) -> list[str]:
     """Identity-transform partition column names of the current spec.
     Non-identity transforms (bucket/day/truncate) are ignored here: their
     SOURCE columns stay physical in the data files, so reads need no
     reconstruction for them."""
-    md = _current_metadata(table_path)
+    md = _current_metadata(table_path, fs)
     spec = md.get("partition-spec")
     if spec is None and md.get("partition-specs"):
         sid = md.get("default-spec-id", 0)
@@ -197,11 +209,11 @@ def iceberg_partition_columns(table_path: str) -> list[str]:
     ]
 
 
-def iceberg_live_adds(table_path: str) -> dict[str, dict]:
+def iceberg_live_adds(table_path: str, fs=None) -> dict[str, dict]:
     """{absolute data-file path: partition-values dict} for the CURRENT
     snapshot — the manifests' r102 partition records (authoritative per
     the spec; identity values are typed at write time)."""
-    md = _current_metadata(table_path)
+    md = _current_metadata(table_path, fs)
     by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     cur = md.get("current-snapshot-id")
     if cur not in by_id:
@@ -211,13 +223,13 @@ def iceberg_live_adds(table_path: str) -> dict[str, dict]:
     manifests: list[str] = []
     if "manifest-list" in snap:
         ml_path = _rebase(snap["manifest-list"], location, table_path)
-        _, entries = read_ocf(ml_path)
+        _, entries = read_ocf(ml_path, fs=fs)
         manifests = [e["manifest_path"] for e in entries]
     else:
         manifests = list(snap.get("manifests", []))
     out: dict[str, dict] = {}
     for mpath in manifests:
-        _, entries = read_ocf(_rebase(mpath, location, table_path))
+        _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
         for e in entries:
             if int(e.get("status") or 0) == 2:
                 continue
@@ -240,13 +252,13 @@ class IcebergSnapshotLake(ParquetLake):
 
     @property
     def files(self) -> list[str]:
-        return iceberg_live_files(self._table_path)
+        return iceberg_live_files(self._table_path, fs=self.fs)
 
     def build_index(self, index, column: str, *a, **kw):
         """Identity partition columns of a hive-migrated-style table are
         not physical in the data files — same refusal-with-pointer as
         DeltaSnapshotLake (partition pruning serves those predicates)."""
-        if column in iceberg_partition_columns(self._table_path):
+        if column in iceberg_partition_columns(self._table_path, fs=self.fs):
             import pyarrow.parquet as pq
 
             probe = self.files[:1]
@@ -271,7 +283,7 @@ class IcebergSnapshotLake(ParquetLake):
         reconstruction is one scan per DISTINCT partition tuple with
         literal columns, unioned — bounded by partition count, not file
         count; no schema-widening risk from a forced global schema."""
-        pcols = iceberg_partition_columns(self._table_path)
+        pcols = iceberg_partition_columns(self._table_path, fs=self.fs)
         if not pcols:
             return super().read(files)
         use = files or self.files
@@ -285,7 +297,7 @@ class IcebergSnapshotLake(ParquetLake):
         missing = [c for c in pcols if c not in physical]
         if not missing:
             return super().read(files)
-        adds = iceberg_live_adds(self._table_path)
+        adds = iceberg_live_adds(self._table_path, fs=self.fs)
         unknown = [f for f in use if f not in adds]
         if unknown:
             raise ValueError(
@@ -301,7 +313,7 @@ class IcebergSnapshotLake(ParquetLake):
             "float": "double", "boolean": "boolean",
             "timestamp": "timestamp", "string": "string",
         }
-        md = _current_metadata(self._table_path)
+        md = _current_metadata(self._table_path, fs=self.fs)
         casts = {}
         for f in md.get("schema", {}).get("fields", []):
             if f["name"] in missing and isinstance(f.get("type"), str):

@@ -184,7 +184,7 @@ class IcebergGlueLake(IcebergSnapshotLake):
     @property
     def files(self) -> list[str]:
         md = self.glue_catalog.table_metadata(self.identifier)
-        return live_files_from_metadata(md, self._table_path)
+        return live_files_from_metadata(md, self._table_path, fs=self.fs)
 
     def vacuum(
         self,

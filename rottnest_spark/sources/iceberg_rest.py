@@ -199,7 +199,7 @@ class IcebergRestLake(IcebergSnapshotLake):
     @property
     def files(self) -> list[str]:
         md = self.rest_catalog.table_metadata(self.identifier)
-        return live_files_from_metadata(md, self._table_path)
+        return live_files_from_metadata(md, self._table_path, fs=self.fs)
 
     def vacuum(
         self,

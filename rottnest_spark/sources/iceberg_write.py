@@ -365,7 +365,7 @@ def _commit_snapshot(
         entry(f, 1 if f in added_set else 0) for f in sorted(live)
     ] + [entry(f, 2) for f in sorted(removed_set)]
     manifest = os.path.join(meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
-    write_ocf(manifest, _manifest_schema(pfields), entries)
+    write_ocf(manifest, _manifest_schema(pfields), entries, fs=fs)
     ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_ocf(
         ml,
@@ -408,8 +408,10 @@ def _commit_snapshot(
         "snapshots": ((prior or {}).get("snapshots") or []) + [snapshot],
     }
     md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    with open(md_path, "x") as fh:  # exclusive-create: version-claim commit
-        json.dump(md, fh)
+    # exclusive-create version-claim commit THROUGH the FS seam: O_EXCL
+    # locally, the store's conditional PUT remotely (same discipline as
+    # the Delta log writer and the versioned index catalog)
+    fs.create_exclusive(md_path, json.dumps(md).encode())
     fs.write_text(os.path.join(meta_dir, "version-hint.text"), str(version))
     return snap_id
 
@@ -466,7 +468,7 @@ def iceberg_commit(
     by_id = {s["snapshot-id"]: s for s in snaps}
     cur = prior.get("current-snapshot-id")
     live = (
-        _snapshot_data_files(prior, by_id[cur], table_path)
+        _snapshot_data_files(prior, by_id[cur], table_path, fs)
         if cur in by_id
         else set()
     )

@@ -338,7 +338,7 @@ class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):
     def _partition_columns(self) -> list[str]:
         from rottnest_spark.sources.iceberg import iceberg_partition_columns
 
-        return iceberg_partition_columns(self._table_path)
+        return iceberg_partition_columns(self._table_path, fs=self.fs)
 
     def _known_files(self) -> set[str]:
         from rottnest_spark.sources.iceberg import (
@@ -346,8 +346,8 @@ class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):
             _snapshot_data_files,
         )
 
-        md = _current_metadata(self._table_path)
+        md = _current_metadata(self._table_path, fs=self.fs)
         known: set[str] = set()
         for s in md.get("snapshots", []):
-            known |= _snapshot_data_files(md, s, self._table_path)
+            known |= _snapshot_data_files(md, s, self._table_path, self.fs)
         return known
