@@ -150,3 +150,40 @@ def test_stream_dedup_sees_unindexed_appends(spark, sf_dir, tmp_path):
         .select("doc_id").collect()
     ]
     assert sorted(ids2) == sorted(ids)
+
+
+def test_stream_appends_into_partitioned_table(spark, sf_dir, tmp_path):
+    """Streaming ingestion into a PARTITIONED Delta table: each
+    micro-batch commits hive-staged adds whose partitionValues parse from
+    the col=value paths (composition of round-6 partitioned append with
+    the per-batch commit protocol)."""
+    from rottnest_spark.sources.delta import delta_live_adds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    table = str(tmp_path / "pt")
+    delta_write(docs.filter("doc_id < 250"), table, partition_by=["lang"])
+    lake = DeltaWritableLake(spark, table, str(tmp_path / "idx"))
+
+    src = str(tmp_path / "incoming")
+    docs.filter("doc_id >= 250").repartition(2).write.parquet(src)
+    stats = stream_ingest_to_table(
+        spark,
+        src,
+        docs.schema,
+        lake,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert stats
+    assert lake.read().count() == docs.count()
+    adds = delta_live_adds(table)
+    assert adds
+    for f, pv in adds.items():
+        seg = [s for s in f.split("/") if s.startswith("lang=")]
+        assert len(seg) == 1 and set(pv) == {"lang"}
+        want = seg[0].split("=", 1)[1]
+        assert pv["lang"] == (
+            None if want == "__HIVE_DEFAULT_PARTITION__" else want
+        )
