@@ -114,10 +114,24 @@ class IndexCatalog:
         return None
 
     def entries(self) -> list[dict]:
-        cur = self._current_path()
-        if cur is None:
-            return []
-        return pq.read_table(pa.BufferReader(self.fs.read_bytes(cur))).to_pylist()
+        return self._read_state()[1]
+
+    def _read_state(self) -> tuple[int, list[dict]]:
+        """(base version, entries) in ONE consistent read — the version a
+        mutation's snapshot derives from. OCC commits must claim exactly
+        base+1 (see `_write`): recomputing the target version from a
+        FRESH listing at write time would let a loser claim a new number
+        with a stale snapshot and silently drop the winner's records."""
+        versions = self._versions()
+        if versions:
+            v, cur = versions[-1]
+        elif self.fs.exists(self.path):
+            v, cur = 0, self.path  # legacy single-file catalog = version 0
+        else:
+            return 0, []
+        return v, pq.read_table(
+            pa.BufferReader(self.fs.read_bytes(cur))
+        ).to_pylist()
 
     def entries_for(self, index_type: str, column_name: str) -> list[dict]:
         return [
@@ -169,21 +183,29 @@ class IndexCatalog:
             if fh is not None:
                 fh.close()
 
-    def _write(self, records: list[dict]) -> None:
+    def _write(
+        self, records: list[dict], base_version: int | None = None
+    ) -> None:
         table = pa.Table.from_pylist(records, schema=CATALOG_SCHEMA)
         buf = pa.BufferOutputStream()
         pq.write_table(table, buf)
         data = buf.getvalue().to_pybytes()
         versions = self._versions()
-        next_v = (versions[-1][0] if versions else 0) + 1
+        if base_version is None:
+            base_version = versions[-1][0] if versions else 0
+        # claim exactly base+1: the snapshot was computed FROM
+        # base_version, so any interleaved winner owns base+1 and this
+        # create must fail — re-listing for a fresh number here would
+        # commit the stale snapshot under a new version (lost update,
+        # caught by the OCC-only object-store race test).
+        next_v = base_version + 1
         dst = os.path.join(self.catalog_dir, f"catalog.{next_v:020d}.parquet")
         try:
             self.fs.create_exclusive(dst, data)
         except FileExistsError:
-            # another writer claimed this version (store without flock):
-            # NOT safe to just bump — this snapshot was computed from a
-            # stale read. Surface the conflict; the mutators' OCC loop
-            # re-reads and retries the whole read-modify-write.
+            # another writer claimed this version (store without flock);
+            # surface the conflict; the mutators' OCC loop re-reads and
+            # retries the whole read-modify-write.
             raise ConcurrentCatalogWrite(
                 f"catalog version {next_v} claimed concurrently"
             )
@@ -199,21 +221,28 @@ class IndexCatalog:
             except OSError:
                 pass
 
-    def _rmw(self, mutate, attempts: int = 16):
+    def _rmw(self, mutate, attempts: int = 64):
         """Read-modify-write with OCC retry: `mutate(entries) -> (records,
         result) | None` (None = nothing to write). Under flock the first
         attempt always wins; on no-flock stores a lost version claim
-        re-reads and retries."""
+        re-reads and retries with jittered backoff (each conflict round
+        has exactly one winner, so N racing writers need up to N rounds —
+        the backoff keeps them from re-colliding in lockstep)."""
+        import random
+        import time
+
         with self._locked():
-            for _ in range(attempts):
-                out = mutate(self.entries())
+            for attempt in range(attempts):
+                base_v, entries = self._read_state()
+                out = mutate(entries)
                 if out is None:
                     return None
                 records, result = out
                 try:
-                    self._write(records)
+                    self._write(records, base_version=base_v)
                     return result
                 except ConcurrentCatalogWrite:
+                    time.sleep(random.uniform(0, min(0.005 * (attempt + 1), 0.1)))
                     continue
             raise ConcurrentCatalogWrite(
                 f"catalog commit lost {attempts} consecutive version races"

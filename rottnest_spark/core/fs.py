@@ -444,6 +444,19 @@ class FakeObjectStoreFS(LakeFS):
         if d:
             os.makedirs(d, exist_ok=True)
 
+    def _put(self, path: str, data: bytes) -> None:
+        """Atomic object PUT: a real store's PUT is all-or-nothing — a
+        concurrent GET sees either the whole object or none of it, never
+        a partial body. The local backing emulates that with a temp-file
+        write + os.replace (an emulation detail, NOT a rename the code
+        under test gets to rely on — it is not recorded as one)."""
+        self._parents(path)
+        tmp = f"{path}.__put__{os.getpid()}_{id(data)}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+        self._mark_written(path)
+
     # -- mutation -------------------------------------------------------
     def rename(self, src, dst):
         """S3A-style emulation: COPY then DELETE — visible intermediate
@@ -477,30 +490,22 @@ class FakeObjectStoreFS(LakeFS):
 
     def write_text(self, path, text):
         self._rec("write_text", path)
-        self._parents(path)
-        with open(path, "w") as fh:
-            fh.write(text)
-        self._mark_written(path)
+        self._put(path, text.encode())
 
     def write_bytes(self, path, data):
         self._rec("write_bytes", path)
-        self._parents(path)
-        with open(path, "wb") as fh:
-            fh.write(data)
-        self._mark_written(path)
+        self._put(path, data)
 
     def create_exclusive(self, path, data):
         """Conditional PUT (If-None-Match: *): the store's own atomic
         check-and-put, not POSIX O_EXCL — losing writers get
-        FileExistsError, the signal the OCC retry loops consume."""
+        FileExistsError, the signal the OCC retry loops consume; winners
+        publish atomically like any PUT (readers never see partials)."""
         self._rec("create_exclusive", path)
         with self._mutex:
             if os.path.exists(path):
                 raise FileExistsError(path)
-            self._parents(path)
-            with open(path, "wb") as fh:
-                fh.write(data)
-            self._mark_written(path)
+            self._put(path, data)
 
     def getsize(self, path):
         return os.path.getsize(path)

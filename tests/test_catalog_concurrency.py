@@ -162,3 +162,42 @@ def test_legacy_single_file_catalog_migrates(tmp_path):
     assert {e["index_name"] for e in cat.entries()} == {"old", "new"}
     assert not os.path.exists(str(d / "catalog.parquet"))  # superseded
     assert os.path.exists(str(d / f"catalog.{1:020d}.parquet"))
+
+
+def test_concurrent_appends_occ_only_object_store(tmp_path):
+    """The SAME race with the flock fast path disabled: on a
+    FakeObjectStoreFS (not a LocalFS) `_locked` must skip flock entirely
+    and the conditional-PUT version claims + re-read-retry loop alone
+    must serialize 8 threads × 8 appends — the object-store deployment
+    story for catalog mutations, beyond the RecordingFS routing proof."""
+    import threading
+
+    from rottnest_spark.core.fs import FakeObjectStoreFS
+
+    fs = FakeObjectStoreFS(root=str(tmp_path))
+    cat_dir = str(tmp_path / "cat")
+    n_thr, n_each = 8, 8
+    errs = []
+
+    def worker(wid):
+        try:
+            cat = IndexCatalog(cat_dir, fs=fs)
+            for i in range(n_each):
+                cat.append(_rec(f"w{wid}_{i}", [f"/data/w{wid}_{i}.parquet"]))
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(n_thr)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    cat = IndexCatalog(cat_dir, fs=fs)
+    names = {e["index_name"] for e in cat.entries()}
+    assert len(names) == n_thr * n_each
+    cat.validate()
+    # and no mutation ever renamed into the catalog (rename-free commits)
+    assert not [c for c in fs.ops("rename") if "cat" in c[1]]
