@@ -262,3 +262,62 @@ def test_iceberg_dml_roundtrip(spark, docs, tmp_path):
     )
     want = oracle_ids(docs.filter(F.col("doc_id") != victim), "merge sort")
     assert after == want
+
+
+def test_partitioned_merge_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-6 partitioned merge: crash between manifest+publish and the
+    _retire commit → repair finishes the logical swap; crash BEFORE any
+    publish (manifest written, no moves) → repair drops nothing live and
+    the table replays unchanged."""
+    from rottnest_spark.sources import writable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    table = str(tmp_path / "pt")
+    delta_write(docs.filter("doc_id < 200"), table, partition_by=["lang"])
+    lake = DeltaWritableLake(spark, table, str(tmp_path / "idx"))
+    langs = sorted(
+        r[0] for r in lake.read().select("lang").distinct().collect()
+    )
+    changes = spark.createDataFrame(
+        [(7, langs[0], "updated", 1, "U")],
+        "doc_id long, lang string, text string, seq long, op string",
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(self, *a, **k):
+        raise Boom("simulated crash before commit")
+
+    pre_live = set(delta_live_files(table))
+    monkeypatch.setattr(writable._FormatDML, "_retire", crash)
+    with pytest.raises(Boom):
+        lake.merge_into(changes, "doc_id")
+    monkeypatch.undo()
+
+    # crash state: merged files published in hive dirs, log unchanged
+    assert set(delta_live_files(table)) == pre_live
+    man = glob.glob(str(tmp_path / "idx" / "_compactions" / "*.json"))
+    assert man
+    finished = lake.repair_files()
+    assert finished
+    live = set(delta_live_files(table))
+    assert not (set(finished) & live)
+    got = lake.read()
+    assert [r["text"] for r in got.filter("doc_id = 7").collect()] == [
+        "updated"
+    ]
+    assert got.count() == docs.filter("doc_id < 200").count()
+    # partitionValues of the repaired commit still parse from hive paths
+    from rottnest_spark.sources.delta import delta_live_adds
+
+    for f, pv in delta_live_adds(table).items():
+        seg = [s for s in f.split("/") if s.startswith("lang=")]
+        assert len(seg) == 1
+        want = seg[0].split("=", 1)[1]
+        assert pv["lang"] == (
+            None if want == "__HIVE_DEFAULT_PARTITION__" else want
+        )
+    assert lake.repair_files() == []
