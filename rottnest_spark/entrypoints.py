@@ -1100,6 +1100,41 @@ def q_mp4_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction (round 6): MJPEG-in-MP4 fixtures carry
+    full ISO 14496-12 sample tables; the op resolves every n-th sample's
+    byte range from stsz/stsc/stco and decodes it with the in-repo T.81
+    JPEG decoder — only sampled ranges are touched. Oracled structurally:
+    frame counts and the every-2nd sampling arithmetic are formulas of
+    media_id, and all_decoded=true asserts the sample-table offsets and
+    the JPEG decode both round-tripped (an offset bug or codec
+    regression flips it and hash-fails the gate)."""
+    import numpy as _np
+
+    from rottnest_spark.ops.jpegcodec import encode_jpeg
+
+    rows = []
+    for mid in range(24):
+        n = 3 + mid % 4
+        frames = []
+        for i in range(n):
+            yy, xx = _np.mgrid[0:16, 0:16]
+            frames.append(
+                encode_jpeg(
+                    ((yy * 3 + xx + mid * 5 + i * 17) % 256).astype(_np.uint8)
+                )
+            )
+        rows.append(
+            (mid, bytearray(multimodal.encode_mjpeg_mp4(frames, 16, 16)))
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(8, "media_id")
+    return multimodal.video_frame_stats(media, every_n=2).select(
+        "media_id", "codec", "n_frames", "n_sampled", "all_decoded"
+    )
+
+
 def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling (dataset mixing): hash-
     bucket membership, reproducible across runs and engines."""
@@ -2879,6 +2914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_quality": q_media_quality,
     "media_quality_jpeg": q_media_quality_jpeg,
     "mp4_container_meta": q_mp4_container_meta,
+    "video_frame_sample": q_video_frame_sample,
     "curate_documents": q_curate_documents,
     "stratified_mixture": q_stratified_mixture,
     "sequence_packing": q_sequence_packing,
@@ -3427,6 +3463,16 @@ ORACLES: dict[str, str] = {
                320 + 16 * (mid % 5) AS width,
                240 AS height, 1 AS n_tracks
         FROM range(64) t(mid)
+    """,
+    # structural round-trip oracle: frame counts + every-2nd sampling are
+    # formulas of media_id; all_decoded=true IS the byte-range + T.81
+    # decode assertion (see q_video_frame_sample)
+    "video_frame_sample": """
+        SELECT mid AS media_id, 'jpeg' AS codec,
+               3 + mid % 4 AS n_frames,
+               (3 + mid % 4 + 1) // 2 AS n_sampled,
+               true AS all_decoded
+        FROM range(24) t(mid)
     """,
     "semantic_dedup_exact_twins": f"""
         SELECT vec_id, 1::BIGINT AS n_kept FROM embeddings

@@ -16,11 +16,14 @@ codec. PNG (8-bit gray/RGB/RGBA, non-interlaced) decodes for real too —
 IDAT is a zlib stream and filters 0-4 are pure arithmetic, so stdlib
 zlib + numpy cover the public spec with no external library. Baseline
 JPEG (SOF0, gray/YCbCr up to 2x2 sampling, restart markers) decodes for
-real as well — `ops/jpegcodec.py`, pure struct+numpy over ITU-T T.81;
-only MP4 *frame decode* (H.264, genuinely needs libav) raises
-`NotImplementedError` — MP4 container metadata still parses for real
-(ISO BMFF box walk, `parse_mp4_meta`). Swapping `_decode_real` for a
-library call changes nothing else.
+real as well — `ops/jpegcodec.py`, pure struct+numpy over ITU-T T.81.
+VIDEO frame extraction is real for the MJPEG codec class (round 6):
+`parse_mp4_samples` resolves per-frame byte ranges from the ISO 14496-12
+sample tables (stsd/stsz/stsc/stco) and `video_frame_stats` decodes the
+sampled JPEG frames with the in-repo T.81 decoder. Only H.264/H.265
+frame decode (genuinely needs libav) raises `NotImplementedError`;
+container metadata parses for real either way (`parse_mp4_meta`).
+Swapping `_decode_real` for a library call changes nothing else.
 
 Scale notes:
 - Binary payloads make rows wide: batches are bounded by
@@ -731,3 +734,289 @@ def media_quality(df: DataFrame) -> DataFrame:
         "clip_frac double, n_samples long"
     )
     return df.select("media_id", "kind", "payload").mapInPandas(q, schema)
+
+
+# -- MJPEG-in-MP4: real video frame extraction (round 6) ---------------------
+#
+# The MP4 *container* metadata has parsed for real since round 5; FRAME
+# decode was gated on an H.264 codec this container cannot supply. The
+# MJPEG codec class needs no external library: each video sample is a
+# baseline JPEG, which ops/jpegcodec.py already decodes from the public
+# spec (ITU-T T.81). These helpers add the missing piece — the ISO
+# 14496-12 SAMPLE TABLES (stsd/stts/stsc/stsz/stco) that map sample
+# index → byte range — so frame sampling for a training-data pipeline
+# (extract every n-th frame, decode, score) runs end-to-end on real
+# container bytes. H.264/H.265 frame decode remains the documented
+# single-function swap point; the container plumbing below is codec-
+# agnostic (reference parity target: the multimodal decode surface,
+# rottnest has no video path at all — this exceeds it).
+
+
+def encode_mjpeg_mp4(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    timescale: int = 600,
+) -> bytes:
+    """Minimal spec-conforming MJPEG MP4: ftyp + mdat (concatenated JPEG
+    samples) + moov with a full sample table (stsd 'jpeg' visual sample
+    entry, uniform stts, single-chunk stsc/stco, per-sample stsz). Real
+    ISO 14496-12 layout — stco carries absolute file offsets, so the
+    parser must resolve them exactly as it would for a camera file."""
+    if not frames:
+        raise ValueError("encode_mjpeg_mp4 needs at least one frame")
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    data_start = len(ftyp) + 8  # first sample's absolute file offset
+
+    n = len(frames)
+    delta = timescale // fps
+    dur = n * delta
+
+    # VisualSampleEntry 'jpeg' (14496-12 §12.1.3): 6 reserved + data_ref
+    # index, 16 bytes pre-defined/reserved, width/height, resolutions,
+    # frame_count, compressorname, depth, pre_defined
+    vse = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = box(
+        b"stsd", struct.pack(">II", 0, 1) + box(b"jpeg", vse)
+    )
+    stts = box(b"stts", struct.pack(">III I".replace(" ", ""), 0, 1, n, delta))
+    stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = box(b"stco", struct.pack(">III", 0, 1, data_start))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url_ = box(b"url ", struct.pack(">I", 1))  # flags=1: data in this file
+    dref = box(b"dref", struct.pack(">II", 0, 1) + url_)
+    dinf = box(b"dinf", dref)
+    vmhd = box(b"vmhd", struct.pack(">I4H", 1, 0, 0, 0, 0))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = box(
+        b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    unity = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 3)
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + unity
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _make_mp4_sample_parser():
+    """Closure-shipped sample-table parser: codec fourcc + per-sample
+    (offset, size) resolved from stsd/stsz/stsc/stco(co64)/stts of the
+    first VIDEO track, per ISO 14496-12 §8.5-8.7."""
+
+    def parse(payload: bytes) -> dict:
+        import struct as _struct
+
+        boxes: dict = {}
+
+        def walk(lo: int, hi: int, inside_video_trak: list):
+            pos = lo
+            while pos + 8 <= hi:
+                (size,) = _struct.unpack_from(">I", payload, pos)
+                tag = payload[pos + 4 : pos + 8]
+                body = pos + 8
+                if size == 1:
+                    (size,) = _struct.unpack_from(">Q", payload, pos + 8)
+                    body = pos + 16
+                elif size == 0:
+                    size = hi - pos
+                if size < 8 or pos + size > hi:
+                    raise ValueError(f"bad MP4 box at {pos}")
+                end = pos + size
+                if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(body, end, inside_video_trak)
+                elif tag == b"hdlr":
+                    if payload[body + 8 : body + 12] == b"vide":
+                        inside_video_trak[0] = True
+                elif tag in (b"stsd", b"stts", b"stsc", b"stsz", b"stco",
+                             b"co64") and inside_video_trak[0] and tag not in boxes:
+                    boxes[tag] = (body, end)
+                pos = end
+
+        walk(0, len(payload), [False])
+        need = [b"stsd", b"stsz", b"stsc"]
+        if any(t not in boxes for t in need) or (
+            b"stco" not in boxes and b"co64" not in boxes
+        ):
+            raise ValueError("no video sample table (stsd/stsz/stsc/stco)")
+
+        b0, _ = boxes[b"stsd"]
+        codec = payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
+
+        b0, _ = boxes[b"stsz"]
+        _flags, uniform, n = _struct.unpack_from(">III", payload, b0)
+        if uniform:
+            sizes = [uniform] * n
+        else:
+            sizes = list(
+                _struct.unpack_from(f">{n}I", payload, b0 + 12)
+            )
+
+        if b"stco" in boxes:
+            b0, _ = boxes[b"stco"]
+            (_f, nc) = _struct.unpack_from(">II", payload, b0)
+            chunk_offsets = list(_struct.unpack_from(f">{nc}I", payload, b0 + 8))
+        else:
+            b0, _ = boxes[b"co64"]
+            (_f, nc) = _struct.unpack_from(">II", payload, b0)
+            chunk_offsets = list(_struct.unpack_from(f">{nc}Q", payload, b0 + 8))
+
+        b0, _ = boxes[b"stsc"]
+        (_f, ne) = _struct.unpack_from(">II", payload, b0)
+        stsc = [
+            _struct.unpack_from(">III", payload, b0 + 8 + 12 * i)
+            for i in range(ne)
+        ]  # (first_chunk 1-based, samples_per_chunk, desc_index)
+
+        # expand chunk runs → per-sample absolute offsets
+        offsets: list = []
+        si = 0
+        for ei, (first, per_chunk, _d) in enumerate(stsc):
+            last = (
+                stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else len(chunk_offsets)
+            )
+            for c in range(first - 1, last):
+                off = chunk_offsets[c]
+                for _ in range(per_chunk):
+                    if si >= n:
+                        break
+                    offsets.append(off)
+                    off += sizes[si]
+                    si += 1
+        if len(offsets) != n:
+            raise ValueError(
+                f"sample table inconsistent: {len(offsets)} offsets for {n} samples"
+            )
+
+        out = {"codec": codec, "n_samples": n, "sizes": sizes, "offsets": offsets}
+        if b"stts" in boxes:
+            b0, _ = boxes[b"stts"]
+            (_f, ne) = _struct.unpack_from(">II", payload, b0)
+            out["sample_deltas"] = [
+                _struct.unpack_from(">II", payload, b0 + 8 + 8 * i)
+                for i in range(ne)
+            ]
+        return out
+
+    return parse
+
+
+def parse_mp4_samples(payload: bytes) -> dict:
+    """Driver-side convenience wrapper (tests/demos)."""
+    return _make_mp4_sample_parser()(payload)
+
+
+def mp4_frames(
+    payload: bytes, every_n: int = 1, limit: int | None = None
+) -> list[tuple[int, bytes]]:
+    """(sample index, sample bytes) for every n-th video sample."""
+    st = parse_mp4_samples(payload)
+    out = []
+    for i in range(0, st["n_samples"], every_n):
+        out.append((i, payload[st["offsets"][i] : st["offsets"][i] + st["sizes"][i]]))
+        if limit is not None and len(out) >= limit:
+            break
+    return out
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling + decode for curation: parse the sample
+    table, pull every n-th sample's bytes, decode MJPEG frames with the
+    in-repo T.81 decoder, and emit the per-video signals a filtering
+    stage thresholds on. One Arrow-batched pass; only sampled frames are
+    decoded (the byte ranges of skipped samples are never touched — the
+    I/O shape a 100 TB frame-extraction job needs). Non-MJPEG codecs
+    (avc1/hev1) report decoded=false rather than failing the batch —
+    the documented libav swap point."""
+    sample_parse = _make_mp4_sample_parser()
+
+    from rottnest_spark.ops.jpegcodec import make_jpeg_decoder
+
+    jdec = make_jpeg_decoder()
+
+    def vf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "codec": [], "n_frames": [],
+                "n_sampled": [], "all_decoded": [], "mean_brightness": [],
+                "mean_contrast": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                st = sample_parse(payload)
+                n = st["n_samples"]
+                idxs = list(range(0, n, every_n))
+                b = c = 0.0
+                ok = st["codec"] == "jpeg"
+                if ok:
+                    try:
+                        for i in idxs:
+                            px = jdec(
+                                payload[
+                                    st["offsets"][i] : st["offsets"][i]
+                                    + st["sizes"][i]
+                                ]
+                            )
+                            b += float(px.mean())
+                            c += float(px.std())
+                        b /= len(idxs)
+                        c /= len(idxs)
+                    except Exception:
+                        ok = False
+                rows["media_id"].append(mid)
+                rows["codec"].append(st["codec"])
+                rows["n_frames"].append(n)
+                rows["n_sampled"].append(len(idxs))
+                rows["all_decoded"].append(ok)
+                rows["mean_brightness"].append(round(b, 2) if ok else None)
+                rows["mean_contrast"].append(round(c, 2) if ok else None)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "media_id long, codec string, n_frames int, n_sampled int, "
+        "all_decoded boolean, mean_brightness double, mean_contrast double"
+    )
+    return df.select("media_id", "payload").mapInPandas(vf, schema)

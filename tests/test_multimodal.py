@@ -536,3 +536,97 @@ def test_mp4_tkhd_spec_offsets_external_fixture():
     assert info["n_tracks"] == 2
     assert (info["width"], info["height"]) == (1920, 1080)
     assert info["handlers"] == ["soun", "vide"]
+
+
+def test_mjpeg_mp4_sample_table_roundtrip():
+    """Sample-table round trip: stsd/stsz/stsc/stco resolve every frame's
+    exact byte range, frames decode via the T.81 decoder, and the
+    container-metadata parser reads the same file."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import decode_jpeg_luma, encode_jpeg
+    from rottnest_spark.ops.multimodal import (
+        encode_mjpeg_mp4,
+        mp4_frames,
+        parse_mp4_meta,
+        parse_mp4_samples,
+    )
+
+    frames = []
+    for i in range(7):
+        yy, xx = np.mgrid[0:16, 0:24]
+        frames.append(
+            encode_jpeg(((yy * 5 + xx * 3 + i * 11) % 256).astype(np.uint8))
+        )
+    mp4 = encode_mjpeg_mp4(frames, 24, 16, fps=5)
+
+    meta = parse_mp4_meta(mp4)
+    assert (meta["width"], meta["height"]) == (24, 16)
+    assert meta["handlers"] == ["vide"]
+    assert meta["duration"] / meta["timescale"] == 7 / 5
+
+    st = parse_mp4_samples(mp4)
+    assert st["codec"] == "jpeg"
+    assert st["n_samples"] == 7
+    assert st["sizes"] == [len(f) for f in frames]
+    # every sampled byte range is the exact original JPEG
+    for i, raw in mp4_frames(mp4, every_n=3):
+        assert raw == frames[i]
+        px = decode_jpeg_luma(raw)
+        assert px.shape == (16, 24)
+    assert [i for i, _ in mp4_frames(mp4, every_n=3)] == [0, 3, 6]
+
+
+def test_video_frame_stats_executor_decode(spark):
+    """video_frame_stats decodes only the sampled frames on executors;
+    brightness tracks the frames' known means; a non-MJPEG codec reports
+    decoded=false instead of failing the batch."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import decode_jpeg_luma, encode_jpeg
+    from rottnest_spark.ops.multimodal import (
+        encode_mjpeg_mp4,
+        mp4_frames,
+        video_frame_stats,
+    )
+
+    rows = []
+    want = {}
+    for mid in range(6):
+        n = 3 + mid % 3
+        frames = []
+        for i in range(n):
+            yy, xx = np.mgrid[0:16, 0:16]
+            frames.append(
+                encode_jpeg(((yy + xx) * 4 + mid * 7 + i * 13).astype(np.uint8) % 256)
+            )
+        mp4 = encode_mjpeg_mp4(frames, 16, 16)
+        idxs = list(range(0, n, 2))
+        want[mid] = (
+            n,
+            len(idxs),
+            round(
+                float(
+                    np.mean(
+                        [decode_jpeg_luma(frames[i]).mean() for i in idxs]
+                    )
+                ),
+                2,
+            ),
+        )
+        rows.append((mid, bytearray(mp4)))
+    # a fake avc1 video: same container skeleton, codec not decodable here
+    bogus = encode_mjpeg_mp4([b"\x00" * 32], 8, 8)
+    bogus = bogus.replace(b"jpeg", b"avc1", 1)
+    rows.append((99, bytearray(bogus)))
+
+    df = spark.createDataFrame(rows, "media_id long, payload binary").repartition(4)
+    out = {r["media_id"]: r for r in video_frame_stats(df, every_n=2).collect()}
+    for mid, (n, ns, bright) in want.items():
+        r = out[mid]
+        assert (r["n_frames"], r["n_sampled"]) == (n, ns)
+        assert r["all_decoded"] is True
+        assert abs(r["mean_brightness"] - bright) < 0.01
+    assert out[99]["codec"] == "avc1"
+    assert out[99]["all_decoded"] is False
+    assert out[99]["mean_brightness"] is None
