@@ -2855,6 +2855,59 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+MOR_SRC_MOD = 3  # the scratch Iceberg table keeps 1/MOD of orders
+MOR_DEL_MOD = 7  # merge-on-read DELETE removes keys divisible by this
+
+
+def q_iceberg_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read round trip (sources/iceberg_write.py
+    iceberg_delete_rows + IcebergSnapshotLake.read): copy a 1/3 slice of
+    orders into a scratch Iceberg table, row-level-DELETE keys divisible
+    by 7 as a POSITIONAL delete file (data files untouched), then read —
+    the anti-join on (_metadata.file_path, _metadata.row_index) must hide
+    exactly the deleted rows. EXCEEDS the reference, which refuses
+    delete-bearing tables (backends/iceberg.py:279-280). Oracle: plain
+    SQL over orders with both predicates."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_convert,
+        iceberg_delete_rows,
+    )
+
+    # fresh scratch every run: the query MUTATES its table (commits a
+    # delete snapshot), so a cached copy would double-delete
+    work = tempfile.mkdtemp(prefix="rottnest_mor_")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        iceberg_convert(work)
+        iceberg_delete_rows(
+            spark, work, F.col("o_orderkey") % MOR_DEL_MOD == 0
+        )
+        lake = IcebergSnapshotLake(spark, work, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Registry ORDER IS THE GATE WINDOW: the driver's correctness gate walks
 # queries() in insertion order and has historically evaluated only the
 # FIRST ~50 entries (r1: 32, r2: 45, r3: 50). Entries 1-50 therefore span
@@ -2925,6 +2978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21": q_tpch_q21,
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
+    "iceberg_mor_read": q_iceberg_mor_read,
     "windowed_event_counts": q_windowed_event_counts,
     # --- past the window: variants, second tiers, rows-only paths ---
     "session_stats": q_session_stats,
@@ -3014,6 +3068,16 @@ ORACLES: dict[str, str] = {
                max(o_orderkey) AS max_key
         FROM orders
         WHERE o_orderkey NOT BETWEEN {TT_DEL_LO} AND {TT_DEL_HI}
+    """,
+    "iceberg_mor_read": f"""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM orders
+        WHERE o_orderkey % {MOR_SRC_MOD} = 0
+          AND o_orderkey % {MOR_DEL_MOD} <> 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
     """,
     "substring_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents

@@ -12,10 +12,18 @@ the current snapshot*. The spec's answer:
 Avro decoding is the hand-rolled spec codec in `avro_lite` (schema-driven,
 reads manifests written by any engine; null/deflate codecs).
 
-Safety refusals, mirroring the reference:
-- tables with DELETE files (v2 row-level deletes) are refused outright —
-  an index over files with un-applied deletes would return ghost rows
-  (reference backends/iceberg.py:279-280 raises on delete_files);
+Row-level deletes (v2 merge-on-read) — EXCEEDS the reference, which
+refuses delete-bearing tables outright (backends/iceberg.py:279-280):
+- `IcebergSnapshotLake.read()` APPLIES positional delete files: data rows
+  are anti-joined against the union of the snapshot's delete files on
+  (file_path, row position) using Spark's `_metadata.file_path` /
+  `_metadata.row_index` — one distributed anti-join, no driver state;
+- the INDEX layer still refuses delete-bearing snapshots (`.files`
+  raises): an index over files with un-applied deletes would return
+  ghost rows. `iceberg_rewrite_deletes` (sources/iceberg_write.py)
+  compacts deletes back into data files, after which indexing works;
+- equality deletes (content=2 data files) are refused — applying them
+  needs the table schema's equality field IDs, out of scope;
 - unreadable manifest lists / unknown codecs raise instead of returning a
   partial live set.
 
@@ -144,15 +152,71 @@ def history_files_from_metadata(
     keep: set[str] = set()
     for s, ts in zip(snaps, stamps):
         if ts >= cutoff or s["snapshot-id"] == cur:
-            keep.update(_snapshot_data_files(md, s, table_path, fs))
+            keep.update(
+                _snapshot_data_files(md, s, table_path, fs, on_deletes="ignore")
+            )
     return sorted(keep)
 
 
-def _snapshot_data_files(
+def iceberg_live_files_and_deletes(
+    table_path: str, fs=None
+) -> tuple[list[str], list[str]]:
+    """(live data files, live positional delete files) of the CURRENT
+    snapshot — the merge-on-read contract: readers must anti-join data
+    rows against the delete files' (file_path, pos) pairs."""
+    md = _current_metadata(table_path, fs)
+    snap_id = md.get("current-snapshot-id")
+    snaps = md.get("snapshots", [])
+    if snap_id in (None, -1) or not snaps:
+        return [], []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if snap_id not in by_id:
+        raise ValueError(
+            f"current-snapshot-id {snap_id} not in the snapshot list"
+        )
+    data, dels = _snapshot_files_and_deletes(
+        md, by_id[snap_id], table_path, fs
+    )
+    return sorted(data), sorted(dels)
+
+
+def apply_position_deletes(spark, df, delete_files: list[str]):
+    """Apply Iceberg positional delete files to a DataFrame that was read
+    WITH Spark's `_metadata` file column still reachable: one distributed
+    left-anti join on (normalized file path, row position). The delete
+    files' `file_path` column records absolute paths (as manifests do);
+    `_metadata.file_path` is a file: URI — both sides normalize to a bare
+    absolute path. Plan shape: delete sets are a small fraction of data
+    rows, and AQE broadcast-converts the anti-join when they fit."""
+    from pyspark.sql import functions as F
+
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    pairs = (
+        spark.read.parquet(*delete_files)
+        .select(
+            norm(F.col("file_path")).alias("__del_path"),
+            F.col("pos").cast("long").alias("__del_pos"),
+        )
+        .distinct()
+    )
+    tagged = df.withColumns(
+        {
+            "__del_path": norm(F.col("_metadata.file_path")),
+            "__del_pos": F.col("_metadata.row_index"),
+        }
+    )
+    return tagged.join(pairs, ["__del_path", "__del_pos"], "left_anti").drop(
+        "__del_path", "__del_pos"
+    )
+
+
+def _snapshot_files_and_deletes(
     md: dict, snap: dict, table_path: str, fs=None
-) -> set[str]:
-    """Walk one snapshot's manifest list → manifests → data files, refusing
-    row-level deletes (see module docstring)."""
+) -> tuple[set[str], set[str]]:
+    """Walk one snapshot's manifest list → manifests → files, returning
+    (live data files, live POSITIONAL delete files). Equality delete
+    files (data_file.content == 2) raise — applying them requires the
+    equality field IDs, unsupported by design (module docstring)."""
     location = md.get("location", "")
 
     manifests: list[tuple[str, int]] = []  # (path, content)
@@ -164,30 +228,54 @@ def _snapshot_data_files(
     else:  # v1 tables may inline "manifests"
         manifests = [(p, 0) for p in snap.get("manifests", [])]
 
-    delete_manifests = [p for p, content in manifests if content != 0]
-    if delete_manifests:
-        # reference backends/iceberg.py:279-280: refuse tables with deletes
-        raise ValueError(
-            f"table has delete manifests ({len(delete_manifests)}) — "
-            f"row-level deletes are not supported; compact the table first"
-        )
-
-    live: set[str] = set()
-    for mpath, _ in manifests:
+    data: set[str] = set()
+    deletes: set[str] = set()
+    for mpath, list_content in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
         for e in entries:
             status = int(e.get("status") or 0)  # 0 existing, 1 added, 2 deleted
             if status == 2:
                 continue
             df = e["data_file"]
-            if int(df.get("content") or 0) != 0:
+            content = int(df.get("content") or 0)
+            if content == 0 and list_content == 1:
+                # a delete manifest holds only delete files (spec) — when
+                # the entry's own content field is silent, the manifest
+                # list's classification wins
+                content = 1
+            p = _rebase(df["file_path"], location, table_path)
+            if content == 0:
+                data.add(p)
+            elif content == 1:  # positional deletes
+                deletes.add(p)
+            else:
                 raise ValueError(
-                    f"manifest {mpath} contains a delete file "
-                    f"({df.get('file_path')}) — row-level deletes are not "
-                    f"supported; compact the table first"
+                    f"manifest {mpath} contains an equality delete file "
+                    f"({df.get('file_path')}) — equality deletes are not "
+                    f"supported; rewrite the table with an engine first"
                 )
-            live.add(_rebase(df["file_path"], location, table_path))
-    return live
+    return data, deletes
+
+
+def _snapshot_data_files(
+    md: dict, snap: dict, table_path: str, fs=None, on_deletes: str = "raise"
+) -> set[str]:
+    """One snapshot's live data files. `on_deletes`:
+    - "raise" (default): refuse delete-bearing snapshots — the INDEX
+      layer's ghost-row safety (an index over files with un-applied
+      deletes returns rows the table no longer has);
+    - "ignore": return the data files anyway — vacuum/history liveness
+      (positional deletes remove ROWS, the files stay live and their
+      indexes must survive vacuum)."""
+    data, deletes = _snapshot_files_and_deletes(md, snap, table_path, fs)
+    if deletes and on_deletes == "raise":
+        raise ValueError(
+            f"table has {len(deletes)} positional delete file(s) — the "
+            "index layer refuses merge-on-read snapshots (ghost rows). "
+            "IcebergSnapshotLake.read() applies deletes; "
+            "iceberg_rewrite_deletes() compacts them to enable indexing"
+        )
+    return data
 
 
 def iceberg_partition_columns(table_path: str, fs=None) -> list[str]:
@@ -272,6 +360,32 @@ class IcebergSnapshotLake(ParquetLake):
                 )
         return super().build_index(index, column, *a, **kw)
 
+    def _base_read(self, fl: list[str], dels: list[str]):
+        """Scan `fl`, applying the snapshot's positional delete files when
+        present. Deletes anti-join on `_metadata` BEFORE any projection
+        (metadata columns resolve only on the scan relation), then the
+        nanosecond-timestamp handling mirrors sources/reader.read_parquet."""
+        if not dels:
+            from rottnest_spark.sources.reader import read_parquet
+
+            return read_parquet(self.spark, fl)
+        from rottnest_spark.sources import reader as _reader
+
+        ns_cols = _reader.nanos_ts_columns(fl[0])
+        self.spark.conf.set(
+            _reader._NANOS_FLAG, "true" if ns_cols else "false"
+        )
+        from pyspark.sql import functions as F
+
+        df = apply_position_deletes(
+            self.spark, self.spark.read.parquet(*fl), dels
+        )
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+        return df
+
     def read(self, files: list[str] | None = None):
         """Snapshot read with identity-partition-column reconstruction
         when the data files physically LACK those columns (hive-migrated
@@ -279,14 +393,27 @@ class IcebergSnapshotLake(ParquetLake):
         partition_by produces). Tables whose files carry the columns
         physically (normal engine-written Iceberg) take the base path.
 
+        Merge-on-read: positional delete files in the current snapshot
+        are APPLIED (anti-join on file path + row position) — the v2
+        row-level-delete read semantics the reference refuses outright.
+
         Plan shape: values come from the manifests (typed at write), so
         reconstruction is one scan per DISTINCT partition tuple with
         literal columns, unioned — bounded by partition count, not file
         count; no schema-widening risk from a forced global schema."""
+        data, dels = iceberg_live_files_and_deletes(
+            self._table_path, fs=self.fs
+        )
         pcols = iceberg_partition_columns(self._table_path, fs=self.fs)
         if not pcols:
-            return super().read(files)
-        use = files or self.files
+            use = files or data
+            if not use:
+                raise ValueError(
+                    f"Iceberg table at {self._table_path!r} has no live "
+                    "data files"
+                )
+            return self._base_read(use, dels)
+        use = files or data
         if not use:
             raise ValueError(
                 f"Iceberg table at {self._table_path!r} has no live data files"
@@ -296,7 +423,7 @@ class IcebergSnapshotLake(ParquetLake):
         physical = set(pq.ParquetFile(use[0]).schema_arrow.names)
         missing = [c for c in pcols if c not in physical]
         if not missing:
-            return super().read(files)
+            return self._base_read(use, dels)
         adds = iceberg_live_adds(self._table_path, fs=self.fs)
         unknown = [f for f in use if f not in adds]
         if unknown:
@@ -327,7 +454,7 @@ class IcebergSnapshotLake(ParquetLake):
         for key, fl in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
         ):
-            df = super().read(fl)
+            df = self._base_read(fl, dels)
             for c, v in zip(missing, key):
                 lit = F.lit(v)
                 if c in casts:

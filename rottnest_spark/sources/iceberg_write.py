@@ -13,8 +13,12 @@ Emits, per the Iceberg spec (https://iceberg.apache.org/spec/):
     metadata/version-hint.text  current metadata version pointer
 
 Scope, stated plainly:
-- v1 tables, data files only (no row-level deletes — the reader refuses
-  those by design, mirroring the reference);
+- v1 tables for data-only state; v2 POSITIONAL row-level deletes
+  (merge-on-read) via `iceberg_delete_rows` — delete files in their own
+  content=1 manifest, compacted back to data files by
+  `iceberg_rewrite_deletes`. Equality deletes are out of scope (the
+  reader refuses them). This EXCEEDS the reference, which refuses any
+  delete-bearing table (backends/iceberg.py:279-280);
 - identity-partitioned tables supported (round 5): hive-laid data files,
   typed partition values in the manifests' r102 record, partition-spec
   (+partition-specs/default-spec-id) in metadata; the table schema then
@@ -307,6 +311,9 @@ def _commit_snapshot(
     version: int | None = None,
     partition_by: list[str] | None = None,
     schema: dict | None = None,
+    live_deletes: list[str] | None = None,
+    added_deletes: list[str] | None = None,
+    removed_deletes: list[str] | None = None,
 ) -> int:
     meta_dir = _meta_dir(table_path)
     fs.makedirs(meta_dir)
@@ -335,8 +342,8 @@ def _commit_snapshot(
         t = f["type"] if isinstance(f["type"], str) else "string"
         pfields.append((c, t))
 
-    def entry(f: str, status: int) -> dict:
-        if pfields:
+    def entry(f: str, status: int, content: int = 0) -> dict:
+        if pfields and content == 0:
             try:
                 partition = _hive_pvals(table_path, f, pfields)
             except ValueError:
@@ -345,12 +352,14 @@ def _commit_snapshot(
                 else:
                     raise
         else:
-            partition = {}
+            # delete files are partition-global (path-addressed positional
+            # deletes carry the target file path per row) — null partition
+            partition = {name: None for name, _ in pfields}
         return {
             "status": status,
             "snapshot_id": snap_id,
             "data_file": {
-                "content": 0,
+                "content": content,
                 "file_path": os.path.abspath(f),
                 "file_format": "PARQUET",
                 "partition": partition,
@@ -366,25 +375,48 @@ def _commit_snapshot(
     ] + [entry(f, 2) for f in sorted(removed_set)]
     manifest = os.path.join(meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_ocf(manifest, _manifest_schema(pfields), entries, fs=fs)
+    ml_entries = [{"manifest_path": manifest, "content": 0}]
+
+    # v2 merge-on-read: positional delete files live in their OWN manifest,
+    # flagged content=1 in the manifest list (Iceberg spec "Delete
+    # Manifests"); delete-file entries carry data_file.content=1
+    live_del = sorted(set(live_deletes or []))
+    added_del, removed_del = set(added_deletes or []), set(removed_deletes or [])
+    if live_del or removed_del:
+        del_entries = [
+            entry(f, 1 if f in added_del else 0, content=1) for f in live_del
+        ] + [entry(f, 2, content=1) for f in sorted(removed_del)]
+        del_manifest = os.path.join(
+            meta_dir, f"manifest-del-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        write_ocf(del_manifest, _manifest_schema(pfields), del_entries, fs=fs)
+        # always listed — status-2 tombstones are skipped by readers, the
+        # same full-manifest-per-snapshot convention as the data manifest
+        ml_entries.append({"manifest_path": del_manifest, "content": 1})
+
     ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_ocf(
         ml,
         MANIFEST_LIST_SCHEMA,
         [
             {
-                "manifest_path": manifest,
-                "manifest_length": fs.getsize(manifest),
+                "manifest_path": m["manifest_path"],
+                "manifest_length": fs.getsize(m["manifest_path"]),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": m["content"],
                 "added_snapshot_id": snap_id,
             }
+            for m in ml_entries
         ],
     )
+    op = "append" if not removed else "overwrite"
+    if added_del:
+        op = "delete"  # row-level MOR delete snapshot
     snapshot = {
         "snapshot-id": snap_id,
         "timestamp-ms": ts,
         "manifest-list": ml,
-        "summary": {"operation": "append" if not removed else "overwrite"},
+        "summary": {"operation": op},
     }
     spec_fields = [
         {
@@ -396,7 +428,12 @@ def _commit_snapshot(
         for i, c in enumerate(pcols)
     ]
     md = {
-        "format-version": 1,
+        # row-level deletes require format v2; a table once v2 stays v2
+        "format-version": (
+            2
+            if (live_del or (prior or {}).get("format-version", 1) >= 2)
+            else 1
+        ),
         "table-uuid": (prior or {}).get("table-uuid", str(uuid.uuid4())),
         "location": os.path.abspath(table_path),
         "last-updated-ms": ts,
@@ -446,17 +483,23 @@ def iceberg_commit(
     remove: list[str] | None = None,
     fs: LakeFS | None = None,
     timestamp_ms: int | None = None,
+    add_deletes: list[str] | None = None,
+    remove_deletes: list[str] | None = None,
 ) -> int:
-    """Commit a data-file change set as a new snapshot (prior snapshots
+    """Commit a file change set as a new snapshot (prior snapshots
     stay in the log — `iceberg_history_files` time travel works over
     them). Returns the new snapshot id.
+
+    `add_deletes` / `remove_deletes` change the POSITIONAL delete-file
+    set (v2 merge-on-read); live delete files of the prior snapshot are
+    carried forward untouched unless removed.
 
     Base state comes from the NEWEST metadata file (not the version
     hint), and the commit claims exactly that version + 1 — so a
     concurrent winner's snapshot can never be rebased away (see
     `_latest_metadata`); the loser's exclusive create fails and
     `iceberg_commit_retry` re-reads."""
-    from rottnest_spark.sources.iceberg import _snapshot_data_files
+    from rottnest_spark.sources.iceberg import _snapshot_files_and_deletes
 
     fs = fs or LocalFS()
     prior_version, prior = _latest_metadata(table_path, fs)
@@ -467,22 +510,32 @@ def iceberg_commit(
     snaps = prior.get("snapshots") or []
     by_id = {s["snapshot-id"]: s for s in snaps}
     cur = prior.get("current-snapshot-id")
-    live = (
-        _snapshot_data_files(prior, by_id[cur], table_path, fs)
+    live, live_del = (
+        _snapshot_files_and_deletes(prior, by_id[cur], table_path, fs)
         if cur in by_id
-        else set()
+        else (set(), set())
     )
     add = [os.path.abspath(f) for f in (add or [])]
     remove = [os.path.abspath(f) for f in (remove or [])]
-    if not add and not remove:
+    add_del = [os.path.abspath(f) for f in (add_deletes or [])]
+    remove_del = [os.path.abspath(f) for f in (remove_deletes or [])]
+    if not add and not remove and not add_del and not remove_del:
         raise ValueError("empty commit — nothing to add or remove")
     missing = [f for f in remove if f not in live]
     if missing:
         raise ValueError(f"cannot remove files not in the snapshot: {missing}")
+    missing_del = [f for f in remove_del if f not in live_del]
+    if missing_del:
+        raise ValueError(
+            f"cannot remove delete files not in the snapshot: {missing_del}"
+        )
     new_live = sorted((live - set(remove)) | set(add))
+    new_del = sorted((live_del - set(remove_del)) | set(add_del))
     return _commit_snapshot(
         table_path, new_live, add, remove, fs, timestamp_ms, prior=prior,
         version=prior_version + 1,
+        live_deletes=new_del, added_deletes=add_del,
+        removed_deletes=remove_del,
     )
 
 
@@ -493,6 +546,8 @@ def iceberg_commit_retry(
     fs: LakeFS | None = None,
     timestamp_ms: int | None = None,
     max_retries: int = 20,
+    add_deletes: list[str] | None = None,
+    remove_deletes: list[str] | None = None,
 ) -> int:
     """Optimistic-concurrency snapshot commit (the delta_commit_retry
     discipline): on losing the vN.metadata.json exclusive-create race,
@@ -507,6 +562,7 @@ def iceberg_commit_retry(
             return iceberg_commit(
                 table_path, add=add, remove=remove, fs=fs,
                 timestamp_ms=timestamp_ms,
+                add_deletes=add_deletes, remove_deletes=remove_deletes,
             )
         except FileExistsError as exc:
             last = exc
@@ -591,3 +647,147 @@ def iceberg_write(
     # a pure-add append commutes with concurrent appends: win through
     # version races the same way the delta_write path does
     return iceberg_commit_retry(table_path, add=moved, fs=fs)
+
+
+def iceberg_delete_rows(
+    spark,
+    table_path: str,
+    predicate,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Row-level DELETE as merge-on-read: write a POSITIONAL delete file
+    (parquet columns `file_path` string, `pos` long — the Iceberg spec's
+    position-delete schema) and commit it in a delete manifest, leaving
+    every data file untouched. EXCEEDS the reference, which refuses
+    delete-bearing tables entirely (backends/iceberg.py:279-280).
+
+    `predicate` is a Column or SQL string over the table's PHYSICAL
+    columns. Matching rows already covered by existing delete files are
+    excluded (the delete file stays minimal and a repeated call is a
+    metadata no-op). Returns the new snapshot id, or the current one when
+    nothing matches.
+
+    Plan shape: one scan of the data files with `_metadata` row addresses
+    (predicate pushed to parquet), one anti-join against existing delete
+    pairs, one clustered-by-file write — no driver-side row state."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.iceberg import iceberg_live_files_and_deletes
+
+    fs = fs or LocalFS()
+    data, dels = iceberg_live_files_and_deletes(table_path, fs)
+    if not data:
+        raise ValueError(f"{table_path} has no live data files")
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    pairs = (
+        spark.read.parquet(*data)
+        .filter(predicate if not isinstance(predicate, str) else F.expr(predicate))
+        .select(
+            norm(F.col("_metadata.file_path")).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    if dels:
+        prior = (
+            spark.read.parquet(*dels)
+            .select(
+                norm(F.col("file_path")).alias("file_path"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+        )
+        pairs = pairs.join(prior, ["file_path", "pos"], "left_anti")
+    if pairs.isEmpty():
+        _, prior_md = _latest_metadata(table_path, fs)
+        return (prior_md or {}).get("current-snapshot-id", -1)
+
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    (
+        pairs.repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(stage)
+    )
+    moved = []
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.list_files(stage):
+        leaf = os.path.basename(f)
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        dst = os.path.join(
+            table_path, "data", f"delete-{uuid.uuid4().hex}.parquet"
+        )
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
+    return iceberg_commit_retry(
+        table_path, fs=fs, timestamp_ms=timestamp_ms, add_deletes=moved
+    )
+
+
+def iceberg_rewrite_deletes(
+    spark,
+    table_path: str,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Compact merge-on-read state back to pure data files: rewrite ONLY
+    the data files that have matching positional-delete rows (untouched
+    files keep their bytes and their indexes), drop every delete file,
+    commit one snapshot. After this the index layer accepts the table
+    again (`IcebergSnapshotLake.files` refuses delete-bearing snapshots).
+
+    Hive-partitioned layouts are preserved: rewritten files land in the
+    same `data/col=value/` directory as the file they replace, so the
+    manifests' partition records stay derivable from the path."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.iceberg import (
+        apply_position_deletes,
+        iceberg_live_files_and_deletes,
+    )
+
+    fs = fs or LocalFS()
+    data, dels = iceberg_live_files_and_deletes(table_path, fs)
+    if not dels:
+        _, prior_md = _latest_metadata(table_path, fs)
+        return (prior_md or {}).get("current-snapshot-id", -1)
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    touched = {
+        r.file_path
+        for r in spark.read.parquet(*dels)
+        .select(norm(F.col("file_path")).alias("file_path"))
+        .distinct()
+        .collect()  # metadata-scale: bounded by file count, not rows
+    }
+    affected = sorted(set(data) & touched)
+    if not affected:
+        return iceberg_commit_retry(
+            table_path, fs=fs, timestamp_ms=timestamp_ms, remove_deletes=dels
+        )
+
+    # group by containing dir so rewrites stay inside their partition dir
+    by_dir: dict[str, list[str]] = {}
+    for f in affected:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    added = []
+    for d, group in sorted(by_dir.items()):
+        stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+        apply_position_deletes(
+            spark, spark.read.parquet(*group), dels
+        ).write.parquet(stage)
+        for f in fs.list_files(stage):
+            leaf = os.path.basename(f)
+            if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+                continue
+            dst = os.path.join(d, f"{uuid.uuid4().hex}.parquet")
+            fs.rename(f, dst)
+            added.append(dst)
+        fs.rmtree(stage)
+    return iceberg_commit_retry(
+        table_path,
+        add=added,
+        remove=affected,
+        fs=fs,
+        timestamp_ms=timestamp_ms,
+        remove_deletes=dels,
+    )
