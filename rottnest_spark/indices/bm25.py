@@ -96,8 +96,18 @@ class BM25Index(SparkIndex):
             # plus the recorded vocab path for wordpiece)
             if tokenizer.startswith("regex:"):
                 tokenizer = RegexTokenizer(tokenizer.split(":", 1)[1])
-            elif tokenizer.startswith("wordpiece:") and tokenizer_vocab_path:
-                wp = WordPieceTokenizer(tokenizer_vocab_path)
+            elif (
+                tokenizer.startswith(("wordpiece:", "bpe:"))
+                and tokenizer_vocab_path
+            ):
+                from rottnest_spark.indices.tokenizers import BPETokenizer
+
+                cls = (
+                    BPETokenizer
+                    if tokenizer.startswith("bpe:")
+                    else WordPieceTokenizer
+                )
+                wp = cls(tokenizer_vocab_path)
                 if wp.ident != tokenizer:
                     raise ValueError(
                         f"vocab at {tokenizer_vocab_path!r} hashes to "

@@ -276,3 +276,177 @@ class WordPieceTokenizer(Tokenizer):
             return series.map(tok)
 
         return wp(col if not isinstance(col, str) else F.col(col))
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode map (the public
+    encoder.py algorithm, restated): printable latin bytes map to
+    themselves; the rest shift into 256+ codepoints so every byte string
+    becomes a lossless str the BPE merge table can address."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+#: GPT-2 pretokenizer pattern, stdlib-`re` transliteration: \p{L} becomes
+#: [^\W\d_] and \p{N} becomes \d (both unicode-aware in Python). Nl/No
+#: numerals and some edge scripts classify slightly differently than the
+#: `regex` module's \p classes — irrelevant for exactness because build
+#: and probe share the SAME pattern (module docstring contract).
+_GPT2_PAT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+)
+
+
+def _bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Merge-by-lowest-rank BPE over one pretoken (already byte-mapped).
+    The standard algorithm: repeatedly merge the adjacent pair with the
+    smallest merge rank until none remain."""
+    parts = list(word)
+    while len(parts) > 1:
+        best, best_rank = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        parts[best : best + 2] = [parts[best] + parts[best + 1]]
+    return parts
+
+
+class BPETokenizer(Tokenizer):
+    """Byte-level BPE from a serialized HF fast tokenizer
+    (`tokenizer.json` with model.type == "BPE" — the GPT-2/RoBERTa/Llama
+    family), the other common artifact the reference's tokenizer loader
+    accepts (src/lava/tokenizer_utils.rs:14-80). Pure-python: the GPT-2
+    byte→unicode map, the GPT-2 pretokenizer regex, and rank-ordered
+    merges from model.merges. Case-SENSITIVE (byte-level BPE has no
+    lowercase step); tokens are the mapped-unicode merge strings, which
+    only need to be build/probe-consistent for BM25 exactness.
+
+    Only ByteLevel pre_tokenizers load — a Metaspace/Whitespace BPE
+    would mis-tokenize silently, so it refuses loudly instead."""
+
+    def __init__(self, path: str):
+        import json
+
+        self.vocab_path = path
+        with open(path) as fh:
+            doc = json.load(fh)
+        model = doc.get("model") or {}
+        if model.get("type") != "BPE":
+            raise ValueError(
+                f"{path}: tokenizer.json model type is "
+                f"{model.get('type')!r} — BPETokenizer loads BPE models "
+                "(WordPiece loads via WordPieceTokenizer)"
+            )
+        pre = doc.get("pre_tokenizer") or {}
+        kinds = [pre.get("type")] + [
+            p.get("type") for p in pre.get("pretokenizers", [])
+        ]
+        if "ByteLevel" not in kinds:
+            raise ValueError(
+                f"{path}: pre_tokenizer {kinds} is not ByteLevel — only "
+                "byte-level BPE is supported (GPT-2 family); other "
+                "pre-tokenizers would silently mis-tokenize"
+            )
+        merges = model.get("merges") or []
+        if not merges:
+            raise ValueError(f"{path}: model.merges missing or empty")
+        pairs = [
+            tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
+            for m in merges
+        ]
+        self._ranks = {p: i for i, p in enumerate(pairs)}
+        self._vocab = frozenset(model.get("vocab") or [])
+        self._byte_map = _bytes_to_unicode()
+        hashed = "\n".join(f"{a}\x01{b}" for a, b in pairs)
+        hashed += "\x00" + "\n".join(sorted(self._vocab))
+        digest = hashlib.md5(hashed.encode()).hexdigest()[:16]
+        self.ident = f"bpe:{digest}"
+
+    def tokenize(self, s: str) -> list[str]:
+        import re as _re
+
+        bm, ranks = self._byte_map, self._ranks
+        out: list[str] = []
+        for pretok in _re.findall(_GPT2_PAT, s):
+            mapped = "".join(bm[b] for b in pretok.encode("utf-8"))
+            out.extend(_bpe_word(mapped, ranks))
+        return out
+
+    def tokens_col(self, col):
+        """Arrow-batched pandas UDF; the byte map, merge ranks, and the
+        merge routine are captured by value in the closure (repo
+        convention: executors may not have the package importable)."""
+        from pyspark.sql.functions import pandas_udf
+
+        bm, ranks, pat = self._byte_map, self._ranks, _GPT2_PAT
+
+        @pandas_udf("array<string>")
+        def bpe(series: pd.Series) -> pd.Series:
+            import re as _re
+
+            rx = _re.compile(pat)
+
+            def bpe_word(word):
+                parts = list(word)
+                while len(parts) > 1:
+                    best, best_rank = None, None
+                    for i in range(len(parts) - 1):
+                        r = ranks.get((parts[i], parts[i + 1]))
+                        if r is not None and (
+                            best_rank is None or r < best_rank
+                        ):
+                            best, best_rank = i, r
+                    if best is None:
+                        break
+                    parts[best : best + 2] = [
+                        parts[best] + parts[best + 1]
+                    ]
+                return parts
+
+            def tok(text):
+                if text is None:
+                    return []
+                out = []
+                for pretok in rx.findall(text):
+                    mapped = "".join(bm[b] for b in pretok.encode("utf-8"))
+                    out.extend(bpe_word(mapped))
+                return out
+
+            return series.map(tok)
+
+        return bpe(col if not isinstance(col, str) else F.col(col))
+
+
+def tokenizer_from_json(path: str) -> Tokenizer:
+    """Load a serialized HF fast tokenizer (`tokenizer.json`) into the
+    matching Tokenizer by model.type — the one-call artifact on-ramp the
+    reference provides (src/lava/tokenizer_utils.rs:14-80): WordPiece →
+    WordPieceTokenizer, BPE → BPETokenizer. Anything else refuses loudly
+    (a Unigram model silently mis-tokenized would corrupt the index)."""
+    import json
+
+    with open(path) as fh:
+        mtype = (json.load(fh).get("model") or {}).get("type")
+    if mtype == "WordPiece":
+        return WordPieceTokenizer(path)
+    if mtype == "BPE":
+        return BPETokenizer(path)
+    raise ValueError(
+        f"{path}: unsupported tokenizer.json model type {mtype!r} — "
+        "WordPiece and byte-level BPE load; others would mis-tokenize"
+    )

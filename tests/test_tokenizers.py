@@ -317,3 +317,175 @@ def test_bm25_tokenizer_json_end_to_end(spark, tmp_path):
     _tokenizer_json(tmp_path / "tokenizer.json", TOY_VOCAB[:-1])
     with pytest.raises(ValueError):
         BM25Index(tokenizer=cfg["tokenizer"], tokenizer_vocab_path=p)
+
+
+# --- byte-level BPE (GPT-2 family tokenizer.json) ---------------------------
+
+
+def _bpe_json(path, merges, vocab=None, pre_type="ByteLevel", mtype="BPE"):
+    """Minimal HF-format BPE tokenizer.json (model.merges + ByteLevel)."""
+    import json
+
+    doc = {
+        "model": {
+            "type": mtype,
+            "vocab": {v: i for i, v in enumerate(vocab or [])},
+            "merges": merges,
+        },
+        "pre_tokenizer": {"type": pre_type},
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    return str(path)
+
+
+#: GPT-2-style merge ladder: "hello" assembles fully, " world" (Ġworld)
+#: assembles fully, "spark" stays characters (no merges for it)
+BPE_MERGES = [
+    "h e", "he l", "hel l", "hell o",
+    "Ġ w", "Ġw o", "Ġwo r", "Ġwor l", "Ġworl d",
+]
+
+
+def test_bpe_reference_example(tmp_path):
+    from rottnest_spark.indices.tokenizers import BPETokenizer
+
+    p = _bpe_json(tmp_path / "bpe.json", BPE_MERGES)
+    tok = BPETokenizer(p)
+    # space maps to Ġ (GPT-2 byte map); merges assemble the two words
+    assert tok.tokenize("hello world") == ["hello", "Ġworld"]
+    # unmergeable word stays per-character; leading space sticks to it
+    assert tok.tokenize("hello spark") == ["hello", "Ġ", "s", "p", "a", "r", "k"]
+    # case-sensitive: no lowercase step in byte-level BPE
+    assert tok.tokenize("Hello") == ["H", "e", "l", "l", "o"]
+    # non-ascii round-trips through the byte map without KeyError
+    assert tok.tokenize("café")
+
+
+def test_bpe_merges_list_pairs_format(tmp_path):
+    """Newer HF exports serialize merges as [a, b] pairs, not 'a b'."""
+    from rottnest_spark.indices.tokenizers import BPETokenizer
+
+    p = _bpe_json(
+        tmp_path / "bpe.json", [m.split(" ") for m in BPE_MERGES]
+    )
+    tok = BPETokenizer(p)
+    assert tok.tokenize("hello world") == ["hello", "Ġworld"]
+
+
+def test_bpe_tokens_col_agrees_with_driver(spark, tmp_path):
+    from rottnest_spark.indices.tokenizers import BPETokenizer
+
+    p = _bpe_json(tmp_path / "bpe.json", BPE_MERGES)
+    tok = BPETokenizer(p)
+    texts = ["hello world", "Hello spark!", None, "", "world hello world"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r.i: r.toks
+        for r in df.select("i", tok.tokens_col("text").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == (tok.tokenize(t) if t is not None else [])
+
+
+def test_bpe_refusals(tmp_path):
+    from rottnest_spark.indices.tokenizers import (
+        BPETokenizer,
+        tokenizer_from_json,
+    )
+
+    with pytest.raises(ValueError, match="ByteLevel"):
+        BPETokenizer(
+            _bpe_json(tmp_path / "ms.json", BPE_MERGES, pre_type="Metaspace")
+        )
+    with pytest.raises(ValueError, match="BPE"):
+        BPETokenizer(
+            _bpe_json(tmp_path / "u.json", BPE_MERGES, mtype="Unigram")
+        )
+    with pytest.raises(ValueError, match="merges"):
+        BPETokenizer(_bpe_json(tmp_path / "e.json", []))
+    with pytest.raises(ValueError, match="unsupported"):
+        tokenizer_from_json(
+            _bpe_json(tmp_path / "u2.json", BPE_MERGES, mtype="Unigram")
+        )
+
+
+def test_tokenizer_from_json_dispatch(tmp_path):
+    from rottnest_spark.indices.tokenizers import (
+        BPETokenizer,
+        tokenizer_from_json,
+    )
+
+    bpe = tokenizer_from_json(_bpe_json(tmp_path / "b.json", BPE_MERGES))
+    assert isinstance(bpe, BPETokenizer)
+    wp = tokenizer_from_json(_tokenizer_json(tmp_path / "w.json", TOY_VOCAB))
+    assert isinstance(wp, WordPieceTokenizer)
+
+
+def test_bpe_ident_tracks_merges(tmp_path):
+    from rottnest_spark.indices.tokenizers import BPETokenizer
+
+    a = BPETokenizer(_bpe_json(tmp_path / "a.json", BPE_MERGES))
+    b = BPETokenizer(_bpe_json(tmp_path / "b.json", BPE_MERGES[:-1]))
+    c = BPETokenizer(_bpe_json(tmp_path / "c.json", BPE_MERGES))
+    assert a.ident != b.ident
+    assert a.ident == c.ident  # content-addressed, not path-addressed
+    assert a.ident.startswith("bpe:")
+
+
+def test_bm25_bpe_end_to_end(spark, tmp_path):
+    """build + search with a BPE tokenizer.json hash-matches the
+    full-scan scoring, and the artifact round-trips through the catalog
+    with the md5 ident guard."""
+    from rottnest_spark.indices.tokenizers import BPETokenizer
+
+    p = _bpe_json(tmp_path / "tokenizer.json", BPE_MERGES)
+    docs = [
+        (0, "hello world"),
+        (1, "world world spark"),
+        (2, "hello spark table"),
+        (3, "merge sort window"),
+    ]
+    data = str(tmp_path / "d")
+    spark.createDataFrame(docs, "doc_id int, text string").repartition(
+        2
+    ).write.parquet(data)
+    lake = ParquetLake(spark, data, str(tmp_path / "i"))
+    tok = BPETokenizer(p)
+    idx = BM25Index(tokenizer=tok)
+    assert lake.build_index(idx, "text")
+    entry = lake.catalog.entries_for("bm25", "text")[0]
+    assert tok.ident in entry["config"]
+    assert "tokenizer.json" in entry["config"]
+
+    q = "hello world"
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(lake, idx, "text", q, k=3, id_col="doc_id").collect()
+    }
+    from rottnest_spark.indices.bm25 import derive_stats, score_rows
+
+    raw = spark.read.parquet(data)
+    stats = derive_stats(
+        raw, "text", tok.query_tokens(q), tok_col_fn=tok.tokens_col
+    )
+    want = {
+        r["doc_id"]: r["score"]
+        for r in score_rows(
+            raw, "text", tok.query_tokens(q), *stats,
+            id_col="doc_id", k=3, tok_col_fn=tok.tokens_col,
+        ).collect()
+    }
+    assert got == want
+
+    # maintenance reload from persisted ident + artifact; swapped-file guard
+    import json as _json
+
+    cfg = _json.loads(entry["config"])
+    reloaded = BM25Index(tokenizer=cfg["tokenizer"], tokenizer_vocab_path=p)
+    assert reloaded.tokenizer.ident == tok.ident
+    _bpe_json(tmp_path / "tokenizer.json", BPE_MERGES[:-1])
+    with pytest.raises(ValueError):
+        BM25Index(tokenizer=cfg["tokenizer"], tokenizer_vocab_path=p)
