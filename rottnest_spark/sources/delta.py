@@ -94,18 +94,22 @@ def _checkpoint_parts(
     return v, parts
 
 
-def delta_live_adds(
+def _delta_live_state(
     table_path: str,
     version_as_of: int | None = None,
     fs: LakeFS | None = None,
-) -> dict[str, dict]:
-    """Replay the _delta_log: {absolute data-file path: partitionValues}.
+) -> dict[str, tuple[dict, dict | None]]:
+    """Replay the _delta_log: {absolute data-file path: (partitionValues,
+    deletionVector-descriptor-or-None)}.
 
     `version_as_of` stops the replay at that commit (inclusive) — Delta
     time travel. Raises if the requested version precedes the earliest
     replayable state (a checkpoint hides older commits) or exceeds the
     log. partitionValues comes from the add action (the AUTHORITATIVE
-    source per the protocol — file paths need not be hive-encoded)."""
+    source per the protocol — file paths need not be hive-encoded).
+    A re-add of the same path REPLACES its previous state, including the
+    deletion vector (protocol: at most one live DV per file; attaching
+    one commits remove+add of the same path)."""
     fs = fs or LocalFS()
     log_dir = os.path.join(table_path, "_delta_log")
     if not fs.isdir(log_dir):
@@ -113,7 +117,7 @@ def delta_live_adds(
 
     commits = sorted(fs.glob(os.path.join(log_dir, "*.json")))
 
-    live: dict[str, dict] = {}
+    live: dict[str, tuple[dict, dict | None]] = {}
     start_version, cp_files = _checkpoint_parts(log_dir, fs)
     if version_as_of is not None:
         all_versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
@@ -134,7 +138,10 @@ def delta_live_adds(
             if "add" in tbl.column_names:
                 for rec in tbl.column("add").to_pylist():
                     if rec and rec.get("path"):
-                        live[rec["path"]] = dict(rec.get("partitionValues") or {})
+                        live[rec["path"]] = (
+                            dict(rec.get("partitionValues") or {}),
+                            rec.get("deletionVector") or None,
+                        )
 
     versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
     if start_version < 0 and 0 not in versions:
@@ -152,22 +159,179 @@ def delta_live_adds(
         for line in _log_lines(fs, c):
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = dict(
-                        action["add"].get("partitionValues") or {}
+                    live[action["add"]["path"]] = (
+                        dict(action["add"].get("partitionValues") or {}),
+                        action["add"].get("deletionVector") or None,
                     )
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-    return {os.path.join(table_path, p): pv for p, pv in live.items()}
+    return {os.path.join(table_path, p): st for p, st in live.items()}
+
+
+def delta_live_adds(
+    table_path: str,
+    version_as_of: int | None = None,
+    fs: LakeFS | None = None,
+) -> dict[str, dict]:
+    """{absolute data-file path: partitionValues} of the live snapshot
+    (see `_delta_live_state`; DV-oblivious — callers that read rows must
+    check `delta_live_dvs`)."""
+    return {
+        p: pv
+        for p, (pv, _) in _delta_live_state(
+            table_path, version_as_of, fs
+        ).items()
+    }
+
+
+def delta_live_dvs(
+    table_path: str,
+    version_as_of: int | None = None,
+    fs: LakeFS | None = None,
+) -> dict[str, dict]:
+    """{absolute data-file path: deletionVector descriptor} for live
+    files that carry one — the merge-on-read state readers must apply
+    (storageType u/i/p, pathOrInlineDv, offset, cardinality)."""
+    return {
+        p: dv
+        for p, (_, dv) in _delta_live_state(
+            table_path, version_as_of, fs
+        ).items()
+        if dv
+    }
 
 
 def delta_live_files(
     table_path: str,
     version_as_of: int | None = None,
     fs: LakeFS | None = None,
+    on_deletes: str = "raise",
 ) -> list[str]:
     """Replay the _delta_log: returns absolute paths of live data files
-    (see delta_live_adds for the partitionValues-carrying form)."""
-    return sorted(delta_live_adds(table_path, version_as_of, fs=fs))
+    (see delta_live_adds for the partitionValues-carrying form).
+
+    `on_deletes`: "raise" (default) refuses snapshots whose files carry
+    DELETION VECTORS — treating such a file as fully live would surface
+    ghost rows (the index layer's safety stance, same as the Iceberg
+    backend's positional-delete refusal). "ignore" returns the file list
+    anyway — for liveness/vacuum accounting and for readers that APPLY
+    the vectors (DeltaSnapshotLake.read)."""
+    state = _delta_live_state(table_path, version_as_of, fs)
+    if on_deletes == "raise":
+        n_dv = sum(1 for _, dv in state.values() if dv)
+        if n_dv:
+            raise ValueError(
+                f"table has {n_dv} file(s) with deletion vectors — the "
+                "index layer refuses merge-on-read snapshots (ghost "
+                "rows). DeltaSnapshotLake.read() applies the vectors; "
+                "delta_rewrite_deletes() compacts them to enable indexing"
+            )
+    return sorted(state)
+
+
+def dv_positions_df(spark, table_path: str, dvs: dict[str, dict]):
+    """(file_path, pos) DataFrame of DELETED row positions, decoded
+    EXECUTOR-SIDE from deletion-vector descriptors (one mapInPandas over
+    the descriptor rows — driver memory stays descriptor-scale no matter
+    the cardinality). file_path is the data file's absolute path.
+
+    Storage types per the protocol: "i" inline Z85 bitmap in the log,
+    "u" Z85-UUID-named `deletion_vector_<uuid>.bin` under the table
+    (optional random prefix), "p" absolute path; u/p wrap the bitmap in
+    the DV file layout at `offset` (CRC-verified)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rottnest_spark.sources.roaring import make_dv_decoder
+
+    rows = [
+        (
+            p,
+            str(d.get("storageType") or ""),
+            str(d.get("pathOrInlineDv") or ""),
+            -1 if d.get("offset") is None else int(d["offset"]),
+        )
+        for p, d in sorted(dvs.items())
+    ]
+    desc = spark.createDataFrame(
+        rows, "file_path string, storage string, path_or_inline string, offset long"
+    )
+    decode = make_dv_decoder()  # self-contained closure (ships by value)
+    tp = table_path
+
+    def gen(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                st, pi, off = r.storage, r.path_or_inline, int(r.offset)
+                if st == "i":
+                    pos = decode(decode.z85_decode(pi))
+                elif st in ("u", "p"):
+                    if st == "p":
+                        path = (
+                            pi
+                            if _os.path.isabs(pi)
+                            else _os.path.join(tp, pi)
+                        )
+                    else:
+                        # [optional random prefix +] z85(uuid16) = 20 chars
+                        prefix, enc = pi[:-20], pi[-20:]
+                        name = (
+                            "deletion_vector_"
+                            f"{_uuid.UUID(bytes=decode.z85_decode(enc))}.bin"
+                        )
+                        path = _os.path.join(tp, prefix, name)
+                    with open(path, "rb") as fh:
+                        data = fh.read()
+                    pos = decode(data, None if off < 0 else off)
+                else:
+                    raise ValueError(
+                        f"unknown deletionVector storageType {st!r}"
+                    )
+                outs.append(
+                    _pd.DataFrame(
+                        {
+                            "file_path": r.file_path,
+                            "pos": pos.astype("int64"),
+                        }
+                    )
+                )
+            yield (
+                _pd.concat(outs)
+                if outs
+                else _pd.DataFrame({"file_path": [], "pos": []})
+            )
+
+    return desc.repartition(max(1, len(rows))).mapInPandas(
+        gen, "file_path string, pos long"
+    )
+
+
+def apply_deletion_vectors(spark, df, table_path: str, dvs: dict[str, dict]):
+    """Anti-join a freshly-scanned DataFrame (its `_metadata` column must
+    still resolve) against the decoded deletion-vector positions — the
+    Delta merge-on-read read semantics (one distributed anti-join, AQE
+    broadcast-converts it when the delete set is small)."""
+    from pyspark.sql import functions as F
+
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    pairs = dv_positions_df(spark, table_path, dvs).select(
+        norm(F.col("file_path")).alias("__del_path"),
+        F.col("pos").alias("__del_pos"),
+    )
+    tagged = df.withColumns(
+        {
+            "__del_path": norm(F.col("_metadata.file_path")),
+            "__del_pos": F.col("_metadata.row_index"),
+        }
+    )
+    return tagged.join(pairs, ["__del_path", "__del_pos"], "left_anti").drop(
+        "__del_path", "__del_pos"
+    )
 
 
 def delta_table_meta(
@@ -286,11 +450,41 @@ class DeltaSnapshotLake(ParquetLake):
             )
         return super().build_index(index, column, *a, **kw)
 
+    def _base_read(self, fl: list[str], dvs: dict[str, dict]):
+        """Scan `fl`, applying the snapshot's deletion vectors when
+        present (anti-join on `_metadata` BEFORE any projection —
+        metadata columns resolve only on the scan relation), with the
+        nanosecond-timestamp handling of sources/reader.read_parquet."""
+        from rottnest_spark.sources import reader as _reader
+
+        if not dvs:
+            return _reader.read_parquet(self.spark, fl)
+        ns_cols = _reader.nanos_ts_columns(fl[0])
+        self.spark.conf.set(
+            _reader._NANOS_FLAG, "true" if ns_cols else "false"
+        )
+        from pyspark.sql import functions as F
+
+        df = apply_deletion_vectors(
+            self.spark, self.spark.read.parquet(*fl), self._table_path, dvs
+        )
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+        return df
+
     def read(self, files: list[str] | None = None):
         """Snapshot read with PARTITION-COLUMN reconstruction: Delta data
         files do not physically carry partition columns — their values
         live in the log's add actions. Unpartitioned tables take the base
         path untouched.
+
+        Merge-on-read: files carrying DELETION VECTORS (the v2+ Delta
+        row-level-delete state Databricks writes by default) have their
+        deleted positions APPLIED — executor-side roaring decode, one
+        anti-join (sources/roaring.py; the index layer refuses such
+        snapshots instead, `.files`).
 
         Plan shape (scale): one `spark.read.parquet` over the whole file
         set with `basePath` + the log's schemaString when the layout is
@@ -300,10 +494,23 @@ class DeltaSnapshotLake(ParquetLake):
         arbitrary file names) fall back to one scan per DISTINCT
         partition tuple with typed literal columns, unioned — bounded by
         partition count, not file count."""
+        dvs = delta_live_dvs(
+            self._table_path, self._version_as_of, fs=self.fs
+        )
+        all_live = delta_live_files(
+            self._table_path, self._version_as_of, fs=self.fs,
+            on_deletes="ignore",
+        )
         pcols = delta_partition_columns(self._table_path, fs=self.fs)
         if not pcols:
-            return super().read(files)
-        use = files or self.files
+            use = files or all_live
+            if not use:
+                raise ValueError(
+                    f"Delta table at {self._table_path!r} has no live "
+                    "data files"
+                )
+            return self._base_read(use, dvs)
+        use = files or all_live
         if not use:
             raise ValueError(
                 f"Delta table at {self._table_path!r} has no live data files"
@@ -333,11 +540,16 @@ class DeltaSnapshotLake(ParquetLake):
             return all(got.get(c) == adds[f].get(c) for c in pcols)
 
         if schema is not None and all(hive_consistent(f) for f in use):
-            return (
+            df = (
                 self.spark.read.schema(schema)
                 .option("basePath", self._table_path)
                 .parquet(*use)
             )
+            if dvs:
+                df = apply_deletion_vectors(
+                    self.spark, df, self._table_path, dvs
+                )
+            return df
         # fallback: group by partition tuple, literal columns, one union
         from pyspark.sql import functions as F
 
@@ -348,7 +560,7 @@ class DeltaSnapshotLake(ParquetLake):
         types = {f.name: f.dataType for f in schema.fields} if schema else {}
         parts = []
         for key, fl in sorted(groups.items()):
-            df = super().read(fl)
+            df = self._base_read(fl, dvs)
             for c, v in zip(pcols, key):
                 lit = F.lit(v)
                 if c in types:

@@ -263,7 +263,9 @@ def delta_commit_retry(
             if remove:
                 from rottnest_spark.sources.delta import delta_live_files
 
-                live = set(delta_live_files(table_path, fs=fs))
+                live = set(
+                    delta_live_files(table_path, fs=fs, on_deletes="ignore")
+                )
                 gone = [f for f in remove if f not in live]
                 if gone:
                     raise ValueError(
@@ -485,3 +487,236 @@ def delta_write(
     # OCC retry: a pure-add append conflicts with nothing and must win
     # through version races with concurrent writers
     return delta_commit_retry(table_path, add=moved, fs=fs)
+
+
+#: bitmaps at or under this size are stored INLINE in the log
+#: (storageType "i", Z85); larger ones land in a shared
+#: deletion_vector_<uuid>.bin sibling file (storageType "u")
+DV_INLINE_MAX_BYTES = 512
+
+
+def delta_delete_rows(
+    spark,
+    table_path: str,
+    predicate,
+    fs: LakeFS | None = None,
+) -> int:
+    """Row-level DELETE as merge-on-read DELETION VECTORS (the Delta
+    protocol's DV form — what Databricks-written tables carry): each
+    affected data file gets a roaring bitmap of its deleted row
+    positions; data files are untouched. Small bitmaps inline into the
+    log (Z85), larger ones share one `deletion_vector_<uuid>.bin`.
+    Readers (ours or any DV-capable engine) anti-join the positions;
+    `delta_rewrite_deletes` compacts them back into plain data files.
+
+    Returns the committed version, or the current one when nothing
+    matches. `predicate` is a Column or SQL string over PHYSICAL data
+    columns (partition columns are path-encoded, not scannable here).
+
+    Plan shape: one predicate-pushed scan for new positions, one
+    executor-side decode of existing vectors, one applyInPandas encode
+    per affected file — the driver handles bitmaps and descriptors,
+    never row positions."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.delta import (
+        _delta_live_state,
+        delta_live_dvs,
+        dv_positions_df,
+    )
+    from rottnest_spark.sources.roaring import (
+        dv_file_bytes,
+        make_dv_encoder,
+        z85_encode,
+    )
+
+    fs = fs or LocalFS()
+    state = _delta_live_state(table_path, fs=fs)
+    if not state:
+        raise ValueError(f"{table_path} has no live data files")
+    data_files = sorted(state)
+    dvs = delta_live_dvs(table_path, fs=fs)
+
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    new_pairs = (
+        spark.read.parquet(*data_files)
+        .filter(
+            predicate if not isinstance(predicate, str) else F.expr(predicate)
+        )
+        .select(
+            norm(F.col("_metadata.file_path")).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    existing = (
+        dv_positions_df(spark, table_path, dvs)
+        if dvs
+        else None
+    )
+    if existing is not None:
+        fresh = new_pairs.join(existing, ["file_path", "pos"], "left_anti")
+    else:
+        fresh = new_pairs
+    affected = [
+        r.file_path
+        for r in fresh.select("file_path").distinct().collect()
+    ]  # metadata-scale: bounded by file count
+    if not affected:
+        return _next_version(_log_dir(table_path), fs) - 1
+
+    # full post-delete position set per affected file (existing ∪ new),
+    # encoded executor-side: one roaring bitmap per file
+    union = fresh
+    if existing is not None:
+        union = fresh.unionByName(
+            existing.filter(F.col("file_path").isin(affected))
+        )
+    encode = make_dv_encoder()
+
+    def encode_group(pdf):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "bitmap": [encode(pdf["pos"].to_numpy())],
+                "cardinality": [int(pdf["pos"].nunique())],
+            }
+        )
+
+    encoded = (
+        union.groupBy("file_path")
+        .applyInPandas(
+            encode_group, "file_path string, bitmap binary, cardinality long"
+        )
+        .collect()
+    )  # bitmap-scale rows, one per affected file
+
+    # shared .bin for the large bitmaps (DV file layout: version byte,
+    # then per-DV length+payload+CRC at increasing offsets)
+    descriptors: dict[str, dict] = {}
+    bin_parts: list[bytes] = []
+    bin_offset = 1  # after the format-version byte
+    bin_uuid = uuid.uuid4()
+    for r in sorted(encoded, key=lambda r: r.file_path):
+        bm = bytes(r.bitmap)
+        if len(bm) <= DV_INLINE_MAX_BYTES:
+            padded = bm + b"\x00" * (-len(bm) % 4)  # Z85 needs len%4==0
+            descriptors[r.file_path] = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(padded),
+                "sizeInBytes": len(bm),
+                "cardinality": int(r.cardinality),
+            }
+        else:
+            wrapped = dv_file_bytes(bm)[1:]  # strip its version byte
+            descriptors[r.file_path] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(bin_uuid.bytes),
+                "offset": bin_offset,
+                "sizeInBytes": len(bm),
+                "cardinality": int(r.cardinality),
+            }
+            bin_parts.append(wrapped)
+            bin_offset += len(wrapped)
+    if bin_parts:
+        fs.write_bytes(
+            os.path.join(table_path, f"deletion_vector_{bin_uuid}.bin"),
+            b"\x01" + b"".join(bin_parts),
+        )
+
+    # one commit: remove + re-add each affected file with its DV attached
+    # (protocol: attaching a DV is a remove/add pair of the same path)
+    from rottnest_spark.sources.delta import delta_partition_columns
+
+    pcols = delta_partition_columns(table_path, fs=fs)
+    now = int(time.time() * 1000)
+    # DVs are a table FEATURE (protocol reader v3 / writer v7) — announce
+    # it in the same commit so spec-conforming engines know to apply them
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for f in sorted(affected):
+        actions.append(
+            {
+                "remove": {
+                    "path": os.path.relpath(f, table_path),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+        add = _add_action(table_path, f, pcols, fs=fs)
+        add["add"]["deletionVector"] = descriptors[f]
+        actions.append(add)
+    log_dir = _log_dir(table_path)
+    last: Exception | None = None
+    for _ in range(20):
+        try:
+            return _write_commit(log_dir, _next_version(log_dir, fs), actions, fs)
+        except FileExistsError as exc:
+            last = exc
+            from rottnest_spark.sources.delta import delta_live_files
+
+            live = set(delta_live_files(table_path, fs=fs, on_deletes="ignore"))
+            gone = [f for f in affected if f not in live]
+            if gone:
+                raise ValueError(
+                    "concurrent writer rewrote files this DELETE targets: "
+                    f"{gone} — re-run the delete against the new snapshot"
+                ) from exc
+    raise TimeoutError("could not claim a commit version") from last
+
+
+def delta_rewrite_deletes(
+    spark,
+    table_path: str,
+    fs: LakeFS | None = None,
+) -> int:
+    """Compact deletion vectors back into plain data files: rewrite ONLY
+    the files that carry a DV (untouched files keep their bytes and their
+    indexes), drop the vectors, one commit. After this the index layer
+    accepts the table again (`DeltaSnapshotLake.files` refuses DV-bearing
+    snapshots). Orphaned .bin vector files are reclaimed by vacuum.
+
+    Hive layouts are preserved: rewritten files land in the same
+    partition directory, so the add actions' partitionValues parse from
+    the path as before."""
+    from rottnest_spark.sources.delta import (
+        apply_deletion_vectors,
+        delta_live_dvs,
+    )
+
+    fs = fs or LocalFS()
+    dvs = delta_live_dvs(table_path, fs=fs)
+    if not dvs:
+        return _next_version(_log_dir(table_path), fs) - 1
+    affected = sorted(dvs)
+    by_dir: dict[str, list[str]] = {}
+    for f in affected:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    added = []
+    for d, group in sorted(by_dir.items()):
+        stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+        apply_deletion_vectors(
+            spark, spark.read.parquet(*group), table_path,
+            {f: dvs[f] for f in group},
+        ).write.parquet(stage)
+        for f in fs.list_files(stage):
+            leaf = os.path.basename(f)
+            if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+                continue
+            dst = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            fs.rename(f, dst)
+            added.append(dst)
+        fs.rmtree(stage)
+    return delta_commit_retry(
+        table_path, add=added, remove=affected, fs=fs
+    )

@@ -1,0 +1,268 @@
+"""Delta Lake deletion vectors (merge-on-read): roaring codec round-trips
+per the public PROTOCOL.md format, `delta_delete_rows` writes vectors the
+snapshot reader APPLIES, the index layer refuses DV-bearing snapshots
+(ghost-row safety), and `delta_rewrite_deletes` compacts them away.
+Exceeds the reference, whose Delta backend ignores DVs entirely
+(backends/delta.py:12-96 lists add paths only)."""
+
+import json
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rottnest_spark.sources.delta import (
+    DeltaSnapshotLake,
+    delta_live_dvs,
+    delta_live_files,
+    dv_positions_df,
+)
+from rottnest_spark.sources.delta_write import (
+    DV_INLINE_MAX_BYTES,
+    delta_convert,
+    delta_delete_rows,
+    delta_rewrite_deletes,
+    delta_write,
+)
+from rottnest_spark.sources.roaring import (
+    dv_decode_at,
+    dv_file_bytes,
+    roaring64_decode,
+    roaring64_encode,
+    z85_decode,
+    z85_encode,
+)
+
+
+# --- codec ------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**50), max_size=2000, unique=True
+    )
+)
+def test_roaring_roundtrip_property(vals):
+    dec = roaring64_decode(roaring64_encode(vals))
+    assert np.array_equal(dec, np.unique(np.asarray(vals, np.uint64)))
+
+
+def test_roaring_container_shapes():
+    # array container (sparse), bitset container (dense), multi-bucket
+    dense = list(range(7000))  # > 4096 in one 16-bit bucket -> bitset
+    sparse = [1, 17, 65536 * 3 + 2]
+    hi = [2**33, 2**33 + 1, 2**41 + 5]
+    for case in (dense, sparse, hi, dense + hi):
+        assert np.array_equal(
+            roaring64_decode(roaring64_encode(case)),
+            np.unique(np.asarray(case, np.uint64)),
+        )
+
+
+def test_roaring_run_container_decodes():
+    """Writers needn't emit run containers but decoders MUST accept them
+    (RoaringFormatSpec): hand-build a run-cookie bitmap and decode it."""
+    import struct
+
+    # one container, run flag set, runs = [(5, len 3)] -> {5,6,7}
+    n = 1
+    body = struct.pack("<HH", 12347, n - 1)
+    body += bytes([0b1])  # run flag bitset (1 container)
+    body += struct.pack("<HH", 0, 3 - 1)  # key=0, card-1
+    # < NO_OFFSET_THRESHOLD containers with run cookie: no offset header
+    body += struct.pack("<H", 1)  # one run
+    body += struct.pack("<HH", 5, 2)  # start 5, length-1 = 2
+    data = struct.pack("<iq", 1681511377, 1) + struct.pack("<I", 0) + body
+    assert roaring64_decode(data).tolist() == [5, 6, 7]
+
+
+def test_dv_file_layout_crc():
+    bm = roaring64_encode([3, 9])
+    wrapped = dv_file_bytes(bm)
+    assert wrapped[0] == 1  # format version byte
+    assert np.array_equal(dv_decode_at(wrapped, 1), [3, 9])
+    corrupted = bytearray(wrapped)
+    corrupted[6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        dv_decode_at(bytes(corrupted), 1)
+
+
+def test_z85_spec_vector():
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"  # the public ZeroMQ test vector
+    assert z85_decode("HelloWorld") == raw
+
+
+# --- table lifecycle ---------------------------------------------------------
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "dv_table")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(3)
+        .write.parquet(out)
+    )
+    delta_convert(out)
+    return out
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_delete_rows_applies_on_read(spark, table):
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    before = _ids(lake.read())
+    delta_delete_rows(spark, table, F.col("doc_id") % 7 == 0)
+    after = _ids(lake.read())
+    assert after == [i for i in before if i % 7 != 0]
+    # data files untouched, DVs attached
+    dvs = delta_live_dvs(table)
+    assert dvs and all(
+        d["cardinality"] > 0 and d["storageType"] in ("i", "u")
+        for d in dvs.values()
+    )
+
+
+def test_inline_vs_file_storage(spark, sf_dir, tmp_path):
+    """Small bitmaps inline (Z85 in the log); a large delete set (bitmap
+    > DV_INLINE_MAX_BYTES) spills to ONE shared deletion_vector_*.bin at
+    increasing offsets."""
+    out = str(tmp_path / "dv_big")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(2)
+        .write.parquet(out)
+    )
+    delta_convert(out)
+    delta_delete_rows(spark, out, "o_orderkey % 997 = 0")  # a handful
+    dvs = delta_live_dvs(out)
+    assert dvs and all(d["storageType"] == "i" for d in dvs.values())
+    assert all("offset" not in d for d in dvs.values())
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    delta_delete_rows(spark, out, "o_orderkey >= 0")  # everything
+    dvs = delta_live_dvs(out)
+    assert all(d["storageType"] == "u" for d in dvs.values())
+    assert sum(d["cardinality"] for d in dvs.values()) == total
+    bins = [f for f in os.listdir(out) if f.startswith("deletion_vector_")]
+    assert len(bins) == 1
+    lake = DeltaSnapshotLake(spark, out, out + "_idx")
+    assert lake.read().count() == 0
+
+
+def test_positions_df_matches_descriptors(spark, table):
+    delta_delete_rows(spark, table, "doc_id % 3 = 0")
+    dvs = delta_live_dvs(table)
+    pairs = dv_positions_df(spark, table, dvs)
+    got = pairs.groupBy("file_path").count().collect()
+    assert {r.file_path: r["count"] for r in got} == {
+        p: d["cardinality"] for p, d in dvs.items()
+    }
+
+
+def test_second_delete_merges_positions(spark, table):
+    delta_delete_rows(spark, table, "doc_id < 50")
+    delta_delete_rows(spark, table, "doc_id < 100")  # overlapping
+    dvs = delta_live_dvs(table)
+    assert sum(d["cardinality"] for d in dvs.values()) == 100
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    assert _ids(lake.read()) == list(range(100, 300))
+
+
+def test_noop_delete_no_commit(spark, table):
+    v1 = delta_delete_rows(spark, table, "doc_id < 5")
+    v2 = delta_delete_rows(spark, table, "doc_id < 5")  # all covered
+    assert v2 == v1
+
+
+def test_index_layer_refuses_dv_snapshot(spark, table):
+    delta_delete_rows(spark, table, "doc_id = 1")
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    with pytest.raises(ValueError, match="deletion vector"):
+        _ = lake.files
+    with pytest.raises(ValueError, match="deletion vector"):
+        delta_live_files(table)
+
+
+def test_protocol_feature_announced(spark, table):
+    delta_delete_rows(spark, table, "doc_id = 1")
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(table, "_delta_log"))
+        if f.endswith(".json")
+    )
+    actions = [
+        json.loads(ln)
+        for ln in open(
+            os.path.join(table, "_delta_log", commits[-1])
+        ).read().splitlines()
+    ]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos and "deletionVectors" in protos[0]["readerFeatures"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert all("deletionVector" in a for a in adds)
+
+
+def test_rewrite_deletes_restores_indexability(spark, table):
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    delta_delete_rows(spark, table, F.col("doc_id") % 3 == 0)
+    expect = _ids(lake.read())
+    delta_rewrite_deletes(spark, table)
+    assert not delta_live_dvs(table)
+    assert _ids(lake.read()) == expect
+    files = lake.files  # no longer refuses
+    assert (
+        spark.read.parquet(*files).filter(F.col("doc_id") % 3 == 0).count()
+        == 0
+    )
+
+
+def test_rewrite_touches_only_affected_files(spark, table):
+    before = set(delta_live_files(table))
+    one = sorted(before)[0]
+    some_id = spark.read.parquet(one).select(F.min("doc_id")).collect()[0][0]
+    delta_delete_rows(spark, table, F.col("doc_id") == some_id)
+    delta_rewrite_deletes(spark, table)
+    after = set(delta_live_files(table))
+    assert len(before & after) == 2
+    assert one not in after
+
+
+def test_partitioned_dv_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "dv_part")
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "n_chars")
+    )
+    delta_write(df, out, partition_by=["lang"])
+    lake = DeltaSnapshotLake(spark, out, out + "_idx")
+    langs = {r.lang for r in lake.read().select("lang").distinct().collect()}
+    delta_delete_rows(spark, out, F.col("doc_id") % 2 == 0)
+    got = _ids(lake.read())
+    assert got and all(i % 2 == 1 for i in got)
+    after = {r.lang for r in lake.read().select("lang").distinct().collect()}
+    assert after == langs  # partition reconstruction survives the anti-join
+    delta_rewrite_deletes(spark, out)
+    assert not delta_live_dvs(out)
+    assert all("lang=" in f for f in delta_live_files(out))
+    assert _ids(lake.read()) == got
+
+
+def test_time_travel_sees_pre_delete_state(spark, table):
+    """versionAsOf before the DELETE reads the undeleted rows; at the
+    DELETE version the vectors apply."""
+    delta_delete_rows(spark, table, "doc_id < 100")
+    lake0 = DeltaSnapshotLake(spark, table, table + "_idx", version_as_of=0)
+    assert len(_ids(lake0.read())) == 300
+    lake1 = DeltaSnapshotLake(spark, table, table + "_idx", version_as_of=1)
+    assert _ids(lake1.read()) == list(range(100, 300))
