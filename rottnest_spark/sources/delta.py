@@ -14,6 +14,17 @@ incremental plan (anti-join vs the catalog) naturally indexes ONLY newly
 added files on the next build, and search never scans files that are
 physically present but removed from the snapshot — Delta semantics the
 plain directory listing cannot give.
+
+Deletion vectors (merge-on-read row-level deletes, the default on
+Databricks-written tables) — EXCEEDS the reference, which ignores the
+`deletionVector` field entirely and would surface ghost rows:
+- `DeltaSnapshotLake.read()` APPLIES them: executor-side roaring decode
+  (sources/roaring.py, the public PROTOCOL.md format) + one anti-join on
+  (file path, row position);
+- the INDEX layer refuses DV-bearing snapshots (`.files` raises) — an
+  index over files with un-applied vectors returns ghost rows;
+  `delta_rewrite_deletes` (sources/delta_write.py) compacts the vectors
+  back into data files, after which indexing works again.
 """
 
 from __future__ import annotations

@@ -298,7 +298,10 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
         [int(os.path.basename(p).split(".")[0]) for p in commits]
         + [prior_cp_version]
     )
-    live = delta_live_files(table_path, fs=fs)
+    from rottnest_spark.sources.delta import _delta_live_state
+
+    live_state = _delta_live_state(table_path, fs=fs)
+    live = sorted(live_state)
 
     # reconstruct protocol/metaData from the log (commit 0 or a prior cp)
     meta = proto = None
@@ -332,6 +335,10 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
             "size": fs.getsize(f),
             "modificationTime": int(fs.getmtime(f) * 1000),
             "dataChange": False,
+            # deletion vectors MUST survive the checkpoint — dropping one
+            # would resurrect its deleted rows once the pre-checkpoint
+            # commits are vacuumed
+            "deletionVector": live_state[f][1],
         }
         for f in live
     ]
@@ -356,7 +363,14 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
     # made checkpoints unreadable by spec-conforming third-party readers
     str_map = pa.map_(pa.string(), pa.string())
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            # table-features form (reader v3/writer v7, e.g. after a
+            # deletionVectors upgrade) — null for legacy protocols
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     meta_t = pa.struct(
         [
@@ -373,6 +387,15 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
             ("createdTime", pa.int64()),
         ]
     )
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -380,6 +403,7 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
         ]
     )
     remove_t = pa.struct(

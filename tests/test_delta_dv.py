@@ -266,3 +266,25 @@ def test_time_travel_sees_pre_delete_state(spark, table):
     assert len(_ids(lake0.read())) == 300
     lake1 = DeltaSnapshotLake(spark, table, table + "_idx", version_as_of=1)
     assert _ids(lake1.read()) == list(range(100, 300))
+
+
+def test_checkpoint_preserves_deletion_vectors(spark, table):
+    """A checkpointed DV table must keep its vectors: dropping one from
+    the checkpoint would resurrect its deleted rows once pre-checkpoint
+    commits are vacuumed."""
+    from rottnest_spark.sources.delta_write import delta_checkpoint
+
+    delta_delete_rows(spark, table, "doc_id % 4 = 0")
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    expect = _ids(lake.read())
+    v = delta_checkpoint(table)
+    # vacuum every commit the checkpoint covers: replay is checkpoint-only
+    log = os.path.join(table, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and int(f.split(".")[0]) <= v:
+            os.remove(os.path.join(log, f))
+    dvs = delta_live_dvs(table)
+    assert dvs and all(d["cardinality"] > 0 for d in dvs.values())
+    assert _ids(lake.read()) == expect
+    with pytest.raises(ValueError, match="deletion vector"):
+        _ = lake.files  # refusal survives the checkpoint too
