@@ -288,3 +288,19 @@ def test_checkpoint_preserves_deletion_vectors(spark, table):
     assert _ids(lake.read()) == expect
     with pytest.raises(ValueError, match="deletion vector"):
         _ = lake.files  # refusal survives the checkpoint too
+
+
+def test_append_into_dv_table(spark, table):
+    """Pure adds commute with deletion-vector state: appends carry the
+    vectors forward, new rows are all visible."""
+    from rottnest_spark.sources.writable import DeltaWritableLake
+
+    delta_delete_rows(spark, table, "doc_id < 100")
+    lake = DeltaWritableLake(spark, table, table + "_idx")
+    extra = spark.range(10_000, 10_005).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "cast(1 as bigint) AS n_chars"
+    )
+    assert lake.append(extra)
+    got = _ids(lake.read())
+    assert got == list(range(100, 300)) + list(range(10_000, 10_005))
+    assert delta_live_dvs(table)  # vectors survived the append commit

@@ -202,3 +202,21 @@ def test_equality_deletes_refused(spark, table):
     write_ocf(dm, schema, entries)
     with pytest.raises(ValueError, match="equality delete"):
         iceberg_live_files_and_deletes(table)
+
+
+def test_append_into_mor_table(spark, table):
+    """Pure adds commute with merge-on-read state: appending to a
+    delete-bearing table carries the delete files forward and the new
+    rows are all visible."""
+    from rottnest_spark.sources.writable import IcebergWritableLake
+
+    iceberg_delete_rows(spark, table, "doc_id < 100")
+    lake = IcebergWritableLake(spark, table, table + "_idx")
+    extra = spark.range(10_000, 10_005).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "cast(1 as bigint) AS n_chars"
+    )
+    assert lake.append(extra)
+    got = _ids(lake.read())
+    assert got == list(range(100, 300)) + list(range(10_000, 10_005))
+    _, dels = iceberg_live_files_and_deletes(table)
+    assert dels  # deletes survived the append commit
