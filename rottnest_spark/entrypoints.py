@@ -2908,6 +2908,59 @@ def q_iceberg_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+DIFF_INS_MOD = 11  # snapshot-diff appends orders keys divisible by this
+
+
+def q_delta_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (sources/changes.py): build a scratch
+    Delta table from a 1/3 orders slice, DELETE keys %7 as deletion
+    vectors, append a 1/11 slice, then ask 'which rows entered/left
+    between v0 and now' — metadata + delete-state derivation, scans only
+    changed files. The reference's incrementality is file-granular
+    (backends/iceberg.py:98-254); this is row-granular. Oracle: the two
+    predicates stated directly in SQL."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.changes import delta_snapshot_diff
+    from rottnest_spark.sources.delta_write import (
+        delta_convert,
+        delta_delete_rows,
+        delta_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_diff_")
+    try:
+        orders = load(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        delta_convert(work)  # v0
+        delta_delete_rows(
+            spark, work, F.col("o_orderkey") % MOR_DEL_MOD == 0
+        )  # v1
+        delta_write(
+            orders.filter(F.col("o_orderkey") % DIFF_INS_MOD == 0),
+            work,
+            mode="append",
+        )  # v2
+        out = (
+            delta_snapshot_diff(spark, work, 0)
+            .groupBy("_change_type", "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("_change_type", "o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta deletion-vector round trip (sources/delta_write.py
     delta_delete_rows + DeltaSnapshotLake.read): copy a 1/3 slice of
@@ -3027,6 +3080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_travel": q_time_travel,
     "iceberg_mor_read": q_iceberg_mor_read,
     "delta_dv_read": q_delta_dv_read,
+    "delta_snapshot_diff": q_delta_snapshot_diff,
     "windowed_event_counts": q_windowed_event_counts,
     # --- past the window: variants, second tiers, rows-only paths ---
     "session_stats": q_session_stats,
@@ -3136,6 +3190,24 @@ ORACLES: dict[str, str] = {
           AND o_orderkey % {MOR_DEL_MOD} <> 0
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+    """,
+    "delta_snapshot_diff": f"""
+        SELECT * FROM (
+            SELECT 'delete' AS _change_type, o_orderstatus,
+                   count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderkey % {MOR_SRC_MOD} = 0
+              AND o_orderkey % {MOR_DEL_MOD} = 0
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'insert', o_orderstatus, count(*),
+                   round(sum(o_totalprice), 2)
+            FROM orders
+            WHERE o_orderkey % {DIFF_INS_MOD} = 0
+            GROUP BY o_orderstatus
+        )
+        ORDER BY _change_type, o_orderstatus
     """,
     "substring_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents

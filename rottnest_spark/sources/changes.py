@@ -1,0 +1,216 @@
+"""Row-level snapshot diff for format-backed tables — the incremental
+consumer's contract: "which ROWS entered or left the table between
+version A and version B?".
+
+Neither the reference nor its backends expose this (its incrementality
+is file-granular: index files that appeared since last run,
+backends/iceberg.py:98-254). With merge-on-read state now first-class
+(Iceberg positional deletes, Delta deletion vectors), row-level diffs
+are derivable from METADATA + the delete state alone — no change-data
+files, no full-table value comparison:
+
+- a data file only in B: its surviving rows (B's deletes applied) are
+  INSERTS;
+- a data file only in A: its surviving rows under A's deletes are
+  DELETES (they left the snapshot);
+- a file in both with changed delete state: positions deleted in B but
+  not A are row DELETES; positions un-deleted (a rewrite path that never
+  occurs with this repo's writers, but spec-possible) are re-INSERTS;
+- files in both with identical delete state contribute NOTHING — the
+  diff's scan cost is proportional to the CHANGED files, not the table.
+
+`net=True` additionally cancels rewrite noise: a copy-on-write
+compaction re-adds identical rows under new paths, which the file-level
+diff reports as delete+insert pairs; multiset value comparison
+(`exceptAll` both ways, changed rows only) nets those to zero. This is
+SNAPSHOT-DIFF semantics (net row movement), not a per-commit change
+feed — intermediate states between A and B are invisible by design.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+_CHANGE_COL = "_change_type"
+
+
+def _norm(c):
+    return F.regexp_replace(c, "^file:/+", "/")
+
+
+def _tag(df):
+    return df.withColumns(
+        {
+            "__path": _norm(F.col("_metadata.file_path")),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+
+
+def _rows_minus_positions(spark, files, pos_df):
+    """Rows of `files` with deleted positions removed (pos_df may be
+    None). Keeps the __path/__pos tags for further joins."""
+    df = _tag(spark.read.parquet(*sorted(files)))
+    if pos_df is not None:
+        df = df.join(pos_df, ["__path", "__pos"], "left_anti")
+    return df
+
+
+def _restrict(spark, pos_df, files):
+    """Positions limited to `files` — a broadcast semi-join against the
+    (metadata-scale) file list, not an isin over thousands of literals."""
+    if pos_df is None:
+        return None
+    fl = spark.createDataFrame(
+        [(str(f),) for f in sorted(files)], "__path string"
+    )
+    return pos_df.join(F.broadcast(fl), "__path", "left_semi")
+
+
+def snapshot_diff(
+    spark,
+    files_a: set[str],
+    pos_a,
+    files_b: set[str],
+    pos_b,
+    net: bool = False,
+):
+    """Shared diff core: (file sets, deleted-position DataFrames tagged
+    __path/__pos or None) for states A and B → one DataFrame of the data
+    columns + `_change_type` ('insert' | 'delete')."""
+    only_a, only_b, common = (
+        files_a - files_b,
+        files_b - files_a,
+        files_a & files_b,
+    )
+    parts = []
+    if only_b:
+        parts.append(
+            _rows_minus_positions(
+                spark, only_b, _restrict(spark, pos_b, only_b)
+            ).withColumn(_CHANGE_COL, F.lit("insert"))
+        )
+    if only_a:
+        parts.append(
+            _rows_minus_positions(
+                spark, only_a, _restrict(spark, pos_a, only_a)
+            ).withColumn(_CHANGE_COL, F.lit("delete"))
+        )
+    if common and (pos_a is not None or pos_b is not None):
+        ca = _restrict(spark, pos_a, common)
+        cb = _restrict(spark, pos_b, common)
+        zero = spark.createDataFrame([], "__path string, __pos long")
+        ca = ca if ca is not None else zero
+        cb = cb if cb is not None else zero
+        newly_deleted = cb.exceptAll(ca)
+        resurrected = ca.exceptAll(cb)
+        base = _tag(spark.read.parquet(*sorted(common)))
+        parts.append(
+            base.join(newly_deleted, ["__path", "__pos"], "left_semi")
+            .withColumn(_CHANGE_COL, F.lit("delete"))
+        )
+        parts.append(
+            base.join(resurrected, ["__path", "__pos"], "left_semi")
+            .withColumn(_CHANGE_COL, F.lit("insert"))
+        )
+    if not parts:
+        schema_src = sorted(files_a | files_b)
+        if not schema_src:
+            raise ValueError("both snapshots are empty — nothing to diff")
+        return (
+            _tag(spark.read.parquet(schema_src[0]))
+            .withColumn(_CHANGE_COL, F.lit(""))
+            .drop("__path", "__pos")
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.drop("__path", "__pos")
+    if net:
+        cols = [c for c in out.columns if c != _CHANGE_COL]
+        ins = out.filter(F.col(_CHANGE_COL) == "insert").select(*cols)
+        dels = out.filter(F.col(_CHANGE_COL) == "delete").select(*cols)
+        out = ins.exceptAll(dels).withColumn(
+            _CHANGE_COL, F.lit("insert")
+        ).unionByName(
+            dels.exceptAll(ins).withColumn(_CHANGE_COL, F.lit("delete"))
+        )
+    return out
+
+
+def delta_snapshot_diff(
+    spark,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    fs=None,
+    net: bool = False,
+):
+    """Row-level diff of a Delta table between two log versions
+    (inclusive replay, deletion vectors honored on both sides)."""
+    from rottnest_spark.sources.delta import (
+        _delta_live_state,
+        dv_positions_df,
+    )
+
+    def state(v):
+        st = _delta_live_state(table_path, v, fs)
+        files = set(st)
+        dvs = {p: dv for p, (_, dv) in st.items() if dv}
+        pos = (
+            dv_positions_df(spark, table_path, dvs).select(
+                _norm(F.col("file_path")).alias("__path"),
+                F.col("pos").alias("__pos"),
+            )
+            if dvs
+            else None
+        )
+        return files, pos
+
+    files_a, pos_a = state(from_version)
+    files_b, pos_b = state(to_version)
+    return snapshot_diff(spark, files_a, pos_a, files_b, pos_b, net=net)
+
+
+def iceberg_snapshot_diff(
+    spark,
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    fs=None,
+    net: bool = False,
+):
+    """Row-level diff of an Iceberg table between two snapshot ids
+    (positional delete files honored on both sides)."""
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        _snapshot_files_and_deletes,
+    )
+
+    md = _current_metadata(table_path, fs)
+    by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+
+    def state(sid):
+        if sid is None:
+            sid = md.get("current-snapshot-id")
+        if sid not in by_id:
+            raise ValueError(f"snapshot {sid} not in the snapshot log")
+        data, dels = _snapshot_files_and_deletes(
+            md, by_id[sid], table_path, fs
+        )
+        pos = (
+            spark.read.parquet(*sorted(dels)).select(
+                _norm(F.col("file_path")).alias("__path"),
+                F.col("pos").cast("long").alias("__pos"),
+            )
+            if dels
+            else None
+        )
+        return data, pos
+
+    files_a, pos_a = state(from_snapshot_id)
+    files_b, pos_b = state(to_snapshot_id)
+    return snapshot_diff(spark, files_a, pos_a, files_b, pos_b, net=net)

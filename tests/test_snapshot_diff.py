@@ -1,0 +1,134 @@
+"""Row-level snapshot diff (sources/changes.py): which rows entered or
+left a format-backed table between two versions — derived from metadata
+plus merge-on-read delete state, scanning only CHANGED files. `net=True`
+cancels copy-on-write rewrite noise by multiset value comparison. The
+reference has no row-level incrementality (its delta is file-granular,
+backends/iceberg.py:98-254)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.sources.changes import (
+    delta_snapshot_diff,
+    iceberg_snapshot_diff,
+)
+from rottnest_spark.sources.delta_write import (
+    delta_convert,
+    delta_delete_rows,
+    delta_rewrite_deletes,
+    delta_write,
+)
+from rottnest_spark.sources.iceberg_write import (
+    iceberg_convert,
+    iceberg_delete_rows,
+    iceberg_rewrite_deletes,
+    iceberg_write,
+)
+
+
+def _mk(spark, sf_dir, path):
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(3)
+        .write.parquet(path)
+    )
+
+
+def _by_type(df):
+    out = {}
+    for r in df.select("_change_type", "doc_id").collect():
+        out.setdefault(r._change_type, set()).add(r.doc_id)
+    return out
+
+
+@pytest.fixture()
+def dtable(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "d")
+    _mk(spark, sf_dir, out)
+    delta_convert(out)  # version 0
+    delta_delete_rows(spark, out, "doc_id % 7 = 0")  # version 1
+    extra = spark.range(1000, 1010).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "cast(1 as bigint) AS n_chars"
+    )
+    delta_write(extra, out, mode="append")  # version 2
+    return out
+
+
+def test_delta_diff_deletes_only(spark, dtable):
+    got = _by_type(delta_snapshot_diff(spark, dtable, 0, 1))
+    assert got == {"delete": {i for i in range(300) if i % 7 == 0}}
+
+
+def test_delta_diff_inserts_only(spark, dtable):
+    got = _by_type(delta_snapshot_diff(spark, dtable, 1, 2))
+    assert got == {"insert": set(range(1000, 1010))}
+
+
+def test_delta_diff_both_and_identity(spark, dtable):
+    got = _by_type(delta_snapshot_diff(spark, dtable, 0, 2))
+    assert got == {
+        "delete": {i for i in range(300) if i % 7 == 0},
+        "insert": set(range(1000, 1010)),
+    }
+    assert delta_snapshot_diff(spark, dtable, 2, 2).count() == 0
+    # to_version=None means current
+    assert _by_type(delta_snapshot_diff(spark, dtable, 0)) == got
+
+
+def test_delta_net_cancels_rewrite_noise(spark, dtable):
+    """delta_rewrite_deletes materializes the vectors: file-level diff
+    sees the surviving rows as delete+insert pairs (old file out, new
+    file in); net mode cancels them to the EMPTY diff."""
+    v3 = delta_rewrite_deletes(spark, dtable)
+    raw = _by_type(delta_snapshot_diff(spark, dtable, 2, v3))
+    assert raw.get("delete") == raw.get("insert")  # same rows both ways
+    assert delta_snapshot_diff(spark, dtable, 2, v3, net=True).count() == 0
+    # and net across the real change is unaffected
+    net = _by_type(delta_snapshot_diff(spark, dtable, 0, v3, net=True))
+    assert net == {
+        "delete": {i for i in range(300) if i % 7 == 0},
+        "insert": set(range(1000, 1010)),
+    }
+
+
+@pytest.fixture()
+def itable(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "i")
+    _mk(spark, sf_dir, out)
+    iceberg_convert(out)  # snapshot 1
+    iceberg_delete_rows(spark, out, "doc_id % 7 = 0")  # snapshot 2
+    extra = spark.range(1000, 1010).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "cast(1 as bigint) AS n_chars"
+    )
+    iceberg_write(extra, out, mode="append")  # snapshot 3
+    return out
+
+
+def test_iceberg_diff_matches_delta_semantics(spark, itable):
+    assert _by_type(iceberg_snapshot_diff(spark, itable, 1, 2)) == {
+        "delete": {i for i in range(300) if i % 7 == 0}
+    }
+    assert _by_type(iceberg_snapshot_diff(spark, itable, 2, 3)) == {
+        "insert": set(range(1000, 1010))
+    }
+    assert _by_type(iceberg_snapshot_diff(spark, itable, 1, None)) == {
+        "delete": {i for i in range(300) if i % 7 == 0},
+        "insert": set(range(1000, 1010)),
+    }
+    assert iceberg_snapshot_diff(spark, itable, 3, 3).count() == 0
+
+
+def test_iceberg_net_cancels_rewrite_noise(spark, itable):
+    v4 = iceberg_rewrite_deletes(spark, itable)
+    assert (
+        iceberg_snapshot_diff(spark, itable, 3, v4, net=True).count() == 0
+    )
+    raw = iceberg_snapshot_diff(spark, itable, 3, v4)
+    assert raw.count() > 0  # file-level noise exists, net removed it
+
+
+def test_unknown_snapshot_raises(spark, itable):
+    with pytest.raises(ValueError, match="snapshot"):
+        iceberg_snapshot_diff(spark, itable, 99)
