@@ -131,6 +131,37 @@ class ParquetLake:
             )
         return read_parquet(self.spark, use)
 
+    # -- merge-on-read search hooks -------------------------------------------
+    # Format-backed lakes in merge-on-read state (Iceberg positional
+    # deletes, Delta deletion vectors) refuse `.files` (an index over such
+    # files would surface ghost rows through paths that fetch rows blind,
+    # e.g. bm25_topk's stats rescoring). PREDICATE-style search stays exact
+    # anyway: index candidates are a superset, and refine applies BOTH the
+    # predicate and the delete state. These two hooks carry that contract —
+    # `_search_files()` is the plan's file universe (deletes ignored:
+    # files stay live), `_search_row_filter()` is None or a df→df function
+    # that drops row-deleted rows (requires __path/__pos tags from
+    # read_candidates(tag_positions=True), or self.read()'s own handling).
+
+    def _search_files(self) -> list[str]:
+        return self.files
+
+    def _search_row_filter(self):
+        return None
+
+    def _read_candidate_units(
+        self, cand_list, columns: list[str] | None = None
+    ) -> DataFrame:
+        """Candidate-unit fetch with the lake's delete state applied."""
+        rf = self._search_row_filter()
+        df = read_candidates(
+            self.spark,
+            cand_list,
+            columns=columns,
+            tag_positions=rf is not None,
+        )
+        return rf(df) if rf is not None else df
+
     # -- L1: build ------------------------------------------------------------
 
     def build_index(
@@ -245,12 +276,28 @@ class ParquetLake:
         k: int | None = None,
         columns: list[str] | None = None,
     ) -> DataFrame:
-        """Index-accelerated exact search ≡ brute_force(full scan).limit(k)."""
+        """Index-accelerated exact search ≡ brute_force(full scan).limit(k).
+
+        Merge-on-read state (Iceberg positional deletes / Delta deletion
+        vectors) is search-transparent for PREDICATE indexes: candidates
+        are a superset and the refine applies the delete state
+        (`_search_row_filter`). Top-K indexes refuse — their scores
+        depend on corpus statistics that would include deleted rows."""
+        if (
+            self._search_row_filter() is not None
+            and index.predicate(column, query) is None
+        ):
+            raise ValueError(
+                f"{index.index_type} has top-K semantics — its scores "
+                "depend on corpus statistics that would include "
+                "row-deleted rows; compact the merge-on-read state first "
+                "(iceberg_rewrite_deletes / delta_rewrite_deletes)"
+            )
         plan = plan_search(
             self.catalog,
             index.index_type,
             column,
-            self.files,
+            self._search_files(),
             expect_config=IndexCatalog.config_json(**index.config()),
         )
         parts: list[DataFrame] = []
@@ -273,7 +320,7 @@ class ParquetLake:
                     parts.append(self.read(plan.covered_files))
                 elif cand_list:
                     parts.append(
-                        read_candidates(self.spark, cand_list, columns=None)
+                        self._read_candidate_units(cand_list)
                     )
 
         if plan.unindexed_files:
@@ -296,7 +343,7 @@ class ParquetLake:
                 parts.append(self.read(plan.unindexed_files))
 
         if not parts:
-            empty = self.read(self.files[:1]).limit(0)
+            empty = self.read(self._search_files()[:1]).limit(0)
             return index.brute_force(empty, column, query, k)
 
         refined = [index.brute_force(p, column, query, None) for p in parts]
@@ -340,7 +387,7 @@ class ParquetLake:
             batch = ordered[i : i + self.insitu_batch_files]
             scanned.extend(batch)
             got = index.brute_force(
-                read_parquet(self.spark, batch), column, query, None
+                self.read(batch), column, query, None
             ).limit(k - len(rows))
             if schema is None:
                 schema = got.schema
@@ -363,11 +410,21 @@ class ParquetLake:
         plan is computed once, and indexes exposing `search_many` (e.g.
         SubstringIndex) amortize their index scans across all queries —
         the loop below only assembles per-query candidate fetches."""
+        if (
+            self._search_row_filter() is not None
+            and queries
+            and index.predicate(column, queries[0]) is None
+        ):
+            raise ValueError(
+                f"{index.index_type} has top-K semantics — compact the "
+                "merge-on-read state first (iceberg_rewrite_deletes / "
+                "delta_rewrite_deletes)"
+            )
         plan = plan_search(
             self.catalog,
             index.index_type,
             column,
-            self.files,
+            self._search_files(),
             expect_config=IndexCatalog.config_json(**index.config()),
         )
         paths = [e["index_path"] for e in plan.entries]
@@ -398,12 +455,12 @@ class ParquetLake:
                         parts.append(self.read(plan.covered_files))
                     elif cand_list:
                         parts.append(
-                            read_candidates(self.spark, cand_list, columns=None)
+                            self._read_candidate_units(cand_list)
                         )
             if plan.unindexed_files:
                 parts.append(self.read(plan.unindexed_files))
             if not parts:
-                empty = self.read(self.files[:1]).limit(0)
+                empty = self.read(self._search_files()[:1]).limit(0)
                 parts = [empty]
             refined = [index.brute_force(p, column, q, None) for p in parts]
             one = refined[0]
@@ -450,11 +507,11 @@ class ParquetLake:
         cand_list, _ = self._conj_candidates(specs)
 
         if cand_list is None:
-            out = self.read(self.files)
+            out = self.read(self._search_files())
         elif not cand_list:
-            out = self.read(self.files[:1]).limit(0)
+            out = self.read(self._search_files()[:1]).limit(0)
         else:
-            out = read_candidates(self.spark, cand_list, columns=None)
+            out = self._read_candidate_units(cand_list)
         for index, column, query in specs:
             out = index.brute_force(out, column, query, None)
         # NOT-composition: exclusions cannot prune (the complement of a
@@ -520,7 +577,7 @@ class ParquetLake:
         for p in preds[1:]:
             disj = disj | p
 
-        live = set(self.files)
+        live = set(self._search_files())
         union_cands: DataFrame | None = None
         whole_files: set[str] = set()  # files some spec leaves uncovered
         all_entry_files: set[str] = set()  # every file any probed entry names
@@ -543,7 +600,7 @@ class ParquetLake:
                 self.catalog,
                 index.index_type,
                 column,
-                self.files,
+                self._search_files(),
                 expect_config=IndexCatalog.config_json(**index.config()),
             )
             if not plan.entries:
@@ -576,7 +633,7 @@ class ParquetLake:
                 )
 
         if full_scan:
-            out = self.read(self.files)
+            out = self.read(self._search_files())
         else:
             # liveness: entries may cover files already replaced by a
             # rewrite — semi-join candidates against live covered files,
@@ -589,7 +646,7 @@ class ParquetLake:
                 self.brute_force_threshold,
             )
             if cand_list is None:
-                out = self.read(self.files)
+                out = self.read(self._search_files())
             else:
                 # whole-file admissions dominate row-group units of the
                 # same file (reading both would duplicate rows)
@@ -602,9 +659,9 @@ class ParquetLake:
                     if rg != WHOLE_FILE and f not in wholes
                 ]
                 if units:
-                    out = read_candidates(self.spark, units)
+                    out = self._read_candidate_units(units)
                 else:
-                    out = self.read(self.files[:1]).limit(0)
+                    out = self.read(self._search_files()[:1]).limit(0)
         out = out.filter(disj)
         if columns:
             out = out.select(*columns)
@@ -643,7 +700,7 @@ class ParquetLake:
                 self.catalog,
                 index.index_type,
                 column,
-                self.files,
+                self._search_files(),
                 expect_config=IndexCatalog.config_json(**index.config()),
             )
             if not plan.entries:
@@ -656,7 +713,7 @@ class ParquetLake:
             constraining.append((set(plan.covered_files), cands))
 
         # files no spec constrains are scanned whole (metadata-scale list)
-        live = set(self.files)
+        live = set(self._search_files())
         n_specs: dict[str, int] = {}
         for covered, _ in constraining:
             for f in covered & live:
@@ -735,7 +792,7 @@ class ParquetLake:
             self.catalog,
             index.index_type,
             column,
-            self.files,
+            self._search_files(),
             expect_config=IndexCatalog.config_json(**index.config()),
         )
         out = {
@@ -938,14 +995,17 @@ class ParquetLake:
             self.catalog,
             index.index_type,
             column,
-            self.files,
+            self._search_files(),
             expect_config=IndexCatalog.config_json(**index.config()),
         )
         total = 0
         if plan.entries:
             paths = [e["index_path"] for e in plan.entries]
             n = None
-            if hasattr(index, "count_key"):
+            # index-ONLY counts include row-deleted rows — under
+            # merge-on-read state fall back to the refine count, which
+            # self.read() makes delete-exact
+            if hasattr(index, "count_key") and self._search_row_filter() is None:
                 entry_files = {f for e in plan.entries for f in e["file_paths"]}
                 stale_possible = bool(entry_files - set(plan.covered_files))
                 n = index.count_key(
@@ -981,12 +1041,18 @@ class ParquetLake:
             self.catalog,
             index.index_type,
             column,
-            self.files,
+            self._search_files(),
             expect_config=IndexCatalog.config_json(**index.config()),
         )
         parts: list[DataFrame] = []
         covered_counted = False
-        if plan.entries and getattr(index, "store_keys", False):
+        # index-only key counts include row-deleted rows — merge-on-read
+        # state routes covered files through the delete-exact scan instead
+        if (
+            plan.entries
+            and getattr(index, "store_keys", False)
+            and self._search_row_filter() is None
+        ):
             paths = [e["index_path"] for e in plan.entries]
             keys = self.spark.read.parquet(*[f"{p}/keys" for p in paths])
             entry_files = {f for e in plan.entries for f in e["file_paths"]}
@@ -1030,16 +1096,16 @@ class ParquetLake:
         backends/utils.py:110-126)."""
         from rottnest_spark.core.layout import footer_zone_candidates
 
-        cands = footer_zone_candidates(self.spark, self.files, column, lo, hi)
+        cands = footer_zone_candidates(self.spark, self._search_files(), column, lo, hi)
         cand_list = collect_candidates_bounded(
-            cands, set(), set(self.files), self.brute_force_threshold
+            cands, set(), set(self._search_files()), self.brute_force_threshold
         )
         if cand_list is None:
             rows = self.read()
         elif cand_list:
-            rows = read_candidates(self.spark, cand_list)
+            rows = self._read_candidate_units(cand_list)
         else:
-            rows = self.read(self.files[:1]).limit(0)
+            rows = self.read(self._search_files()[:1]).limit(0)
         out = rows.filter(F.col(column).between(F.lit(lo), F.lit(hi)))
         return out.select(*columns) if columns else out
 
@@ -1062,7 +1128,7 @@ class ParquetLake:
         No data reads: catalog + footers only."""
         from rottnest_spark.core.planner import group_mergeable
 
-        live = set(self.files)
+        live = set(self._search_files())
         entries = self.catalog.entries()
         combos = sorted({(e["index_type"], e["column_name"]) for e in entries})
         unindexed = {}
@@ -1473,17 +1539,17 @@ class ParquetLake:
         from rottnest_spark.core.layout import footer_zone_candidates
 
         cands = footer_zone_candidates(
-            self.spark, self.files, column, prefix, None, prefix=True
+            self.spark, self._search_files(), column, prefix, None, prefix=True
         )
         cand_list = collect_candidates_bounded(
-            cands, set(), set(self.files), self.brute_force_threshold
+            cands, set(), set(self._search_files()), self.brute_force_threshold
         )
         if cand_list is None:
             rows = self.read()
         elif cand_list:
-            rows = read_candidates(self.spark, cand_list)
+            rows = self._read_candidate_units(cand_list)
         else:
-            rows = self.read(self.files[:1]).limit(0)
+            rows = self.read(self._search_files()[:1]).limit(0)
         out = rows.filter(F.col(column).startswith(F.lit(prefix)))
         return out.select(*columns) if columns else out
 
@@ -2015,7 +2081,7 @@ class ParquetLake:
         snapshot drift — no build still owns them)."""
         import time as _time
 
-        live = set(self.files) if live_files is None else set(live_files)
+        live = set(self._search_files()) if live_files is None else set(live_files)
         dead = [
             e["index_name"]
             for e in self.catalog.entries()

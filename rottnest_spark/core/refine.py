@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from rottnest_spark.core.layout import WHOLE_FILE
-from rottnest_spark.sources.reader import read_parquet
+from rottnest_spark.sources.reader import nanos_ts_columns, read_parquet
 
 
 def _us_schema(arrow_schema):
@@ -83,8 +83,18 @@ def read_candidates(
     spark: SparkSession,
     candidates: list[tuple[str, int]],
     columns: list[str] | None = None,
+    tag_positions: bool = False,
 ) -> DataFrame:
-    """Read the rows of the candidate (file, row_group) units."""
+    """Read the rows of the candidate (file, row_group) units.
+
+    `tag_positions=True` attaches `__path` (absolute data-file path) and
+    `__pos` (file-global row index) to every row — the merge-on-read
+    search contract: snapshot lakes anti-join these tags against their
+    delete state so index candidates that were row-deleted never surface
+    (sources/iceberg.py positional deletes, sources/delta.py deletion
+    vectors). Whole-file units tag via Spark's `_metadata`; row-group
+    units compute the file-global offset from the footer (cumulative
+    row counts of the preceding groups)."""
     if not candidates:
         raise ValueError("no candidates to read")
 
@@ -93,7 +103,31 @@ def read_candidates(
     parts: list[DataFrame] = []
 
     if whole_files:
-        parts.append(read_parquet(spark, whole_files, columns=columns))
+        if tag_positions:
+            from pyspark.sql import functions as F
+
+            from rottnest_spark.sources.reader import _NANOS_FLAG
+
+            ns_probe = nanos_ts_columns(whole_files[0])
+            spark.conf.set(_NANOS_FLAG, "true" if ns_probe else "false")
+            df = spark.read.parquet(*whole_files)
+            df = df.withColumns(
+                {
+                    "__path": F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+            for c in ns_probe:
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
+            if columns:
+                df = df.select(*columns, "__path", "__pos")
+            parts.append(df)
+        else:
+            parts.append(read_parquet(spark, whole_files, columns=columns))
 
     if rg_cands:
         # Schema must be declared up front for mapInPandas: probe one file.
@@ -107,7 +141,14 @@ def read_candidates(
             arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
         arrow_schema = _us_schema(arrow_schema)
         spark_schema = from_arrow_schema(arrow_schema)
+        if tag_positions:
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            spark_schema = spark_schema.add(
+                StructField("__path", StringType())
+            ).add(StructField("__pos", LongType()))
         cols = columns
+        tag = tag_positions
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import pyarrow as pa  # executor-side imports
@@ -126,11 +167,25 @@ def read_candidates(
             for pdf in batches:
                 for path, group in pdf.groupby("file_path"):
                     pf = pq.ParquetFile(path)
+                    starts = None
+                    if tag:  # cumulative file-global row offsets
+                        md = pf.metadata
+                        starts, acc = [], 0
+                        for j in range(md.num_row_groups):
+                            starts.append(acc)
+                            acc += md.row_group(j).num_rows
                     for rg in group["row_group"]:
                         tbl = pf.read_row_group(int(rg), columns=cols)
                         # safe=False: ns->us truncation is intended (matches
                         # read_parquet's div-1000) — safe mode refuses it
-                        yield tbl.cast(us(tbl.schema), safe=False).to_pandas()
+                        out = tbl.cast(us(tbl.schema), safe=False).to_pandas()
+                        if tag:
+                            out["__path"] = path
+                            out["__pos"] = range(
+                                starts[int(rg)],
+                                starts[int(rg)] + len(out),
+                            )
+                        yield out
 
         cand_df = spark.createDataFrame(
             rg_cands, "file_path string, row_group int"

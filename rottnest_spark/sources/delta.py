@@ -447,6 +447,40 @@ class DeltaSnapshotLake(ParquetLake):
             self._table_path, self._version_as_of, fs=self.fs
         )
 
+    # merge-on-read search contract (core/lake.py hooks): predicate
+    # searches stay EXACT on DV-bearing snapshots — plan over the data
+    # files (vectors ignored: files stay live, index entries stay valid
+    # as supersets), refine anti-joins the decoded deleted positions.
+    # Top-K paths still refuse via `.files`.
+    def _search_files(self) -> list[str]:
+        return delta_live_files(
+            self._table_path, self._version_as_of, fs=self.fs,
+            on_deletes="ignore",
+        )
+
+    def _search_row_filter(self):
+        dvs = delta_live_dvs(
+            self._table_path, self._version_as_of, fs=self.fs
+        )
+        if not dvs:
+            return None
+        spark, tp = self.spark, self._table_path
+
+        def rf(df):
+            from pyspark.sql import functions as F
+
+            pairs = dv_positions_df(spark, tp, dvs).select(
+                F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
+                    "__path"
+                ),
+                F.col("pos").alias("__pos"),
+            )
+            return df.join(pairs, ["__path", "__pos"], "left_anti").drop(
+                "__path", "__pos"
+            )
+
+        return rf
+
     def build_index(self, index, column: str, *a, **kw):
         """Partition columns are path-encoded, not physical — an index
         over one would build against the reconstructed read but refine

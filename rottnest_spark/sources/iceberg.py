@@ -342,6 +342,40 @@ class IcebergSnapshotLake(ParquetLake):
     def files(self) -> list[str]:
         return iceberg_live_files(self._table_path, fs=self.fs)
 
+    # merge-on-read search contract (core/lake.py hooks): predicate
+    # searches stay EXACT on delete-bearing snapshots — the plan runs
+    # over the data files (deletes ignored: files stay live, index
+    # entries stay valid as supersets) and the refine anti-joins the
+    # positional delete pairs. Top-K paths still refuse via `.files`.
+    def _search_files(self) -> list[str]:
+        data, _ = iceberg_live_files_and_deletes(self._table_path, fs=self.fs)
+        return data
+
+    def _search_row_filter(self):
+        _, dels = iceberg_live_files_and_deletes(self._table_path, fs=self.fs)
+        if not dels:
+            return None
+        spark = self.spark
+
+        def rf(df):
+            from pyspark.sql import functions as F
+
+            pairs = (
+                spark.read.parquet(*dels)
+                .select(
+                    F.regexp_replace(
+                        F.col("file_path"), "^file:/+", "/"
+                    ).alias("__path"),
+                    F.col("pos").cast("long").alias("__pos"),
+                )
+                .distinct()
+            )
+            return df.join(pairs, ["__path", "__pos"], "left_anti").drop(
+                "__path", "__pos"
+            )
+
+        return rf
+
     def build_index(self, index, column: str, *a, **kw):
         """Identity partition columns of a hive-migrated-style table are
         not physical in the data files — same refusal-with-pointer as
