@@ -180,7 +180,12 @@ class ParquetLake:
         (backends/iceberg.py:178-211): a hung build raises TimeoutError,
         its Spark jobs are cancelled, NO catalog entry is committed, and
         any partially-written dir is an orphan that vacuum() reclaims."""
-        todo = unindexed_files(self.catalog, index.index_type, column, self.files)
+        # _search_files: merge-on-read tables stay indexable — the index
+        # is a SUPERSET over row-deleted rows, and every search path
+        # refines through the delete state (`_search_row_filter`)
+        todo = unindexed_files(
+            self.catalog, index.index_type, column, self._search_files()
+        )
         if not todo:
             return []
         counts = file_row_counts(self.spark, todo)

@@ -21,10 +21,13 @@ Databricks-written tables) — EXCEEDS the reference, which ignores the
 - `DeltaSnapshotLake.read()` APPLIES them: executor-side roaring decode
   (sources/roaring.py, the public PROTOCOL.md format) + one anti-join on
   (file path, row position);
-- the INDEX layer refuses DV-bearing snapshots (`.files` raises) — an
-  index over files with un-applied vectors returns ghost rows;
-  `delta_rewrite_deletes` (sources/delta_write.py) compacts the vectors
-  back into data files, after which indexing works again.
+- PREDICATE index search and `build_index` are DV-aware (core/lake.py
+  `_search_files`/`_search_row_filter` hooks): indexes are supersets
+  over deleted rows and every refine path anti-joins the decoded
+  positions — exact results with NO compaction. Paths that treat files
+  as fully live (`.files`, top-K probes, copy-on-write DML) still
+  refuse; `delta_rewrite_deletes` (sources/delta_write.py) compacts
+  the vectors for those.
 """
 
 from __future__ import annotations
@@ -232,10 +235,12 @@ def delta_live_files(
         n_dv = sum(1 for _, dv in state.values() if dv)
         if n_dv:
             raise ValueError(
-                f"table has {n_dv} file(s) with deletion vectors — the "
-                "index layer refuses merge-on-read snapshots (ghost "
-                "rows). DeltaSnapshotLake.read() applies the vectors; "
-                "delta_rewrite_deletes() compacts them to enable indexing"
+                f"table has {n_dv} file(s) with deletion vectors — this "
+                "path treats files as fully live and would surface ghost "
+                "rows. DeltaSnapshotLake.read(), build_index() and "
+                "predicate search() are merge-on-read-aware; "
+                "delta_rewrite_deletes() compacts the vectors for "
+                "everything else (top-K search, copy-on-write DML)"
             )
     return sorted(state)
 

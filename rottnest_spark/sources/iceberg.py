@@ -18,10 +18,13 @@ refuses delete-bearing tables outright (backends/iceberg.py:279-280):
   are anti-joined against the union of the snapshot's delete files on
   (file_path, row position) using Spark's `_metadata.file_path` /
   `_metadata.row_index` — one distributed anti-join, no driver state;
-- the INDEX layer still refuses delete-bearing snapshots (`.files`
-  raises): an index over files with un-applied deletes would return
-  ghost rows. `iceberg_rewrite_deletes` (sources/iceberg_write.py)
-  compacts deletes back into data files, after which indexing works;
+- PREDICATE index search and `build_index` are merge-on-read-aware
+  (core/lake.py `_search_files`/`_search_row_filter` hooks): indexes
+  are supersets over deleted rows and every refine path anti-joins the
+  delete state, so results stay exact with NO compaction. Paths that
+  treat files as fully live (`.files`, top-K probes like bm25_topk,
+  copy-on-write DML) still refuse; `iceberg_rewrite_deletes`
+  (sources/iceberg_write.py) compacts the deletes for those;
 - equality deletes (content=2 data files) are refused — applying them
   needs the table schema's equality field IDs, out of scope;
 - unreadable manifest lists / unknown codecs raise instead of returning a
@@ -270,10 +273,12 @@ def _snapshot_data_files(
     data, deletes = _snapshot_files_and_deletes(md, snap, table_path, fs)
     if deletes and on_deletes == "raise":
         raise ValueError(
-            f"table has {len(deletes)} positional delete file(s) — the "
-            "index layer refuses merge-on-read snapshots (ghost rows). "
-            "IcebergSnapshotLake.read() applies deletes; "
-            "iceberg_rewrite_deletes() compacts them to enable indexing"
+            f"table has {len(deletes)} positional delete file(s) — this "
+            "path treats files as fully live and would surface ghost "
+            "rows. IcebergSnapshotLake.read(), build_index() and "
+            "predicate search() are merge-on-read-aware; "
+            "iceberg_rewrite_deletes() compacts the deletes for "
+            "everything else (top-K search, copy-on-write DML)"
         )
     return data
 
@@ -383,7 +388,7 @@ class IcebergSnapshotLake(ParquetLake):
         if column in iceberg_partition_columns(self._table_path, fs=self.fs):
             import pyarrow.parquet as pq
 
-            probe = self.files[:1]
+            probe = self._search_files()[:1]
             if probe and column not in pq.ParquetFile(
                 probe[0]
             ).schema_arrow.names:

@@ -171,3 +171,26 @@ def test_rowgroup_granularity_tags_positions(spark, sf_dir, tmp_path):
     got = _ids(lake.search(SubstringIndex(granularity="row_group"), "text", Q))
     assert got == _oracle(lake)
     assert all(i % 2 == 1 for i in got)
+
+
+def test_build_index_on_mor_table(spark, sf_dir, tmp_path):
+    """Indexing a delete-bearing table is allowed — the index is a
+    SUPERSET (deleted rows included) and every search path refines
+    through the delete state, so results stay exact."""
+    t = str(tmp_path / "bmor")
+    _mk_docs(spark, sf_dir, t)
+    iceberg_convert(t)
+    iceberg_delete_rows(spark, t, F.col("doc_id") % 2 == 0)
+    lake = IcebergSnapshotLake(spark, t, str(tmp_path / "idx"))
+    assert lake.build_index(SubstringIndex(), "text")  # built UNDER deletes
+    got = _ids(lake.search(SubstringIndex(), "text", Q))
+    assert got == _oracle(lake)
+    assert all(i % 2 == 1 for i in got)
+    # appending then re-building indexes only the delta (idempotent plan)
+    extra = lake.read().limit(2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(90_000)
+    )
+    iceberg_write(extra, t, mode="append")
+    created = lake.build_index(SubstringIndex(), "text")
+    assert len(created) == 1
+    assert _ids(lake.search(SubstringIndex(), "text", Q)) == _oracle(lake)
