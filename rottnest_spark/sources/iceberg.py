@@ -167,7 +167,17 @@ def iceberg_live_files_and_deletes(
     """(live data files, live positional delete files) of the CURRENT
     snapshot — the merge-on-read contract: readers must anti-join data
     rows against the delete files' (file_path, pos) pairs."""
-    md = _current_metadata(table_path, fs)
+    return files_and_deletes_from_metadata(
+        _current_metadata(table_path, fs), table_path, fs
+    )
+
+
+def files_and_deletes_from_metadata(
+    md: dict, table_path: str, fs=None
+) -> tuple[list[str], list[str]]:
+    """Metadata-level twin of `iceberg_live_files_and_deletes` — shared
+    by the storage-resolved lake and the catalog-served lakes (REST,
+    Glue), whose metadata freshness comes from the catalog pointer."""
     snap_id = md.get("current-snapshot-id")
     snaps = md.get("snapshots", [])
     if snap_id in (None, -1) or not snaps:
@@ -288,7 +298,10 @@ def iceberg_partition_columns(table_path: str, fs=None) -> list[str]:
     Non-identity transforms (bucket/day/truncate) are ignored here: their
     SOURCE columns stay physical in the data files, so reads need no
     reconstruction for them."""
-    md = _current_metadata(table_path, fs)
+    return partition_columns_from_metadata(_current_metadata(table_path, fs))
+
+
+def partition_columns_from_metadata(md: dict) -> list[str]:
     spec = md.get("partition-spec")
     if spec is None and md.get("partition-specs"):
         sid = md.get("default-spec-id", 0)
@@ -306,7 +319,10 @@ def iceberg_live_adds(table_path: str, fs=None) -> dict[str, dict]:
     """{absolute data-file path: partition-values dict} for the CURRENT
     snapshot — the manifests' r102 partition records (authoritative per
     the spec; identity values are typed at write time)."""
-    md = _current_metadata(table_path, fs)
+    return live_adds_from_metadata(_current_metadata(table_path, fs), table_path, fs)
+
+
+def live_adds_from_metadata(md: dict, table_path: str, fs=None) -> dict[str, dict]:
     by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     cur = md.get("current-snapshot-id")
     if cur not in by_id:
@@ -343,9 +359,32 @@ class IcebergSnapshotLake(ParquetLake):
         super().__init__(spark, table_path, index_dir, **kw)
         self._table_path = table_path
 
+    def _table_metadata(self) -> dict:
+        """The TableMetadata dict every snapshot resolution goes through
+        — storage-resolved here (version-hint / max-version file);
+        catalog-served lakes (REST, Glue) override JUST this, so reads,
+        searches, and merge-on-read state all share the catalog's
+        freshness."""
+        return _current_metadata(self._table_path, fs=self.fs)
+
+    def _files_and_deletes(self) -> tuple[list[str], list[str]]:
+        return files_and_deletes_from_metadata(
+            self._table_metadata(), self._table_path, fs=self.fs
+        )
+
     @property
     def files(self) -> list[str]:
-        return iceberg_live_files(self._table_path, fs=self.fs)
+        data, dels = self._files_and_deletes()
+        if dels:
+            raise ValueError(
+                f"table has {len(dels)} positional delete file(s) — this "
+                "path treats files as fully live and would surface ghost "
+                "rows. IcebergSnapshotLake.read(), build_index() and "
+                "predicate search() are merge-on-read-aware; "
+                "iceberg_rewrite_deletes() compacts the deletes for "
+                "everything else (top-K search, copy-on-write DML)"
+            )
+        return data
 
     # merge-on-read search contract (core/lake.py hooks): predicate
     # searches stay EXACT on delete-bearing snapshots — the plan runs
@@ -353,11 +392,11 @@ class IcebergSnapshotLake(ParquetLake):
     # entries stay valid as supersets) and the refine anti-joins the
     # positional delete pairs. Top-K paths still refuse via `.files`.
     def _search_files(self) -> list[str]:
-        data, _ = iceberg_live_files_and_deletes(self._table_path, fs=self.fs)
+        data, _ = self._files_and_deletes()
         return data
 
     def _search_row_filter(self):
-        _, dels = iceberg_live_files_and_deletes(self._table_path, fs=self.fs)
+        _, dels = self._files_and_deletes()
         if not dels:
             return None
         spark = self.spark
@@ -385,7 +424,7 @@ class IcebergSnapshotLake(ParquetLake):
         """Identity partition columns of a hive-migrated-style table are
         not physical in the data files — same refusal-with-pointer as
         DeltaSnapshotLake (partition pruning serves those predicates)."""
-        if column in iceberg_partition_columns(self._table_path, fs=self.fs):
+        if column in partition_columns_from_metadata(self._table_metadata()):
             import pyarrow.parquet as pq
 
             probe = self._search_files()[:1]
@@ -440,10 +479,11 @@ class IcebergSnapshotLake(ParquetLake):
         reconstruction is one scan per DISTINCT partition tuple with
         literal columns, unioned — bounded by partition count, not file
         count; no schema-widening risk from a forced global schema."""
-        data, dels = iceberg_live_files_and_deletes(
-            self._table_path, fs=self.fs
+        md = self._table_metadata()
+        data, dels = files_and_deletes_from_metadata(
+            md, self._table_path, fs=self.fs
         )
-        pcols = iceberg_partition_columns(self._table_path, fs=self.fs)
+        pcols = partition_columns_from_metadata(md)
         if not pcols:
             use = files or data
             if not use:
@@ -463,7 +503,7 @@ class IcebergSnapshotLake(ParquetLake):
         missing = [c for c in pcols if c not in physical]
         if not missing:
             return self._base_read(use, dels)
-        adds = iceberg_live_adds(self._table_path, fs=self.fs)
+        adds = live_adds_from_metadata(md, self._table_path, fs=self.fs)
         unknown = [f for f in use if f not in adds]
         if unknown:
             raise ValueError(
@@ -479,7 +519,6 @@ class IcebergSnapshotLake(ParquetLake):
             "float": "double", "boolean": "boolean",
             "timestamp": "timestamp", "string": "string",
         }
-        md = _current_metadata(self._table_path, fs=self.fs)
         casts = {}
         for f in md.get("schema", {}).get("fields", []):
             if f["name"] in missing and isinstance(f.get("type"), str):

@@ -181,10 +181,11 @@ class IcebergGlueLake(IcebergSnapshotLake):
                 )
         super().__init__(spark, table_path, index_dir, **kw)
 
-    @property
-    def files(self) -> list[str]:
-        md = self.glue_catalog.table_metadata(self.identifier)
-        return live_files_from_metadata(md, self._table_path, fs=self.fs)
+    def _table_metadata(self) -> dict:
+        """Catalog-served freshness: every snapshot resolution (`.files`,
+        reads, merge-on-read search state) re-fetches the Glue pointer
+        instead of reading version-hint from storage."""
+        return self.glue_catalog.table_metadata(self.identifier)
 
     def vacuum(
         self,

@@ -196,10 +196,11 @@ class IcebergRestLake(IcebergSnapshotLake):
                 )
         super().__init__(spark, table_path, index_dir, **kw)
 
-    @property
-    def files(self) -> list[str]:
-        md = self.rest_catalog.table_metadata(self.identifier)
-        return live_files_from_metadata(md, self._table_path, fs=self.fs)
+    def _table_metadata(self) -> dict:
+        """Catalog-served freshness: every snapshot resolution (`.files`,
+        reads, merge-on-read search state) re-fetches the catalog's
+        metadata instead of reading version-hint from storage."""
+        return self.rest_catalog.table_metadata(self.identifier)
 
     def vacuum(
         self,
