@@ -201,10 +201,15 @@ def iceberg_snapshot_diff(
         data, dels = _snapshot_files_and_deletes(
             md, by_id[sid], table_path, fs
         )
+        from rottnest_spark.sources.iceberg import delete_pairs_df
+
         pos = (
-            spark.read.parquet(*sorted(dels)).select(
-                _norm(F.col("file_path")).alias("__path"),
-                F.col("pos").cast("long").alias("__pos"),
+            delete_pairs_df(
+                spark, sorted(dels), location=md.get("location", ""),
+                table_path=table_path,
+            ).select(
+                F.col("__del_path").alias("__path"),
+                F.col("__del_pos").alias("__pos"),
             )
             if dels
             else None

@@ -193,24 +193,54 @@ def files_and_deletes_from_metadata(
     return sorted(data), sorted(dels)
 
 
-def apply_position_deletes(spark, df, delete_files: list[str]):
+def delete_pairs_df(
+    spark,
+    delete_files: list[str],
+    location: str = "",
+    table_path: str = "",
+):
+    """(__del_path, __del_pos) DataFrame from positional delete files,
+    with the recorded paths NORMALIZED (file: URIs stripped) and REBASED
+    from the table's metadata `location` onto the actual table directory
+    — external tables are routinely copied/mounted elsewhere, and delete
+    rows address data files by their ORIGINAL absolute URIs (the same
+    relocation `_rebase` performs for manifest paths)."""
+    from pyspark.sql import functions as F
+
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    col = norm(F.col("file_path"))
+    loc = _norm_uri(location or "").rstrip("/")
+    tp = os.path.abspath(table_path) if table_path else ""
+    if loc and tp and loc != tp:
+        col = F.regexp_replace(
+            col, "^" + re.escape(loc) + "/", tp.rstrip("/") + "/"
+        )
+    return (
+        spark.read.parquet(*delete_files)
+        .select(
+            col.alias("__del_path"),
+            F.col("pos").cast("long").alias("__del_pos"),
+        )
+        .distinct()
+    )
+
+
+def apply_position_deletes(
+    spark, df, delete_files: list[str], location: str = "", table_path: str = ""
+):
     """Apply Iceberg positional delete files to a DataFrame that was read
     WITH Spark's `_metadata` file column still reachable: one distributed
     left-anti join on (normalized file path, row position). The delete
-    files' `file_path` column records absolute paths (as manifests do);
+    files' `file_path` column records absolute paths (as manifests do),
+    rebased from `location` onto `table_path` for relocated tables;
     `_metadata.file_path` is a file: URI — both sides normalize to a bare
     absolute path. Plan shape: delete sets are a small fraction of data
     rows, and AQE broadcast-converts the anti-join when they fit."""
     from pyspark.sql import functions as F
 
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    pairs = (
-        spark.read.parquet(*delete_files)
-        .select(
-            norm(F.col("file_path")).alias("__del_path"),
-            F.col("pos").cast("long").alias("__del_pos"),
-        )
-        .distinct()
+    pairs = delete_pairs_df(
+        spark, delete_files, location=location, table_path=table_path
     )
     tagged = df.withColumns(
         {
@@ -396,23 +426,22 @@ class IcebergSnapshotLake(ParquetLake):
         return data
 
     def _search_row_filter(self):
-        _, dels = self._files_and_deletes()
+        md = self._table_metadata()
+        _, dels = files_and_deletes_from_metadata(
+            md, self._table_path, fs=self.fs
+        )
         if not dels:
             return None
-        spark = self.spark
+        spark, loc, tp = self.spark, md.get("location", ""), self._table_path
 
         def rf(df):
             from pyspark.sql import functions as F
 
-            pairs = (
-                spark.read.parquet(*dels)
-                .select(
-                    F.regexp_replace(
-                        F.col("file_path"), "^file:/+", "/"
-                    ).alias("__path"),
-                    F.col("pos").cast("long").alias("__pos"),
-                )
-                .distinct()
+            pairs = delete_pairs_df(
+                spark, dels, location=loc, table_path=tp
+            ).select(
+                F.col("__del_path").alias("__path"),
+                F.col("__del_pos").alias("__pos"),
             )
             return df.join(pairs, ["__path", "__pos"], "left_anti").drop(
                 "__path", "__pos"
@@ -438,7 +467,7 @@ class IcebergSnapshotLake(ParquetLake):
                 )
         return super().build_index(index, column, *a, **kw)
 
-    def _base_read(self, fl: list[str], dels: list[str]):
+    def _base_read(self, fl: list[str], dels: list[str], location: str = ""):
         """Scan `fl`, applying the snapshot's positional delete files when
         present. Deletes anti-join on `_metadata` BEFORE any projection
         (metadata columns resolve only on the scan relation), then the
@@ -456,7 +485,8 @@ class IcebergSnapshotLake(ParquetLake):
         from pyspark.sql import functions as F
 
         df = apply_position_deletes(
-            self.spark, self.spark.read.parquet(*fl), dels
+            self.spark, self.spark.read.parquet(*fl), dels,
+            location=location, table_path=self._table_path,
         )
         for c in ns_cols:
             df = df.withColumn(
@@ -491,7 +521,7 @@ class IcebergSnapshotLake(ParquetLake):
                     f"Iceberg table at {self._table_path!r} has no live "
                     "data files"
                 )
-            return self._base_read(use, dels)
+            return self._base_read(use, dels, md.get("location", ""))
         use = files or data
         if not use:
             raise ValueError(
@@ -502,7 +532,7 @@ class IcebergSnapshotLake(ParquetLake):
         physical = set(pq.ParquetFile(use[0]).schema_arrow.names)
         missing = [c for c in pcols if c not in physical]
         if not missing:
-            return self._base_read(use, dels)
+            return self._base_read(use, dels, md.get("location", ""))
         adds = live_adds_from_metadata(md, self._table_path, fs=self.fs)
         unknown = [f for f in use if f not in adds]
         if unknown:
@@ -532,7 +562,7 @@ class IcebergSnapshotLake(ParquetLake):
         for key, fl in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
         ):
-            df = self._base_read(fl, dels)
+            df = self._base_read(fl, dels, md.get("location", ""))
             for c, v in zip(missing, key):
                 lit = F.lit(v)
                 if c in casts:

@@ -689,12 +689,15 @@ def iceberg_delete_rows(
         )
     )
     if dels:
-        prior = (
-            spark.read.parquet(*dels)
-            .select(
-                norm(F.col("file_path")).alias("file_path"),
-                F.col("pos").cast("long").alias("pos"),
-            )
+        from rottnest_spark.sources.iceberg import delete_pairs_df
+
+        _, md = _latest_metadata(table_path, fs)
+        prior = delete_pairs_df(
+            spark, dels, location=(md or {}).get("location", ""),
+            table_path=table_path,
+        ).select(
+            F.col("__del_path").alias("file_path"),
+            F.col("__del_pos").alias("pos"),
         )
         pairs = pairs.join(prior, ["file_path", "pos"], "left_anti")
     if pairs.isEmpty():
@@ -751,11 +754,16 @@ def iceberg_rewrite_deletes(
     if not dels:
         _, prior_md = _latest_metadata(table_path, fs)
         return (prior_md or {}).get("current-snapshot-id", -1)
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    from rottnest_spark.sources.iceberg import delete_pairs_df
+
+    _, md = _latest_metadata(table_path, fs)
+    loc = (md or {}).get("location", "")
     touched = {
-        r.file_path
-        for r in spark.read.parquet(*dels)
-        .select(norm(F.col("file_path")).alias("file_path"))
+        r["__del_path"]
+        for r in delete_pairs_df(
+            spark, dels, location=loc, table_path=table_path
+        )
+        .select("__del_path")
         .distinct()
         .collect()  # metadata-scale: bounded by file count, not rows
     }
@@ -773,7 +781,8 @@ def iceberg_rewrite_deletes(
     for d, group in sorted(by_dir.items()):
         stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
         apply_position_deletes(
-            spark, spark.read.parquet(*group), dels
+            spark, spark.read.parquet(*group), dels,
+            location=loc, table_path=table_path,
         ).write.parquet(stage)
         for f in fs.list_files(stage):
             leaf = os.path.basename(f)

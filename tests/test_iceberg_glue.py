@@ -194,3 +194,57 @@ def test_glue_lake_resolves_location(spark, glue_table, tmp_path):
     lake = IcebergGlueLake(spark, cat, "db.evt", str(tmp_path / "idx2"))
     assert lake._table_path == table
     assert lake.files == []  # empty table: no snapshot yet
+
+
+def test_glue_mor_read_uses_catalog_freshness(spark, glue_table, tmp_path):
+    """A delete-bearing snapshot committed via the Glue pointer must be
+    APPLIED even while storage's version-hint still points at v1 — every
+    snapshot resolution (read, merge-on-read state) goes through the
+    catalog's metadata, not the stale hint. The delete file records the
+    data file under its ORIGINAL location (relocated-table shape), so
+    the delete-pair rebase is exercised too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_iceberg import ORIG_LOC
+
+    table, client, m1 = glue_table
+    meta = f"{table}/metadata"
+    # positional delete file for part-00000: first 3 row positions,
+    # addressed by the ORIGINAL (pre-relocation) absolute path
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [f"{ORIG_LOC}/data/part-00000.parquet"] * 3,
+                "pos": pa.array([0, 1, 2], pa.int64()),
+            }
+        ),
+        f"{table}/data/del-1.parquet",
+    )
+    m_del = _mk_manifest(meta, "mdel.avro", [(1, "del-1.parquet", 1)])
+    ml2 = _mk_manifest_list(
+        meta, "snap-2.avro", [m1, m_del], contents=[0, 1]
+    )
+    _write_metadata(meta, 2, 2, ml2)
+    # storage hint pinned BACK to v1 — only the catalog knows about v2
+    with open(f"{meta}/version-hint.text", "w") as fh:
+        fh.write("1")
+    client.tables["db"] = [
+        {
+            "Name": "evt",
+            "Parameters": {
+                "table_type": "ICEBERG",
+                "metadata_location": f"{meta}/v2.metadata.json",
+            },
+        }
+    ]
+    cat = IcebergGlueCatalog(client=client)
+    lake = IcebergGlueLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    part0 = spark.read.parquet(f"{table}/data/part-00000.parquet")
+    got = sorted(r.doc_id for r in lake.read().select("doc_id").collect())
+    assert len(got) == part0.count() - 3
+    # positions 0,1,2 of the FILE order are gone
+    first3 = [r.doc_id for r in part0.limit(3).collect()]
+    assert not (set(first3) & set(got))
