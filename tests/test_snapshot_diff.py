@@ -132,3 +132,60 @@ def test_iceberg_net_cancels_rewrite_noise(spark, itable):
 def test_unknown_snapshot_raises(spark, itable):
     with pytest.raises(ValueError, match="snapshot"):
         iceberg_snapshot_diff(spark, itable, 99)
+
+
+def test_delta_changes_feed_per_commit(spark, dtable):
+    from rottnest_spark.sources.changes import delta_changes_feed
+
+    feed = delta_changes_feed(spark, dtable, 0)
+    rows = feed.select("_commit_version", "_change_type", "doc_id").collect()
+    by_commit = {}
+    for r in rows:
+        by_commit.setdefault(
+            (r._commit_version, r._change_type), set()
+        ).add(r.doc_id)
+    assert by_commit == {
+        (1, "delete"): {i for i in range(300) if i % 7 == 0},
+        (2, "insert"): set(range(1000, 1010)),
+    }
+    with pytest.raises(ValueError, match="nothing to feed"):
+        delta_changes_feed(spark, dtable, 2)
+
+
+def test_delta_changes_cursor_replay(spark, dtable, tmp_path):
+    """Consumer loop: poll → apply → ack; a mirror maintained purely
+    from the feed converges to the source's current state."""
+    from rottnest_spark.sources.changes import DeltaChangesCursor
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+
+    cur = DeltaChangesCursor(spark, dtable, str(tmp_path / "ckpt"))
+    feed, latest = cur.poll()
+    assert feed is not None and latest == 2
+    ins = {
+        r.doc_id
+        for r in feed.filter("_change_type = 'insert'").collect()
+    }
+    dels = {
+        r.doc_id
+        for r in feed.filter("_change_type = 'delete'").collect()
+    }
+    # replay from an empty mirror: initial rows come from version-0 read
+    lake0 = DeltaSnapshotLake(spark, dtable, dtable + "_i", version_as_of=0)
+    mirror = {r.doc_id for r in lake0.read().select("doc_id").collect()}
+    mirror = (mirror - dels) | ins
+    lake = DeltaSnapshotLake(spark, dtable, dtable + "_i")
+    assert mirror == set(_ids := set(
+        r.doc_id for r in lake.read().select("doc_id").collect()
+    ))
+    cur.ack(latest)
+    feed2, pos = cur.poll()
+    assert feed2 is None and pos == 2  # caught up
+    # a new commit reopens the feed
+    delta_delete_rows(spark, dtable, "doc_id = 101")
+    feed3, latest3 = cur.poll()
+    assert latest3 == 3
+    got = [
+        (r._change_type, r.doc_id)
+        for r in feed3.select("_change_type", "doc_id").collect()
+    ]
+    assert got == [("delete", 101)]
