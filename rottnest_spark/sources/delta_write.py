@@ -744,3 +744,73 @@ def delta_rewrite_deletes(
     return delta_commit_retry(
         table_path, add=added, remove=affected, fs=fs
     )
+
+
+def delta_vacuum_table(
+    table_path: str,
+    older_than_sec: float = 7 * 86400.0,
+    fs: LakeFS | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Physical-file VACUUM of the table directory (the Delta VACUUM
+    command's semantics): delete data files and deletion-vector bins that
+    are NOT referenced by the current snapshot and whose modification
+    time is at least `older_than_sec` old. Returns the deleted (or, with
+    `dry_run`, the would-be-deleted) paths.
+
+    The retention window is the time-travel safety valve — readers of a
+    recent historical version still find their files. Passing 0 is the
+    RETENTION-CHECK-DISABLED mode (tests, known-idle tables); like the
+    real command, it can break concurrent time travel. The log itself is
+    never touched (delta_checkpoint + log cleanup govern that); index
+    files are ParquetLake.vacuum's job."""
+    import time as _time
+
+    from rottnest_spark.sources.delta import _delta_live_state
+
+    fs = fs or LocalFS()
+    state = _delta_live_state(table_path, fs=fs)
+    keep = set(state)
+    for _, dv in state.values():
+        if dv and dv.get("storageType") in ("u", "p"):
+            pi = dv["pathOrInlineDv"]
+            if dv["storageType"] == "p":
+                keep.add(pi if os.path.isabs(pi) else os.path.join(table_path, pi))
+            else:
+                import uuid as _uuid
+
+                from rottnest_spark.sources.roaring import z85_decode
+
+                prefix, enc = pi[:-20], pi[-20:]
+                keep.add(
+                    os.path.join(
+                        table_path,
+                        prefix,
+                        f"deletion_vector_{_uuid.UUID(bytes=z85_decode(enc))}.bin",
+                    )
+                )
+    cutoff = _time.time() - older_than_sec
+    victims = []
+    for f in fs.list_files(table_path):
+        rel = os.path.relpath(f, table_path)
+        parts = rel.split(os.sep)
+        if "_delta_log" in parts or any(
+            s.startswith(("_", ".")) for s in parts[:-1]
+        ):
+            continue
+        leaf = parts[-1]
+        is_data = leaf.endswith(".parquet") and not leaf.startswith(("_", "."))
+        is_dv = leaf.startswith("deletion_vector_") and leaf.endswith(".bin")
+        if not (is_data or is_dv):
+            continue
+        if os.path.abspath(f) in keep:
+            continue
+        try:
+            if fs.getmtime(f) > cutoff:
+                continue
+        except OSError:
+            continue
+        victims.append(f)
+        if not dry_run:
+            fs.remove(f)
+    return sorted(victims)

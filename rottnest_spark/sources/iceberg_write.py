@@ -800,3 +800,101 @@ def iceberg_rewrite_deletes(
         timestamp_ms=timestamp_ms,
         remove_deletes=dels,
     )
+
+
+def iceberg_expire_snapshots(
+    table_path: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    fs: LakeFS | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Expire old snapshots and delete the files only they referenced —
+    the Iceberg maintenance op that bounds metadata and storage growth
+    (spec: expired snapshots leave the log; their exclusive data/delete
+    files, manifests, and manifest lists become deletable).
+
+    Keep set = the CURRENT snapshot plus either the newest `keep_last`
+    snapshots or those with timestamp-ms >= `older_than_ms` cutoff.
+    Commits a new metadata version (exclusive-create, same OCC protocol
+    as every other commit) with the pruned snapshot list FIRST, then
+    deletes files unreachable from any surviving snapshot. Returns the
+    deleted (or with `dry_run` the would-be-deleted) paths; a dry run
+    commits nothing."""
+    from rottnest_spark.sources.iceberg import (
+        _rebase,
+        _snapshot_files_and_deletes,
+    )
+
+    if (keep_last is None) == (older_than_ms is None):
+        raise ValueError("pass exactly one of keep_last / older_than_ms")
+    fs = fs or LocalFS()
+    prior_version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    snaps = md.get("snapshots") or []
+    cur = md.get("current-snapshot-id")
+    if keep_last is not None:
+        ordered = sorted(snaps, key=lambda s: int(s.get("timestamp-ms") or 0))
+        keep_ids = {s["snapshot-id"] for s in ordered[-max(1, keep_last):]}
+    else:
+        keep_ids = {
+            s["snapshot-id"]
+            for s in snaps
+            if int(s.get("timestamp-ms") or 0) >= older_than_ms
+        }
+    keep_ids.add(cur)
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return []
+
+    location = md.get("location", "")
+
+    def snapshot_refs(snap) -> tuple[set[str], set[str]]:
+        """(data+delete files, metadata files) one snapshot reaches."""
+        meta_refs: set[str] = set()
+        if "manifest-list" in snap:
+            ml = _rebase(snap["manifest-list"], location, table_path)
+            meta_refs.add(ml)
+            from rottnest_spark.sources.avro_lite import read_ocf
+
+            _, entries = read_ocf(ml, fs=fs)
+            for e in entries:
+                meta_refs.add(
+                    _rebase(e["manifest_path"], location, table_path)
+                )
+        data, dels = _snapshot_files_and_deletes(md, snap, table_path, fs)
+        return data | dels, meta_refs
+
+    keep_files: set[str] = set()
+    keep_meta: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids:
+            f, m = snapshot_refs(s)
+            keep_files |= f
+            keep_meta |= m
+    victims: set[str] = set()
+    for s in expired:
+        f, m = snapshot_refs(s)
+        victims |= f - keep_files
+        victims |= m - keep_meta
+
+    if dry_run:
+        return sorted(victims)
+
+    # commit the pruned snapshot list FIRST (crash-safe ordering: an
+    # interrupted expire leaves extra files, never dangling references)
+    new_md = dict(md)
+    new_md["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in keep_ids
+    ]
+    new_md["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = _meta_dir(table_path)
+    version = prior_version + 1
+    md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fs.create_exclusive(md_path, json.dumps(new_md).encode())
+    fs.write_text(os.path.join(meta_dir, "version-hint.text"), str(version))
+    for f in sorted(victims):
+        if fs.exists(f):
+            fs.remove(f)
+    return sorted(victims)
