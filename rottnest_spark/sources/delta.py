@@ -146,6 +146,8 @@ def _delta_live_state(
                 f"checkpoint ({start_version}) — older commits may have "
                 f"been vacuumed; cannot reconstruct that snapshot"
             )
+    proto: dict | None = None
+    meta: dict | None = None
     if cp_files:
         for cp in cp_files:
             tbl = _read_cp_table(fs, cp)
@@ -156,6 +158,14 @@ def _delta_live_state(
                             dict(rec.get("partitionValues") or {}),
                             rec.get("deletionVector") or None,
                         )
+            for col in ("protocol", "metaData"):
+                if col in tbl.column_names:
+                    for rec in tbl.column(col).to_pylist():
+                        if rec and any(v is not None for v in rec.values()):
+                            if col == "protocol":
+                                proto = rec
+                            else:
+                                meta = rec
 
     versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
     if start_version < 0 and 0 not in versions:
@@ -179,7 +189,66 @@ def _delta_live_state(
                     )
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "protocol" in action:
+                    proto = action["protocol"]
+                elif "metaData" in action:
+                    meta = action["metaData"]
+    _check_reader_compat(table_path, proto, meta)
     return {os.path.join(table_path, p): st for p, st in live.items()}
+
+
+#: reader features this replay actually implements — anything else is a
+#: LOUD refusal, never a silent misread (the protocol's forward-compat
+#: contract: clients must refuse tables with unknown reader features)
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "timestampNtz",  # Spark-native TIMESTAMP_NTZ parquet reads
+    "vacuumProtocolCheck",  # write-side gate, read path unaffected
+}
+
+
+def _check_reader_compat(
+    table_path: str, proto: dict | None, meta: dict | None
+) -> None:
+    """Refuse tables this replay cannot read FAITHFULLY:
+    - column mapping (minReaderVersion 2, or the columnMapping feature,
+      or delta.columnMapping.mode set): physical parquet column names
+      differ from logical ones — reading them blind returns wrongly
+      named/ordered data;
+    - any minReaderVersion-3 readerFeature outside the supported set
+      (v2Checkpoint, typeWidening, ...): unknown read semantics;
+    - minReaderVersion > 3: unknown protocol."""
+    mode = ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode and mode != "none":
+        raise ValueError(
+            f"{table_path}: delta.columnMapping.mode={mode!r} — column "
+            "mapping renames physical parquet columns; this reader would "
+            "return wrong columns, refusing"
+        )
+    if not proto:
+        return
+    mrv = int(proto.get("minReaderVersion") or 1)
+    if mrv == 2:
+        # column mapping is reader-v2's only capability; with the mode
+        # unset/none the data reads plainly
+        return
+    if mrv == 3:
+        unsupported = (
+            set(proto.get("readerFeatures") or []) - _SUPPORTED_READER_FEATURES
+        )
+        if unsupported:
+            raise ValueError(
+                f"{table_path}: unsupported Delta reader features "
+                f"{sorted(unsupported)} — refusing instead of misreading"
+            )
+        return
+    if mrv > 3:
+        raise ValueError(
+            f"{table_path}: minReaderVersion {mrv} exceeds this reader's "
+            "protocol support (3)"
+        )
 
 
 def delta_live_adds(

@@ -260,6 +260,14 @@ def _snapshot_files_and_deletes(
     (live data files, live POSITIONAL delete files). Equality delete
     files (data_file.content == 2) raise — applying them requires the
     equality field IDs, unsupported by design (module docstring)."""
+    fv = int(md.get("format-version") or 1)
+    if fv > 2:
+        # v3 adds puffin deletion vectors + row lineage — unknown read
+        # semantics here; refuse loudly rather than misread
+        raise ValueError(
+            f"Iceberg format-version {fv} exceeds this reader's support "
+            "(v1/v2)"
+        )
     location = md.get("location", "")
 
     manifests: list[tuple[str, int]] = []  # (path, content)

@@ -304,3 +304,71 @@ def test_append_into_dv_table(spark, table):
     got = _ids(lake.read())
     assert got == list(range(100, 300)) + list(range(10_000, 10_005))
     assert delta_live_dvs(table)  # vectors survived the append commit
+
+
+def test_reader_refuses_column_mapping(spark, table):
+    """Column mapping renames physical parquet columns — blind reads
+    return wrong data, so every state read must refuse."""
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": "{}",
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="columnMapping"):
+        delta_live_files(table)
+
+
+def test_reader_refuses_unknown_reader_features(spark, table):
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                        "writerFeatures": [],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        delta_live_files(table)
+    # whereas our own DV feature set reads fine (proven by every other
+    # test in this file after delta_delete_rows' protocol upgrade)
+
+
+def test_iceberg_refuses_format_v3(spark, sf_dir, tmp_path):
+    from rottnest_spark.sources.iceberg import iceberg_live_files
+    from rottnest_spark.sources.iceberg_write import iceberg_convert
+
+    t = str(tmp_path / "v3")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(10)
+        .coalesce(1)
+        .write.parquet(t)
+    )
+    iceberg_convert(t)
+    meta = os.path.join(t, "metadata")
+    md_file = [f for f in os.listdir(meta) if f.endswith(".metadata.json")][0]
+    p = os.path.join(meta, md_file)
+    md = json.loads(open(p).read())
+    md["format-version"] = 3
+    with open(p, "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(ValueError, match="format-version 3"):
+        iceberg_live_files(t)
