@@ -25,8 +25,13 @@ refuses delete-bearing tables outright (backends/iceberg.py:279-280):
   treat files as fully live (`.files`, top-K probes like bm25_topk,
   copy-on-write DML) still refuse; `iceberg_rewrite_deletes`
   (sources/iceberg_write.py) compacts the deletes for those;
-- equality deletes (content=2 data files) are refused — applying them
-  needs the table schema's equality field IDs, out of scope;
+- EQUALITY deletes (content=2, the Flink-CDC shape) are applied by
+  `read()` with the spec's sequence-number rule — a delete removes
+  matching rows only from data files with a STRICTLY SMALLER data
+  sequence number (null-safe value comparison on the schema columns the
+  manifest's equality_ids name); index/search paths refuse
+  equality-delete tables (value deletes don't fit the (path, pos)
+  row-filter contract);
 - unreadable manifest lists / unknown codecs raise instead of returning a
   partial live set.
 
@@ -193,6 +198,85 @@ def files_and_deletes_from_metadata(
     return sorted(data), sorted(dels)
 
 
+def snapshot_state_from_metadata(md: dict, table_path: str, fs=None) -> dict:
+    """CURRENT-snapshot full state (see `_snapshot_state`): data files
+    with sequence numbers, positional delete files, and equality delete
+    entries — the read path's input; empty state for empty tables."""
+    snap_id = md.get("current-snapshot-id")
+    snaps = md.get("snapshots", [])
+    if snap_id in (None, -1) or not snaps:
+        return {"data": {}, "pos_deletes": {}, "eq_deletes": []}
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if snap_id not in by_id:
+        raise ValueError(
+            f"current-snapshot-id {snap_id} not in the snapshot list"
+        )
+    return _snapshot_state(md, by_id[snap_id], table_path, fs)
+
+
+def _schema_field_names(md: dict) -> dict[int, str]:
+    """field-id → name map from the table schema (current schema when
+    `schemas`+`current-schema-id` are present, else legacy `schema`)."""
+    schema = md.get("schema")
+    if schema is None and md.get("schemas"):
+        sid = md.get("current-schema-id", 0)
+        for s in md["schemas"]:
+            if s.get("schema-id") == sid:
+                schema = s
+    return {
+        int(f["id"]): f["name"]
+        for f in (schema or {}).get("fields", [])
+        if "id" in f
+    }
+
+
+def apply_equality_deletes(spark, df, state: dict, md: dict):
+    """Apply EQUALITY delete files to a tagged DataFrame (`__path`
+    normalized absolute path column present): per the spec, an equality
+    delete removes every row whose delete-column values match
+    (null-safe) in any data file whose data sequence number is STRICTLY
+    LESS than the delete's. One broadcast join attaches each row's file
+    sequence number; one anti-join per distinct equality-id set (delete
+    files sharing an id set union together, each tagged its own
+    sequence). Scan cost: the delete files, once."""
+    from pyspark.sql import functions as F
+
+    names = _schema_field_names(md)
+    seq_rows = [(p, int(s)) for p, s in sorted(state["data"].items())]
+    seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
+    df = df.join(F.broadcast(seq_df), "__path", "left")
+
+    by_ids: dict[tuple, list[dict]] = {}
+    for d in state["eq_deletes"]:
+        by_ids.setdefault(tuple(d["equality_ids"]), []).append(d)
+    for ids, dels in sorted(by_ids.items()):
+        cols = []
+        for i in ids:
+            if i not in names:
+                raise ValueError(
+                    f"equality delete references unknown field id {i} "
+                    f"(schema has {sorted(names)})"
+                )
+            cols.append(names[i])
+        parts = []
+        for d in sorted(dels, key=lambda d: d["path"]):
+            parts.append(
+                spark.read.parquet(d["path"])
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                )
+                .withColumn("__dseq", F.lit(int(d["seq"])))
+            )
+        del_df = parts[0]
+        for p in parts[1:]:
+            del_df = del_df.unionByName(p)
+        cond = F.col("__dseq") > F.col("__seq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        df = df.join(del_df, cond, "left_anti")
+    return df.drop("__seq")
+
+
 def delete_pairs_df(
     spark,
     delete_files: list[str],
@@ -253,13 +337,18 @@ def apply_position_deletes(
     )
 
 
-def _snapshot_files_and_deletes(
-    md: dict, snap: dict, table_path: str, fs=None
-) -> tuple[set[str], set[str]]:
+def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
     """Walk one snapshot's manifest list → manifests → files, returning
-    (live data files, live POSITIONAL delete files). Equality delete
-    files (data_file.content == 2) raise — applying them requires the
-    equality field IDs, unsupported by design (module docstring)."""
+    the full live state:
+
+        {"data": {path: data_sequence_number},
+         "pos_deletes": {path: seq},
+         "eq_deletes": [{"path", "seq", "equality_ids"} ...]}
+
+    Data sequence numbers follow the spec's inheritance: the manifest
+    entry's own `sequence_number` when present, else the manifest-list
+    entry's `sequence_number` (ADDED entries inherit at read time), else
+    0 (v1 tables have no sequencing — every delete then applies)."""
     fv = int(md.get("format-version") or 1)
     if fv > 2:
         # v3 adds puffin deletion vectors + row lineage — unknown read
@@ -270,18 +359,23 @@ def _snapshot_files_and_deletes(
         )
     location = md.get("location", "")
 
-    manifests: list[tuple[str, int]] = []  # (path, content)
+    manifests: list[tuple[str, int, int]] = []  # (path, content, ml_seq)
     if "manifest-list" in snap:
         ml_path = _rebase(snap["manifest-list"], location, table_path)
         _, entries = read_ocf(ml_path, fs=fs)
         for e in entries:
-            manifests.append((e["manifest_path"], int(e.get("content") or 0)))
+            manifests.append(
+                (
+                    e["manifest_path"],
+                    int(e.get("content") or 0),
+                    int(e.get("sequence_number") or 0),
+                )
+            )
     else:  # v1 tables may inline "manifests"
-        manifests = [(p, 0) for p in snap.get("manifests", [])]
+        manifests = [(p, 0, 0) for p in snap.get("manifests", [])]
 
-    data: set[str] = set()
-    deletes: set[str] = set()
-    for mpath, list_content in manifests:
+    state = {"data": {}, "pos_deletes": {}, "eq_deletes": []}
+    for mpath, list_content, ml_seq in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
         for e in entries:
             status = int(e.get("status") or 0)  # 0 existing, 1 added, 2 deleted
@@ -294,18 +388,42 @@ def _snapshot_files_and_deletes(
                 # the entry's own content field is silent, the manifest
                 # list's classification wins
                 content = 1
+            seq = e.get("sequence_number")
+            seq = int(seq) if seq is not None else ml_seq
             p = _rebase(df["file_path"], location, table_path)
             if content == 0:
-                data.add(p)
+                state["data"][p] = seq
             elif content == 1:  # positional deletes
-                deletes.add(p)
-            else:
-                raise ValueError(
-                    f"manifest {mpath} contains an equality delete file "
-                    f"({df.get('file_path')}) — equality deletes are not "
-                    f"supported; rewrite the table with an engine first"
+                state["pos_deletes"][p] = seq
+            else:  # equality deletes
+                state["eq_deletes"].append(
+                    {
+                        "path": p,
+                        "seq": seq,
+                        "equality_ids": [
+                            int(i) for i in (df.get("equality_ids") or [])
+                        ],
+                    }
                 )
-    return data, deletes
+    return state
+
+
+def _snapshot_files_and_deletes(
+    md: dict, snap: dict, table_path: str, fs=None
+) -> tuple[set[str], set[str]]:
+    """(live data files, live POSITIONAL delete files) of one snapshot.
+    Equality delete files raise here — only `IcebergSnapshotLake.read()`
+    applies them (sequence-aware value anti-joins don't fit the
+    (path, pos) row-filter contract the search layer uses)."""
+    state = _snapshot_state(md, snap, table_path, fs)
+    if state["eq_deletes"]:
+        raise ValueError(
+            f"table has {len(state['eq_deletes'])} equality delete "
+            "file(s) — only IcebergSnapshotLake.read() applies them "
+            "(sequence-aware value anti-join); index paths require "
+            "compacting with an engine first"
+        )
+    return set(state["data"]), set(state["pos_deletes"])
 
 
 def _snapshot_data_files(
@@ -316,19 +434,23 @@ def _snapshot_data_files(
       layer's ghost-row safety (an index over files with un-applied
       deletes returns rows the table no longer has);
     - "ignore": return the data files anyway — vacuum/history liveness
-      (positional deletes remove ROWS, the files stay live and their
+      (row deletes remove ROWS, the files stay live and their
       indexes must survive vacuum)."""
-    data, deletes = _snapshot_files_and_deletes(md, snap, table_path, fs)
-    if deletes and on_deletes == "raise":
+    state = _snapshot_state(md, snap, table_path, fs)
+    if on_deletes == "raise" and (
+        state["pos_deletes"] or state["eq_deletes"]
+    ):
         raise ValueError(
-            f"table has {len(deletes)} positional delete file(s) — this "
-            "path treats files as fully live and would surface ghost "
-            "rows. IcebergSnapshotLake.read(), build_index() and "
-            "predicate search() are merge-on-read-aware; "
-            "iceberg_rewrite_deletes() compacts the deletes for "
+            f"table has {len(state['pos_deletes'])} positional delete "
+            f"file(s) and {len(state['eq_deletes'])} equality delete "
+            "file(s) — this path treats files as fully live and would "
+            "surface ghost rows. IcebergSnapshotLake.read(), "
+            "build_index() and predicate search() are "
+            "merge-on-read-aware (equality deletes: read() only); "
+            "iceberg_rewrite_deletes() compacts positional deletes for "
             "everything else (top-K search, copy-on-write DML)"
         )
-    return data
+    return set(state["data"])
 
 
 def iceberg_partition_columns(table_path: str, fs=None) -> list[str]:
@@ -475,12 +597,16 @@ class IcebergSnapshotLake(ParquetLake):
                 )
         return super().build_index(index, column, *a, **kw)
 
-    def _base_read(self, fl: list[str], dels: list[str], location: str = ""):
-        """Scan `fl`, applying the snapshot's positional delete files when
-        present. Deletes anti-join on `_metadata` BEFORE any projection
-        (metadata columns resolve only on the scan relation), then the
+    def _base_read(self, fl: list[str], state: dict, location: str, md: dict):
+        """Scan `fl`, applying the snapshot's positional AND equality
+        delete files when present. Rows are tagged from `_metadata`
+        BEFORE any projection (metadata columns resolve only on the scan
+        relation): one tagging pass feeds the positional (path, pos)
+        anti-join and the sequence-aware equality anti-joins, then the
         nanosecond-timestamp handling mirrors sources/reader.read_parquet."""
-        if not dels:
+        dels = sorted(state["pos_deletes"])
+        eqs = state["eq_deletes"]
+        if not dels and not eqs:
             from rottnest_spark.sources.reader import read_parquet
 
             return read_parquet(self.spark, fl)
@@ -492,10 +618,26 @@ class IcebergSnapshotLake(ParquetLake):
         )
         from pyspark.sql import functions as F
 
-        df = apply_position_deletes(
-            self.spark, self.spark.read.parquet(*fl), dels,
-            location=location, table_path=self._table_path,
+        df = self.spark.read.parquet(*fl).withColumns(
+            {
+                "__path": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
         )
+        if dels:
+            pairs = delete_pairs_df(
+                self.spark, dels, location=location,
+                table_path=self._table_path,
+            ).select(
+                F.col("__del_path").alias("__path"),
+                F.col("__del_pos").alias("__pos"),
+            )
+            df = df.join(pairs, ["__path", "__pos"], "left_anti")
+        if eqs:
+            df = apply_equality_deletes(self.spark, df, state, md)
+        df = df.drop("__path", "__pos")
         for c in ns_cols:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
@@ -518,9 +660,8 @@ class IcebergSnapshotLake(ParquetLake):
         literal columns, unioned — bounded by partition count, not file
         count; no schema-widening risk from a forced global schema."""
         md = self._table_metadata()
-        data, dels = files_and_deletes_from_metadata(
-            md, self._table_path, fs=self.fs
-        )
+        state = snapshot_state_from_metadata(md, self._table_path, fs=self.fs)
+        data = sorted(state["data"])
         pcols = partition_columns_from_metadata(md)
         if not pcols:
             use = files or data
@@ -529,7 +670,7 @@ class IcebergSnapshotLake(ParquetLake):
                     f"Iceberg table at {self._table_path!r} has no live "
                     "data files"
                 )
-            return self._base_read(use, dels, md.get("location", ""))
+            return self._base_read(use, state, md.get("location", ""), md)
         use = files or data
         if not use:
             raise ValueError(
@@ -540,7 +681,7 @@ class IcebergSnapshotLake(ParquetLake):
         physical = set(pq.ParquetFile(use[0]).schema_arrow.names)
         missing = [c for c in pcols if c not in physical]
         if not missing:
-            return self._base_read(use, dels, md.get("location", ""))
+            return self._base_read(use, state, md.get("location", ""), md)
         adds = live_adds_from_metadata(md, self._table_path, fs=self.fs)
         unknown = [f for f in use if f not in adds]
         if unknown:
@@ -570,7 +711,7 @@ class IcebergSnapshotLake(ParquetLake):
         for key, fl in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
         ):
-            df = self._base_read(fl, dels, md.get("location", ""))
+            df = self._base_read(fl, state, md.get("location", ""), md)
             for c, v in zip(missing, key):
                 lit = F.lit(v)
                 if c in casts:

@@ -1,0 +1,298 @@
+"""Iceberg EQUALITY delete files (content=2 — the Flink-CDC write
+shape): `IcebergSnapshotLake.read()` applies them with the spec's
+sequence-number rule (a delete removes matching rows only from data
+files with a STRICTLY SMALLER data sequence number, null-safe value
+comparison on the equality_ids columns); index/search paths refuse.
+Fixtures are hand-built to the spec (sequence numbers in manifest
+entries with manifest-list inheritance, equality_ids in the data_file
+struct) since no engine ships in this container."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.sources.avro_lite import write_ocf
+from rottnest_spark.sources.iceberg import (
+    IcebergSnapshotLake,
+    iceberg_live_files,
+)
+
+SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "cat", "required": False, "type": "string"},
+        {"id": 3, "name": "v", "required": False, "type": "long"},
+    ],
+}
+
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        },
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _entry(path, content, seq=None, equality_ids=None):
+    return {
+        "status": 1,
+        "snapshot_id": 1,
+        "sequence_number": seq,
+        "data_file": {
+            "content": content,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+            "equality_ids": equality_ids,
+        },
+    }
+
+
+@pytest.fixture()
+def eq_table(tmp_path):
+    """Spec-shaped table: two data files at seq 1, one equality delete
+    at seq 2 (on k), one NEWER data file at seq 3 re-inserting a deleted
+    key — the CDC upsert pattern. The seq-2 delete must hide k=1/k=2
+    rows of the old files but NOT the seq-3 re-insert of k=1.
+    The data-file manifest entries leave sequence_number null to
+    exercise manifest-list inheritance."""
+    t = tmp_path / "eqt"
+    (t / "data").mkdir(parents=True)
+    (t / "metadata").mkdir()
+
+    def write_data(name, ks, cats, vs):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "cat": pa.array(cats, pa.string()),
+                    "v": pa.array(vs, pa.int64()),
+                }
+            ),
+            str(t / "data" / name),
+        )
+        return str(t / "data" / name)
+
+    f1 = write_data("f1.parquet", [1, 2, 3], ["a", "b", "a"], [10, 20, 30])
+    f2 = write_data("f2.parquet", [4, 5, None], ["b", "a", None], [40, 50, 60])
+    f3 = write_data("f3.parquet", [1, 7], ["a", "c"], [111, 70])  # seq 3
+    # equality delete at seq 2 on field id 1 (k): delete k=1, k=2
+    d1 = str(t / "data" / "eqdel.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}), d1)
+
+    meta = str(t / "metadata")
+    m_data1 = os.path.join(meta, "m1.avro")
+    write_ocf(
+        m_data1,
+        MANIFEST_SCHEMA,
+        [_entry(f1, 0), _entry(f2, 0)],  # seq inherited from list (1)
+    )
+    m_del = os.path.join(meta, "m2.avro")
+    write_ocf(m_del, MANIFEST_SCHEMA, [_entry(d1, 2, equality_ids=[1])])
+    m_data2 = os.path.join(meta, "m3.avro")
+    write_ocf(m_data2, MANIFEST_SCHEMA, [_entry(f3, 0, seq=3)])
+    ml = os.path.join(meta, "snap-1.avro")
+    write_ocf(
+        ml,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": m_data1,
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 1,
+            },
+            {
+                "manifest_path": m_del,
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "added_snapshot_id": 1,
+            },
+            {
+                "manifest_path": m_data2,
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 3,
+                "added_snapshot_id": 1,
+            },
+        ],
+    )
+    md = {
+        "format-version": 2,
+        "location": str(t),
+        "schema": SCHEMA,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return str(t)
+
+
+def _rows(df):
+    return sorted(
+        ((r.k, r.cat, r.v) for r in df.select("k", "cat", "v").collect()),
+        key=lambda t: tuple("" if x is None else str(x) for x in t),
+    )
+
+
+def test_equality_delete_respects_sequence_numbers(spark, eq_table):
+    lake = IcebergSnapshotLake(spark, eq_table, eq_table + "_idx")
+    got = _rows(lake.read())
+    # k=1,k=2 deleted from the seq-1 files; the seq-3 re-insert of k=1
+    # SURVIVES (delete seq 2 is not > data seq 3) — the CDC upsert shape
+    assert set(got) == {
+        (3, "a", 30),
+        (4, "b", 40),
+        (5, "a", 50),
+        (None, None, 60),  # null k does not match the k-delete
+        (1, "a", 111),
+        (7, "c", 70),
+    } and len(got) == 6
+
+
+def test_equality_delete_null_safe_match(spark, eq_table):
+    """A delete row with NULL k removes the NULL-k data row (null-safe
+    equality), still sequence-gated."""
+    # append a second delete at seq 4 targeting k IS NULL
+    d2 = os.path.join(eq_table, "data", "eqdel2.parquet")
+    pq.write_table(pa.table({"k": pa.array([None], pa.int64())}), d2)
+    meta = os.path.join(eq_table, "metadata")
+    m = os.path.join(meta, "m4.avro")
+    write_ocf(m, MANIFEST_SCHEMA, [_entry(d2, 2, equality_ids=[1])])
+    _, prior = None, json.load(open(os.path.join(meta, "v1.metadata.json")))
+    from rottnest_spark.sources.avro_lite import read_ocf
+
+    _, ml_entries = read_ocf(
+        prior["snapshots"][0]["manifest-list"]
+    )
+    ml_entries.append(
+        {
+            "manifest_path": m,
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": 4,
+            "added_snapshot_id": 1,
+        }
+    )
+    ml2 = os.path.join(meta, "snap-2.avro")
+    write_ocf(ml2, MANIFEST_LIST_SCHEMA, ml_entries)
+    prior["snapshots"][0]["manifest-list"] = ml2
+    with open(os.path.join(meta, "v2.metadata.json"), "w") as fh:
+        json.dump(prior, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+    lake = IcebergSnapshotLake(spark, eq_table, eq_table + "_idx")
+    got = _rows(lake.read())
+    assert (None, None, 60) not in got
+    assert (1, "a", 111) in got  # seq-3 insert still above the k-delete
+
+
+def test_multi_column_equality_ids(spark, eq_table):
+    """equality_ids spanning several columns delete on the TUPLE."""
+    d = os.path.join(eq_table, "data", "eqdel3.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([4], pa.int64()),
+                "cat": pa.array(["b"], pa.string()),
+            }
+        ),
+        d,
+    )
+    meta = os.path.join(eq_table, "metadata")
+    m = os.path.join(meta, "m5.avro")
+    write_ocf(m, MANIFEST_SCHEMA, [_entry(d, 2, equality_ids=[1, 2])])
+    from rottnest_spark.sources.avro_lite import read_ocf
+
+    prior = json.load(open(os.path.join(meta, "v1.metadata.json")))
+    _, ml_entries = read_ocf(prior["snapshots"][0]["manifest-list"])
+    ml_entries.append(
+        {
+            "manifest_path": m,
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": 5,
+            "added_snapshot_id": 1,
+        }
+    )
+    ml2 = os.path.join(meta, "snap-3.avro")
+    write_ocf(ml2, MANIFEST_LIST_SCHEMA, ml_entries)
+    prior["snapshots"][0]["manifest-list"] = ml2
+    with open(os.path.join(meta, "v3.metadata.json"), "w") as fh:
+        json.dump(prior, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("3")
+    lake = IcebergSnapshotLake(spark, eq_table, eq_table + "_idx")
+    got = _rows(lake.read())
+    assert (4, "b", 40) not in got
+    assert (2, "b", 20) not in got  # still gone from the k-delete
+    assert (3, "a", 30) in got  # (3,'a') doesn't match the tuple
+
+
+def test_index_paths_refuse_equality_deletes(spark, eq_table):
+    lake = IcebergSnapshotLake(spark, eq_table, eq_table + "_idx")
+    with pytest.raises(ValueError, match="equality delete"):
+        _ = lake.files
+    with pytest.raises(ValueError, match="equality delete"):
+        iceberg_live_files(eq_table)
+    from rottnest_spark.indices.exact import ExactIndex
+
+    with pytest.raises(ValueError, match="equality delete"):
+        lake.search(ExactIndex(), "k", 3)
