@@ -514,12 +514,56 @@ class DeltaSnapshotLake(ParquetLake):
         super().__init__(spark, table_path, index_dir, **kw)
         self._table_path = table_path
         self._version_as_of = version_as_of
+        self._state_cache: tuple | None = None  # (fingerprint, state)
+        self._meta_cache: tuple | None = None  # (fingerprint, metaData)
+
+    def _log_fingerprint(self) -> tuple:
+        """Cheap freshness key: latest commit version + checkpoint
+        version (one glob + the _last_checkpoint pointer). The full log
+        replay is cached against this — a snapshot lake's read/search
+        resolves the log MANY times per logical operation (plan, row
+        filter, partition reconstruction), and every resolution at the
+        same version must agree anyway."""
+        log_dir = os.path.join(self._table_path, "_delta_log")
+        versions = [
+            int(os.path.basename(p).split(".")[0])
+            for p in self.fs.glob(os.path.join(log_dir, "*.json"))
+        ]
+        cp_v, _ = _checkpoint_parts(log_dir, self.fs)
+        return (max(versions, default=-1), cp_v, self._version_as_of)
+
+    def _live_state(self) -> dict[str, tuple[dict, dict | None]]:
+        key = self._log_fingerprint()
+        if self._state_cache is not None and self._state_cache[0] == key:
+            return self._state_cache[1]
+        st = _delta_live_state(
+            self._table_path, self._version_as_of, fs=self.fs
+        )
+        self._state_cache = (key, st)
+        return st
+
+    def _table_meta(self) -> dict | None:
+        key = self._log_fingerprint()
+        if self._meta_cache is not None and self._meta_cache[0] == key:
+            return self._meta_cache[1]
+        m = delta_table_meta(self._table_path, fs=self.fs)
+        self._meta_cache = (key, m)
+        return m
 
     @property
     def files(self) -> list[str]:
-        return delta_live_files(
-            self._table_path, self._version_as_of, fs=self.fs
-        )
+        st = self._live_state()
+        n_dv = sum(1 for _, dv in st.values() if dv)
+        if n_dv:
+            raise ValueError(
+                f"table has {n_dv} file(s) with deletion vectors — this "
+                "path treats files as fully live and would surface ghost "
+                "rows. DeltaSnapshotLake.read(), build_index() and "
+                "predicate search() are merge-on-read-aware; "
+                "delta_rewrite_deletes() compacts the vectors for "
+                "everything else (top-K search, copy-on-write DML)"
+            )
+        return sorted(st)
 
     # merge-on-read search contract (core/lake.py hooks): predicate
     # searches stay EXACT on DV-bearing snapshots — plan over the data
@@ -527,15 +571,12 @@ class DeltaSnapshotLake(ParquetLake):
     # as supersets), refine anti-joins the decoded deleted positions.
     # Top-K paths still refuse via `.files`.
     def _search_files(self) -> list[str]:
-        return delta_live_files(
-            self._table_path, self._version_as_of, fs=self.fs,
-            on_deletes="ignore",
-        )
+        return sorted(self._live_state())
 
     def _search_row_filter(self):
-        dvs = delta_live_dvs(
-            self._table_path, self._version_as_of, fs=self.fs
-        )
+        dvs = {
+            p: dv for p, (_, dv) in self._live_state().items() if dv
+        }
         if not dvs:
             return None
         spark, tp = self.spark, self._table_path
@@ -613,14 +654,10 @@ class DeltaSnapshotLake(ParquetLake):
         arbitrary file names) fall back to one scan per DISTINCT
         partition tuple with typed literal columns, unioned — bounded by
         partition count, not file count."""
-        dvs = delta_live_dvs(
-            self._table_path, self._version_as_of, fs=self.fs
-        )
-        all_live = delta_live_files(
-            self._table_path, self._version_as_of, fs=self.fs,
-            on_deletes="ignore",
-        )
-        pcols = delta_partition_columns(self._table_path, fs=self.fs)
+        state = self._live_state()
+        dvs = {p: dv for p, (_, dv) in state.items() if dv}
+        all_live = sorted(state)
+        pcols = list((self._table_meta() or {}).get("partitionColumns") or [])
         if not pcols:
             use = files or all_live
             if not use:
@@ -634,10 +671,11 @@ class DeltaSnapshotLake(ParquetLake):
             raise ValueError(
                 f"Delta table at {self._table_path!r} has no live data files"
             )
-        adds = delta_live_adds(
-            self._table_path, self._version_as_of, fs=self.fs
-        )
-        schema = delta_schema(self._table_path, fs=self.fs)
+        adds = {p: pv for p, (pv, _) in state.items()}
+        from pyspark.sql.types import StructType
+
+        _ss = (self._table_meta() or {}).get("schemaString")
+        schema = StructType.fromJson(json.loads(_ss)) if _ss else None
         unknown = [f for f in use if f not in adds]
         if unknown:
             raise ValueError(

@@ -518,6 +518,30 @@ class IcebergSnapshotLake(ParquetLake):
     def __init__(self, spark, table_path: str, index_dir: str, **kw):
         super().__init__(spark, table_path, index_dir, **kw)
         self._table_path = table_path
+        self._state_cache: tuple | None = None  # (snapshot key, state)
+
+    def _cached_state(self, md: dict) -> dict:
+        """Snapshot state memoized on (current-snapshot-id,
+        manifest-list): one logical operation (plan + row filter +
+        partition reconstruction) resolves the snapshot several times,
+        and every resolution of the SAME snapshot must agree — so the
+        manifest walk happens once per distinct snapshot, while a commit
+        (new snapshot id / manifest list) naturally invalidates."""
+        cur = md.get("current-snapshot-id")
+        snap = next(
+            (
+                s
+                for s in md.get("snapshots", [])
+                if s.get("snapshot-id") == cur
+            ),
+            None,
+        )
+        key = (cur, (snap or {}).get("manifest-list"))
+        if self._state_cache is not None and self._state_cache[0] == key:
+            return self._state_cache[1]
+        st = snapshot_state_from_metadata(md, self._table_path, fs=self.fs)
+        self._state_cache = (key, st)
+        return st
 
     def _table_metadata(self) -> dict:
         """The TableMetadata dict every snapshot resolution goes through
@@ -528,9 +552,15 @@ class IcebergSnapshotLake(ParquetLake):
         return _current_metadata(self._table_path, fs=self.fs)
 
     def _files_and_deletes(self) -> tuple[list[str], list[str]]:
-        return files_and_deletes_from_metadata(
-            self._table_metadata(), self._table_path, fs=self.fs
-        )
+        st = self._cached_state(self._table_metadata())
+        if st["eq_deletes"]:
+            raise ValueError(
+                f"table has {len(st['eq_deletes'])} equality delete "
+                "file(s) — only IcebergSnapshotLake.read() applies them "
+                "(sequence-aware value anti-join); index paths require "
+                "compacting with an engine first"
+            )
+        return sorted(st["data"]), sorted(st["pos_deletes"])
 
     @property
     def files(self) -> list[str]:
@@ -557,9 +587,13 @@ class IcebergSnapshotLake(ParquetLake):
 
     def _search_row_filter(self):
         md = self._table_metadata()
-        _, dels = files_and_deletes_from_metadata(
-            md, self._table_path, fs=self.fs
-        )
+        st = self._cached_state(md)
+        if st["eq_deletes"]:
+            raise ValueError(
+                "equality delete files present — index search cannot "
+                "row-filter value deletes; use read() or compact"
+            )
+        dels = sorted(st["pos_deletes"])
         if not dels:
             return None
         spark, loc, tp = self.spark, md.get("location", ""), self._table_path
@@ -660,7 +694,7 @@ class IcebergSnapshotLake(ParquetLake):
         literal columns, unioned — bounded by partition count, not file
         count; no schema-widening risk from a forced global schema."""
         md = self._table_metadata()
-        state = snapshot_state_from_metadata(md, self._table_path, fs=self.fs)
+        state = self._cached_state(md)
         data = sorted(state["data"])
         pcols = partition_columns_from_metadata(md)
         if not pcols:
