@@ -54,6 +54,8 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -79,6 +81,11 @@ def _manifest_schema(pfields: list[tuple[str, str]]) -> dict:
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
             {
                 "name": "data_file",
                 "type": {
@@ -108,6 +115,14 @@ def _manifest_schema(pfields: list[tuple[str, str]]) -> dict:
                         },
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int"},
+                            ],
+                            "default": None,
+                        },
                     ],
                 },
             },
@@ -314,12 +329,26 @@ def _commit_snapshot(
     live_deletes: list[str] | None = None,
     added_deletes: list[str] | None = None,
     removed_deletes: list[str] | None = None,
+    seqs: dict[str, int] | None = None,
+    live_eq: list[dict] | None = None,
+    added_eq: list[tuple[str, list[int]]] | None = None,
+    removed_eq: list[str] | None = None,
 ) -> int:
+    """`seqs` carries each PRE-EXISTING file's data sequence number (the
+    spec's per-entry field; files absent from it — the adds — get this
+    commit's sequence). `live_eq`/`added_eq` are equality delete files
+    ([{path, seq, equality_ids}] carried state; (path, equality_ids)
+    adds), written into the delete manifest with content=2."""
     meta_dir = _meta_dir(table_path)
     fs.makedirs(meta_dir)
     if version is None:
         version = _current_version(meta_dir, fs) + 1
     snap_id = version
+    # spec: every commit claims the NEXT data sequence number; entries of
+    # files added earlier keep their original sequence (explicit per
+    # entry — the full-manifest-per-snapshot convention mixes commits)
+    commit_seq = int((prior or {}).get("last-sequence-number") or 0) + 1
+    seqs = seqs or {}
     ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     added_set, removed_set = set(added), set(removed)
 
@@ -342,7 +371,9 @@ def _commit_snapshot(
         t = f["type"] if isinstance(f["type"], str) else "string"
         pfields.append((c, t))
 
-    def entry(f: str, status: int, content: int = 0) -> dict:
+    def entry(
+        f: str, status: int, content: int = 0, equality_ids=None
+    ) -> dict:
         if pfields and content == 0:
             try:
                 partition = _hive_pvals(table_path, f, pfields)
@@ -358,6 +389,7 @@ def _commit_snapshot(
         return {
             "status": status,
             "snapshot_id": snap_id,
+            "sequence_number": seqs.get(os.path.abspath(f), commit_seq),
             "data_file": {
                 "content": content,
                 "file_path": os.path.abspath(f),
@@ -367,6 +399,7 @@ def _commit_snapshot(
                 "file_size_in_bytes": (
                     fs.getsize(f) if status != 2 and fs.exists(f) else -1
                 ),
+                "equality_ids": equality_ids,
             },
         }
 
@@ -382,10 +415,25 @@ def _commit_snapshot(
     # Manifests"); delete-file entries carry data_file.content=1
     live_del = sorted(set(live_deletes or []))
     added_del, removed_del = set(added_deletes or []), set(removed_deletes or [])
-    if live_del or removed_del:
+    eq_live = list(live_eq or [])
+    eq_added = list(added_eq or [])
+    eq_removed = set(removed_eq or [])
+    if live_del or removed_del or eq_live or eq_added or eq_removed:
         del_entries = [
             entry(f, 1 if f in added_del else 0, content=1) for f in live_del
         ] + [entry(f, 2, content=1) for f in sorted(removed_del)]
+        # carried equality deletes keep their original sequence via seqs
+        del_entries += [
+            entry(d["path"], 0, content=2, equality_ids=d["equality_ids"])
+            for d in sorted(eq_live, key=lambda d: d["path"])
+        ]
+        del_entries += [
+            entry(p, 1, content=2, equality_ids=ids)
+            for p, ids in sorted(eq_added)
+        ]
+        del_entries += [
+            entry(p, 2, content=2) for p in sorted(eq_removed)
+        ]
         del_manifest = os.path.join(
             meta_dir, f"manifest-del-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
         )
@@ -404,13 +452,17 @@ def _commit_snapshot(
                 "manifest_length": fs.getsize(m["manifest_path"]),
                 "partition_spec_id": 0,
                 "content": m["content"],
+                "sequence_number": commit_seq,
+                "min_sequence_number": min(
+                    [commit_seq] + [int(s) for s in seqs.values()]
+                ),
                 "added_snapshot_id": snap_id,
             }
             for m in ml_entries
         ],
     )
     op = "append" if not removed else "overwrite"
-    if added_del:
+    if added_del or eq_added:
         op = "delete"  # row-level MOR delete snapshot
     snapshot = {
         "snapshot-id": snap_id,
@@ -431,9 +483,15 @@ def _commit_snapshot(
         # row-level deletes require format v2; a table once v2 stays v2
         "format-version": (
             2
-            if (live_del or (prior or {}).get("format-version", 1) >= 2)
+            if (
+                live_del
+                or eq_live
+                or eq_added
+                or (prior or {}).get("format-version", 1) >= 2
+            )
             else 1
         ),
+        "last-sequence-number": commit_seq,
         "table-uuid": (prior or {}).get("table-uuid", str(uuid.uuid4())),
         "location": os.path.abspath(table_path),
         "last-updated-ms": ts,
@@ -485,6 +543,8 @@ def iceberg_commit(
     timestamp_ms: int | None = None,
     add_deletes: list[str] | None = None,
     remove_deletes: list[str] | None = None,
+    add_eq_deletes: list[tuple[str, list[int]]] | None = None,
+    remove_eq_deletes: list[str] | None = None,
 ) -> int:
     """Commit a file change set as a new snapshot (prior snapshots
     stay in the log — `iceberg_history_files` time travel works over
@@ -499,7 +559,7 @@ def iceberg_commit(
     concurrent winner's snapshot can never be rebased away (see
     `_latest_metadata`); the loser's exclusive create fails and
     `iceberg_commit_retry` re-reads."""
-    from rottnest_spark.sources.iceberg import _snapshot_files_and_deletes
+    from rottnest_spark.sources.iceberg import _snapshot_state
 
     fs = fs or LocalFS()
     prior_version, prior = _latest_metadata(table_path, fs)
@@ -510,16 +570,24 @@ def iceberg_commit(
     snaps = prior.get("snapshots") or []
     by_id = {s["snapshot-id"]: s for s in snaps}
     cur = prior.get("current-snapshot-id")
-    live, live_del = (
-        _snapshot_files_and_deletes(prior, by_id[cur], table_path, fs)
-        if cur in by_id
-        else (set(), set())
-    )
+    if cur in by_id:
+        st = _snapshot_state(prior, by_id[cur], table_path, fs)
+    else:
+        st = {"data": {}, "pos_deletes": {}, "eq_deletes": []}
+    live, live_del = set(st["data"]), set(st["pos_deletes"])
+    # pre-existing files keep their data sequence numbers in the rewrite
+    seqs = {**st["data"], **st["pos_deletes"]}
+    seqs.update({d["path"]: d["seq"] for d in st["eq_deletes"]})
     add = [os.path.abspath(f) for f in (add or [])]
     remove = [os.path.abspath(f) for f in (remove or [])]
     add_del = [os.path.abspath(f) for f in (add_deletes or [])]
     remove_del = [os.path.abspath(f) for f in (remove_deletes or [])]
-    if not add and not remove and not add_del and not remove_del:
+    add_eq = [
+        (os.path.abspath(p), [int(i) for i in ids])
+        for p, ids in (add_eq_deletes or [])
+    ]
+    remove_eq = {os.path.abspath(f) for f in (remove_eq_deletes or [])}
+    if not any((add, remove, add_del, remove_del, add_eq, remove_eq)):
         raise ValueError("empty commit — nothing to add or remove")
     missing = [f for f in remove if f not in live]
     if missing:
@@ -529,13 +597,25 @@ def iceberg_commit(
         raise ValueError(
             f"cannot remove delete files not in the snapshot: {missing_del}"
         )
+    eq_paths = {d["path"] for d in st["eq_deletes"]}
+    missing_eq = [f for f in remove_eq if f not in eq_paths]
+    if missing_eq:
+        raise ValueError(
+            f"cannot remove equality delete files not in the snapshot: "
+            f"{missing_eq}"
+        )
     new_live = sorted((live - set(remove)) | set(add))
     new_del = sorted((live_del - set(remove_del)) | set(add_del))
+    live_eq = [
+        d for d in st["eq_deletes"] if d["path"] not in remove_eq
+    ]
     return _commit_snapshot(
         table_path, new_live, add, remove, fs, timestamp_ms, prior=prior,
         version=prior_version + 1,
         live_deletes=new_del, added_deletes=add_del,
         removed_deletes=remove_del,
+        seqs=seqs, live_eq=live_eq, added_eq=add_eq,
+        removed_eq=sorted(remove_eq),
     )
 
 
@@ -548,6 +628,8 @@ def iceberg_commit_retry(
     max_retries: int = 20,
     add_deletes: list[str] | None = None,
     remove_deletes: list[str] | None = None,
+    add_eq_deletes: list[tuple[str, list[int]]] | None = None,
+    remove_eq_deletes: list[str] | None = None,
 ) -> int:
     """Optimistic-concurrency snapshot commit (the delta_commit_retry
     discipline): on losing the vN.metadata.json exclusive-create race,
@@ -563,6 +645,8 @@ def iceberg_commit_retry(
                 table_path, add=add, remove=remove, fs=fs,
                 timestamp_ms=timestamp_ms,
                 add_deletes=add_deletes, remove_deletes=remove_deletes,
+                add_eq_deletes=add_eq_deletes,
+                remove_eq_deletes=remove_eq_deletes,
             )
         except FileExistsError as exc:
             last = exc
@@ -741,36 +825,85 @@ def iceberg_rewrite_deletes(
 
     Hive-partitioned layouts are preserved: rewritten files land in the
     same `data/col=value/` directory as the file they replace, so the
-    manifests' partition records stay derivable from the path."""
+    manifests' partition records stay derivable from the path.
+
+    EQUALITY deletes (iceberg_upsert's state) are materialized too:
+    affected files are found by a sequence-gated key semi-join (one
+    scan of candidate files), rewritten with BOTH delete kinds applied,
+    and every delete file of either kind is dropped."""
     from pyspark.sql import functions as F
 
     from rottnest_spark.sources.iceberg import (
-        apply_position_deletes,
-        iceberg_live_files_and_deletes,
+        _current_metadata,
+        apply_equality_deletes,
+        delete_pairs_df,
+        snapshot_state_from_metadata,
     )
 
     fs = fs or LocalFS()
-    data, dels = iceberg_live_files_and_deletes(table_path, fs)
-    if not dels:
+    md = _current_metadata(table_path, fs)
+    state = snapshot_state_from_metadata(md, table_path, fs)
+    data = sorted(state["data"])
+    dels = sorted(state["pos_deletes"])
+    eqs = state["eq_deletes"]
+    if not dels and not eqs:
         _, prior_md = _latest_metadata(table_path, fs)
         return (prior_md or {}).get("current-snapshot-id", -1)
-    from rottnest_spark.sources.iceberg import delete_pairs_df
+    loc = md.get("location", "")
 
-    _, md = _latest_metadata(table_path, fs)
-    loc = (md or {}).get("location", "")
-    touched = {
-        r["__del_path"]
-        for r in delete_pairs_df(
-            spark, dels, location=loc, table_path=table_path
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+
+    def _tagged(files):
+        return spark.read.parquet(*files).withColumns(
+            {
+                "__path": norm(F.col("_metadata.file_path")),
+                "__pos": F.col("_metadata.row_index"),
+            }
         )
-        .select("__del_path")
-        .distinct()
-        .collect()  # metadata-scale: bounded by file count, not rows
-    }
+
+    touched: set[str] = set()
+    if dels:
+        touched |= {
+            r["__del_path"]
+            for r in delete_pairs_df(
+                spark, dels, location=loc, table_path=table_path
+            )
+            .select("__del_path")
+            .distinct()
+            .collect()  # metadata-scale: bounded by file count, not rows
+        }
+    if eqs:
+        # files a SEQUENCE-GATED key match could touch: candidates are
+        # data files older than the newest equality delete; one scan +
+        # the same anti-join predicate, collapsed to distinct paths
+        max_eq = max(d["seq"] for d in eqs)
+        cands = sorted(
+            f for f, s in state["data"].items() if int(s) < max_eq
+        )
+        if cands:
+            hit = apply_equality_deletes(
+                spark, _tagged(cands), state, md
+            )
+            survivors_per_file = hit.groupBy("__path").count()
+            base_per_file = _tagged(cands).groupBy("__path").count()
+            joined = base_per_file.alias("b").join(
+                survivors_per_file.alias("s"), "__path", "left"
+            )
+            touched |= {
+                r["__path"]
+                for r in joined.filter(
+                    F.coalesce(F.col("s.count"), F.lit(0))
+                    < F.col("b.count")
+                )
+                .select("__path")
+                .collect()
+            }
     affected = sorted(set(data) & touched)
+    eq_paths = sorted(d["path"] for d in eqs)
     if not affected:
         return iceberg_commit_retry(
-            table_path, fs=fs, timestamp_ms=timestamp_ms, remove_deletes=dels
+            table_path, fs=fs, timestamp_ms=timestamp_ms,
+            remove_deletes=dels, remove_eq_deletes=eq_paths,
         )
 
     # group by containing dir so rewrites stay inside their partition dir
@@ -780,10 +913,18 @@ def iceberg_rewrite_deletes(
     added = []
     for d, group in sorted(by_dir.items()):
         stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-        apply_position_deletes(
-            spark, spark.read.parquet(*group), dels,
-            location=loc, table_path=table_path,
-        ).write.parquet(stage)
+        df = _tagged(group)
+        if dels:
+            pairs = delete_pairs_df(
+                spark, dels, location=loc, table_path=table_path
+            ).select(
+                F.col("__del_path").alias("__path"),
+                F.col("__del_pos").alias("__pos"),
+            )
+            df = df.join(pairs, ["__path", "__pos"], "left_anti")
+        if eqs:
+            df = apply_equality_deletes(spark, df, state, md)
+        df.drop("__path", "__pos").write.parquet(stage)
         for f in fs.list_files(stage):
             leaf = os.path.basename(f)
             if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
@@ -799,6 +940,7 @@ def iceberg_rewrite_deletes(
         fs=fs,
         timestamp_ms=timestamp_ms,
         remove_deletes=dels,
+        remove_eq_deletes=eq_paths,
     )
 
 
@@ -898,3 +1040,83 @@ def iceberg_expire_snapshots(
         if fs.exists(f):
             fs.remove(f)
     return sorted(victims)
+
+
+def iceberg_upsert(
+    spark,
+    df,
+    table_path: str,
+    key_cols: list[str],
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """CDC UPSERT with EQUALITY deletes — the Flink-CDC write shape and
+    the reason equality deletes exist: O(|changes|) work, ZERO data-file
+    scans. One snapshot commits (a) the change rows as new data files at
+    sequence N and (b) one equality delete file of their keys, also at
+    sequence N — the spec's strictly-smaller rule makes the delete hide
+    every OLDER row with those keys while the new rows survive.
+
+    Contrast `iceberg_delete_rows` + append: that scans every data file
+    to locate positions; this touches only the change set — the
+    difference between O(table) and O(batch) per micro-batch at 100 TB.
+
+    The table becomes equality-delete-bearing: `read()` stays exact,
+    index search refuses until `iceberg_rewrite_deletes` (which also
+    materializes equality deletes). Partitioned tables are refused (the
+    staging path here is unpartitioned)."""
+    fs = fs or LocalFS()
+    _, prior = _latest_metadata(table_path, fs)
+    if prior is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    if _identity_partition_fields(prior):
+        raise ValueError(
+            "iceberg_upsert supports unpartitioned tables (hive staging "
+            "for partitioned upserts is not wired)"
+        )
+    schema = prior.get("schema") or {}
+    ids_by_name = {
+        f["name"]: int(f["id"]) for f in schema.get("fields", [])
+    }
+    missing = [c for c in key_cols if c not in ids_by_name]
+    if missing:
+        raise ValueError(
+            f"key columns {missing} not in the table schema "
+            f"({sorted(ids_by_name)})"
+        )
+    eq_ids = [ids_by_name[c] for c in key_cols]
+
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    df.write.parquet(stage)
+    moved = []
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.list_files(stage):
+        leaf = os.path.basename(f)
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        dst = os.path.join(table_path, "data", f"{uuid.uuid4().hex}.parquet")
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
+    if not moved:
+        raise ValueError("empty upsert — the change DataFrame has no rows")
+
+    kstage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    df.select(*key_cols).distinct().coalesce(1).write.parquet(kstage)
+    eq_path = None
+    for f in fs.list_files(kstage):
+        leaf = os.path.basename(f)
+        if leaf.endswith(".parquet") and not leaf.startswith(("_", ".")):
+            eq_path = os.path.join(
+                table_path, "data", f"eqdelete-{uuid.uuid4().hex}.parquet"
+            )
+            fs.rename(f, eq_path)
+            break
+    fs.rmtree(kstage)
+    return iceberg_commit_retry(
+        table_path,
+        add=moved,
+        fs=fs,
+        timestamp_ms=timestamp_ms,
+        add_eq_deletes=[(eq_path, eq_ids)],
+    )

