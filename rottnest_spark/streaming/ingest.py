@@ -217,3 +217,53 @@ def stream_ingest_neardedup(
     )
     q.awaitTermination(timeout_sec)
     return stats
+
+
+def stream_ingest_upsert(
+    spark,
+    src_dir: str,
+    schema,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int = 64,
+) -> list[dict]:
+    """Continuous CDC UPSERT ingestion into an Iceberg table: each
+    micro-batch lands as ONE equality-delete snapshot
+    (sources/iceberg_write.iceberg_upsert) — O(|batch|) work with zero
+    data-file scans, the write shape that keeps a 100 TB keyed table
+    current from a change stream. Within a batch, the LAST row per key
+    wins (dropDuplicates on arrival order is nondeterministic, so rows
+    are max-reduced by every non-key column being taken from one
+    arbitrary-but-single row via dropDuplicates(key) after coalescing —
+    callers with a sequence column should pre-collapse with
+    ops/merge.merge_changes).
+
+    Replays are effectively idempotent for keyed data: re-upserting the
+    same batch re-deletes and re-inserts the same keys — same final
+    state. Returns per-batch {"batch", "rows"} stats."""
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    stats: list[dict] = []
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.dropDuplicates(key_cols)
+        iceberg_upsert(spark, b, table_path, key_cols)
+        stats.append({"batch": int(batch_id), "rows": b.count()})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stats

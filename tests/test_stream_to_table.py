@@ -187,3 +187,52 @@ def test_stream_appends_into_partitioned_table(spark, sf_dir, tmp_path):
         assert pv["lang"] == (
             None if want == "__HIVE_DEFAULT_PARTITION__" else want
         )
+
+
+def test_stream_ingest_upsert_iceberg(spark, sf_dir, tmp_path):
+    """CDC micro-batches upsert into an Iceberg table: each batch is ONE
+    equality-delete snapshot; the final table equals last-write-wins
+    over the feed, read through the eq-delete-aware snapshot read."""
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import iceberg_convert
+    from rottnest_spark.streaming.ingest import stream_ingest_upsert
+
+    table = str(tmp_path / "ice_upsert")
+    (
+        spark.createDataFrame(
+            [(i, 0.0) for i in range(100)], "k long, v double"
+        )
+        .repartition(2)
+        .write.parquet(table)
+    )
+    iceberg_convert(table)
+
+    src = str(tmp_path / "feed")
+    import os as _os
+
+    _os.makedirs(src)
+    # two change files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(i, 1.0) for i in range(0, 30)] + [(1000, 1.0)], "k long, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(i, 2.0) for i in range(20, 40)], "k long, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stats = stream_ingest_upsert(
+        spark,
+        src,
+        "k long, v double",
+        table,
+        ["k"],
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert len(stats) >= 1 and sum(s["rows"] for s in stats) == 51
+    lake = IcebergSnapshotLake(spark, table, str(tmp_path / "idx"))
+    got = {r.k: r.v for r in lake.read().collect()}
+    assert len(got) == 101
+    assert got[1000] == 1.0
+    assert all(got[i] == 2.0 for i in range(20, 40))
+    assert all(got[i] == 1.0 for i in range(0, 20))
+    assert all(got[i] == 0.0 for i in range(40, 100))
