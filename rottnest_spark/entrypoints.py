@@ -2961,6 +2961,67 @@ def q_delta_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_iceberg_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete CDC upsert round trip (sources/iceberg_write.py
+    iceberg_upsert): a 1/3 orders slice becomes an Iceberg table, then
+    ONE upsert snapshot rewrites keys divisible by 7 (o_totalprice
+    zeroed, status 'U') and inserts fresh keys (original key + offset) —
+    O(|changes|), zero data-file scans, sequence numbers doing the
+    hiding. The read applies the equality delete; oracle states
+    last-write-wins directly in SQL."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_convert,
+        iceberg_upsert,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_ups_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        (
+            orders.filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        iceberg_convert(work)
+        updates = (
+            orders.filter(
+                (F.col("o_orderkey") % MOR_SRC_MOD == 0)
+                & (F.col("o_orderkey") % MOR_DEL_MOD == 0)
+            )
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("o_totalprice", F.lit(0.0))
+        )
+        inserts = orders.filter(
+            F.col("o_orderkey") % DIFF_INS_MOD == 0
+        ).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(CDC_INS_OFFSET)
+        )
+        iceberg_upsert(
+            spark, updates.unionByName(inserts), work, ["o_orderkey"]
+        )
+        lake = IcebergSnapshotLake(spark, work, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta deletion-vector round trip (sources/delta_write.py
     delta_delete_rows + DeltaSnapshotLake.read): copy a 1/3 slice of
@@ -3081,6 +3142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_mor_read": q_iceberg_mor_read,
     "delta_dv_read": q_delta_dv_read,
     "delta_snapshot_diff": q_delta_snapshot_diff,
+    "iceberg_upsert_read": q_iceberg_upsert_read,
     "windowed_event_counts": q_windowed_event_counts,
     # --- past the window: variants, second tiers, rows-only paths ---
     "session_stats": q_session_stats,
@@ -3188,6 +3250,25 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_orderkey % {MOR_SRC_MOD} = 0
           AND o_orderkey % {MOR_DEL_MOD} <> 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "iceberg_upsert_read": f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {MOR_DEL_MOD} = 0 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % {MOR_DEL_MOD} = 0 THEN 0.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey + {CDC_INS_OFFSET}, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {DIFF_INS_MOD} = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM base
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,

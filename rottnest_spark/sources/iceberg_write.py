@@ -1063,16 +1063,22 @@ def iceberg_upsert(
 
     The table becomes equality-delete-bearing: `read()` stays exact,
     index search refuses until `iceberg_rewrite_deletes` (which also
-    materializes equality deletes). Partitioned tables are refused (the
-    staging path here is unpartitioned)."""
+    materializes equality deletes). Partitioned tables stage hive-laid
+    (like iceberg_write); key columns must not BE partition columns —
+    equality deletes apply on PHYSICAL columns, which hive data files
+    lack for partitions."""
     fs = fs or LocalFS()
     _, prior = _latest_metadata(table_path, fs)
     if prior is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    if _identity_partition_fields(prior):
+    pcols = _identity_partition_fields(prior)
+    clash = [c for c in key_cols if c in pcols]
+    if clash:
         raise ValueError(
-            "iceberg_upsert supports unpartitioned tables (hive staging "
-            "for partitioned upserts is not wired)"
+            f"key columns {clash} are identity partition columns — "
+            "equality deletes match on PHYSICAL data-file columns, which "
+            "hive-laid files lack for partitions; key on a physical "
+            "column instead"
         )
     schema = prior.get("schema") or {}
     ids_by_name = {
@@ -1087,14 +1093,21 @@ def iceberg_upsert(
     eq_ids = [ids_by_name[c] for c in key_cols]
 
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(stage)
+    if pcols:
+        df.write.partitionBy(*pcols).parquet(stage)
+    else:
+        df.write.parquet(stage)
     moved = []
     fs.makedirs(os.path.join(table_path, "data"))
     for f in fs.list_files(stage):
-        leaf = os.path.basename(f)
+        segs = os.path.relpath(f, stage).split(os.sep)
+        leaf = segs[-1]
         if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
             continue
-        dst = os.path.join(table_path, "data", f"{uuid.uuid4().hex}.parquet")
+        dst = os.path.join(
+            table_path, "data", *segs[:-1], f"{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
         fs.rename(f, dst)
         moved.append(dst)
     fs.rmtree(stage)

@@ -433,8 +433,23 @@ def test_upsert_refuses_partitioned_and_bad_keys(spark, sf_dir, tmp_path):
         .limit(50)
     )
     iceberg_write(df, t, partition_by=["lang"])
-    with pytest.raises(ValueError, match="unpartitioned"):
-        iceberg_upsert(spark, df, t, ["doc_id"])
+    # keying on the partition column refuses (no physical column)
+    with pytest.raises(ValueError, match="partition columns"):
+        iceberg_upsert(spark, df, t, ["lang"])
+    # keying on a physical column works: hive-staged upsert
+    changes = df.limit(5).withColumn("n_chars", F.lit(-1).cast("bigint"))
+    iceberg_upsert(spark, changes, t, ["doc_id"])
+    lake = IcebergSnapshotLake(spark, t, t + "_il")
+    got = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    changed = {r.doc_id for r in changes.collect()}
+    assert all(got[k] == -1 for k in changed)
+    assert len(got) == 50
+    # partition columns still reconstruct on the upserted rows
+    langs = {
+        r.lang
+        for r in lake.read().filter(F.col("n_chars") == -1).collect()
+    }
+    assert langs
     t2 = str(tmp_path / "ukeys")
     df.write.parquet(t2)
     from rottnest_spark.sources.iceberg_write import iceberg_convert
