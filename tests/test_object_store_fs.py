@@ -188,3 +188,68 @@ def test_iceberg_lifecycle_over_object_store(spark, tmp_path):
     assert len(md_excl) >= 2  # convert + append
     # manifests/manifest lists were written through fs, not local open()
     assert [c for c in fs.ops("write_bytes") if c[1].endswith(".avro")]
+
+
+def test_mor_lifecycle_over_object_store(spark, tmp_path):
+    """Merge-on-read over the fake store: DV delete → read applies →
+    rewrite → vacuum reclaims, with every log/bin mutation through the
+    FS seam (conditional PUT / byte write — no local-only os calls)."""
+    from rottnest_spark.sources.delta import DeltaSnapshotLake, delta_live_dvs
+    from rottnest_spark.sources.delta_write import (
+        delta_convert,
+        delta_delete_rows,
+        delta_rewrite_deletes,
+        delta_vacuum_table,
+    )
+
+    fs = FakeObjectStoreFS(root=str(tmp_path))
+    table = str(tmp_path / "mor")
+    spark.range(200).withColumn("v", F.col("id") % 7).write.parquet(table)
+    delta_convert(table, fs=fs)
+    lake = DeltaSnapshotLake(spark, table, str(tmp_path / "idx"), fs=fs)
+    delta_delete_rows(spark, table, "id % 2 = 0", fs=fs)
+    assert delta_live_dvs(table, fs=fs)
+    got = sorted(r.id for r in lake.read().select("id").collect())
+    assert got == list(range(1, 200, 2))
+    delta_rewrite_deletes(spark, table, fs=fs)
+    assert not delta_live_dvs(table, fs=fs)
+    assert sorted(r.id for r in lake.read().select("id").collect()) == got
+    gone = delta_vacuum_table(table, older_than_sec=0, fs=fs)
+    assert gone  # replaced originals reclaimed through the seam
+    assert sorted(r.id for r in lake.read().select("id").collect()) == got
+
+
+def test_upsert_lifecycle_over_object_store(spark, tmp_path):
+    """Equality-delete upsert over the fake store: sequence-numbered
+    metadata commit via conditional PUT, read applies, rewrite
+    materializes."""
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_convert,
+        iceberg_rewrite_deletes,
+        iceberg_upsert,
+    )
+
+    fs = FakeObjectStoreFS(root=str(tmp_path))
+    table = str(tmp_path / "ups")
+    spark.range(100).withColumn("v", F.lit(0.0)).write.parquet(table)
+    iceberg_convert(table, fs=fs)
+    changes = spark.createDataFrame(
+        [(i, 9.0) for i in range(10)] + [(500, 9.0)], "id long, v double"
+    )
+    iceberg_upsert(spark, changes, table, ["id"], fs=fs)
+    lake = IcebergSnapshotLake(spark, table, str(tmp_path / "idx"), fs=fs)
+    got = {r.id: r.v for r in lake.read().collect()}
+    assert len(got) == 101 and got[500] == 9.0
+    assert all(got[i] == 9.0 for i in range(10))
+    assert all(got[i] == 0.0 for i in range(10, 100))
+    iceberg_rewrite_deletes(spark, table, fs=fs)
+    got2 = {r.id: r.v for r in lake.read().collect()}
+    assert got2 == got
+    # metadata version claims were conditional PUTs through the seam
+    claims = [
+        c
+        for c in fs.ops("create_exclusive")
+        if c[1].endswith(".metadata.json")
+    ]
+    assert len(claims) >= 3  # convert + upsert + rewrite
