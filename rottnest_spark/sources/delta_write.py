@@ -543,23 +543,13 @@ def delta_delete_rows(
     never row positions."""
     from pyspark.sql import functions as F
 
-    from rottnest_spark.sources.delta import (
-        _delta_live_state,
-        delta_live_dvs,
-        dv_positions_df,
-    )
-    from rottnest_spark.sources.roaring import (
-        dv_file_bytes,
-        make_dv_encoder,
-        z85_encode,
-    )
+    from rottnest_spark.sources.delta import _delta_live_state
 
     fs = fs or LocalFS()
     state = _delta_live_state(table_path, fs=fs)
     if not state:
         raise ValueError(f"{table_path} has no live data files")
     data_files = sorted(state)
-    dvs = delta_live_dvs(table_path, fs=fs)
 
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     new_pairs = (
@@ -572,6 +562,34 @@ def delta_delete_rows(
             F.col("_metadata.row_index").alias("pos"),
         )
     )
+    return _delta_commit_dvs(spark, table_path, new_pairs, fs)
+
+
+def _delta_commit_dvs(
+    spark,
+    table_path: str,
+    new_pairs,
+    fs: LakeFS,
+    extra_adds: list[str] | None = None,
+) -> int:
+    """Shared DV-commit tail: merge `new_pairs` (file_path, pos) with any
+    existing vectors, encode one roaring bitmap per affected file
+    executor-side, store inline or in a shared .bin, and commit the
+    remove+re-add(+DV) pairs — plus `extra_adds` (plain new data files,
+    the upsert's inserts) — in ONE atomic version."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.delta import (
+        delta_live_dvs,
+        dv_positions_df,
+    )
+    from rottnest_spark.sources.roaring import (
+        dv_file_bytes,
+        make_dv_encoder,
+        z85_encode,
+    )
+
+    dvs = delta_live_dvs(table_path, fs=fs)
     existing = (
         dv_positions_df(spark, table_path, dvs)
         if dvs
@@ -585,8 +603,10 @@ def delta_delete_rows(
         r.file_path
         for r in fresh.select("file_path").distinct().collect()
     ]  # metadata-scale: bounded by file count
-    if not affected:
+    if not affected and not extra_adds:
         return _next_version(_log_dir(table_path), fs) - 1
+    if not affected:  # pure inserts: a plain add commit
+        return delta_commit_retry(table_path, add=extra_adds, fs=fs)
 
     # full post-delete position set per affected file (existing ∪ new),
     # encoded executor-side: one roaring bitmap per file
@@ -680,6 +700,8 @@ def delta_delete_rows(
         add = _add_action(table_path, f, pcols, fs=fs)
         add["add"]["deletionVector"] = descriptors[f]
         actions.append(add)
+    for f in sorted(extra_adds or []):  # the upsert's inserted rows
+        actions.append(_add_action(table_path, f, pcols, fs=fs))
     log_dir = _log_dir(table_path)
     last: Exception | None = None
     for _ in range(20):
@@ -814,3 +836,78 @@ def delta_vacuum_table(
         if not dry_run:
             fs.remove(f)
     return sorted(victims)
+
+
+def delta_upsert(
+    spark,
+    df,
+    table_path: str,
+    key_cols: list[str],
+    fs: LakeFS | None = None,
+) -> int:
+    """Keyed CDC UPSERT with deletion vectors — the Databricks
+    "MERGE with DVs" shape: ONE snapshot marks every old row whose key
+    appears in `df` as deleted (roaring bitmaps, data files untouched)
+    and appends the change rows as new files. Reads the table ONCE
+    (a broadcast key semi-join locates positions) and writes ONLY the
+    changes — versus copy-on-write MERGE, which rewrites every touched
+    file. Last-write-wins per key; `df` must be key-unique.
+
+    Delta has no equality deletes, so the position scan is inherent to
+    the format (contrast iceberg_upsert's zero-scan shape); the win here
+    is on the WRITE side."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.delta import _delta_live_state
+
+    fs = fs or LocalFS()
+    state = _delta_live_state(table_path, fs=fs)
+    if not state:
+        raise ValueError(f"{table_path} has no live data files")
+    data_files = sorted(state)
+
+    # stage + publish the change rows (hive-laid when partitioned)
+    from rottnest_spark.sources.delta import delta_partition_columns
+
+    pcols = delta_partition_columns(table_path, fs=fs)
+    clash = [c for c in key_cols if c in pcols]
+    if clash:
+        raise ValueError(
+            f"key columns {clash} are partition columns — the key match "
+            "runs on PHYSICAL data-file columns, which hive-laid files "
+            "lack for partitions; key on a physical column instead"
+        )
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    if pcols:
+        df.write.partitionBy(*pcols).parquet(stage)
+    else:
+        df.write.parquet(stage)
+    moved = []
+    for f in fs.list_files(stage):
+        segs = os.path.relpath(f, stage).split(os.sep)
+        leaf = segs[-1]
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        dst = os.path.join(
+            table_path, *segs[:-1], f"upserted_{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
+    if not moved:
+        raise ValueError("empty upsert — the change DataFrame has no rows")
+
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    keys = df.select(*key_cols).distinct()
+    # tag BEFORE the join — metadata columns resolve on the scan relation
+    tagged = spark.read.parquet(*data_files).withColumns(
+        {
+            "file_path": norm(F.col("_metadata.file_path")),
+            "pos": F.col("_metadata.row_index"),
+        }
+    )
+    matched = tagged.join(F.broadcast(keys), key_cols, "left_semi").select(
+        "file_path", "pos"
+    )
+    return _delta_commit_dvs(spark, table_path, matched, fs, extra_adds=moved)

@@ -372,3 +372,89 @@ def test_iceberg_refuses_format_v3(spark, sf_dir, tmp_path):
         json.dump(md, fh)
     with pytest.raises(ValueError, match="format-version 3"):
         iceberg_live_files(t)
+
+
+# --- keyed upsert via deletion vectors (MERGE-with-DVs shape) ---------------
+
+
+def test_delta_upsert_updates_and_inserts(spark, table):
+    from rottnest_spark.sources.delta_write import delta_upsert
+
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    before = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    some = sorted(before)[:7]
+    changes = spark.createDataFrame(
+        [(k, "xx", -1) for k in some] + [(10_000_001, "xx", -2)],
+        "doc_id long, lang string, n_chars long",
+    )
+    delta_upsert(spark, changes, table, ["doc_id"])
+    after = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    assert len(after) == len(before) + 1
+    assert all(after[k] == -1 for k in some)
+    assert after[10_000_001] == -2
+    untouched = [k for k in before if k not in some][:5]
+    assert all(after[k] == before[k] for k in untouched)
+    # merge-on-read: old files untouched, vectors attached, one commit
+    assert delta_live_dvs(table)
+    # second upsert over the same keys: newest wins
+    delta_upsert(
+        spark,
+        spark.createDataFrame(
+            [(some[0], "yy", -9)], "doc_id long, lang string, n_chars long"
+        ),
+        table,
+        ["doc_id"],
+    )
+    final = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    assert final[some[0]] == -9 and len(final) == len(after)
+
+
+def test_delta_upsert_then_rewrite_and_index(spark, table):
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.sources.delta_write import (
+        delta_rewrite_deletes,
+        delta_upsert,
+    )
+
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    k = sorted(r.doc_id for r in lake.read().limit(1).collect())[0]
+    delta_upsert(
+        spark,
+        spark.createDataFrame(
+            [(k, "zz", 123)], "doc_id long, lang string, n_chars long"
+        ),
+        table,
+        ["doc_id"],
+    )
+    expect = sorted(
+        (r.doc_id, r.n_chars) for r in lake.read().collect()
+    )
+    delta_rewrite_deletes(spark, table)
+    assert not delta_live_dvs(table)
+    assert sorted(
+        (r.doc_id, r.n_chars) for r in lake.read().collect()
+    ) == expect
+    lake.build_index(ExactIndex(), "doc_id")
+    hit = lake.search(ExactIndex(), "doc_id", int(k))
+    assert [(r.lang, r.n_chars) for r in hit.collect()] == [("zz", 123)]
+
+
+def test_delta_upsert_refuses_partition_keys(spark, sf_dir, tmp_path):
+    from rottnest_spark.sources.delta_write import delta_upsert, delta_write
+
+    t = str(tmp_path / "dup_part")
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .limit(50)
+    )
+    delta_write(df, t, partition_by=["lang"])
+    with pytest.raises(ValueError, match="partition columns"):
+        delta_upsert(spark, df, t, ["lang"])
+    # physical-column keys work on the partitioned table
+    changes = df.limit(5).withColumn("n_chars", F.lit(-1).cast("bigint"))
+    delta_upsert(spark, changes, t, ["doc_id"])
+    lake = DeltaSnapshotLake(spark, t, t + "_i")
+    got = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    changed = {r.doc_id for r in changes.collect()}
+    assert all(got[k] == -1 for k in changed) and len(got) == 50
