@@ -187,7 +187,9 @@ def iceberg_snapshot_diff(
     (positional delete files honored on both sides)."""
     from rottnest_spark.sources.iceberg import (
         _current_metadata,
-        _snapshot_files_and_deletes,
+        _snapshot_state,
+        delete_pairs_df,
+        equality_delete_positions,
     )
 
     md = _current_metadata(table_path, fs)
@@ -198,14 +200,11 @@ def iceberg_snapshot_diff(
             sid = md.get("current-snapshot-id")
         if sid not in by_id:
             raise ValueError(f"snapshot {sid} not in the snapshot log")
-        data, dels = _snapshot_files_and_deletes(
-            md, by_id[sid], table_path, fs
-        )
-        from rottnest_spark.sources.iceberg import delete_pairs_df
-
+        st = _snapshot_state(md, by_id[sid], table_path, fs)
+        dels = sorted(st["pos_deletes"])
         pos = (
             delete_pairs_df(
-                spark, sorted(dels), location=md.get("location", ""),
+                spark, dels, location=md.get("location", ""),
                 table_path=table_path,
             ).select(
                 F.col("__del_path").alias("__path"),
@@ -214,7 +213,12 @@ def iceberg_snapshot_diff(
             if dels
             else None
         )
-        return data, pos
+        if st["eq_deletes"]:
+            # equality deletes project onto positions — the diff core
+            # then treats both delete kinds uniformly
+            eqpos = equality_delete_positions(spark, st, md)
+            pos = eqpos if pos is None else pos.unionByName(eqpos)
+        return set(st["data"]), pos
 
     files_a, pos_a = state(from_snapshot_id)
     files_b, pos_b = state(to_snapshot_id)

@@ -776,3 +776,62 @@ class IcebergSnapshotLake(ParquetLake):
         return super().vacuum(
             live_files=live_files, orphan_min_age_sec=orphan_min_age_sec
         )
+
+
+def equality_delete_positions(spark, state: dict, md: dict):
+    """(__path, __pos) of every row HIDDEN by the state's equality
+    deletes — the positional projection of value deletes, computed with
+    the same sequence-gated null-safe semantics as
+    `apply_equality_deletes` but keeping the matches instead of dropping
+    them. One scan of the candidate files (those older than the newest
+    delete). Lets position-based consumers (snapshot diff) treat
+    equality deletes uniformly."""
+    from pyspark.sql import functions as F
+
+    if not state["eq_deletes"]:
+        return spark.createDataFrame([], "__path string, __pos long")
+    names = _schema_field_names(md)
+    max_eq = max(d["seq"] for d in state["eq_deletes"])
+    cands = sorted(
+        f for f, s in state["data"].items() if int(s) < max_eq
+    )
+    if not cands:
+        return spark.createDataFrame([], "__path string, __pos long")
+    df = spark.read.parquet(*cands).withColumns(
+        {
+            "__path": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    seq_rows = [(p, int(s)) for p, s in sorted(state["data"].items())]
+    seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
+    df = df.join(F.broadcast(seq_df), "__path", "left")
+
+    by_ids: dict[tuple, list[dict]] = {}
+    for d in state["eq_deletes"]:
+        by_ids.setdefault(tuple(d["equality_ids"]), []).append(d)
+    parts = []
+    for ids, dels in sorted(by_ids.items()):
+        cols = [names[i] for i in ids]
+        del_parts = []
+        for d in sorted(dels, key=lambda d: d["path"]):
+            del_parts.append(
+                spark.read.parquet(d["path"])
+                .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+                .withColumn("__dseq", F.lit(int(d["seq"])))
+            )
+        del_df = del_parts[0]
+        for p in del_parts[1:]:
+            del_df = del_df.unionByName(p)
+        cond = F.col("__dseq") > F.col("__seq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        parts.append(
+            df.join(del_df, cond, "left_semi").select("__path", "__pos")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -189,3 +189,27 @@ def test_delta_changes_cursor_replay(spark, dtable, tmp_path):
         for r in feed3.select("_change_type", "doc_id").collect()
     ]
     assert got == [("delete", 101)]
+
+
+def test_iceberg_diff_over_equality_upserts(spark, sf_dir, tmp_path):
+    """Snapshot diff on an equality-upserted table: the upsert's eq
+    delete projects onto positions, so the diff reports the replaced
+    rows as deletes and the change rows as inserts."""
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    out = str(tmp_path / "ieq")
+    _mk(spark, sf_dir, out)
+    iceberg_convert(out)  # snapshot 1
+    changes = spark.createDataFrame(
+        [(i, "xx", -1) for i in range(5)] + [(9_000_000, "xx", -2)],
+        "doc_id long, lang string, n_chars long",
+    )
+    iceberg_upsert(spark, changes, out, ["doc_id"])  # snapshot 2
+    got = _by_type(iceberg_snapshot_diff(spark, out, 1, 2))
+    assert got == {
+        "delete": set(range(5)),  # replaced rows left the snapshot
+        "insert": set(range(5)) | {9_000_000},  # change rows entered
+    }
+    # net mode: a pure value change keeps both sides (values differ)
+    net = _by_type(iceberg_snapshot_diff(spark, out, 1, 2, net=True))
+    assert net == got
