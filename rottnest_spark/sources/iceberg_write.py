@@ -13,12 +13,16 @@ Emits, per the Iceberg spec (https://iceberg.apache.org/spec/):
     metadata/version-hint.text  current metadata version pointer
 
 Scope, stated plainly:
-- v1 tables for data-only state; v2 POSITIONAL row-level deletes
-  (merge-on-read) via `iceberg_delete_rows` — delete files in their own
-  content=1 manifest, compacted back to data files by
-  `iceberg_rewrite_deletes`. Equality deletes are out of scope (the
-  reader refuses them). This EXCEEDS the reference, which refuses any
-  delete-bearing table (backends/iceberg.py:279-280);
+- v1 tables for data-only state; v2 row-level deletes of BOTH kinds:
+  POSITIONAL via `iceberg_delete_rows` (delete files in a content=1
+  manifest) and EQUALITY via `iceberg_upsert` (the Flink-CDC shape —
+  one snapshot = change rows + one equality delete file of their keys,
+  sequence numbers doing the hiding: O(|changes|), zero data-file
+  scans). Commits are sequence-numbered (last-sequence-number + 1;
+  pre-existing files keep their data sequence across the full-manifest
+  rewrite). `iceberg_rewrite_deletes` materializes both kinds. This
+  EXCEEDS the reference, which refuses any delete-bearing table
+  (backends/iceberg.py:279-280);
 - identity-partitioned tables supported (round 5): hive-laid data files,
   typed partition values in the manifests' r102 record, partition-spec
   (+partition-specs/default-spec-id) in metadata; the table schema then
@@ -963,10 +967,7 @@ def iceberg_expire_snapshots(
     deletes files unreachable from any surviving snapshot. Returns the
     deleted (or with `dry_run` the would-be-deleted) paths; a dry run
     commits nothing."""
-    from rottnest_spark.sources.iceberg import (
-        _rebase,
-        _snapshot_files_and_deletes,
-    )
+    from rottnest_spark.sources.iceberg import _rebase, _snapshot_state
 
     if (keep_last is None) == (older_than_ms is None):
         raise ValueError("pass exactly one of keep_last / older_than_ms")
@@ -1005,8 +1006,13 @@ def iceberg_expire_snapshots(
                 meta_refs.add(
                     _rebase(e["manifest_path"], location, table_path)
                 )
-        data, dels = _snapshot_files_and_deletes(md, snap, table_path, fs)
-        return data | dels, meta_refs
+        st = _snapshot_state(md, snap, table_path, fs)
+        files = (
+            set(st["data"])
+            | set(st["pos_deletes"])
+            | {d["path"] for d in st["eq_deletes"]}
+        )
+        return files, meta_refs
 
     keep_files: set[str] = set()
     keep_meta: set[str] = set()

@@ -166,3 +166,29 @@ def test_iceberg_expire_arg_validation(spark, sf_dir, tmp_path):
         iceberg_expire_snapshots(t)
     with pytest.raises(ValueError, match="exactly one"):
         iceberg_expire_snapshots(t, keep_last=1, older_than_ms=0)
+
+
+def test_iceberg_expire_on_upserted_table(spark, sf_dir, tmp_path):
+    """Expiration walks delete-bearing snapshots too: an upserted table
+    expires its pre-upsert snapshot without touching files the current
+    snapshot still references (including the equality delete file)."""
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    t = str(tmp_path / "iexq")
+    _mk(spark, sf_dir, t)
+    iceberg_convert(t)  # snapshot 1
+    changes = spark.createDataFrame(
+        [(i, "xx", -1) for i in range(5)],
+        "doc_id long, lang string, n_chars long",
+    )
+    iceberg_upsert(spark, changes, t, ["doc_id"])  # snapshot 2
+    lake = IcebergSnapshotLake(spark, t, t + "_idx")
+    expect = sorted(
+        (r.doc_id, r.n_chars) for r in lake.read().collect()
+    )
+    gone = iceberg_expire_snapshots(t, keep_last=1)
+    # snapshot 1's manifests went; shared data + the eq delete survive
+    assert all(f.endswith(".avro") for f in gone)
+    assert sorted(
+        (r.doc_id, r.n_chars) for r in lake.read().collect()
+    ) == expect
