@@ -3095,13 +3095,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "regex_search": q_regex_search,
     "phrase_search": q_phrase_search,
-    "substring_search_many": q_substring_search_many,
     "conj_not_search": q_conj_not_search,
     "log_search": q_log_search,
     "logcloud_search": q_logcloud_search,
     "log_timerange_prefix": q_log_timerange_prefix,
     "bm25_topk": q_bm25_topk,
-    "bm25_topk_many": q_bm25_topk_many,
     "vector_knn_exact": q_vector_knn_exact,
     "vector_knn_ivf": q_vector_knn_ivf,
     "vector_knn_pq": q_vector_knn_pq,
@@ -3132,6 +3130,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_documents": q_curate_documents,
     "stratified_mixture": q_stratified_mixture,
     "sequence_packing": q_sequence_packing,
+    "iceberg_mor_read": q_iceberg_mor_read,
+    "iceberg_upsert_read": q_iceberg_upsert_read,
     "tpch_q1": q_tpch_q1,
     "tpch_q9": q_tpch_q9,
     "tpch_q16": q_tpch_q16,
@@ -3139,12 +3139,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21": q_tpch_q21,
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
-    "iceberg_mor_read": q_iceberg_mor_read,
     "delta_dv_read": q_delta_dv_read,
     "delta_snapshot_diff": q_delta_snapshot_diff,
-    "iceberg_upsert_read": q_iceberg_upsert_read,
     "windowed_event_counts": q_windowed_event_counts,
     # --- past the window: variants, second tiers, rows-only paths ---
+    "substring_search_many": q_substring_search_many,
+    "bm25_topk_many": q_bm25_topk_many,
     "session_stats": q_session_stats,
     "exact_match_binary": q_exact_match_binary,
     "exact_range": q_exact_range,
