@@ -162,7 +162,11 @@ def delta_convert(
     data = [
         f
         for f in fs.list_files(table_path)
-        if f.endswith(".parquet") and "_delta_log" not in f
+        # segment check, not substring: a TABLE PATH containing
+        # "_delta_log" in some parent dir name must not hide every file
+        if f.endswith(".parquet")
+        and "_delta_log"
+        not in os.path.relpath(f, table_path).split(os.sep)
     ]
     if not data:
         raise ValueError(f"{table_path} has no parquet data files to convert")
@@ -911,3 +915,41 @@ def delta_upsert(
         "file_path", "pos"
     )
     return _delta_commit_dvs(spark, table_path, matched, fs, extra_adds=moved)
+
+
+def delta_cleanup_log(
+    table_path: str,
+    older_than_sec: float = 30 * 86400.0,
+    fs: LakeFS | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete commit files a checkpoint has superseded (Delta's log
+    retention): only commits with version <= the latest checkpoint are
+    candidates — the replay reconstructs every later state from the
+    checkpoint + surviving commits. The age window protects concurrent
+    time-travel readers of pre-checkpoint versions, mirroring
+    delta_vacuum_table's retention stance. Returns the deleted (or
+    would-be-deleted) commit paths."""
+    import time as _time
+
+    from rottnest_spark.sources.delta import _checkpoint_parts
+
+    fs = fs or LocalFS()
+    log_dir = _log_dir(table_path)
+    cp_version, _ = _checkpoint_parts(log_dir, fs)
+    if cp_version < 0:
+        return []  # nothing checkpointed: every commit is load-bearing
+    cutoff = _time.time() - older_than_sec
+    victims = []
+    for f in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
+        if int(os.path.basename(f).split(".")[0]) > cp_version:
+            continue
+        try:
+            if fs.getmtime(f) > cutoff:
+                continue
+        except OSError:
+            continue
+        victims.append(f)
+        if not dry_run:
+            fs.remove(f)
+    return victims

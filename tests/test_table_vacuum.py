@@ -192,3 +192,44 @@ def test_iceberg_expire_on_upserted_table(spark, sf_dir, tmp_path):
     assert sorted(
         (r.doc_id, r.n_chars) for r in lake.read().collect()
     ) == expect
+
+
+def test_delta_log_cleanup_after_checkpoint(spark, sf_dir, tmp_path):
+    from rottnest_spark.sources.delta_write import (
+        delta_checkpoint,
+        delta_cleanup_log,
+        delta_commit_retry,
+    )
+
+    t = str(tmp_path / "dlog")
+    _mk(spark, sf_dir, t)
+    delta_convert(t)
+    delta_delete_rows(spark, t, "doc_id % 5 = 0")
+    lake = DeltaSnapshotLake(spark, t, t + "_idx")
+    expect = _ids(lake.read())
+    # nothing checkpointed yet: cleanup refuses to touch the log
+    assert delta_cleanup_log(t, older_than_sec=0) == []
+    v = delta_checkpoint(t)
+    gone = delta_cleanup_log(t, older_than_sec=0)
+    assert gone and all(
+        int(os.path.basename(f).split(".")[0]) <= v for f in gone
+    )
+    # replay works from the checkpoint alone, deletes still applied
+    assert _ids(lake.read()) == expect
+    # post-checkpoint commits survive
+    extra = os.path.join(t, "late.parquet")
+    spark.range(3).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "cast(1 as bigint) AS n_chars"
+    ).coalesce(1).write.parquet(t + "_st")
+    import glob as g
+    import shutil
+
+    shutil.move(g.glob(f"{t}_st/*.parquet")[0], extra)
+    delta_commit_retry(t, add=[extra])
+    assert len(_ids(lake.read())) == len(expect) + 3
+    remaining = [
+        f
+        for f in os.listdir(os.path.join(t, "_delta_log"))
+        if f.endswith(".json")
+    ]
+    assert remaining  # the post-checkpoint commit file is intact
