@@ -3457,7 +3457,6 @@ ORACLES: dict[str, str] = {
         for q in BM25_MANY
     ),
     "bm25_topk_expanded": _bm25_expanded_oracle_sql(BM25_QUERY, BM25_K, 8),
-    # vector_knn_ivf: intentionally no oracle (approximate; recall-tested)
     "vector_knn_exact": _knn_oracle_sql(KNN_K),
     # the ANN paths are oracled against EXACT KNN: a hash match means
     # recall@K == 1.0 at gate scale (the quantitative assertion the

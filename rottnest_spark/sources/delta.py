@@ -267,6 +267,34 @@ def delta_live_adds(
     }
 
 
+def delta_protocol(
+    table_path: str, fs: LakeFS | None = None
+) -> dict | None:
+    """Latest `protocol` action of the log (checkpoint first, then
+    commits) — what a feature-upgrading commit must MERGE with rather
+    than replace."""
+    fs = fs or LocalFS()
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not fs.isdir(log_dir):
+        raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
+    proto = None
+    start_version, cp_files = _checkpoint_parts(log_dir, fs)
+    for cp in cp_files:
+        tbl = _read_cp_table(fs, cp)
+        if "protocol" in tbl.column_names:
+            for rec in tbl.column("protocol").to_pylist():
+                if rec and any(v is not None for v in rec.values()):
+                    proto = rec
+    for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
+        if int(os.path.basename(c).split(".")[0]) <= start_version:
+            continue
+        for line in _log_lines(fs, c):
+            a = json.loads(line)
+            if "protocol" in a:
+                proto = a["protocol"]
+    return proto
+
+
 def delta_live_dvs(
     table_path: str,
     version_as_of: int | None = None,
@@ -315,96 +343,125 @@ def delta_live_files(
 
 
 def dv_positions_df(spark, table_path: str, dvs: dict[str, dict]):
-    """(file_path, pos) DataFrame of DELETED row positions, decoded
-    EXECUTOR-SIDE from deletion-vector descriptors (one mapInPandas over
-    the descriptor rows — driver memory stays descriptor-scale no matter
-    the cardinality). file_path is the data file's absolute path.
+    """(file_path, pos) DataFrame of DELETED row positions decoded
+    EXECUTOR-SIDE from deletion-vector descriptors. file_path is the
+    data file's absolute path.
 
-    Storage types per the protocol: "i" inline Z85 bitmap in the log,
-    "u" Z85-UUID-named `deletion_vector_<uuid>.bin` under the table
-    (optional random prefix), "p" absolute path; u/p wrap the bitmap in
-    the DV file layout at `offset` (CRC-verified)."""
-    from pyspark.sql import functions as F  # noqa: F401
+    Storage types per the protocol: "i" inline Z85 bitmap in the log
+    (decoded straight from the descriptor — no I/O); "u" Z85-UUID-named
+    `deletion_vector_<uuid>.bin` under the table (optional random
+    prefix); "p" absolute path. File-backed vectors are loaded through
+    Spark's binaryFile source — the SAME filesystem plane as the data
+    files (works on s3a://; a raw python open() would not) — one content
+    row per DISTINCT bin file, with that bin's descriptor list (data
+    file, offset) captured by value, so shared bins decode all their
+    vectors in one task without duplicating bytes."""
+    import re as _re
 
     from rottnest_spark.sources.roaring import make_dv_decoder
 
-    rows = [
-        (
-            p,
-            str(d.get("storageType") or ""),
-            str(d.get("pathOrInlineDv") or ""),
-            -1 if d.get("offset") is None else int(d["offset"]),
-        )
-        for p, d in sorted(dvs.items())
-    ]
-    desc = spark.createDataFrame(
-        rows, "file_path string, storage string, path_or_inline string, offset long"
-    )
     decode = make_dv_decoder()  # self-contained closure (ships by value)
-    tp = table_path
 
-    def gen(batches):
-        import os as _os
-        import uuid as _uuid
+    def canon(p: str) -> str:
+        if "://" in p:
+            return p
+        return os.path.abspath(_re.sub("^file:/+", "/", p))
 
-        import pandas as _pd
+    inline: list[tuple[str, str]] = []  # (data file, z85 bitmap)
+    by_bin: dict[str, list[tuple[str, int]]] = {}  # bin -> [(file, off)]
+    for fp, d in sorted(dvs.items()):
+        st = str(d.get("storageType") or "")
+        pi = str(d.get("pathOrInlineDv") or "")
+        if st == "i":
+            inline.append((fp, pi))
+        elif st in ("u", "p"):
+            if st == "p":
+                path = pi if os.path.isabs(pi) else os.path.join(table_path, pi)
+            else:
+                # [optional random prefix +] z85(uuid16) = 20 chars
+                import uuid as _uuid
 
-        for pdf in batches:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                st, pi, off = r.storage, r.path_or_inline, int(r.offset)
-                if st == "i":
-                    pos = decode(decode.z85_decode(pi))
-                elif st in ("u", "p"):
-                    if st == "p":
-                        path = (
-                            pi
-                            if _os.path.isabs(pi)
-                            else _os.path.join(tp, pi)
-                        )
-                    else:
-                        # [optional random prefix +] z85(uuid16) = 20 chars
-                        prefix, enc = pi[:-20], pi[-20:]
-                        name = (
-                            "deletion_vector_"
-                            f"{_uuid.UUID(bytes=decode.z85_decode(enc))}.bin"
-                        )
-                        path = _os.path.join(tp, prefix, name)
-                    with open(path, "rb") as fh:
-                        data = fh.read()
-                    pos = decode(data, None if off < 0 else off)
-                else:
-                    raise ValueError(
-                        f"unknown deletionVector storageType {st!r}"
-                    )
-                outs.append(
-                    _pd.DataFrame(
-                        {
-                            "file_path": r.file_path,
-                            "pos": pos.astype("int64"),
-                        }
-                    )
+                prefix, enc = pi[:-20], pi[-20:]
+                path = os.path.join(
+                    table_path,
+                    prefix,
+                    f"deletion_vector_{_uuid.UUID(bytes=decode.z85_decode(enc))}.bin",
                 )
-            yield (
-                _pd.concat(outs)
-                if outs
-                else _pd.DataFrame({"file_path": [], "pos": []})
-            )
+            off = -1 if d.get("offset") is None else int(d["offset"])
+            by_bin.setdefault(canon(path), []).append((fp, off))
+        else:
+            raise ValueError(f"unknown deletionVector storageType {st!r}")
 
-    return desc.repartition(max(1, len(rows))).mapInPandas(
-        gen, "file_path string, pos long"
-    )
+    out_schema = "file_path string, pos long"
+    parts = []
+    if inline:
+        desc = spark.createDataFrame(
+            inline, "file_path string, inline string"
+        ).repartition(max(1, min(len(inline), 32)))
+
+        def gen_inline(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    pos = decode(decode.z85_decode(r.inline))
+                    yield _pd.DataFrame(
+                        {"file_path": r.file_path, "pos": pos.astype("int64")}
+                    )
+
+        parts.append(desc.mapInPandas(gen_inline, out_schema))
+    if by_bin:
+        targets = dict(by_bin)  # captured by value — metadata scale
+        bins = (
+            spark.read.format("binaryFile")
+            .load(sorted(by_bin))
+            .select("path", "content")
+        )
+
+        def gen_bins(batches):
+            import os as _os
+            import re as _re2
+
+            import pandas as _pd
+
+            def _canon(p):
+                if "://" in p:
+                    return p
+                return _os.path.abspath(_re2.sub("^file:/+", "/", p))
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    data = bytes(r.content)
+                    for fp, off in targets[_canon(r.path)]:
+                        pos = decode(data, None if off < 0 else off)
+                        yield _pd.DataFrame(
+                            {"file_path": fp, "pos": pos.astype("int64")}
+                        )
+
+        parts.append(bins.mapInPandas(gen_bins, out_schema))
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
 
 
-def apply_deletion_vectors(spark, df, table_path: str, dvs: dict[str, dict]):
+def apply_deletion_vectors(
+    spark, df, table_path: str, dvs: dict[str, dict], pairs=None
+):
     """Anti-join a freshly-scanned DataFrame (its `_metadata` column must
     still resolve) against the decoded deletion-vector positions — the
     Delta merge-on-read read semantics (one distributed anti-join, AQE
-    broadcast-converts it when the delete set is small)."""
+    broadcast-converts it when the delete set is small). Pass `pairs`
+    (a pre-decoded, ideally checkpointed positions DataFrame) when
+    applying to several scans so the decode runs once."""
     from pyspark.sql import functions as F
 
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    pairs = dv_positions_df(spark, table_path, dvs).select(
+    if pairs is None:
+        pairs = dv_positions_df(spark, table_path, dvs)
+    pairs = pairs.select(
         norm(F.col("file_path")).alias("__del_path"),
         F.col("pos").alias("__del_pos"),
     )
@@ -610,7 +667,7 @@ class DeltaSnapshotLake(ParquetLake):
             )
         return super().build_index(index, column, *a, **kw)
 
-    def _base_read(self, fl: list[str], dvs: dict[str, dict]):
+    def _base_read(self, fl: list[str], dvs: dict[str, dict], pairs=None):
         """Scan `fl`, applying the snapshot's deletion vectors when
         present (anti-join on `_metadata` BEFORE any projection —
         metadata columns resolve only on the scan relation), with the
@@ -626,7 +683,8 @@ class DeltaSnapshotLake(ParquetLake):
         from pyspark.sql import functions as F
 
         df = apply_deletion_vectors(
-            self.spark, self.spark.read.parquet(*fl), self._table_path, dvs
+            self.spark, self.spark.read.parquet(*fl), self._table_path, dvs,
+            pairs=pairs,
         )
         for c in ns_cols:
             df = df.withColumn(
@@ -715,9 +773,17 @@ class DeltaSnapshotLake(ParquetLake):
             key = tuple((adds[f] or {}).get(c) for c in pcols)
             groups.setdefault(key, []).append(f)
         types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        # decode the vectors ONCE for all partition groups: the eager
+        # local checkpoint materializes the positions so each group's
+        # anti-join reuses them instead of re-running the decode job
+        shared = None
+        if dvs and len(groups) > 1:
+            shared = dv_positions_df(
+                self.spark, self._table_path, dvs
+            ).localCheckpoint(eager=True)
         parts = []
         for key, fl in sorted(groups.items()):
-            df = self._base_read(fl, dvs)
+            df = self._base_read(fl, dvs, pairs=shared)
             for c, v in zip(pcols, key):
                 lit = F.lit(v)
                 if c in types:

@@ -327,9 +327,7 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
                                 meta = meta or rec
                             else:
                                 proto = proto or rec
-    from rottnest_spark.sources.delta import delta_live_adds
-
-    live_pvals = delta_live_adds(table_path, fs=fs)
+    live_pvals = {p: pv for p, (pv, _) in live_state.items()}
     adds = [
         {
             "path": os.path.relpath(f, table_path),
@@ -680,14 +678,29 @@ def _delta_commit_dvs(
     pcols = delta_partition_columns(table_path, fs=fs)
     now = int(time.time() * 1000)
     # DVs are a table FEATURE (protocol reader v3 / writer v7) — announce
-    # it in the same commit so spec-conforming engines know to apply them
+    # it in the same commit, MERGED with the current protocol: replacing
+    # it would silently drop features another engine declared (e.g.
+    # timestampNtz), making spec-conforming readers misread that data
+    from rottnest_spark.sources.delta import delta_protocol
+
+    cur = delta_protocol(table_path, fs=fs) or {}
+    reader_feats = sorted(
+        set(cur.get("readerFeatures") or []) | {"deletionVectors"}
+    )
+    writer_feats = sorted(
+        set(cur.get("writerFeatures") or []) | {"deletionVectors"}
+    )
     actions: list[dict] = [
         {
             "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "minReaderVersion": max(
+                    3, int(cur.get("minReaderVersion") or 1)
+                ),
+                "minWriterVersion": max(
+                    7, int(cur.get("minWriterVersion") or 1)
+                ),
+                "readerFeatures": reader_feats,
+                "writerFeatures": writer_feats,
             }
         }
     ]
@@ -707,16 +720,37 @@ def _delta_commit_dvs(
     for f in sorted(extra_adds or []):  # the upsert's inserted rows
         actions.append(_add_action(table_path, f, pcols, fs=fs))
     log_dir = _log_dir(table_path)
+    # the descriptors were computed against THIS dv state; a concurrent
+    # DV writer changing any affected file's vector between now and our
+    # winning commit would be silently overwritten (its deleted rows
+    # resurrected) if we retried blindly
+    base_dvs = {f: dvs.get(f) for f in affected}
     last: Exception | None = None
     for _ in range(20):
         try:
             return _write_commit(log_dir, _next_version(log_dir, fs), actions, fs)
         except FileExistsError as exc:
             last = exc
+            from rottnest_spark.sources.delta import (
+                delta_live_dvs as _live_dvs,
+            )
             from rottnest_spark.sources.delta import delta_live_files
 
             live = set(delta_live_files(table_path, fs=fs, on_deletes="ignore"))
             gone = [f for f in affected if f not in live]
+            fresh_dvs = _live_dvs(table_path, fs=fs)
+            changed = [
+                f
+                for f in affected
+                if f in live and fresh_dvs.get(f) != base_dvs.get(f)
+            ]
+            if changed:
+                raise ValueError(
+                    "concurrent writer changed deletion vectors on files "
+                    f"this commit also rewrites: {changed[:3]} — re-run "
+                    "against the new snapshot (retrying would resurrect "
+                    "the other writer's deleted rows)"
+                ) from exc
             if gone:
                 raise ValueError(
                     "concurrent writer rewrote files this DELETE targets: "
@@ -796,12 +830,21 @@ def delta_vacuum_table(
 
     fs = fs or LocalFS()
     state = _delta_live_state(table_path, fs=fs)
-    keep = set(state)
+    # abspath-normalize the keep set AND every candidate below — a
+    # relative table_path would otherwise make every live file look
+    # unreferenced and vacuum would delete the current snapshot
+    keep = {os.path.abspath(p) for p in state}
     for _, dv in state.values():
         if dv and dv.get("storageType") in ("u", "p"):
             pi = dv["pathOrInlineDv"]
             if dv["storageType"] == "p":
-                keep.add(pi if os.path.isabs(pi) else os.path.join(table_path, pi))
+                keep.add(
+                    os.path.abspath(
+                        pi
+                        if os.path.isabs(pi)
+                        else os.path.join(table_path, pi)
+                    )
+                )
             else:
                 import uuid as _uuid
 
@@ -809,10 +852,13 @@ def delta_vacuum_table(
 
                 prefix, enc = pi[:-20], pi[-20:]
                 keep.add(
-                    os.path.join(
-                        table_path,
-                        prefix,
-                        f"deletion_vector_{_uuid.UUID(bytes=z85_decode(enc))}.bin",
+                    os.path.abspath(
+                        os.path.join(
+                            table_path,
+                            prefix,
+                            "deletion_vector_"
+                            f"{_uuid.UUID(bytes=z85_decode(enc))}.bin",
+                        )
                     )
                 )
     cutoff = _time.time() - older_than_sec

@@ -242,7 +242,13 @@ def apply_equality_deletes(spark, df, state: dict, md: dict):
     from pyspark.sql import functions as F
 
     names = _schema_field_names(md)
-    seq_rows = [(p, int(s)) for p, s in sorted(state["data"].items())]
+    # abspath both sides: state keys are _rebase() outputs (relative when
+    # table_path is relative) while __path tags are absolute URIs — an
+    # unmatched join would null __seq and silently unapply every delete
+    seq_rows = [
+        (os.path.abspath(p), int(s))
+        for p, s in sorted(state["data"].items())
+    ]
     seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
     df = df.join(F.broadcast(seq_df), "__path", "left")
 
@@ -631,7 +637,9 @@ class IcebergSnapshotLake(ParquetLake):
                 )
         return super().build_index(index, column, *a, **kw)
 
-    def _base_read(self, fl: list[str], state: dict, location: str, md: dict):
+    def _base_read(
+        self, fl: list[str], state: dict, location: str, md: dict, pairs=None
+    ):
         """Scan `fl`, applying the snapshot's positional AND equality
         delete files when present. Rows are tagged from `_metadata`
         BEFORE any projection (metadata columns resolve only on the scan
@@ -661,10 +669,12 @@ class IcebergSnapshotLake(ParquetLake):
             }
         )
         if dels:
-            pairs = delete_pairs_df(
-                self.spark, dels, location=location,
-                table_path=self._table_path,
-            ).select(
+            if pairs is None:
+                pairs = delete_pairs_df(
+                    self.spark, dels, location=location,
+                    table_path=self._table_path,
+                )
+            pairs = pairs.select(
                 F.col("__del_path").alias("__path"),
                 F.col("__del_pos").alias("__pos"),
             )
@@ -742,10 +752,19 @@ class IcebergSnapshotLake(ParquetLake):
             key = tuple(adds[f].get(c) for c in missing)
             groups.setdefault(key, []).append(f)
         parts = []
+        shared = None
+        if state["pos_deletes"] and len(groups) > 1:
+            shared = delete_pairs_df(
+                self.spark, sorted(state["pos_deletes"]),
+                location=md.get("location", ""),
+                table_path=self._table_path,
+            ).localCheckpoint(eager=True)
         for key, fl in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
         ):
-            df = self._base_read(fl, state, md.get("location", ""), md)
+            df = self._base_read(
+                fl, state, md.get("location", ""), md, pairs=shared
+            )
             for c, v in zip(missing, key):
                 lit = F.lit(v)
                 if c in casts:
@@ -805,7 +824,10 @@ def equality_delete_positions(spark, state: dict, md: dict):
             "__pos": F.col("_metadata.row_index"),
         }
     )
-    seq_rows = [(p, int(s)) for p, s in sorted(state["data"].items())]
+    seq_rows = [
+        (os.path.abspath(p), int(s))
+        for p, s in sorted(state["data"].items())
+    ]
     seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
     df = df.join(F.broadcast(seq_df), "__path", "left")
 

@@ -198,7 +198,8 @@ class IcebergGlueLake(IcebergSnapshotLake):
             md = self.glue_catalog.table_metadata(self.identifier)
             live_files = set(
                 history_files_from_metadata(
-                    md, self._table_path, history_days, now_ms
+                    md, self._table_path, history_days, now_ms,
+                    fs=self.fs,
                 )
             )
         # skip IcebergSnapshotLake.vacuum: it would re-resolve from storage

@@ -343,11 +343,20 @@ class IcebergWritableLake(_FormatDML, IcebergSnapshotLake):
     def _known_files(self) -> set[str]:
         from rottnest_spark.sources.iceberg import (
             _current_metadata,
-            _snapshot_data_files,
+            _snapshot_state,
         )
 
         md = _current_metadata(self._table_path, fs=self.fs)
         known: set[str] = set()
         for s in md.get("snapshots", []):
-            known |= _snapshot_data_files(md, s, self._table_path, self.fs)
+            # walk HISTORY with the full state: old snapshots may carry
+            # merge-on-read deletes — raising would wedge every DML after
+            # a compacted MOR episode, and DELETE FILES must count as
+            # known too, or the adds-diff would mistake an orphaned
+            # delete-*.parquet for a rewrite output and commit its
+            # (file_path, pos) rows as DATA
+            st = _snapshot_state(md, s, self._table_path, self.fs)
+            known |= set(st["data"])
+            known |= set(st["pos_deletes"])
+            known |= {d["path"] for d in st["eq_deletes"]}
         return known

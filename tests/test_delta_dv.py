@@ -458,3 +458,85 @@ def test_delta_upsert_refuses_partition_keys(spark, sf_dir, tmp_path):
     got = {r.doc_id: r.n_chars for r in lake.read().collect()}
     changed = {r.doc_id for r in changes.collect()}
     assert all(got[k] == -1 for k in changed) and len(got) == 50
+
+
+# --- review-found regressions ------------------------------------------------
+
+
+def test_vacuum_with_relative_table_path(spark, sf_dir, tmp_path, monkeypatch):
+    """A relative table_path must not make every live file look
+    unreferenced (that would delete the current snapshot)."""
+    from rottnest_spark.sources.delta_write import delta_vacuum_table
+
+    t = str(tmp_path / "relvac")
+    _mk = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    _mk.select("doc_id", "lang").repartition(2).write.parquet(t)
+    delta_convert(t)
+    monkeypatch.chdir(tmp_path)
+    gone = delta_vacuum_table("relvac", older_than_sec=0)
+    assert gone == []  # every file is live — nothing may be deleted
+    lake = DeltaSnapshotLake(spark, t, t + "_idx")
+    assert lake.read().count() == 50
+
+
+def test_protocol_merge_preserves_external_features(spark, table):
+    """A DV commit on a table that already declares extra reader features
+    (e.g. timestampNtz from another engine) must MERGE, not clobber."""
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["timestampNtz"],
+                        "writerFeatures": ["timestampNtz"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    delta_delete_rows(spark, table, "doc_id = 1")
+    commits = sorted(
+        f for f in os.listdir(log) if f.endswith(".json")
+    )
+    actions = [
+        json.loads(ln)
+        for ln in open(os.path.join(log, commits[-1])).read().splitlines()
+    ]
+    proto = [a["protocol"] for a in actions if "protocol" in a][0]
+    assert set(proto["readerFeatures"]) == {"deletionVectors", "timestampNtz"}
+    assert set(proto["writerFeatures"]) == {"deletionVectors", "timestampNtz"}
+
+
+def test_concurrent_dv_writers_conflict_not_resurrect(spark, table, monkeypatch):
+    """Losing a version race after ANOTHER writer changed an affected
+    file's vector must raise, not silently overwrite (which would
+    resurrect the winner's deleted rows)."""
+    from rottnest_spark.sources import delta_write as dw
+
+    real_write_commit = dw._write_commit
+    state = {"interleaved": False}
+
+    def racing_write_commit(log_dir, version, actions, fs):
+        if not state["interleaved"] and any(
+            "deletionVector" in (a.get("add") or {}) for a in actions
+        ):
+            state["interleaved"] = True
+            # a concurrent writer wins this version with a DIFFERENT DV
+            monkeypatch.undo()
+            try:
+                delta_delete_rows(spark, table, "doc_id = 7")
+            finally:
+                monkeypatch.setattr(dw, "_write_commit", racing_write_commit)
+            raise FileExistsError(version)
+        return real_write_commit(log_dir, version, actions, fs)
+
+    monkeypatch.setattr(dw, "_write_commit", racing_write_commit)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delta_delete_rows(spark, table, "doc_id = 3")
+    monkeypatch.undo()
+    # the concurrent writer's delete is intact
+    lake = DeltaSnapshotLake(spark, table, table + "_idx")
+    assert 7 not in {r.doc_id for r in lake.read().collect()}

@@ -220,3 +220,20 @@ def test_append_into_mor_table(spark, table):
     assert got == list(range(100, 300)) + list(range(10_000, 10_005))
     _, dels = iceberg_live_files_and_deletes(table)
     assert dels  # deletes survived the append commit
+
+
+def test_writable_dml_after_compacted_mor_history(spark, table, tmp_path):
+    """Copy-on-write DML must work on a table whose HISTORY holds a
+    merge-on-read episode (delete → rewrite): the liveness walk over old
+    snapshots has to tolerate their delete files."""
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.sources.writable import IcebergWritableLake
+
+    iceberg_delete_rows(spark, table, "doc_id % 5 = 0")
+    iceberg_rewrite_deletes(spark, table)  # current snapshot is clean
+    lake = IcebergWritableLake(spark, table, str(tmp_path / "wx"))
+    lake.build_index(ExactIndex(), "doc_id")
+    res = lake.delete_matching(ExactIndex(), "doc_id", 3)
+    assert res["rewritten"] >= 1
+    got = sorted(r.doc_id for r in lake.read().select("doc_id").collect())
+    assert 3 not in got and all(i % 5 != 0 for i in got)
