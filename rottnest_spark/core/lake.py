@@ -1412,17 +1412,24 @@ class ParquetLake:
         (
             read_parquet(self.spark, all_small)
             .withColumn("__prov__", provenance_file_col())
+            .withColumn("__rix__", F.col("_metadata.row_index"))
             .join(F.broadcast(map_df), F.col("__prov__") == F.col("__mf__"))
             .withColumn(
                 "__slot__",
                 (
                     F.col("__off__")
+                    # DETERMINISTIC slot key (provenance, row index): a
+                    # nondeterministic id feeding a shuffle loses or
+                    # duplicates rows when a task retry recomputes the
+                    # map side (SPARK-23207) — fatal here because the
+                    # originals are deleted after the swap
                     + F.pmod(
-                        F.monotonically_increasing_id(), F.col("__n__")
+                        F.xxhash64(F.col("__prov__"), F.col("__rix__")),
+                        F.col("__n__").cast("long"),
                     ).cast("int")
                 ),
             )
-            .drop("__prov__", "__mf__", "__off__", "__n__")
+            .drop("__prov__", "__rix__", "__mf__", "__off__", "__n__")
             .repartition("__slot__")
             .write.partitionBy("__slot__")
             .parquet(stage)

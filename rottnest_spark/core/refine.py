@@ -104,25 +104,9 @@ def read_candidates(
 
     if whole_files:
         if tag_positions:
-            from pyspark.sql import functions as F
+            from rottnest_spark.sources.reader import read_parquet_tagged
 
-            from rottnest_spark.sources.reader import _NANOS_FLAG
-
-            ns_probe = nanos_ts_columns(whole_files[0])
-            spark.conf.set(_NANOS_FLAG, "true" if ns_probe else "false")
-            df = spark.read.parquet(*whole_files)
-            df = df.withColumns(
-                {
-                    "__path": F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
-                    ),
-                    "__pos": F.col("_metadata.row_index"),
-                }
-            )
-            for c in ns_probe:
-                df = df.withColumn(
-                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-                )
+            df = read_parquet_tagged(spark, whole_files)
             if columns:
                 df = df.select(*columns, "__path", "__pos")
             parts.append(df)

@@ -40,19 +40,17 @@ def _norm(c):
     return F.regexp_replace(c, "^file:/+", "/")
 
 
-def _tag(df):
-    return df.withColumns(
-        {
-            "__path": _norm(F.col("_metadata.file_path")),
-            "__pos": F.col("_metadata.row_index"),
-        }
-    )
+def _tagged_scan(spark, files):
+    from rottnest_spark.sources.reader import read_parquet_tagged
+
+    return read_parquet_tagged(spark, sorted(files))
 
 
 def _rows_minus_positions(spark, files, pos_df):
     """Rows of `files` with deleted positions removed (pos_df may be
-    None). Keeps the __path/__pos tags for further joins."""
-    df = _tag(spark.read.parquet(*sorted(files)))
+    None). Keeps the __path/__pos tags for further joins. Scans go
+    through the shared tagged reader (nanosecond-timestamp-safe)."""
+    df = _tagged_scan(spark, files)
     if pos_df is not None:
         df = df.join(pos_df, ["__path", "__pos"], "left_anti")
     return df
@@ -76,15 +74,23 @@ def snapshot_diff(
     files_b: set[str],
     pos_b,
     net: bool = False,
+    changed_common: set[str] | None = None,
 ):
     """Shared diff core: (file sets, deleted-position DataFrames tagged
     __path/__pos or None) for states A and B → one DataFrame of the data
-    columns + `_change_type` ('insert' | 'delete')."""
+    columns + `_change_type` ('insert' | 'delete').
+
+    `changed_common` (when the caller can compute it from metadata)
+    bounds the common-file branch to files whose DELETE STATE actually
+    changed — without it, any delete state forces a scan of every
+    common file just to semi-join a handful of changed positions."""
     only_a, only_b, common = (
         files_a - files_b,
         files_b - files_a,
         files_a & files_b,
     )
+    if changed_common is not None:
+        common = common & changed_common
     parts = []
     if only_b:
         parts.append(
@@ -106,7 +112,7 @@ def snapshot_diff(
         cb = cb if cb is not None else zero
         newly_deleted = cb.exceptAll(ca)
         resurrected = ca.exceptAll(cb)
-        base = _tag(spark.read.parquet(*sorted(common)))
+        base = _tagged_scan(spark, common)
         parts.append(
             base.join(newly_deleted, ["__path", "__pos"], "left_semi")
             .withColumn(_CHANGE_COL, F.lit("delete"))
@@ -120,7 +126,7 @@ def snapshot_diff(
         if not schema_src:
             raise ValueError("both snapshots are empty — nothing to diff")
         return (
-            _tag(spark.read.parquet(schema_src[0]))
+            _tagged_scan(spark, [schema_src[0]])
             .withColumn(_CHANGE_COL, F.lit(""))
             .drop("__path", "__pos")
             .limit(0)
@@ -157,6 +163,10 @@ def delta_snapshot_diff(
     )
 
     def state(v):
+        if v is not None and v < 0:
+            # pre-creation: the empty table — lets a feed start BEFORE
+            # commit 0 so the initial rows arrive as inserts
+            return set(), None, {}
         st = _delta_live_state(table_path, v, fs)
         files = set(st)
         dvs = {p: dv for p, (_, dv) in st.items() if dv}
@@ -168,11 +178,21 @@ def delta_snapshot_diff(
             if dvs
             else None
         )
-        return files, pos
+        return files, pos, dvs
 
-    files_a, pos_a = state(from_version)
-    files_b, pos_b = state(to_version)
-    return snapshot_diff(spark, files_a, pos_a, files_b, pos_b, net=net)
+    files_a, pos_a, dvs_a = state(from_version)
+    files_b, pos_b, dvs_b = state(to_version)
+    # exact metadata-level bound on the common-file scan: only files
+    # whose deletion-vector DESCRIPTOR differs can have position diffs
+    changed = {
+        f
+        for f in files_a & files_b
+        if dvs_a.get(f) != dvs_b.get(f)
+    }
+    return snapshot_diff(
+        spark, files_a, pos_a, files_b, pos_b, net=net,
+        changed_common=changed,
+    )
 
 
 def iceberg_snapshot_diff(
@@ -215,14 +235,51 @@ def iceberg_snapshot_diff(
         )
         if st["eq_deletes"]:
             # equality deletes project onto positions — the diff core
-            # then treats both delete kinds uniformly
-            eqpos = equality_delete_positions(spark, st, md)
-            pos = eqpos if pos is None else pos.unionByName(eqpos)
-        return set(st["data"]), pos
+            # then treats both delete kinds uniformly. distinct(): a row
+            # can be BOTH positionally deleted and eq-matched (the eq
+            # projection scans raw files), and a duplicated (path, pos)
+            # would survive exceptAll against the other side's single
+            # copy, emitting a spurious change row
+            eqpos = equality_delete_positions(spark, st, md).select(
+                F.col("__path"), F.col("__pos")
+            )
+            pos = (
+                eqpos if pos is None else pos.unionByName(eqpos)
+            ).distinct()
+        return set(st["data"]), pos, st
 
-    files_a, pos_a = state(from_snapshot_id)
-    files_b, pos_b = state(to_snapshot_id)
-    return snapshot_diff(spark, files_a, pos_a, files_b, pos_b, net=net)
+    files_a, pos_a, st_a = state(from_snapshot_id)
+    files_b, pos_b, st_b = state(to_snapshot_id)
+    # bound the common-file scan when only POSITIONAL state changed:
+    # position diffs can come only from delete files present on exactly
+    # one side (carried files contribute identical pairs). Equality
+    # changes are value-addressed — no metadata bound, full common scan.
+    changed = None
+    eq_a = {(d["path"], d["seq"]) for d in st_a["eq_deletes"]}
+    eq_b = {(d["path"], d["seq"]) for d in st_b["eq_deletes"]}
+    if eq_a == eq_b:
+        delta_files = sorted(
+            set(st_a["pos_deletes"]) ^ set(st_b["pos_deletes"])
+        )
+        if delta_files:
+            changed = {
+                r["__del_path"]
+                for r in delete_pairs_df(
+                    spark, delta_files, location=md.get("location", ""),
+                    table_path=table_path,
+                )
+                .select("__del_path")
+                .distinct()
+                .collect()  # metadata-scale: bounded by file count
+            }
+        else:
+            # identical delete state on both sides (possibly carried eq
+            # deletes): common files hide identical positions — no diffs
+            changed = set()
+    return snapshot_diff(
+        spark, files_a, pos_a, files_b, pos_b, net=net,
+        changed_common=changed,
+    )
 
 
 def delta_changes_feed(
@@ -254,10 +311,43 @@ def delta_changes_feed(
         raise ValueError(
             f"nothing to feed: versions ({from_version}, {to_version}]"
         )
+    from_version = max(from_version, -1)
+
+    # ONE incremental log pass supplies every version's state (a
+    # per-step delta_snapshot_diff would replay the whole log per
+    # version: O(V²) in log work)
+    from rottnest_spark.sources.delta import (
+        _delta_states_range,
+        dv_positions_df,
+    )
+
+    def as_side(st):
+        files = set(st)
+        dvs = {p: dv for p, (_, dv) in st.items() if dv}
+        pos = (
+            dv_positions_df(spark, table_path, dvs).select(
+                _norm(F.col("file_path")).alias("__path"),
+                F.col("pos").alias("__pos"),
+            )
+            if dvs
+            else None
+        )
+        return files, pos
+
     parts = []
-    for v in range(from_version, to_version):
-        step = delta_snapshot_diff(spark, table_path, v, v + 1, fs=fs)
-        parts.append(step.withColumn("_commit_version", F.lit(v + 1)))
+    prev = None
+    for v, st in _delta_states_range(
+        table_path, from_version, to_version, fs=fs
+    ):
+        side = as_side(st)
+        if prev is not None:
+            step = snapshot_diff(spark, prev[0], prev[1], side[0], side[1])
+            parts.append(step.withColumn("_commit_version", F.lit(v)))
+        prev = side
+    if not parts:
+        raise ValueError(
+            f"nothing to feed: versions ({from_version}, {to_version}]"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -282,7 +372,7 @@ class DeltaChangesCursor:
     def position(self) -> int:
         if self.fs.exists(self.checkpoint_path):
             return int(self.fs.read_text(self.checkpoint_path).strip())
-        return 0  # consume from the table's creation
+        return -1  # pre-creation: commit 0's rows feed as inserts
 
     def poll(self):
         """(feed DataFrame tagged _commit_version, latest version) or

@@ -39,6 +39,12 @@ from rottnest_spark.core.fs import LakeFS, LocalFS
 from rottnest_spark.core.lake import ParquetLake
 
 
+def _norm_col(c):
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(c, "^file:/+", "/")
+
+
 def _read_cp_table(fs: LakeFS, path: str):
     """Parquet checkpoint read through the FS seam (works on s3a:// —
     checkpoints are metadata-scale, an in-memory buffer is fine)."""
@@ -265,6 +271,70 @@ def delta_live_adds(
             table_path, version_as_of, fs
         ).items()
     }
+
+
+def _delta_states_range(
+    table_path: str,
+    from_version: int,
+    to_version: int,
+    fs: LakeFS | None = None,
+):
+    """Yield (version, {abs path: (partitionValues, dv)}) for
+    from_version and every later version up to to_version, with ONE pass
+    over the log — the change feed's incremental replay (calling
+    _delta_live_state per version would re-parse the whole log each
+    step: O(V²)).
+
+    from_version == -1 yields the empty pre-creation state first (only
+    valid while commit 0 is still in the log — a checkpoint hiding it
+    raises, same stance as _delta_live_state's time travel)."""
+    fs = fs or LocalFS()
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not fs.isdir(log_dir):
+        raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
+    start_version, cp_files = _checkpoint_parts(log_dir, fs)
+    if from_version < start_version:
+        raise ValueError(
+            f"from_version {from_version} precedes the earliest "
+            f"replayable state (checkpoint {start_version}) — older "
+            "commits may have been cleaned"
+        )
+    live: dict[str, tuple[dict, dict | None]] = {}
+    if cp_files:
+        for cp in cp_files:
+            tbl = _read_cp_table(fs, cp)
+            if "add" in tbl.column_names:
+                for rec in tbl.column("add").to_pylist():
+                    if rec and rec.get("path"):
+                        live[rec["path"]] = (
+                            dict(rec.get("partitionValues") or {}),
+                            rec.get("deletionVector") or None,
+                        )
+
+    def snap():
+        return {os.path.join(table_path, p): st for p, st in live.items()}
+
+    if from_version < 0:
+        yield -1, {}
+    elif from_version == start_version:
+        yield from_version, snap()  # the checkpoint IS the base state
+    for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
+        version = int(os.path.basename(c).split(".")[0])
+        if version <= start_version:
+            continue
+        if version > to_version:
+            break
+        for line in _log_lines(fs, c):
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = (
+                    dict(action["add"].get("partitionValues") or {}),
+                    action["add"].get("deletionVector") or None,
+                )
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+        if version >= from_version:
+            yield version, snap()
 
 
 def delta_protocol(
@@ -637,11 +707,23 @@ class DeltaSnapshotLake(ParquetLake):
         if not dvs:
             return None
         spark, tp = self.spark, self._table_path
+        key = self._log_fingerprint()
 
         def rf(df):
             from pyspark.sql import functions as F
 
-            pairs = dv_positions_df(spark, tp, dvs).select(
+            # decode once per snapshot: batched searches apply the
+            # filter per query — the eager local checkpoint stops each
+            # one re-reading and re-decoding every vector
+            cached = getattr(self, "_rf_pairs_cache", None)
+            if cached is not None and cached[0] == key:
+                pairs = cached[1]
+            else:
+                pairs = dv_positions_df(spark, tp, dvs).localCheckpoint(
+                    eager=True
+                )
+                self._rf_pairs_cache = (key, pairs)
+            pairs = pairs.select(
                 F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
                     "__path"
                 ),
@@ -652,6 +734,18 @@ class DeltaSnapshotLake(ParquetLake):
             )
 
         return rf
+
+    def _read_candidate_units(self, cand_list, columns=None):
+        """Partitioned tables reconstruct partition columns per file —
+        candidate units degrade to FILE granularity through self.read()
+        (correct columns + delete state; unpartitioned tables keep the
+        row-group-precise base path)."""
+        pcols = list((self._table_meta() or {}).get("partitionColumns") or [])
+        if not pcols:
+            return super()._read_candidate_units(cand_list, columns)
+        files = sorted({f for f, _rg in cand_list})
+        df = self.read(files)
+        return df.select(*columns) if columns else df
 
     def build_index(self, index, column: str, *a, **kw):
         """Partition columns are path-encoded, not physical — an index
@@ -669,28 +763,24 @@ class DeltaSnapshotLake(ParquetLake):
 
     def _base_read(self, fl: list[str], dvs: dict[str, dict], pairs=None):
         """Scan `fl`, applying the snapshot's deletion vectors when
-        present (anti-join on `_metadata` BEFORE any projection —
-        metadata columns resolve only on the scan relation), with the
-        nanosecond-timestamp handling of sources/reader.read_parquet."""
+        present — one shared tagged scan (sources/reader.py handles the
+        `_metadata` tagging and nanosecond timestamps), one anti-join."""
         from rottnest_spark.sources import reader as _reader
 
         if not dvs:
             return _reader.read_parquet(self.spark, fl)
-        ns_cols = _reader.nanos_ts_columns(fl[0])
-        self.spark.conf.set(
-            _reader._NANOS_FLAG, "true" if ns_cols else "false"
-        )
         from pyspark.sql import functions as F
 
-        df = apply_deletion_vectors(
-            self.spark, self.spark.read.parquet(*fl), self._table_path, dvs,
-            pairs=pairs,
+        df = _reader.read_parquet_tagged(self.spark, fl)
+        if pairs is None:
+            pairs = dv_positions_df(self.spark, self._table_path, dvs)
+        pairs = pairs.select(
+            _norm_col(F.col("file_path")).alias("__path"),
+            F.col("pos").alias("__pos"),
         )
-        for c in ns_cols:
-            df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-            )
-        return df
+        return df.join(pairs, ["__path", "__pos"], "left_anti").drop(
+            "__path", "__pos"
+        )
 
     def read(self, files: list[str] | None = None):
         """Snapshot read with PARTITION-COLUMN reconstruction: Delta data

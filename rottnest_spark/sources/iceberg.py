@@ -603,13 +603,21 @@ class IcebergSnapshotLake(ParquetLake):
         if not dels:
             return None
         spark, loc, tp = self.spark, md.get("location", ""), self._table_path
+        key = (self._state_cache or (None,))[0]
 
         def rf(df):
             from pyspark.sql import functions as F
 
-            pairs = delete_pairs_df(
-                spark, dels, location=loc, table_path=tp
-            ).select(
+            # decode once per snapshot (see DeltaSnapshotLake twin)
+            cached = getattr(self, "_rf_pairs_cache", None)
+            if cached is not None and cached[0] == key:
+                pairs = cached[1]
+            else:
+                pairs = delete_pairs_df(
+                    spark, dels, location=loc, table_path=tp
+                ).localCheckpoint(eager=True)
+                self._rf_pairs_cache = (key, pairs)
+            pairs = pairs.select(
                 F.col("__del_path").alias("__path"),
                 F.col("__del_pos").alias("__pos"),
             )
@@ -618,6 +626,18 @@ class IcebergSnapshotLake(ParquetLake):
             )
 
         return rf
+
+    def _read_candidate_units(self, cand_list, columns=None):
+        """Partitioned tables reconstruct identity partition columns per
+        file — candidate units degrade to FILE granularity through
+        self.read() (correct columns + delete state); unpartitioned
+        tables keep the row-group-precise base path."""
+        pcols = partition_columns_from_metadata(self._table_metadata())
+        if not pcols:
+            return super()._read_candidate_units(cand_list, columns)
+        files = sorted({f for f, _rg in cand_list})
+        df = self.read(files)
+        return df.select(*columns) if columns else df
 
     def build_index(self, index, column: str, *a, **kw):
         """Identity partition columns of a hive-migrated-style table are
@@ -652,22 +672,11 @@ class IcebergSnapshotLake(ParquetLake):
             from rottnest_spark.sources.reader import read_parquet
 
             return read_parquet(self.spark, fl)
-        from rottnest_spark.sources import reader as _reader
-
-        ns_cols = _reader.nanos_ts_columns(fl[0])
-        self.spark.conf.set(
-            _reader._NANOS_FLAG, "true" if ns_cols else "false"
-        )
         from pyspark.sql import functions as F
 
-        df = self.spark.read.parquet(*fl).withColumns(
-            {
-                "__path": F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
+        from rottnest_spark.sources.reader import read_parquet_tagged
+
+        df = read_parquet_tagged(self.spark, fl)
         if dels:
             if pairs is None:
                 pairs = delete_pairs_df(
@@ -681,12 +690,7 @@ class IcebergSnapshotLake(ParquetLake):
             df = df.join(pairs, ["__path", "__pos"], "left_anti")
         if eqs:
             df = apply_equality_deletes(self.spark, df, state, md)
-        df = df.drop("__path", "__pos")
-        for c in ns_cols:
-            df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-            )
-        return df
+        return df.drop("__path", "__pos")
 
     def read(self, files: list[str] | None = None):
         """Snapshot read with identity-partition-column reconstruction

@@ -63,3 +63,29 @@ def read_parquet(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_parquet_tagged(
+    spark: SparkSession, files: list[str]
+) -> DataFrame:
+    """`read_parquet` variant that keeps row provenance: every row is
+    tagged `__path` (normalized absolute file path) and `__pos`
+    (file-global row index) from Spark's `_metadata` column, tagged
+    BEFORE any projection (metadata columns resolve only on the scan
+    relation). One shared implementation of the nanos-flag dance — the
+    merge-on-read row filters (delta/iceberg `_base_read`), the
+    candidate fetch (core/refine.py) and the snapshot diff
+    (sources/changes.py) all build on it."""
+    ns_cols = nanos_ts_columns(files[0])
+    spark.conf.set(_NANOS_FLAG, "true" if ns_cols else "false")
+    df = spark.read.parquet(*files).withColumns(
+        {
+            "__path": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

@@ -194,3 +194,38 @@ def test_build_index_on_mor_table(spark, sf_dir, tmp_path):
     created = lake.build_index(SubstringIndex(), "text")
     assert len(created) == 1
     assert _ids(lake.search(SubstringIndex(), "text", Q)) == _oracle(lake)
+
+
+def test_partitioned_table_search_with_unindexed_tail(spark, sf_dir, tmp_path):
+    """Search over a PARTITIONED format table must return the partition
+    columns and union cleanly with the in-situ tail — candidate units
+    degrade to file granularity through the reconstructing read()."""
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import delta_upsert, delta_write
+
+    t = str(tmp_path / "psearch")
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text", "lang")
+    )
+    delta_write(df, t, partition_by=["lang"])
+    lake = DeltaSnapshotLake(spark, t, str(tmp_path / "idx"))
+    assert lake.build_index(SubstringIndex(), "text")
+    # an unindexed partitioned append (hive-staged upsert inserts)
+    extra = (
+        df.filter(F.contains(F.lower("text"), F.lit(Q)))
+        .limit(2)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(70_000))
+    )
+    delta_upsert(spark, extra, t, ["doc_id"])
+    got = lake.search(SubstringIndex(), "text", Q)
+    assert "lang" in got.columns
+    want = sorted(
+        (r.doc_id, r.lang)
+        for r in lake.read()
+        .filter(F.contains(F.lower("text"), F.lit(Q)))
+        .collect()
+    )
+    assert sorted((r.doc_id, r.lang) for r in got.collect()) == want
+    assert any(i >= 70_000 for i, _ in want)

@@ -161,22 +161,19 @@ def test_delta_changes_cursor_replay(spark, dtable, tmp_path):
     cur = DeltaChangesCursor(spark, dtable, str(tmp_path / "ckpt"))
     feed, latest = cur.poll()
     assert feed is not None and latest == 2
-    ins = {
-        r.doc_id
-        for r in feed.filter("_change_type = 'insert'").collect()
-    }
-    dels = {
-        r.doc_id
-        for r in feed.filter("_change_type = 'delete'").collect()
-    }
-    # replay from an empty mirror: initial rows come from version-0 read
-    lake0 = DeltaSnapshotLake(spark, dtable, dtable + "_i", version_as_of=0)
-    mirror = {r.doc_id for r in lake0.read().select("doc_id").collect()}
-    mirror = (mirror - dels) | ins
+    # a FRESH cursor starts pre-creation: commit 0's initial rows arrive
+    # as version-0 inserts, so a mirror bootstraps from EMPTY
+    rows = feed.select("_commit_version", "_change_type", "doc_id").collect()
+    assert {r._commit_version for r in rows} == {0, 1, 2}
+    mirror: set = set()
+    for v in (0, 1, 2):  # replay in commit order
+        ins = {r.doc_id for r in rows if r._commit_version == v and r._change_type == "insert"}
+        dels = {r.doc_id for r in rows if r._commit_version == v and r._change_type == "delete"}
+        mirror = (mirror - dels) | ins
     lake = DeltaSnapshotLake(spark, dtable, dtable + "_i")
-    assert mirror == set(_ids := set(
+    assert mirror == {
         r.doc_id for r in lake.read().select("doc_id").collect()
-    ))
+    }
     cur.ack(latest)
     feed2, pos = cur.poll()
     assert feed2 is None and pos == 2  # caught up
@@ -213,3 +210,29 @@ def test_iceberg_diff_over_equality_upserts(spark, sf_dir, tmp_path):
     # net mode: a pure value change keeps both sides (values differ)
     net = _by_type(iceberg_snapshot_diff(spark, out, 1, 2, net=True))
     assert net == got
+
+
+def test_diff_no_spurious_delete_when_posdeleted_row_eq_matched(
+    spark, sf_dir, tmp_path
+):
+    """A row positionally deleted at snapshot N whose key a LATER upsert
+    also matches must not resurface as a 'delete' in the later diff —
+    the positional and equality position sets overlap and need
+    dedup before exceptAll."""
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    out = str(tmp_path / "imix")
+    _mk(spark, sf_dir, out)
+    iceberg_convert(out)  # snapshot 1
+    iceberg_delete_rows(spark, out, "doc_id = 4")  # snapshot 2
+    changes = spark.createDataFrame(
+        [(i, "xx", -1) for i in range(6)],  # keys 0..5 incl. the deleted 4
+        "doc_id long, lang string, n_chars long",
+    )
+    iceberg_upsert(spark, changes, out, ["doc_id"])  # snapshot 3
+    got = _by_type(iceberg_snapshot_diff(spark, out, 2, 3))
+    # doc_id 4 was NOT live at snapshot 2 — only 0,1,2,3,5 leave
+    assert got == {
+        "delete": {0, 1, 2, 3, 5},
+        "insert": set(range(6)),
+    }
