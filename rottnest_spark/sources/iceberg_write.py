@@ -761,10 +761,20 @@ def iceberg_delete_rows(
     pairs, one clustered-by-file write — no driver-side row state."""
     from pyspark.sql import functions as F
 
-    from rottnest_spark.sources.iceberg import iceberg_live_files_and_deletes
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
 
     fs = fs or LocalFS()
-    data, dels = iceberg_live_files_and_deletes(table_path, fs)
+    # full state, not the eq-refusing live listing: positional deletes
+    # COMPOSE with equality state (positions computed for rows an eq
+    # delete already hides are harmless duplicates; the commit carries
+    # the eq files forward)
+    _st = snapshot_state_from_metadata(
+        _current_metadata(table_path, fs), table_path, fs
+    )
+    data, dels = sorted(_st["data"]), sorted(_st["pos_deletes"])
     if not data:
         raise ValueError(f"{table_path} has no live data files")
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731

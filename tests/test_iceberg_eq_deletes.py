@@ -457,3 +457,32 @@ def test_upsert_refuses_partitioned_and_bad_keys(spark, sf_dir, tmp_path):
     iceberg_convert(t2)
     with pytest.raises(ValueError, match="key columns"):
         iceberg_upsert(spark, df, t2, ["nope"])
+
+
+def test_positional_delete_composes_with_equality_state(spark, orders_table):
+    """iceberg_delete_rows on an equality-upserted table: positions
+    compose with the eq state (positions of rows an eq delete already
+    hides are harmless), and read() applies BOTH kinds."""
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_delete_rows,
+        iceberg_upsert,
+    )
+
+    t = orders_table
+    lake = IcebergSnapshotLake(spark, t, t + "_idx")
+    keys = sorted(r.o_orderkey for r in lake.read().limit(3).collect())
+    iceberg_upsert(
+        spark,
+        spark.createDataFrame(
+            [(k, "Z", 7.0) for k in keys],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        ),
+        t,
+        ["o_orderkey"],
+    )
+    before = {r.o_orderkey for r in lake.read().collect()}
+    victim = sorted(before - set(keys))[0]
+    iceberg_delete_rows(spark, t, F.col("o_orderkey") == int(victim))
+    after = {r.o_orderkey for r in lake.read().collect()}
+    assert after == before - {victim}
+    assert set(keys) <= after  # the upserted rows survive
