@@ -579,9 +579,18 @@ def iceberg_commit(
     else:
         st = {"data": {}, "pos_deletes": {}, "eq_deletes": []}
     live, live_del = set(st["data"]), set(st["pos_deletes"])
-    # pre-existing files keep their data sequence numbers in the rewrite
-    seqs = {**st["data"], **st["pos_deletes"]}
-    seqs.update({d["path"]: d["seq"] for d in st["eq_deletes"]})
+    # pre-existing files keep their data sequence numbers in the rewrite;
+    # ABSPATH keys — entry() looks up os.path.abspath(f), while _rebase
+    # outputs are relative whenever table_path is relative, and a missed
+    # lookup would silently re-stamp carried files with the NEW sequence
+    # (un-gating every equality delete)
+    seqs = {
+        os.path.abspath(k): v
+        for k, v in {**st["data"], **st["pos_deletes"]}.items()
+    }
+    seqs.update(
+        {os.path.abspath(d["path"]): d["seq"] for d in st["eq_deletes"]}
+    )
     add = [os.path.abspath(f) for f in (add or [])]
     remove = [os.path.abspath(f) for f in (remove or [])]
     add_del = [os.path.abspath(f) for f in (add_deletes or [])]
@@ -634,16 +643,47 @@ def iceberg_commit_retry(
     remove_deletes: list[str] | None = None,
     add_eq_deletes: list[tuple[str, list[int]]] | None = None,
     remove_eq_deletes: list[str] | None = None,
+    require_live: list[str] | None = None,
+    require_delete_state: bool = False,
 ) -> int:
     """Optimistic-concurrency snapshot commit (the delta_commit_retry
     discipline): on losing the vN.metadata.json exclusive-create race,
     re-read the (now newer) table state and retry — pure adds retry
     blindly; removals are revalidated by iceberg_commit itself against
     the fresh snapshot (it raises on files no longer live, the
-    concurrent-rewrite conflict a caller must re-plan)."""
+    concurrent-rewrite conflict a caller must re-plan).
+
+    Row-level-delete writers need Iceberg's validateDataFilesExist /
+    validateNoNewDeleteFiles analogs: `require_live` names data files
+    this commit's content was computed FROM (a concurrent rewrite
+    removing one means our delete positions address a dead path — raise,
+    don't commit a no-op delete); `require_delete_state=True` captures
+    the delete-file state at call time and raises if a concurrent
+    row-level delete changed it (a rewrite retried blindly would
+    materialize rows a newer delete already hid, resurrecting them at a
+    higher sequence)."""
+    from rottnest_spark.sources.iceberg import _snapshot_state
+
     fs = fs or LocalFS()
+
+    def _delete_state():
+        _, prior = _latest_metadata(table_path, fs)
+        by_id = {
+            s["snapshot-id"]: s for s in (prior or {}).get("snapshots") or []
+        }
+        cur = (prior or {}).get("current-snapshot-id")
+        if cur not in by_id:
+            return frozenset(), frozenset(), frozenset()
+        st = _snapshot_state(prior, by_id[cur], table_path, fs)
+        return (
+            frozenset(st["data"]),
+            frozenset(st["pos_deletes"]),
+            frozenset((d["path"], d["seq"]) for d in st["eq_deletes"]),
+        )
+
+    base = _delete_state() if (require_live or require_delete_state) else None
     last: Exception | None = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         try:
             return iceberg_commit(
                 table_path, add=add, remove=remove, fs=fs,
@@ -654,6 +694,31 @@ def iceberg_commit_retry(
             )
         except FileExistsError as exc:
             last = exc
+            if base is None:
+                continue
+            fresh = _delete_state()
+            if require_live:
+                gone = [
+                    f
+                    for f in require_live
+                    if os.path.abspath(f) not in fresh[0]
+                ]
+                if gone:
+                    raise ValueError(
+                        "concurrent writer removed data files this "
+                        f"commit's content was computed from: {gone[:3]} "
+                        "— re-plan against the new snapshot"
+                    ) from exc
+            if require_delete_state and (base[1], base[2]) != (
+                fresh[1],
+                fresh[2],
+            ):
+                raise ValueError(
+                    "concurrent writer changed the row-level delete "
+                    "state this commit was planned against — re-plan "
+                    "against the new snapshot (retrying blindly would "
+                    "resurrect the other writer's deleted rows)"
+                ) from exc
     raise TimeoutError(
         f"could not claim a metadata version after {max_retries} retries"
     ) from last
@@ -820,8 +885,17 @@ def iceberg_delete_rows(
         fs.rename(f, dst)
         moved.append(dst)
     fs.rmtree(stage)
+    # the files our positions address (cheap: the staged pairs are tiny)
+    affected = [
+        r.file_path
+        for r in spark.read.parquet(*moved)
+        .select("file_path")
+        .distinct()
+        .collect()
+    ]
     return iceberg_commit_retry(
-        table_path, fs=fs, timestamp_ms=timestamp_ms, add_deletes=moved
+        table_path, fs=fs, timestamp_ms=timestamp_ms, add_deletes=moved,
+        require_live=affected,
     )
 
 
@@ -895,11 +969,10 @@ def iceberg_rewrite_deletes(
             f for f, s in state["data"].items() if int(s) < max_eq
         )
         if cands:
-            hit = apply_equality_deletes(
-                spark, _tagged(cands), state, md
-            )
+            cand_df = _tagged(cands).localCheckpoint(eager=True)
+            hit = apply_equality_deletes(spark, cand_df, state, md)
             survivors_per_file = hit.groupBy("__path").count()
-            base_per_file = _tagged(cands).groupBy("__path").count()
+            base_per_file = cand_df.groupBy("__path").count()
             joined = base_per_file.alias("b").join(
                 survivors_per_file.alias("s"), "__path", "left"
             )
@@ -925,17 +998,22 @@ def iceberg_rewrite_deletes(
     for f in affected:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
     added = []
-    for d, group in sorted(by_dir.items()):
-        stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-        df = _tagged(group)
-        if dels:
-            pairs = delete_pairs_df(
-                spark, dels, location=loc, table_path=table_path
-            ).select(
+    # decode the positional pairs ONCE for every directory group
+    shared_pairs = None
+    if dels and by_dir:
+        shared_pairs = (
+            delete_pairs_df(spark, dels, location=loc, table_path=table_path)
+            .localCheckpoint(eager=True)
+            .select(
                 F.col("__del_path").alias("__path"),
                 F.col("__del_pos").alias("__pos"),
             )
-            df = df.join(pairs, ["__path", "__pos"], "left_anti")
+        )
+    for d, group in sorted(by_dir.items()):
+        stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+        df = _tagged(group)
+        if shared_pairs is not None:
+            df = df.join(shared_pairs, ["__path", "__pos"], "left_anti")
         if eqs:
             df = apply_equality_deletes(spark, df, state, md)
         df.drop("__path", "__pos").write.parquet(stage)
@@ -955,6 +1033,7 @@ def iceberg_rewrite_deletes(
         timestamp_ms=timestamp_ms,
         remove_deletes=dels,
         remove_eq_deletes=eq_paths,
+        require_delete_state=True,
     )
 
 

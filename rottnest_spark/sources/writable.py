@@ -235,12 +235,27 @@ class _FormatDML:
             "pruned": len(files) - len(touched),
         }
 
+    #: leaf-name prefixes of THIS DML surface's published rewrite
+    #: outputs — the ONLY unknown on-disk files the adds-diff may commit.
+    #: Anything else unknown is orphan garbage from some other op's
+    #: publish-before-commit crash window (iceberg_delete_rows'
+    #: delete-*.parquet, iceberg_upsert's eqdelete-*/uuid-hex data,
+    #: delta_upsert's upserted_* which must never commit WITHOUT its
+    #: vectors, expire victims) — committing those as data would
+    #: resurrect or corrupt rows; vacuum reclaims them instead.
+    _REWRITE_PREFIXES = ("compacted_", "appended_", "deleted_", "merged_")
+
     def _retire(self, files_to_remove, pre_op_files) -> None:
         # new files = physical dir minus everything the log ever knew
-        # (live + tombstoned); with single-writer mutations that diff is
-        # exactly the op's freshly-renamed files — and it self-heals the
-        # crash window where files were renamed in but the commit lost
-        adds = sorted(self._on_disk() - self._known_files())
+        # (live + tombstoned), RESTRICTED to this surface's own publish
+        # prefixes; with single-writer mutations that diff is exactly the
+        # op's freshly-renamed files — and it self-heals the crash window
+        # where files were renamed in but the commit lost
+        adds = sorted(
+            f
+            for f in self._on_disk() - self._known_files()
+            if os.path.basename(f).startswith(self._REWRITE_PREFIXES)
+        )
         if not adds and not files_to_remove:
             return
         self._commit(add=adds, remove=sorted(files_to_remove))

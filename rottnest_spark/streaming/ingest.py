@@ -250,7 +250,9 @@ def stream_ingest_upsert(
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        b = batch_df.dropDuplicates(key_cols)
+        # pin the deduplicated batch: the upsert walks it twice (data
+        # write + key write) and the stats count a third time
+        b = batch_df.dropDuplicates(key_cols).localCheckpoint(eager=True)
         iceberg_upsert(spark, b, table_path, key_cols)
         stats.append({"batch": int(batch_id), "rows": b.count()})
 

@@ -237,3 +237,82 @@ def test_writable_dml_after_compacted_mor_history(spark, table, tmp_path):
     assert res["rewritten"] >= 1
     got = sorted(r.doc_id for r in lake.read().select("doc_id").collect())
     assert 3 not in got and all(i % 5 != 0 for i in got)
+
+
+def test_orphan_delete_files_never_committed_as_data(spark, table, tmp_path):
+    """Publish-before-commit crash window: an UNCOMMITTED delete-shaped
+    parquet (or any unknown non-DML file) in data/ must never be swept
+    into the log as a data file by a later DML's adds-diff."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.sources.writable import IcebergWritableLake
+
+    # simulate iceberg_delete_rows crashing after the publish
+    orphan_del = os.path.join(table, "delete-deadbeef.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": ["/nowhere.parquet"],
+                "pos": pa.array([0], pa.int64()),
+            }
+        ),
+        orphan_del,
+    )
+    # and an expire-crash leftover (uuid-hex name, unknown to the log)
+    orphan_hex = os.path.join(table, "ab" * 16 + ".parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([999999], pa.int64())}), orphan_hex)
+
+    lake = IcebergWritableLake(spark, table, str(tmp_path / "w"))
+    lake.build_index(ExactIndex(), "doc_id")
+    some = sorted(r.doc_id for r in lake.read().limit(1).collect())[0]
+    lake.delete_matching(ExactIndex(), "doc_id", int(some))
+    got = lake.read()
+    assert "pos" not in got.columns  # the delete file never became data
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert some not in ids and 999999 not in ids
+    assert os.path.exists(orphan_del)  # left for vacuum, not committed
+
+
+def test_delete_conflicts_with_concurrent_rewrite(spark, table, monkeypatch):
+    """validateDataFilesExist analog: a row-level DELETE losing the
+    version race to a compaction that removed its target files must
+    raise, not commit positions addressing dead paths (a silent no-op
+    delete)."""
+    from rottnest_spark.sources import iceberg_write as iw
+
+    real = iw._commit_snapshot
+    state = {"raced": False}
+
+    def racing(*args, **kwargs):
+        # first commit attempt of the DELETE: let a concurrent rewrite
+        # win this version (remove+re-add every data file), then lose
+        if not state["raced"] and kwargs.get("added_deletes"):
+            state["raced"] = True
+            monkeypatch.undo()
+            try:
+                data, _ = iceberg_live_files_and_deletes(table)
+                import shutil as _sh
+
+                copies = []
+                for f in data:
+                    c = os.path.join(
+                        os.path.dirname(f), f"copy{os.path.basename(f)}"
+                    )
+                    _sh.copyfile(f, c)
+                    copies.append(c)
+                from rottnest_spark.sources.iceberg_write import (
+                    iceberg_commit,
+                )
+
+                iceberg_commit(table, add=copies, remove=sorted(data))
+            finally:
+                monkeypatch.setattr(iw, "_commit_snapshot", racing)
+            raise FileExistsError("lost the race")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(iw, "_commit_snapshot", racing)
+    with pytest.raises(ValueError, match="computed from"):
+        iceberg_delete_rows(spark, table, "doc_id < 5")
+    monkeypatch.undo()
