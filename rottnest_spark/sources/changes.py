@@ -393,3 +393,97 @@ class DeltaChangesCursor:
 
     def ack(self, version: int) -> None:
         self.fs.write_text(self.checkpoint_path, str(int(version)))
+
+
+def iceberg_changes_feed(
+    spark,
+    table_path: str,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None = None,
+    fs=None,
+):
+    """Per-snapshot row-level change feed for an Iceberg table, tagged
+    `_commit_snapshot_id` — the Delta feed's twin. `from_snapshot_id`
+    None (or any id not in the log) means PRE-CREATION: the first
+    snapshot's rows arrive as inserts. Unlike the Delta log, Iceberg
+    snapshot state is per-snapshot (each walks only its own manifests),
+    so the pairwise loop is naturally linear in manifest work."""
+    from rottnest_spark.sources.iceberg import _current_metadata
+
+    md = _current_metadata(table_path, fs)
+    snaps = md.get("snapshots", [])
+    if not snaps:
+        raise ValueError(f"{table_path} has no snapshots")
+    ordered = sorted(
+        snaps, key=lambda s: (int(s.get("timestamp-ms") or 0), s["snapshot-id"])
+    )
+    ids = [s["snapshot-id"] for s in ordered]
+    if to_snapshot_id is None:
+        to_snapshot_id = md.get("current-snapshot-id")
+    start = ids.index(from_snapshot_id) if from_snapshot_id in ids else -1
+    end = ids.index(to_snapshot_id)
+    if end <= start:
+        raise ValueError(
+            f"nothing to feed: snapshots ({from_snapshot_id}, "
+            f"{to_snapshot_id}]"
+        )
+    # pairwise diffs, each pair one call (per-snapshot manifest walks)
+    parts = []
+    prev = from_snapshot_id if start >= 0 else None
+    for i in range(start + 1, end + 1):
+        sid = ids[i]
+        if prev is None:
+            # pre-creation base: everything in the first snapshot inserts
+            from rottnest_spark.sources.iceberg import _snapshot_state
+
+            st = _snapshot_state(md, ordered[i], table_path, fs)
+            step = snapshot_diff(
+                spark, set(), None, set(st["data"]), None
+            )
+        else:
+            step = iceberg_snapshot_diff(spark, table_path, prev, sid, fs=fs)
+        parts.append(
+            step.withColumn("_commit_snapshot_id", F.lit(int(sid)))
+        )
+        prev = sid
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+class IcebergChangesCursor:
+    """Durable incremental consumer over `iceberg_changes_feed` — the
+    Delta cursor's twin, checkpointing the last acknowledged snapshot
+    id (0 = pre-creation)."""
+
+    def __init__(self, spark, table_path: str, checkpoint_path: str, fs=None):
+        from rottnest_spark.core.fs import LocalFS
+
+        self.spark = spark
+        self.table_path = table_path
+        self.checkpoint_path = checkpoint_path
+        self.fs = fs or LocalFS()
+
+    def position(self) -> int | None:
+        if self.fs.exists(self.checkpoint_path):
+            return int(self.fs.read_text(self.checkpoint_path).strip())
+        return None  # pre-creation
+
+    def poll(self):
+        from rottnest_spark.sources.iceberg import _current_metadata
+
+        pos = self.position()
+        md = _current_metadata(self.table_path, self.fs)
+        latest = md.get("current-snapshot-id")
+        if latest == pos or latest in (None, -1):
+            return None, pos
+        return (
+            iceberg_changes_feed(
+                self.spark, self.table_path, pos, latest, fs=self.fs
+            ),
+            latest,
+        )
+
+    def ack(self, snapshot_id: int) -> None:
+        self.fs.write_text(self.checkpoint_path, str(int(snapshot_id)))

@@ -236,3 +236,63 @@ def test_diff_no_spurious_delete_when_posdeleted_row_eq_matched(
         "delete": {0, 1, 2, 3, 5},
         "insert": set(range(6)),
     }
+
+
+def test_iceberg_changes_feed_and_cursor(spark, itable, tmp_path):
+    """Per-snapshot feed + cursor for Iceberg — a fresh cursor starts
+    pre-creation (snapshot 1's rows arrive as inserts); a mirror
+    replayed in snapshot order converges to the current state."""
+    from rottnest_spark.sources.changes import (
+        IcebergChangesCursor,
+        iceberg_changes_feed,
+    )
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+
+    cur = IcebergChangesCursor(spark, itable, str(tmp_path / "ck"))
+    feed, latest = cur.poll()
+    assert feed is not None and latest == 3
+    rows = feed.select(
+        "_commit_snapshot_id", "_change_type", "doc_id"
+    ).collect()
+    assert {r._commit_snapshot_id for r in rows} == {1, 2, 3}
+    mirror: set = set()
+    for sid in (1, 2, 3):
+        ins = {
+            r.doc_id
+            for r in rows
+            if r._commit_snapshot_id == sid and r._change_type == "insert"
+        }
+        dels = {
+            r.doc_id
+            for r in rows
+            if r._commit_snapshot_id == sid and r._change_type == "delete"
+        }
+        mirror = (mirror - dels) | ins
+    lake = IcebergSnapshotLake(spark, itable, itable + "_i")
+    assert mirror == {
+        r.doc_id for r in lake.read().select("doc_id").collect()
+    }
+    cur.ack(latest)
+    assert cur.poll()[0] is None
+    # a new upsert reopens the feed with eq-projected deletes
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    iceberg_upsert(
+        spark,
+        spark.createDataFrame(
+            [(101, "zz", -5)], "doc_id long, lang string, n_chars long"
+        ),
+        itable,
+        ["doc_id"],
+    )
+    feed2, latest2 = cur.poll()
+    got = {
+        (r._change_type, r.doc_id)
+        for r in feed2.select("_change_type", "doc_id").collect()
+    }
+    assert got == {("delete", 101), ("insert", 101)}
+    # bounded feed: explicit snapshot range
+    only = iceberg_changes_feed(spark, itable, 2, 3)
+    assert {r.doc_id for r in only.filter("_change_type='insert'").collect()} == set(
+        range(1000, 1010)
+    )
