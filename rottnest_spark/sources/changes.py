@@ -195,6 +195,38 @@ def delta_snapshot_diff(
     )
 
 
+def _iceberg_pos_side(spark, md, st, table_path):
+    """Deleted-position DataFrame (__path/__pos) for one snapshot state:
+    positional delete pairs ∪ the equality deletes' positional
+    projection, DEDUPLICATED — a row can be both positionally deleted
+    and eq-matched (the eq projection scans raw files), and a duplicated
+    (path, pos) would survive exceptAll against the other side's single
+    copy, emitting a spurious change row."""
+    from rottnest_spark.sources.iceberg import (
+        delete_pairs_df,
+        equality_delete_positions,
+    )
+
+    dels = sorted(st["pos_deletes"])
+    pos = (
+        delete_pairs_df(
+            spark, dels, location=md.get("location", ""),
+            table_path=table_path,
+        ).select(
+            F.col("__del_path").alias("__path"),
+            F.col("__del_pos").alias("__pos"),
+        )
+        if dels
+        else None
+    )
+    if st["eq_deletes"]:
+        eqpos = equality_delete_positions(spark, st, md).select(
+            F.col("__path"), F.col("__pos")
+        )
+        pos = (eqpos if pos is None else pos.unionByName(eqpos)).distinct()
+    return pos
+
+
 def iceberg_snapshot_diff(
     spark,
     table_path: str,
@@ -209,7 +241,6 @@ def iceberg_snapshot_diff(
         _current_metadata,
         _snapshot_state,
         delete_pairs_df,
-        equality_delete_positions,
     )
 
     md = _current_metadata(table_path, fs)
@@ -221,32 +252,7 @@ def iceberg_snapshot_diff(
         if sid not in by_id:
             raise ValueError(f"snapshot {sid} not in the snapshot log")
         st = _snapshot_state(md, by_id[sid], table_path, fs)
-        dels = sorted(st["pos_deletes"])
-        pos = (
-            delete_pairs_df(
-                spark, dels, location=md.get("location", ""),
-                table_path=table_path,
-            ).select(
-                F.col("__del_path").alias("__path"),
-                F.col("__del_pos").alias("__pos"),
-            )
-            if dels
-            else None
-        )
-        if st["eq_deletes"]:
-            # equality deletes project onto positions — the diff core
-            # then treats both delete kinds uniformly. distinct(): a row
-            # can be BOTH positionally deleted and eq-matched (the eq
-            # projection scans raw files), and a duplicated (path, pos)
-            # would survive exceptAll against the other side's single
-            # copy, emitting a spurious change row
-            eqpos = equality_delete_positions(spark, st, md).select(
-                F.col("__path"), F.col("__pos")
-            )
-            pos = (
-                eqpos if pos is None else pos.unionByName(eqpos)
-            ).distinct()
-        return set(st["data"]), pos, st
+        return set(st["data"]), _iceberg_pos_side(spark, md, st, table_path), st
 
     files_a, pos_a, st_a = state(from_snapshot_id)
     files_b, pos_b, st_b = state(to_snapshot_id)
@@ -433,12 +439,14 @@ def iceberg_changes_feed(
     for i in range(start + 1, end + 1):
         sid = ids[i]
         if prev is None:
-            # pre-creation base: everything in the first snapshot inserts
+            # pre-creation base: the first snapshot's SURVIVING rows are
+            # the inserts (its own delete state honored)
             from rottnest_spark.sources.iceberg import _snapshot_state
 
             st = _snapshot_state(md, ordered[i], table_path, fs)
             step = snapshot_diff(
-                spark, set(), None, set(st["data"]), None
+                spark, set(), None, set(st["data"]),
+                _iceberg_pos_side(spark, md, st, table_path),
             )
         else:
             step = iceberg_snapshot_diff(spark, table_path, prev, sid, fs=fs)
