@@ -495,3 +495,52 @@ class IcebergChangesCursor:
 
     def ack(self, snapshot_id: int) -> None:
         self.fs.write_text(self.checkpoint_path, str(int(snapshot_id)))
+
+
+def replicate_changes(feed, lake, key_col: str, version_col: str) -> dict:
+    """Apply a change-feed DataFrame (`_change_type` + `version_col`
+    tags, full rows) to a destination lake as ONE idempotent MERGE —
+    cross-format table replication: any feed source (Delta versions,
+    Iceberg snapshots) into any writable destination (plain ParquetLake,
+    DeltaWritableLake, IcebergWritableLake), each poll one copy-on-write
+    commit on the destination.
+
+    The feed's per-commit granularity collapses to final-state-per-key
+    inside merge_into (latest `version_col` wins; a delete followed by a
+    re-insert at a higher version lands as the re-insert)."""
+    from pyspark.sql import functions as F
+
+    changes = feed.withColumn(
+        "__op__",
+        F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+            F.lit("I")
+        ),
+    ).withColumn("__seq__", F.col(version_col).cast("long"))
+    # within one version a key may carry delete+insert (an upsert step):
+    # rank deletes below inserts at the same version so the insert wins
+    changes = changes.withColumn(
+        "__seq__",
+        F.col("__seq__") * 2 + (F.col("__op__") == "I").cast("long"),
+    ).drop("_change_type", version_col)
+    return lake.merge_into(
+        changes, key_col, seq_col="__seq__", op_col="__op__"
+    )
+
+
+def sync_table(cursor, lake, key_col: str) -> dict | None:
+    """One consumer step: poll the cursor, MERGE the new changes into
+    the destination lake, acknowledge. Returns merge stats, or None when
+    caught up. Loop it (or drive it from a scheduler) and the
+    destination tracks the source table commit-by-commit — at-least-once
+    with idempotent merges, the cross-format replication loop."""
+    feed, latest = cursor.poll()
+    if feed is None:
+        return None
+    version_col = (
+        "_commit_snapshot_id"
+        if "_commit_snapshot_id" in feed.columns
+        else "_commit_version"
+    )
+    stats = replicate_changes(feed, lake, key_col, version_col)
+    cursor.ack(latest)
+    return stats
