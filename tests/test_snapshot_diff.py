@@ -343,3 +343,64 @@ def test_cross_format_replication_iceberg_to_delta(spark, itable, tmp_path):
     assert sync_table(cur, dlake, "doc_id") is not None
     row = dlake.read().filter("doc_id = 101").collect()
     assert [(r.lang, r.n_chars) for r in row] == [("zz", -9)]
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_randomized_op_sequence_feed_replay(spark, sf_dir, tmp_path, seed):
+    """Property: for ANY sequence of deletes/appends/upserts, replaying
+    the full change feed from pre-creation reconstructs exactly the
+    current snapshot — the feed loses nothing and invents nothing."""
+    import random
+
+    from rottnest_spark.sources.changes import DeltaChangesCursor
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import delta_upsert
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"rnd{seed}")
+    _mk(spark, sf_dir, t)
+    delta_convert(t)
+    next_key = 10_000
+    for _ in range(4):
+        op = rng.choice(["delete", "upsert", "delete_pred"])
+        if op == "delete":
+            delta_delete_rows(spark, t, f"doc_id % {rng.randint(3, 9)} = 0")
+        elif op == "delete_pred":
+            lo = rng.randint(0, 250)
+            delta_delete_rows(
+                spark, t, f"doc_id >= {lo} AND doc_id < {lo + 30}"
+            )
+        else:
+            n = rng.randint(1, 20)
+            keys = [rng.randrange(0, 300) for _ in range(n // 2)] + [
+                next_key + i for i in range(n - n // 2)
+            ]
+            next_key += n
+            delta_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(k, "up", -seed) for k in sorted(set(keys))],
+                    "doc_id long, lang string, n_chars long",
+                ),
+                t,
+                ["doc_id"],
+            )
+    cur = DeltaChangesCursor(spark, t, str(tmp_path / f"ck{seed}"))
+    feed, latest = cur.poll()
+    rows = feed.select(
+        "_commit_version", "_change_type", "doc_id", "n_chars"
+    ).collect()
+    mirror: dict = {}
+    for v in sorted({r._commit_version for r in rows}):
+        for r in rows:
+            if r._commit_version == v and r._change_type == "delete":
+                mirror.pop(r.doc_id, None)
+        for r in rows:
+            if r._commit_version == v and r._change_type == "insert":
+                mirror[r.doc_id] = r.n_chars
+    lake = DeltaSnapshotLake(spark, t, t + "_i")
+    want = {
+        r.doc_id: r.n_chars
+        for r in lake.read().select("doc_id", "n_chars").collect()
+    }
+    assert mirror == want
