@@ -253,3 +253,34 @@ def test_upsert_lifecycle_over_object_store(spark, tmp_path):
         if c[1].endswith(".metadata.json")
     ]
     assert len(claims) >= 3  # convert + upsert + rewrite
+
+
+def test_change_cursor_over_object_store(spark, tmp_path):
+    """The feed cursor's checkpoint and the feed's log replay both route
+    through the FS seam — consumable over a no-rename store."""
+    from rottnest_spark.sources.changes import DeltaChangesCursor
+    from rottnest_spark.sources.delta_write import (
+        delta_convert,
+        delta_delete_rows,
+    )
+
+    fs = FakeObjectStoreFS(root=str(tmp_path))
+    table = str(tmp_path / "feedtbl")
+    spark.range(100).withColumn("v", F.col("id") % 5).write.parquet(table)
+    delta_convert(table, fs=fs)
+    delta_delete_rows(spark, table, "id % 4 = 0", fs=fs)
+    cur = DeltaChangesCursor(
+        spark, table, str(tmp_path / "ckpt"), fs=fs
+    )
+    feed, latest = cur.poll()
+    rows = feed.select("_commit_version", "_change_type", "id").collect()
+    mirror: set = set()
+    for v in sorted({r._commit_version for r in rows}):
+        dels = {r.id for r in rows if r._commit_version == v and r._change_type == "delete"}
+        ins = {r.id for r in rows if r._commit_version == v and r._change_type == "insert"}
+        mirror = (mirror - dels) | ins
+    assert mirror == {i for i in range(100) if i % 4 != 0}
+    cur.ack(latest)
+    assert cur.poll()[0] is None
+    # the checkpoint landed through the seam (write_text), not bare open
+    assert fs.ops("write_text")
