@@ -260,28 +260,7 @@ def iceberg_snapshot_diff(
     # position diffs can come only from delete files present on exactly
     # one side (carried files contribute identical pairs). Equality
     # changes are value-addressed — no metadata bound, full common scan.
-    changed = None
-    eq_a = {(d["path"], d["seq"]) for d in st_a["eq_deletes"]}
-    eq_b = {(d["path"], d["seq"]) for d in st_b["eq_deletes"]}
-    if eq_a == eq_b:
-        delta_files = sorted(
-            set(st_a["pos_deletes"]) ^ set(st_b["pos_deletes"])
-        )
-        if delta_files:
-            changed = {
-                r["__del_path"]
-                for r in delete_pairs_df(
-                    spark, delta_files, location=md.get("location", ""),
-                    table_path=table_path,
-                )
-                .select("__del_path")
-                .distinct()
-                .collect()  # metadata-scale: bounded by file count
-            }
-        else:
-            # identical delete state on both sides (possibly carried eq
-            # deletes): common files hide identical positions — no diffs
-            changed = set()
+    changed = _iceberg_changed_common(spark, md, st_a, st_b, table_path)
     return snapshot_diff(
         spark, files_a, pos_a, files_b, pos_b, net=net,
         changed_common=changed,
@@ -342,13 +321,21 @@ def delta_changes_feed(
 
     parts = []
     prev = None
+    ordinal = 0
     for v, st in _delta_states_range(
         table_path, from_version, to_version, fs=fs
     ):
         side = as_side(st)
         if prev is not None:
-            step = snapshot_diff(spark, prev[0], prev[1], side[0], side[1])
-            parts.append(step.withColumn("_commit_version", F.lit(v)))
+            if prev[0] or side[0]:  # both file-less = an empty step
+                step = snapshot_diff(
+                    spark, prev[0], prev[1], side[0], side[1]
+                )
+                parts.append(
+                    step.withColumn("_commit_version", F.lit(v))
+                    .withColumn("_commit_ordinal", F.lit(int(ordinal)))
+                )
+            ordinal += 1
         prev = side
     if not parts:
         raise ValueError(
@@ -409,21 +396,25 @@ def iceberg_changes_feed(
     fs=None,
 ):
     """Per-snapshot row-level change feed for an Iceberg table, tagged
-    `_commit_snapshot_id` — the Delta feed's twin. `from_snapshot_id`
-    None (or any id not in the log) means PRE-CREATION: the first
-    snapshot's rows arrive as inserts. Unlike the Delta log, Iceberg
-    snapshot state is per-snapshot (each walks only its own manifests),
-    so the pairwise loop is naturally linear in manifest work."""
-    from rottnest_spark.sources.iceberg import _current_metadata
+    `_commit_snapshot_id` + `_commit_ordinal` (the feed's own 0-based
+    step index — spec snapshot ids are random 64-bit longs, so ORDER
+    comes from the metadata's append-ordered snapshot list, never from
+    ids or caller-supplied timestamps). `from_snapshot_id` None (or any
+    id not in the log) means PRE-CREATION: the first snapshot's
+    surviving rows arrive as inserts. Each snapshot's state is built
+    ONCE (per-snapshot manifest walks keep the loop linear); steps
+    whose both sides are file-less are skipped (an empty table stays an
+    empty feed step, not an error)."""
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        _snapshot_state,
+    )
 
     md = _current_metadata(table_path, fs)
     snaps = md.get("snapshots", [])
     if not snaps:
         raise ValueError(f"{table_path} has no snapshots")
-    ordered = sorted(
-        snaps, key=lambda s: (int(s.get("timestamp-ms") or 0), s["snapshot-id"])
-    )
-    ids = [s["snapshot-id"] for s in ordered]
+    ids = [s["snapshot-id"] for s in snaps]  # append order per the spec
     if to_snapshot_id is None:
         to_snapshot_id = md.get("current-snapshot-id")
     start = ids.index(from_snapshot_id) if from_snapshot_id in ids else -1
@@ -433,31 +424,89 @@ def iceberg_changes_feed(
             f"nothing to feed: snapshots ({from_snapshot_id}, "
             f"{to_snapshot_id}]"
         )
-    # pairwise diffs, each pair one call (per-snapshot manifest walks)
-    parts = []
-    prev = from_snapshot_id if start >= 0 else None
-    for i in range(start + 1, end + 1):
-        sid = ids[i]
-        if prev is None:
-            # pre-creation base: the first snapshot's SURVIVING rows are
-            # the inserts (its own delete state honored)
-            from rottnest_spark.sources.iceberg import _snapshot_state
 
-            st = _snapshot_state(md, ordered[i], table_path, fs)
-            step = snapshot_diff(
-                spark, set(), None, set(st["data"]),
-                _iceberg_pos_side(spark, md, st, table_path),
-            )
-        else:
-            step = iceberg_snapshot_diff(spark, table_path, prev, sid, fs=fs)
-        parts.append(
-            step.withColumn("_commit_snapshot_id", F.lit(int(sid)))
+    def side(i):
+        if i < 0:
+            return set(), None, None
+        st = _snapshot_state(md, snaps[i], table_path, fs)
+        return (
+            set(st["data"]),
+            _iceberg_pos_side(spark, md, st, table_path),
+            st,
         )
-        prev = sid
+
+    parts = []
+    schema_probe: str | None = None
+    prev = side(start)
+    for ordinal, i in enumerate(range(start + 1, end + 1)):
+        cur = side(i)
+        if schema_probe is None:
+            for f in sorted(prev[0] | cur[0]):
+                schema_probe = f
+                break
+        if not prev[0] and not cur[0]:
+            prev = cur
+            continue  # both sides file-less: an empty step, not an error
+        changed = _iceberg_changed_common(
+            spark, md, prev[2], cur[2], table_path
+        )
+        step = snapshot_diff(
+            spark, prev[0], prev[1], cur[0], cur[1],
+            changed_common=changed,
+        )
+        parts.append(
+            step.withColumn(
+                "_commit_snapshot_id", F.lit(int(ids[i]))
+            ).withColumn("_commit_ordinal", F.lit(int(ordinal)))
+        )
+        prev = cur
+    if not parts:
+        if schema_probe is None:
+            raise ValueError(
+                "every snapshot in the range is empty — nothing to diff"
+            )
+        from rottnest_spark.sources.reader import read_parquet_tagged
+
+        return (
+            read_parquet_tagged(spark, [schema_probe])
+            .drop("__path", "__pos")
+            .withColumn(_CHANGE_COL, F.lit(""))
+            .withColumn("_commit_snapshot_id", F.lit(0).cast("long"))
+            .withColumn("_commit_ordinal", F.lit(0))
+            .limit(0)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _iceberg_changed_common(spark, md, st_a, st_b, table_path):
+    """Metadata-level bound on the common-file scan between two snapshot
+    states (None = no bound; see iceberg_snapshot_diff)."""
+    if st_a is None or st_b is None:
+        return None
+    from rottnest_spark.sources.iceberg import delete_pairs_df
+
+    eq_a = {(d["path"], d["seq"]) for d in st_a["eq_deletes"]}
+    eq_b = {(d["path"], d["seq"]) for d in st_b["eq_deletes"]}
+    if eq_a != eq_b:
+        return None
+    delta_files = sorted(
+        set(st_a["pos_deletes"]) ^ set(st_b["pos_deletes"])
+    )
+    if not delta_files:
+        return set()
+    return {
+        r["__del_path"]
+        for r in delete_pairs_df(
+            spark, delta_files, location=md.get("location", ""),
+            table_path=table_path,
+        )
+        .select("__del_path")
+        .distinct()
+        .collect()  # metadata-scale: bounded by file count
+    }
 
 
 class IcebergChangesCursor:
@@ -484,7 +533,14 @@ class IcebergChangesCursor:
         pos = self.position()
         md = _current_metadata(self.table_path, self.fs)
         latest = md.get("current-snapshot-id")
-        if latest == pos or latest in (None, -1):
+        if latest in (None, -1) or latest == pos:
+            return None, pos
+        ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+        if pos is not None and (
+            pos in ids and latest in ids and ids.index(latest) <= ids.index(pos)
+        ):
+            # the table rolled back behind our acked position — report
+            # caught-up until it moves forward again, never crash
             return None, pos
         return (
             iceberg_changes_feed(
@@ -510,18 +566,26 @@ def replicate_changes(feed, lake, key_col: str, version_col: str) -> dict:
     re-insert at a higher version lands as the re-insert)."""
     from pyspark.sql import functions as F
 
+    seq_src = (
+        "_commit_ordinal" if "_commit_ordinal" in feed.columns else version_col
+    )
     changes = feed.withColumn(
         "__op__",
         F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
             F.lit("I")
         ),
-    ).withColumn("__seq__", F.col(version_col).cast("long"))
+    ).withColumn("__seq__", F.col(seq_src).cast("long"))
     # within one version a key may carry delete+insert (an upsert step):
     # rank deletes below inserts at the same version so the insert wins
+    drop_cols = [
+        c
+        for c in ("_change_type", version_col, "_commit_ordinal")
+        if c in changes.columns
+    ]
     changes = changes.withColumn(
         "__seq__",
         F.col("__seq__") * 2 + (F.col("__op__") == "I").cast("long"),
-    ).drop("_change_type", version_col)
+    ).drop(*drop_cols)
     return lake.merge_into(
         changes, key_col, seq_col="__seq__", op_col="__op__"
     )

@@ -285,15 +285,26 @@ def _delta_states_range(
     _delta_live_state per version would re-parse the whole log each
     step: O(V²)).
 
-    from_version == -1 yields the empty pre-creation state first (only
-    valid while commit 0 is still in the log — a checkpoint hiding it
-    raises, same stance as _delta_live_state's time travel)."""
+    from_version == -1 (pre-creation) BOOTSTRAPS: with commit 0 in the
+    log the empty state yields first; with a checkpoint hiding earlier
+    commits, the checkpoint state itself yields as the first step (its
+    rows arrive as inserts) — so a fresh consumer can always start on
+    an old table. 0 <= from_version < checkpoint still raises (a
+    genuine time-travel gap). The replay enforces the same
+    reader-compat guard as _delta_live_state — a feed must refuse
+    column-mapped / unknown-feature tables loudly, not replicate
+    misread rows."""
     fs = fs or LocalFS()
     log_dir = os.path.join(table_path, "_delta_log")
     if not fs.isdir(log_dir):
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
+    _check_reader_compat(
+        table_path,
+        delta_protocol(table_path, fs=fs),
+        delta_table_meta(table_path, fs=fs),
+    )
     start_version, cp_files = _checkpoint_parts(log_dir, fs)
-    if from_version < start_version:
+    if 0 <= from_version < start_version:
         raise ValueError(
             f"from_version {from_version} precedes the earliest "
             f"replayable state (checkpoint {start_version}) — older "
@@ -316,6 +327,10 @@ def _delta_states_range(
 
     if from_version < 0:
         yield -1, {}
+        if start_version >= 0:
+            # checkpoint bootstrap: its state is the first step's "to"
+            # side, so the pre-checkpoint table arrives as inserts
+            yield start_version, snap()
     elif from_version == start_version:
         yield from_version, snap()  # the checkpoint IS the base state
     for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):

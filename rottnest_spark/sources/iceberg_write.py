@@ -644,29 +644,33 @@ def iceberg_commit_retry(
     add_eq_deletes: list[tuple[str, list[int]]] | None = None,
     remove_eq_deletes: list[str] | None = None,
     require_live: list[str] | None = None,
-    require_delete_state: bool = False,
+    require_delete_state: tuple | None = None,
 ) -> int:
     """Optimistic-concurrency snapshot commit (the delta_commit_retry
     discipline): on losing the vN.metadata.json exclusive-create race,
     re-read the (now newer) table state and retry — pure adds retry
     blindly; removals are revalidated by iceberg_commit itself against
-    the fresh snapshot (it raises on files no longer live, the
-    concurrent-rewrite conflict a caller must re-plan).
+    the fresh snapshot.
 
     Row-level-delete writers need Iceberg's validateDataFilesExist /
-    validateNoNewDeleteFiles analogs: `require_live` names data files
-    this commit's content was computed FROM (a concurrent rewrite
-    removing one means our delete positions address a dead path — raise,
-    don't commit a no-op delete); `require_delete_state=True` captures
-    the delete-file state at call time and raises if a concurrent
-    row-level delete changed it (a rewrite retried blindly would
-    materialize rows a newer delete already hid, resurrecting them at a
-    higher sequence)."""
+    validateNoNewDeleteFiles analogs, enforced BEFORE EVERY attempt
+    (including the first — a concurrent commit landing between the
+    caller's planning read and this call must conflict too, not just a
+    version race):
+    - `require_live`: data files this commit's content was computed
+      FROM; any of them now missing means our delete positions address
+      dead paths — raise rather than commit a silent no-op delete.
+    - `require_delete_state`: the (frozenset pos-delete paths,
+      frozenset (eq path, seq)) state the caller PLANNED against —
+      abspath-normalized; a difference means a concurrent row-level
+      delete landed, and committing a rewrite planned without it would
+      resurrect its deleted rows."""
     from rottnest_spark.sources.iceberg import _snapshot_state
 
     fs = fs or LocalFS()
+    validate = bool(require_live or require_delete_state is not None)
 
-    def _delete_state():
+    def _fresh_state():
         _, prior = _latest_metadata(table_path, fs)
         by_id = {
             s["snapshot-id"]: s for s in (prior or {}).get("snapshots") or []
@@ -676,27 +680,18 @@ def iceberg_commit_retry(
             return frozenset(), frozenset(), frozenset()
         st = _snapshot_state(prior, by_id[cur], table_path, fs)
         return (
-            frozenset(st["data"]),
-            frozenset(st["pos_deletes"]),
-            frozenset((d["path"], d["seq"]) for d in st["eq_deletes"]),
+            frozenset(os.path.abspath(f) for f in st["data"]),
+            frozenset(os.path.abspath(f) for f in st["pos_deletes"]),
+            frozenset(
+                (os.path.abspath(d["path"]), int(d["seq"]))
+                for d in st["eq_deletes"]
+            ),
         )
 
-    base = _delete_state() if (require_live or require_delete_state) else None
     last: Exception | None = None
     for attempt in range(max_retries):
-        try:
-            return iceberg_commit(
-                table_path, add=add, remove=remove, fs=fs,
-                timestamp_ms=timestamp_ms,
-                add_deletes=add_deletes, remove_deletes=remove_deletes,
-                add_eq_deletes=add_eq_deletes,
-                remove_eq_deletes=remove_eq_deletes,
-            )
-        except FileExistsError as exc:
-            last = exc
-            if base is None:
-                continue
-            fresh = _delete_state()
+        if validate:
+            fresh = _fresh_state()
             if require_live:
                 gone = [
                     f
@@ -708,17 +703,27 @@ def iceberg_commit_retry(
                         "concurrent writer removed data files this "
                         f"commit's content was computed from: {gone[:3]} "
                         "— re-plan against the new snapshot"
-                    ) from exc
-            if require_delete_state and (base[1], base[2]) != (
+                    ) from last
+            if require_delete_state is not None and (
                 fresh[1],
                 fresh[2],
-            ):
+            ) != tuple(require_delete_state):
                 raise ValueError(
                     "concurrent writer changed the row-level delete "
                     "state this commit was planned against — re-plan "
-                    "against the new snapshot (retrying blindly would "
+                    "against the new snapshot (committing blindly would "
                     "resurrect the other writer's deleted rows)"
-                ) from exc
+                ) from last
+        try:
+            return iceberg_commit(
+                table_path, add=add, remove=remove, fs=fs,
+                timestamp_ms=timestamp_ms,
+                add_deletes=add_deletes, remove_deletes=remove_deletes,
+                add_eq_deletes=add_eq_deletes,
+                remove_eq_deletes=remove_eq_deletes,
+            )
+        except FileExistsError as exc:
+            last = exc
     raise TimeoutError(
         f"could not claim a metadata version after {max_retries} retries"
     ) from last
@@ -991,6 +996,13 @@ def iceberg_rewrite_deletes(
         return iceberg_commit_retry(
             table_path, fs=fs, timestamp_ms=timestamp_ms,
             remove_deletes=dels, remove_eq_deletes=eq_paths,
+            require_delete_state=(
+                frozenset(os.path.abspath(f) for f in dels),
+                frozenset(
+                    (os.path.abspath(d["path"]), int(d["seq"]))
+                    for d in eqs
+                ),
+            ),
         )
 
     # group by containing dir so rewrites stay inside their partition dir
@@ -1025,6 +1037,12 @@ def iceberg_rewrite_deletes(
             fs.rename(f, dst)
             added.append(dst)
         fs.rmtree(stage)
+    planned_state = (
+        frozenset(os.path.abspath(f) for f in dels),
+        frozenset(
+            (os.path.abspath(d["path"]), int(d["seq"])) for d in eqs
+        ),
+    )
     return iceberg_commit_retry(
         table_path,
         add=added,
@@ -1033,7 +1051,7 @@ def iceberg_rewrite_deletes(
         timestamp_ms=timestamp_ms,
         remove_deletes=dels,
         remove_eq_deletes=eq_paths,
-        require_delete_state=True,
+        require_delete_state=planned_state,
     )
 
 

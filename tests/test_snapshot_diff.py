@@ -5,8 +5,12 @@ cancels copy-on-write rewrite noise by multiset value comparison. The
 reference has no row-level incrementality (its delta is file-granular,
 backends/iceberg.py:98-254)."""
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
+
+from rottnest_spark.sources.delta import DeltaSnapshotLake
 
 from rottnest_spark.sources.changes import (
     delta_snapshot_diff,
@@ -404,3 +408,58 @@ def test_randomized_op_sequence_feed_replay(spark, sf_dir, tmp_path, seed):
         for r in lake.read().select("doc_id", "n_chars").collect()
     }
     assert mirror == want
+
+
+def test_fresh_cursor_bootstraps_from_checkpointed_table(
+    spark, dtable, tmp_path
+):
+    """A fresh cursor on a table whose early commits were checkpointed
+    away must still bootstrap — the checkpoint state arrives as the
+    first step's inserts."""
+    from rottnest_spark.sources.changes import DeltaChangesCursor
+    from rottnest_spark.sources.delta_write import (
+        delta_checkpoint,
+        delta_cleanup_log,
+    )
+
+    delta_checkpoint(dtable)
+    delta_cleanup_log(dtable, older_than_sec=0)  # commits 0..2 gone
+    delta_delete_rows(spark, dtable, "doc_id = 5")  # a post-ckpt commit
+    cur = DeltaChangesCursor(spark, dtable, str(tmp_path / "bck"))
+    feed, latest = cur.poll()
+    rows = feed.select("_commit_ordinal", "_change_type", "doc_id").collect()
+    mirror: set = set()
+    for o in sorted({r._commit_ordinal for r in rows}):
+        dels = {r.doc_id for r in rows if r._commit_ordinal == o and r._change_type == "delete"}
+        ins = {r.doc_id for r in rows if r._commit_ordinal == o and r._change_type == "insert"}
+        mirror = (mirror - dels) | ins
+    lake = DeltaSnapshotLake(spark, dtable, dtable + "_b")
+    assert mirror == {
+        r.doc_id for r in lake.read().select("doc_id").collect()
+    }
+
+
+def test_iceberg_cursor_tolerates_rollback(spark, itable, tmp_path):
+    """A source table rolled back behind the acked snapshot reports
+    caught-up instead of crashing every poll."""
+    import json as _json
+
+    from rottnest_spark.sources.changes import IcebergChangesCursor
+
+    cur = IcebergChangesCursor(spark, itable, str(tmp_path / "rck"))
+    _, latest = cur.poll()
+    cur.ack(latest)
+    # roll the pointer back to the first snapshot
+    meta = os.path.join(itable, "metadata")
+    metas = sorted(
+        f for f in os.listdir(meta) if f.endswith(".metadata.json")
+    )
+    md = _json.loads(open(os.path.join(meta, metas[-1])).read())
+    md["current-snapshot-id"] = md["snapshots"][0]["snapshot-id"]
+    v = len(metas) + 10
+    with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
+        _json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    feed, pos = cur.poll()
+    assert feed is None and pos == latest
