@@ -25,7 +25,62 @@ from __future__ import annotations
 
 import fnmatch
 import os
+import re
 import shutil
+
+
+def canon_path(p: str) -> str:
+    """Canonical form of a lake path for set/join comparisons: file: URIs
+    lose the scheme, other URI-schemed paths (s3a://, hdfs://, ...) pass
+    through UNTOUCHED — os.path.abspath would mangle them to
+    <cwd>/s3a:/... — and plain paths become absolute. Every boundary
+    where metadata-derived paths (os.path.join(table_path, rel),
+    _rebase outputs — relative whenever table_path is relative) meet
+    Spark's `_metadata.file_path` tags (always absolute URIs) must
+    normalize through this, or joins silently miss: deleted rows
+    resurrect, diffs drop rows, conflict guards compare unrelated keys."""
+    if "://" in p:
+        return re.sub(r"^file:/+", "/", p) if p.startswith("file:") else p
+    return os.path.abspath(p)
+
+
+def make_task_put():
+    """Returns put(path, data) -> None — an EXECUTOR-side byte writer for
+    the lake's DATA plane (deletion-vector bins, per-task payloads),
+    self-contained (stdlib + pyarrow only, no module refs) so cloudpickle
+    ships it by value and executors never need this package importable —
+    the repo convention of roaring.make_dv_encoder.
+
+    Why a separate seam from LakeFS: LakeFS drives the METADATA plane
+    from the driver, and its remote implementation (HadoopFS) wraps JVM
+    gateway handles that cannot pickle into tasks. Data-plane bytes
+    written inside tasks follow the same plane Spark's own parquet
+    writes use: URI-schemed paths go through pyarrow.fs (s3://, gs://,
+    hdfs:// — credentials from the standard env/config chain); plain
+    local paths publish atomically via temp-file + os.replace, so
+    concurrent task attempts (speculation, retries) overwrite each other
+    whole-file and readers never observe partial bytes."""
+    import os as _os
+    import re as _re
+
+    def put(path: str, data: bytes) -> None:
+        if "://" in path and not path.startswith("file:"):
+            from pyarrow import fs as _pafs
+
+            filesystem, p = _pafs.FileSystem.from_uri(path)
+            with filesystem.open_output_stream(p) as fh:
+                fh.write(data)
+            return
+        p = _re.sub(r"^file:/+", "/", path)
+        d = _os.path.dirname(p)
+        if d:
+            _os.makedirs(d, exist_ok=True)
+        tmp = f"{p}.__task__{_os.getpid()}_{_os.urandom(4).hex()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        _os.replace(tmp, p)
+
+    return put
 
 
 class LakeFS:
@@ -294,10 +349,13 @@ class HadoopFS(LakeFS):
         self._write_stream(path, data, overwrite=False)
         # S3A maps create(overwrite=false) to exists-check-then-PUT, which
         # is only atomic when fs.s3a conditional writes are active (Hadoop
-        # 3.4.1+, `fs.s3a.create.conditional.enabled`, default on). For any
-        # non-local scheme, verify the claim: read back and compare — a
-        # lost race surfaces as FileExistsError instead of a silent
-        # lost-commit. One extra GET per commit, metadata-scale.
+        # 3.4.1+, `fs.s3a.create.conditional.enabled`, default on). The
+        # read-back below is BEST-EFFORT NARROWING of the race window on
+        # stores without that — NOT a closure: writer A can GET its own
+        # bytes before writer B's overwriting PUT lands, and both return
+        # success. True put-if-absent requires the store's conditional
+        # create; on stores without it, treat concurrent commits to the
+        # same table as unsupported rather than relying on this check.
         scheme = path.split("://", 1)[0] if "://" in path else "file"
         if scheme not in ("file",):
             if self.read_bytes(path) != data:

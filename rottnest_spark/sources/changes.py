@@ -33,6 +33,8 @@ import os
 
 from pyspark.sql import functions as F
 
+from rottnest_spark.core.fs import canon_path
+
 _CHANGE_COL = "_change_type"
 
 
@@ -168,8 +170,10 @@ def delta_snapshot_diff(
             # commit 0 so the initial rows arrive as inserts
             return set(), None, {}
         st = _delta_live_state(table_path, v, fs)
-        files = set(st)
-        dvs = {p: dv for p, (_, dv) in st.items() if dv}
+        # canon both sides of every downstream join/compare: state keys
+        # are relative whenever table_path is, __path row tags never are
+        files = {canon_path(p) for p in st}
+        dvs = {canon_path(p): dv for p, (_, dv) in st.items() if dv}
         pos = (
             dv_positions_df(spark, table_path, dvs).select(
                 _norm(F.col("file_path")).alias("__path"),
@@ -252,7 +256,13 @@ def iceberg_snapshot_diff(
         if sid not in by_id:
             raise ValueError(f"snapshot {sid} not in the snapshot log")
         st = _snapshot_state(md, by_id[sid], table_path, fs)
-        return set(st["data"]), _iceberg_pos_side(spark, md, st, table_path), st
+        # canon: _rebase outputs are relative whenever table_path is,
+        # while the pos side's __path values are always absolute
+        return (
+            {canon_path(p) for p in st["data"]},
+            _iceberg_pos_side(spark, md, st, table_path),
+            st,
+        )
 
     files_a, pos_a, st_a = state(from_snapshot_id)
     files_b, pos_b, st_b = state(to_snapshot_id)
@@ -307,8 +317,8 @@ def delta_changes_feed(
     )
 
     def as_side(st):
-        files = set(st)
-        dvs = {p: dv for p, (_, dv) in st.items() if dv}
+        files = {canon_path(p) for p in st}
+        dvs = {canon_path(p): dv for p, (_, dv) in st.items() if dv}
         pos = (
             dv_positions_df(spark, table_path, dvs).select(
                 _norm(F.col("file_path")).alias("__path"),
@@ -430,7 +440,7 @@ def iceberg_changes_feed(
             return set(), None, None
         st = _snapshot_state(md, snaps[i], table_path, fs)
         return (
-            set(st["data"]),
+            {canon_path(p) for p in st["data"]},
             _iceberg_pos_side(spark, md, st, table_path),
             st,
         )

@@ -454,6 +454,11 @@ def dv_positions_df(spark, table_path: str, dvs: dict[str, dict]):
 
     inline: list[tuple[str, str]] = []  # (data file, z85 bitmap)
     by_bin: dict[str, list[tuple[str, int]]] = {}  # bin -> [(file, off)]
+    # emitted file_path is CANONICAL (abspath, URI-safe): descriptor keys
+    # come from the log replay (os.path.join(table_path, rel) — relative
+    # whenever table_path is relative) while every consumer joins against
+    # `_metadata.file_path` tags, which are always absolute
+    dvs = {canon(fp): d for fp, d in dvs.items()}
     for fp, d in sorted(dvs.items()):
         st = str(d.get("storageType") or "")
         pi = str(d.get("pathOrInlineDv") or "")

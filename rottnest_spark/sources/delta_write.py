@@ -265,12 +265,16 @@ def delta_commit_retry(
         except FileExistsError as exc:
             last = exc
             if remove:
+                from rottnest_spark.core.fs import canon_path
                 from rottnest_spark.sources.delta import delta_live_files
 
-                live = set(
-                    delta_live_files(table_path, fs=fs, on_deletes="ignore")
-                )
-                gone = [f for f in remove if f not in live]
+                live = {
+                    canon_path(p)
+                    for p in delta_live_files(
+                        table_path, fs=fs, on_deletes="ignore"
+                    )
+                }
+                gone = [f for f in remove if canon_path(f) not in live]
                 if gone:
                     raise ValueError(
                         "concurrent writer removed files this commit "
@@ -541,8 +545,9 @@ def delta_delete_rows(
 
     Plan shape: one predicate-pushed scan for new positions, one
     executor-side decode of existing vectors, one applyInPandas encode
-    per affected file — the driver handles bitmaps and descriptors,
-    never row positions."""
+    per affected file, one per-task .bin write — the driver handles
+    DESCRIPTORS only (storageType/offset/cardinality rows), never
+    bitmaps or row positions."""
     from pyspark.sql import functions as F
 
     from rottnest_spark.sources.delta import _delta_live_state
@@ -576,22 +581,29 @@ def _delta_commit_dvs(
 ) -> int:
     """Shared DV-commit tail: merge `new_pairs` (file_path, pos) with any
     existing vectors, encode one roaring bitmap per affected file
-    executor-side, store inline or in a shared .bin, and commit the
-    remove+re-add(+DV) pairs — plus `extra_adds` (plain new data files,
-    the upsert's inserts) — in ONE atomic version."""
+    executor-side, store inline (small) or in per-task shared .bin files
+    written EXECUTOR-side (the driver never holds a bitmap), and commit
+    the remove+re-add(+DV) pairs — plus `extra_adds` (plain new data
+    files, the upsert's inserts) — in ONE atomic version."""
     from pyspark.sql import functions as F
 
     from rottnest_spark.sources.delta import (
         delta_live_dvs,
         dv_positions_df,
     )
-    from rottnest_spark.sources.roaring import (
-        dv_file_bytes,
-        make_dv_encoder,
-        z85_encode,
-    )
+    from rottnest_spark.sources.roaring import make_dv_encoder
 
-    dvs = delta_live_dvs(table_path, fs=fs)
+    from rottnest_spark.core.fs import canon_path
+
+    # canon the state keys up front: `affected`/descriptor keys come from
+    # `_metadata.file_path` (always absolute) while delta_live_dvs keys
+    # are relative whenever table_path is — unnormalized, the conflict
+    # guard below would compare unrelated keys and retry blindly past a
+    # concurrent DV writer (resurrecting its deleted rows)
+    dvs = {
+        canon_path(p): dv
+        for p, dv in delta_live_dvs(table_path, fs=fs).items()
+    }
     existing = (
         dv_positions_df(spark, table_path, dvs)
         if dvs
@@ -601,21 +613,16 @@ def _delta_commit_dvs(
         fresh = new_pairs.join(existing, ["file_path", "pos"], "left_anti")
     else:
         fresh = new_pairs
-    affected = [
-        r.file_path
-        for r in fresh.select("file_path").distinct().collect()
-    ]  # metadata-scale: bounded by file count
-    if not affected and not extra_adds:
-        return _next_version(_log_dir(table_path), fs) - 1
-    if not affected:  # pure inserts: a plain add commit
-        return delta_commit_retry(table_path, add=extra_adds, fs=fs)
 
-    # full post-delete position set per affected file (existing ∪ new),
-    # encoded executor-side: one roaring bitmap per file
+    # full post-delete position set per affected file (existing ∪ new):
+    # the carried positions are selected by a DISTRIBUTED semi-join on
+    # the fresh files (not a driver-collected isin list)
     union = fresh
     if existing is not None:
         union = fresh.unionByName(
-            existing.filter(F.col("file_path").isin(affected))
+            existing.join(
+                fresh.select("file_path").distinct(), "file_path", "left_semi"
+            )
         )
     encode = make_dv_encoder()
 
@@ -630,46 +637,115 @@ def _delta_commit_dvs(
             }
         )
 
-    encoded = (
-        union.groupBy("file_path")
-        .applyInPandas(
-            encode_group, "file_path string, bitmap binary, cardinality long"
-        )
-        .collect()
-    )  # bitmap-scale rows, one per affected file
+    encoded = union.groupBy("file_path").applyInPandas(
+        encode_group, "file_path string, bitmap binary, cardinality long"
+    )
 
-    # shared .bin for the large bitmaps (DV file layout: version byte,
-    # then per-DV length+payload+CRC at increasing offsets)
-    descriptors: dict[str, dict] = {}
-    bin_parts: list[bytes] = []
-    bin_offset = 1  # after the format-version byte
-    bin_uuid = uuid.uuid4()
-    for r in sorted(encoded, key=lambda r: r.file_path):
-        bm = bytes(r.bitmap)
-        if len(bm) <= DV_INLINE_MAX_BYTES:
-            padded = bm + b"\x00" * (-len(bm) % 4)  # Z85 needs len%4==0
-            descriptors[r.file_path] = {
-                "storageType": "i",
-                "pathOrInlineDv": z85_encode(padded),
-                "sizeInBytes": len(bm),
-                "cardinality": int(r.cardinality),
-            }
-        else:
-            wrapped = dv_file_bytes(bm)[1:]  # strip its version byte
-            descriptors[r.file_path] = {
-                "storageType": "u",
-                "pathOrInlineDv": z85_encode(bin_uuid.bytes),
-                "offset": bin_offset,
-                "sizeInBytes": len(bm),
-                "cardinality": int(r.cardinality),
-            }
-            bin_parts.append(wrapped)
-            bin_offset += len(wrapped)
-    if bin_parts:
-        fs.write_bytes(
-            os.path.join(table_path, f"deletion_vector_{bin_uuid}.bin"),
-            b"\x01" + b"".join(bin_parts),
+    # bitmaps never reach the driver: each TASK packs its partition's
+    # large bitmaps into ONE shared .bin (DV file layout: version byte,
+    # then per-DV length+payload+CRC at increasing offsets), writes it
+    # executor-side through the task data-plane writer, and emits
+    # DESCRIPTOR rows only — a DELETE spanning 10⁶ files collects 10⁶
+    # descriptor-sized rows, not 10⁶ bitmaps. Small bitmaps inline (Z85)
+    # as before. The bin name is a content-derived uuid, so task retries
+    # and speculative twins rewrite the same path with the same bytes;
+    # orphan bins from failed attempts are unreferenced and reclaimed by
+    # delta_vacuum_table.
+    from rottnest_spark.core.fs import make_task_put
+    from rottnest_spark.sources.roaring import Z85_CHARS
+
+    put = make_task_put()
+    inline_max = DV_INLINE_MAX_BYTES
+    bin_dir = canon_path(table_path)
+    z85_chars = Z85_CHARS  # captured by value — the closure stays module-free
+
+    def pack_bins(batches):
+        import hashlib as _hashlib
+        import posixpath as _pp
+        import struct as _struct
+        import uuid as _uuid
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _z85(b: bytes) -> str:
+            out = []
+            for i in range(0, len(b), 4):
+                v = int.from_bytes(b[i : i + 4], "big")
+                chunk = []
+                for _ in range(5):
+                    v, r = divmod(v, 85)
+                    chunk.append(z85_chars[r])
+                out.extend(reversed(chunk))
+            return "".join(out)
+
+        rows: list[list] = []  # file_path, storage, poi, offset, size, card
+        bin_parts: list[bytes] = []
+        bin_offset = 1  # after the format-version byte
+        h = _hashlib.md5()
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                bm = bytes(r.bitmap)
+                if len(bm) <= inline_max:
+                    padded = bm + b"\x00" * (-len(bm) % 4)  # Z85: len%4==0
+                    rows.append(
+                        [r.file_path, "i", _z85(padded), None, len(bm),
+                         int(r.cardinality)]
+                    )
+                else:
+                    wrapped = (
+                        _struct.pack(">i", len(bm))
+                        + bm
+                        + _struct.pack(">I", _zlib.crc32(bm) & 0xFFFFFFFF)
+                    )
+                    h.update(r.file_path.encode())
+                    h.update(bm)
+                    rows.append(
+                        [r.file_path, "u", None, bin_offset, len(bm),
+                         int(r.cardinality)]
+                    )
+                    bin_parts.append(wrapped)
+                    bin_offset += len(wrapped)
+        if bin_parts:
+            bid = _uuid.UUID(bytes=h.digest())
+            put(
+                _pp.join(bin_dir, f"deletion_vector_{bid}.bin"),
+                b"\x01" + b"".join(bin_parts),
+            )
+            enc = _z85(bid.bytes)
+            for row in rows:
+                if row[1] == "u":
+                    row[2] = enc
+        yield _pd.DataFrame(
+            rows,
+            columns=[
+                "file_path", "storage", "path_or_inline", "offset", "size",
+                "cardinality",
+            ],
         )
+
+    desc_rows = encoded.mapInPandas(
+        pack_bins,
+        "file_path string, storage string, path_or_inline string, "
+        "offset int, size int, cardinality long",
+    ).collect()  # descriptor-scale: one small row per affected file
+
+    descriptors: dict[str, dict] = {}
+    for r in desc_rows:
+        d = {
+            "storageType": r.storage,
+            "pathOrInlineDv": r.path_or_inline,
+            "sizeInBytes": int(r.size),
+            "cardinality": int(r.cardinality),
+        }
+        if r.storage == "u":
+            d["offset"] = int(r.offset)
+        descriptors[r.file_path] = d
+    affected = sorted(descriptors)
+    if not affected and not extra_adds:
+        return _next_version(_log_dir(table_path), fs) - 1
+    if not affected:  # pure inserts: a plain add commit
+        return delta_commit_retry(table_path, add=extra_adds, fs=fs)
 
     # one commit: remove + re-add each affected file with its DV attached
     # (protocol: attaching a DV is a remove/add pair of the same path)
@@ -736,9 +812,17 @@ def _delta_commit_dvs(
             )
             from rottnest_spark.sources.delta import delta_live_files
 
-            live = set(delta_live_files(table_path, fs=fs, on_deletes="ignore"))
+            live = {
+                canon_path(p)
+                for p in delta_live_files(
+                    table_path, fs=fs, on_deletes="ignore"
+                )
+            }
             gone = [f for f in affected if f not in live]
-            fresh_dvs = _live_dvs(table_path, fs=fs)
+            fresh_dvs = {
+                canon_path(p): dv
+                for p, dv in _live_dvs(table_path, fs=fs).items()
+            }
             changed = [
                 f
                 for f in affected
@@ -828,20 +912,23 @@ def delta_vacuum_table(
 
     from rottnest_spark.sources.delta import _delta_live_state
 
+    from rottnest_spark.core.fs import canon_path
+
     fs = fs or LocalFS()
     state = _delta_live_state(table_path, fs=fs)
-    # abspath-normalize the keep set AND every candidate below — a
+    # canon-normalize the keep set AND every candidate below — a
     # relative table_path would otherwise make every live file look
     # unreferenced and vacuum would delete the current snapshot
-    keep = {os.path.abspath(p) for p in state}
+    # (canon_path, not abspath: URI-schemed table paths must not mangle)
+    keep = {canon_path(p) for p in state}
     for _, dv in state.values():
         if dv and dv.get("storageType") in ("u", "p"):
             pi = dv["pathOrInlineDv"]
             if dv["storageType"] == "p":
                 keep.add(
-                    os.path.abspath(
+                    canon_path(
                         pi
-                        if os.path.isabs(pi)
+                        if os.path.isabs(pi) or "://" in pi
                         else os.path.join(table_path, pi)
                     )
                 )
@@ -852,7 +939,7 @@ def delta_vacuum_table(
 
                 prefix, enc = pi[:-20], pi[-20:]
                 keep.add(
-                    os.path.abspath(
+                    canon_path(
                         os.path.join(
                             table_path,
                             prefix,
@@ -875,7 +962,7 @@ def delta_vacuum_table(
         is_dv = leaf.startswith("deletion_vector_") and leaf.endswith(".bin")
         if not (is_data or is_dv):
             continue
-        if os.path.abspath(f) in keep:
+        if canon_path(f) in keep:
             continue
         try:
             if fs.getmtime(f) > cutoff:

@@ -47,6 +47,7 @@ import json
 import os
 import re
 
+from rottnest_spark.core.fs import canon_path
 from rottnest_spark.core.lake import ParquetLake
 from rottnest_spark.sources.avro_lite import read_ocf
 
@@ -242,11 +243,13 @@ def apply_equality_deletes(spark, df, state: dict, md: dict):
     from pyspark.sql import functions as F
 
     names = _schema_field_names(md)
-    # abspath both sides: state keys are _rebase() outputs (relative when
+    # canon both sides: state keys are _rebase() outputs (relative when
     # table_path is relative) while __path tags are absolute URIs — an
-    # unmatched join would null __seq and silently unapply every delete
+    # unmatched join would null __seq and silently unapply every delete.
+    # canon_path, NOT os.path.abspath: a URI-schemed key (s3a://...)
+    # would be mangled to <cwd>/s3a:/... and miss the same way
     seq_rows = [
-        (os.path.abspath(p), int(s))
+        (canon_path(p), int(s))
         for p, s in sorted(state["data"].items())
     ]
     seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
@@ -264,23 +267,40 @@ def apply_equality_deletes(spark, df, state: dict, md: dict):
                     f"(schema has {sorted(names)})"
                 )
             cols.append(names[i])
-        parts = []
-        for d in sorted(dels, key=lambda d: d["path"]):
-            parts.append(
-                spark.read.parquet(d["path"])
-                .select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
-                )
-                .withColumn("__dseq", F.lit(int(d["seq"])))
-            )
-        del_df = parts[0]
-        for p in parts[1:]:
-            del_df = del_df.unionByName(p)
+        del_df = _eq_delete_rows_df(spark, dels, cols)
         cond = F.col("__dseq") > F.col("__seq")
         for c in cols:
             cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
         df = df.join(del_df, cond, "left_anti")
     return df.drop("__seq")
+
+
+def _eq_delete_rows_df(spark, dels: list[dict], cols: list[str]):
+    """All rows of one id-set's equality delete files, each tagged its
+    file's data sequence number (`__dseq`) — ONE `spark.read.parquet`
+    over every delete file plus a broadcast (path → seq) join on
+    `_metadata.file_path`, instead of one plan branch per file. A CDC
+    stream without rewrite accumulates one equality-delete file per
+    micro-batch; per-file union branches blow the driver's plan size up
+    thousands of commits before data size matters."""
+    from pyspark.sql import functions as F
+
+    paths = [d["path"] for d in sorted(dels, key=lambda d: d["path"])]
+    seq_map = spark.createDataFrame(
+        [(canon_path(d["path"]), int(d["seq"])) for d in dels],
+        "__dfile string, __dseq long",
+    )
+    return (
+        spark.read.parquet(*paths)
+        .select(
+            *[F.col(c).alias(f"__eq_{c}") for c in cols],
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__dfile"),
+        )
+        .join(F.broadcast(seq_map), "__dfile", "inner")
+        .drop("__dfile")
+    )
 
 
 def delete_pairs_df(
@@ -300,7 +320,7 @@ def delete_pairs_df(
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     col = norm(F.col("file_path"))
     loc = _norm_uri(location or "").rstrip("/")
-    tp = os.path.abspath(table_path) if table_path else ""
+    tp = canon_path(table_path) if table_path else ""
     if loc and tp and loc != tp:
         col = F.regexp_replace(
             col, "^" + re.escape(loc) + "/", tp.rstrip("/") + "/"
@@ -829,7 +849,7 @@ def equality_delete_positions(spark, state: dict, md: dict):
         }
     )
     seq_rows = [
-        (os.path.abspath(p), int(s))
+        (canon_path(p), int(s))
         for p, s in sorted(state["data"].items())
     ]
     seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
@@ -841,16 +861,7 @@ def equality_delete_positions(spark, state: dict, md: dict):
     parts = []
     for ids, dels in sorted(by_ids.items()):
         cols = [names[i] for i in ids]
-        del_parts = []
-        for d in sorted(dels, key=lambda d: d["path"]):
-            del_parts.append(
-                spark.read.parquet(d["path"])
-                .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
-                .withColumn("__dseq", F.lit(int(d["seq"])))
-            )
-        del_df = del_parts[0]
-        for p in del_parts[1:]:
-            del_df = del_df.unionByName(p)
+        del_df = _eq_delete_rows_df(spark, dels, cols)
         cond = F.col("__dseq") > F.col("__seq")
         for c in cols:
             cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))

@@ -45,7 +45,7 @@ import os
 import time
 import uuid
 
-from rottnest_spark.core.fs import LakeFS, LocalFS
+from rottnest_spark.core.fs import LakeFS, LocalFS, canon_path
 from rottnest_spark.sources.avro_lite import write_ocf
 
 #: manifest-list entry schema (spec fields the ecosystem expects; our
@@ -393,10 +393,10 @@ def _commit_snapshot(
         return {
             "status": status,
             "snapshot_id": snap_id,
-            "sequence_number": seqs.get(os.path.abspath(f), commit_seq),
+            "sequence_number": seqs.get(canon_path(f), commit_seq),
             "data_file": {
                 "content": content,
-                "file_path": os.path.abspath(f),
+                "file_path": canon_path(f),
                 "file_format": "PARQUET",
                 "partition": partition,
                 "record_count": _record_count(f) if status != 2 else -1,
@@ -412,7 +412,10 @@ def _commit_snapshot(
     ] + [entry(f, 2) for f in sorted(removed_set)]
     manifest = os.path.join(meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_ocf(manifest, _manifest_schema(pfields), entries, fs=fs)
-    ml_entries = [{"manifest_path": manifest, "content": 0}]
+    # metadata records CANONICAL paths (spec: full location URIs) — a
+    # relative table_path would otherwise store relative manifest paths
+    # that _rebase doubles against the absolute `location`
+    ml_entries = [{"manifest_path": canon_path(manifest), "content": 0}]
 
     # v2 merge-on-read: positional delete files live in their OWN manifest,
     # flagged content=1 in the manifest list (Iceberg spec "Delete
@@ -444,7 +447,9 @@ def _commit_snapshot(
         write_ocf(del_manifest, _manifest_schema(pfields), del_entries, fs=fs)
         # always listed — status-2 tombstones are skipped by readers, the
         # same full-manifest-per-snapshot convention as the data manifest
-        ml_entries.append({"manifest_path": del_manifest, "content": 1})
+        ml_entries.append(
+            {"manifest_path": canon_path(del_manifest), "content": 1}
+        )
 
     ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_ocf(
@@ -471,7 +476,7 @@ def _commit_snapshot(
     snapshot = {
         "snapshot-id": snap_id,
         "timestamp-ms": ts,
-        "manifest-list": ml,
+        "manifest-list": canon_path(ml),
         "summary": {"operation": op},
     }
     spec_fields = [
@@ -497,7 +502,7 @@ def _commit_snapshot(
         ),
         "last-sequence-number": commit_seq,
         "table-uuid": (prior or {}).get("table-uuid", str(uuid.uuid4())),
-        "location": os.path.abspath(table_path),
+        "location": canon_path(table_path),
         "last-updated-ms": ts,
         "schema": schema,
         "partition-spec": spec_fields,
@@ -580,26 +585,26 @@ def iceberg_commit(
         st = {"data": {}, "pos_deletes": {}, "eq_deletes": []}
     live, live_del = set(st["data"]), set(st["pos_deletes"])
     # pre-existing files keep their data sequence numbers in the rewrite;
-    # ABSPATH keys — entry() looks up os.path.abspath(f), while _rebase
+    # CANONICAL keys — entry() looks up canon_path(f), while _rebase
     # outputs are relative whenever table_path is relative, and a missed
     # lookup would silently re-stamp carried files with the NEW sequence
     # (un-gating every equality delete)
     seqs = {
-        os.path.abspath(k): v
+        canon_path(k): v
         for k, v in {**st["data"], **st["pos_deletes"]}.items()
     }
     seqs.update(
-        {os.path.abspath(d["path"]): d["seq"] for d in st["eq_deletes"]}
+        {canon_path(d["path"]): d["seq"] for d in st["eq_deletes"]}
     )
-    add = [os.path.abspath(f) for f in (add or [])]
-    remove = [os.path.abspath(f) for f in (remove or [])]
-    add_del = [os.path.abspath(f) for f in (add_deletes or [])]
-    remove_del = [os.path.abspath(f) for f in (remove_deletes or [])]
+    add = [canon_path(f) for f in (add or [])]
+    remove = [canon_path(f) for f in (remove or [])]
+    add_del = [canon_path(f) for f in (add_deletes or [])]
+    remove_del = [canon_path(f) for f in (remove_deletes or [])]
     add_eq = [
-        (os.path.abspath(p), [int(i) for i in ids])
+        (canon_path(p), [int(i) for i in ids])
         for p, ids in (add_eq_deletes or [])
     ]
-    remove_eq = {os.path.abspath(f) for f in (remove_eq_deletes or [])}
+    remove_eq = {canon_path(f) for f in (remove_eq_deletes or [])}
     if not any((add, remove, add_del, remove_del, add_eq, remove_eq)):
         raise ValueError("empty commit — nothing to add or remove")
     missing = [f for f in remove if f not in live]
@@ -680,10 +685,10 @@ def iceberg_commit_retry(
             return frozenset(), frozenset(), frozenset()
         st = _snapshot_state(prior, by_id[cur], table_path, fs)
         return (
-            frozenset(os.path.abspath(f) for f in st["data"]),
-            frozenset(os.path.abspath(f) for f in st["pos_deletes"]),
+            frozenset(canon_path(f) for f in st["data"]),
+            frozenset(canon_path(f) for f in st["pos_deletes"]),
             frozenset(
-                (os.path.abspath(d["path"]), int(d["seq"]))
+                (canon_path(d["path"]), int(d["seq"]))
                 for d in st["eq_deletes"]
             ),
         )
@@ -696,7 +701,7 @@ def iceberg_commit_retry(
                 gone = [
                     f
                     for f in require_live
-                    if os.path.abspath(f) not in fresh[0]
+                    if canon_path(f) not in fresh[0]
                 ]
                 if gone:
                     raise ValueError(
@@ -997,9 +1002,9 @@ def iceberg_rewrite_deletes(
             table_path, fs=fs, timestamp_ms=timestamp_ms,
             remove_deletes=dels, remove_eq_deletes=eq_paths,
             require_delete_state=(
-                frozenset(os.path.abspath(f) for f in dels),
+                frozenset(canon_path(f) for f in dels),
                 frozenset(
-                    (os.path.abspath(d["path"]), int(d["seq"]))
+                    (canon_path(d["path"]), int(d["seq"]))
                     for d in eqs
                 ),
             ),
@@ -1038,9 +1043,9 @@ def iceberg_rewrite_deletes(
             added.append(dst)
         fs.rmtree(stage)
     planned_state = (
-        frozenset(os.path.abspath(f) for f in dels),
+        frozenset(canon_path(f) for f in dels),
         frozenset(
-            (os.path.abspath(d["path"]), int(d["seq"])) for d in eqs
+            (canon_path(d["path"]), int(d["seq"])) for d in eqs
         ),
     )
     return iceberg_commit_retry(
@@ -1162,6 +1167,7 @@ def iceberg_upsert(
     key_cols: list[str],
     fs: LakeFS | None = None,
     timestamp_ms: int | None = None,
+    auto_rewrite_threshold: int | None = 128,
 ) -> int:
     """CDC UPSERT with EQUALITY deletes — the Flink-CDC write shape and
     the reason equality deletes exist: O(|changes|) work, ZERO data-file
@@ -1179,7 +1185,15 @@ def iceberg_upsert(
     materializes equality deletes). Partitioned tables stage hive-laid
     (like iceberg_write); key columns must not BE partition columns —
     equality deletes apply on PHYSICAL columns, which hive data files
-    lack for partitions."""
+    lack for partitions.
+
+    `auto_rewrite_threshold`: once the table carries at least this many
+    equality delete files AFTER the commit, `iceberg_rewrite_deletes`
+    runs automatically (its snapshot id is returned) — the lifecycle
+    bound that keeps an unattended CDC stream from accumulating delete
+    files without limit (reads apply them in one scan per key set, but
+    per-read delete volume and per-row anti-join work still grow with
+    backlog). None disables."""
     fs = fs or LocalFS()
     _, prior = _latest_metadata(table_path, fs)
     if prior is None:
@@ -1239,10 +1253,24 @@ def iceberg_upsert(
             fs.rename(f, eq_path)
             break
     fs.rmtree(kstage)
-    return iceberg_commit_retry(
+    snap = iceberg_commit_retry(
         table_path,
         add=moved,
         fs=fs,
         timestamp_ms=timestamp_ms,
         add_eq_deletes=[(eq_path, eq_ids)],
     )
+    if auto_rewrite_threshold is not None:
+        from rottnest_spark.sources.iceberg import (
+            _current_metadata,
+            snapshot_state_from_metadata,
+        )
+
+        st = snapshot_state_from_metadata(
+            _current_metadata(table_path, fs), table_path, fs
+        )
+        if len(st["eq_deletes"]) >= auto_rewrite_threshold:
+            return iceberg_rewrite_deletes(
+                spark, table_path, fs=fs, timestamp_ms=timestamp_ms
+            )
+    return snap

@@ -27,9 +27,10 @@ file via a Z85-encoded UUID; "p" is an absolute path.
 DECODE lives inside `make_dv_decoder()` as a self-contained closure
 (repo convention, core/layout.py:33 — cloudpickle ships it by value so
 executors never need the package importable); module-level wrappers
-delegate to one shared instance for driver-side use and tests. ENCODE is
-driver-side (the delete writer serializes one bitmap per rewritten
-file). Decode cost is numpy-vectorized per container, linear in
+delegate to one shared instance for driver-side use and tests. ENCODE runs
+executor-side too (the delete writer serializes one bitmap per affected
+file inside applyInPandas, and per-task .bin packing writes them — the
+driver only ever sees descriptors). Decode cost is numpy-vectorized per container, linear in
 container count rather than cardinality.
 """
 

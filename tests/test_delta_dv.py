@@ -134,8 +134,9 @@ def test_delete_rows_applies_on_read(spark, table):
 
 def test_inline_vs_file_storage(spark, sf_dir, tmp_path):
     """Small bitmaps inline (Z85 in the log); a large delete set (bitmap
-    > DV_INLINE_MAX_BYTES) spills to ONE shared deletion_vector_*.bin at
-    increasing offsets."""
+    > DV_INLINE_MAX_BYTES) spills to shared deletion_vector_*.bin files
+    (one per write TASK — bitmaps never reach the driver) at increasing
+    offsets."""
     out = str(tmp_path / "dv_big")
     (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -154,7 +155,13 @@ def test_inline_vs_file_storage(spark, sf_dir, tmp_path):
     assert all(d["storageType"] == "u" for d in dvs.values())
     assert sum(d["cardinality"] for d in dvs.values()) == total
     bins = [f for f in os.listdir(out) if f.startswith("deletion_vector_")]
-    assert len(bins) == 1
+    # bounded by the task count, and every bin is referenced (no orphans
+    # from a clean run)
+    referenced = {
+        z85_decode(d["pathOrInlineDv"][-20:]) for d in dvs.values()
+    }
+    assert 1 <= len(bins) <= max(2, len(dvs))
+    assert len(bins) == len(referenced)
     lake = DeltaSnapshotLake(spark, out, out + "_idx")
     assert lake.read().count() == 0
 
@@ -477,6 +484,51 @@ def test_vacuum_with_relative_table_path(spark, sf_dir, tmp_path, monkeypatch):
     assert gone == []  # every file is live — nothing may be deleted
     lake = DeltaSnapshotLake(spark, t, t + "_idx")
     assert lake.read().count() == 50
+
+
+def test_wide_delete_driver_sees_descriptors_only(spark, tmp_path, monkeypatch):
+    """A DELETE spanning many files must collect only DESCRIPTOR-scale
+    rows to the driver — never a binary (bitmap/position) column. At
+    10⁵–10⁶ affected files on a 100 TB table, driver-side bitmap
+    assembly is the difference between metadata-scale memory and OOM;
+    the .bin payloads are written per-task executor-side instead."""
+    out = str(tmp_path / "wide")
+    # 24 files x 1500 rows (round-robin: every file non-empty); deleting
+    # half of each file -> 750 positions per bitmap -> well past
+    # DV_INLINE_MAX_BYTES -> every DV file-backed
+    spark.range(36_000).selectExpr("id AS k").repartition(24).write.parquet(
+        out
+    )
+    delta_convert(out)
+
+    collected_schemas = []
+    df_cls = type(spark.range(1))  # the concrete (classic) DataFrame class
+    orig = df_cls.collect
+
+    def spy(self):
+        collected_schemas.append(self.schema)
+        return orig(self)
+
+    monkeypatch.setattr(df_cls, "collect", spy)
+    delta_delete_rows(spark, out, "k % 2 = 0")
+    monkeypatch.undo()
+
+    assert collected_schemas  # the descriptor collect happened
+    for sch in collected_schemas:
+        assert not any(
+            f.dataType.typeName() == "binary" for f in sch.fields
+        ), f"driver collected a binary column: {sch.simpleString()}"
+    dvs = delta_live_dvs(out)
+    n_files = len(delta_live_files(out, on_deletes="ignore"))
+    assert len(dvs) == n_files and n_files >= 8  # every file affected
+    assert all(d["storageType"] == "u" for d in dvs.values())
+    assert sum(d["cardinality"] for d in dvs.values()) == 18_000
+    lake = DeltaSnapshotLake(spark, out, out + "_idx")
+    got = {r.k for r in lake.read().select("k").collect()}
+    assert got == {i for i in range(36_000) if i % 2 == 1}
+    # offsets resolve inside each task's bin: CRC-checked decode per file
+    pairs = dv_positions_df(spark, out, dvs)
+    assert pairs.count() == 18_000
 
 
 def test_protocol_merge_preserves_external_features(spark, table):

@@ -486,3 +486,77 @@ def test_positional_delete_composes_with_equality_state(spark, orders_table):
     after = {r.o_orderkey for r in lake.read().collect()}
     assert after == before - {victim}
     assert set(keys) <= after  # the upserted rows survive
+
+
+def test_many_delete_files_plan_one_scan_per_key_set(spark, tmp_path):
+    """60 equality delete files (a CDC backlog without rewrite) must plan
+    ONE parquet scan for the whole delete set — per-file union branches
+    would grow the driver plan linearly in commits, blowing up thousands
+    of micro-batches before data size matters."""
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_commit,
+        iceberg_convert,
+    )
+
+    t = str(tmp_path / "backlog")
+    spark.range(500).selectExpr("id AS k", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(t)
+    iceberg_convert(t)  # schema ids: k=1, v=2 (footer order)
+    os.makedirs(os.path.join(t, "data"), exist_ok=True)
+    n = 60
+    for i in range(n):
+        p = os.path.join(t, "data", f"eqdel-{i}.parquet")
+        pq.write_table(pa.table({"k": pa.array([i], pa.int64())}), p)
+        iceberg_commit(t, add_eq_deletes=[(p, [1])])
+
+    lake = IcebergSnapshotLake(spark, t, t + "_idx")
+    df = lake.read()
+    got = {r.k for r in df.select("k").collect()}
+    assert got == set(range(n, 500))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count(" parquet")
+    assert n_scans <= 3, f"{n_scans} parquet relations for {n} delete files"
+
+
+def test_upsert_auto_rewrite_bounds_delete_files(spark, orders_table):
+    """With auto_rewrite_threshold, the upsert lifecycle compacts its own
+    equality-delete backlog — an unattended CDC stream stays bounded."""
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+    t = orders_table
+    lake = IcebergSnapshotLake(spark, t, t + "_idx")
+    keys = sorted(r.o_orderkey for r in lake.read().limit(4).collect())
+
+    def upsert(k, price, thresh):
+        return iceberg_upsert(
+            spark,
+            spark.createDataFrame(
+                [(k, "Z", float(price))],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            ),
+            t,
+            ["o_orderkey"],
+            auto_rewrite_threshold=thresh,
+        )
+
+    def n_eq():
+        st = snapshot_state_from_metadata(
+            _current_metadata(t), t, None
+        )
+        return len(st["eq_deletes"])
+
+    upsert(keys[0], 1.0, 3)
+    assert n_eq() == 1
+    upsert(keys[1], 2.0, 3)
+    assert n_eq() == 2
+    upsert(keys[2], 3.0, 3)  # hits the threshold -> rewrite
+    assert n_eq() == 0
+    # rewrite materialized everything: values exact, table indexable
+    got = {r.o_orderkey: r.o_totalprice for r in lake.read().collect()}
+    assert got[keys[0]] == 1.0 and got[keys[1]] == 2.0 and got[keys[2]] == 3.0
+    assert lake.files  # no longer refuses

@@ -1,0 +1,133 @@
+"""Regression: RELATIVE table_path must behave identically to absolute.
+
+The bug class (advisor-found, round 6/7): metadata-derived file keys come
+from os.path.join(table_path, rel) / _rebase — relative whenever the
+caller passes a relative table_path — while Spark's `_metadata.file_path`
+row tags are always absolute. Any join/set comparison mixing the two
+silently misses: deleted rows resurrect in reads, vanish from diffs and
+feeds, and conflict guards compare unrelated keys. `canon_path`
+(core/fs.py) normalizes every such boundary; these tests drive the full
+delete/read/diff/feed lifecycle through a relative path.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.sources.changes import (
+    DeltaChangesCursor,
+    delta_snapshot_diff,
+    iceberg_snapshot_diff,
+)
+from rottnest_spark.sources.delta import DeltaSnapshotLake, delta_live_dvs
+from rottnest_spark.sources.delta_write import (
+    delta_convert,
+    delta_delete_rows,
+    delta_vacuum_table,
+)
+from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+from rottnest_spark.sources.iceberg_write import (
+    iceberg_convert,
+    iceberg_delete_rows,
+    iceberg_upsert,
+)
+
+
+def _rel(p: str) -> str:
+    r = os.path.relpath(str(p), os.getcwd())
+    assert not os.path.isabs(r)
+    return r
+
+
+def _mk(spark, path, n=120):
+    spark.range(n).selectExpr(
+        "id AS k", "cast(id % 10 as string) AS grp"
+    ).repartition(3).write.parquet(path)
+
+
+@pytest.fixture()
+def rel_delta(spark, tmp_path):
+    table = _rel(tmp_path / "d")
+    _mk(spark, table)
+    delta_convert(table)  # v0
+    delta_delete_rows(spark, table, "k % 7 = 0")  # v1: DVs
+    return table
+
+
+def test_delta_relative_read_applies_dvs(spark, rel_delta):
+    lake = DeltaSnapshotLake(spark, rel_delta, str(rel_delta) + "_idx")
+    got = {r.k for r in lake.read().select("k").collect()}
+    assert got == {i for i in range(120) if i % 7 != 0}
+
+
+def test_delta_relative_second_delete_no_resurrection(spark, rel_delta):
+    # the second DELETE merges with the existing vectors; an unnormalized
+    # existing-side join would drop them and resurrect the first delete
+    delta_delete_rows(spark, rel_delta, "k % 11 = 0")  # v2
+    lake = DeltaSnapshotLake(spark, rel_delta, str(rel_delta) + "_idx")
+    got = {r.k for r in lake.read().select("k").collect()}
+    assert got == {i for i in range(120) if i % 7 != 0 and i % 11 != 0}
+
+
+def test_delta_relative_diff_and_feed(spark, rel_delta, tmp_path):
+    expected_deleted = {i for i in range(120) if i % 7 == 0}
+    diff = delta_snapshot_diff(spark, rel_delta, 0, 1)
+    got = {
+        (r._change_type, r.k) for r in diff.select("_change_type", "k").collect()
+    }
+    assert got == {("delete", i) for i in expected_deleted}
+
+    cur = DeltaChangesCursor(spark, rel_delta, str(tmp_path / "ckpt"))
+    feed, latest = cur.poll()
+    assert feed is not None
+    rows = feed.select("_change_type", "k", "_commit_version").collect()
+    inserts = {r.k for r in rows if r._change_type == "insert"}
+    deletes = {r.k for r in rows if r._change_type == "delete"}
+    assert inserts == set(range(120))
+    assert deletes == expected_deleted
+    cur.ack(latest)
+    assert cur.poll()[0] is None
+
+
+def test_delta_relative_vacuum_keeps_live(spark, rel_delta):
+    victims = delta_vacuum_table(rel_delta, older_than_sec=0.0)
+    assert victims == []  # every data file + DV bin is referenced
+    lake = DeltaSnapshotLake(spark, rel_delta, str(rel_delta) + "_idx")
+    got = {r.k for r in lake.read().select("k").collect()}
+    assert got == {i for i in range(120) if i % 7 != 0}
+
+
+@pytest.fixture()
+def rel_iceberg(spark, tmp_path):
+    table = _rel(tmp_path / "i")
+    _mk(spark, table)
+    iceberg_convert(table)  # snapshot 1
+    return table
+
+
+def test_iceberg_relative_posdelete_read_and_diff(spark, rel_iceberg):
+    iceberg_delete_rows(spark, rel_iceberg, "k % 5 = 0")  # snapshot 2
+    lake = IcebergSnapshotLake(spark, rel_iceberg, str(rel_iceberg) + "_idx")
+    got = {r.k for r in lake.read().select("k").collect()}
+    assert got == {i for i in range(120) if i % 5 != 0}
+
+    diff = delta_like = iceberg_snapshot_diff(spark, rel_iceberg, 1, 2)
+    got = {
+        (r._change_type, r.k)
+        for r in diff.select("_change_type", "k").collect()
+    }
+    assert got == {("delete", i) for i in range(120) if i % 5 == 0}
+
+
+def test_iceberg_relative_equality_deletes_apply(spark, rel_iceberg):
+    changes = spark.range(5).selectExpr("id AS k", "'zz' AS grp")
+    iceberg_upsert(spark, changes, rel_iceberg, ["k"])
+    lake = IcebergSnapshotLake(spark, rel_iceberg, str(rel_iceberg) + "_idx")
+    rows = {(r.k, r.grp) for r in lake.read().select("k", "grp").collect()}
+    # unnormalized seq-map keys would null __seq and unapply every
+    # equality delete — the old rows for k<5 would ghost back
+    assert {(k, g) for k, g in rows if k < 5} == {
+        (i, "zz") for i in range(5)
+    }
+    assert len(rows) == 120
