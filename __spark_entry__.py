@@ -33,4 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ep.ORACLES)
+    # static SQL plus the dynamic decode-metric oracles (media_quality /
+    # media_quality_jpeg), whose fixture pixel tables materialize at call
+    # time — see entrypoints.dynamic_oracles
+    return {**ep.ORACLES, **ep.dynamic_oracles()}

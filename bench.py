@@ -183,15 +183,19 @@ def main() -> None:
     )
 
     # -- queries (accelerated / Catalyst path) --------------------------------
-    # steady-state latency: best of 2 runs per query (indexes are prebuilt
-    # above, so both runs measure the same accelerated path; the min strips
-    # whichever run a major GC / JIT recompile happened to land on — the
-    # reference's per-stage prints are steady-state numbers too). Builds
-    # above remain single cold-timed runs.
+    # steady-state latency: MEDIAN of 3 runs per query (indexes are
+    # prebuilt above, so every run measures the same accelerated path).
+    # The median — not min — makes round-over-round deltas attributable:
+    # sub-second entries showed ±40% min-of-2 jitter with untouched code
+    # (value_outliers 0.62→1.38 s r5→r6), which drowned real regressions.
+    # A per-entry relative spread is summarized in the jitter metrics so
+    # the line itself says how trustworthy its numbers are. Builds above
+    # remain single cold-timed runs (cold is the thing being measured).
+    spreads: dict[str, float] = {}
     for name, fn in ep.QUERIES.items():
         ts = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 drop_persisted()
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
@@ -202,7 +206,10 @@ def main() -> None:
 
             traceback.print_exc(file=sys.stderr)
             continue
-        timings[name] = round(min(ts), 3)
+        ts.sort()
+        med = ts[len(ts) // 2]
+        timings[name] = round(med, 3)
+        spreads[name] = (ts[-1] - ts[0]) / max(med, 1e-9)
 
     # -- quality metrics promised in BASELINE.md ------------------------------
     # pruning ratio = candidate units the index returns / total units
@@ -362,6 +369,16 @@ def main() -> None:
         metrics["error"] = str(exc)[:200]
 
     total = round(sum(timings.values()), 3)
+    jitter = {}
+    if spreads:
+        vals = sorted(spreads.values())
+        jitter = {
+            "iters": 3,
+            "stat": "median",
+            "median_rel_spread": round(vals[len(vals) // 2], 4),
+            "p90_rel_spread": round(vals[int(len(vals) * 0.9)], 4),
+            "max_rel_spread": round(vals[-1], 4),
+        }
     print(
         json.dumps(
             {
@@ -371,6 +388,7 @@ def main() -> None:
                 "queries": timings,
                 "warmup_sec": warmup_sec,
                 "metrics": metrics,
+                "jitter": jitter,
                 "errors": errors,
                 "sf": sf,
             }

@@ -149,6 +149,12 @@ class ParquetLake:
     def _search_row_filter(self):
         return None
 
+    def _physical_column(self, column: str) -> str:
+        """The data files' physical name for a logical column — identity
+        here; column-mapped Delta snapshots translate (the build reads
+        physical, everything above the scan layer speaks logical)."""
+        return column
+
     def _read_candidate_units(
         self, cand_list, columns: list[str] | None = None
     ) -> DataFrame:
@@ -199,11 +205,18 @@ class ParquetLake:
             # Build fully before committing the catalog record: a crash leaves
             # an orphan dir (cleaned by vacuum), never a catalog entry pointing
             # at a half-built index (reference cleanup-on-failure, iceberg.py:205-211).
+            # the catalog records the LOGICAL column; the build reads the
+            # PHYSICAL one (identical except under column mapping —
+            # _physical_column, overridden by DeltaSnapshotLake)
             if timeout is None:
-                index.build(self.spark, gfiles, column, index_path)
+                index.build(
+                    self.spark, gfiles, self._physical_column(column),
+                    index_path,
+                )
             else:
                 self._build_with_timeout(
-                    index, gfiles, column, index_path, timeout
+                    index, gfiles, self._physical_column(column),
+                    index_path, timeout,
                 )
             # conditional commit: a concurrent build_index may have
             # covered some of gfiles since our plan — commit_build keeps

@@ -1029,9 +1029,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-based multimodal quality signals (brightness/contrast/
-    entropy/extremes) over deterministic synthetic media. No SQL oracle —
-    decode isn't SQL-expressible; rows-only check + hand-checked values
-    in tests/test_multimodal.py."""
+    entropy/extremes) over deterministic synthetic media. Oracled (round
+    7): the oracle regenerates the pixels from the same seeded formula —
+    WITHOUT the codec — and recomputes the stats in plain DuckDB SQL
+    over a pre-materialized pixel table (entrypoints.dynamic_oracles),
+    so encode → executor decode → numpy stats round-trips against an
+    independent SQL implementation."""
     media = multimodal.synthesize_media(spark, 256)
     return multimodal.media_quality(media).select(
         "media_id",
@@ -1046,8 +1049,11 @@ def q_media_quality_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals over REAL baseline-JPEG payloads (ops/jpegcodec.py,
     pure struct+numpy T.81): deterministic gradient images are JPEG-encoded
     in one mapInPandas pass and decoded by the executor-shipped decoder in
-    the next. No SQL oracle — codecs aren't SQL-expressible; rows-only
-    check + exact/tolerance tests in tests/test_multimodal.py."""
+    the next. Oracled (round 7): the oracle decodes the same fixture
+    bytes DRIVER-side and recomputes the stats in DuckDB SQL over the
+    pre-materialized pixel table (entrypoints.dynamic_oracles) — the
+    codec itself stays pinned by tests/test_multimodal.py exact-value
+    cases."""
     import numpy as _np
 
     from rottnest_spark.ops.jpegcodec import encode_jpeg
@@ -3134,8 +3140,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_upsert_read": q_iceberg_upsert_read,
     "tpch_q1": q_tpch_q1,
     "tpch_q9": q_tpch_q9,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q20": q_tpch_q20,
+    # round-7 rotation (advisor ask): the BATCHED variants return to the
+    # window — a registry reorder must not leave oracled queries
+    # externally unverified for consecutive rounds. tpch_q16/q20 rotate
+    # out (re-gated r5/r6 for the de-hint plan change, stable since;
+    # their singular cousins q1/q9 stay in-window).
+    "substring_search_many": q_substring_search_many,
+    "bm25_topk_many": q_bm25_topk_many,
     "tpch_q21": q_tpch_q21,
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
@@ -3143,8 +3154,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_snapshot_diff": q_delta_snapshot_diff,
     "windowed_event_counts": q_windowed_event_counts,
     # --- past the window: variants, second tiers, rows-only paths ---
-    "substring_search_many": q_substring_search_many,
-    "bm25_topk_many": q_bm25_topk_many,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
     "session_stats": q_session_stats,
     "exact_match_binary": q_exact_match_binary,
     "exact_range": q_exact_range,
@@ -4586,3 +4597,135 @@ ORACLES: dict[str, str] = {
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# Dynamic oracles: decode-metric queries verified against a
+# PRE-MATERIALIZED pixel table + plain SQL aggregation (round-7; closes
+# the media_quality / media_quality_jpeg rows-only residue).
+#
+# The pattern extends mp4_container_meta's round-trip oracle to lossy /
+# pseudo-random fixtures: the oracle writes the per-image PIXELS to a
+# parquet file at oracle_sql() time and states brightness/contrast/
+# entropy as DuckDB aggregation over them — an INDEPENDENT
+# implementation of the stats arithmetic (avg/stddev_pop/-Σp·log2 p in
+# SQL vs numpy in the executor closure).
+#
+# - media_quality: the pixel table is regenerated from the SAME seeded
+#   formula synthesize_media uses, WITHOUT touching the FAKE codec — so
+#   the oracle independently checks the encode → executor decode → stats
+#   round trip end-to-end.
+# - media_quality_jpeg: baseline JPEG is lossy, so post-decode pixels
+#   cannot be derived without a decoder; the oracle decodes the fixture
+#   bytes DRIVER-side with the same public-spec T.81 codec and lets SQL
+#   recompute the stats — verifying the executor-shipping plumbing
+#   (mapInPandas batching, closure capture) and the stats arithmetic,
+#   while sharing the codec (whose own correctness is pinned by
+#   tests/test_multimodal.py exact-value cases).
+# --------------------------------------------------------------------------
+
+_ORACLE_SCRATCH = "/tmp/rottnest_spark_oracle_media"
+
+
+def _pixel_stats_sql(path: str, select_kind: str | None) -> str:
+    kind_col = f"'{select_kind}' AS kind, " if select_kind else ""
+    return f"""
+        WITH px AS (
+            SELECT media_id, CAST(pixel AS DOUBLE) AS v
+            FROM read_parquet('{path}')
+        ),
+        s AS (
+            SELECT media_id, round(avg(v), 2) AS brightness,
+                   round(stddev_pop(v), 2) AS contrast
+            FROM px GROUP BY media_id
+        ),
+        h AS (
+            SELECT media_id, v, CAST(count(*) AS DOUBLE) AS c
+            FROM px GROUP BY media_id, v
+        ),
+        n AS (SELECT media_id, sum(c) AS tot FROM h GROUP BY media_id),
+        e AS (
+            SELECT h.media_id,
+                   round(-sum((c / tot) * log2(c / tot)), 3) AS entropy
+            FROM h JOIN n USING (media_id) GROUP BY h.media_id
+        )
+        SELECT s.media_id, {kind_col}s.brightness, s.contrast, e.entropy
+        FROM s JOIN e USING (media_id)
+    """
+
+
+def _write_pixel_table(name: str, images: list) -> str:
+    """(media_id, pixel) parquet from a list of (media_id, uint8 ndarray)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    os.makedirs(_ORACLE_SCRATCH, exist_ok=True)
+    path = os.path.join(_ORACLE_SCRATCH, f"{name}.parquet")
+    ids, px = [], []
+    for mid, arr in images:
+        flat = _np.asarray(arr, _np.uint8).reshape(-1)
+        ids.append(_np.full(flat.size, mid, _np.int64))
+        px.append(flat.astype(_np.int32))
+    _pq.write_table(
+        _pa.table(
+            {
+                "media_id": _pa.array(_np.concatenate(ids)),
+                "pixel": _pa.array(_np.concatenate(px)),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _media_quality_oracle_sql() -> str:
+    import numpy as _np
+
+    images = []
+    for mid in range(256):  # mirrors synthesize_media's seeded generator
+        h, w = 8 + mid % 8, 8 + mid % 5
+        images.append(
+            (mid, _np.random.default_rng(mid).integers(
+                0, 256, size=h * w, dtype=_np.uint8
+            ))
+        )
+    return _pixel_stats_sql(
+        _write_pixel_table("media_quality_pixels", images), "image"
+    )
+
+
+def _media_quality_jpeg_oracle_sql() -> str:
+    import numpy as _np
+
+    from rottnest_spark.ops.jpegcodec import encode_jpeg
+    from rottnest_spark.ops.multimodal import _make_decoder
+
+    decode = _make_decoder()
+    images = []
+    for mid in range(64):  # mirrors q_media_quality_jpeg's fixture
+        yy, xx = _np.mgrid[0 : 24 + mid % 8, 0:32]
+        raw = (
+            128 + (30 + mid % 50) * _np.sin(yy / 5.0) * _np.cos(xx / 7.0)
+        ).astype(_np.uint8)
+        images.append((mid, decode(encode_jpeg(raw, quality=90))))
+    return _pixel_stats_sql(
+        _write_pixel_table("media_quality_jpeg_pixels", images), None
+    )
+
+
+def dynamic_oracles() -> dict[str, str]:
+    """Oracles whose SQL references fixture tables materialized at CALL
+    time (underneath {scratch}). Merged over ORACLES by
+    __spark_entry__.oracle_sql(); failures here must not take down the
+    static oracle set, so each entry degrades independently."""
+    out: dict[str, str] = {}
+    for name, builder in (
+        ("media_quality", _media_quality_oracle_sql),
+        ("media_quality_jpeg", _media_quality_jpeg_oracle_sql),
+    ):
+        try:
+            out[name] = builder()
+        except Exception:  # pragma: no cover - environment-degraded path
+            pass
+    return out

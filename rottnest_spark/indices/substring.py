@@ -327,10 +327,14 @@ class SubstringIndex(SparkIndex):
             .distinct()
         )
         salt = self.salt_write
+        probe_sec = 0.0
         if salt == "auto":
             # probe the RAW column (plain one-file scan + limit), not the
             # provenance-tagged `rows` chain — the row-group reader is a
             # pandas pass that would cost more than the salt decision saves
+            import time as _time
+
+            _t0 = _time.time()
             salt = self._gram_skew_needs_salt(
                 read_parquet(spark, files[:1]).select(
                     self._norm_col(F.col(column)).alias("__norm__")
@@ -338,8 +342,24 @@ class SubstringIndex(SparkIndex):
                 n,
                 step,
             )
+            probe_sec = _time.time() - _t0
+        # build stats: the auto-salt decision and its cost, on the
+        # instance AND as a sidecar in the index dir — a bench regression
+        # on the build entry must be attributable without re-running
+        self.last_build_info = {
+            "salt_write": self.salt_write
+            if isinstance(self.salt_write, str)
+            else bool(self.salt_write),
+            "salted": bool(salt),
+            "salt_probe_sec": round(probe_sec, 3),
+        }
         sort_cols = ["gram", "file_path", "row_group"] if salt else ["gram"]
         self._write_index(index_df, out_path, sort_cols=sort_cols, unit_meta=True)
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(out_path, "_build_info.json"), "w") as fh:
+            _json.dump(self.last_build_info, fh)
 
     #: auto-salt trigger: max single-gram share of the estimated postings
     #: table. The index stores DISTINCT (gram, unit) rows, so a gram's
@@ -350,14 +370,18 @@ class SubstringIndex(SparkIndex):
     #: row) concentrates tens of percent of postings in one gram. 5%
     #: separates the regimes with margin on both sides.
     SALT_SKEW_SHARE = 0.05
-    #: bounded sample for the skew probe — enough rows that a >5% gram
-    #: cannot hide, small enough that the probe is milliseconds
-    SALT_SAMPLE_ROWS = 20_000
+    #: bounded sample for the skew probe. Degenerate skew (runs of one
+    #: character) is a corpus-wide per-row property, so a few thousand
+    #: rows expose it as surely as tens of thousands — and the round-6
+    #: 20k-row probe measurably cost what auto-salting saved on diverse
+    #: corpora (bench: substring_rg_build_events +0.35 s for a probe
+    #: whose answer was "don't salt"). 4k rows keeps ~32 pseudo-units.
+    SALT_SAMPLE_ROWS = 4_096
 
-    #: rows per pseudo-unit in the skew probe — same order as the
-    #: row-group units the index actually stores, so the sampled postings
-    #: distribution matches the written table's
-    SALT_PROBE_UNIT_ROWS = 512
+    #: rows per pseudo-unit in the skew probe — scaled with the sample so
+    #: the probe still aggregates over ~32 units, matching the postings
+    #: structure the written table will have
+    SALT_PROBE_UNIT_ROWS = 128
 
     def _gram_skew_needs_salt(self, rows, n: int, step: int) -> bool:
         """One cheap bounded job estimating the postings-table share of

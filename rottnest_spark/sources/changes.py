@@ -193,10 +193,27 @@ def delta_snapshot_diff(
         for f in files_a & files_b
         if dvs_a.get(f) != dvs_b.get(f)
     }
-    return snapshot_diff(
-        spark, files_a, pos_a, files_b, pos_b, net=net,
-        changed_common=changed,
+    return _delta_logical_names(
+        snapshot_diff(
+            spark, files_a, pos_a, files_b, pos_b, net=net,
+            changed_common=changed,
+        ),
+        table_path,
+        fs,
     )
+
+
+def _delta_logical_names(df, table_path: str, fs):
+    """Rename a diff/feed frame's physical data columns to their logical
+    names on column-mapped tables (NAME mode); identity otherwise. The
+    tag columns (_change_type, _commit_*) pass through untouched."""
+    from rottnest_spark.sources.delta import delta_column_mapping
+
+    cmap = delta_column_mapping(table_path, fs=fs)
+    if not cmap:
+        return df
+    rev = {p: l for l, p in cmap.items()}
+    return df.select(*[F.col(c).alias(rev.get(c, c)) for c in df.columns])
 
 
 def _iceberg_pos_side(spark, md, st, table_path):
@@ -327,7 +344,7 @@ def delta_changes_feed(
             if dvs
             else None
         )
-        return files, pos
+        return files, pos, dvs
 
     parts = []
     prev = None
@@ -338,8 +355,20 @@ def delta_changes_feed(
         side = as_side(st)
         if prev is not None:
             if prev[0] or side[0]:  # both file-less = an empty step
+                # the same metadata-level changed_common bound as
+                # delta_snapshot_diff: without it, any DV-bearing step
+                # scans EVERY common file just to semi-join a handful of
+                # changed positions — O(table) per commit (caught by
+                # tools/feed_scale_probe.py: 30 s/poll at sf10 for a
+                # 200-row change, vs ∝-changes with the bound)
+                changed = {
+                    f
+                    for f in prev[0] & side[0]
+                    if prev[2].get(f) != side[2].get(f)
+                }
                 step = snapshot_diff(
-                    spark, prev[0], prev[1], side[0], side[1]
+                    spark, prev[0], prev[1], side[0], side[1],
+                    changed_common=changed,
                 )
                 parts.append(
                     step.withColumn("_commit_version", F.lit(v))
@@ -354,37 +383,86 @@ def delta_changes_feed(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _delta_logical_names(out, table_path, fs)
+
+
+class CursorCheckpoint:
+    """THE durable-position primitive every incremental consumer shares
+    (Delta cursor, Iceberg cursor — one tested implementation instead of
+    per-cursor hand-rolled text files, which is how crash-window bugs
+    get in). One integer value, written atomically through the FS seam
+    (whole-object PUT on object stores, temp+replace locally via the
+    store's own write_text), read back on restart.
+
+    With `monotonic=True`, `advance()` refuses to move the position
+    numerically BACKWARD — an at-least-once consumer accidentally acking
+    a stale poll result must not regress durable progress. Use it only
+    where the checkpointed value is itself ordered (Delta versions);
+    Iceberg snapshot ids are spec-random, so that cursor leaves the
+    guard off and relies on poll()'s own rollback detection."""
+
+    def __init__(self, path: str, fs=None, monotonic: bool = False):
+        from rottnest_spark.core.fs import LocalFS
+
+        self.path = path
+        self.fs = fs or LocalFS()
+        self.monotonic = monotonic
+
+    def read(self) -> int | None:
+        if self.fs.exists(self.path):
+            return int(self.fs.read_text(self.path).strip())
+        return None
+
+    def advance(self, value: int) -> None:
+        if self.monotonic:
+            cur = self.read()
+            if cur is not None and int(value) < cur:
+                raise ValueError(
+                    f"checkpoint {self.path} is at {cur}; refusing to "
+                    f"regress to {value} — ack only values poll() returned"
+                )
+        self.fs.write_text(self.path, str(int(value)))
 
 
 class DeltaChangesCursor:
     """Durable incremental-consumption cursor: `poll()` returns the
     change feed since the last acknowledged version (None when caught
     up) and `ack(version)` persists progress — the at-least-once
-    consumer loop over `delta_changes_feed`, checkpointed to a file the
-    same way Structured Streaming checkpoints its offsets."""
+    consumer loop over `delta_changes_feed`, checkpointed through the
+    shared CursorCheckpoint primitive the same way Structured Streaming
+    checkpoints its offsets."""
 
     def __init__(self, spark, table_path: str, checkpoint_path: str, fs=None):
         from rottnest_spark.core.fs import LocalFS
 
         self.spark = spark
         self.table_path = table_path
-        self.checkpoint_path = checkpoint_path
         self.fs = fs or LocalFS()
+        self._ckpt = CursorCheckpoint(
+            checkpoint_path, fs=self.fs, monotonic=True
+        )
 
     def position(self) -> int:
-        if self.fs.exists(self.checkpoint_path):
-            return int(self.fs.read_text(self.checkpoint_path).strip())
-        return -1  # pre-creation: commit 0's rows feed as inserts
+        pos = self._ckpt.read()
+        # pre-creation: commit 0's rows feed as inserts
+        return -1 if pos is None else pos
 
-    def poll(self):
-        """(feed DataFrame tagged _commit_version, latest version) or
-        (None, current position) when caught up."""
-        from rottnest_spark.core.fs import LocalFS
+    def poll(self, max_versions: int | None = None):
+        """(feed DataFrame tagged _commit_version, feed's END version) or
+        (None, current position) when caught up.
+
+        `max_versions` BOUNDS one poll's width: the feed covers at most
+        that many version steps and the returned end version is what to
+        ack — the consumer loop then catches up over multiple polls. A
+        cursor that slept through 10⁴ commits would otherwise assemble a
+        10⁴-branch union plan in a single poll; capped, plan width stays
+        constant and progress is still monotone through the loop."""
         from rottnest_spark.sources.delta_write import _log_dir, _next_version
 
         pos = self.position()
         latest = _next_version(_log_dir(self.table_path), self.fs) - 1
+        if max_versions is not None:
+            latest = min(latest, pos + max(1, int(max_versions)))
         if latest <= pos:
             return None, pos
         return (
@@ -395,7 +473,7 @@ class DeltaChangesCursor:
         )
 
     def ack(self, version: int) -> None:
-        self.fs.write_text(self.checkpoint_path, str(int(version)))
+        self._ckpt.advance(int(version))
 
 
 def iceberg_changes_feed(
@@ -522,22 +600,28 @@ def _iceberg_changed_common(spark, md, st_a, st_b, table_path):
 class IcebergChangesCursor:
     """Durable incremental consumer over `iceberg_changes_feed` — the
     Delta cursor's twin, checkpointing the last acknowledged snapshot
-    id (0 = pre-creation)."""
+    id through the shared CursorCheckpoint (absent = pre-creation).
+
+    Snapshot ids are spec-random (order comes only from the metadata's
+    append-ordered list), so the checkpoint's numeric monotonic guard
+    stays OFF; poll()'s rollback detection is the regression defense."""
 
     def __init__(self, spark, table_path: str, checkpoint_path: str, fs=None):
         from rottnest_spark.core.fs import LocalFS
 
         self.spark = spark
         self.table_path = table_path
-        self.checkpoint_path = checkpoint_path
         self.fs = fs or LocalFS()
+        self._ckpt = CursorCheckpoint(checkpoint_path, fs=self.fs)
 
     def position(self) -> int | None:
-        if self.fs.exists(self.checkpoint_path):
-            return int(self.fs.read_text(self.checkpoint_path).strip())
-        return None  # pre-creation
+        return self._ckpt.read()  # None = pre-creation
 
-    def poll(self):
+    def poll(self, max_versions: int | None = None):
+        """(feed DataFrame tagged _commit_snapshot_id, END snapshot id)
+        or (None, position) when caught up. `max_versions` bounds one
+        poll to that many snapshot steps (see DeltaChangesCursor.poll —
+        same constant-plan-width catch-up loop)."""
         from rottnest_spark.sources.iceberg import _current_metadata
 
         pos = self.position()
@@ -552,6 +636,12 @@ class IcebergChangesCursor:
             # the table rolled back behind our acked position — report
             # caught-up until it moves forward again, never crash
             return None, pos
+        if max_versions is not None and latest in ids:
+            start = ids.index(pos) if pos in ids else -1
+            end = min(ids.index(latest), start + max(1, int(max_versions)))
+            latest = ids[end]
+            if end <= start:
+                return None, pos
         return (
             iceberg_changes_feed(
                 self.spark, self.table_path, pos, latest, fs=self.fs
@@ -560,7 +650,7 @@ class IcebergChangesCursor:
         )
 
     def ack(self, snapshot_id: int) -> None:
-        self.fs.write_text(self.checkpoint_path, str(int(snapshot_id)))
+        self._ckpt.advance(int(snapshot_id))
 
 
 def replicate_changes(feed, lake, key_col: str, version_col: str) -> dict:
@@ -596,18 +686,28 @@ def replicate_changes(feed, lake, key_col: str, version_col: str) -> dict:
         "__seq__",
         F.col("__seq__") * 2 + (F.col("__op__") == "I").cast("long"),
     ).drop(*drop_cols)
+    # pin the materialized feed: merge_into walks the change set several
+    # times (latest-wins collapse, touched-file pruning, the rewrite
+    # itself), and each walk would otherwise recompute the whole
+    # snapshot-diff chain — measured 3x the poll cost per decade in
+    # tools/feed_scale_probe.py before pinning
+    changes = changes.localCheckpoint(eager=True)
     return lake.merge_into(
         changes, key_col, seq_col="__seq__", op_col="__op__"
     )
 
 
-def sync_table(cursor, lake, key_col: str) -> dict | None:
+def sync_table(
+    cursor, lake, key_col: str, max_versions: int | None = None
+) -> dict | None:
     """One consumer step: poll the cursor, MERGE the new changes into
     the destination lake, acknowledge. Returns merge stats, or None when
     caught up. Loop it (or drive it from a scheduler) and the
     destination tracks the source table commit-by-commit — at-least-once
-    with idempotent merges, the cross-format replication loop."""
-    feed, latest = cursor.poll()
+    with idempotent merges, the cross-format replication loop.
+    `max_versions` caps one step's feed width (constant plan size during
+    a long catch-up; the loop still converges)."""
+    feed, latest = cursor.poll(max_versions=max_versions)
     if feed is None:
         return None
     version_col = (

@@ -210,29 +210,64 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "timestampNtz",  # Spark-native TIMESTAMP_NTZ parquet reads
     "vacuumProtocolCheck",  # write-side gate, read path unaffected
+    "columnMapping",  # NAME mode supported (round 7); id mode refused
 }
+
+
+def column_mapping_from_meta(meta: dict | None) -> dict[str, str]:
+    """logical → physical column names per the metaData's schemaString
+    field metadata (PROTOCOL.md §column-mapping, NAME mode). Empty when
+    the table has no column mapping. Raises on id mode (physical names
+    then live in parquet field ids, which this reader does not consume)
+    and on name-mode fields missing their physicalName (misread risk)."""
+    mode = ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if not mode or mode == "none":
+        return {}
+    if mode != "name":
+        raise ValueError(
+            f"delta.columnMapping.mode={mode!r} — only 'name' mode is "
+            "supported (id mode addresses columns by parquet field id); "
+            "refusing instead of misreading"
+        )
+    fields = json.loads(meta["schemaString"]).get("fields", [])
+    out: dict[str, str] = {}
+    for f in fields:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if not phys:
+            raise ValueError(
+                f"column-mapped field {f.get('name')!r} lacks "
+                "delta.columnMapping.physicalName — cannot map, refusing"
+            )
+        out[f["name"]] = phys
+    return out
+
+
+def delta_column_mapping(
+    table_path: str, fs: LakeFS | None = None
+) -> dict[str, str]:
+    """logical → physical column names of the table (empty when the
+    table has no column mapping)."""
+    return column_mapping_from_meta(delta_table_meta(table_path, fs=fs))
 
 
 def _check_reader_compat(
     table_path: str, proto: dict | None, meta: dict | None
 ) -> None:
     """Refuse tables this replay cannot read FAITHFULLY:
-    - column mapping (minReaderVersion 2, or the columnMapping feature,
-      or delta.columnMapping.mode set): physical parquet column names
-      differ from logical ones — reading them blind returns wrongly
-      named/ordered data;
+    - column mapping in ID mode (physical columns addressed by parquet
+      field id) or with incomplete physicalName metadata — NAME mode is
+      supported: the snapshot lake renames physical→logical at scan;
     - any minReaderVersion-3 readerFeature outside the supported set
       (v2Checkpoint, typeWidening, ...): unknown read semantics;
     - minReaderVersion > 3: unknown protocol."""
-    mode = ((meta or {}).get("configuration") or {}).get(
-        "delta.columnMapping.mode"
-    )
-    if mode and mode != "none":
-        raise ValueError(
-            f"{table_path}: delta.columnMapping.mode={mode!r} — column "
-            "mapping renames physical parquet columns; this reader would "
-            "return wrong columns, refusing"
-        )
+    try:
+        column_mapping_from_meta(meta)
+    except ValueError as exc:
+        raise ValueError(f"{table_path}: {exc}") from None
     if not proto:
         return
     mrv = int(proto.get("minReaderVersion") or 1)
@@ -697,6 +732,31 @@ class DeltaSnapshotLake(ParquetLake):
         self._meta_cache = (key, m)
         return m
 
+    # -- column mapping (NAME mode, round 7) ---------------------------------
+    # Everything above the scan layer — search plans, refine joins,
+    # brute_force predicates, user code — speaks LOGICAL names; the scan
+    # layer translates: index builds read the physical column
+    # (_physical_column hook), every returned frame renames
+    # physical→logical (_to_logical). ID mode stays refused
+    # (_check_reader_compat).
+
+    def _cmap(self) -> dict[str, str]:
+        return column_mapping_from_meta(self._table_meta())
+
+    def _physical_column(self, column: str) -> str:
+        return self._cmap().get(column, column)
+
+    def _to_logical(self, df):
+        cmap = self._cmap()
+        if not cmap:
+            return df
+        rev = {p: l for l, p in cmap.items()}
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.col(c).alias(rev.get(c, c)) for c in df.columns]
+        )
+
     @property
     def files(self) -> list[str]:
         st = self._live_state()
@@ -756,12 +816,13 @@ class DeltaSnapshotLake(ParquetLake):
         return rf
 
     def _read_candidate_units(self, cand_list, columns=None):
-        """Partitioned tables reconstruct partition columns per file —
-        candidate units degrade to FILE granularity through self.read()
-        (correct columns + delete state; unpartitioned tables keep the
-        row-group-precise base path)."""
+        """Partitioned tables reconstruct partition columns per file, and
+        column-mapped tables need the physical→logical rename — both
+        degrade candidate units to FILE granularity through self.read()
+        (correct columns + delete state; plain unpartitioned tables keep
+        the row-group-precise base path)."""
         pcols = list((self._table_meta() or {}).get("partitionColumns") or [])
-        if not pcols:
+        if not pcols and not self._cmap():
             return super()._read_candidate_units(cand_list, columns)
         files = sorted({f for f, _rg in cand_list})
         df = self.read(files)
@@ -788,7 +849,7 @@ class DeltaSnapshotLake(ParquetLake):
         from rottnest_spark.sources import reader as _reader
 
         if not dvs:
-            return _reader.read_parquet(self.spark, fl)
+            return self._to_logical(_reader.read_parquet(self.spark, fl))
         from pyspark.sql import functions as F
 
         df = _reader.read_parquet_tagged(self.spark, fl)
@@ -798,8 +859,10 @@ class DeltaSnapshotLake(ParquetLake):
             _norm_col(F.col("file_path")).alias("__path"),
             F.col("pos").alias("__pos"),
         )
-        return df.join(pairs, ["__path", "__pos"], "left_anti").drop(
-            "__path", "__pos"
+        return self._to_logical(
+            df.join(pairs, ["__path", "__pos"], "left_anti").drop(
+                "__path", "__pos"
+            )
         )
 
     def read(self, files: list[str] | None = None):
@@ -826,6 +889,12 @@ class DeltaSnapshotLake(ParquetLake):
         dvs = {p: dv for p, (_, dv) in state.items() if dv}
         all_live = sorted(state)
         pcols = list((self._table_meta() or {}).get("partitionColumns") or [])
+        if pcols and self._cmap():
+            raise ValueError(
+                f"{self._table_path}: column mapping on a PARTITIONED "
+                "table — partitionValues are keyed by physical names and "
+                "the hive layout cannot be trusted; unsupported, refusing"
+            )
         if not pcols:
             use = files or all_live
             if not use:

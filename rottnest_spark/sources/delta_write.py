@@ -475,6 +475,8 @@ def delta_write(
         raise ValueError(f"{table_path} is already a Delta table")
     if mode == "append" and not exists:
         raise ValueError(f"{table_path} is not a Delta table")
+    if exists:
+        _refuse_column_mapped_dml(table_path, fs, "append")
     pcols = list(partition_by or [])
     if exists:
         from rottnest_spark.sources.delta import delta_partition_columns
@@ -525,6 +527,21 @@ def delta_write(
 DV_INLINE_MAX_BYTES = 512
 
 
+def _refuse_column_mapped_dml(table_path: str, fs: LakeFS, op: str) -> None:
+    """Writers stage files with the DataFrame's (logical) column names
+    and predicates address physical data columns — on a column-mapped
+    table either would silently corrupt or miss. Reads and searches
+    support name mode (sources/delta.py); DML refuses loudly."""
+    from rottnest_spark.sources.delta import delta_column_mapping
+
+    if delta_column_mapping(table_path, fs=fs):
+        raise ValueError(
+            f"{table_path}: {op} on a column-mapped table is not "
+            "supported — physical parquet names differ from logical "
+            "ones; reads/searches work, DML does not"
+        )
+
+
 def delta_delete_rows(
     spark,
     table_path: str,
@@ -553,6 +570,7 @@ def delta_delete_rows(
     from rottnest_spark.sources.delta import _delta_live_state
 
     fs = fs or LocalFS()
+    _refuse_column_mapped_dml(table_path, fs, "DELETE")
     state = _delta_live_state(table_path, fs=fs)
     if not state:
         raise ValueError(f"{table_path} has no live data files")
@@ -998,6 +1016,7 @@ def delta_upsert(
     from rottnest_spark.sources.delta import _delta_live_state
 
     fs = fs or LocalFS()
+    _refuse_column_mapped_dml(table_path, fs, "UPSERT")
     state = _delta_live_state(table_path, fs=fs)
     if not state:
         raise ValueError(f"{table_path} has no live data files")

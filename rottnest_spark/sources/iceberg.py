@@ -377,11 +377,16 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
     0 (v1 tables have no sequencing — every delete then applies)."""
     fv = int(md.get("format-version") or 1)
     if fv > 2:
-        # v3 adds puffin deletion vectors + row lineage — unknown read
-        # semantics here; refuse loudly rather than misread
+        # v3 adds puffin deletion vectors (DV blobs replacing position
+        # delete files) + row lineage — reading v3 metadata with v2
+        # semantics would silently unapply those deletes (ghost rows).
+        # Refused loudly AT STATE RESOLUTION, so every consumer — reads,
+        # searches, diffs, change-feed poll(), sync_table replication —
+        # fails before touching a row, never mid-stream.
         raise ValueError(
             f"Iceberg format-version {fv} exceeds this reader's support "
-            "(v1/v2)"
+            "(v1/v2) — v3 deletion vectors (puffin) would be silently "
+            "unapplied; use a v3-capable engine or downgrade-rewrite"
         )
     location = md.get("location", "")
 

@@ -313,26 +313,41 @@ def test_append_into_dv_table(spark, table):
     assert delta_live_dvs(table)  # vectors survived the append commit
 
 
-def test_reader_refuses_column_mapping(spark, table):
-    """Column mapping renames physical parquet columns — blind reads
-    return wrong data, so every state read must refuse."""
+def test_reader_refuses_id_mode_and_incomplete_name_mapping(spark, table):
+    """NAME-mode column mapping reads (tests/test_column_mapping.py);
+    ID mode and name-mode fields missing their physicalName still refuse
+    — blind reads would return wrong data."""
     log = os.path.join(table, "_delta_log")
-    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
-        fh.write(
-            json.dumps(
-                {
-                    "metaData": {
-                        "id": "x",
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": "{}",
-                        "partitionColumns": [],
-                        "configuration": {"delta.columnMapping.mode": "name"},
+
+    def set_mode(mode, fields):
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": "x",
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": json.dumps(
+                                {"type": "struct", "fields": fields}
+                            ),
+                            "partitionColumns": [],
+                            "configuration": {
+                                "delta.columnMapping.mode": mode
+                            },
+                        }
                     }
-                }
+                )
+                + "\n"
             )
-            + "\n"
-        )
-    with pytest.raises(ValueError, match="columnMapping"):
+
+    set_mode("id", [])
+    with pytest.raises(ValueError, match="only 'name' mode"):
+        delta_live_files(table)
+    set_mode(
+        "name",
+        [{"name": "doc_id", "type": "long", "nullable": True, "metadata": {}}],
+    )
+    with pytest.raises(ValueError, match="physicalName"):
         delta_live_files(table)
 
 
