@@ -1018,12 +1018,16 @@ def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features over deterministic synthetic media (numpy in
-    mapInPandas, Arrow-batched). No SQL oracle — the FAKE-codec payload
-    generation isn't SQL-expressible; rows-only check + pytest
-    determinism/invariance tests cover it."""
+    mapInPandas, Arrow-batched). Oracled (round 7): the f0 share is
+    recomputed driver-side from the same deterministic payload bytes and
+    stated as a VALUES oracle (entrypoints.dynamic_oracles)."""
     media = multimodal.synthesize_media(spark, 256)
     return multimodal.media_features(media).select(
-        "media_id", F.round(F.element_at("features", 1), 4).alias("f0")
+        "media_id",
+        # cast BEFORE round: round(float) stays float32 in Spark, whose
+        # widened value (0.097200006...) would never hash-match the
+        # oracle's decimal-exact double
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
     )
 
 
@@ -4714,6 +4718,42 @@ def _media_quality_jpeg_oracle_sql() -> str:
     )
 
 
+def _media_features_oracle_sql() -> str:
+    """The f0 feature (share of payload bytes in histogram bucket 0) is
+    recomputed driver-side from the SAME deterministic payload bytes
+    synthesize_media emits (FAKE magic + dims + seeded pixels) and
+    stated as a VALUES table — fully independent of the mapInPandas
+    extraction under test."""
+    import struct as _struct
+
+    import numpy as _np
+
+    from rottnest_spark.ops.multimodal import FAKE_MAGIC, HIST_BINS
+
+    shift = 8 - HIST_BINS.bit_length() + 1
+    rows = []
+    for mid in range(256):  # mirrors synthesize_media's generator
+        h, w = 8 + mid % 8, 8 + mid % 5
+        px = _np.random.default_rng(mid).integers(
+            0, 256, size=h * w, dtype=_np.uint8
+        )
+        payload = FAKE_MAGIC + _struct.pack("<HH", h, w) + px.tobytes()
+        arr = _np.frombuffer(payload, dtype=_np.uint8)
+        hist = _np.bincount(arr >> shift, minlength=HIST_BINS)
+        f0 = float(
+            (hist / max(len(arr), 1)).astype(_np.float32)[0]
+        )  # float32 then exact widening — the executor's dtype path
+        rows.append(f"({mid}, {f0!r})")
+    return (
+        # CAST AS DOUBLE: DuckDB types bare VALUES literals as DECIMAL,
+        # whose round() keeps trailing zeros ('0.0500' vs 0.05) and
+        # string-mismatches the gate's normalized cells
+        "SELECT media_id, round(CAST(f0 AS DOUBLE), 4) AS f0 FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, f0)"
+    )
+
+
 def dynamic_oracles() -> dict[str, str]:
     """Oracles whose SQL references fixture tables materialized at CALL
     time (underneath {scratch}). Merged over ORACLES by
@@ -4723,6 +4763,7 @@ def dynamic_oracles() -> dict[str, str]:
     for name, builder in (
         ("media_quality", _media_quality_oracle_sql),
         ("media_quality_jpeg", _media_quality_jpeg_oracle_sql),
+        ("media_features", _media_features_oracle_sql),
     ):
         try:
             out[name] = builder()

@@ -120,6 +120,23 @@ def main() -> None:
         ifeed, ilatest = icur.poll()
         ni = ifeed.count()
         i_feed = time.time() - t0
+        icur.ack(ilatest)
+
+        # --- Iceberg: EQUALITY upsert (the Flink-CDC shape), consume --
+        from rottnest_spark.sources.iceberg_write import iceberg_upsert
+
+        changes = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .filter(F.expr(pred.replace(str(lo + 200), str(lo + 400))))
+            .filter(F.col("o_orderkey") >= lo + 200)
+            .withColumn("o_totalprice", F.lit(-1.0))
+        )
+        iceberg_upsert(spark, changes, it, ["o_orderkey"])
+        t0 = time.time()
+        ufeed, ulatest = icur.poll()
+        nu = ufeed.count()
+        u_feed = time.time() - t0
 
         rows.append(
             {
@@ -129,16 +146,21 @@ def main() -> None:
                 "delta_sync_sec": round(d_sync, 2),
                 "iceberg_feed_sec": round(i_feed, 2),
                 "iceberg_feed_rows": ni,
+                "iceberg_upsert_feed_sec": round(u_feed, 2),
+                "iceberg_upsert_feed_rows": nu,
             }
         )
         print(rows[-1], flush=True)
 
-    print("\n| sf | delta feed (s) | delta sync (s) | iceberg feed (s) |")
-    print("|---|---|---|---|")
+    print(
+        "\n| sf | delta feed (s) | delta sync (s) | iceberg feed (s) "
+        "| iceberg eq-upsert feed (s) |"
+    )
+    print("|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['sf']} | {r['delta_feed_sec']} | {r['delta_sync_sec']} "
-            f"| {r['iceberg_feed_sec']} |"
+            f"| {r['iceberg_feed_sec']} | {r['iceberg_upsert_feed_sec']} |"
         )
     spark.stop()
 
