@@ -570,31 +570,60 @@ def iceberg_changes_feed(
 
 
 def _iceberg_changed_common(spark, md, st_a, st_b, table_path):
-    """Metadata-level bound on the common-file scan between two snapshot
-    states (None = no bound; see iceberg_snapshot_diff)."""
+    """Bound on the common-file scan between two snapshot states (None =
+    no bound; see iceberg_snapshot_diff). Positional-delete changes are
+    bounded by the delta delete files' recorded paths (metadata-scale).
+    EQUALITY-delete changes are bounded by the positional PROJECTION of
+    just the DELTA delete files (added on B's state, removed on A's) —
+    one footer-pruned scan per changed side instead of an unbounded
+    common scan; a 400-key CDC upsert on the sf10 table polled at 11.5 s
+    before this bound (tools/feed_scale_probe.py eq-upsert row)."""
     if st_a is None or st_b is None:
         return None
-    from rottnest_spark.sources.iceberg import delete_pairs_df
+    from rottnest_spark.sources.iceberg import (
+        delete_pairs_df,
+        equality_delete_positions,
+    )
 
+    changed: set[str] = set()
     eq_a = {(d["path"], d["seq"]) for d in st_a["eq_deletes"]}
     eq_b = {(d["path"], d["seq"]) for d in st_b["eq_deletes"]}
     if eq_a != eq_b:
-        return None
+        for st, other in ((st_b, eq_a), (st_a, eq_b)):
+            delta = [
+                d
+                for d in st["eq_deletes"]
+                if (d["path"], d["seq"]) not in other
+            ]
+            if not delta:
+                continue
+            sub = {
+                "data": st["data"],
+                "pos_deletes": {},
+                "eq_deletes": delta,
+            }
+            changed |= {
+                canon_path(r["__path"])
+                for r in equality_delete_positions(spark, sub, md)
+                .select("__path")
+                .distinct()
+                .collect()  # metadata-scale: bounded by file count
+            }
     delta_files = sorted(
         set(st_a["pos_deletes"]) ^ set(st_b["pos_deletes"])
     )
-    if not delta_files:
-        return set()
-    return {
-        r["__del_path"]
-        for r in delete_pairs_df(
-            spark, delta_files, location=md.get("location", ""),
-            table_path=table_path,
-        )
-        .select("__del_path")
-        .distinct()
-        .collect()  # metadata-scale: bounded by file count
-    }
+    if delta_files:
+        changed |= {
+            canon_path(r["__del_path"])
+            for r in delete_pairs_df(
+                spark, delta_files, location=md.get("location", ""),
+                table_path=table_path,
+            )
+            .select("__del_path")
+            .distinct()
+            .collect()  # metadata-scale: bounded by file count
+        }
+    return changed
 
 
 class IcebergChangesCursor:

@@ -826,14 +826,78 @@ class IcebergSnapshotLake(ParquetLake):
         )
 
 
+def _eq_candidate_prune(
+    cands: list[str], dels: list[dict], col: str
+) -> list[str]:
+    """Sound footer-statistics pruning of equality-delete CANDIDATE data
+    files on one equality column: a data file whose key-column [min,max]
+    cannot intersect the delete files' key range cannot lose a row, so
+    its scan is skipped entirely. On a key-clustered table this turns
+    the value-delete projection from O(table) into O(matching files) —
+    the difference between a flat and a linear feed-consumption decade
+    (tools/feed_scale_probe.py's eq-upsert row).
+
+    Soundness guards — ANY of these keeps everything:
+    - a delete file with null keys (null_count > 0): null-safe equality
+      matches null rows, which ranges cannot bound;
+    - missing/unreadable stats on a delete file;
+    - missing stats on a data file keep THAT file."""
+    import pyarrow.parquet as _pq
+
+    dmn = dmx = None
+    for d in dels:
+        try:
+            md_ = _pq.ParquetFile(d["path"]).metadata
+        except Exception:
+            return cands
+        names = [md_.schema.column(i).name for i in range(md_.num_columns)]
+        if col not in names:
+            return cands
+        ci = names.index(col)
+        for rg in range(md_.num_row_groups):
+            st = md_.row_group(rg).column(ci).statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or st.null_count is None
+                or st.null_count > 0
+            ):
+                return cands
+            dmn = st.min if dmn is None or st.min < dmn else dmn
+            dmx = st.max if dmx is None or st.max > dmx else dmx
+    if dmn is None:
+        return cands
+    from rottnest_spark.core.layout import footer_key_ranges
+
+    try:
+        ranges = footer_key_ranges(None, cands, col)
+    except Exception:
+        # footers unreadable from the driver (e.g. URI-schemed store
+        # without a local mount): pruning is an optimization — keep all
+        return cands
+    out = []
+    for f in cands:
+        lo, hi = ranges.get(f, (None, None))
+        try:
+            prunable = lo is not None and hi is not None and (
+                hi < dmn or lo > dmx
+            )
+        except TypeError:  # incomparable stat types: keep (sound)
+            prunable = False
+        if not prunable:
+            out.append(f)
+    return out
+
+
 def equality_delete_positions(spark, state: dict, md: dict):
     """(__path, __pos) of every row HIDDEN by the state's equality
     deletes — the positional projection of value deletes, computed with
     the same sequence-gated null-safe semantics as
     `apply_equality_deletes` but keeping the matches instead of dropping
     them. One scan of the candidate files (those older than the newest
-    delete). Lets position-based consumers (snapshot diff) treat
-    equality deletes uniformly."""
+    delete, footer-range-pruned per key set — `_eq_candidate_prune`).
+    Lets position-based consumers (snapshot diff) treat equality deletes
+    uniformly."""
     from pyspark.sql import functions as F
 
     if not state["eq_deletes"]:
@@ -843,6 +907,18 @@ def equality_delete_positions(spark, state: dict, md: dict):
     cands = sorted(
         f for f, s in state["data"].items() if int(s) < max_eq
     )
+    # per-key-set footer pruning; a file survives if ANY key set might
+    # touch it (the union keeps each set's semi-join sound)
+    by_ids_prune: dict[tuple, list[dict]] = {}
+    for d in state["eq_deletes"]:
+        by_ids_prune.setdefault(tuple(d["equality_ids"]), []).append(d)
+    kept: set[str] = set()
+    for ids, dels in by_ids_prune.items():
+        col = names.get(int(ids[0])) if ids else None
+        kept.update(
+            _eq_candidate_prune(cands, dels, col) if col else cands
+        )
+    cands = sorted(kept)
     if not cands:
         return spark.createDataFrame([], "__path string, __pos long")
     df = spark.read.parquet(*cands).withColumns(

@@ -583,7 +583,12 @@ def iceberg_commit(
         st = _snapshot_state(prior, by_id[cur], table_path, fs)
     else:
         st = {"data": {}, "pos_deletes": {}, "eq_deletes": []}
-    live, live_del = set(st["data"]), set(st["pos_deletes"])
+    # canon the live sets: callers pass canon'd (often _metadata-derived
+    # absolute) paths while _rebase outputs are relative whenever
+    # table_path is — unnormalized membership checks either reject valid
+    # removals or silently keep removed files live
+    live = {canon_path(f) for f in st["data"]}
+    live_del = {canon_path(f) for f in st["pos_deletes"]}
     # pre-existing files keep their data sequence numbers in the rewrite;
     # CANONICAL keys — entry() looks up canon_path(f), while _rebase
     # outputs are relative whenever table_path is relative, and a missed
@@ -615,7 +620,7 @@ def iceberg_commit(
         raise ValueError(
             f"cannot remove delete files not in the snapshot: {missing_del}"
         )
-    eq_paths = {d["path"] for d in st["eq_deletes"]}
+    eq_paths = {canon_path(d["path"]) for d in st["eq_deletes"]}
     missing_eq = [f for f in remove_eq if f not in eq_paths]
     if missing_eq:
         raise ValueError(
@@ -625,7 +630,7 @@ def iceberg_commit(
     new_live = sorted((live - set(remove)) | set(add))
     new_del = sorted((live_del - set(remove_del)) | set(add_del))
     live_eq = [
-        d for d in st["eq_deletes"] if d["path"] not in remove_eq
+        d for d in st["eq_deletes"] if canon_path(d["path"]) not in remove_eq
     ]
     return _commit_snapshot(
         table_path, new_live, add, remove, fs, timestamp_ms, prior=prior,
@@ -971,31 +976,24 @@ def iceberg_rewrite_deletes(
             .collect()  # metadata-scale: bounded by file count, not rows
         }
     if eqs:
-        # files a SEQUENCE-GATED key match could touch: candidates are
-        # data files older than the newest equality delete; one scan +
-        # the same anti-join predicate, collapsed to distinct paths
-        max_eq = max(d["seq"] for d in eqs)
-        cands = sorted(
-            f for f, s in state["data"].items() if int(s) < max_eq
-        )
-        if cands:
-            cand_df = _tagged(cands).localCheckpoint(eager=True)
-            hit = apply_equality_deletes(spark, cand_df, state, md)
-            survivors_per_file = hit.groupBy("__path").count()
-            base_per_file = cand_df.groupBy("__path").count()
-            joined = base_per_file.alias("b").join(
-                survivors_per_file.alias("s"), "__path", "left"
-            )
-            touched |= {
-                r["__path"]
-                for r in joined.filter(
-                    F.coalesce(F.col("s.count"), F.lit(0))
-                    < F.col("b.count")
-                )
-                .select("__path")
-                .collect()
-            }
-    affected = sorted(set(data) & touched)
+        # files a SEQUENCE-GATED key match could touch = the distinct
+        # paths of the equality deletes' positional projection (which
+        # footer-prunes candidates per key set — one bounded scan, not
+        # a survivors-count pass over every older file)
+        from rottnest_spark.sources.iceberg import equality_delete_positions
+
+        touched |= {
+            r["__path"]
+            for r in equality_delete_positions(spark, state, md)
+            .select("__path")
+            .distinct()
+            .collect()  # metadata-scale: bounded by file count
+        }
+    # canon both sides: touched paths come from _metadata / delete-file
+    # contents (absolute) while state keys are relative whenever
+    # table_path is — an uncanonicalized intersection silently empties
+    touched = {canon_path(t) for t in touched}
+    affected = sorted(f for f in data if canon_path(f) in touched)
     eq_paths = sorted(d["path"] for d in eqs)
     if not affected:
         return iceberg_commit_retry(

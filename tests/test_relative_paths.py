@@ -131,3 +131,38 @@ def test_iceberg_relative_equality_deletes_apply(spark, rel_iceberg):
         (i, "zz") for i in range(5)
     }
     assert len(rows) == 120
+
+
+def test_iceberg_relative_rewrite_materializes(spark, rel_iceberg):
+    """rewrite on a relative table_path must find its affected files —
+    the touched-paths intersection mixes _metadata-absolute and
+    state-relative keys without canon."""
+    from rottnest_spark.sources.iceberg import (
+        iceberg_live_files_and_deletes,
+    )
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_rewrite_deletes,
+        iceberg_upsert,
+    )
+
+    iceberg_delete_rows(spark, rel_iceberg, "k % 5 = 0")
+    iceberg_upsert(
+        spark, spark.range(3).selectExpr("id AS k", "'rw' AS grp"),
+        rel_iceberg, ["k"],
+    )
+    lake = IcebergSnapshotLake(spark, rel_iceberg, str(rel_iceberg) + "_rw")
+    expect = sorted(map(tuple, lake.read().select("k", "grp").collect()))
+    iceberg_rewrite_deletes(spark, rel_iceberg)
+    data, dels = iceberg_live_files_and_deletes(rel_iceberg)
+    assert not dels
+    got = sorted(map(tuple, lake.read().select("k", "grp").collect()))
+    assert got == expect
+    # the deletes are physically gone from the data files
+    import pyspark.sql.functions as _F
+
+    assert (
+        spark.read.parquet(*data)
+        .filter((_F.col("k") % 5 == 0) & (_F.col("k") >= 3))
+        .count()
+        == 0
+    )
