@@ -3032,6 +3032,137 @@ def q_iceberg_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+SYNC_UPS_MOD = 5  # sync_table replication upserts slice keys % this
+
+
+def q_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit change-feed CONSUMPTION through the durable cursor with
+    CAPPED polls (sources/changes.py DeltaChangesCursor.poll(max_versions
+    =1)): each commit arrives in its own bounded-plan poll — insert
+    bootstrap (v0), deletion-vector deletes (v1), append inserts (v2) —
+    and the per-version aggregates must equal the predicates stated
+    directly in SQL. Exercises the exact consumer loop a 10⁴-commit
+    backlog would run, three commits at a time-slice of one."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.changes import DeltaChangesCursor
+    from rottnest_spark.sources.delta_write import (
+        delta_convert,
+        delta_delete_rows,
+        delta_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_feed_")
+    try:
+        orders = load(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        delta_convert(work)  # v0
+        delta_delete_rows(
+            spark, work, F.col("o_orderkey") % MOR_DEL_MOD == 0
+        )  # v1
+        delta_write(
+            orders.filter(F.col("o_orderkey") % DIFF_INS_MOD == 0),
+            work,
+            mode="append",
+        )  # v2
+        cur = DeltaChangesCursor(
+            spark, work, os.path.join(work, "cursor.ckpt")
+        )
+        rows = []
+        while True:
+            feed, latest = cur.poll(max_versions=1)
+            if feed is None:
+                break
+            rows.extend(
+                feed.groupBy(
+                    "_commit_version", "_change_type", "o_orderstatus"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                )
+                .collect()
+            )
+            cur.ack(latest)
+        return spark.createDataFrame(
+            sorted(rows),
+            "_commit_version long, _change_type string, "
+            "o_orderstatus string, n_rows bigint, sum_price double",
+        ).orderBy("_commit_version", "_change_type", "o_orderstatus")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_sync_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format replication end to end (sources/changes.py
+    sync_table): an Iceberg source takes a positional DELETE then an
+    equality-delete CDC UPSERT (re-inserting some deleted keys — the
+    nastiest ordering), and a capped consumer loop replays its change
+    feed into a Delta destination as idempotent merges. The DESTINATION
+    is then read back; its final state must equal the SQL statement of
+    last-write-wins. The reference has no replication surface at all."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.changes import IcebergChangesCursor, sync_table
+    from rottnest_spark.sources.delta_write import delta_convert
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_convert,
+        iceberg_delete_rows,
+        iceberg_upsert,
+    )
+    from rottnest_spark.sources.writable import DeltaWritableLake
+
+    src = tempfile.mkdtemp(prefix="rottnest_syncsrc_")
+    dst = tempfile.mkdtemp(prefix="rottnest_syncdst_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        slice_df = orders.filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+        slice_df.repartition(4).write.parquet(src, mode="overwrite")
+        iceberg_convert(src)  # snapshot 1
+        iceberg_delete_rows(
+            spark, src, F.col("o_orderkey") % MOR_DEL_MOD == 0
+        )  # snapshot 2
+        changes = slice_df.filter(
+            F.col("o_orderkey") % SYNC_UPS_MOD == 0
+        ).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.lit(-1.0).alias("o_totalprice"),
+        )
+        iceberg_upsert(spark, changes, src, ["o_orderkey"])  # snapshot 3
+        shutil.rmtree(dst, ignore_errors=True)
+        slice_df.limit(0).coalesce(1).write.parquet(dst)
+        delta_convert(dst)
+        dlake = DeltaWritableLake(spark, dst, os.path.join(dst, "idx"))
+        cur = IcebergChangesCursor(
+            spark, src, os.path.join(src, "cursor.ckpt")
+        )
+        while sync_table(cur, dlake, "o_orderkey", max_versions=1) is not None:
+            pass
+        out = (
+            dlake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta deletion-vector round trip (sources/delta_write.py
     delta_delete_rows + DeltaSnapshotLake.read): copy a 1/3 slice of
@@ -3158,6 +3289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_snapshot_diff": q_delta_snapshot_diff,
     "windowed_event_counts": q_windowed_event_counts,
     # --- past the window: variants, second tiers, rows-only paths ---
+    "delta_change_feed": q_delta_change_feed,
+    "sync_table_replication": q_sync_table_replication,
     "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
     "session_stats": q_session_stats,
@@ -3304,6 +3437,44 @@ ORACLES: dict[str, str] = {
             GROUP BY o_orderstatus
         )
         ORDER BY _change_type, o_orderstatus
+    """,
+    "delta_change_feed": f"""
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS _commit_version,
+                   'insert' AS _change_type, o_orderstatus,
+                   count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 1, 'delete', o_orderstatus, count(*),
+                   round(sum(o_totalprice), 2)
+            FROM orders
+            WHERE o_orderkey % {MOR_SRC_MOD} = 0
+              AND o_orderkey % {MOR_DEL_MOD} = 0
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 2, 'insert', o_orderstatus, count(*),
+                   round(sum(o_totalprice), 2)
+            FROM orders WHERE o_orderkey % {DIFF_INS_MOD} = 0
+            GROUP BY o_orderstatus
+        )
+        ORDER BY _commit_version, _change_type, o_orderstatus
+    """,
+    "sync_table_replication": f"""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % {MOR_SRC_MOD} = 0
+              AND o_orderkey % {MOR_DEL_MOD} <> 0
+              AND o_orderkey % {SYNC_UPS_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey, 'U', -1.0 FROM orders
+            WHERE o_orderkey % {MOR_SRC_MOD} = 0
+              AND o_orderkey % {SYNC_UPS_MOD} = 0
+        )
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "substring_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents

@@ -10,6 +10,12 @@ __all__ = [
     "IcebergWritableLake",
     "iceberg_live_files",
     "iceberg_write",
+    "DeltaChangesCursor",
+    "IcebergChangesCursor",
+    "CursorCheckpoint",
+    "delta_snapshot_diff",
+    "iceberg_snapshot_diff",
+    "sync_table",
 ]
 
 _LAZY = {
@@ -28,6 +34,13 @@ _LAZY = {
     "iceberg_convert": "iceberg_write",
     "DeltaWritableLake": "writable",
     "IcebergWritableLake": "writable",
+    "DeltaChangesCursor": "changes",
+    "IcebergChangesCursor": "changes",
+    "CursorCheckpoint": "changes",
+    "delta_snapshot_diff": "changes",
+    "iceberg_snapshot_diff": "changes",
+    "sync_table": "changes",
+    "delta_column_mapping": "delta",
 }
 
 
