@@ -231,9 +231,22 @@ def main() -> None:
             rg_file,
             row_group_size=4096,
         )
-        lake = ParquetLake(spark, rg_dir, os.path.join(bench_cache, "rg_idx"))
+        # median-of-3 like the query entries (each iteration builds into a
+        # FRESH index dir — "cold" means no index reuse, not first-JVM-touch;
+        # the single-shot r6 entry swung ±1 s with untouched code). The
+        # auto-salt decision + probe cost land in _build_info.json.
         idx = SubstringIndex(granularity="row_group")
-        timed("substring_rg_build_events", lambda: lake.build_index(idx, "props"))
+        rg_ts = []
+        for it in range(3):
+            drop_persisted()
+            lake = ParquetLake(
+                spark, rg_dir, os.path.join(bench_cache, f"rg_idx_{it}")
+            )
+            t0 = time.time()
+            lake.build_index(idx, "props")
+            rg_ts.append(time.time() - t0)
+        rg_ts.sort()
+        timings["substring_rg_build_events"] = round(rg_ts[1], 3)
         timed(
             "substring_rg_search_events",
             lambda: lake.search(idx, "props", ep.LOG_QUERY).collect(),

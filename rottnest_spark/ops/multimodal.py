@@ -15,7 +15,8 @@ public specs (see `_make_decoder`) — plus the deterministic FAKE fixture
 codec. PNG (8-bit gray/RGB/RGBA, non-interlaced) decodes for real too —
 IDAT is a zlib stream and filters 0-4 are pure arithmetic, so stdlib
 zlib + numpy cover the public spec with no external library. Baseline
-JPEG (SOF0, gray/YCbCr up to 2x2 sampling, restart markers) decodes for
+JPEG (baseline SOF0 AND progressive SOF2, gray/YCbCr up to 2x2
+sampling, restart markers) decodes for
 real as well — `ops/jpegcodec.py`, pure struct+numpy over ITU-T T.81.
 VIDEO frame extraction is real for the MJPEG codec class (round 6):
 `parse_mp4_samples` resolves per-frame byte ranges from the ISO 14496-12
@@ -114,7 +115,7 @@ def _decode_real(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "MP4 frame decode unavailable in this environment; supported "
         "payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV, PNG "
-        "(8-bit gray/RGB/RGBA non-interlaced), baseline JPEG (SOF0)"
+        "(8-bit gray/RGB/RGBA non-interlaced), JPEG (baseline SOF0 + progressive SOF2)"
     )
 
 
@@ -210,7 +211,8 @@ def _make_decoder():
     - PNG, 8-bit gray/RGB/RGBA non-interlaced (IHDR/IDAT walked, zlib
       inflate, scanline filters 0-4 reversed): returns 2-D uint8
       (RGB(A) to BT.601 luma).
-    - JPEG, baseline sequential (SOF0), gray or YCbCr up to 2x2 sampling,
+    - JPEG, baseline sequential (SOF0) AND progressive (SOF2), gray or
+      YCbCr up to 2x2 sampling,
       restart markers: returns 2-D uint8 luma (the Y channel IS the
       BT.601 luma, so chroma blocks are entropy-walked but not IDCT'd) —
       `ops/jpegcodec.py`.
@@ -335,7 +337,7 @@ def _make_decoder():
             return (
                 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
             ).astype(_np.uint8)
-        if payload[:2] == b"\xff\xd8":  # JPEG — baseline T.81 decoder
+        if payload[:2] == b"\xff\xd8":  # JPEG — T.81 decoder (SOF0/SOF2)
             return jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             pos, n = 12, len(payload)
@@ -374,7 +376,7 @@ def _make_decoder():
         raise NotImplementedError(
             "MP4 frame decode unavailable in this environment; supported "
             "payloads: FAKE, BMP (uncompressed 8/24-bit), PCM WAV, PNG "
-            "(8-bit gray/RGB/RGBA non-interlaced), baseline JPEG (SOF0)"
+            "(8-bit gray/RGB/RGBA non-interlaced), JPEG (baseline SOF0 + progressive SOF2)"
         )
 
     return decode

@@ -131,10 +131,16 @@ def test_unsupported_codec_raises_clearly():
         decode_pixels(b"\x89PNG\r\n\x1a\n....")
     with _pytest.raises(ValueError, match="SOF|SOS"):
         decode_pixels(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
-    # progressive JPEG raises the documented mode error
-    with _pytest.raises(NotImplementedError, match="SOF0"):
+    # progressive (SOF2) DECODES now (round 7); a headers-only SOF2 with
+    # no scan is a parse error, and the truly-unsupported modes
+    # (arithmetic coding) keep the documented refusal
+    with _pytest.raises(ValueError, match="SOF|SOS"):
         decode_pixels(
             b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_pixels(
+            b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
         )
 
 
@@ -630,3 +636,104 @@ def test_video_frame_stats_executor_decode(spark):
     assert out[99]["codec"] == "avc1"
     assert out[99]["all_decoded"] is False
     assert out[99]["mean_brightness"] is None
+
+
+# --- progressive JPEG (SOF2, round 7) ----------------------------------------
+
+
+def test_progressive_equals_baseline_decode():
+    """THE progressive law: both encoders quantize identically, so the
+    progressive decode must equal the baseline decode PIXEL-EXACTLY —
+    any scan-sequencing, EOB-run, or refinement-bit bug surfaces as a
+    mismatch. Covers successive approximation depths 0-2, multi-band
+    spectral selection, and non-multiple-of-8 dims."""
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import (
+        decode_jpeg_luma,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:23, 0:31]
+    images = [
+        (128 + 60 * np.sin(yy / 4.0) * np.cos(xx / 6.0)).astype(np.uint8),
+        rng.integers(0, 256, (16, 24), dtype=np.uint8),
+        np.full((9, 12), 77, np.uint8),
+        np.where(
+            (np.add.outer(np.arange(24), np.arange(24)) % 2).astype(bool),
+            255, 0,
+        ).astype(np.uint8),
+    ]
+    plans = [
+        dict(dc_al=1, ac_al=1, bands=((1, 5), (6, 63))),
+        dict(dc_al=2, ac_al=2, bands=((1, 2), (3, 20), (21, 63))),
+        dict(dc_al=0, ac_al=0, bands=((1, 63),)),
+    ]
+    for px in images:
+        for q in (30, 90):
+            base = decode_jpeg_luma(encode_jpeg(px, quality=q))
+            for plan in plans:
+                prog = decode_jpeg_luma(
+                    encode_jpeg_progressive(px, quality=q, **plan)
+                )
+                assert np.array_equal(base, prog), (px.shape, q, plan)
+
+
+def test_progressive_is_sof2_and_multiscan():
+    import numpy as np
+
+    from rottnest_spark.ops.jpegcodec import encode_jpeg_progressive
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = encode_jpeg_progressive(px, dc_al=1, ac_al=1)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    assert payload.count(b"\xff\xda") >= 5  # DC first/refine + AC scans
+
+
+def test_progressive_through_executor_media_quality(spark):
+    """The SOF2 path must ship inside the by-value decoder closure: score
+    progressive payloads through media_quality's mapInPandas and compare
+    against the same images' baseline scores."""
+    import numpy as np
+
+    from rottnest_spark.ops import multimodal
+    from rottnest_spark.ops.jpegcodec import encode_jpeg, encode_jpeg_progressive
+
+    rows = []
+    for mid in range(12):
+        yy, xx = np.mgrid[0 : 16 + mid % 4, 0:24]
+        px = (128 + (20 + mid) * np.sin(yy / 3.0 + mid)).astype(np.uint8)
+        enc = encode_jpeg_progressive if mid % 2 else encode_jpeg
+        rows.append((mid, "image", bytearray(enc(px, quality=90))))
+        rows.append(
+            (100 + mid, "image", bytearray(encode_jpeg(px, quality=90)))
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).repartition(4, "media_id")
+    got = {
+        r.media_id: (r.brightness, r.contrast, r.entropy)
+        for r in multimodal.media_quality(media).collect()
+    }
+    for mid in range(12):
+        if mid % 2 == 0:
+            assert got[mid] == got[100 + mid]  # identical payloads
+        else:
+            # progressive vs baseline of the SAME image: identical
+            # quantized coefficients -> identical decoded stats
+            assert got[mid] == got[100 + mid], mid
+
+
+def test_arithmetic_and_lossless_still_refuse():
+    import numpy as np
+    import pytest as _pytest
+
+    from rottnest_spark.ops.jpegcodec import decode_jpeg_luma, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC9  # arithmetic sequential
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_luma(bytes(payload))
