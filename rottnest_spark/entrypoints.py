@@ -91,6 +91,49 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 compaction as an executable contract: a 6-file documents lake
+    indexed in THREE binpacked entries, `compact_indices` merged to one,
+    vacuum reclaiming the retired entries — and the post-compaction
+    search must still equal the plain SQL predicate (the exact-refine
+    invariant survives the merge tree; reference parallel_merge_files,
+    src/lava/merge.rs:17-205, re-expressed as one shuffle)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rottnest_compact_")
+    try:
+        data_dir = os.path.join(work, "data")
+        docs = load(spark, sf_dir, "documents")
+        docs.repartition(6).write.parquet(data_dir, mode="overwrite")
+        from rottnest_spark.core.lake import ParquetLake
+
+        lake = ParquetLake(spark, data_dir, os.path.join(work, "idx"))
+        idx = SubstringIndex()
+        n_rows = docs.count()
+        # ~3 binpack groups of 2 files each
+        lake.build_index(idx, "text", binpack_row_threshold=max(n_rows // 3, 1))
+        n_before = len(lake.catalog.entries_for("substring", "text"))
+        lake.compact_indices(idx, "text")
+        n_after = len(lake.catalog.entries_for("substring", "text"))
+        lake.vacuum()
+        out = lake.search(idx, "text", SUBSTRING_QUERY).select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            # rides along so the gate FAILS if compaction silently became
+            # a no-op (multiple entries must merge to exactly one)
+            F.lit(bool(n_before >= 2 and n_after == 1)).alias(
+                "compaction_effective"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 MULTI_QUERIES = ["merge sort", "hash join", "window function"]
 
 
@@ -1060,18 +1103,24 @@ def q_media_quality_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cases."""
     import numpy as _np
 
-    from rottnest_spark.ops.jpegcodec import encode_jpeg
+    from rottnest_spark.ops.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     # Fixture payloads are encoded driver-side (64 tiny images — metadata
     # scale); the surface under test is the EXECUTOR-side decode inside
     # media_quality, whose T.81 decoder ships as a by-value closure.
+    # ODD ids encode PROGRESSIVE (SOF2, round 7) — both modes flow
+    # through the same gate hash.
     rows = []
     for mid in range(64):
         yy, xx = _np.mgrid[0 : 24 + mid % 8, 0:32]
         px = (
             128 + (30 + mid % 50) * _np.sin(yy / 5.0) * _np.cos(xx / 7.0)
         ).astype(_np.uint8)
-        rows.append((mid, "image", bytearray(encode_jpeg(px, quality=90))))
+        enc = encode_jpeg_progressive if mid % 2 else encode_jpeg
+        rows.append((mid, "image", bytearray(enc(px, quality=90))))
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     ).repartition(8, "media_id")
@@ -3291,6 +3340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- past the window: variants, second tiers, rows-only paths ---
     "delta_change_feed": q_delta_change_feed,
     "sync_table_replication": q_sync_table_replication,
+    "compacted_search": q_compacted_search,
     "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
     "session_stats": q_session_stats,
@@ -3478,6 +3528,12 @@ ORACLES: dict[str, str] = {
     """,
     "substring_search": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE contains(lower(text), '{SUBSTRING_QUERY}')
+    """,
+    "compacted_search": f"""
+        SELECT doc_id, lang, source, n_chars,
+               TRUE AS compaction_effective
+        FROM documents
         WHERE contains(lower(text), '{SUBSTRING_QUERY}')
     """,
     "suffix_search": f"""
@@ -4873,7 +4929,10 @@ def _media_quality_oracle_sql() -> str:
 def _media_quality_jpeg_oracle_sql() -> str:
     import numpy as _np
 
-    from rottnest_spark.ops.jpegcodec import encode_jpeg
+    from rottnest_spark.ops.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from rottnest_spark.ops.multimodal import _make_decoder
 
     decode = _make_decoder()
@@ -4883,7 +4942,8 @@ def _media_quality_jpeg_oracle_sql() -> str:
         raw = (
             128 + (30 + mid % 50) * _np.sin(yy / 5.0) * _np.cos(xx / 7.0)
         ).astype(_np.uint8)
-        images.append((mid, decode(encode_jpeg(raw, quality=90))))
+        enc = encode_jpeg_progressive if mid % 2 else encode_jpeg
+        images.append((mid, decode(enc(raw, quality=90))))
     return _pixel_stats_sql(
         _write_pixel_table("media_quality_jpeg_pixels", images), None
     )
