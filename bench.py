@@ -255,6 +255,12 @@ def main() -> None:
             rg_ts.append(time.time() - t0)
         rg_ts.sort()
         timings["substring_rg_build_events"] = round(rg_ts[1], 3)
+        # the bench line explains the build entry: auto-salt decision and
+        # what the probe cost (round-5/6 regression was unattributable)
+        info = getattr(idx, "last_build_info", None)
+        if info:
+            metrics["substring_rg_salted"] = 1.0 if info["salted"] else 0.0
+            metrics["substring_rg_salt_probe_sec"] = info["salt_probe_sec"]
         timed(
             "substring_rg_search_events",
             lambda: lake.search(idx, "props", ep.LOG_QUERY).collect(),

@@ -161,3 +161,74 @@ def test_mapped_dml_refused(spark, twins):
         delta_upsert(spark, _data(spark).limit(1), mapped, ["k"])
     with pytest.raises(ValueError, match="column-mapped"):
         delta_write(_data(spark).limit(1), mapped, mode="append")
+
+
+def test_mapped_table_with_deletion_vectors(spark, twins):
+    """The Databricks default table shape: NAME-mode column mapping AND
+    deletion vectors together. The DV anti-join runs on the physical
+    scan (positions + _metadata), the rename to logical names happens
+    after — a foreign engine's DV commit is hand-built to the protocol
+    since our own DML refuses mapped tables."""
+    import json as _json
+
+    from rottnest_spark.sources.delta import delta_live_files
+    from rottnest_spark.sources.roaring import roaring64_encode, z85_encode
+
+    _, mapped = twins
+    # hand-attach an inline DV to one data file: delete positions 0..4
+    files = delta_live_files(mapped)
+    victim = sorted(files)[0]
+    n_victim = spark.read.parquet(victim).count()
+    bm = roaring64_encode(list(range(5)))
+    padded = bm + b"\x00" * (-len(bm) % 4)
+    rel = os.path.relpath(victim, mapped)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "columnMapping"],
+                "writerFeatures": ["deletionVectors", "columnMapping"],
+            }
+        },
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": 1,
+                "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(victim),
+                "modificationTime": 1,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(padded),
+                    "sizeInBytes": len(bm),
+                    "cardinality": 5,
+                },
+            }
+        },
+    ]
+    with open(
+        os.path.join(mapped, "_delta_log", f"{2:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+    lake = DeltaSnapshotLake(spark, mapped, mapped + "_dv")
+    df = lake.read()
+    assert df.columns == ["k", "txt"]  # logical names survive the DV join
+    assert df.count() == 200 - 5
+    dropped = {
+        r.k
+        for r in spark.read.parquet(victim)
+        .limit(5)
+        .select(F.col(PHYS_K).alias("k"))
+        .collect()
+    }
+    assert dropped & {r.k for r in df.collect()} == set()
