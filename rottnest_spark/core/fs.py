@@ -194,8 +194,16 @@ class LocalFS(LakeFS):
             return fh.read()
 
     def write_text(self, path: str, text: str) -> None:
-        with open(path, "w") as fh:
+        # temp + os.replace: checkpoint/manifest writers (CursorCheckpoint
+        # docstring) rely on write_text never leaving a torn file behind —
+        # a crash mid-write must expose either the old content or the new,
+        # not a truncated prefix
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
 
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as fh:

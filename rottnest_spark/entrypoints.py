@@ -4855,7 +4855,9 @@ ORACLES: dict[str, str] = {
 #   tests/test_multimodal.py exact-value cases).
 # --------------------------------------------------------------------------
 
-_ORACLE_SCRATCH = "/tmp/rottnest_spark_oracle_media"
+# per-process scratch: two concurrent gate/bench runs must never read
+# each other's half-written fixture (pyarrow writes are not atomic)
+_ORACLE_SCRATCH = f"/tmp/rottnest_spark_oracle_media.{os.getpid()}"
 
 
 def _pixel_stats_sql(path: str, select_kind: str | None) -> str:

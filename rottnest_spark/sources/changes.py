@@ -48,11 +48,11 @@ def _tagged_scan(spark, files):
     return read_parquet_tagged(spark, sorted(files))
 
 
-def _rows_minus_positions(spark, files, pos_df):
+def _rows_minus_positions(spark, files, pos_df, scan=None):
     """Rows of `files` with deleted positions removed (pos_df may be
     None). Keeps the __path/__pos tags for further joins. Scans go
     through the shared tagged reader (nanosecond-timestamp-safe)."""
-    df = _tagged_scan(spark, files)
+    df = (scan or (lambda fl: _tagged_scan(spark, fl)))(files)
     if pos_df is not None:
         df = df.join(pos_df, ["__path", "__pos"], "left_anti")
     return df
@@ -77,6 +77,7 @@ def snapshot_diff(
     pos_b,
     net: bool = False,
     changed_common: set[str] | None = None,
+    tagged_scan=None,
 ):
     """Shared diff core: (file sets, deleted-position DataFrames tagged
     __path/__pos or None) for states A and B → one DataFrame of the data
@@ -85,7 +86,12 @@ def snapshot_diff(
     `changed_common` (when the caller can compute it from metadata)
     bounds the common-file branch to files whose DELETE STATE actually
     changed — without it, any delete state forces a scan of every
-    common file just to semi-join a handful of changed positions."""
+    common file just to semi-join a handful of changed positions.
+
+    `tagged_scan` (files → DataFrame tagged __path/__pos) overrides the
+    default scan — column-mapped Delta tables inject their physical
+    schema / field-id resolution here."""
+    scan = tagged_scan or (lambda fl: _tagged_scan(spark, fl))
     only_a, only_b, common = (
         files_a - files_b,
         files_b - files_a,
@@ -97,13 +103,13 @@ def snapshot_diff(
     if only_b:
         parts.append(
             _rows_minus_positions(
-                spark, only_b, _restrict(spark, pos_b, only_b)
+                spark, only_b, _restrict(spark, pos_b, only_b), scan
             ).withColumn(_CHANGE_COL, F.lit("insert"))
         )
     if only_a:
         parts.append(
             _rows_minus_positions(
-                spark, only_a, _restrict(spark, pos_a, only_a)
+                spark, only_a, _restrict(spark, pos_a, only_a), scan
             ).withColumn(_CHANGE_COL, F.lit("delete"))
         )
     if common and (pos_a is not None or pos_b is not None):
@@ -114,7 +120,7 @@ def snapshot_diff(
         cb = cb if cb is not None else zero
         newly_deleted = cb.exceptAll(ca)
         resurrected = ca.exceptAll(cb)
-        base = _tagged_scan(spark, common)
+        base = scan(common)
         parts.append(
             base.join(newly_deleted, ["__path", "__pos"], "left_semi")
             .withColumn(_CHANGE_COL, F.lit("delete"))
@@ -128,7 +134,7 @@ def snapshot_diff(
         if not schema_src:
             raise ValueError("both snapshots are empty — nothing to diff")
         return (
-            _tagged_scan(spark, [schema_src[0]])
+            scan([schema_src[0]])
             .withColumn(_CHANGE_COL, F.lit(""))
             .drop("__path", "__pos")
             .limit(0)
@@ -197,6 +203,7 @@ def delta_snapshot_diff(
         snapshot_diff(
             spark, files_a, pos_a, files_b, pos_b, net=net,
             changed_common=changed,
+            tagged_scan=_delta_mapped_scan(spark, table_path, fs),
         ),
         table_path,
         fs,
@@ -205,15 +212,36 @@ def delta_snapshot_diff(
 
 def _delta_logical_names(df, table_path: str, fs):
     """Rename a diff/feed frame's physical data columns to their logical
-    names on column-mapped tables (NAME mode); identity otherwise. The
-    tag columns (_change_type, _commit_*) pass through untouched."""
-    from rottnest_spark.sources.delta import delta_column_mapping
+    names on column-mapped tables (both modes, nested included);
+    identity otherwise. The tag columns (_change_type, _commit_*) pass
+    through untouched."""
+    from rottnest_spark.sources.delta import (
+        delta_table_meta,
+        to_logical_frame,
+    )
 
-    cmap = delta_column_mapping(table_path, fs=fs)
-    if not cmap:
-        return df
-    rev = {p: l for l, p in cmap.items()}
-    return df.select(*[F.col(c).alias(rev.get(c, c)) for c in df.columns])
+    return to_logical_frame(df, delta_table_meta(table_path, fs=fs))
+
+
+def _delta_mapped_scan(spark, table_path: str, fs):
+    """snapshot_diff `tagged_scan` override for column-mapped Delta
+    tables: physical read schema + field-id resolution (ID mode). None
+    when the table is unmapped (the shared default scan applies)."""
+    from rottnest_spark.sources.delta import (
+        _cm_mode,
+        delta_physical_schema,
+        delta_table_meta,
+    )
+    from rottnest_spark.sources.reader import read_parquet_tagged
+
+    meta = delta_table_meta(table_path, fs=fs)
+    schema = delta_physical_schema(meta)
+    if schema is None:
+        return None
+    fid = _cm_mode(meta) == "id"
+    return lambda fl: read_parquet_tagged(
+        spark, sorted(fl), schema=schema, field_id=fid
+    )
 
 
 def _iceberg_pos_side(spark, md, st, table_path):
@@ -349,6 +377,7 @@ def delta_changes_feed(
     parts = []
     prev = None
     ordinal = 0
+    mapped_scan = _delta_mapped_scan(spark, table_path, fs)
     for v, st in _delta_states_range(
         table_path, from_version, to_version, fs=fs
     ):
@@ -369,6 +398,7 @@ def delta_changes_feed(
                 step = snapshot_diff(
                     spark, prev[0], prev[1], side[0], side[1],
                     changed_common=changed,
+                    tagged_scan=mapped_scan,
                 )
                 parts.append(
                     step.withColumn("_commit_version", F.lit(v))
@@ -410,7 +440,24 @@ class CursorCheckpoint:
 
     def read(self) -> int | None:
         if self.fs.exists(self.path):
-            return int(self.fs.read_text(self.path).strip())
+            text = self.fs.read_text(self.path).strip()
+            try:
+                return int(text)
+            except ValueError:
+                # a torn write on a store whose write_text is not atomic
+                # (LocalFS IS temp+replace; object-store PUTs are whole
+                # or absent) can leave garbage — an at-least-once
+                # consumer restarting from pre-creation only re-delivers,
+                # never loses, so warn and treat as absent
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint {self.path} is unparseable "
+                    f"({text[:40]!r}) — treating as pre-creation; the "
+                    "consumer will re-deliver from the start",
+                    stacklevel=2,
+                )
+                return None
         return None
 
     def advance(self, value: int) -> None:

@@ -210,40 +210,199 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "timestampNtz",  # Spark-native TIMESTAMP_NTZ parquet reads
     "vacuumProtocolCheck",  # write-side gate, read path unaffected
-    "columnMapping",  # NAME mode supported (round 7); id mode refused
+    "columnMapping",  # NAME mode (round 7) + ID mode (round 8)
 }
 
 
-def column_mapping_from_meta(meta: dict | None) -> dict[str, str]:
-    """logical → physical column names per the metaData's schemaString
-    field metadata (PROTOCOL.md §column-mapping, NAME mode). Empty when
-    the table has no column mapping. Raises on id mode (physical names
-    then live in parquet field ids, which this reader does not consume)
-    and on name-mode fields missing their physicalName (misread risk)."""
+def _cm_mode(meta: dict | None) -> str | None:
+    """'name' | 'id' | None (unmapped). Unknown modes raise — forward
+    compat means refusing, never guessing resolution semantics."""
     mode = ((meta or {}).get("configuration") or {}).get(
         "delta.columnMapping.mode"
     )
     if not mode or mode == "none":
-        return {}
-    if mode != "name":
+        return None
+    if mode not in ("name", "id"):
         raise ValueError(
-            f"delta.columnMapping.mode={mode!r} — only 'name' mode is "
-            "supported (id mode addresses columns by parquet field id); "
-            "refusing instead of misreading"
+            f"delta.columnMapping.mode={mode!r} is not a mode this "
+            "reader knows (name/id) — refusing instead of misreading"
         )
-    fields = json.loads(meta["schemaString"]).get("fields", [])
-    out: dict[str, str] = {}
-    for f in fields:
-        phys = (f.get("metadata") or {}).get(
-            "delta.columnMapping.physicalName"
-        )
-        if not phys:
-            raise ValueError(
-                f"column-mapped field {f.get('name')!r} lacks "
-                "delta.columnMapping.physicalName — cannot map, refusing"
+    return mode
+
+
+def _map_type(t, mode: str):
+    """Delta schemaString type node, logical → PHYSICAL, recursively:
+    every struct field (at any depth — A nested field left unmapped
+    would silently surface its col-<uuid> physical name) renames to its
+    delta.columnMapping.physicalName; in id mode each also carries
+    {'parquet.field.id': id} so Spark's parquet reader/writer resolves
+    it BY FIELD ID (the spec mechanism for id mode,
+    PROTOCOL.md §column-mapping) regardless of parquet column names."""
+    if isinstance(t, str):
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        fields = []
+        for f in t.get("fields", []):
+            md = f.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            fid = md.get("delta.columnMapping.id")
+            if not phys:
+                raise ValueError(
+                    f"column-mapped field {f.get('name')!r} lacks "
+                    "delta.columnMapping.physicalName — cannot map, "
+                    "refusing"
+                )
+            if mode == "id" and fid is None:
+                raise ValueError(
+                    f"id-mode field {f.get('name')!r} lacks "
+                    "delta.columnMapping.id — cannot map, refusing"
+                )
+            fields.append(
+                {
+                    "name": phys,
+                    "type": _map_type(f["type"], mode),
+                    "nullable": f.get("nullable", True),
+                    "metadata": (
+                        {"parquet.field.id": int(fid)}
+                        if mode == "id"
+                        else {}
+                    ),
+                }
             )
-        out[f["name"]] = phys
-    return out
+        return {"type": "struct", "fields": fields}
+    if kind == "array":
+        return {**t, "elementType": _map_type(t["elementType"], mode)}
+    if kind == "map":
+        return {
+            **t,
+            "keyType": _map_type(t["keyType"], mode),
+            "valueType": _map_type(t["valueType"], mode),
+        }
+    return t
+
+
+def delta_logical_schema(meta: dict):
+    """The table's LOGICAL Spark schema (schemaString names as-is)."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def delta_physical_schema(meta: dict | None):
+    """Spark read/write schema addressing the DATA FILES of a
+    column-mapped table: physical names at every nesting level; in ID
+    mode every field carries parquet.field.id metadata, which makes
+    Spark resolve scan columns by id (`spark.sql.parquet.fieldId.read.
+    enabled`) and stamp ids into written footers (`...fieldId.write.
+    enabled`, on by default). None when the table is unmapped."""
+    from pyspark.sql.types import StructType
+
+    mode = _cm_mode(meta)
+    if not mode:
+        return None
+    return StructType.fromJson(
+        _map_type(json.loads(meta["schemaString"]), mode)
+    )
+
+
+def to_logical_frame(df, meta: dict | None):
+    """Physical-named scan frame → LOGICAL names at every nesting level.
+    Each top-level physical column casts to its logical field's type —
+    struct→struct casts are positional in Spark, so nested fields rename
+    without touching values — and aliases to the logical name. Columns
+    not in the table schema (__path/__pos provenance tags) pass through
+    untouched. Identity on unmapped tables."""
+    if not _cm_mode(meta):
+        return df
+    from pyspark.sql import functions as F
+
+    log = delta_logical_schema(meta)
+    phys = delta_physical_schema(meta)
+    rev = {p.name: (l.name, l.dataType) for p, l in zip(phys, log)}
+    cols = []
+    for c in df.columns:
+        if c in rev:
+            lname, ltype = rev[c]
+            cols.append(F.col(f"`{c}`").cast(ltype).alias(lname))
+        else:
+            cols.append(F.col(f"`{c}`"))
+    return df.select(*cols)
+
+
+def to_physical_frame(df, meta: dict | None):
+    """LOGICAL-named DataFrame → the physical write frame for staging
+    new data files into a column-mapped table: rename at every level
+    (positional struct casts, the inverse of to_logical_frame), then
+    `.to(physical schema)` so ID-mode parquet.field.id metadata reaches
+    the written footers. Raises on missing or extra columns — a DML
+    writer must stage exactly the table's width (no silent drops)."""
+    if not _cm_mode(meta):
+        return df
+    from pyspark.sql import functions as F
+
+    log = delta_logical_schema(meta)
+    phys = delta_physical_schema(meta)
+    missing = [f.name for f in log.fields if f.name not in df.columns]
+    extra = sorted(set(df.columns) - {f.name for f in log.fields})
+    if missing or extra:
+        raise ValueError(
+            f"column-mapped write frame mismatch: missing {missing}, "
+            f"extra {extra} vs table schema {[f.name for f in log.fields]}"
+        )
+    # NOT DataFrame.to(phys): .to() passes already-conforming columns
+    # through untouched, silently dropping the target metadata — and
+    # with it the ID-mode parquet field ids. alias(metadata=) stamps the
+    # top-level id; the cast's TARGET TYPE carries the nested ids (the
+    # writer reads them from the column's dataType tree).
+    return df.select(
+        *[
+            F.col(f"`{lf.name}`")
+            .cast(pf.dataType)
+            .alias(pf.name, metadata=dict(pf.metadata or {}))
+            for lf, pf in zip(log.fields, phys.fields)
+        ]
+    )
+
+
+def stamp_physical_frame(df, meta: dict | None):
+    """PHYSICAL-named frame (a rewrite scan) → same names with ID-mode
+    parquet.field.id metadata stamped for the write; identity otherwise.
+    Same alias/cast mechanics as to_physical_frame, minus the rename."""
+    if _cm_mode(meta) != "id":
+        return df
+    from pyspark.sql import functions as F
+
+    by = {f.name: f for f in delta_physical_schema(meta).fields}
+    return df.select(
+        *[
+            F.col(f"`{c}`")
+            .cast(by[c].dataType)
+            .alias(c, metadata=dict(by[c].metadata or {}))
+            if c in by
+            else F.col(f"`{c}`")
+            for c in df.columns
+        ]
+    )
+
+
+def column_mapping_from_meta(meta: dict | None) -> dict[str, str]:
+    """TOP-LEVEL logical → physical column names (both modes populate
+    physicalName per the protocol). Empty when the table has no column
+    mapping. Validates the FULL schema tree — a nested field missing its
+    physicalName (or, in id mode, its id) raises here rather than
+    surfacing physical names downstream."""
+    mode = _cm_mode(meta)
+    if not mode:
+        return {}
+    schema_json = json.loads(meta["schemaString"])
+    _map_type(schema_json, mode)  # full-tree validation, raises on holes
+    return {
+        f["name"]: (f.get("metadata") or {})[
+            "delta.columnMapping.physicalName"
+        ]
+        for f in schema_json.get("fields", [])
+    }
 
 
 def delta_column_mapping(
@@ -258,9 +417,10 @@ def _check_reader_compat(
     table_path: str, proto: dict | None, meta: dict | None
 ) -> None:
     """Refuse tables this replay cannot read FAITHFULLY:
-    - column mapping in ID mode (physical columns addressed by parquet
-      field id) or with incomplete physicalName metadata — NAME mode is
-      supported: the snapshot lake renames physical→logical at scan;
+    - column mapping with incomplete physicalName/id metadata at ANY
+      nesting depth — NAME and ID modes are both supported (round 8):
+      the snapshot lake renames physical→logical at scan, resolving by
+      parquet field id in ID mode;
     - any minReaderVersion-3 readerFeature outside the supported set
       (v2Checkpoint, typeWidening, ...): unknown read semantics;
     - minReaderVersion > 3: unknown protocol."""
@@ -732,30 +892,29 @@ class DeltaSnapshotLake(ParquetLake):
         self._meta_cache = (key, m)
         return m
 
-    # -- column mapping (NAME mode, round 7) ---------------------------------
+    # -- column mapping (NAME mode round 7, ID mode + nested round 8) --------
     # Everything above the scan layer — search plans, refine joins,
     # brute_force predicates, user code — speaks LOGICAL names; the scan
     # layer translates: index builds read the physical column
-    # (_physical_column hook), every returned frame renames
-    # physical→logical (_to_logical). ID mode stays refused
-    # (_check_reader_compat).
+    # (_physical_column hook, name-alignment-guarded in ID mode), every
+    # returned frame renames physical→logical at every nesting level
+    # (_to_logical), and ID-mode scans resolve columns by parquet field
+    # id via an explicit read schema.
 
     def _cmap(self) -> dict[str, str]:
         return column_mapping_from_meta(self._table_meta())
+
+    def _cm_mode(self) -> str | None:
+        return _cm_mode(self._table_meta())
+
+    def _phys_schema(self):
+        return delta_physical_schema(self._table_meta())
 
     def _physical_column(self, column: str) -> str:
         return self._cmap().get(column, column)
 
     def _to_logical(self, df):
-        cmap = self._cmap()
-        if not cmap:
-            return df
-        rev = {p: l for l, p in cmap.items()}
-        from pyspark.sql import functions as F
-
-        return df.select(
-            *[F.col(c).alias(rev.get(c, c)) for c in df.columns]
-        )
+        return to_logical_frame(df, self._table_meta())
 
     @property
     def files(self) -> list[str]:
@@ -840,7 +999,57 @@ class DeltaSnapshotLake(ParquetLake):
                 "column in the data files. Use partition_pruned("
                 f"{column}=...) for exact pruning instead of an index."
             )
+        if self._cm_mode() == "id":
+            self._check_id_names_aligned(column)
         return super().build_index(index, column, *a, **kw)
+
+    def _check_id_names_aligned(self, column: str) -> None:
+        """ID-mode tables resolve scan columns by parquet FIELD ID — but
+        index builders read raw data files by column NAME. That shortcut
+        is only sound when the file's physical names agree with the
+        metaData's physicalName for the same field id (how compliant
+        writers, including ours, lay files out). One footer peek of one
+        live file decides (lake invariant: uniform schema); a mismatch
+        refuses the build with a pointer at the always-correct paths."""
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        meta = self._table_meta() or {}
+        phys = self._physical_column(column)
+        fields = _json.loads(meta["schemaString"]).get("fields", [])
+        want_id = next(
+            (
+                (f.get("metadata") or {}).get("delta.columnMapping.id")
+                for f in fields
+                if f["name"] == column
+            ),
+            None,
+        )
+        if want_id is None:
+            raise ValueError(
+                f"{column!r} is not a column of {self._table_path}"
+            )
+        st = self._live_state()
+        if not st:
+            return
+        probe = sorted(st)[0]
+        sch = _pq.ParquetFile(probe).schema.to_arrow_schema()
+        idx = sch.get_field_index(phys)
+        got_id = None
+        if idx >= 0:
+            md = sch.field(idx).metadata or {}
+            raw = md.get(b"PARQUET:field_id")
+            got_id = int(raw) if raw is not None else None
+        if idx < 0 or got_id != int(want_id):
+            raise ValueError(
+                f"{self._table_path}: id-mode table whose data-file "
+                f"column names do not line up with physicalName "
+                f"({phys!r} -> field id {got_id} vs metaData id "
+                f"{want_id}) — index builds read files by name and "
+                "would misread; read()/search() stay correct (field-id "
+                "resolution), but build_index refuses"
+            )
 
     def _base_read(self, fl: list[str], dvs: dict[str, dict], pairs=None):
         """Scan `fl`, applying the snapshot's deletion vectors when
@@ -848,11 +1057,19 @@ class DeltaSnapshotLake(ParquetLake):
         `_metadata` tagging and nanosecond timestamps), one anti-join."""
         from rottnest_spark.sources import reader as _reader
 
+        schema = self._phys_schema()
+        fid = self._cm_mode() == "id"
         if not dvs:
-            return self._to_logical(_reader.read_parquet(self.spark, fl))
+            return self._to_logical(
+                _reader.read_parquet(
+                    self.spark, fl, schema=schema, field_id=fid
+                )
+            )
         from pyspark.sql import functions as F
 
-        df = _reader.read_parquet_tagged(self.spark, fl)
+        df = _reader.read_parquet_tagged(
+            self.spark, fl, schema=schema, field_id=fid
+        )
         if pairs is None:
             pairs = dv_positions_df(self.spark, self._table_path, dvs)
         pairs = pairs.select(

@@ -476,7 +476,7 @@ def delta_write(
     if mode == "append" and not exists:
         raise ValueError(f"{table_path} is not a Delta table")
     if exists:
-        _refuse_column_mapped_dml(table_path, fs, "append")
+        df = _mapped_write_frame(df, table_path, fs, "append")
     pcols = list(partition_by or [])
     if exists:
         from rottnest_spark.sources.delta import delta_partition_columns
@@ -527,19 +527,63 @@ def delta_write(
 DV_INLINE_MAX_BYTES = 512
 
 
-def _refuse_column_mapped_dml(table_path: str, fs: LakeFS, op: str) -> None:
-    """Writers stage files with the DataFrame's (logical) column names
-    and predicates address physical data columns — on a column-mapped
-    table either would silently corrupt or miss. Reads and searches
-    support name mode (sources/delta.py); DML refuses loudly."""
-    from rottnest_spark.sources.delta import delta_column_mapping
+def _mapped_write_frame(df, table_path: str, fs: LakeFS, op: str):
+    """DML staging adapter for column-mapped tables (round 8): the
+    caller's LOGICAL-named frame becomes the PHYSICAL write frame
+    (nested renames via positional struct casts; ID mode stamps
+    parquet.field.id into the staged footers). Identity on unmapped
+    tables. Partitioned+mapped stays refused — partitionValues key on
+    physical names and the read side refuses that combination too."""
+    from rottnest_spark.sources.delta import (
+        _cm_mode,
+        delta_partition_columns,
+        delta_table_meta,
+        to_physical_frame,
+    )
 
-    if delta_column_mapping(table_path, fs=fs):
+    meta = delta_table_meta(table_path, fs=fs)
+    if not _cm_mode(meta):
+        return df
+    if delta_partition_columns(table_path, fs=fs):
         raise ValueError(
-            f"{table_path}: {op} on a column-mapped table is not "
-            "supported — physical parquet names differ from logical "
-            "ones; reads/searches work, DML does not"
+            f"{table_path}: {op} on a PARTITIONED column-mapped table — "
+            "partitionValues are keyed by physical names; unsupported, "
+            "refusing (matches the read-side refusal)"
         )
+    return to_physical_frame(df, meta)
+
+
+def _mapped_tagged_scan(spark, table_path: str, data_files, fs: LakeFS):
+    """One provenance-tagged scan of the table's data files with LOGICAL
+    column names: physical schema injection + field-id resolution when
+    mapped (ID mode), the plain tagged read otherwise. Tag columns
+    file_path/pos survive the rename untouched — DML predicates and key
+    joins then speak the user's (logical) vocabulary while the DV commit
+    keeps addressing physical positions."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.delta import (
+        _cm_mode,
+        delta_physical_schema,
+        delta_table_meta,
+        to_logical_frame,
+    )
+    from rottnest_spark.sources.reader import _scan
+
+    meta = delta_table_meta(table_path, fs=fs)
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    tagged = _scan(
+        spark,
+        sorted(data_files),
+        delta_physical_schema(meta),
+        _cm_mode(meta) == "id",
+    ).withColumns(
+        {
+            "file_path": norm(F.col("_metadata.file_path")),
+            "pos": F.col("_metadata.row_index"),
+        }
+    )
+    return to_logical_frame(tagged, meta)
 
 
 def delta_delete_rows(
@@ -557,8 +601,10 @@ def delta_delete_rows(
     `delta_rewrite_deletes` compacts them back into plain data files.
 
     Returns the committed version, or the current one when nothing
-    matches. `predicate` is a Column or SQL string over PHYSICAL data
-    columns (partition columns are path-encoded, not scannable here).
+    matches. `predicate` is a Column or SQL string over the table's
+    LOGICAL column names — identical to physical except under column
+    mapping, where the scan translates (round 8: both name and id
+    modes). Partition columns are path-encoded, not scannable here.
 
     Plan shape: one predicate-pushed scan for new positions, one
     executor-side decode of existing vectors, one applyInPandas encode
@@ -570,22 +616,16 @@ def delta_delete_rows(
     from rottnest_spark.sources.delta import _delta_live_state
 
     fs = fs or LocalFS()
-    _refuse_column_mapped_dml(table_path, fs, "DELETE")
     state = _delta_live_state(table_path, fs=fs)
     if not state:
         raise ValueError(f"{table_path} has no live data files")
-    data_files = sorted(state)
 
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     new_pairs = (
-        spark.read.parquet(*data_files)
+        _mapped_tagged_scan(spark, table_path, sorted(state), fs)
         .filter(
             predicate if not isinstance(predicate, str) else F.expr(predicate)
         )
-        .select(
-            norm(F.col("_metadata.file_path")).alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
+        .select("file_path", "pos")
     )
     return _delta_commit_dvs(spark, table_path, new_pairs, fs)
 
@@ -876,9 +916,14 @@ def delta_rewrite_deletes(
     partition directory, so the add actions' partitionValues parse from
     the path as before."""
     from rottnest_spark.sources.delta import (
+        _cm_mode,
         apply_deletion_vectors,
         delta_live_dvs,
+        delta_physical_schema,
+        delta_table_meta,
+        stamp_physical_frame,
     )
+    from rottnest_spark.sources.reader import _scan
 
     fs = fs or LocalFS()
     dvs = delta_live_dvs(table_path, fs=fs)
@@ -888,13 +933,24 @@ def delta_rewrite_deletes(
     by_dir: dict[str, list[str]] = {}
     for f in affected:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
+    # column-mapped tables rewrite physical-for-physical (no rename
+    # round-trip), but ID mode must read by field id and re-stamp
+    # parquet.field.id into the rewritten footers
+    meta = delta_table_meta(table_path, fs=fs)
+    phys_schema = delta_physical_schema(meta)
+    id_mode = _cm_mode(meta) == "id"
     added = []
     for d, group in sorted(by_dir.items()):
         stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-        apply_deletion_vectors(
-            spark, spark.read.parquet(*group), table_path,
+        live = apply_deletion_vectors(
+            spark,
+            _scan(spark, sorted(group), phys_schema, id_mode),
+            table_path,
             {f: dvs[f] for f in group},
-        ).write.parquet(stage)
+        )
+        if id_mode:
+            live = stamp_physical_frame(live, meta)
+        live.write.parquet(stage)
         for f in fs.list_files(stage):
             leaf = os.path.basename(f)
             if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
@@ -1016,7 +1072,7 @@ def delta_upsert(
     from rottnest_spark.sources.delta import _delta_live_state
 
     fs = fs or LocalFS()
-    _refuse_column_mapped_dml(table_path, fs, "UPSERT")
+    staged_df = _mapped_write_frame(df, table_path, fs, "UPSERT")
     state = _delta_live_state(table_path, fs=fs)
     if not state:
         raise ValueError(f"{table_path} has no live data files")
@@ -1035,9 +1091,9 @@ def delta_upsert(
         )
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     if pcols:
-        df.write.partitionBy(*pcols).parquet(stage)
+        staged_df.write.partitionBy(*pcols).parquet(stage)
     else:
-        df.write.parquet(stage)
+        staged_df.write.parquet(stage)
     moved = []
     for f in fs.list_files(stage):
         segs = os.path.relpath(f, stage).split(os.sep)
@@ -1054,15 +1110,10 @@ def delta_upsert(
     if not moved:
         raise ValueError("empty upsert — the change DataFrame has no rows")
 
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     keys = df.select(*key_cols).distinct()
-    # tag BEFORE the join — metadata columns resolve on the scan relation
-    tagged = spark.read.parquet(*data_files).withColumns(
-        {
-            "file_path": norm(F.col("_metadata.file_path")),
-            "pos": F.col("_metadata.row_index"),
-        }
-    )
+    # tagged scan with LOGICAL names (mapped tables translate at the
+    # scan; tag columns resolve on the scan relation, before the join)
+    tagged = _mapped_tagged_scan(spark, table_path, data_files, fs)
     matched = tagged.join(F.broadcast(keys), key_cols, "left_semi").select(
         "file_path", "pos"
     )

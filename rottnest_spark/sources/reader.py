@@ -17,6 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
+_FIELD_ID_FLAG = "spark.sql.parquet.fieldId.read.enabled"
+
+
+def _scan(spark, files, schema, field_id):
+    """One shared spark.read entry: optional explicit schema (column-
+    mapped tables address PHYSICAL names/field ids), optional parquet
+    field-id resolution (Delta column-mapping ID mode — the schema then
+    carries parquet.field.id metadata and Spark matches by id, erroring
+    on files without ids rather than falling back to names). Both flags
+    set explicitly BOTH ways, like the nanos flag: stale session state
+    must never change how an unrelated later read resolves columns."""
+    spark.conf.set(_FIELD_ID_FLAG, "true" if field_id else "false")
+    r = spark.read.schema(schema) if schema is not None else spark.read
+    return r.parquet(*files)
 
 
 def nanos_ts_columns(file: str) -> list[str]:
@@ -44,7 +58,11 @@ def nanos_ts_columns(file: str) -> list[str]:
 
 
 def read_parquet(
-    spark: SparkSession, files: list[str], columns: list[str] | None = None
+    spark: SparkSession,
+    files: list[str],
+    columns: list[str] | None = None,
+    schema=None,
+    field_id: bool = False,
 ) -> DataFrame:
     """spark.read.parquet with transparent nanosecond-timestamp handling.
 
@@ -57,7 +75,7 @@ def read_parquet(
     # other files of the list but not files[0]) as raw bigint; with the flag
     # false Spark fails loudly (PARQUET_TYPE_ILLEGAL) on such mixed lakes.
     spark.conf.set(_NANOS_FLAG, "true" if ns_cols else "false")
-    df = spark.read.parquet(*files)
+    df = _scan(spark, files, schema, field_id)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if columns:
@@ -66,7 +84,10 @@ def read_parquet(
 
 
 def read_parquet_tagged(
-    spark: SparkSession, files: list[str]
+    spark: SparkSession,
+    files: list[str],
+    schema=None,
+    field_id: bool = False,
 ) -> DataFrame:
     """`read_parquet` variant that keeps row provenance: every row is
     tagged `__path` (normalized absolute file path) and `__pos`
@@ -78,7 +99,7 @@ def read_parquet_tagged(
     (sources/changes.py) all build on it."""
     ns_cols = nanos_ts_columns(files[0])
     spark.conf.set(_NANOS_FLAG, "true" if ns_cols else "false")
-    df = spark.read.parquet(*files).withColumns(
+    df = _scan(spark, files, schema, field_id).withColumns(
         {
             "__path": F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:/+", "/"

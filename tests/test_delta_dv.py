@@ -313,10 +313,11 @@ def test_append_into_dv_table(spark, table):
     assert delta_live_dvs(table)  # vectors survived the append commit
 
 
-def test_reader_refuses_id_mode_and_incomplete_name_mapping(spark, table):
-    """NAME-mode column mapping reads (tests/test_column_mapping.py);
-    ID mode and name-mode fields missing their physicalName still refuse
-    — blind reads would return wrong data."""
+def test_reader_refuses_unknown_mode_and_incomplete_mapping(spark, table):
+    """NAME and ID modes both read (tests/test_column_mapping.py); an
+    UNKNOWN mapping mode, an id-mode field missing its id, and a field
+    missing physicalName still refuse — blind reads would return wrong
+    data."""
     log = os.path.join(table, "_delta_log")
 
     def set_mode(mode, fields):
@@ -340,8 +341,21 @@ def test_reader_refuses_id_mode_and_incomplete_name_mapping(spark, table):
                 + "\n"
             )
 
-    set_mode("id", [])
-    with pytest.raises(ValueError, match="only 'name' mode"):
+    set_mode("shiny-future", [])
+    with pytest.raises(ValueError, match="not a mode"):
+        delta_live_files(table)
+    set_mode(
+        "id",
+        [
+            {
+                "name": "doc_id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": "col-a"},
+            }
+        ],
+    )
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
         delta_live_files(table)
     set_mode(
         "name",

@@ -558,7 +558,8 @@ def test_capped_poll_bounds_plan_width_many_commits(spark, tmp_path):
         mirror |= {r.k for r in rows}
         cur.ack(latest)
         polls += 1
-    assert polls == (n + 1 + cap - 1) // cap + (1 if (n + 1) % cap else 0) or polls >= 3
+    # versions 0..n = n+1 steps from the pre-creation position, cap per poll
+    assert polls == -(-(n + 1) // cap)
     lake = DeltaSnapshotLake(spark, t, t + "_i")
     assert mirror == {r.k for r in lake.read().select("k").collect()}
 
