@@ -2967,6 +2967,181 @@ def q_iceberg_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 deletion-vector read (round 8,
+    sources/puffin.py + iceberg.py dv_pairs_df): same logical op as
+    iceberg_mor_read, but the deleted positions live in a PUFFIN file's
+    deletion-vector-v1 blobs (64-bit portable roaring, CRC-framed —
+    iceberg.apache.org/spec/#deletion-vectors) committed via
+    iceberg_v3_dv_commit, and the reader resolves them through the v3
+    delete manifest's referenced_data_file/content_offset fields with
+    executor-side decode. Same oracle as the v2 twin — the two formats
+    must be observationally identical."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_convert,
+        iceberg_v3_dv_commit,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_v3dv_")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        iceberg_convert(work)
+        tagged = spark.read.parquet(
+            *[
+                os.path.join(work, f)
+                for f in sorted(os.listdir(work))
+                if f.endswith(".parquet")
+            ]
+        ).withColumns(
+            {
+                "f": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                "p": F.col("_metadata.row_index"),
+            }
+        )
+        doomed = (
+            tagged.filter(F.col("o_orderkey") % MOR_DEL_MOD == 0)
+            .select("f", "p")
+            .collect()
+        )
+        dvs: dict[str, list] = {}
+        for r in doomed:
+            dvs.setdefault(r.f, []).append(r.p)
+        iceberg_v3_dv_commit(work, dvs)
+        lake = IcebergSnapshotLake(spark, work, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_delta_mapped_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN-MAPPING DML round trip (round 8, sources/delta.py
+    to_physical_frame + delta_write.py _mapped_tagged_scan): a scratch
+    NAME-mode mapped table (physical col-<uuid> names in the files,
+    logical names in the schemaString) takes a logical-predicate DELETE
+    (deletion vectors) and a keyed UPSERT, then reads back under logical
+    names. Oracle: the same slice/delete/upsert arithmetic in plain SQL
+    over orders."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import (
+        delta_convert,
+        delta_delete_rows,
+        delta_upsert,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_cmap_")
+    try:
+        src = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % MOR_SRC_MOD == 0
+        )
+        (
+            src.select(
+                F.col("o_orderkey").alias("col-k1"),
+                F.col("o_orderstatus").alias("col-k2"),
+                F.col("o_totalprice").alias("col-k3"),
+            )
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        delta_convert(work)
+        schema_string = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": n,
+                        "type": t,
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": i + 1,
+                            "delta.columnMapping.physicalName": p,
+                        },
+                    }
+                    for i, (n, t, p) in enumerate(
+                        (
+                            ("o_orderkey", "long", "col-k1"),
+                            ("o_orderstatus", "string", "col-k2"),
+                            ("o_totalprice", "double", "col-k3"),
+                        )
+                    )
+                ],
+            }
+        )
+        with open(
+            os.path.join(work, "_delta_log", f"{1:020d}.json"), "w"
+        ) as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "metaData": {
+                            "id": "cmap-gate",
+                            "format": {
+                                "provider": "parquet",
+                                "options": {},
+                            },
+                            "schemaString": schema_string,
+                            "partitionColumns": [],
+                            "configuration": {
+                                "delta.columnMapping.mode": "name",
+                                "delta.columnMapping.maxColumnId": "3",
+                            },
+                        }
+                    }
+                )
+                + "\n"
+            )
+        # logical-name DML on the mapped table
+        delta_delete_rows(
+            spark, work, F.col("o_orderkey") % MOR_DEL_MOD == 0
+        )
+        ups = src.filter(F.col("o_orderkey") % 13 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+        delta_upsert(spark, ups, work, ["o_orderkey"])
+        lake = DeltaSnapshotLake(spark, work, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 DIFF_INS_MOD = 11  # snapshot-diff appends orders keys divisible by this
 
 
@@ -3321,9 +3496,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_mixture": q_stratified_mixture,
     "sequence_packing": q_sequence_packing,
     "iceberg_mor_read": q_iceberg_mor_read,
+    # round-8 rotation: the new v3 deletion-vector surface gates in the
+    # window; tpch_q9 rotates out (gated green r7, plan untouched —
+    # rotate back in next round per the no-two-rounds-out rule)
+    "iceberg_v3_dv_read": q_iceberg_v3_dv_read,
     "iceberg_upsert_read": q_iceberg_upsert_read,
     "tpch_q1": q_tpch_q1,
-    "tpch_q9": q_tpch_q9,
     # round-7 rotation (advisor ask): the BATCHED variants return to the
     # window — a registry reorder must not leave oracled queries
     # externally unverified for consecutive rounds. tpch_q16/q20 rotate
@@ -3332,6 +3510,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_search_many": q_substring_search_many,
     "bm25_topk_many": q_bm25_topk_many,
     "tpch_q21": q_tpch_q21,
+    "tpch_q9": q_tpch_q9,
+    "delta_mapped_dml_read": q_delta_mapped_dml_read,
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
     "delta_dv_read": q_delta_dv_read,
@@ -3438,6 +3618,37 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_orderkey % {MOR_SRC_MOD} = 0
           AND o_orderkey % {MOR_DEL_MOD} <> 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    # v3 deletion vectors must be observationally identical to the v2
+    # positional-delete twin — same oracle by design
+    "iceberg_v3_dv_read": f"""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM orders
+        WHERE o_orderkey % {MOR_SRC_MOD} = 0
+          AND o_orderkey % {MOR_DEL_MOD} <> 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "delta_mapped_dml_read": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        ),
+        final AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+            WHERE o_orderkey % {MOR_DEL_MOD} <> 0 AND o_orderkey % 13 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+            FROM src WHERE o_orderkey % 13 = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM final
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,

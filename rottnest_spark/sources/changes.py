@@ -252,20 +252,19 @@ def _iceberg_pos_side(spark, md, st, table_path):
     (path, pos) would survive exceptAll against the other side's single
     copy, emitting a spurious change row."""
     from rottnest_spark.sources.iceberg import (
-        delete_pairs_df,
         equality_delete_positions,
+        position_delete_pairs_df,
     )
 
-    dels = sorted(st["pos_deletes"])
+    pairs = position_delete_pairs_df(
+        spark, st, md.get("location", ""), table_path
+    )
     pos = (
-        delete_pairs_df(
-            spark, dels, location=md.get("location", ""),
-            table_path=table_path,
-        ).select(
+        pairs.select(
             F.col("__del_path").alias("__path"),
             F.col("__del_pos").alias("__pos"),
         )
-        if dels
+        if pairs is not None
         else None
     )
     if st["eq_deletes"]:
@@ -648,6 +647,7 @@ def _iceberg_changed_common(spark, md, st_a, st_b, table_path):
                 "data": st["data"],
                 "pos_deletes": {},
                 "eq_deletes": delta,
+                "dvs": {},
             }
             changed |= {
                 canon_path(r["__path"])
@@ -656,6 +656,12 @@ def _iceberg_changed_common(spark, md, st_a, st_b, table_path):
                 .distinct()
                 .collect()  # metadata-scale: bounded by file count
             }
+    dvs_a, dvs_b = st_a.get("dvs", {}), st_b.get("dvs", {})
+    changed |= {
+        canon_path(ref)
+        for ref in set(dvs_a) | set(dvs_b)
+        if dvs_a.get(ref) != dvs_b.get(ref)
+    }
     delta_files = sorted(
         set(st_a["pos_deletes"]) ^ set(st_b["pos_deletes"])
     )

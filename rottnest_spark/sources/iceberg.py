@@ -206,7 +206,7 @@ def snapshot_state_from_metadata(md: dict, table_path: str, fs=None) -> dict:
     snap_id = md.get("current-snapshot-id")
     snaps = md.get("snapshots", [])
     if snap_id in (None, -1) or not snaps:
-        return {"data": {}, "pos_deletes": {}, "eq_deletes": []}
+        return {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}}
     by_id = {s["snapshot-id"]: s for s in snaps}
     if snap_id not in by_id:
         raise ValueError(
@@ -335,6 +335,90 @@ def delete_pairs_df(
     )
 
 
+def dv_pairs_df(
+    spark,
+    dvs: dict[str, dict],
+    location: str = "",
+    table_path: str = "",
+):
+    """(__del_path, __del_pos) DataFrame from v3 puffin DELETION VECTORS
+    — decoded EXECUTOR-side: one binaryFile row per DISTINCT puffin
+    file, each task slicing + CRC-checking its blobs and emitting the
+    referenced data file's deleted positions (the Delta dv_positions_df
+    twin, sources/delta.py:625). `dvs` is `_snapshot_state`'s "dvs" map
+    {referenced data path: {puffin, ref_orig, offset, size, seq, ...}};
+    emitted __del_path is CANONICAL, matching the `_metadata.file_path`
+    tags every consumer joins against."""
+    from rottnest_spark.sources.puffin import make_puffin_dv_decoder
+
+    decode = make_puffin_dv_decoder()  # self-contained, ships by value
+
+    by_puffin: dict[str, list[tuple[str, object, object, str]]] = {}
+    for ref, d in sorted(dvs.items()):
+        by_puffin.setdefault(canon_path(d["puffin"]), []).append(
+            (canon_path(ref), d.get("offset"), d.get("size"),
+             d.get("ref_orig") or ref)
+        )
+    out_schema = "__del_path string, __del_pos long"
+    if not by_puffin:
+        return spark.createDataFrame([], out_schema)
+    targets = dict(by_puffin)  # captured by value — metadata scale
+    bins = (
+        spark.read.format("binaryFile")
+        .load(sorted(by_puffin))
+        .select("path", "content")
+    )
+
+    def gen(batches):
+        import os as _os
+        import re as _re
+
+        import pandas as _pd
+
+        def _canon(p):
+            if "://" in p:
+                return p
+            return _os.path.abspath(_re.sub("^file:/+", "/", p))
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.content)
+                for ref, off, size, ref_orig in targets[_canon(r.path)]:
+                    pos = decode(data, off, size, referenced=ref_orig)
+                    yield _pd.DataFrame(
+                        {"__del_path": ref, "__del_pos": pos.astype("int64")}
+                    )
+
+    return bins.mapInPandas(gen, out_schema)
+
+
+def position_delete_pairs_df(spark, state: dict, location: str, table_path: str):
+    """Union of the snapshot's position-delete sources — parquet delete
+    files (v2) and puffin deletion vectors (v3) — as ONE
+    (__del_path, __del_pos) frame; None when the snapshot has neither.
+    The single entry point every consumer (read, search row-filter,
+    diff, feed) funnels through, so v3 support is uniform."""
+    dels = sorted(state.get("pos_deletes") or {})
+    dvs = state.get("dvs") or {}
+    parts = []
+    if dels:
+        parts.append(
+            delete_pairs_df(
+                spark, dels, location=location, table_path=table_path
+            )
+        )
+    if dvs:
+        parts.append(
+            dv_pairs_df(spark, dvs, location=location, table_path=table_path)
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def apply_position_deletes(
     spark, df, delete_files: list[str], location: str = "", table_path: str = ""
 ):
@@ -376,18 +460,29 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
     entry's `sequence_number` (ADDED entries inherit at read time), else
     0 (v1 tables have no sequencing — every delete then applies)."""
     fv = int(md.get("format-version") or 1)
-    if fv > 2:
-        # v3 adds puffin deletion vectors (DV blobs replacing position
-        # delete files) + row lineage — reading v3 metadata with v2
-        # semantics would silently unapply those deletes (ghost rows).
-        # Refused loudly AT STATE RESOLUTION, so every consumer — reads,
-        # searches, diffs, change-feed poll(), sync_table replication —
-        # fails before touching a row, never mid-stream.
+    if fv > 3:
         raise ValueError(
             f"Iceberg format-version {fv} exceeds this reader's support "
-            "(v1/v2) — v3 deletion vectors (puffin) would be silently "
-            "unapplied; use a v3-capable engine or downgrade-rewrite"
+            "(v1/v2/v3) — unknown read semantics; refusing"
         )
+    if fv == 3:
+        # v3 puffin deletion vectors READ here (round 8 — the "dvs" state
+        # key below + dv_pairs_df). Row lineage is additive metadata,
+        # ignorable for reads. What still refuses: FIELD DEFAULTS — a
+        # schema field with initial-default changes what old files'
+        # missing columns mean, and ignoring it would surface nulls
+        # where the spec says the default.
+        defaulted = [
+            f["name"]
+            for f in (md.get("schema") or {}).get("fields", [])
+            if "initial-default" in f or "write-default" in f
+        ]
+        if defaulted:
+            raise ValueError(
+                f"Iceberg v3 table with field defaults {defaulted} — "
+                "this reader would surface NULL instead of the default "
+                "for pre-evolution files; refusing instead of misreading"
+            )
     location = md.get("location", "")
 
     manifests: list[tuple[str, int, int]] = []  # (path, content, ml_seq)
@@ -405,7 +500,7 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
     else:  # v1 tables may inline "manifests"
         manifests = [(p, 0, 0) for p in snap.get("manifests", [])]
 
-    state = {"data": {}, "pos_deletes": {}, "eq_deletes": []}
+    state = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}}
     for mpath, list_content, ml_seq in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
         for e in entries:
@@ -424,7 +519,35 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
             p = _rebase(df["file_path"], location, table_path)
             if content == 0:
                 state["data"][p] = seq
-            elif content == 1:  # positional deletes
+            elif content == 1 and (
+                df.get("referenced_data_file")
+                or str(df.get("file_format") or "").upper() == "PUFFIN"
+            ):
+                # v3 deletion vector: the entry addresses ONE blob inside
+                # a puffin file, keyed by the data file it deletes from
+                ref_orig = df.get("referenced_data_file")
+                if not ref_orig:
+                    raise ValueError(
+                        f"{mpath}: PUFFIN delete entry without "
+                        "referenced_data_file — cannot attribute the DV"
+                    )
+                ref = _rebase(ref_orig, location, table_path)
+                if ref in state["dvs"]:
+                    raise ValueError(
+                        f"two deletion vectors reference {ref} in one "
+                        "snapshot — spec allows at most one; refusing"
+                    )
+                off = df.get("content_offset")
+                sz = df.get("content_size_in_bytes")
+                state["dvs"][ref] = {
+                    "puffin": p,
+                    "ref_orig": ref_orig,
+                    "offset": None if off is None else int(off),
+                    "size": None if sz is None else int(sz),
+                    "seq": seq,
+                    "cardinality": int(df.get("record_count") or -1),
+                }
+            elif content == 1:  # positional delete files (parquet)
                 state["pos_deletes"][p] = seq
             else:  # equality deletes
                 state["eq_deletes"].append(
@@ -454,6 +577,13 @@ def _snapshot_files_and_deletes(
             "(sequence-aware value anti-join); index paths require "
             "compacting with an engine first"
         )
+    if state["dvs"]:
+        raise ValueError(
+            f"table has {len(state['dvs'])} v3 deletion vector(s) — the "
+            "(files, delete-parquet-files) contract cannot express "
+            "puffin blobs; use snapshot_state_from_metadata / "
+            "IcebergSnapshotLake (DV-aware since round 8)"
+        )
     return set(state["data"]), set(state["pos_deletes"])
 
 
@@ -469,11 +599,12 @@ def _snapshot_data_files(
       indexes must survive vacuum)."""
     state = _snapshot_state(md, snap, table_path, fs)
     if on_deletes == "raise" and (
-        state["pos_deletes"] or state["eq_deletes"]
+        state["pos_deletes"] or state["eq_deletes"] or state["dvs"]
     ):
         raise ValueError(
             f"table has {len(state['pos_deletes'])} positional delete "
-            f"file(s) and {len(state['eq_deletes'])} equality delete "
+            f"file(s), {len(state['dvs'])} deletion vector(s) "
+            f"and {len(state['eq_deletes'])} equality delete "
             "file(s) — this path treats files as fully live and would "
             "surface ghost rows. IcebergSnapshotLake.read(), "
             "build_index() and predicate search() are "
@@ -591,14 +722,17 @@ class IcebergSnapshotLake(ParquetLake):
                 "(sequence-aware value anti-join); index paths require "
                 "compacting with an engine first"
             )
-        return sorted(st["data"]), sorted(st["pos_deletes"])
+        return sorted(st["data"]), sorted(st["pos_deletes"]) + sorted(
+            st["dvs"]
+        )
 
     @property
     def files(self) -> list[str]:
         data, dels = self._files_and_deletes()
         if dels:
             raise ValueError(
-                f"table has {len(dels)} positional delete file(s) — this "
+                f"table has {len(dels)} positional delete source(s) "
+                "(files / v3 deletion vectors) — this "
                 "path treats files as fully live and would surface ghost "
                 "rows. IcebergSnapshotLake.read(), build_index() and "
                 "predicate search() are merge-on-read-aware; "
@@ -624,8 +758,7 @@ class IcebergSnapshotLake(ParquetLake):
                 "equality delete files present — index search cannot "
                 "row-filter value deletes; use read() or compact"
             )
-        dels = sorted(st["pos_deletes"])
-        if not dels:
+        if not st["pos_deletes"] and not st["dvs"]:
             return None
         spark, loc, tp = self.spark, md.get("location", ""), self._table_path
         key = (self._state_cache or (None,))[0]
@@ -638,8 +771,8 @@ class IcebergSnapshotLake(ParquetLake):
             if cached is not None and cached[0] == key:
                 pairs = cached[1]
             else:
-                pairs = delete_pairs_df(
-                    spark, dels, location=loc, table_path=tp
+                pairs = position_delete_pairs_df(
+                    spark, st, loc, tp
                 ).localCheckpoint(eager=True)
                 self._rf_pairs_cache = (key, pairs)
             pairs = pairs.select(
@@ -691,9 +824,9 @@ class IcebergSnapshotLake(ParquetLake):
         relation): one tagging pass feeds the positional (path, pos)
         anti-join and the sequence-aware equality anti-joins, then the
         nanosecond-timestamp handling mirrors sources/reader.read_parquet."""
-        dels = sorted(state["pos_deletes"])
+        has_pos = bool(state["pos_deletes"]) or bool(state["dvs"])
         eqs = state["eq_deletes"]
-        if not dels and not eqs:
+        if not has_pos and not eqs:
             from rottnest_spark.sources.reader import read_parquet
 
             return read_parquet(self.spark, fl)
@@ -702,11 +835,10 @@ class IcebergSnapshotLake(ParquetLake):
         from rottnest_spark.sources.reader import read_parquet_tagged
 
         df = read_parquet_tagged(self.spark, fl)
-        if dels:
+        if has_pos:
             if pairs is None:
-                pairs = delete_pairs_df(
-                    self.spark, dels, location=location,
-                    table_path=self._table_path,
+                pairs = position_delete_pairs_df(
+                    self.spark, state, location, self._table_path
                 )
             pairs = pairs.select(
                 F.col("__del_path").alias("__path"),
@@ -782,11 +914,9 @@ class IcebergSnapshotLake(ParquetLake):
             groups.setdefault(key, []).append(f)
         parts = []
         shared = None
-        if state["pos_deletes"] and len(groups) > 1:
-            shared = delete_pairs_df(
-                self.spark, sorted(state["pos_deletes"]),
-                location=md.get("location", ""),
-                table_path=self._table_path,
+        if (state["pos_deletes"] or state["dvs"]) and len(groups) > 1:
+            shared = position_delete_pairs_df(
+                self.spark, state, md.get("location", ""), self._table_path
             ).localCheckpoint(eager=True)
         for key, fl in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])

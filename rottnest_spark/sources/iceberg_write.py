@@ -343,6 +343,14 @@ def _commit_snapshot(
     commit's sequence). `live_eq`/`added_eq` are equality delete files
     ([{path, seq, equality_ids}] carried state; (path, equality_ids)
     adds), written into the delete manifest with content=2."""
+    if int((prior or {}).get("format-version") or 1) > 2:
+        raise ValueError(
+            f"{table_path}: format-version "
+            f"{(prior or {}).get('format-version')} table — this writer "
+            "commits v2 metadata (v3 requires deletion-vector writes and "
+            "row-lineage fields); reads/diffs/feeds of v3 DV tables work, "
+            "DML does not"
+        )
     meta_dir = _meta_dir(table_path)
     fs.makedirs(meta_dir)
     if version is None:
@@ -582,7 +590,7 @@ def iceberg_commit(
     if cur in by_id:
         st = _snapshot_state(prior, by_id[cur], table_path, fs)
     else:
-        st = {"data": {}, "pos_deletes": {}, "eq_deletes": []}
+        st = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}}
     # canon the live sets: callers pass canon'd (often _metadata-derived
     # absolute) paths while _rebase outputs are relative whenever
     # table_path is — unnormalized membership checks either reject valid
@@ -1121,6 +1129,7 @@ def iceberg_expire_snapshots(
             set(st["data"])
             | set(st["pos_deletes"])
             | {d["path"] for d in st["eq_deletes"]}
+            | {d["puffin"] for d in st.get("dvs", {}).values()}
         )
         return files, meta_refs
 
@@ -1272,3 +1281,226 @@ def iceberg_upsert(
                 spark, table_path, fs=fs, timestamp_ms=timestamp_ms
             )
     return snap
+
+
+def _dv_manifest_schema() -> dict:
+    """Manifest entry schema extended with the v3 deletion-vector fields
+    (spec: referenced_data_file + content_offset/content_size_in_bytes
+    address one blob inside a puffin file)."""
+    base = _manifest_schema([])
+    df_schema = next(
+        f for f in base["fields"] if f["name"] == "data_file"
+    )["type"]
+    df_schema = json.loads(json.dumps(df_schema))  # deep copy
+    df_schema["name"] = "data_file_v3"
+    df_schema["fields"] += [
+        {
+            "name": "referenced_data_file",
+            "type": ["null", "string"],
+            "default": None,
+        },
+        {"name": "content_offset", "type": ["null", "long"], "default": None},
+        {
+            "name": "content_size_in_bytes",
+            "type": ["null", "long"],
+            "default": None,
+        },
+    ]
+    out = json.loads(json.dumps(base))
+    next(f for f in out["fields"] if f["name"] == "data_file")[
+        "type"
+    ] = df_schema
+    return out
+
+
+def iceberg_v3_dv_commit(
+    table_path: str,
+    deletes: dict[str, object],
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Commit PUFFIN DELETION VECTORS onto an unpartitioned v1/v2 append
+    table, upgrading it to format-version 3 — the spec's v3 row-delete
+    shape (one deletion-vector-v1 blob per data file, addressed from the
+    delete manifest via referenced_data_file + content_offset /
+    content_size_in_bytes). This is how the v3 conformance fixtures are
+    built and the nucleus of a future v3 replication target; general v3
+    DML stays refused (_commit_snapshot guard).
+
+    `deletes` = {live data file path: row positions}. A file with an
+    existing DV merges (positions union, old blob superseded — the
+    spec's at-most-one-DV-per-file rule); untouched DVs carry forward
+    pointing at their original puffin file. Tables with parquet
+    positional or equality delete files refuse (mixing regimes is a
+    migration problem, not a fixture's)."""
+    from rottnest_spark.core.fs import canon_path
+    from rottnest_spark.sources.iceberg import _snapshot_state
+    from rottnest_spark.sources.puffin import (
+        puffin_dv_positions,
+        write_puffin_dvs,
+    )
+
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    if _identity_partition_fields(md):
+        raise ValueError("v3 DV commit on a partitioned table: unsupported")
+    snaps = md.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur = md.get("current-snapshot-id")
+    if cur not in by_id:
+        raise ValueError(f"{table_path} has no current snapshot")
+    st = _snapshot_state(md, by_id[cur], table_path, fs)
+    if st["pos_deletes"] or st["eq_deletes"]:
+        raise ValueError(
+            "table carries parquet positional/equality delete files — "
+            "v3 DV commit only composes with DV-only delete state"
+        )
+    live = {canon_path(p): seq for p, seq in st["data"].items()}
+    unknown = [p for p in deletes if canon_path(p) not in live]
+    if unknown:
+        raise ValueError(f"not live data files: {unknown[:3]}")
+
+    commit_seq = int(md.get("last-sequence-number") or 0) + 1
+    new_version = version + 1
+    snap_id = new_version
+    ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+
+    # merge with existing DVs (at most one DV per file may survive)
+    import numpy as _np
+
+    want: dict[str, object] = {
+        canon_path(p): _np.unique(_np.asarray(list(pos), _np.uint64))
+        for p, pos in deletes.items()
+    }
+    carried: dict[str, dict] = {}
+    for ref, d in st.get("dvs", {}).items():
+        cref = canon_path(ref)
+        if cref in want:
+            data = fs.read_bytes(d["puffin"])
+            old = puffin_dv_positions(
+                data, d.get("offset"), d.get("size"),
+                referenced=d.get("ref_orig"),
+            )
+            want[cref] = _np.union1d(want[cref], old)
+        else:
+            carried[cref] = d
+
+    puffin_path = os.path.join(
+        table_path, f"deletion-vector-{uuid.uuid4().hex[:12]}.puffin"
+    )
+    blob_meta = write_puffin_dvs(
+        puffin_path,
+        want,
+        fs=fs,
+        snapshot_id=snap_id,
+        sequence_number=commit_seq,
+    )
+
+    meta_dir = _meta_dir(table_path)
+    schema3 = _dv_manifest_schema()
+
+    def data_entry(p: str, seq: int) -> dict:
+        return {
+            "status": 0,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": _record_count(p),
+                "file_size_in_bytes": fs.getsize(p),
+                "equality_ids": None,
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            },
+        }
+
+    def dv_entry(ref: str, puffin: str, off, size, card, seq, status) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "data_file": {
+                "content": 1,
+                "file_path": canon_path(puffin),
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": int(card),
+                "file_size_in_bytes": fs.getsize(puffin),
+                "equality_ids": None,
+                "referenced_data_file": ref,
+                "content_offset": None if off is None else int(off),
+                "content_size_in_bytes": None if size is None else int(size),
+            },
+        }
+
+    data_manifest = os.path.join(
+        meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_ocf(
+        data_manifest,
+        schema3,
+        [data_entry(p, live[p]) for p in sorted(live)],
+        fs=fs,
+    )
+    del_entries = [
+        dv_entry(
+            ref, puffin_path, m["offset"], m["size"], m["cardinality"],
+            commit_seq, 1,
+        )
+        for ref, m in sorted(blob_meta.items())
+    ] + [
+        dv_entry(
+            ref, d["puffin"], d.get("offset"), d.get("size"),
+            d.get("cardinality") or -1, d["seq"], 0,
+        )
+        for ref, d in sorted(carried.items())
+    ]
+    del_manifest = os.path.join(
+        meta_dir, f"manifest-del-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_ocf(del_manifest, schema3, del_entries, fs=fs)
+
+    ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
+    min_seq = min([commit_seq] + [int(s) for s in live.values()])
+    write_ocf(
+        ml,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": canon_path(m),
+                "manifest_length": fs.getsize(m),
+                "partition_spec_id": 0,
+                "content": c,
+                "sequence_number": commit_seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": snap_id,
+            }
+            for m, c in ((data_manifest, 0), (del_manifest, 1))
+        ],
+        fs=fs,
+    )
+    out = dict(md)
+    out["format-version"] = 3
+    out["last-sequence-number"] = commit_seq
+    out["last-updated-ms"] = ts
+    out["current-snapshot-id"] = snap_id
+    out["snapshots"] = snaps + [
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": ts,
+            "manifest-list": canon_path(ml),
+            "summary": {"operation": "delete"},
+        }
+    ]
+    md_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    fs.create_exclusive(md_path, json.dumps(out).encode())
+    fs.write_text(
+        os.path.join(meta_dir, "version-hint.text"), str(new_version)
+    )
+    return snap_id

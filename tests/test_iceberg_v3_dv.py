@@ -1,0 +1,226 @@
+"""Iceberg v3 puffin deletion-vector READ (round 8).
+
+Conformance strategy: a v2 table with parquet positional deletes and a
+v3 twin whose SAME deleted positions live in puffin deletion-vector
+blobs (hand-committed through `iceberg_v3_dv_commit`, the same public
+specs a v3 engine writes: iceberg.apache.org/spec/#deletion-vectors +
+puffin-spec). Every consumer — read(), indexed search, snapshot diff,
+change-feed cursor, cross-format replication — must produce identical
+rows on the twins. The reference has nothing here: it refuses any
+delete-bearing table (reference backends/iceberg.py:279-280).
+"""
+
+import os
+
+import pytest
+
+from rottnest_spark.indices.exact import ExactIndex
+from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+from rottnest_spark.sources.iceberg_write import (
+    iceberg_delete_rows,
+    iceberg_upsert,
+    iceberg_v3_dv_commit,
+    iceberg_write,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _data(spark):
+    return spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('w', cast(id % 9 AS string)) AS lang",
+        "id * 3 AS n_chars",
+    )
+
+
+def _positions_of(spark, table, predicate):
+    """{data file: [row positions]} matching a predicate — built from a
+    tagged scan, the same positions a DELETE would tombstone."""
+    import pyspark.sql.functions as F
+
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+
+    files = sorted(
+        snapshot_state_from_metadata(_current_metadata(table), table)["data"]
+    )
+    rows = (
+        spark.read.parquet(*files)
+        .withColumns(
+            {
+                "f": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                "p": F.col("_metadata.row_index"),
+            }
+        )
+        .filter(predicate)
+        .select("f", "p")
+        .collect()
+    )
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r.f, []).append(r.p)
+    return out
+
+
+@pytest.fixture()
+def twins(spark, tmp_path):
+    """(v2 table with parquet pos-deletes, v3 table with puffin DVs)
+    holding identical logical rows."""
+    v2 = str(tmp_path / "v2")
+    v3 = str(tmp_path / "v3")
+    for t in (v2, v3):
+        iceberg_write(_data(spark).repartition(3), t)
+    iceberg_delete_rows(spark, v2, "doc_id % 7 = 0")
+    iceberg_v3_dv_commit(v3, _positions_of(spark, v3, "doc_id % 7 = 0"))
+    return v2, v3
+
+
+def _rows(lake):
+    return sorted(map(tuple, lake.read().collect()))
+
+
+def test_v3_dv_read_equals_v2_twin(spark, twins):
+    v2, v3 = twins
+    l2 = IcebergSnapshotLake(spark, v2, v2 + "_i")
+    l3 = IcebergSnapshotLake(spark, v3, v3 + "_i")
+    assert _rows(l3) == _rows(l2)
+    assert len(_rows(l3)) == 300 - len([i for i in range(300) if i % 7 == 0])
+
+
+def test_v3_dv_search_equals_v2_twin(spark, twins):
+    v2, v3 = twins
+    out = {}
+    for tag, path in (("v2", v2), ("v3", v3)):
+        lake = IcebergSnapshotLake(
+            spark, path, path + "_ix", brute_force_threshold=1
+        )
+        idx = ExactIndex()
+        lake.build_index(idx, "doc_id")
+        out[tag] = sorted(
+            map(tuple, lake.search(idx, "doc_id", 13).collect())
+        )
+        out[tag + "_deleted"] = lake.search(idx, "doc_id", 14).count()
+    assert out["v3"] == out["v2"] and len(out["v2"]) == 1
+    assert out["v3_deleted"] == out["v2_deleted"] == 0  # 14 % 7 == 0
+
+
+def test_v3_dv_files_property_refuses(spark, twins):
+    _, v3 = twins
+    lake = IcebergSnapshotLake(spark, v3, v3 + "_i")
+    with pytest.raises(ValueError, match="delete source"):
+        lake.files
+
+
+def test_v3_dv_snapshot_diff(spark, twins):
+    from rottnest_spark.sources.changes import iceberg_snapshot_diff
+
+    _, v3 = twins
+    diff = iceberg_snapshot_diff(spark, v3, 1, 2)
+    rows = diff.collect()
+    assert all(r._change_type == "delete" for r in rows)
+    assert sorted(r.doc_id for r in rows) == [
+        i for i in range(300) if i % 7 == 0
+    ]
+
+
+def test_v3_dv_merge_and_carry_forward(spark, tmp_path):
+    """Second DV commit: touched file's positions UNION (one DV per file
+    survives), untouched files' DVs carry forward to the old puffin."""
+    t = str(tmp_path / "m")
+    iceberg_write(_data(spark).repartition(3), t)
+    iceberg_v3_dv_commit(t, _positions_of(spark, t, "doc_id < 5"))
+    iceberg_v3_dv_commit(t, _positions_of(spark, t, "doc_id >= 295"))
+    lake = IcebergSnapshotLake(spark, t, t + "_i")
+    got = sorted(r.doc_id for r in lake.read().collect())
+    assert got == list(range(5, 295))
+    # both puffin files are referenced by the current snapshot
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+
+    st = snapshot_state_from_metadata(_current_metadata(t), t)
+    assert len(st["dvs"]) >= 2
+    assert len({d["puffin"] for d in st["dvs"].values()}) == 2
+
+
+def test_v3_dv_feed_and_replication(spark, twins, tmp_path):
+    """The round-7 refusal narrows: a v3 DV source now REPLICATES —
+    cursor polls feed the destination the same rows as the v2 twin."""
+    from rottnest_spark.sources.changes import IcebergChangesCursor, sync_table
+    from rottnest_spark.sources.delta_write import delta_convert
+    from rottnest_spark.sources.writable import DeltaWritableLake
+
+    v2, v3 = twins
+    mirrors = {}
+    for tag, src in (("v2", v2), ("v3", v3)):
+        dst = str(tmp_path / f"dst_{tag}")
+        spark.createDataFrame(
+            [], "doc_id long, lang string, n_chars long"
+        ).coalesce(1).write.parquet(dst)
+        delta_convert(dst)
+        dlake = DeltaWritableLake(spark, dst, dst + "_idx")
+        cur = IcebergChangesCursor(
+            spark, src, str(tmp_path / f"ck_{tag}")
+        )
+        sync_table(cur, dlake, "doc_id")
+        mirrors[tag] = sorted(
+            map(tuple, dlake.read().select("doc_id", "n_chars").collect())
+        )
+    assert mirrors["v3"] == mirrors["v2"] and len(mirrors["v3"]) > 0
+
+
+def test_v3_dml_still_refuses(spark, twins):
+    _, v3 = twins
+    with pytest.raises(ValueError, match="format-version"):
+        iceberg_delete_rows(spark, v3, "doc_id = 1")
+    with pytest.raises(ValueError, match="format-version"):
+        iceberg_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", 3)], "doc_id long, lang string, n_chars long"
+            ),
+            v3,
+            ["doc_id"],
+        )
+
+
+def test_v3_expire_keeps_referenced_puffin(spark, tmp_path):
+    from rottnest_spark.sources.iceberg_write import iceberg_expire_snapshots
+
+    t = str(tmp_path / "e")
+    iceberg_write(_data(spark).repartition(2), t)
+    iceberg_v3_dv_commit(t, _positions_of(spark, t, "doc_id < 10"))
+    deleted = iceberg_expire_snapshots(t, keep_last=1)
+    puffins = [f for f in os.listdir(t) if f.endswith(".puffin")]
+    assert puffins, "live puffin file vacuumed away"
+    assert not any(p.endswith(".puffin") for p in deleted)
+    lake = IcebergSnapshotLake(spark, t, t + "_i")
+    assert sorted(r.doc_id for r in lake.read().collect()) == list(
+        range(10, 300)
+    )
+
+
+def test_v4_still_refuses(spark, tmp_path):
+    import json
+
+    t = str(tmp_path / "v4")
+    iceberg_write(_data(spark).coalesce(1), t)
+    meta = os.path.join(t, "metadata")
+    metas = sorted(
+        f for f in os.listdir(meta) if f.endswith(".metadata.json")
+    )
+    md = json.loads(open(os.path.join(meta, metas[-1])).read())
+    md["format-version"] = 4
+    with open(os.path.join(meta, "v99.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("99")
+    lake = IcebergSnapshotLake(spark, t, t + "_i")
+    with pytest.raises(ValueError, match="format-version 4"):
+        lake.read()

@@ -611,9 +611,12 @@ def test_sync_table_capped_loop(spark, itable, tmp_path):
 def test_v3_source_fails_replication_at_poll_not_midstream(
     spark, itable, tmp_path
 ):
-    """An Iceberg v3 source (puffin deletion vectors — unknown read
-    semantics here) must fail a replication consumer LOUDLY at poll()
-    time, before any row lands on the destination — never mid-merge."""
+    """v3 deletion vectors READ since round 8 (tests/test_iceberg_v3_dv
+    .py covers replication succeeding) — the remaining v3 refusal
+    residue is FIELD DEFAULTS (initial-default changes what missing
+    columns in old files mean). A source carrying one must fail a
+    replication consumer LOUDLY at poll() time, before any row lands on
+    the destination — never mid-merge."""
     import json as _json
 
     from rottnest_spark.sources.changes import IcebergChangesCursor, sync_table
@@ -634,13 +637,14 @@ def test_v3_source_fails_replication_at_poll_not_midstream(
     metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
     md = _json.loads(open(os.path.join(meta, metas[-1])).read())
     md["format-version"] = 3
+    md["schema"]["fields"][2]["initial-default"] = 0  # v3 field default
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
         _json.dump(md, fh)
     with open(os.path.join(meta, "version-hint.text"), "w") as fh:
         fh.write(str(v))
 
-    with pytest.raises(ValueError, match="format-version 3.*puffin"):
+    with pytest.raises(ValueError, match="field defaults"):
         sync_table(cur, dlake, "doc_id")
     # nothing was merged and the cursor did NOT advance
     assert cur.position() is None
