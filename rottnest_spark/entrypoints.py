@@ -854,9 +854,11 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means clusters + within-cluster
-    cosine + one representative per duplicate component. Approximate
-    (k-means) — recall/property harness in tests/test_dedup.py; returned
-    sorted for a stable rows-only record."""
+    cosine + one representative per duplicate component. Deterministic by
+    construction (hash-sampled, id-ordered training; seeded Lloyd), so it
+    is hash-oracled against an independent numpy recompute
+    (rottnest_spark/oracles.py); recall/property harness in
+    tests/test_dedup.py."""
     kept = dedup.semantic_dedup(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", COSINE_TAU
     )
@@ -1261,9 +1263,10 @@ def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sampling over the embedding table: cap
     every k-means cluster at 16 rows, deterministic hash selection (the
-    post-dedup diversity pass of a curation pipeline). Rows-only contract:
-    k-means is iterative, not SQL-expressible; determinism + cap invariants
-    are pinned by tests/test_diversity_sample.py."""
+    post-dedup diversity pass of a curation pipeline). Deterministic by
+    construction, so hash-oracled against an independent numpy recompute
+    (rottnest_spark/oracles.py); cap invariants are additionally pinned by
+    tests/test_diversity_sample.py."""
     from rottnest_spark.ops.sampling import cluster_balanced_sample
 
     return cluster_balanced_sample(
@@ -5203,11 +5206,19 @@ def dynamic_oracles() -> dict[str, str]:
     time (underneath {scratch}). Merged over ORACLES by
     __spark_entry__.oracle_sql(); failures here must not take down the
     static oracle set, so each entry degrades independently."""
+    from rottnest_spark import oracles as _orc
+
     out: dict[str, str] = {}
     for name, builder in (
         ("media_quality", _media_quality_oracle_sql),
         ("media_quality_jpeg", _media_quality_jpeg_oracle_sql),
         ("media_features", _media_features_oracle_sql),
+        # the last two formerly-rows-only queries: k-means is iterative,
+        # but the pipelines are deterministic functions of the data, so
+        # the oracle recomputes them independently (rottnest_spark/oracles
+        # — numpy, no engine imports) as signature-branched VALUES tables
+        ("semantic_dedup", lambda: _orc.semantic_dedup_oracle_sql(COSINE_TAU)),
+        ("diversity_sample", _orc.diversity_sample_oracle_sql),
     ):
         try:
             out[name] = builder()

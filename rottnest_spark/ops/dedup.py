@@ -640,16 +640,30 @@ def embedding_cosine_pairs_ivf(
     # sample-trained Lloyd (bounded driver sample, GEMM distances) — same
     # rationale as VectorIndex.build: centroids only shape the blocking,
     # the within-block cosine verify is exact, so training on everything
-    # buys nothing at 100 TB
+    # buys nothing at 100 TB. The sample is HASH-selected and id-ordered
+    # (not df.sample + partition-order collect): membership and row order
+    # — hence centroids, hence the dedup output — are functions of the
+    # DATA alone, reproducible across partitionings and engines (which is
+    # also what lets an external oracle recompute them)
+    from rottnest_spark.ops.sampling import hash_sample
+
     target = k * 40
     frac = min(1.0, (target * 1.2) / max(n, 1))
-    sample_df = feat.sample(frac, seed=seed) if frac < 1.0 else feat
+    sample_df = (
+        hash_sample(feat, "id", frac, seed=f"ivf:{seed}")
+        if frac < 1.0
+        else feat
+    )
     x = np.array(
-        [r["v"] for r in sample_df.select("v").collect()], dtype=np.float64
+        [
+            r["v"]
+            for r in sample_df.select("id", "v").orderBy("id").collect()
+        ],
+        dtype=np.float64,
     )
     if len(x) < k:
         x = np.array(
-            [r["v"] for r in feat.select("v").limit(k).collect()],
+            [r["v"] for r in feat.orderBy("id").limit(k).collect()],
             dtype=np.float64,
         )
     centers = _lloyd_gemm(x, k, iters=10, seed=seed)

@@ -180,15 +180,23 @@ def cluster_balanced_sample(
     k = max(1, min(n // rows_per_centroid, 4096, n))
     target = k * 40
     frac = min(1.0, (target * 1.2) / max(n, 1))
+    # hash-selected, id-ordered training sample (not df.sample +
+    # partition-order collect): the clustering — hence which rows the cap
+    # keeps — is a function of the data alone, reproducible across
+    # partitionings/engines and recomputable by an external oracle
+    base = feat.select(F.col(id_col).alias("__sid__"), F.col(vec_col).alias("v"))
     sample_df = (
-        feat.select(F.col(vec_col).alias("v")).sample(frac, seed=seed)
+        hash_sample(base, "__sid__", frac, seed=f"diversity:{seed}")
         if frac < 1.0
-        else feat.select(F.col(vec_col).alias("v"))
+        else base
     )
-    x = np.array([r["v"] for r in sample_df.collect()], dtype=np.float64)
+    x = np.array(
+        [r["v"] for r in sample_df.orderBy("__sid__").collect()],
+        dtype=np.float64,
+    )
     if len(x) < k:
         x = np.array(
-            [r[0] for r in feat.select(vec_col).limit(k).collect()],
+            [r["v"] for r in base.orderBy("__sid__").limit(k).collect()],
             dtype=np.float64,
         )
     cents = _lloyd_gemm(x, k, iters=10, seed=seed)
