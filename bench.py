@@ -32,6 +32,17 @@ def main() -> None:
     shutil.rmtree(bench_cache, ignore_errors=True)
     os.environ["ROTTNEST_SPARK_INDEX_CACHE"] = bench_cache
 
+    # pin the bench JVM's heap behavior (round-7 finding: sub-second
+    # entries swung +28-55% with untouched code — heap-resize and major-GC
+    # pauses land on whichever query is running when the heap tips).
+    # Fixed+pre-touched initial heap removes resize stalls; the G1 pause
+    # target bounds individual pauses to noise level for >0.1 s entries.
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        "-Xms12g -XX:+AlwaysPreTouch -XX:+UseG1GC -XX:MaxGCPauseMillis=100"
+        " -XX:+ParallelRefProcEnabled",
+    )
+
     from rottnest_spark import entrypoints as ep
     from rottnest_spark.session import get_spark
 
@@ -195,17 +206,26 @@ def main() -> None:
     # ±0.3-0.5 s term, so it dominates sub-second entries (where the
     # median matters) and is noise-level on multi-second ones (where two
     # extra runs would cost the bench several wall-minutes)
+    # sub-second entries get 5 iterations: at that magnitude the jitter
+    # term (GC/JIT, absolute ±0.3-0.5 s) exceeds the signal, and round-7's
+    # median-of-3 still swung +28-55% on untouched code (event_kpis
+    # 0.94→1.46 s with zero diff). Five samples put the median inside the
+    # noise floor; multi-second entries keep 3 (noise is relative-small
+    # there) and >5 s entries run once (cold cost dominates).
     SINGLE_RUN_ABOVE_SEC = 5.0
+    EXTRA_ITERS_BELOW_SEC = 1.0
     spreads: dict[str, float] = {}
     for name, fn in ep.QUERIES.items():
         ts = []
         try:
-            for it in range(3):
+            for it in range(5):
                 drop_persisted()
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 ts.append(time.time() - t0)
                 if it == 0 and ts[0] >= SINGLE_RUN_ABOVE_SEC:
+                    break
+                if it == 2 and sorted(ts)[1] >= EXTRA_ITERS_BELOW_SEC:
                     break
         except Exception as exc:
             errors[name] = str(exc).splitlines()[-1][:300] if str(exc) else repr(exc)
@@ -400,27 +420,80 @@ def main() -> None:
     if spreads:
         vals = sorted(spreads.values())
         jitter = {
-            "iters": "3 under 5s, 1 above",
+            "iters": "5 under 1s, 3 under 5s, 1 above",
             "stat": "median",
             "median_rel_spread": round(vals[len(vals) // 2], 4),
             "p90_rel_spread": round(vals[int(len(vals) * 0.9)], 4),
             "max_rel_spread": round(vals[-1], 4),
         }
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warmup_sec": warmup_sec,
-                "metrics": metrics,
-                "jitter": jitter,
-                "errors": errors,
-                "sf": sf,
+
+    # -- round-over-round self-annotation --------------------------------
+    # Compare this run against the latest recorded BENCH_r*.json and flag
+    # only entries whose regression exceeds max(15%, the entry's measured
+    # rel spread THIS run) — the round-7 ask: deltas within tolerance are
+    # summarized, not itemized, so a flagged entry means something.
+    vs_prev: dict = {}
+    try:
+        import glob as _glob
+
+        recs = sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if recs:
+            rec = json.load(open(recs[-1]))
+            prev = rec.get("parsed") or {}
+            prev = dict(prev.get("queries", {})) if prev else {}
+            if not prev:
+                # driver records keep only the stdout TAIL — recover the
+                # surviving "name": seconds pairs by regex
+                for mname, mval in re.findall(
+                    r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
+                ):
+                    prev[mname] = float(mval)
+            flagged = {}
+            ok = 0
+            for qn, now in timings.items():
+                if qn not in prev or prev[qn] <= 0:
+                    continue
+                allowed = max(0.15, spreads.get(qn, 0.0))
+                delta = (now - prev[qn]) / prev[qn]
+                if delta > allowed:
+                    flagged[qn] = {
+                        "prev": prev[qn],
+                        "now": now,
+                        "delta": round(delta, 3),
+                        "allowed": round(allowed, 3),
+                    }
+                else:
+                    ok += 1
+            vs_prev = {
+                "against": os.path.basename(recs[-1]),
+                "within_tolerance": ok,
+                "flagged": flagged,
             }
-        )
-    )
+    except Exception as exc:  # annotation must never fail the bench line
+        vs_prev = {"error": str(exc)[:120]}
+
+    # key order matters: the driver keeps only the stdout TAIL, so the
+    # compact high-value keys (jitter, vs_prev, errors, sf) go LAST and
+    # the big queries dict first (its head is what truncation eats). The
+    # COMPLETE record also lands in bench_last.json for the repo history.
+    line = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warmup_sec": warmup_sec,
+        "metrics": metrics,
+        "jitter": jitter,
+        "vs_prev": vs_prev,
+        "errors": errors,
+        "sf": sf,
+    }
+    try:
+        with open(os.path.join(REPO, "bench_last.json"), "w") as fh:
+            json.dump({**line, "spreads": {k: round(v, 4) for k, v in spreads.items()}}, fh, indent=1)
+    except Exception:
+        pass
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -51,4 +51,12 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
     )
+    # opt-in JVM flag pinning (bench sets this: fixed initial heap + G1
+    # pause target turn multi-second full-GC pauses — the dominant bench
+    # jitter term — into bounded incremental ones). -Xmx stays owned by
+    # spark.driver.memory; Spark rejects it here anyway. Only applied when
+    # set — an empty extraJavaOptions would still override a user's own.
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     return builder.getOrCreate()
