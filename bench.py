@@ -174,9 +174,14 @@ def main() -> None:
     )
     timed(
         "pq_build_embeddings",
+        # MUST match q_vector_knn_pq's params exactly: indexed_lake keys
+        # its cache on the index config, so a drifted build entry makes
+        # the query entry silently REBUILD inside its timed run (round-8
+        # finding: vector_knn_pq read 19.3 s — 17 s of it a hidden
+        # rebuild, because this entry still used the pre-gate pq_k=16)
         lambda: ep.indexed_lake(
             spark, sf_dir, "embeddings", "embedding",
-            VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=64),
+            VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=64, refine=128),
         ),
     )
     from rottnest_spark.indices.vamana import VamanaIndex

@@ -51,7 +51,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(SCRATCH, ignore_errors=True)
     table = os.path.join(SCRATCH, "tbl")
-    os.makedirs(table)
 
     # 50 data files x 2k rows — big enough that an O(live files) consumer
     # bug would dominate the per-step numbers, small enough to iterate

@@ -51,8 +51,17 @@ def _make_base(path: str, n_files: int) -> str:
         ),
         donor,
     )
-    for i in range(n_files - 1):
-        os.link(donor, os.path.join(path, f"base-{i:07d}.parquet"))
+    # several link donors: filesystems cap hard links per inode (~65k)
+    donors = [donor]
+    for d in range(1, 1 + (n_files // 30_000)):
+        extra = os.path.join(path, f"a-donor-{d}.parquet")
+        shutil.copyfile(donor, extra)
+        donors.append(extra)
+    for i in range(n_files - len(donors)):
+        os.link(
+            donors[i % len(donors)],
+            os.path.join(path, f"base-{i:07d}.parquet"),
+        )
     return donor
 
 
