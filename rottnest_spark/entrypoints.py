@@ -2826,6 +2826,107 @@ def q_delta_mapped_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: v3 defaults fixture: evolved rows are keys % this == 0; their physical
+#: score is o_orderkey % 100, EXPLICITLY NULL when o_orderkey % 5 == 0
+#: (5, not MOR_SRC_MOD: the evolved slice EXCLUDES %3 keys, so a %3 null
+#: rule would leave the null-preservation branch untested in the oracle)
+V3D_EVOLVED_MOD, V3D_NULL_MOD, V3D_DEFAULT = 11, 5, 7
+
+
+def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 FIELD DEFAULTS read (round 8, sources/iceberg.py
+    initial_default_fields + scan_with_initial_defaults;
+    iceberg.apache.org/spec/#default-values): pre-evolution data files
+    physically LACK the `score` column, a later commit's file carries it
+    (with explicit nulls), and the hand-upgraded v3 metadata stamps
+    `initial-default = {V3D_DEFAULT}`. The read must surface the default
+    for pre-evolution rows ONLY — explicit nulls stay null (the scan
+    splits by footer, never blanket-coalesces). Oracle: the same fill
+    arithmetic stated directly in SQL over orders."""
+    import json
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_commit,
+        iceberg_convert,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_v3def_")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        iceberg_convert(work)
+        stage = os.path.join(work, "evolved")
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % V3D_EVOLVED_MOD == 0)
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD != 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % V3D_NULL_MOD != 0,
+                    F.col("o_orderkey") % 100,
+                ).alias("score"),
+            )
+            .coalesce(1)
+            .write.parquet(stage)
+        )
+        iceberg_commit(
+            work,
+            add=[
+                os.path.join(stage, f)
+                for f in sorted(os.listdir(stage))
+                if f.endswith(".parquet")
+            ],
+        )
+        meta = os.path.join(work, "metadata")
+        metas = sorted(
+            f for f in os.listdir(meta) if f.endswith(".metadata.json")
+        )
+        md = json.loads(open(os.path.join(meta, metas[-1])).read())
+        md["format-version"] = 3
+        md["schema"]["fields"].append(
+            {
+                "id": 1 + max(f["id"] for f in md["schema"]["fields"]),
+                "name": "score",
+                "required": False,
+                "type": "long",
+                "initial-default": V3D_DEFAULT,
+            }
+        )
+        v = len(metas) + 10
+        with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
+            json.dump(md, fh)
+        with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+            fh.write(str(v))
+
+        lake = IcebergSnapshotLake(spark, work, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.count("score").alias("n_scored"),
+                F.sum("score").alias("sum_score"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 DIFF_INS_MOD = 11  # snapshot-diff appends orders keys divisible by this
 
 
@@ -3196,6 +3297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21": q_tpch_q21,
     "tpch_q9": q_tpch_q9,
     "delta_mapped_dml_read": q_delta_mapped_dml_read,
+    "iceberg_v3_defaults_read": q_iceberg_v3_defaults_read,
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
     "delta_dv_read": q_delta_dv_read,

@@ -374,6 +374,30 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # v3 initial-default fill arithmetic stated directly: pre-evolution
+    # rows (the MOR_SRC slice) score the DEFAULT; evolved rows keep their
+    # physical value including explicit NULLs (keys % V3D_NULL_MOD = 0)
+    "iceberg_v3_defaults_read": f"""
+        WITH tbl AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST({V3D_DEFAULT} AS BIGINT) AS score
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % {V3D_NULL_MOD} <> 0
+                        THEN o_orderkey % 100 END AS score
+            FROM orders
+            WHERE o_orderkey % {V3D_EVOLVED_MOD} = 0
+              AND o_orderkey % {MOR_SRC_MOD} <> 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               count(score) AS n_scored,
+               sum(score) AS sum_score,
+               max(o_orderkey) AS max_key
+        FROM tbl
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "delta_mapped_dml_read": f"""
         WITH src AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -275,6 +275,23 @@ def _iceberg_pos_side(spark, md, st, table_path):
     return pos
 
 
+def _iceberg_defaults_scan(spark, md):
+    """tagged_scan override for v3 tables with `initial-default` fields:
+    pre-evolution files scan missing-column-filled so diff/feed rows
+    carry the spec default, not NULL (sources/iceberg.py
+    scan_with_initial_defaults — the same hook column-mapped Delta uses).
+    None when the table has no defaults (snapshot_diff's base scan)."""
+    from rottnest_spark.sources.iceberg import (
+        initial_default_fields,
+        scan_with_initial_defaults,
+    )
+
+    dmap = initial_default_fields(md)
+    if not dmap:
+        return None
+    return lambda fl: scan_with_initial_defaults(spark, fl, dmap, tagged=True)
+
+
 def iceberg_snapshot_diff(
     spark,
     table_path: str,
@@ -318,6 +335,7 @@ def iceberg_snapshot_diff(
     return snapshot_diff(
         spark, files_a, pos_a, files_b, pos_b, net=net,
         changed_common=changed,
+        tagged_scan=_iceberg_defaults_scan(spark, md),
     )
 
 
@@ -587,6 +605,7 @@ def iceberg_changes_feed(
         step = snapshot_diff(
             spark, prev[0], prev[1], cur[0], cur[1],
             changed_common=changed,
+            tagged_scan=_iceberg_defaults_scan(spark, md),
         )
         parts.append(
             step.withColumn(
@@ -601,8 +620,11 @@ def iceberg_changes_feed(
             )
         from rottnest_spark.sources.reader import read_parquet_tagged
 
+        probe_scan = _iceberg_defaults_scan(spark, md) or (
+            lambda fl: read_parquet_tagged(spark, fl)
+        )
         return (
-            read_parquet_tagged(spark, [schema_probe])
+            probe_scan([schema_probe])
             .drop("__path", "__pos")
             .withColumn(_CHANGE_COL, F.lit(""))
             .withColumn("_commit_snapshot_id", F.lit(0).cast("long"))

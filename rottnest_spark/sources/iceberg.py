@@ -215,6 +215,82 @@ def snapshot_state_from_metadata(md: dict, table_path: str, fs=None) -> dict:
     return _snapshot_state(md, by_id[snap_id], table_path, fs)
 
 
+#: iceberg primitive → spark cast target for v3 `initial-default` fills
+#: (JSON single-value serialization of these types is the plain literal,
+#: so the metadata value feeds F.lit directly). Anything else —
+#: date/time/timestamp/decimal/uuid/fixed/binary/nested — refuses: their
+#: JSON encodings need per-type parsing this reader does not implement,
+#: and a wrong fill is silent corruption.
+_DEFAULTABLE_TYPES = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def initial_default_fields(md: dict) -> dict[str, tuple[object, str]]:
+    """{column: (default literal, spark type)} for v3 `initial-default`
+    schema fields (iceberg.apache.org/spec/#default-values): the value a
+    reader must surface for rows whose data file PREDATES the field.
+    `write-default` is a writer-side concern — readers ignore it.
+    Defaulted non-primitive / unparsed types refuse loudly."""
+    out: dict[str, tuple[object, str]] = {}
+    for f in (md.get("schema") or {}).get("fields", []):
+        if "initial-default" not in f:
+            continue
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _DEFAULTABLE_TYPES:
+            raise ValueError(
+                f"Iceberg v3 field {f.get('name')!r} carries an "
+                f"initial-default of type {t!r} — only primitive "
+                f"{sorted(_DEFAULTABLE_TYPES)} fills are implemented; "
+                "refusing instead of misreading"
+            )
+        out[f["name"]] = (f["initial-default"], _DEFAULTABLE_TYPES[t])
+    return out
+
+
+def scan_with_initial_defaults(spark, fl, dmap: dict, tagged: bool):
+    """Scan data files on a v3 table with `initial-default` fields:
+    files are GROUPED by which defaulted columns their footers lack
+    (per-file footer peek — pre-evolution files physically miss the
+    column), each group scans uniformly and fills the missing columns
+    with the spec literal, and the groups union by name. Splitting the
+    scan is what keeps an explicit NULL written AFTER the evolution
+    distinct from a missing pre-evolution value — a single mixed scan
+    surfaces both as null and a blanket coalesce would corrupt the
+    explicit one."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.reader import (
+        read_parquet,
+        read_parquet_tagged,
+    )
+
+    groups: dict[frozenset, list[str]] = {}
+    for f in fl:
+        names = set(pq.ParquetFile(f).schema_arrow.names)
+        groups.setdefault(
+            frozenset(c for c in dmap if c not in names), []
+        ).append(f)
+    scan = read_parquet_tagged if tagged else read_parquet
+    parts = []
+    for missing in sorted(groups, key=sorted):
+        df = scan(spark, sorted(groups[missing]))
+        for c in sorted(missing):
+            v, t = dmap[c]
+            df = df.withColumn(c, F.lit(v).cast(t))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _schema_field_names(md: dict) -> dict[int, str]:
     """field-id → name map from the table schema (current schema when
     `schemas`+`current-schema-id` are present, else legacy `schema`)."""
@@ -255,6 +331,7 @@ def apply_equality_deletes(spark, df, state: dict, md: dict):
     seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
     df = df.join(F.broadcast(seq_df), "__path", "left")
 
+    dmap = initial_default_fields(md)
     by_ids: dict[tuple, list[dict]] = {}
     for d in state["eq_deletes"]:
         by_ids.setdefault(tuple(d["equality_ids"]), []).append(d)
@@ -265,6 +342,16 @@ def apply_equality_deletes(spark, df, state: dict, md: dict):
                 raise ValueError(
                     f"equality delete references unknown field id {i} "
                     f"(schema has {sorted(names)})"
+                )
+            if names[i] in dmap:
+                # a delete file written before the field evolution would
+                # carry the key column MISSING — its rows would then
+                # match nothing instead of the default-valued rows
+                raise ValueError(
+                    f"equality delete keyed on {names[i]!r}, a field "
+                    "with a v3 initial-default — pre-evolution delete "
+                    "files cannot be value-matched faithfully; refusing "
+                    "instead of misreading"
                 )
             cols.append(names[i])
         del_df = _eq_delete_rows_df(spark, dels, cols)
@@ -465,24 +552,15 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
             f"Iceberg format-version {fv} exceeds this reader's support "
             "(v1/v2/v3) — unknown read semantics; refusing"
         )
-    if fv == 3:
-        # v3 puffin deletion vectors READ here (round 8 — the "dvs" state
-        # key below + dv_pairs_df). Row lineage is additive metadata,
-        # ignorable for reads. What still refuses: FIELD DEFAULTS — a
-        # schema field with initial-default changes what old files'
-        # missing columns mean, and ignoring it would surface nulls
-        # where the spec says the default.
-        defaulted = [
-            f["name"]
-            for f in (md.get("schema") or {}).get("fields", [])
-            if "initial-default" in f or "write-default" in f
-        ]
-        if defaulted:
-            raise ValueError(
-                f"Iceberg v3 table with field defaults {defaulted} — "
-                "this reader would surface NULL instead of the default "
-                "for pre-evolution files; refusing instead of misreading"
-            )
+    # v3 (fv == 3): puffin deletion vectors READ here (round 8 — the
+    # "dvs" state key below + dv_pairs_df). Row lineage is additive
+    # metadata, ignorable for reads. FIELD DEFAULTS (also round 8): state
+    # resolution is unaffected — `initial-default` changes what a MISSING
+    # column in a pre-evolution data file means, so it is handled where
+    # files are scanned (initial_default_fields + scan_with_initial_
+    # defaults; read/diff/feed fill, index paths refuse). `write-default`
+    # is writer-side only per the spec — readers ignore it. Unsupported
+    # defaulted TYPES refuse at scan time inside initial_default_fields.
     location = md.get("location", "")
 
     manifests: list[tuple[str, int, int]] = []  # (path, content, ml_seq)
@@ -714,7 +792,9 @@ class IcebergSnapshotLake(ParquetLake):
         return _current_metadata(self._table_path, fs=self.fs)
 
     def _files_and_deletes(self) -> tuple[list[str], list[str]]:
-        st = self._cached_state(self._table_metadata())
+        md = self._table_metadata()
+        self._refuse_defaults_for_index(md)
+        st = self._cached_state(md)
         if st["eq_deletes"]:
             raise ValueError(
                 f"table has {len(st['eq_deletes'])} equality delete "
@@ -740,6 +820,23 @@ class IcebergSnapshotLake(ParquetLake):
                 "everything else (top-K search, copy-on-write DML)"
             )
         return data
+
+    @staticmethod
+    def _refuse_defaults_for_index(md: dict) -> None:
+        """Index paths read candidate file bytes raw — a v3
+        initial-default field would surface NULL instead of the default
+        in build keys and refine rows. read()/diff/feed fill defaults
+        (scan_with_initial_defaults); index paths refuse until the table
+        is rewritten with the column materialized."""
+        dmap = initial_default_fields(md)
+        if dmap:
+            raise ValueError(
+                f"Iceberg v3 initial-default field(s) {sorted(dmap)} — "
+                "index build/search reads data files raw and would index "
+                "NULL where the spec says the default. read(), snapshot "
+                "diffs, and change feeds support this table; rewrite the "
+                "defaulted column physical before indexing"
+            )
 
     # merge-on-read search contract (core/lake.py hooks): predicate
     # searches stay EXACT on delete-bearing snapshots — the plan runs
@@ -826,7 +923,12 @@ class IcebergSnapshotLake(ParquetLake):
         nanosecond-timestamp handling mirrors sources/reader.read_parquet."""
         has_pos = bool(state["pos_deletes"]) or bool(state["dvs"])
         eqs = state["eq_deletes"]
+        dmap = initial_default_fields(md)
         if not has_pos and not eqs:
+            if dmap:
+                return scan_with_initial_defaults(
+                    self.spark, fl, dmap, tagged=False
+                )
             from rottnest_spark.sources.reader import read_parquet
 
             return read_parquet(self.spark, fl)
@@ -834,7 +936,11 @@ class IcebergSnapshotLake(ParquetLake):
 
         from rottnest_spark.sources.reader import read_parquet_tagged
 
-        df = read_parquet_tagged(self.spark, fl)
+        df = (
+            scan_with_initial_defaults(self.spark, fl, dmap, tagged=True)
+            if dmap
+            else read_parquet_tagged(self.spark, fl)
+        )
         if has_pos:
             if pairs is None:
                 pairs = position_delete_pairs_df(

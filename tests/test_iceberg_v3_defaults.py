@@ -1,0 +1,232 @@
+"""Iceberg v3 FIELD DEFAULTS (iceberg.apache.org/spec/#default-values),
+round 8: `initial-default` is the value a reader must surface for rows
+whose data file predates the field's addition. Fixture shape mirrors what
+a v3-writing engine leaves behind: v2-written data files, a later file
+that physically CARRIES the evolved column (including an explicit null —
+which must stay null), then hand-upgraded metadata adding the field with
+its default.
+
+Contract pinned here:
+- read(): pre-evolution rows surface the default; post-evolution values —
+  including explicit nulls — are untouched (the scan splits by footer, it
+  never blanket-coalesces);
+- snapshot diff / change feed / cross-format replication carry the
+  default through (a DV delete of pre-evolution rows feeds deletes with
+  the default filled);
+- `write-default`-only tables are fully supported everywhere (writer-side
+  concern, readers ignore);
+- index build/search refuses loudly (raw candidate reads would index
+  NULL), and equality deletes keyed on a defaulted field refuse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rottnest_spark.sources.iceberg import (
+    IcebergSnapshotLake,
+    initial_default_fields,
+)
+from rottnest_spark.sources.iceberg_write import (
+    iceberg_commit,
+    iceberg_convert,
+)
+
+DEFAULT = 7
+
+
+def _upgrade_v3(table: str, extra_field: dict) -> None:
+    meta = os.path.join(table, "metadata")
+    metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
+    md = json.loads(open(os.path.join(meta, metas[-1])).read())
+    md["format-version"] = 3
+    md["schema"]["fields"].append(extra_field)
+    v = len(metas) + 10
+    with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+
+@pytest.fixture()
+def vtable(spark, tmp_path):
+    """v3 table with `score long initial-default 7`: rows 0..99 predate
+    the field (two files), rows 100..109 carry it physically — score =
+    doc_id for even ids, EXPLICIT NULL for odd ones."""
+    out = str(tmp_path / "v3d")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "concat('d', id) AS body"
+    ).repartition(2).write.parquet(out)
+    iceberg_convert(out)
+    new = spark.range(100, 110).selectExpr(
+        "id AS doc_id",
+        "concat('n', id) AS body",
+        "CASE WHEN id % 2 = 0 THEN id ELSE NULL END AS score",
+    ).coalesce(1)
+    stage = os.path.join(out, "evolved")
+    new.write.parquet(stage)
+    files = [
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    ]
+    iceberg_commit(out, add=files)
+    next_id = 100  # clear of the convert-derived field ids
+    _upgrade_v3(
+        out,
+        {
+            "id": next_id,
+            "name": "score",
+            "required": False,
+            "type": "long",
+            "initial-default": DEFAULT,
+        },
+    )
+    return out
+
+
+def _scores(df):
+    return {r.doc_id: r.score for r in df.select("doc_id", "score").collect()}
+
+
+def test_read_fills_pre_evolution_rows_only(spark, vtable):
+    got = _scores(IcebergSnapshotLake(spark, vtable, vtable + "_i").read())
+    assert len(got) == 110
+    for i in range(100):
+        assert got[i] == DEFAULT, i  # pre-evolution: the spec default
+    for i in range(100, 110):
+        assert got[i] == (i if i % 2 == 0 else None), i  # explicit values
+
+
+def test_diff_and_feed_carry_the_default(spark, vtable):
+    from rottnest_spark.sources.changes import (
+        IcebergChangesCursor,
+        iceberg_snapshot_diff,
+    )
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_dv_commit
+
+    cur = IcebergChangesCursor(spark, vtable, vtable + "_ck")
+    from rottnest_spark.sources.iceberg import _current_metadata
+
+    cur.ack(_current_metadata(vtable)["current-snapshot-id"])
+
+    # DV-delete rows 0..9 — all pre-evolution, so the feed's delete rows
+    # must surface score == DEFAULT, not NULL
+    import pyspark.sql.functions as _F
+
+    from rottnest_spark.sources.iceberg import snapshot_state_from_metadata
+
+    md = _current_metadata(vtable)
+    files = sorted(snapshot_state_from_metadata(md, vtable)["data"])
+    tagged = (
+        spark.read.parquet(*[f for f in files if "evolved" not in f])
+        .withColumns(
+            {
+                "__p": _F.regexp_replace(
+                    _F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                "__r": _F.col("_metadata.row_index"),
+            }
+        )
+        .filter("doc_id < 10")
+        .select("__p", "__r")
+        .collect()
+    )
+    dels: dict[str, list[int]] = {}
+    for r in tagged:
+        dels.setdefault(r["__p"], []).append(int(r["__r"]))
+    snap = iceberg_v3_dv_commit(vtable, dels)
+
+    diff = iceberg_snapshot_diff(spark, vtable, md["current-snapshot-id"], snap)
+    rows = {
+        (r.doc_id, r.score)
+        for r in diff.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert rows == {(i, DEFAULT) for i in range(10)}
+
+    feed, end = cur.poll()
+    frows = {
+        (r.doc_id, r.score)
+        for r in feed.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert frows == {(i, DEFAULT) for i in range(10)}
+    cur.ack(end)
+
+
+def test_replication_materializes_the_default(spark, vtable, tmp_path):
+    from rottnest_spark.sources.changes import IcebergChangesCursor, sync_table
+    from rottnest_spark.sources.delta_write import delta_convert
+    from rottnest_spark.sources.writable import DeltaWritableLake
+
+    dst = str(tmp_path / "dst")
+    spark.createDataFrame(
+        [], "doc_id long, body string, score long"
+    ).coalesce(1).write.parquet(dst)
+    delta_convert(dst)
+    dlake = DeltaWritableLake(spark, dst, dst + "_idx")
+    cur = IcebergChangesCursor(spark, vtable, str(tmp_path / "ck"))
+    while sync_table(cur, dlake, "doc_id") is not None:
+        pass
+    got = _scores(dlake.read())
+    assert got[0] == DEFAULT and got[99] == DEFAULT
+    assert got[100] == 100 and got[101] is None
+
+
+def test_index_paths_refuse_loudly(spark, vtable):
+    from rottnest_spark.indices.exact import ExactIndex
+
+    lake = IcebergSnapshotLake(spark, vtable, vtable + "_ix")
+    with pytest.raises(ValueError, match="initial-default"):
+        lake.build_index(ExactIndex(), "doc_id")
+    with pytest.raises(ValueError, match="initial-default"):
+        lake.files  # top-K / copy-on-write file listing refuses too
+    with pytest.raises(ValueError, match="initial-default"):
+        lake._search_files()  # the predicate-search hook
+
+
+def test_write_default_only_is_fully_supported(spark, tmp_path):
+    """write-default is writer-side per the spec — a table carrying only
+    it reads AND indexes (the round-7 refusal covered both defaults)."""
+    out = str(tmp_path / "wd")
+    spark.range(50).selectExpr(
+        "id AS doc_id", "concat('d', id) AS body"
+    ).coalesce(1).write.parquet(out)
+    iceberg_convert(out)
+    meta = os.path.join(out, "metadata")
+    metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
+    md = json.loads(open(os.path.join(meta, metas[-1])).read())
+    md["format-version"] = 3
+    md["schema"]["fields"][1]["write-default"] = "x"
+    v = len(metas) + 10
+    with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+    assert initial_default_fields(md) == {}
+    from rottnest_spark.indices.exact import ExactIndex
+
+    lake = IcebergSnapshotLake(spark, out, out + "_i")
+    assert lake.read().count() == 50
+    lake.build_index(ExactIndex(), "doc_id")
+    assert lake.search(ExactIndex(), "doc_id", 5).count() == 1
+
+
+def test_unsupported_default_type_refuses(spark, vtable):
+    _upgrade_v3(
+        vtable,
+        {
+            "id": 101,
+            "name": "price",
+            "required": False,
+            "type": "decimal(10, 2)",
+            "initial-default": "19.99",
+        },
+    )
+    lake = IcebergSnapshotLake(spark, vtable, vtable + "_i2")
+    with pytest.raises(ValueError, match="initial-default"):
+        lake.read().count()

@@ -611,10 +611,11 @@ def test_sync_table_capped_loop(spark, itable, tmp_path):
 def test_v3_source_fails_replication_at_poll_not_midstream(
     spark, itable, tmp_path
 ):
-    """v3 deletion vectors READ since round 8 (tests/test_iceberg_v3_dv
-    .py covers replication succeeding) — the remaining v3 refusal
-    residue is FIELD DEFAULTS (initial-default changes what missing
-    columns in old files mean). A source carrying one must fail a
+    """v3 deletion vectors AND primitive initial-defaults READ since
+    round 8 (tests/test_iceberg_v3_dv.py, tests/test_iceberg_v3_defaults
+    .py cover those succeeding) — the remaining v3 refusal residue is an
+    initial-default of an UNSUPPORTED type (non-primitive JSON encodings
+    this reader does not parse). A source carrying one must fail a
     replication consumer LOUDLY at poll() time, before any row lands on
     the destination — never mid-merge."""
     import json as _json
@@ -632,19 +633,29 @@ def test_v3_source_fails_replication_at_poll_not_midstream(
     cur = IcebergChangesCursor(spark, itable, str(tmp_path / "v3ck"))
 
     # hand-build the v3 fixture: bump format-version on a NEW metadata
-    # version (the shape a v3-writing engine would leave behind)
+    # version (the shape a v3-writing engine would leave behind) and add
+    # a field whose initial-default is of a type the fill cannot parse
     meta = os.path.join(itable, "metadata")
     metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
     md = _json.loads(open(os.path.join(meta, metas[-1])).read())
     md["format-version"] = 3
-    md["schema"]["fields"][2]["initial-default"] = 0  # v3 field default
+    next_id = 1 + max(f["id"] for f in md["schema"]["fields"])
+    md["schema"]["fields"].append(
+        {
+            "id": next_id,
+            "name": "price",
+            "required": False,
+            "type": "decimal(10, 2)",
+            "initial-default": "19.99",
+        }
+    )
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
         _json.dump(md, fh)
     with open(os.path.join(meta, "version-hint.text"), "w") as fh:
         fh.write(str(v))
 
-    with pytest.raises(ValueError, match="field defaults"):
+    with pytest.raises(ValueError, match="initial-default"):
         sync_table(cur, dlake, "doc_id")
     # nothing was merged and the cursor did NOT advance
     assert cur.position() is None
