@@ -387,7 +387,11 @@ def test_reader_refuses_unknown_reader_features(spark, table):
     # test in this file after delta_delete_rows' protocol upgrade)
 
 
-def test_iceberg_refuses_format_v3(spark, sf_dir, tmp_path):
+def test_iceberg_v3_reads_and_v4_refuses(spark, sf_dir, tmp_path):
+    """Format-version 3 READS since round 8 (puffin DVs + field defaults
+    have dedicated suites; a bare v3 table must list files like its v2
+    self). The support boundary moves to format-version 4: unknown read
+    semantics refuse loudly."""
     from rottnest_spark.sources.iceberg import iceberg_live_files
     from rottnest_spark.sources.iceberg_write import iceberg_convert
 
@@ -399,6 +403,7 @@ def test_iceberg_refuses_format_v3(spark, sf_dir, tmp_path):
         .write.parquet(t)
     )
     iceberg_convert(t)
+    want = iceberg_live_files(t)
     meta = os.path.join(t, "metadata")
     md_file = [f for f in os.listdir(meta) if f.endswith(".metadata.json")][0]
     p = os.path.join(meta, md_file)
@@ -406,7 +411,11 @@ def test_iceberg_refuses_format_v3(spark, sf_dir, tmp_path):
     md["format-version"] = 3
     with open(p, "w") as fh:
         json.dump(md, fh)
-    with pytest.raises(ValueError, match="format-version 3"):
+    assert iceberg_live_files(t) == want
+    md["format-version"] = 4
+    with open(p, "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(ValueError, match="format-version 4"):
         iceberg_live_files(t)
 
 
