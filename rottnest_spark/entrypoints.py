@@ -2652,13 +2652,14 @@ def q_iceberg_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg FORMAT-VERSION 3 deletion-vector read (round 8,
+    """Iceberg FORMAT-VERSION 3 deletion-vector round trip (round 8,
     sources/puffin.py + iceberg.py dv_pairs_df): same logical op as
-    iceberg_mor_read, but the deleted positions live in a PUFFIN file's
+    iceberg_mor_read, but the DELETE runs through the distributed v3
+    writer — iceberg_v3_delete_rows packs per-task PUFFIN files of
     deletion-vector-v1 blobs (64-bit portable roaring, CRC-framed —
-    iceberg.apache.org/spec/#deletion-vectors) committed via
-    iceberg_v3_dv_commit, and the reader resolves them through the v3
-    delete manifest's referenced_data_file/content_offset fields with
+    iceberg.apache.org/spec/#deletion-vectors) executor-side, the driver
+    commits descriptors only — and the reader resolves them through the
+    v3 delete manifest's referenced_data_file/content_offset fields with
     executor-side decode. Same oracle as the v2 twin — the two formats
     must be observationally identical."""
     import shutil
@@ -2667,7 +2668,7 @@ def q_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rottnest_spark.sources.iceberg import IcebergSnapshotLake
     from rottnest_spark.sources.iceberg_write import (
         iceberg_convert,
-        iceberg_v3_dv_commit,
+        iceberg_v3_delete_rows,
     )
 
     work = tempfile.mkdtemp(prefix="rottnest_v3dv_")
@@ -2679,29 +2680,9 @@ def q_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.parquet(work, mode="overwrite")
         )
         iceberg_convert(work)
-        tagged = spark.read.parquet(
-            *[
-                os.path.join(work, f)
-                for f in sorted(os.listdir(work))
-                if f.endswith(".parquet")
-            ]
-        ).withColumns(
-            {
-                "f": F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ),
-                "p": F.col("_metadata.row_index"),
-            }
+        iceberg_v3_delete_rows(
+            spark, work, f"o_orderkey % {MOR_DEL_MOD} = 0"
         )
-        doomed = (
-            tagged.filter(F.col("o_orderkey") % MOR_DEL_MOD == 0)
-            .select("f", "p")
-            .collect()
-        )
-        dvs: dict[str, list] = {}
-        for r in doomed:
-            dvs.setdefault(r.f, []).append(r.p)
-        iceberg_v3_dv_commit(work, dvs)
         lake = IcebergSnapshotLake(spark, work, os.path.join(work, "idx"))
         out = (
             lake.read()

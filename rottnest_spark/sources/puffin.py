@@ -68,6 +68,81 @@ def encode_dv_blob(positions) -> bytes:
     )
 
 
+def make_puffin_dv_blob_encoder():
+    """encode(positions) → one framed deletion-vector-v1 blob (length +
+    magic + portable-64 roaring + CRC). Self-contained closure (repo
+    convention: ships to executors by value) — reuses the roaring
+    encoder closure and reframes Delta's 4-byte magic into the Iceberg
+    blob framing, exactly like the module-level encode_dv_blob."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from rottnest_spark.sources.roaring import make_dv_encoder
+
+    enc = make_dv_encoder()
+    dv_magic = DV_MAGIC
+
+    def encode(positions) -> bytes:
+        body = dv_magic + enc(positions)[4:]
+        return (
+            _struct.pack(">i", len(body))
+            + body
+            + _struct.pack(">I", _zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    return encode
+
+
+def make_puffin_dv_packer(snapshot_id: int, sequence_number: int):
+    """pack(rows) → (puffin file bytes, descriptors): assemble ONE Puffin
+    container from pre-encoded (referenced data file, blob bytes,
+    cardinality) rows — the EXECUTOR-side tail of a distributed DV
+    write (each task packs its partition's blobs into one file and
+    ships back descriptor rows only; bitmaps never reach the driver —
+    the delta_write.pack_bins discipline). Self-contained closure:
+    json/struct only, framing mirrors write_puffin_dvs byte for byte."""
+    import json as _json
+    import struct as _struct
+
+    magic = MAGIC
+    blob_type = DV_BLOB_TYPE
+
+    def pack(rows):
+        buf = bytearray(magic)
+        blobs, desc = [], []
+        for ref, blob, card in rows:
+            off = len(buf)
+            buf += blob
+            blobs.append(
+                {
+                    "type": blob_type,
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": sequence_number,
+                    "offset": off,
+                    "length": len(blob),
+                    "properties": {
+                        "referenced-data-file": ref,
+                        "cardinality": str(int(card)),
+                    },
+                }
+            )
+            desc.append(
+                {
+                    "ref": ref,
+                    "offset": off,
+                    "size": len(blob),
+                    "cardinality": int(card),
+                }
+            )
+        payload = _json.dumps({"blobs": blobs, "properties": {}}).encode()
+        buf += magic + payload
+        buf += _struct.pack("<i", len(payload)) + b"\x00\x00\x00\x00" + magic
+        return bytes(buf), desc
+
+    return pack
+
+
 def make_puffin_dv_decoder():
     """decode(file_bytes, offset, size=None, referenced=None) →
     np.ndarray of deleted positions. Self-contained closure (repo

@@ -224,3 +224,105 @@ def test_v4_still_refuses(spark, tmp_path):
     lake = IcebergSnapshotLake(spark, t, t + "_i")
     with pytest.raises(ValueError, match="format-version 4"):
         lake.read()
+
+
+# --- iceberg_v3_delete_rows: the DISTRIBUTED v3 DELETE ----------------------
+
+
+def test_v3_delete_rows_matches_v2_twin(spark, tmp_path):
+    """Predicate delete via executor-written puffin DVs ≡ the v2
+    parquet-positional delete of the same predicate."""
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_delete_rows
+
+    v2 = str(tmp_path / "d2")
+    v3 = str(tmp_path / "d3")
+    for t in (v2, v3):
+        iceberg_write(_data(spark).repartition(3), t)
+    iceberg_delete_rows(spark, v2, "doc_id % 7 = 0")
+    iceberg_v3_delete_rows(spark, v3, "doc_id % 7 = 0")
+    a = {r.doc_id for r in IcebergSnapshotLake(spark, v2, v2 + "_i").read().collect()}
+    b = {r.doc_id for r in IcebergSnapshotLake(spark, v3, v3 + "_i").read().collect()}
+    assert a == b == {i for i in range(300) if i % 7 != 0}
+
+
+def test_v3_delete_rows_merges_and_carries(spark, tmp_path):
+    """Second delete: overlapping files get ONE merged DV (spec's
+    at-most-one rule), files untouched by it carry their original DV
+    forward, and the union of both predicates is gone."""
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_delete_rows
+
+    t = str(tmp_path / "m3")
+    iceberg_write(_data(spark).repartition(3), t)
+    iceberg_v3_delete_rows(spark, t, "doc_id % 7 = 0")
+    iceberg_v3_delete_rows(spark, t, "doc_id < 30")
+    got = {
+        r.doc_id
+        for r in IcebergSnapshotLake(spark, t, t + "_i").read().collect()
+    }
+    assert got == {i for i in range(300) if i % 7 != 0 and i >= 30}
+    st = snapshot_state_from_metadata(_current_metadata(t), t)
+    # at most one DV per data file
+    assert len(st["dvs"]) == len({os.path.abspath(k) for k in st["dvs"]})
+    for d in st["dvs"].values():
+        assert d["puffin"].endswith(".puffin")
+
+
+def test_v3_delete_rows_nothing_matched_keeps_snapshot(spark, tmp_path):
+    from rottnest_spark.sources.iceberg import _current_metadata
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_delete_rows
+
+    t = str(tmp_path / "n3")
+    iceberg_write(_data(spark), t)
+    before = _current_metadata(t)["current-snapshot-id"]
+    assert iceberg_v3_delete_rows(spark, t, "doc_id < 0") == before
+    assert _current_metadata(t)["current-snapshot-id"] == before
+
+
+def test_v3_delete_rows_feeds_and_diffs(spark, tmp_path):
+    """The distributed delete flows through the cursor feed like the
+    fixture-committed DVs do."""
+    from rottnest_spark.sources.changes import IcebergChangesCursor
+    from rottnest_spark.sources.iceberg import _current_metadata
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_delete_rows
+
+    t = str(tmp_path / "f3")
+    iceberg_write(_data(spark).repartition(3), t)
+    cur = IcebergChangesCursor(spark, t, str(tmp_path / "ck"))
+    cur.ack(_current_metadata(t)["current-snapshot-id"])
+    iceberg_v3_delete_rows(spark, t, "doc_id % 50 = 0")
+    feed, end = cur.poll()
+    rows = {(r.doc_id, r._change_type) for r in feed.collect()}
+    assert rows == {(i, "delete") for i in range(0, 300, 50)}
+    cur.ack(end)
+
+
+def test_v3_delete_rows_driver_never_collects_positions(spark, tmp_path, monkeypatch):
+    """The pack_bins discipline: the only .collect() in the delete is
+    descriptor-scale — monkeypatch DataFrame.collect to record row
+    shapes and assert no position- or bitmap-carrying frame ever lands
+    on the driver."""
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_delete_rows
+
+    t = str(tmp_path / "g3")
+    iceberg_write(_data(spark).repartition(3), t)
+
+    seen = []
+    df_cls = type(spark.range(1))  # the concrete (classic) DataFrame class
+    orig = df_cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        seen.append((tuple(self.columns), len(rows)))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", spy)
+    iceberg_v3_delete_rows(spark, t, "doc_id % 7 = 0")
+    monkeypatch.undo()
+    assert seen, "the descriptor collect must happen"
+    for cols, _n in seen:
+        assert "pos" not in cols and "blob" not in cols, cols
+        assert "puffin" in cols  # descriptor frame only
