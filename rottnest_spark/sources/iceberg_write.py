@@ -1437,16 +1437,11 @@ def iceberg_v3_delete_rows(
     reclaims, never a torn table."""
     from pyspark.sql import functions as F
 
-    from rottnest_spark.core.fs import canon_path, make_task_put
+    from rottnest_spark.core.fs import canon_path
     from rottnest_spark.sources.iceberg import (
         _snapshot_state,
-        dv_pairs_df,
         initial_default_fields,
         scan_with_initial_defaults,
-    )
-    from rottnest_spark.sources.puffin import (
-        make_puffin_dv_blob_encoder,
-        make_puffin_dv_packer,
     )
     from rottnest_spark.sources.reader import read_parquet_tagged
 
@@ -1489,9 +1484,156 @@ def iceberg_v3_delete_rows(
         predicate if not isinstance(predicate, str) else F.expr(predicate)
     ).select(F.col("__path").alias("ref"), F.col("__pos").alias("pos"))
 
+    new_blobs, carried = _v3_pack_dvs(
+        spark, md, st, table_path, fresh, snap_id, commit_seq
+    )
+    if not new_blobs:
+        return int(cur)  # nothing matched: current snapshot stands
+    return _v3_commit_dv_state(
+        table_path, fs, md, version, ts, live, new_blobs, carried
+    )
+
+
+def iceberg_v3_upsert(
+    spark,
+    df,
+    table_path: str,
+    key_cols: list[str],
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Keyed UPSERT on an Iceberg table in the v3 DELETION-VECTOR shape
+    (the MERGE form modern v3 engines write): ONE snapshot commits the
+    change rows as new data files AND puffin DVs tombstoning every OLD
+    row whose key matches — `delta_upsert`'s Iceberg-v3 twin, and the
+    position-addressed alternative to `iceberg_upsert`'s equality
+    deletes (v3 requires DVs for new row-level deletes; equality deletes
+    remain the streaming-CDC shape).
+
+    Cost shape: one key semi-join scan of the live files for doomed
+    positions (position-addressed — unlike equality deletes this DOES
+    scan the table's key column, footer-pruned by the join), the
+    executor-side DV pack pipeline (descriptor-only driver collects),
+    one staged write of the change rows. Guards mirror the v3 delete:
+    unpartitioned, DV-only delete state. Keys duplicated WITHIN the
+    batch refuse (two versions of one key in one commit is undefined)."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.core.fs import canon_path
+    from rottnest_spark.sources.iceberg import (
+        _snapshot_state,
+        initial_default_fields,
+        scan_with_initial_defaults,
+    )
+    from rottnest_spark.sources.reader import read_parquet_tagged
+
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    if _identity_partition_fields(md):
+        raise ValueError("v3 DV upsert on a partitioned table: unsupported")
+    snaps = md.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur = md.get("current-snapshot-id")
+    if cur not in by_id:
+        raise ValueError(f"{table_path} has no current snapshot")
+    st = _snapshot_state(md, by_id[cur], table_path, fs)
+    if st["pos_deletes"] or st["eq_deletes"]:
+        raise ValueError(
+            "table carries parquet positional/equality delete files — "
+            "v3 DV upsert only composes with DV-only delete state"
+        )
+    live = {canon_path(p): seq for p, seq in st["data"].items()}
+    if not live:
+        raise ValueError(f"{table_path} has no live data files")
+    dmap = initial_default_fields(md)
+    clash = [c for c in key_cols if c in dmap]
+    if clash:
+        raise ValueError(
+            f"key columns {clash} carry v3 initial-defaults — "
+            "position-matching on a filled column is supported for "
+            "DELETE predicates but key identity must be physical"
+        )
+    dup = (
+        df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+    ).count()
+    if dup:
+        raise ValueError(
+            "change batch carries duplicate keys — one version per key "
+            "per commit"
+        )
+
+    commit_seq = int(md.get("last-sequence-number") or 0) + 1
+    snap_id = version + 1
+    ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+
+    # doomed positions: old rows whose key matches the batch
+    files = sorted(live)
+    scan = (
+        scan_with_initial_defaults(spark, files, dmap, tagged=True)
+        if dmap
+        else read_parquet_tagged(spark, files)
+    )
+    fresh = scan.join(
+        df.select(*key_cols).distinct(), key_cols, "left_semi"
+    ).select(F.col("__path").alias("ref"), F.col("__pos").alias("pos"))
+    new_blobs, carried = _v3_pack_dvs(
+        spark, md, st, table_path, fresh, snap_id, commit_seq
+    )
+
+    # stage the change rows as new data files
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    df.write.parquet(stage)
+    moved = []
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.list_files(stage):
+        leaf = os.path.basename(f)
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        dst = os.path.join(
+            table_path, "data", f"{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
+    if not moved:
+        raise ValueError("empty upsert — the change DataFrame has no rows")
+
+    return _v3_commit_dv_state(
+        table_path, fs, md, version, ts, live, new_blobs, carried,
+        adds=moved, operation="overwrite",
+    )
+
+
+def _v3_pack_dvs(
+    spark,
+    md: dict,
+    st: dict,
+    table_path: str,
+    fresh,
+    snap_id: int,
+    commit_seq: int,
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """The distributed DV-pack pipeline shared by v3 DELETE and UPSERT:
+    `fresh` is a (ref, pos) frame of newly deleted positions. Existing
+    vectors of RE-DELETED files merge in via a distributed semi-join,
+    one roaring blob encodes per affected file, each task packs its
+    blobs into ONE content-named puffin written executor-side, and the
+    driver receives descriptor rows only. Returns (new_blobs {ref:
+    {puffin, offset, size, cardinality}}, carried untouched DVs)."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.core.fs import canon_path, make_task_put
+    from rottnest_spark.sources.iceberg import dv_pairs_df
+    from rottnest_spark.sources.puffin import (
+        make_puffin_dv_blob_encoder,
+        make_puffin_dv_packer,
+    )
+
     dvs = {canon_path(r): d for r, d in st.get("dvs", {}).items()}
     union = fresh
-    carried_candidates = dvs
     if dvs:
         existing = dv_pairs_df(spark, dvs, md.get("location", ""), table_path)
         existing = existing.select(
@@ -1568,8 +1710,6 @@ def iceberg_v3_delete_rows(
         "ref string, puffin string, offset long, size long, cardinality long",
     ).collect()  # descriptor-scale: one small row per affected file
 
-    if not desc_rows:
-        return int(cur)  # nothing matched: current snapshot stands
     new_blobs = {
         r.ref: {
             "puffin": r.puffin,
@@ -1579,14 +1719,8 @@ def iceberg_v3_delete_rows(
         }
         for r in desc_rows
     }
-    carried = {
-        ref: d
-        for ref, d in carried_candidates.items()
-        if ref not in new_blobs
-    }
-    return _v3_commit_dv_state(
-        table_path, fs, md, version, ts, live, new_blobs, carried
-    )
+    carried = {ref: d for ref, d in dvs.items() if ref not in new_blobs}
+    return new_blobs, carried
 
 
 def _v3_commit_dv_state(
@@ -1598,26 +1732,37 @@ def _v3_commit_dv_state(
     live: dict[str, int],
     new_blobs: dict[str, dict],
     carried: dict[str, dict],
+    adds: list[str] | None = None,
+    operation: str = "delete",
 ) -> int:
     """Shared v3 DV commit tail: write the data + delete manifests and
     the v3 metadata for a new snapshot whose DV state is `new_blobs`
     (this commit's blobs — {data file: {puffin, offset, size,
     cardinality}}, already ON DISK) plus `carried` (prior DVs of
-    untouched files, pointing at their original puffin files). Callers:
-    iceberg_v3_dv_commit (driver-written single puffin — the fixture
-    path) and iceberg_v3_delete_rows (executor-written per-task
-    puffins)."""
+    untouched files, pointing at their original puffin files). `adds`
+    appends NEW data files in the same snapshot at this commit's
+    sequence (the upsert's inserts — one atomic delete+add version).
+    Callers: iceberg_v3_dv_commit (driver-written single puffin — the
+    fixture path), iceberg_v3_delete_rows and iceberg_v3_upsert
+    (executor-written per-task puffins)."""
+    from rottnest_spark.core.fs import canon_path as _canon
+
     snaps = md.get("snapshots") or []
     commit_seq = int(md.get("last-sequence-number") or 0) + 1
     new_version = version + 1
     snap_id = new_version
+    live = dict(live)
+    for f in adds or []:
+        live[_canon(f)] = commit_seq
 
     meta_dir = _meta_dir(table_path)
     schema3 = _dv_manifest_schema()
 
+    added_set = {_canon(f) for f in adds or []}
+
     def data_entry(p: str, seq: int) -> dict:
         return {
-            "status": 0,
+            "status": 1 if p in added_set else 0,
             "snapshot_id": snap_id,
             "sequence_number": seq,
             "data_file": {
@@ -1709,7 +1854,7 @@ def _v3_commit_dv_state(
             "snapshot-id": snap_id,
             "timestamp-ms": ts,
             "manifest-list": canon_path(ml),
-            "summary": {"operation": "delete"},
+            "summary": {"operation": operation},
         }
     ]
     md_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")

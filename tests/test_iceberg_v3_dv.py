@@ -326,3 +326,88 @@ def test_v3_delete_rows_driver_never_collects_positions(spark, tmp_path, monkeyp
     for cols, _n in seen:
         assert "pos" not in cols and "blob" not in cols, cols
         assert "puffin" in cols  # descriptor frame only
+
+
+# --- iceberg_v3_upsert: keyed MERGE in the v3 DV shape ----------------------
+
+
+def test_v3_upsert_updates_and_inserts(spark, tmp_path):
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_upsert
+
+    t = str(tmp_path / "u3")
+    iceberg_write(_data(spark).repartition(3), t)
+    lake = IcebergSnapshotLake(spark, t, t + "_i")
+    before = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    changes = spark.createDataFrame(
+        [(k, "xx", -1) for k in (0, 7, 150)] + [(9_000_001, "xx", -2)],
+        "doc_id long, lang string, n_chars long",
+    )
+    iceberg_v3_upsert(spark, changes, t, ["doc_id"])
+    after = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    assert len(after) == len(before) + 1
+    assert after[0] == after[7] == after[150] == -1
+    assert after[9_000_001] == -2
+    assert after[1] == before[1]  # untouched keys intact
+
+
+def test_v3_upsert_merges_onto_existing_dvs_and_feeds(spark, tmp_path):
+    """Upsert after a delete: re-deleted files merge DVs (at most one per
+    file), and the cursor feed reports the old versions out + new in."""
+    from rottnest_spark.sources.changes import IcebergChangesCursor
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_v3_delete_rows,
+        iceberg_v3_upsert,
+    )
+
+    t = str(tmp_path / "uf3")
+    iceberg_write(_data(spark).repartition(3), t)
+    iceberg_v3_delete_rows(spark, t, "doc_id % 7 = 0")
+    cur = IcebergChangesCursor(spark, t, str(tmp_path / "ck"))
+    cur.ack(_current_metadata(t)["current-snapshot-id"])
+    changes = spark.createDataFrame(
+        [(1, "zz", -5), (2, "zz", -6)], "doc_id long, lang string, n_chars long"
+    )
+    iceberg_v3_upsert(spark, changes, t, ["doc_id"])
+    got = {
+        r.doc_id: r.n_chars
+        for r in IcebergSnapshotLake(spark, t, t + "_i").read().collect()
+    }
+    assert got[1] == -5 and got[2] == -6
+    assert 7 not in got  # the earlier delete still applies
+    st = snapshot_state_from_metadata(_current_metadata(t), t)
+    assert len(st["dvs"]) >= 1
+    feed, end = cur.poll()
+    rows = {(r.doc_id, r.n_chars, r._change_type) for r in feed.collect()}
+    assert (1, -5, "insert") in rows and (2, -6, "insert") in rows
+    assert (1, 3, "delete") in rows and (2, 6, "delete") in rows
+    cur.ack(end)
+
+
+def test_v3_upsert_pure_inserts_and_duplicate_keys(spark, tmp_path):
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_upsert
+
+    t = str(tmp_path / "pi3")
+    iceberg_write(_data(spark), t)
+    inserts = spark.createDataFrame(
+        [(9_000_000 + i, "yy", i) for i in range(5)],
+        "doc_id long, lang string, n_chars long",
+    )
+    iceberg_v3_upsert(spark, inserts, t, ["doc_id"])
+    lake = IcebergSnapshotLake(spark, t, t + "_i")
+    assert lake.read().count() == 305
+    # no keys matched: no DVs were written
+    assert snapshot_state_from_metadata(_current_metadata(t), t)["dvs"] == {}
+
+    dup = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], "doc_id long, lang string, n_chars long"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        iceberg_v3_upsert(spark, dup, t, ["doc_id"])
