@@ -1494,6 +1494,100 @@ def iceberg_v3_delete_rows(
     )
 
 
+def iceberg_v3_rewrite_deletes(
+    spark,
+    table_path: str,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Compact v3 DELETION-VECTOR state back to pure data files — the v3
+    twin of `iceberg_rewrite_deletes` and the step that completes the v3
+    lifecycle (delete/upsert accumulate DVs; this materializes them and
+    re-opens the top-K index paths, which refuse delete-bearing
+    snapshots via `.files`). Only DV-referenced files are rewritten
+    (survivors anti-joined against the executor-decoded positions in one
+    scan); untouched files keep their bytes, sequence numbers, and
+    indexes. One snapshot: rewritten files out, survivors in, the delete
+    manifest empty — the orphaned puffin files become unreferenced and
+    expire with their snapshots. Tables with initial-default fields
+    REFUSE: a rewrite would materialize the default physically, changing
+    what future schema reads of pre-evolution files mean — resolve
+    defaults first (a column-materializing rewrite is schema surgery,
+    not delete compaction)."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.core.fs import canon_path
+    from rottnest_spark.sources.iceberg import (
+        _snapshot_state,
+        dv_pairs_df,
+        initial_default_fields,
+    )
+    from rottnest_spark.sources.reader import read_parquet_tagged
+
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    if _identity_partition_fields(md):
+        raise ValueError("v3 DV rewrite on a partitioned table: unsupported")
+    if initial_default_fields(md):
+        raise ValueError(
+            "v3 rewrite on a table with initial-default fields would "
+            "physically materialize the defaults — refusing; rewrite the "
+            "schema first"
+        )
+    snaps = md.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur = md.get("current-snapshot-id")
+    if cur not in by_id:
+        raise ValueError(f"{table_path} has no current snapshot")
+    st = _snapshot_state(md, by_id[cur], table_path, fs)
+    if st["pos_deletes"] or st["eq_deletes"]:
+        raise ValueError(
+            "table carries parquet positional/equality delete files — "
+            "use iceberg_rewrite_deletes (the v2 form) for those"
+        )
+    dvs = {canon_path(r): d for r, d in st.get("dvs", {}).items()}
+    if not dvs:
+        return int(cur)  # nothing to compact
+    live = {canon_path(p): seq for p, seq in st["data"].items()}
+    doomed_files = sorted(ref for ref in dvs if ref in live)
+
+    pairs = dv_pairs_df(spark, dvs, md.get("location", ""), table_path)
+    survivors = (
+        read_parquet_tagged(spark, doomed_files)
+        .join(
+            pairs.select(
+                F.col("__del_path").alias("__path"),
+                F.col("__del_pos").alias("__pos"),
+            ),
+            ["__path", "__pos"],
+            "left_anti",
+        )
+        .drop("__path", "__pos")
+    )
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    survivors.write.parquet(stage)
+    moved = []
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.list_files(stage):
+        leaf = os.path.basename(f)
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        dst = os.path.join(table_path, "data", f"{uuid.uuid4().hex}.parquet")
+        fs.makedirs(os.path.dirname(dst))
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
+
+    ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    untouched = {p: s for p, s in live.items() if p not in set(doomed_files)}
+    return _v3_commit_dv_state(
+        table_path, fs, md, version, ts, untouched,
+        new_blobs={}, carried={}, adds=moved, operation="replace",
+    )
+
+
 def iceberg_v3_upsert(
     spark,
     df,

@@ -411,3 +411,84 @@ def test_v3_upsert_pure_inserts_and_duplicate_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         iceberg_v3_upsert(spark, dup, t, ["doc_id"])
+
+
+# --- iceberg_v3_rewrite_deletes: DV compaction -------------------------------
+
+
+def test_v3_rewrite_materializes_dvs_and_reopens_topk(spark, tmp_path):
+    from rottnest_spark.sources.changes import iceberg_snapshot_diff
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_v3_delete_rows,
+        iceberg_v3_rewrite_deletes,
+    )
+
+    t = str(tmp_path / "rw3")
+    iceberg_write(_data(spark).repartition(3), t)
+    pre_snap = iceberg_v3_delete_rows(spark, t, "doc_id % 7 = 0")
+    lake = IcebergSnapshotLake(spark, t, t + "_i")
+    before = _rows(lake)
+    with pytest.raises(ValueError, match="delete source"):
+        lake.files  # top-K path refuses while DVs are live
+    snap = iceberg_v3_rewrite_deletes(spark, t)
+    assert _rows(lake) == before  # rewrite is row-invisible
+    assert lake.files  # ...and the top-K path accepts again
+    st = snapshot_state_from_metadata(_current_metadata(t), t)
+    assert st["dvs"] == {}
+    # row-level net diff across the rewrite cancels to zero
+    assert iceberg_snapshot_diff(spark, t, pre_snap, snap, net=True).count() == 0
+
+
+def test_v3_rewrite_noop_and_untouched_files_kept(spark, tmp_path):
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_v3_delete_rows,
+        iceberg_v3_rewrite_deletes,
+    )
+
+    t = str(tmp_path / "nt3")
+    iceberg_write(_data(spark).repartition(3), t)
+    before_files = set(
+        snapshot_state_from_metadata(_current_metadata(t), t)["data"]
+    )
+    # no DVs: rewrite is a no-op returning the current snapshot
+    cur = _current_metadata(t)["current-snapshot-id"]
+    assert iceberg_v3_rewrite_deletes(spark, t) == cur
+
+    # delete rows confined to a doc_id range that lives in a subset of
+    # files; untouched files must keep their exact paths
+    iceberg_v3_delete_rows(spark, t, "doc_id < 3")
+    iceberg_v3_rewrite_deletes(spark, t)
+    after = set(snapshot_state_from_metadata(_current_metadata(t), t)["data"])
+    st_dv = snapshot_state_from_metadata(_current_metadata(t), t)["dvs"]
+    assert st_dv == {}
+    assert before_files & after, "every file rewritten — untouched set lost"
+
+
+def test_v3_rewrite_after_upsert(spark, tmp_path):
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_v3_rewrite_deletes,
+        iceberg_v3_upsert,
+    )
+
+    t = str(tmp_path / "ru3")
+    iceberg_write(_data(spark).repartition(3), t)
+    changes = spark.createDataFrame(
+        [(5, "xx", -1), (9_000_000, "xx", -2)],
+        "doc_id long, lang string, n_chars long",
+    )
+    iceberg_v3_upsert(spark, changes, t, ["doc_id"])
+    lake = IcebergSnapshotLake(spark, t, t + "_i")
+    before = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    iceberg_v3_rewrite_deletes(spark, t)
+    after = {r.doc_id: r.n_chars for r in lake.read().collect()}
+    assert after == before
+    assert after[5] == -1 and after[9_000_000] == -2
+    assert lake.files
