@@ -1494,6 +1494,52 @@ def iceberg_v3_delete_rows(
     )
 
 
+def iceberg_v3_append(
+    table_path: str,
+    add: list[str],
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Plain APPEND commit on a v3 deletion-vector table — the gap the
+    v2 writer leaves (`iceberg_commit` refuses format-version 3): new
+    data files enter at this commit's sequence, every existing DV
+    carries forward untouched. With delete/upsert/rewrite this closes
+    the v3 write lifecycle for unpartitioned tables. Files must already
+    be under the table (the caller stages, like iceberg_commit)."""
+    from rottnest_spark.core.fs import canon_path
+    from rottnest_spark.sources.iceberg import _snapshot_state
+
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    if _identity_partition_fields(md):
+        raise ValueError("v3 append on a partitioned table: unsupported")
+    if not add:
+        raise ValueError("empty commit — nothing to add")
+    snaps = md.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur = md.get("current-snapshot-id")
+    if cur not in by_id:
+        raise ValueError(f"{table_path} has no current snapshot")
+    st = _snapshot_state(md, by_id[cur], table_path, fs)
+    if st["pos_deletes"] or st["eq_deletes"]:
+        raise ValueError(
+            "table carries parquet positional/equality delete files — "
+            "use iceberg_commit (the v2 form) for those"
+        )
+    live = {canon_path(p): seq for p, seq in st["data"].items()}
+    dup = [f for f in add if canon_path(f) in live]
+    if dup:
+        raise ValueError(f"already live: {dup[:3]}")
+    ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    carried = {canon_path(r): d for r, d in st.get("dvs", {}).items()}
+    return _v3_commit_dv_state(
+        table_path, fs, md, version, ts, live,
+        new_blobs={}, carried=carried, adds=list(add), operation="append",
+    )
+
+
 def iceberg_v3_rewrite_deletes(
     spark,
     table_path: str,

@@ -492,3 +492,44 @@ def test_v3_rewrite_after_upsert(spark, tmp_path):
     assert after == before
     assert after[5] == -1 and after[9_000_000] == -2
     assert lake.files
+
+
+def test_v3_append_keeps_dvs_and_feeds(spark, tmp_path):
+    """Plain append on a DV-bearing v3 table: new rows in, existing
+    deletes still applied, the feed step is insert-only."""
+    from rottnest_spark.sources.changes import IcebergChangesCursor
+    from rottnest_spark.sources.iceberg import _current_metadata
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_v3_append,
+        iceberg_v3_delete_rows,
+    )
+
+    t = str(tmp_path / "ap3")
+    iceberg_write(_data(spark).repartition(3), t)
+    iceberg_v3_delete_rows(spark, t, "doc_id % 7 = 0")
+    cur = IcebergChangesCursor(spark, t, str(tmp_path / "ck"))
+    cur.ack(_current_metadata(t)["current-snapshot-id"])
+
+    new = spark.range(1000, 1005).selectExpr(
+        "id AS doc_id", "'zz' AS lang", "id AS n_chars"
+    )
+    stage = os.path.join(t, "extra")
+    new.coalesce(1).write.parquet(stage)
+    files = [
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    ]
+    iceberg_v3_append(t, files)
+
+    got = sorted(
+        r.doc_id
+        for r in IcebergSnapshotLake(spark, t, t + "_i").read().collect()
+    )
+    assert got == [i for i in range(300) if i % 7 != 0] + list(
+        range(1000, 1005)
+    )
+    feed, end = cur.poll()
+    rows = {(r.doc_id, r._change_type) for r in feed.collect()}
+    assert rows == {(i, "insert") for i in range(1000, 1005)}
+    cur.ack(end)
