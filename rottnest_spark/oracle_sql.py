@@ -398,6 +398,30 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # partitioned v3 lifecycle (delete on a partition+physical predicate,
+    # cross-partition upsert, DV rewrite) — the same slice arithmetic in
+    # plain SQL; the rewrite must not change what reads observe
+    "iceberg_v3_partitioned_dml": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        ),
+        final AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+            WHERE NOT (o_orderstatus = 'F' AND o_orderkey % {MOR_DEL_MOD} = 0)
+              AND o_orderkey % {V3P_UPD_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_orderkey * 2.0 AS o_totalprice
+            FROM src WHERE o_orderkey % {V3P_UPD_MOD} = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "delta_mapped_dml_read": f"""
         WITH src AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice

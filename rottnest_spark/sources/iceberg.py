@@ -206,7 +206,7 @@ def snapshot_state_from_metadata(md: dict, table_path: str, fs=None) -> dict:
     snap_id = md.get("current-snapshot-id")
     snaps = md.get("snapshots", [])
     if snap_id in (None, -1) or not snaps:
-        return {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}}
+        return {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}}
     by_id = {s["snapshot-id"]: s for s in snaps}
     if snap_id not in by_id:
         raise ValueError(
@@ -215,12 +215,24 @@ def snapshot_state_from_metadata(md: dict, table_path: str, fs=None) -> dict:
     return _snapshot_state(md, by_id[snap_id], table_path, fs)
 
 
+def _current_schema(md: dict) -> dict:
+    """The table's CURRENT schema, resolved the way the spec requires:
+    spec-canonical `schemas` + `current-schema-id` first, legacy
+    (deprecated) single `schema` key as the fallback. Every schema
+    consumer must go through this — a v3 table written by a real engine
+    omits the legacy key entirely, so reading only `schema` silently
+    drops fields (and with them initial-defaults and their guards)."""
+    if md.get("schemas"):
+        sid = md.get("current-schema-id", 0)
+        for s in md["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+    return md.get("schema") or {}
+
+
 #: iceberg primitive → spark cast target for v3 `initial-default` fills
-#: (JSON single-value serialization of these types is the plain literal,
-#: so the metadata value feeds F.lit directly). Anything else —
-#: date/time/timestamp/decimal/uuid/fixed/binary/nested — refuses: their
-#: JSON encodings need per-type parsing this reader does not implement,
-#: and a wrong fill is silent corruption.
+#: where the JSON single-value serialization IS the plain literal (the
+#: metadata value feeds F.lit directly).
 _DEFAULTABLE_TYPES = {
     "int": "int",
     "long": "bigint",
@@ -231,25 +243,73 @@ _DEFAULTABLE_TYPES = {
 }
 
 
+def _parse_default(name: str, t: str, raw) -> tuple[object, str]:
+    """(python literal, spark cast target) for one `initial-default`
+    value per the spec's single-value JSON serialization
+    (iceberg.apache.org/spec/#json-single-value-serialization):
+    date/timestamp(tz) are ISO-8601 strings, decimal is a
+    scale-preserving string, uuid is its canonical string, fixed/binary
+    are hexadecimal strings. `timestamp` (no tz) is returned as the ISO
+    string with a `timestamp_ntz` cast target — Spark parses the string
+    directly into ntz with no session-timezone involvement, which a
+    naive-datetime literal would not survive. Unparseable types (time,
+    nanosecond timestamps, struct/list/map) refuse loudly: a wrong fill
+    is silent corruption."""
+    import datetime
+    import decimal as _dec
+    import re as _re
+
+    if t in _DEFAULTABLE_TYPES:
+        return raw, _DEFAULTABLE_TYPES[t]
+    if t == "date":
+        return datetime.date.fromisoformat(raw), "date"
+    if t == "timestamp":
+        return str(raw), "timestamp_ntz"
+    if t == "timestamptz":
+        dt = datetime.datetime.fromisoformat(str(raw).replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            raise ValueError(
+                f"timestamptz initial-default {raw!r} on field {name!r} "
+                "lacks a UTC offset — the spec serializes timestamptz "
+                "with one; refusing instead of guessing a zone"
+            )
+        return dt, "timestamp"
+    if t == "uuid":
+        return str(raw), "string"
+    m = _re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return _dec.Decimal(str(raw)), f"decimal({m.group(1)},{m.group(2)})"
+    if t == "binary" or _re.fullmatch(r"fixed\[\d+\]", t or ""):
+        return bytes.fromhex(str(raw)), "binary"
+    raise ValueError(
+        f"Iceberg v3 field {name!r} carries an initial-default of type "
+        f"{t!r} — fills are implemented for primitives "
+        f"{sorted(_DEFAULTABLE_TYPES)} plus date/timestamp/timestamptz/"
+        "decimal/uuid/fixed/binary; refusing instead of misreading"
+    )
+
+
 def initial_default_fields(md: dict) -> dict[str, tuple[object, str]]:
     """{column: (default literal, spark type)} for v3 `initial-default`
     schema fields (iceberg.apache.org/spec/#default-values): the value a
     reader must surface for rows whose data file PREDATES the field.
     `write-default` is a writer-side concern — readers ignore it.
+    Schema resolution goes through _current_schema (spec-canonical
+    `schemas` list first) so engine-written v3 metadata — which omits
+    the deprecated `schema` key — cannot silently hide its defaults.
     Defaulted non-primitive / unparsed types refuse loudly."""
     out: dict[str, tuple[object, str]] = {}
-    for f in (md.get("schema") or {}).get("fields", []):
+    for f in _current_schema(md).get("fields", []):
         if "initial-default" not in f:
             continue
         t = f.get("type")
-        if not isinstance(t, str) or t not in _DEFAULTABLE_TYPES:
+        if not isinstance(t, str):
             raise ValueError(
                 f"Iceberg v3 field {f.get('name')!r} carries an "
-                f"initial-default of type {t!r} — only primitive "
-                f"{sorted(_DEFAULTABLE_TYPES)} fills are implemented; "
-                "refusing instead of misreading"
+                f"initial-default of nested type {t!r} — struct/list/map "
+                "fills are not implemented; refusing instead of misreading"
             )
-        out[f["name"]] = (f["initial-default"], _DEFAULTABLE_TYPES[t])
+        out[f["name"]] = _parse_default(f["name"], t, f["initial-default"])
     return out
 
 
@@ -292,17 +352,12 @@ def scan_with_initial_defaults(spark, fl, dmap: dict, tagged: bool):
 
 
 def _schema_field_names(md: dict) -> dict[int, str]:
-    """field-id → name map from the table schema (current schema when
-    `schemas`+`current-schema-id` are present, else legacy `schema`)."""
-    schema = md.get("schema")
-    if schema is None and md.get("schemas"):
-        sid = md.get("current-schema-id", 0)
-        for s in md["schemas"]:
-            if s.get("schema-id") == sid:
-                schema = s
+    """field-id → name map from the table's current schema
+    (_current_schema: spec-canonical `schemas`+`current-schema-id`
+    first, legacy `schema` fallback)."""
     return {
         int(f["id"]): f["name"]
-        for f in (schema or {}).get("fields", [])
+        for f in _current_schema(md).get("fields", [])
         if "id" in f
     }
 
@@ -563,7 +618,8 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
     # defaulted TYPES refuse at scan time inside initial_default_fields.
     location = md.get("location", "")
 
-    manifests: list[tuple[str, int, int]] = []  # (path, content, ml_seq)
+    # (path, content, ml_seq, ml_added_snap)
+    manifests: list[tuple[str, int, int, int | None]] = []
     if "manifest-list" in snap:
         ml_path = _rebase(snap["manifest-list"], location, table_path)
         _, entries = read_ocf(ml_path, fs=fs)
@@ -573,13 +629,24 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
                     e["manifest_path"],
                     int(e.get("content") or 0),
                     int(e.get("sequence_number") or 0),
+                    e.get("added_snapshot_id"),
                 )
             )
     else:  # v1 tables may inline "manifests"
-        manifests = [(p, 0, 0) for p in snap.get("manifests", [])]
+        manifests = [(p, 0, 0, None) for p in snap.get("manifests", [])]
 
-    state = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}}
-    for mpath, list_content, ml_seq in manifests:
+    state = {
+        "data": {},
+        "pos_deletes": {},
+        "eq_deletes": [],
+        "dvs": {},
+        # {data file path: snapshot id that ADDED it} — the manifest
+        # entry's own snapshot_id, falling back to the manifest list's
+        # added_snapshot_id (entry-level inheritance, same as sequence
+        # numbers); lets commit tails preserve lineage on status-0 rows
+        "data_snap": {},
+    }
+    for mpath, list_content, ml_seq, ml_snap in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
         for e in entries:
             status = int(e.get("status") or 0)  # 0 existing, 1 added, 2 deleted
@@ -595,8 +662,14 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
             seq = e.get("sequence_number")
             seq = int(seq) if seq is not None else ml_seq
             p = _rebase(df["file_path"], location, table_path)
+            e_snap = e.get("snapshot_id")
+            e_snap = int(e_snap) if e_snap is not None else (
+                int(ml_snap) if ml_snap is not None else None
+            )
             if content == 0:
                 state["data"][p] = seq
+                if e_snap is not None:
+                    state["data_snap"][p] = e_snap
             elif content == 1 and (
                 df.get("referenced_data_file")
                 or str(df.get("file_format") or "").upper() == "PUFFIN"
@@ -623,6 +696,7 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
                     "offset": None if off is None else int(off),
                     "size": None if sz is None else int(sz),
                     "seq": seq,
+                    "snap": e_snap,
                     "cardinality": int(df.get("record_count") or -1),
                 }
             elif content == 1:  # positional delete files (parquet)
@@ -1010,7 +1084,7 @@ class IcebergSnapshotLake(ParquetLake):
             "timestamp": "timestamp", "string": "string",
         }
         casts = {}
-        for f in md.get("schema", {}).get("fields", []):
+        for f in _current_schema(md).get("fields", []):
             if f["name"] in missing and isinstance(f.get("type"), str):
                 casts[f["name"]] = _spark_of_iceberg.get(f["type"], "string")
 

@@ -364,7 +364,13 @@ def _commit_snapshot(
     ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     added_set, removed_set = set(added), set(removed)
 
-    schema = schema or (prior or {}).get("schema") or (
+    # _current_schema, not the legacy `schema` key: engine-written v3
+    # metadata carries only `schemas`+`current-schema-id`, and falling
+    # through to the parquet-derived rebuild would silently drop field
+    # ids and initial-defaults from the committed schema
+    from rottnest_spark.sources.iceberg import _current_schema
+
+    schema = schema or _current_schema(prior or {}) or (
         _iceberg_schema(live[0]) if live else {"type": "struct", "fields": []}
     )
     pcols = (
@@ -590,7 +596,7 @@ def iceberg_commit(
     if cur in by_id:
         st = _snapshot_state(prior, by_id[cur], table_path, fs)
     else:
-        st = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}}
+        st = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}}
     # canon the live sets: callers pass canon'd (often _metadata-derived
     # absolute) paths while _rebase outputs are relative whenever
     # table_path is — unnormalized membership checks either reject valid
@@ -1214,7 +1220,9 @@ def iceberg_upsert(
             "hive-laid files lack for partitions; key on a physical "
             "column instead"
         )
-    schema = prior.get("schema") or {}
+    from rottnest_spark.sources.iceberg import _current_schema
+
+    schema = _current_schema(prior)
     ids_by_name = {
         f["name"]: int(f["id"]) for f in schema.get("fields", [])
     }
@@ -1283,11 +1291,30 @@ def iceberg_upsert(
     return snap
 
 
-def _dv_manifest_schema() -> dict:
+def _pfields_from_md(md: dict) -> list[tuple[str, str]]:
+    """(name, iceberg type) pairs for the table's identity partition
+    columns, types resolved from the CURRENT schema (engine-canonical
+    `schemas` form included)."""
+    pcols = _identity_partition_fields(md)
+    if not pcols:
+        return []
+    from rottnest_spark.sources.iceberg import _current_schema
+
+    by_name = {f["name"]: f for f in _current_schema(md).get("fields", [])}
+    out = []
+    for c in pcols:
+        f = by_name.get(c)
+        t = f["type"] if f and isinstance(f.get("type"), str) else "string"
+        out.append((c, t))
+    return out
+
+
+def _dv_manifest_schema(pfields: list[tuple[str, str]] | None = None) -> dict:
     """Manifest entry schema extended with the v3 deletion-vector fields
     (spec: referenced_data_file + content_offset/content_size_in_bytes
-    address one blob inside a puffin file)."""
-    base = _manifest_schema([])
+    address one blob inside a puffin file); `pfields` populates the r102
+    partition record for identity-partitioned tables."""
+    base = _manifest_schema(pfields or [])
     df_schema = next(
         f for f in base["fields"] if f["name"] == "data_file"
     )["type"]
@@ -1319,13 +1346,15 @@ def iceberg_v3_dv_commit(
     fs: LakeFS | None = None,
     timestamp_ms: int | None = None,
 ) -> int:
-    """Commit PUFFIN DELETION VECTORS onto an unpartitioned v1/v2 append
-    table, upgrading it to format-version 3 — the spec's v3 row-delete
+    """Commit PUFFIN DELETION VECTORS onto a v1/v2 append table,
+    upgrading it to format-version 3 — the spec's v3 row-delete
     shape (one deletion-vector-v1 blob per data file, addressed from the
     delete manifest via referenced_data_file + content_offset /
     content_size_in_bytes). This is how the v3 conformance fixtures are
     built and the nucleus of a future v3 replication target; general v3
-    DML stays refused (_commit_snapshot guard).
+    DML stays refused (_commit_snapshot guard). Identity-partitioned
+    tables supported (round 9): the commit tail records each entry's
+    r102 partition values from the prior manifests / hive paths.
 
     `deletes` = {live data file path: row positions}. A file with an
     existing DV merges (positions union, old blob superseded — the
@@ -1344,8 +1373,6 @@ def iceberg_v3_dv_commit(
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    if _identity_partition_fields(md):
-        raise ValueError("v3 DV commit on a partitioned table: unsupported")
     snaps = md.get("snapshots") or []
     by_id = {s["snapshot-id"]: s for s in snaps}
     cur = md.get("current-snapshot-id")
@@ -1401,8 +1428,84 @@ def iceberg_v3_dv_commit(
         ref: {"puffin": puffin_path, **m} for ref, m in blob_meta.items()
     }
     return _v3_commit_dv_state(
-        table_path, fs, md, version, ts, live, new_blobs, carried
+        table_path, fs, md, version, ts, live, new_blobs, carried,
+        snap_of=st.get("data_snap"),
     )
+
+
+def _v3_tagged_scan(spark, md: dict, table_path: str, files: list[str], fs):
+    """Tagged (__path/__pos) scan of live data files for the v3 DML
+    paths, composing the two schema-surface features the raw reader
+    lacks: v3 `initial-default` fill (scan_with_initial_defaults) and
+    identity-partition-column reconstruction for hive-laid files that
+    physically lack the partition columns (values from the prior
+    manifests' r102 records — one scan per DISTINCT partition tuple,
+    bounded by partition count). Predicates and key joins on partition
+    or defaulted columns then match correctly."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.iceberg import (
+        _current_schema,
+        initial_default_fields,
+        live_adds_from_metadata,
+        partition_columns_from_metadata,
+        scan_with_initial_defaults,
+    )
+    from rottnest_spark.sources.reader import read_parquet_tagged
+
+    dmap = initial_default_fields(md)
+
+    def base(fl):
+        if dmap:
+            return scan_with_initial_defaults(spark, fl, dmap, tagged=True)
+        return read_parquet_tagged(spark, fl)
+
+    pcols = partition_columns_from_metadata(md)
+    if not pcols:
+        return base(files)
+    import pyarrow.parquet as pq
+
+    physical = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    missing = [c for c in pcols if c not in physical]
+    if not missing:
+        return base(files)
+    adds = live_adds_from_metadata(md, table_path, fs=fs)
+    adds = {canon_path(p): v for p, v in adds.items()}
+    unknown = [f for f in files if canon_path(f) not in adds]
+    if unknown:
+        raise ValueError(
+            f"files not in the Iceberg snapshot: {unknown[:3]} — "
+            "partition values unknown"
+        )
+    _spark_of_iceberg = {
+        "long": "bigint", "int": "bigint", "double": "double",
+        "float": "double", "boolean": "boolean",
+        "timestamp": "timestamp", "string": "string",
+    }
+    casts = {
+        f["name"]: _spark_of_iceberg.get(f["type"], "string")
+        for f in _current_schema(md).get("fields", [])
+        if f["name"] in missing and isinstance(f.get("type"), str)
+    }
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(adds[canon_path(f)].get(c) for c in missing)
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for key, fl in sorted(
+        groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+    ):
+        df = base(sorted(fl))
+        for c, v in zip(missing, key):
+            lit = F.lit(v)
+            if c in casts:
+                lit = lit.cast(casts[c])
+            df = df.withColumn(c, lit)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def iceberg_v3_delete_rows(
@@ -1427,30 +1530,24 @@ def iceberg_v3_delete_rows(
     one DV per file survives (spec): re-deleted files get a merged blob,
     untouched DVs carry forward pointing at their original puffin.
 
-    Guards mirror iceberg_v3_dv_commit: unpartitioned, no parquet
-    positional/equality delete files (mixing regimes is a migration
-    problem). Tables with initial-default fields scan through the
-    default fill, so predicates on defaulted columns match correctly.
-    Returns the committed snapshot id (current one when nothing
-    matches). Concurrency: the commit claims version+1 via exclusive
-    create — a lost race leaves orphan puffin files that vacuum
-    reclaims, never a torn table."""
+    Guards mirror iceberg_v3_dv_commit: no parquet positional/equality
+    delete files (mixing regimes is a migration problem). Tables with
+    initial-default fields scan through the default fill, and
+    identity-partitioned tables scan through partition-column
+    reconstruction (_v3_tagged_scan), so predicates on defaulted OR
+    partition columns match correctly. Returns the committed snapshot
+    id (current one when nothing matches). Concurrency: the commit
+    claims version+1 via exclusive create — a lost race leaves orphan
+    puffin files that vacuum reclaims, never a torn table."""
     from pyspark.sql import functions as F
 
     from rottnest_spark.core.fs import canon_path
-    from rottnest_spark.sources.iceberg import (
-        _snapshot_state,
-        initial_default_fields,
-        scan_with_initial_defaults,
-    )
-    from rottnest_spark.sources.reader import read_parquet_tagged
+    from rottnest_spark.sources.iceberg import _snapshot_state
 
     fs = fs or LocalFS()
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    if _identity_partition_fields(md):
-        raise ValueError("v3 DV delete on a partitioned table: unsupported")
     snaps = md.get("snapshots") or []
     by_id = {s["snapshot-id"]: s for s in snaps}
     cur = md.get("current-snapshot-id")
@@ -1473,13 +1570,8 @@ def iceberg_v3_delete_rows(
     snap_id = version + 1
     ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
 
-    dmap = initial_default_fields(md)
     files = sorted(live)
-    scan = (
-        scan_with_initial_defaults(spark, files, dmap, tagged=True)
-        if dmap
-        else read_parquet_tagged(spark, files)
-    )
+    scan = _v3_tagged_scan(spark, md, table_path, files, fs)
     fresh = scan.filter(
         predicate if not isinstance(predicate, str) else F.expr(predicate)
     ).select(F.col("__path").alias("ref"), F.col("__pos").alias("pos"))
@@ -1490,7 +1582,8 @@ def iceberg_v3_delete_rows(
     if not new_blobs:
         return int(cur)  # nothing matched: current snapshot stands
     return _v3_commit_dv_state(
-        table_path, fs, md, version, ts, live, new_blobs, carried
+        table_path, fs, md, version, ts, live, new_blobs, carried,
+        snap_of=st.get("data_snap"),
     )
 
 
@@ -1504,8 +1597,11 @@ def iceberg_v3_append(
     v2 writer leaves (`iceberg_commit` refuses format-version 3): new
     data files enter at this commit's sequence, every existing DV
     carries forward untouched. With delete/upsert/rewrite this closes
-    the v3 write lifecycle for unpartitioned tables. Files must already
-    be under the table (the caller stages, like iceberg_commit)."""
+    the v3 write lifecycle. Files must already be under the table (the
+    caller stages, like iceberg_commit); on identity-partitioned tables
+    they must be hive-laid (`data/col=value/…`) — the commit tail
+    derives their r102 partition values from the path and raises on a
+    file outside the layout."""
     from rottnest_spark.core.fs import canon_path
     from rottnest_spark.sources.iceberg import _snapshot_state
 
@@ -1513,8 +1609,6 @@ def iceberg_v3_append(
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    if _identity_partition_fields(md):
-        raise ValueError("v3 append on a partitioned table: unsupported")
     if not add:
         raise ValueError("empty commit — nothing to add")
     snaps = md.get("snapshots") or []
@@ -1537,6 +1631,7 @@ def iceberg_v3_append(
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live,
         new_blobs={}, carried=carried, adds=list(add), operation="append",
+        snap_of=st.get("data_snap"),
     )
 
 
@@ -1574,8 +1669,6 @@ def iceberg_v3_rewrite_deletes(
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    if _identity_partition_fields(md):
-        raise ValueError("v3 DV rewrite on a partitioned table: unsupported")
     if initial_default_fields(md):
         raise ValueError(
             "v3 rewrite on a table with initial-default fields would "
@@ -1599,38 +1692,46 @@ def iceberg_v3_rewrite_deletes(
     live = {canon_path(p): seq for p, seq in st["data"].items()}
     doomed_files = sorted(ref for ref in dvs if ref in live)
 
-    pairs = dv_pairs_df(spark, dvs, md.get("location", ""), table_path)
-    survivors = (
-        read_parquet_tagged(spark, doomed_files)
-        .join(
-            pairs.select(
-                F.col("__del_path").alias("__path"),
-                F.col("__del_pos").alias("__pos"),
-            ),
-            ["__path", "__pos"],
-            "left_anti",
+    # decode the DV positions ONCE, then rewrite per containing dir so
+    # hive-partitioned layouts are preserved (the rewritten files land
+    # in the same `data/col=value/` dir as the files they replace and
+    # the commit tail re-derives their r102 values from the path)
+    pairs = (
+        dv_pairs_df(spark, dvs, md.get("location", ""), table_path)
+        .localCheckpoint(eager=True)
+        .select(
+            F.col("__del_path").alias("__path"),
+            F.col("__del_pos").alias("__pos"),
         )
-        .drop("__path", "__pos")
     )
-    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    survivors.write.parquet(stage)
+    by_dir: dict[str, list[str]] = {}
+    for f in doomed_files:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
     moved = []
-    fs.makedirs(os.path.join(table_path, "data"))
-    for f in fs.list_files(stage):
-        leaf = os.path.basename(f)
-        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
-            continue
-        dst = os.path.join(table_path, "data", f"{uuid.uuid4().hex}.parquet")
-        fs.makedirs(os.path.dirname(dst))
-        fs.rename(f, dst)
-        moved.append(dst)
-    fs.rmtree(stage)
+    for d, group in sorted(by_dir.items()):
+        survivors = (
+            read_parquet_tagged(spark, sorted(group))
+            .join(pairs, ["__path", "__pos"], "left_anti")
+            .drop("__path", "__pos")
+        )
+        stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+        survivors.write.parquet(stage)
+        fs.makedirs(d)
+        for f in fs.list_files(stage):
+            leaf = os.path.basename(f)
+            if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+                continue
+            dst = os.path.join(d, f"{uuid.uuid4().hex}.parquet")
+            fs.rename(f, dst)
+            moved.append(dst)
+        fs.rmtree(stage)
 
     ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     untouched = {p: s for p, s in live.items() if p not in set(doomed_files)}
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, untouched,
         new_blobs={}, carried={}, adds=moved, operation="replace",
+        snap_of=st.get("data_snap"),
     )
 
 
@@ -1655,24 +1756,40 @@ def iceberg_v3_upsert(
     scan the table's key column, footer-pruned by the join), the
     executor-side DV pack pipeline (descriptor-only driver collects),
     one staged write of the change rows. Guards mirror the v3 delete:
-    unpartitioned, DV-only delete state. Keys duplicated WITHIN the
-    batch refuse (two versions of one key in one commit is undefined)."""
+    DV-only delete state. Keys duplicated WITHIN the batch refuse (two
+    versions of one key in one commit is undefined). The change frame's
+    columns must match the table schema exactly — a renamed or missing
+    column would commit schema-drifted data files that later multi-file
+    scans surface as silent NULLs. Identity-partitioned tables stage
+    with partitionBy (hive-laid, like iceberg_upsert) and the key
+    semi-join scans through partition-column reconstruction, so keys
+    MAY include partition columns (position-addressed deletes don't
+    need physical key columns the way equality deletes do)."""
     from pyspark.sql import functions as F
 
     from rottnest_spark.core.fs import canon_path
     from rottnest_spark.sources.iceberg import (
+        _current_schema,
         _snapshot_state,
         initial_default_fields,
-        scan_with_initial_defaults,
     )
-    from rottnest_spark.sources.reader import read_parquet_tagged
 
     fs = fs or LocalFS()
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    if _identity_partition_fields(md):
-        raise ValueError("v3 DV upsert on a partitioned table: unsupported")
+    tcols = [
+        f["name"] for f in _current_schema(md).get("fields", [])
+    ]
+    if tcols:
+        missing_c = sorted(set(tcols) - set(df.columns))
+        extra_c = sorted(set(df.columns) - set(tcols))
+        if missing_c or extra_c:
+            raise ValueError(
+                f"change DataFrame does not match the table schema — "
+                f"missing {missing_c}, unexpected {extra_c} "
+                f"(table columns: {tcols})"
+            )
     snaps = md.get("snapshots") or []
     by_id = {s["snapshot-id"]: s for s in snaps}
     cur = md.get("current-snapshot-id")
@@ -1710,11 +1827,7 @@ def iceberg_v3_upsert(
 
     # doomed positions: old rows whose key matches the batch
     files = sorted(live)
-    scan = (
-        scan_with_initial_defaults(spark, files, dmap, tagged=True)
-        if dmap
-        else read_parquet_tagged(spark, files)
-    )
+    scan = _v3_tagged_scan(spark, md, table_path, files, fs)
     fresh = scan.join(
         df.select(*key_cols).distinct(), key_cols, "left_semi"
     ).select(F.col("__path").alias("ref"), F.col("__pos").alias("pos"))
@@ -1722,17 +1835,23 @@ def iceberg_v3_upsert(
         spark, md, st, table_path, fresh, snap_id, commit_seq
     )
 
-    # stage the change rows as new data files
+    # stage the change rows as new data files; partitioned tables stage
+    # hive-laid so the commit tail can derive r102 values from the path
+    pcols = _identity_partition_fields(md)
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(stage)
+    if pcols:
+        df.write.partitionBy(*pcols).parquet(stage)
+    else:
+        df.write.parquet(stage)
     moved = []
     fs.makedirs(os.path.join(table_path, "data"))
     for f in fs.list_files(stage):
         leaf = os.path.basename(f)
         if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
             continue
+        sub = os.path.dirname(os.path.relpath(f, stage))
         dst = os.path.join(
-            table_path, "data", f"{uuid.uuid4().hex}.parquet"
+            table_path, "data", sub, f"{uuid.uuid4().hex}.parquet"
         )
         fs.makedirs(os.path.dirname(dst))
         fs.rename(f, dst)
@@ -1743,7 +1862,7 @@ def iceberg_v3_upsert(
 
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live, new_blobs, carried,
-        adds=moved, operation="overwrite",
+        adds=moved, operation="overwrite", snap_of=st.get("data_snap"),
     )
 
 
@@ -1874,6 +1993,7 @@ def _v3_commit_dv_state(
     carried: dict[str, dict],
     adds: list[str] | None = None,
     operation: str = "delete",
+    snap_of: dict[str, int] | None = None,
 ) -> int:
     """Shared v3 DV commit tail: write the data + delete manifests and
     the v3 metadata for a new snapshot whose DV state is `new_blobs`
@@ -1884,8 +2004,17 @@ def _v3_commit_dv_state(
     sequence (the upsert's inserts — one atomic delete+add version).
     Callers: iceberg_v3_dv_commit (driver-written single puffin — the
     fixture path), iceberg_v3_delete_rows and iceberg_v3_upsert
-    (executor-written per-task puffins)."""
+    (executor-written per-task puffins).
+
+    Identity-partitioned tables (round 9): manifest entries carry the
+    spec-required r102 partition record — existing files keep the
+    values their prior manifests recorded (authoritative), new adds
+    derive theirs from their hive `col=value/` path segments (how every
+    writer in this module lays files out). Lineage: EXISTING (status-0)
+    entries keep the snapshot id that originally added them, per the
+    manifest-entry contract — only status-1 adds stamp this commit's."""
     from rottnest_spark.core.fs import canon_path as _canon
+    from rottnest_spark.sources.iceberg import live_adds_from_metadata
 
     snaps = md.get("snapshots") or []
     commit_seq = int(md.get("last-sequence-number") or 0) + 1
@@ -1896,20 +2025,40 @@ def _v3_commit_dv_state(
         live[_canon(f)] = commit_seq
 
     meta_dir = _meta_dir(table_path)
-    schema3 = _dv_manifest_schema()
+    pfields = _pfields_from_md(md)
+    schema3 = _dv_manifest_schema(pfields)
 
     added_set = {_canon(f) for f in adds or []}
+    # authoritative partition values + adding snapshot id of every file
+    # already in the table (prior manifests); adds derive from their path
+    prior_parts: dict[str, dict] = {}
+    if pfields:
+        prior_parts = {
+            _canon(p): vals
+            for p, vals in live_adds_from_metadata(
+                md, table_path, fs
+            ).items()
+        }
+    snap_of = {_canon(p): int(s) for p, s in (snap_of or {}).items()}
+
+    def _pvals(p: str) -> dict:
+        if not pfields:
+            return {}
+        if p in prior_parts:
+            return {k: prior_parts[p].get(k) for k, _ in pfields}
+        return _hive_pvals(table_path, p, pfields)
 
     def data_entry(p: str, seq: int) -> dict:
+        added = p in added_set
         return {
-            "status": 1 if p in added_set else 0,
-            "snapshot_id": snap_id,
+            "status": 1 if added else 0,
+            "snapshot_id": snap_id if added else snap_of.get(p, snap_id),
             "sequence_number": seq,
             "data_file": {
                 "content": 0,
                 "file_path": p,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": _pvals(p),
                 "record_count": _record_count(p),
                 "file_size_in_bytes": fs.getsize(p),
                 "equality_ids": None,
@@ -1919,16 +2068,21 @@ def _v3_commit_dv_state(
             },
         }
 
-    def dv_entry(ref: str, puffin: str, off, size, card, seq, status) -> dict:
+    def dv_entry(
+        ref: str, puffin: str, off, size, card, seq, status, added_snap=None
+    ) -> dict:
         return {
             "status": status,
-            "snapshot_id": snap_id,
+            "snapshot_id": snap_id if status == 1 else (added_snap or snap_id),
             "sequence_number": seq,
             "data_file": {
                 "content": 1,
                 "file_path": canon_path(puffin),
                 "file_format": "PUFFIN",
-                "partition": {},
+                # the DV's partition record matches its referenced data
+                # file's (spec: delete files are scoped to the partition
+                # of the rows they delete)
+                "partition": _pvals(ref),
                 "record_count": int(card),
                 "file_size_in_bytes": fs.getsize(puffin),
                 "equality_ids": None,
@@ -1957,6 +2111,7 @@ def _v3_commit_dv_state(
         dv_entry(
             ref, d["puffin"], d.get("offset"), d.get("size"),
             d.get("cardinality") or -1, d["seq"], 0,
+            added_snap=d.get("snap"),
         )
         for ref, d in sorted(carried.items())
     ]

@@ -39,12 +39,27 @@ from rottnest_spark.sources.iceberg_write import (
 DEFAULT = 7
 
 
-def _upgrade_v3(table: str, extra_field: dict) -> None:
+def _upgrade_v3(
+    table: str, *extra_fields: dict, canonical: bool = False
+) -> None:
+    """Append fields to the schema and stamp format-version 3. With
+    canonical=True the metadata is rewritten the way a real v3 engine
+    writes it — `schemas` + `current-schema-id` only, the deprecated
+    single `schema` key REMOVED — which is the form the round-8 reader
+    silently dropped defaults on."""
     meta = os.path.join(table, "metadata")
     metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
     md = json.loads(open(os.path.join(meta, metas[-1])).read())
     md["format-version"] = 3
-    md["schema"]["fields"].append(extra_field)
+    schema = md["schema"]
+    schema["fields"].extend(extra_fields)
+    if canonical:
+        del md["schema"]
+        md["schemas"] = [
+            {"type": "struct", "schema-id": 0, "fields": []},  # stale old
+            {**schema, "schema-id": 5},
+        ]
+        md["current-schema-id"] = 5
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
         json.dump(md, fh)
@@ -216,17 +231,124 @@ def test_write_default_only_is_fully_supported(spark, tmp_path):
     assert lake.search(ExactIndex(), "doc_id", 5).count() == 1
 
 
+def test_canonical_schemas_form_surfaces_defaults(spark, tmp_path):
+    """Metadata in the spec-canonical form a real v3 engine writes —
+    `schemas` + `current-schema-id`, NO deprecated `schema` key. The
+    round-8 reader read only the legacy key, so defaults (and every
+    dependent refusal guard) silently vanished on such tables."""
+    out = str(tmp_path / "canon")
+    spark.range(20).selectExpr(
+        "id AS doc_id", "concat('d', id) AS body"
+    ).coalesce(1).write.parquet(out)
+    iceberg_convert(out)
+    _upgrade_v3(
+        out,
+        {
+            "id": 100,
+            "name": "score",
+            "required": False,
+            "type": "long",
+            "initial-default": DEFAULT,
+        },
+        canonical=True,
+    )
+    from rottnest_spark.sources.iceberg import _current_metadata
+
+    md = _current_metadata(out)
+    assert "schema" not in md and md["current-schema-id"] == 5
+    assert initial_default_fields(md) == {"score": (DEFAULT, "bigint")}
+    got = _scores(IcebergSnapshotLake(spark, out, out + "_i").read())
+    assert got == {i: DEFAULT for i in range(20)}
+    # and the dependent guard fires again too
+    from rottnest_spark.indices.exact import ExactIndex
+
+    with pytest.raises(ValueError, match="initial-default"):
+        IcebergSnapshotLake(spark, out, out + "_i2").build_index(
+            ExactIndex(), "doc_id"
+        )
+
+
+def test_typed_defaults_fill(spark, tmp_path):
+    """Appendix-D single-value serialization: date / timestamp(ntz) /
+    timestamptz / decimal / uuid / fixed defaults all fill as TYPED
+    literals, not strings."""
+    import datetime
+    from decimal import Decimal
+
+    out = str(tmp_path / "typed")
+    spark.range(10).selectExpr(
+        "id AS doc_id", "concat('d', id) AS body"
+    ).coalesce(1).write.parquet(out)
+    iceberg_convert(out)
+    _upgrade_v3(
+        out,
+        {"id": 100, "name": "d", "required": False, "type": "date",
+         "initial-default": "2024-03-15"},
+        {"id": 101, "name": "ts", "required": False, "type": "timestamp",
+         "initial-default": "2017-11-16T22:31:08.000001"},
+        {"id": 102, "name": "tstz", "required": False,
+         "type": "timestamptz",
+         "initial-default": "2017-11-16T22:31:08.000001+00:00"},
+        {"id": 103, "name": "price", "required": False,
+         "type": "decimal(10, 2)", "initial-default": "19.99"},
+        {"id": 104, "name": "u", "required": False, "type": "uuid",
+         "initial-default": "f79c3e09-677c-4bbd-a479-3f349cb785d7"},
+        {"id": 105, "name": "fx", "required": False, "type": "fixed[2]",
+         "initial-default": "00ff"},
+    )
+    df = IcebergSnapshotLake(spark, out, out + "_i").read()
+    types = dict(df.dtypes)
+    assert types["d"] == "date"
+    assert types["ts"] == "timestamp_ntz"
+    assert types["tstz"] == "timestamp"
+    assert types["price"] == "decimal(10,2)"
+    assert types["fx"] == "binary"
+    r = df.orderBy("doc_id").first()
+    assert r.d == datetime.date(2024, 3, 15)
+    assert r.ts == datetime.datetime(2017, 11, 16, 22, 31, 8, 1)
+    # session tz is UTC, so the collected naive datetime IS the instant
+    assert r.tstz == datetime.datetime(2017, 11, 16, 22, 31, 8, 1)
+    assert r.price == Decimal("19.99")
+    assert r.u == "f79c3e09-677c-4bbd-a479-3f349cb785d7"
+    assert r.fx == b"\x00\xff"
+
+
 def test_unsupported_default_type_refuses(spark, vtable):
     _upgrade_v3(
         vtable,
         {
             "id": 101,
-            "name": "price",
+            "name": "t_of_day",
             "required": False,
-            "type": "decimal(10, 2)",
-            "initial-default": "19.99",
+            "type": "time",  # Spark has no TIME column type — must refuse
+            "initial-default": "22:31:08.000001",
         },
     )
     lake = IcebergSnapshotLake(spark, vtable, vtable + "_i2")
     with pytest.raises(ValueError, match="initial-default"):
         lake.read().count()
+
+
+def test_parse_default_refusals():
+    from rottnest_spark.sources.iceberg import _parse_default
+
+    with pytest.raises(ValueError, match="UTC offset"):
+        _parse_default("x", "timestamptz", "2017-11-16T22:31:08")
+    with pytest.raises(ValueError, match="refusing"):
+        _parse_default("x", "timestamp_ns", "2017-11-16T22:31:08.000000001")
+    with pytest.raises(ValueError, match="refusing"):
+        _parse_default("x", "time", "22:31:08")
+    md = {
+        "schema": {
+            "fields": [
+                {
+                    "id": 1,
+                    "name": "pt",
+                    "type": {"type": "struct", "fields": []},
+                    "initial-default": {"1": 3},
+                }
+            ]
+        }
+    }
+    with pytest.raises(ValueError, match="struct/list/map"):
+        initial_default_fields(md)

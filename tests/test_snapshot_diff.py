@@ -611,11 +611,11 @@ def test_sync_table_capped_loop(spark, itable, tmp_path):
 def test_v3_source_fails_replication_at_poll_not_midstream(
     spark, itable, tmp_path
 ):
-    """v3 deletion vectors AND primitive initial-defaults READ since
-    round 8 (tests/test_iceberg_v3_dv.py, tests/test_iceberg_v3_defaults
-    .py cover those succeeding) — the remaining v3 refusal residue is an
-    initial-default of an UNSUPPORTED type (non-primitive JSON encodings
-    this reader does not parse). A source carrying one must fail a
+    """v3 deletion vectors, primitive initial-defaults (round 8) and
+    typed date/timestamp/decimal/uuid/fixed defaults (round 9) all READ
+    — the remaining v3 refusal residue is an initial-default of an
+    UNSUPPORTED type (`time`: Spark has no TIME column type; nanosecond
+    timestamps; struct/list/map). A source carrying one must fail a
     replication consumer LOUDLY at poll() time, before any row lands on
     the destination — never mid-merge."""
     import json as _json
@@ -643,10 +643,10 @@ def test_v3_source_fails_replication_at_poll_not_midstream(
     md["schema"]["fields"].append(
         {
             "id": next_id,
-            "name": "price",
+            "name": "t_of_day",
             "required": False,
-            "type": "decimal(10, 2)",
-            "initial-default": "19.99",
+            "type": "time",
+            "initial-default": "22:31:08.000001",
         }
     )
     v = len(metas) + 10
