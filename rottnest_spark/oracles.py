@@ -22,6 +22,19 @@ of silently passing.
 Reference parity note: the reference has no oracle layer at all; this
 module exists for the correctness gate contract (driver + judge), cited
 from VERDICT.md round-7 item 4.
+
+DRIFT TRAP — read this first if `semantic_dedup` or `diversity_sample`
+hash-mismatches: this module MIRRORS the engine's numeric contract by
+design, so the most likely cause is engine-side numeric drift, not a
+broken oracle. The mirrored constants/disciplines are: float32 distance
+arithmetic in Lloyd's assignment step (`_lloyd` casts to float32 like
+indices/vector.py), the hash-selected id-ordered training sample and its
+size cap, the seeded centroid init (same md5-derived ordering as
+ops/dedup.py), lowest-index tie-breaking on equal distances, and BUCKETS
+= 1_000_000 (ops/sampling.py). If any of those change engine-side —
+e.g. a float64 refactor, a new sampling seed, a different tie-break —
+the gate will fail HERE first; update the mirror in the same commit as
+the engine change, never independently.
 """
 
 from __future__ import annotations

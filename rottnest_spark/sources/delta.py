@@ -58,15 +58,28 @@ def _log_lines(fs: LakeFS, path: str):
     return [ln for ln in fs.read_text(path).splitlines() if ln.strip()]
 
 
+def _is_v2_checkpoint(path: str) -> bool:
+    """V2 (UUID-named) checkpoint files are `V.checkpoint.<uuid>.json`
+    or `.parquet` — 4 dot-segments; classic are 3 (single) or 5
+    (multi-part `V.checkpoint.I.N.parquet`, all-numeric middle)."""
+    segs = os.path.basename(path).split(".")
+    return len(segs) == 4 and not segs[2].isdigit()
+
+
 def _checkpoint_parts(
     log_dir: str, fs: LakeFS | None = None
 ) -> tuple[int, list[str]]:
-    """Locate the latest checkpoint: (version, parquet part files), or
-    (-1, []) when the log has no checkpoint.
+    """Locate the latest checkpoint: (version, checkpoint files), or
+    (-1, []) when the log has no checkpoint. Files are classic parquet
+    parts OR one v2 UUID-named top-level file (json/parquet — see
+    _is_v2_checkpoint; its add actions may live in sidecars, resolved
+    at read time by _v2_checkpoint_actions).
 
     `_last_checkpoint` is the authoritative pointer (Delta protocol —
     readers must not rely on listing); multi-part checkpoints are named
-    `V.checkpoint.I.N.parquet`. Fails loudly on missing parts rather than
+    `V.checkpoint.I.N.parquet`, v2 ones `V.checkpoint.<uuid>.<ext>`
+    (the pointer names the version, not the file — readers list the
+    version's prefix). Fails loudly on missing parts rather than
     returning an incomplete live set."""
     fs = fs or LocalFS()
     lc = os.path.join(log_dir, "_last_checkpoint")
@@ -87,15 +100,38 @@ def _checkpoint_parts(
             files = [os.path.join(log_dir, f"{base}.checkpoint.parquet")]
         missing = [f for f in files if not fs.exists(f)]
         if missing:
+            # v2 spec checkpoint: same version, UUID-named file (any one
+            # of the version's UUID twins is a complete snapshot)
+            v2 = sorted(
+                f
+                for f in fs.glob(
+                    os.path.join(log_dir, f"{base}.checkpoint.*")
+                )
+                if _is_v2_checkpoint(f)
+            )
+            if v2:
+                return v, [v2[-1]]
             raise ValueError(
                 f"_last_checkpoint points at version {v} but parts are "
                 f"missing: {missing} — refusing to return a partial snapshot"
             )
         return v, files
-    # no pointer: glob both single- and multi-part names, newest version
-    found = fs.glob(os.path.join(log_dir, "*.checkpoint.parquet")) + fs.glob(
-        os.path.join(log_dir, "*.checkpoint.*.*.parquet")
+    # no pointer: glob single-, multi-part and v2 names, newest version
+    found = (
+        fs.glob(os.path.join(log_dir, "*.checkpoint.parquet"))
+        + fs.glob(os.path.join(log_dir, "*.checkpoint.*.*.parquet"))
+        + [
+            f
+            for f in fs.glob(os.path.join(log_dir, "*.checkpoint.*.json"))
+            if _is_v2_checkpoint(f)
+        ]
     )
+    found = [
+        f
+        for f in found
+        if not _is_v2_checkpoint(f)
+        or len(os.path.basename(f).split(".")) == 4
+    ]
     if not found:
         return -1, []
     by_ver: dict[int, list[str]] = {}
@@ -103,6 +139,9 @@ def _checkpoint_parts(
         by_ver.setdefault(int(os.path.basename(f).split(".")[0]), []).append(f)
     v = max(by_ver)
     parts = sorted(by_ver[v])
+    v2 = [p for p in parts if _is_v2_checkpoint(p)]
+    if v2:
+        return v, [v2[-1]]  # any UUID twin is complete on its own
     multi = [p for p in parts if len(os.path.basename(p).split(".")) == 5]
     if multi:
         expected = int(os.path.basename(multi[0]).split(".")[3])
@@ -112,6 +151,97 @@ def _checkpoint_parts(
                 f"refusing to return a partial snapshot"
             )
     return v, parts
+
+
+def _checkpoint_actions(fs: LakeFS, log_dir: str, cp_files: list[str]):
+    """Yield plain action dicts ({'add': …} / {'remove': …} /
+    {'protocol': …} / {'metaData': …}) from checkpoint files of EITHER
+    layout — classic parquet parts or a v2 UUID-named top-level file
+    (+sidecars) — so every checkpoint consumer (live replay, protocol/
+    meta recovery, known-files walk, step generator) reads both without
+    knowing which it got. Checkpoint `remove` rows are retention
+    tombstones: liveness consumers must ignore them (a checkpoint's adds
+    ARE the live set); they are yielded for the consumers that need the
+    full referenced-ever set."""
+    for cp in cp_files:
+        if _is_v2_checkpoint(cp):
+            yield from _v2_checkpoint_actions(fs, log_dir, cp)
+            continue
+        tbl = _read_cp_table(fs, cp)
+        for col in ("add", "remove", "protocol", "metaData"):
+            if col in tbl.column_names:
+                for rec in tbl.column(col).to_pylist():
+                    if rec and any(v is not None for v in rec.values()):
+                        yield {col: rec}
+
+
+def _v2_checkpoint_actions(fs: LakeFS, log_dir: str, path: str):
+    """Yield the action dicts of a V2 SPEC CHECKPOINT (Delta
+    PROTOCOL.md 'V2 Spec Checkpoints', reader feature `v2Checkpoint`):
+    the UUID-named top-level file (json lines or parquet rows) carries
+    checkpointMetadata/protocol/metaData and either add/remove actions
+    inline or `sidecar` actions naming parquet files under
+    `_delta_log/_sidecars/` that hold them. Sidecars are resolved and
+    their add/remove rows yielded as plain actions, so the replay
+    consumes v2 exactly like classic. Missing sidecars raise — an
+    incomplete snapshot must never read as a smaller live set."""
+    sidecars: list[str] = []
+
+    def _rows():
+        if path.endswith(".json"):
+            for ln in _log_lines(fs, path):
+                yield json.loads(ln)
+        else:
+            tbl = _read_cp_table(fs, path)
+            cols = [
+                c
+                for c in (
+                    "checkpointMetadata",
+                    "protocol",
+                    "metaData",
+                    "add",
+                    "remove",
+                    "sidecar",
+                )
+                if c in tbl.column_names
+            ]
+            for i in range(tbl.num_rows):
+                for c in cols:
+                    rec = tbl.column(c)[i].as_py()
+                    if rec and any(v is not None for v in rec.values()):
+                        yield {c: rec}
+
+    saw_meta = False
+    for action in _rows():
+        if "checkpointMetadata" in action:
+            saw_meta = True
+            continue
+        if "sidecar" in action:
+            sidecars.append(action["sidecar"]["path"])
+            continue
+        yield action
+    if not saw_meta:
+        raise ValueError(
+            f"{path}: v2 checkpoint without a checkpointMetadata action — "
+            "not a spec checkpoint; refusing"
+        )
+    for sc in sidecars:
+        sc_path = (
+            sc
+            if "/" in sc and fs.exists(sc)
+            else os.path.join(log_dir, "_sidecars", os.path.basename(sc))
+        )
+        if not fs.exists(sc_path):
+            raise ValueError(
+                f"v2 checkpoint sidecar missing: {sc!r} — refusing to "
+                "return a partial snapshot"
+            )
+        tbl = _read_cp_table(fs, sc_path)
+        for col in ("add", "remove"):
+            if col in tbl.column_names:
+                for rec in tbl.column(col).to_pylist():
+                    if rec and rec.get("path"):
+                        yield {col: rec}
 
 
 def _delta_live_state(
@@ -155,23 +285,20 @@ def _delta_live_state(
     proto: dict | None = None
     meta: dict | None = None
     if cp_files:
-        for cp in cp_files:
-            tbl = _read_cp_table(fs, cp)
-            if "add" in tbl.column_names:
-                for rec in tbl.column("add").to_pylist():
-                    if rec and rec.get("path"):
-                        live[rec["path"]] = (
-                            dict(rec.get("partitionValues") or {}),
-                            rec.get("deletionVector") or None,
-                        )
-            for col in ("protocol", "metaData"):
-                if col in tbl.column_names:
-                    for rec in tbl.column(col).to_pylist():
-                        if rec and any(v is not None for v in rec.values()):
-                            if col == "protocol":
-                                proto = rec
-                            else:
-                                meta = rec
+        # classic parquet parts and v2 (json/parquet + sidecars) both
+        # normalize to plain actions; checkpoint removes are retention
+        # tombstones and do NOT affect liveness (the adds ARE the set)
+        for action in _checkpoint_actions(fs, log_dir, cp_files):
+            if "add" in action and action["add"].get("path"):
+                rec = action["add"]
+                live[rec["path"]] = (
+                    dict(rec.get("partitionValues") or {}),
+                    rec.get("deletionVector") or None,
+                )
+            elif "protocol" in action:
+                proto = action["protocol"]
+            elif "metaData" in action:
+                meta = action["metaData"]
 
     versions = {int(os.path.basename(c).split(".")[0]) for c in commits}
     if start_version < 0 and 0 not in versions:
@@ -211,6 +338,7 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",  # Spark-native TIMESTAMP_NTZ parquet reads
     "vacuumProtocolCheck",  # write-side gate, read path unaffected
     "columnMapping",  # NAME mode (round 7) + ID mode (round 8)
+    "v2Checkpoint",  # UUID-named spec checkpoints + sidecars (round 9)
 }
 
 
@@ -422,7 +550,7 @@ def _check_reader_compat(
       the snapshot lake renames physical→logical at scan, resolving by
       parquet field id in ID mode;
     - any minReaderVersion-3 readerFeature outside the supported set
-      (v2Checkpoint, typeWidening, ...): unknown read semantics;
+      (typeWidening, variantType, ...): unknown read semantics;
     - minReaderVersion > 3: unknown protocol."""
     try:
         column_mapping_from_meta(meta)
@@ -507,15 +635,13 @@ def _delta_states_range(
         )
     live: dict[str, tuple[dict, dict | None]] = {}
     if cp_files:
-        for cp in cp_files:
-            tbl = _read_cp_table(fs, cp)
-            if "add" in tbl.column_names:
-                for rec in tbl.column("add").to_pylist():
-                    if rec and rec.get("path"):
-                        live[rec["path"]] = (
-                            dict(rec.get("partitionValues") or {}),
-                            rec.get("deletionVector") or None,
-                        )
+        for action in _checkpoint_actions(fs, log_dir, cp_files):
+            if "add" in action and action["add"].get("path"):
+                rec = action["add"]
+                live[rec["path"]] = (
+                    dict(rec.get("partitionValues") or {}),
+                    rec.get("deletionVector") or None,
+                )
 
     def snap():
         return {os.path.join(table_path, p): st for p, st in live.items()}
@@ -559,12 +685,9 @@ def delta_protocol(
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     proto = None
     start_version, cp_files = _checkpoint_parts(log_dir, fs)
-    for cp in cp_files:
-        tbl = _read_cp_table(fs, cp)
-        if "protocol" in tbl.column_names:
-            for rec in tbl.column("protocol").to_pylist():
-                if rec and any(v is not None for v in rec.values()):
-                    proto = rec
+    for action in _checkpoint_actions(fs, log_dir, cp_files):
+        if "protocol" in action:
+            proto = action["protocol"]
     for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
         if int(os.path.basename(c).split(".")[0]) <= start_version:
             continue
@@ -774,12 +897,9 @@ def delta_table_meta(
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     meta = None
     start_version, cp_files = _checkpoint_parts(log_dir, fs)
-    for cp in cp_files:
-        tbl = _read_cp_table(fs, cp)
-        if "metaData" in tbl.column_names:
-            for rec in tbl.column("metaData").to_pylist():
-                if rec and rec.get("id"):
-                    meta = rec
+    for action in _checkpoint_actions(fs, log_dir, cp_files):
+        if "metaData" in action and action["metaData"].get("id"):
+            meta = action["metaData"]
     for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
         if int(os.path.basename(c).split(".")[0]) <= start_version:
             continue
@@ -821,13 +941,10 @@ def delta_known_files(
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     known: set[str] = set()
     _, cp_files = _checkpoint_parts(log_dir, fs)
-    for cp in cp_files:
-        tbl = _read_cp_table(fs, cp)
-        for col in ("add", "remove"):
-            if col in tbl.column_names:
-                for rec in tbl.column(col).to_pylist():
-                    if rec and rec.get("path"):
-                        known.add(rec["path"])
+    for action in _checkpoint_actions(fs, log_dir, cp_files):
+        for key in ("add", "remove"):
+            if key in action and action[key].get("path"):
+                known.add(action[key]["path"])
     for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
         for line in _log_lines(fs, c):
             action = json.loads(line)

@@ -321,7 +321,17 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
             meta = a.get("metaData", meta)
             proto = a.get("protocol", proto)
     if meta is None and prior_cp_files:
+        from rottnest_spark.sources.delta import (
+            _is_v2_checkpoint,
+            _v2_checkpoint_actions,
+        )
+
         for cp in prior_cp_files:
+            if _is_v2_checkpoint(cp):
+                for a in _v2_checkpoint_actions(fs, log_dir, cp):
+                    meta = a.get("metaData", meta)
+                    proto = a.get("protocol", proto)
+                continue
             t = pq.read_table(pa.BufferReader(fs.read_bytes(cp)))
             for col, cur in (("metaData", meta), ("protocol", proto)):
                 if col in t.column_names:

@@ -206,7 +206,7 @@ def snapshot_state_from_metadata(md: dict, table_path: str, fs=None) -> dict:
     snap_id = md.get("current-snapshot-id")
     snaps = md.get("snapshots", [])
     if snap_id in (None, -1) or not snaps:
-        return {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}}
+        return {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}, "data_info": {}}
     by_id = {s["snapshot-id"]: s for s in snaps}
     if snap_id not in by_id:
         raise ValueError(
@@ -313,17 +313,69 @@ def initial_default_fields(md: dict) -> dict[str, tuple[object, str]]:
     return out
 
 
+#: below this many files the defaults footer peek stays a driver loop —
+#: a Spark job's fixed latency exceeds a handful of footer reads
+_DEFAULTS_PROBE_DRIVER_MAX = 16
+
+
+def _missing_defaults_by_file(
+    spark, fl: list[str], dcols: list[str]
+) -> dict[str, frozenset]:
+    """{file: frozenset(defaulted columns its footer LACKS)} — the
+    grouping key for the defaults-fill scan. Small lists peek footers on
+    the driver; larger ones probe EXECUTOR-side (mapInPandas over the
+    path list, one footer open per file per task) and collect one tiny
+    (path, missing) row per file — descriptor-scale, like dv_pairs_df.
+    At 10^5 files over object storage a driver loop is O(files) GET
+    round-trips serialized on one node; the executor pass is the same
+    total work spread across the cluster."""
+    import pyarrow.parquet as pq
+
+    if len(fl) <= _DEFAULTS_PROBE_DRIVER_MAX:
+        return {
+            f: frozenset(
+                c
+                for c in dcols
+                if c not in set(pq.ParquetFile(f).schema_arrow.names)
+            )
+            for f in fl
+        }
+    cols = sorted(dcols)
+
+    def probe(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            missing = []
+            for p in pdf["p"]:
+                names = set(_pq.ParquetFile(p).schema_arrow.names)
+                missing.append(",".join(c for c in cols if c not in names))
+            yield _pd.DataFrame({"p": pdf["p"], "missing": missing})
+
+    paths = spark.createDataFrame([(f,) for f in sorted(fl)], "p string")
+    rows = (
+        paths.repartition(min(len(fl), 64))
+        .mapInPandas(probe, "p string, missing string")
+        .collect()  # one short row per file — descriptor-scale
+    )
+    return {
+        r.p: frozenset(r.missing.split(",")) if r.missing else frozenset()
+        for r in rows
+    }
+
+
 def scan_with_initial_defaults(spark, fl, dmap: dict, tagged: bool):
     """Scan data files on a v3 table with `initial-default` fields:
     files are GROUPED by which defaulted columns their footers lack
-    (per-file footer peek — pre-evolution files physically miss the
-    column), each group scans uniformly and fills the missing columns
-    with the spec literal, and the groups union by name. Splitting the
-    scan is what keeps an explicit NULL written AFTER the evolution
-    distinct from a missing pre-evolution value — a single mixed scan
-    surfaces both as null and a blanket coalesce would corrupt the
-    explicit one."""
-    import pyarrow.parquet as pq
+    (footer peek — pre-evolution files physically miss the column;
+    executor-distributed past a small-file threshold, see
+    _missing_defaults_by_file), each group scans uniformly and fills
+    the missing columns with the spec literal, and the groups union by
+    name. Splitting the scan is what keeps an explicit NULL written
+    AFTER the evolution distinct from a missing pre-evolution value — a
+    single mixed scan surfaces both as null and a blanket coalesce
+    would corrupt the explicit one."""
     from pyspark.sql import functions as F
 
     from rottnest_spark.sources.reader import (
@@ -331,12 +383,10 @@ def scan_with_initial_defaults(spark, fl, dmap: dict, tagged: bool):
         read_parquet_tagged,
     )
 
+    by_file = _missing_defaults_by_file(spark, list(fl), list(dmap))
     groups: dict[frozenset, list[str]] = {}
     for f in fl:
-        names = set(pq.ParquetFile(f).schema_arrow.names)
-        groups.setdefault(
-            frozenset(c for c in dmap if c not in names), []
-        ).append(f)
+        groups.setdefault(by_file[f], []).append(f)
     scan = read_parquet_tagged if tagged else read_parquet
     parts = []
     for missing in sorted(groups, key=sorted):
@@ -645,6 +695,10 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
         # added_snapshot_id (entry-level inheritance, same as sequence
         # numbers); lets commit tails preserve lineage on status-0 rows
         "data_snap": {},
+        # {data file path: (record_count, file_size_in_bytes)} from the
+        # manifests — commit tails reuse these for EXISTING files
+        # instead of re-opening O(files) footers on the driver
+        "data_info": {},
     }
     for mpath, list_content, ml_seq, ml_snap in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
@@ -670,6 +724,9 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
                 state["data"][p] = seq
                 if e_snap is not None:
                     state["data_snap"][p] = e_snap
+                rc, fsz = df.get("record_count"), df.get("file_size_in_bytes")
+                if rc is not None and fsz is not None:
+                    state["data_info"][p] = (int(rc), int(fsz))
             elif content == 1 and (
                 df.get("referenced_data_file")
                 or str(df.get("file_format") or "").upper() == "PUFFIN"

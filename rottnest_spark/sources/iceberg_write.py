@@ -596,7 +596,7 @@ def iceberg_commit(
     if cur in by_id:
         st = _snapshot_state(prior, by_id[cur], table_path, fs)
     else:
-        st = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}}
+        st = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}, "data_info": {}}
     # canon the live sets: callers pass canon'd (often _metadata-derived
     # absolute) paths while _rebase outputs are relative whenever
     # table_path is — unnormalized membership checks either reject valid
@@ -1429,7 +1429,7 @@ def iceberg_v3_dv_commit(
     }
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live, new_blobs, carried,
-        snap_of=st.get("data_snap"),
+        snap_of=st.get("data_snap"), file_info=st.get("data_info"),
     )
 
 
@@ -1583,7 +1583,7 @@ def iceberg_v3_delete_rows(
         return int(cur)  # nothing matched: current snapshot stands
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live, new_blobs, carried,
-        snap_of=st.get("data_snap"),
+        snap_of=st.get("data_snap"), file_info=st.get("data_info"),
     )
 
 
@@ -1631,7 +1631,7 @@ def iceberg_v3_append(
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live,
         new_blobs={}, carried=carried, adds=list(add), operation="append",
-        snap_of=st.get("data_snap"),
+        snap_of=st.get("data_snap"), file_info=st.get("data_info"),
     )
 
 
@@ -1731,7 +1731,7 @@ def iceberg_v3_rewrite_deletes(
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, untouched,
         new_blobs={}, carried={}, adds=moved, operation="replace",
-        snap_of=st.get("data_snap"),
+        snap_of=st.get("data_snap"), file_info=st.get("data_info"),
     )
 
 
@@ -1862,7 +1862,7 @@ def iceberg_v3_upsert(
 
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live, new_blobs, carried,
-        adds=moved, operation="overwrite", snap_of=st.get("data_snap"),
+        adds=moved, operation="overwrite", snap_of=st.get("data_snap"), file_info=st.get("data_info"),
     )
 
 
@@ -1994,6 +1994,7 @@ def _v3_commit_dv_state(
     adds: list[str] | None = None,
     operation: str = "delete",
     snap_of: dict[str, int] | None = None,
+    file_info: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Shared v3 DV commit tail: write the data + delete manifests and
     the v3 metadata for a new snapshot whose DV state is `new_blobs`
@@ -2040,6 +2041,9 @@ def _v3_commit_dv_state(
             ).items()
         }
     snap_of = {_canon(p): int(s) for p, s in (snap_of or {}).items()}
+    # (record_count, file_size) the prior manifests recorded — reused for
+    # EXISTING files so a commit never re-opens O(files) footers driver-side
+    file_info = {_canon(p): v for p, v in (file_info or {}).items()}
 
     def _pvals(p: str) -> dict:
         if not pfields:
@@ -2050,6 +2054,7 @@ def _v3_commit_dv_state(
 
     def data_entry(p: str, seq: int) -> dict:
         added = p in added_set
+        info = None if added else file_info.get(p)
         return {
             "status": 1 if added else 0,
             "snapshot_id": snap_id if added else snap_of.get(p, snap_id),
@@ -2059,8 +2064,8 @@ def _v3_commit_dv_state(
                 "file_path": p,
                 "file_format": "PARQUET",
                 "partition": _pvals(p),
-                "record_count": _record_count(p),
-                "file_size_in_bytes": fs.getsize(p),
+                "record_count": info[0] if info else _record_count(p),
+                "file_size_in_bytes": info[1] if info else fs.getsize(p),
                 "equality_ids": None,
                 "referenced_data_file": None,
                 "content_offset": None,

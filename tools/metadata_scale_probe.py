@@ -104,7 +104,7 @@ def main() -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
     rows = []
-    for n in (1_000, 10_000, 100_000):
+    for n in (1_000, 10_000, 100_000, 1_000_000):
         if n > max_files:
             break
         for fmt in ("delta", "iceberg"):
