@@ -2429,7 +2429,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # divisible by both 89 and 97 receive an update (seq 2) AND a delete
 # (seq 1) — latest-wins must keep the update.
 CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 89, 97, 997
-CDC_INS_OFFSET = 100_000_000
+# CDC_INS_OFFSET lives in entrypoints_lakehouse (its upsert fixture
+# shares the fresh-key offset) and re-exports below with the rest
 
 
 def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2603,6 +2604,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entrypoints_lakehouse; re-exported here so QUERIES, oracle_sql's
 # star-import, and every external caller see an unchanged surface
 from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
+    CDC_INS_OFFSET,
     DIFF_INS_MOD,
     MOR_DEL_MOD,
     MOR_SRC_MOD,

@@ -29,6 +29,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, [f"{os.path.abspath(sf_dir)}/{name}.parquet"])
 
 
+#: fresh-key offset shared by the CDC-merge fixture (entrypoints) and the
+#: upsert fixtures here — inserted keys land clear of every real key
+CDC_INS_OFFSET = 100_000_000
+
+
 MOR_SRC_MOD = 3  # the scratch Iceberg table keeps 1/MOD of orders
 MOR_DEL_MOD = 7  # merge-on-read DELETE removes keys divisible by this
 
@@ -315,6 +320,8 @@ def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "initial-default": V3D_DEFAULT,
             }
         )
+        if "schemas" in md:  # keep the canonical form in sync
+            md["schemas"] = [{**md["schema"], "schema-id": 0}]
         v = len(metas) + 10
         with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
             json.dump(md, fh)

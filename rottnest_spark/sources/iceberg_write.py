@@ -518,7 +518,12 @@ def _commit_snapshot(
         "table-uuid": (prior or {}).get("table-uuid", str(uuid.uuid4())),
         "location": canon_path(table_path),
         "last-updated-ms": ts,
+        # both schema forms: `schemas`+`current-schema-id` is the
+        # spec-canonical v2 shape every modern engine reads; the single
+        # `schema` key is the deprecated v1 form kept for old readers
         "schema": schema,
+        "schemas": [{**schema, "schema-id": 0}],
+        "current-schema-id": 0,
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
@@ -1022,14 +1027,18 @@ def iceberg_rewrite_deletes(
             ),
         )
 
-    # group by containing dir so rewrites stay inside their partition dir
-    by_dir: dict[str, list[str]] = {}
-    for f in affected:
-        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    # ONE Spark job for every affected file (round 9 — the former
+    # per-containing-dir loop ran one sequential job per partition dir:
+    # 10³ partitions = 10³ jobs, a driver wall at scale): decode the
+    # positional pairs once, anti-join + equality-apply in one scan,
+    # and on partitioned tables broadcast-attach each file's partition
+    # values (authoritative from the prior manifests) so the staged
+    # write partitionBy's them back OFF into hive `col=value/` dirs —
+    # the commit's entry() re-derives identical r102 values from the
+    # moved paths under data/.
     added = []
-    # decode the positional pairs ONCE for every directory group
     shared_pairs = None
-    if dels and by_dir:
+    if dels and affected:
         shared_pairs = (
             delete_pairs_df(spark, dels, location=loc, table_path=table_path)
             .localCheckpoint(eager=True)
@@ -1038,22 +1047,60 @@ def iceberg_rewrite_deletes(
                 F.col("__del_pos").alias("__pos"),
             )
         )
-    for d, group in sorted(by_dir.items()):
-        stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-        df = _tagged(group)
-        if shared_pairs is not None:
-            df = df.join(shared_pairs, ["__path", "__pos"], "left_anti")
-        if eqs:
-            df = apply_equality_deletes(spark, df, state, md)
-        df.drop("__path", "__pos").write.parquet(stage)
-        for f in fs.list_files(stage):
-            leaf = os.path.basename(f)
-            if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
-                continue
-            dst = os.path.join(d, f"{uuid.uuid4().hex}.parquet")
-            fs.rename(f, dst)
-            added.append(dst)
-        fs.rmtree(stage)
+    df = _tagged(affected)
+    if shared_pairs is not None:
+        df = df.join(shared_pairs, ["__path", "__pos"], "left_anti")
+    if eqs:
+        df = apply_equality_deletes(spark, df, state, md)
+    pfields = _pfields_from_md(md)
+    if pfields:
+        from rottnest_spark.sources.iceberg import live_adds_from_metadata
+
+        adds_pv = {
+            canon_path(p): v
+            for p, v in live_adds_from_metadata(md, table_path, fs).items()
+        }
+        _spark_of = {
+            "long": "bigint", "int": "int", "double": "double",
+            "float": "float", "boolean": "boolean", "string": "string",
+        }
+        pv_schema = ", ".join(
+            ["__path string"]
+            + [f"`{c}` {_spark_of.get(t, 'string')}" for c, t in pfields]
+        )
+        pv_df = spark.createDataFrame(
+            [
+                tuple(
+                    [canon_path(f)]
+                    + [
+                        adds_pv.get(canon_path(f), {}).get(c)
+                        for c, _ in pfields
+                    ]
+                )
+                for f in affected
+            ],
+            pv_schema,
+        )
+        df = df.join(F.broadcast(pv_df), "__path")
+    df = df.drop("__path", "__pos")
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    if pfields:
+        df.write.partitionBy(*[c for c, _ in pfields]).parquet(stage)
+    else:
+        df.write.parquet(stage)
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.list_files(stage):
+        leaf = os.path.basename(f)
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        sub = os.path.dirname(os.path.relpath(f, stage))
+        dst = os.path.join(
+            table_path, "data", sub, f"{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
+        fs.rename(f, dst)
+        added.append(dst)
+    fs.rmtree(stage)
     planned_state = (
         frozenset(canon_path(f) for f in dels),
         frozenset(
@@ -1692,10 +1739,15 @@ def iceberg_v3_rewrite_deletes(
     live = {canon_path(p): seq for p, seq in st["data"].items()}
     doomed_files = sorted(ref for ref in dvs if ref in live)
 
-    # decode the DV positions ONCE, then rewrite per containing dir so
-    # hive-partitioned layouts are preserved (the rewritten files land
-    # in the same `data/col=value/` dir as the files they replace and
-    # the commit tail re-derives their r102 values from the path)
+    # decode the DV positions ONCE and rewrite in ONE Spark job: the
+    # survivors of every DV-referenced file anti-join in one scan. On
+    # identity-partitioned tables the per-file partition values (known
+    # from the prior manifests — authoritative) broadcast-join on, the
+    # staged write partitionBy's them back OFF into hive `col=value/`
+    # dirs, and the moved files land under data/ in that layout — so
+    # the commit tail re-derives the same r102 values from the path. A
+    # per-partition-dir loop here would be one sequential Spark job per
+    # partition: 10³ partitions = 10³ jobs, a driver wall at scale.
     pairs = (
         dv_pairs_df(spark, dvs, md.get("location", ""), table_path)
         .localCheckpoint(eager=True)
@@ -1704,27 +1756,52 @@ def iceberg_v3_rewrite_deletes(
             F.col("__del_pos").alias("__pos"),
         )
     )
-    by_dir: dict[str, list[str]] = {}
-    for f in doomed_files:
-        by_dir.setdefault(os.path.dirname(f), []).append(f)
-    moved = []
-    for d, group in sorted(by_dir.items()):
-        survivors = (
-            read_parquet_tagged(spark, sorted(group))
-            .join(pairs, ["__path", "__pos"], "left_anti")
-            .drop("__path", "__pos")
+    survivors = read_parquet_tagged(spark, doomed_files).join(
+        pairs, ["__path", "__pos"], "left_anti"
+    )
+    pfields = _pfields_from_md(md)
+    if pfields:
+        from rottnest_spark.sources.iceberg import live_adds_from_metadata
+
+        adds = {
+            canon_path(p): v
+            for p, v in live_adds_from_metadata(md, table_path, fs).items()
+        }
+        _spark_of = {
+            "long": "bigint", "int": "int", "double": "double",
+            "float": "float", "boolean": "boolean", "string": "string",
+        }
+        pv_schema = ", ".join(
+            ["__path string"]
+            + [f"`{c}` {_spark_of.get(t, 'string')}" for c, t in pfields]
         )
-        stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+        pv_rows = [
+            tuple([f] + [adds[f].get(c) for c, _ in pfields])
+            for f in doomed_files
+        ]
+        pv_df = spark.createDataFrame(pv_rows, pv_schema)
+        survivors = survivors.join(F.broadcast(pv_df), "__path")
+    survivors = survivors.drop("__path", "__pos")
+
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    if pfields:
+        survivors.write.partitionBy(*[c for c, _ in pfields]).parquet(stage)
+    else:
         survivors.write.parquet(stage)
-        fs.makedirs(d)
-        for f in fs.list_files(stage):
-            leaf = os.path.basename(f)
-            if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
-                continue
-            dst = os.path.join(d, f"{uuid.uuid4().hex}.parquet")
-            fs.rename(f, dst)
-            moved.append(dst)
-        fs.rmtree(stage)
+    moved = []
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.list_files(stage):
+        leaf = os.path.basename(f)
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        sub = os.path.dirname(os.path.relpath(f, stage))
+        dst = os.path.join(
+            table_path, "data", sub, f"{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
 
     ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     untouched = {p: s for p, s in live.items() if p not in set(doomed_files)}

@@ -60,6 +60,10 @@ def _upgrade_v3(
             {**schema, "schema-id": 5},
         ]
         md["current-schema-id"] = 5
+    elif "schemas" in md:
+        # the writer emits both forms (round 9) — a hand-evolution must
+        # keep them in sync or the canonical one wins with stale fields
+        md["schemas"] = [{**schema, "schema-id": md.get("current-schema-id", 0)}]
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
         json.dump(md, fh)
@@ -216,6 +220,8 @@ def test_write_default_only_is_fully_supported(spark, tmp_path):
     md = json.loads(open(os.path.join(meta, metas[-1])).read())
     md["format-version"] = 3
     md["schema"]["fields"][1]["write-default"] = "x"
+    if "schemas" in md:
+        md["schemas"] = [{**md["schema"], "schema-id": 0}]
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
         json.dump(md, fh)

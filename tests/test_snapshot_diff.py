@@ -649,6 +649,8 @@ def test_v3_source_fails_replication_at_poll_not_midstream(
             "initial-default": "22:31:08.000001",
         }
     )
+    if "schemas" in md:  # keep the canonical form in sync (round-9 writer)
+        md["schemas"] = [{**md["schema"], "schema-id": 0}]
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
         _json.dump(md, fh)

@@ -90,6 +90,8 @@ def _make_table(path: str, n_files: int) -> None:
             "initial-default": 7,
         }
     )
+    if "schemas" in md:  # keep the canonical form in sync
+        md["schemas"] = [{**md["schema"], "schema-id": 0}]
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
         json.dump(md, fh)
