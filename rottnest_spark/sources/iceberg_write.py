@@ -303,7 +303,17 @@ def _latest_metadata(table_path: str, fs: LakeFS) -> tuple[int, dict | None]:
 
 
 def _identity_partition_fields(md: dict | None) -> list[str]:
-    """Identity-transform partition column names from table metadata."""
+    """Identity-transform partition column names from table metadata.
+
+    WRITE-path resolver: a default spec carrying a NON-identity
+    transform (bucket/truncate/day/...) refuses loudly — every writer
+    in this module derives r102 partition records from identity values,
+    so silently dropping a bucket field would commit manifests whose
+    partition records are missing fields the spec declares (silent
+    metadata corruption for external readers). READS are unaffected
+    and go through iceberg.partition_columns_from_metadata, which may
+    legitimately ignore non-identity transforms (their source columns
+    stay physical in the data files)."""
     if not md:
         return []
     spec = md.get("partition-spec")
@@ -312,11 +322,19 @@ def _identity_partition_fields(md: dict | None) -> list[str]:
         for s in md["partition-specs"]:
             if s.get("spec-id") == sid:
                 spec = s.get("fields")
-    return [
-        f["name"]
+    alien = [
+        (f.get("name"), f.get("transform"))
         for f in (spec or [])
-        if f.get("transform", "identity") == "identity"
+        if f.get("transform", "identity") != "identity"
     ]
+    if alien:
+        raise ValueError(
+            f"partition spec uses non-identity transform(s) {alien} — "
+            "this writer derives partition records from identity values "
+            "only; writing would drop those fields from the manifests. "
+            "Refusing instead of corrupting metadata (reads still work)"
+        )
+    return [f["name"] for f in (spec or [])]
 
 
 def _commit_snapshot(

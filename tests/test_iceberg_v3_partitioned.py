@@ -261,3 +261,49 @@ def test_full_lifecycle_read_after_every_step(spark, tmp_path):
     assert _rows(spark, t) == want
     st = snapshot_state_from_metadata(_current_metadata(t), t)
     assert not st["dvs"]
+
+
+def test_non_identity_transform_refuses_writes_not_reads(spark, tmp_path):
+    """A default spec with a bucket transform: every WRITE path refuses
+    loudly (this writer derives r102 records from identity values —
+    silently dropping the bucket field would corrupt the manifests for
+    external readers), while READS still work (the bucket's source
+    column stays physical in the data files)."""
+    import json
+
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_commit,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "bkt")
+    iceberg_write(_data(spark, 30), t)
+    meta = os.path.join(t, "metadata")
+    metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
+    md = json.loads(open(os.path.join(meta, metas[-1])).read())
+    md["partition-spec"] = [
+        {
+            "name": "doc_id_bucket",
+            "transform": "bucket[16]",
+            "source-id": 1,
+            "field-id": 1000,
+        }
+    ]
+    md["partition-specs"] = [{"spec-id": 0, "fields": md["partition-spec"]}]
+    md["default-spec-id"] = 0
+    v = len(metas) + 10
+    with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+    assert _rows(spark, t) == _expect(spark, 30)  # reads unaffected
+    with pytest.raises(ValueError, match="non-identity"):
+        iceberg_v3_delete_rows(spark, t, "doc_id < 5")
+    import shutil
+
+    st = snapshot_state_from_metadata(_current_metadata(t), t)
+    extra = os.path.join(t, "extra.parquet")
+    shutil.copy(sorted(st["data"])[0], extra)
+    with pytest.raises(ValueError, match="non-identity"):
+        iceberg_commit(t, add=[extra])
