@@ -88,34 +88,83 @@ def zorder_write(
     return bounds
 
 
-def file_zone_maps(files: list[str], cols: list[str]) -> list[dict]:
-    """Per-file min/max for `cols` from parquet footers (driver-side,
-    metadata-scale) — the zone maps a scan planner prunes with."""
+#: past this many files the zone-map footer walk distributes executor-side
+#: (with a session) — a driver loop is O(files) GET round-trips serialized
+#: on one node at object-storage latency
+_ZONES_DRIVER_MAX = 64
+
+
+def _zone_of_footer(f: str, cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
-    out = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        zones: dict[str, tuple] = {}
-        for c in cols:
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[c]).statistics
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            zones[c] = (lo, hi)
-        out.append({"file": f, **{c: zones[c] for c in cols}})
-    return out
+    md = pq.ParquetFile(f).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    zones: dict[str, tuple] = {}
+    for c in cols:
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        zones[c] = (lo, hi)
+    return {"file": f, **{c: zones[c] for c in cols}}
+
+
+def file_zone_maps(
+    files: list[str], cols: list[str], spark=None
+) -> list[dict]:
+    """Per-file min/max for `cols` from parquet footers — the zone maps
+    a scan planner prunes with. Small lists walk footers on the driver
+    (metadata-scale); past _ZONES_DRIVER_MAX files with a `spark`
+    session the walk distributes (mapInPandas over the path list, one
+    short JSON row per file collected back — the
+    _missing_defaults_by_file pattern)."""
+    if spark is None or len(files) <= _ZONES_DRIVER_MAX:
+        return [_zone_of_footer(f, cols) for f in files]
+    cols = list(cols)
+
+    def probe(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "z": [
+                        _json.dumps(_zone_of_footer(p, cols))
+                        for p in pdf["p"]
+                    ]
+                }
+            )
+
+    import json as _json
+
+    paths = spark.createDataFrame([(f,) for f in sorted(files)], "p string")
+    rows = (
+        paths.repartition(min(len(files), 64))
+        .mapInPandas(probe, "z string")
+        .collect()  # one short row per file — descriptor-scale
+    )
+    by_file = {}
+    for r in rows:
+        z = _json.loads(r.z)
+        by_file[z["file"]] = {
+            k: (tuple(v) if isinstance(v, list) else v) for k, v in z.items()
+        }
+    return [by_file[f] for f in files]
 
 
 def prunable_files(
-    files: list[str], predicates: dict[str, tuple[float, float]]
+    files: list[str],
+    predicates: dict[str, tuple[float, float]],
+    spark=None,
 ) -> tuple[list[str], list[str]]:
     """Split files into (candidates, pruned) for a conjunctive box predicate
     {col: (lo, hi)} using footer zone maps — the planner-side measure of how
-    much a layout rewrite bought."""
-    zones = file_zone_maps(files, list(predicates))
+    much a layout rewrite bought. Pass `spark` to distribute the footer
+    walk past _ZONES_DRIVER_MAX files."""
+    zones = file_zone_maps(files, list(predicates), spark=spark)
     cand, pruned = [], []
     for zinfo in zones:
         ok = all(

@@ -3,6 +3,7 @@ the actual point — a 2-D box predicate prunes far more files than a linear
 sort allows."""
 
 import glob
+import os
 
 import pyspark.sql.functions as F
 
@@ -93,3 +94,25 @@ def test_zorder_write_prunes_2d_box(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == full > 0
+
+
+def test_zone_maps_distributed_equals_driver(spark, tmp_path):
+    """Past _ZONES_DRIVER_MAX files the footer walk distributes
+    (mapInPandas) — same zones, any order of input paths."""
+    import rottnest_spark.ops.zorder as z
+
+    out = str(tmp_path / "many")
+    spark.range(2000).selectExpr("id AS x", "id * 2 AS y").repartition(
+        8
+    ).write.parquet(out)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    driver = z.file_zone_maps(files, ["x", "y"])
+    orig = z._ZONES_DRIVER_MAX
+    z._ZONES_DRIVER_MAX = 0
+    try:
+        dist = z.file_zone_maps(files, ["x", "y"], spark=spark)
+    finally:
+        z._ZONES_DRIVER_MAX = orig
+    assert dist == driver
