@@ -58,6 +58,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
+    # host-speed calibration: a fixed pure-JVM job whose cost depends
+    # only on the machine, never on this repo's code. Recorded in the
+    # line and compared in vs_prev — when EVERY entry drifts together
+    # (round 9: untouched round-5 queries measured uniformly ~1.4-2x an
+    # older record on a quieter host), the calibration ratio says
+    # whether that is the host or the code, so flags can be normalized
+    # instead of chased.
+    def _calibrate() -> float:
+        cal = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).selectExpr(
+                "sum(id * 2 + 1) AS s"
+            ).collect()
+            cal.append(time.time() - t0)
+        return round(sorted(cal)[1], 3)
+
+    calibration = _calibrate()
+
     def drop_persisted() -> None:
         """Unpersist leftover storage blocks (localCheckpoints, persists)
         between timed entries: queries are independent, but accumulated
@@ -464,8 +483,10 @@ def main() -> None:
         recs = sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")))
         if recs:
             rec = json.load(open(recs[-1]))
-            prev = rec.get("parsed") or {}
-            prev = dict(prev.get("queries", {})) if prev else {}
+            parsed = rec.get("parsed") or {}
+            prev = dict(parsed.get("queries", {})) if parsed else {}
+            if parsed and parsed.get("host_calibration_sec"):
+                prev["host_calibration_sec"] = parsed["host_calibration_sec"]
             if not prev:
                 # driver records keep only the stdout TAIL — recover the
                 # surviving "name": seconds pairs by regex
@@ -494,6 +515,13 @@ def main() -> None:
                 "within_tolerance": ok,
                 "flagged": flagged,
             }
+            prev_cal = prev.get("host_calibration_sec")
+            if prev_cal:
+                vs_prev["host_calibration"] = {
+                    "prev": prev_cal,
+                    "now": calibration,
+                    "ratio": round(calibration / prev_cal, 3),
+                }
     except Exception as exc:  # annotation must never fail the bench line
         vs_prev = {"error": str(exc)[:120]}
 
@@ -508,6 +536,7 @@ def main() -> None:
         "queries": timings,
         "warmup_sec": warmup_sec,
         "metrics": metrics,
+        "host_calibration_sec": calibration,
         "jitter": jitter,
         "vs_prev": vs_prev,
         "errors": errors,
