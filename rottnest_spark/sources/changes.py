@@ -224,18 +224,22 @@ def _delta_logical_names(df, table_path: str, fs):
 
 
 def _delta_mapped_scan(spark, table_path: str, fs):
-    """snapshot_diff `tagged_scan` override for column-mapped Delta
-    tables: physical read schema + field-id resolution (ID mode). None
-    when the table is unmapped (the shared default scan applies)."""
+    """snapshot_diff `tagged_scan` override for column-mapped OR
+    type-widened Delta tables: physical read schema + field-id
+    resolution (ID mode), or the pinned widened schemaString. None when
+    the table needs neither (the shared default scan applies)."""
     from rottnest_spark.sources.delta import (
         _cm_mode,
         delta_physical_schema,
+        delta_protocol,
         delta_table_meta,
     )
     from rottnest_spark.sources.reader import read_parquet_tagged
 
     meta = delta_table_meta(table_path, fs=fs)
-    schema = delta_physical_schema(meta)
+    schema = delta_physical_schema(
+        meta, proto=delta_protocol(table_path, fs=fs)
+    )
     if schema is None:
         return None
     fid = _cm_mode(meta) == "id"

@@ -339,7 +339,25 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",  # write-side gate, read path unaffected
     "columnMapping",  # NAME mode (round 7) + ID mode (round 8)
     "v2Checkpoint",  # UUID-named spec checkpoints + sidecars (round 9)
+    # type widening (round 9): scans pin the log's schemaString so files
+    # written BEFORE a widen (int32 under a now-long column, float under
+    # double, narrower decimal) read at the widened type — Spark's
+    # parquet reader up-casts per file. Read/DML/diff/feed support it;
+    # index build/search refuse (they read raw narrow values) — see
+    # _refuse_widening_for_index.
+    "typeWidening",
+    "typeWidening-preview",
 }
+
+#: features whose PRESENCE makes raw-typed index reads unsound — index
+#: paths refuse these while read()/DML/diff/feed support them
+_WIDENING_FEATURES = {"typeWidening", "typeWidening-preview"}
+
+
+def _widening_active(proto: dict | None) -> bool:
+    return bool(
+        set((proto or {}).get("readerFeatures") or []) & _WIDENING_FEATURES
+    )
 
 
 def _cm_mode(meta: dict | None) -> str | None:
@@ -417,17 +435,27 @@ def delta_logical_schema(meta: dict):
     return StructType.fromJson(json.loads(meta["schemaString"]))
 
 
-def delta_physical_schema(meta: dict | None):
+def delta_physical_schema(meta: dict | None, proto: dict | None = None):
     """Spark read/write schema addressing the DATA FILES of a
     column-mapped table: physical names at every nesting level; in ID
     mode every field carries parquet.field.id metadata, which makes
     Spark resolve scan columns by id (`spark.sql.parquet.fieldId.read.
     enabled`) and stamp ids into written footers (`...fieldId.write.
-    enabled`, on by default). None when the table is unmapped."""
+    enabled`, on by default).
+
+    With `proto` given and TYPE WIDENING active (PROTOCOL.md Type
+    Widening — files written before a widen physically carry the
+    narrower type), an unmapped table also pins the log's schemaString:
+    Spark's parquet reader then up-casts each file (int32→long,
+    float→double, decimal scale-preserving widen) instead of inferring
+    a narrow type from whichever footer it samples. None when the table
+    is unmapped and unwidened (plain inference)."""
     from pyspark.sql.types import StructType
 
     mode = _cm_mode(meta)
     if not mode:
+        if _widening_active(proto) and (meta or {}).get("schemaString"):
+            return StructType.fromJson(json.loads(meta["schemaString"]))
         return None
     return StructType.fromJson(
         _map_type(json.loads(meta["schemaString"]), mode)
@@ -1009,6 +1037,31 @@ class DeltaSnapshotLake(ParquetLake):
         self._meta_cache = (key, m)
         return m
 
+    def _table_proto(self) -> dict | None:
+        key = self._log_fingerprint()
+        cached = getattr(self, "_proto_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        p = delta_protocol(self._table_path, fs=self.fs)
+        self._proto_cache = (key, p)
+        return p
+
+    def _refuse_widening_for_index(self, what: str) -> None:
+        """Index paths read data-file bytes at their RAW (pre-widen)
+        types — keys and zone stats would disagree with the table's
+        widened schema. read(), DML, diffs and feeds pin the
+        schemaString and up-cast per file; index builds/searches refuse
+        until the narrow files are physically rewritten."""
+        if _widening_active(self._table_proto()):
+            raise ValueError(
+                f"{self._table_path}: type widening is active "
+                f"(readerFeatures) — {what} reads raw pre-widen column "
+                "types and would index/compare the narrow values. "
+                "read(), DML, snapshot diffs and change feeds support "
+                "this table; rewrite the widened columns physical "
+                "before indexing"
+            )
+
     # -- column mapping (NAME mode round 7, ID mode + nested round 8) --------
     # Everything above the scan layer — search plans, refine joins,
     # brute_force predicates, user code — speaks LOGICAL names; the scan
@@ -1025,7 +1078,9 @@ class DeltaSnapshotLake(ParquetLake):
         return _cm_mode(self._table_meta())
 
     def _phys_schema(self):
-        return delta_physical_schema(self._table_meta())
+        return delta_physical_schema(
+            self._table_meta(), proto=self._table_proto()
+        )
 
     def _physical_column(self, column: str) -> str:
         return self._cmap().get(column, column)
@@ -1035,6 +1090,7 @@ class DeltaSnapshotLake(ParquetLake):
 
     @property
     def files(self) -> list[str]:
+        self._refuse_widening_for_index("top-K / copy-on-write paths")
         st = self._live_state()
         n_dv = sum(1 for _, dv in st.values() if dv)
         if n_dv:
@@ -1054,6 +1110,7 @@ class DeltaSnapshotLake(ParquetLake):
     # as supersets), refine anti-joins the decoded deleted positions.
     # Top-K paths still refuse via `.files`.
     def _search_files(self) -> list[str]:
+        self._refuse_widening_for_index("predicate index search")
         return sorted(self._live_state())
 
     def _search_row_filter(self):

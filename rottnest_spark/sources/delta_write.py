@@ -575,17 +575,19 @@ def _mapped_tagged_scan(spark, table_path: str, data_files, fs: LakeFS):
     from rottnest_spark.sources.delta import (
         _cm_mode,
         delta_physical_schema,
+        delta_protocol,
         delta_table_meta,
         to_logical_frame,
     )
     from rottnest_spark.sources.reader import _scan
 
     meta = delta_table_meta(table_path, fs=fs)
+    proto = delta_protocol(table_path, fs=fs)
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     tagged = _scan(
         spark,
         sorted(data_files),
-        delta_physical_schema(meta),
+        delta_physical_schema(meta, proto=proto),
         _cm_mode(meta) == "id",
     ).withColumns(
         {

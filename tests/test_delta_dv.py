@@ -374,14 +374,14 @@ def test_reader_refuses_unknown_reader_features(spark, table):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors", "typeWidening"],
+                        "readerFeatures": ["deletionVectors", "collations"],
                         "writerFeatures": [],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="collations"):
         delta_live_files(table)
     # whereas our own DV feature set reads fine (proven by every other
     # test in this file after delta_delete_rows' protocol upgrade)

@@ -1,0 +1,160 @@
+"""Delta TYPE WIDENING reads (PROTOCOL.md Type Widening, reader feature
+`typeWidening` — round 9): files written before a widen physically carry
+the NARROWER type (int32 under a now-long column, float32 under double).
+Scans pin the log's schemaString so Spark's parquet reader up-casts per
+file; inference would type the table from whichever footer it samples.
+
+Contracts pinned:
+- read() surfaces every row at the WIDENED type with correct values
+  across mixed narrow/wide files;
+- DML (deletion-vector DELETE) and snapshot diffs scan through the same
+  pinned schema, so predicates on widened columns match;
+- index build / predicate search / top-K paths refuse loudly (they read
+  raw pre-widen bytes) with a pointer at the supported paths;
+- the feature composes with deletionVectors in readerFeatures.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rottnest_spark.sources.delta import DeltaSnapshotLake, delta_live_files
+
+SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _commit(log: str, version: int, lines: list[dict]):
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(ln) for ln in lines) + "\n")
+
+
+@pytest.fixture()
+def wtable(tmp_path):
+    """Two narrow pre-widen files (int32/float32) + one wide file
+    (int64/float64), schemaString already widened, typeWidening in the
+    reader features."""
+    table = tmp_path / "wt"
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int32()),
+                "v": pa.array([1.5, 2.5, 3.5], pa.float32()),
+                "s": pa.array(["a", "b", "c"]),
+            }
+        ),
+        str(table / "narrow-0.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([4, 5], pa.int32()),
+                "v": pa.array([4.5, 5.5], pa.float32()),
+                "s": pa.array(["d", "e"]),
+            }
+        ),
+        str(table / "narrow-1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([6, 7], pa.int64()),
+                "v": pa.array([6.5, 7.5], pa.float64()),
+                "s": pa.array(["f", "g"]),
+            }
+        ),
+        str(table / "wide-0.parquet"),
+    )
+    _commit(
+        str(log),
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening", "deletionVectors"],
+                    "writerFeatures": ["typeWidening", "deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "w-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": SCHEMA_STRING,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {"add": {"path": "narrow-0.parquet", "dataChange": True}},
+            {"add": {"path": "narrow-1.parquet", "dataChange": True}},
+        ],
+    )
+    _commit(
+        str(log), 1, [{"add": {"path": "wide-0.parquet", "dataChange": True}}]
+    )
+    return str(table)
+
+
+WANT = {
+    (1, 1.5, "a"), (2, 2.5, "b"), (3, 3.5, "c"),
+    (4, 4.5, "d"), (5, 5.5, "e"), (6, 6.5, "f"), (7, 7.5, "g"),
+}
+
+
+def test_read_widens_per_file(spark, wtable, tmp_path):
+    lake = DeltaSnapshotLake(spark, wtable, str(tmp_path / "ix"))
+    df = lake.read()
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double", "s": "string"}
+    assert {(r.k, r.v, r.s) for r in df.collect()} == WANT
+    assert len(delta_live_files(wtable)) == 3
+
+
+def test_dml_scans_through_widened_schema(spark, wtable, tmp_path):
+    """A DV DELETE whose predicate spans narrow AND wide files: the
+    pinned-schema scan matches both; the read then reflects it."""
+    from rottnest_spark.sources.delta_write import delta_delete_rows
+
+    delta_delete_rows(spark, wtable, "k % 2 = 0")
+    lake = DeltaSnapshotLake(spark, wtable, str(tmp_path / "ix"))
+    got = {(r.k, r.v, r.s) for r in lake.read().collect()}
+    assert got == {t for t in WANT if t[0] % 2 == 1}
+
+
+def test_diff_feed_carry_widened_values(spark, wtable, tmp_path):
+    from rottnest_spark.sources.changes import delta_snapshot_diff
+
+    diff = delta_snapshot_diff(spark, wtable, 0, 1)
+    ins = {
+        (r.k, r.v, r.s)
+        for r in diff.filter("_change_type = 'insert'").collect()
+    }
+    assert ins == {(6, 6.5, "f"), (7, 7.5, "g")}
+    assert dict(diff.select("k", "v", "s").dtypes) == {
+        "k": "bigint", "v": "double", "s": "string",
+    }
+
+
+def test_index_paths_refuse_loudly(spark, wtable, tmp_path):
+    from rottnest_spark.indices.exact import ExactIndex
+
+    lake = DeltaSnapshotLake(spark, wtable, str(tmp_path / "ix"))
+    with pytest.raises(ValueError, match="widening"):
+        lake.build_index(ExactIndex(), "k")
+    with pytest.raises(ValueError, match="widening"):
+        lake.files
+    with pytest.raises(ValueError, match="widening"):
+        lake._search_files()

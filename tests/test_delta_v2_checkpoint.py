@@ -208,13 +208,13 @@ def test_unknown_feature_next_to_v2checkpoint_still_refuses(
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint", "typeWidening"],
+                        "readerFeatures": ["v2Checkpoint", "collations"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="collations"):
         delta_live_files(table)
 
 
