@@ -2618,6 +2618,7 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     q_delta_mapped_dml_read,
     q_delta_snapshot_diff,
     q_iceberg_mor_read,
+    q_iceberg_time_travel,
     q_iceberg_upsert_read,
     q_iceberg_v3_defaults_read,
     q_iceberg_v3_dv_read,
@@ -2701,6 +2702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_v3_defaults_read": q_iceberg_v3_defaults_read,
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
+    "iceberg_time_travel": q_iceberg_time_travel,
     "delta_dv_read": q_delta_dv_read,
     "delta_snapshot_diff": q_delta_snapshot_diff,
     "windowed_event_counts": q_windowed_event_counts,

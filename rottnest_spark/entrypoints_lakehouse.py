@@ -596,6 +596,55 @@ def q_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TIME TRAVEL (round 9, sources/iceberg.py
+    IcebergSnapshotLake(snapshot_id=/as_of_ms=)): a v3 deletion-vector
+    DELETE runs on the scratch table, then the PINNED lake reads the
+    pre-delete snapshot — the aggregate must reproduce the undeleted
+    slice even though the current snapshot has rows tombstoned. Oracle:
+    the plain slice arithmetic WITHOUT the delete predicate."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import (
+        IcebergSnapshotLake,
+        _current_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_convert,
+        iceberg_v3_delete_rows,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_tt_")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .repartition(4)
+            .write.parquet(work, mode="overwrite")
+        )
+        iceberg_convert(work)
+        pre = _current_metadata(work)["current-snapshot-id"]
+        iceberg_v3_delete_rows(spark, work, f"o_orderkey % {MOR_DEL_MOD} = 0")
+        lake = IcebergSnapshotLake(
+            spark, work, os.path.join(work, "idx"), snapshot_id=pre
+        )
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_sync_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format replication end to end (sources/changes.py
     sync_table): an Iceberg source takes a positional DELETE then an

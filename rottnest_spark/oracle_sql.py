@@ -352,6 +352,18 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_orderkey NOT BETWEEN {TT_DEL_LO} AND {TT_DEL_HI}
     """,
+    # the PINNED pre-delete snapshot: the slice WITHOUT the delete
+    # predicate — if the pin leaked to the current snapshot, the %7
+    # tombstones would shrink n_orders and the hash would miss
+    "iceberg_time_travel": f"""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM orders
+        WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "iceberg_mor_read": f"""
         SELECT o_orderstatus, count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS sum_price,

@@ -884,12 +884,79 @@ class IcebergSnapshotLake(ParquetLake):
     """ParquetLake over the CURRENT Iceberg snapshot. `.files` re-resolves
     the snapshot on each access (metadata-scale), so incremental builds
     index exactly the new snapshot's delta and searches never scan files
-    that are physically present but dropped from the snapshot."""
+    that are physically present but dropped from the snapshot.
 
-    def __init__(self, spark, table_path: str, index_dir: str, **kw):
+    TIME TRAVEL (round 9): `snapshot_id=` pins a historical snapshot,
+    `as_of_ms=` the latest snapshot at-or-before that timestamp — the
+    Iceberg twin of DeltaSnapshotLake's `version_as_of`. Pinning
+    happens at the METADATA seam (`current-snapshot-id` is rewritten,
+    and `current-schema-id` follows the snapshot's recorded schema-id
+    when the canonical `schemas` list is present), so every consumer —
+    read with merge-on-read state, partition reconstruction, index
+    search scope, defaults handling — follows the pinned snapshot with
+    no per-path special cases. Reads within a `history_days` vacuum
+    window stay index-accelerated (vacuum keeps those files' indexes)."""
+
+    def __init__(
+        self,
+        spark,
+        table_path: str,
+        index_dir: str,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        **kw,
+    ):
         super().__init__(spark, table_path, index_dir, **kw)
         self._table_path = table_path
         self._state_cache: tuple | None = None  # (snapshot key, state)
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        self._pin_snapshot_id = snapshot_id
+        self._pin_as_of_ms = as_of_ms
+
+    def _pin_metadata(self, md: dict) -> dict:
+        """Rewrite `current-snapshot-id` (+`current-schema-id`) to the
+        pinned snapshot; identity when the lake is unpinned."""
+        if self._pin_snapshot_id is None and self._pin_as_of_ms is None:
+            return md
+        snaps = md.get("snapshots") or []
+        if self._pin_snapshot_id is not None:
+            target = next(
+                (
+                    s
+                    for s in snaps
+                    if s.get("snapshot-id") == self._pin_snapshot_id
+                ),
+                None,
+            )
+            if target is None:
+                raise ValueError(
+                    f"snapshot {self._pin_snapshot_id} is not in the "
+                    f"table's snapshot log ({len(snaps)} snapshots) — "
+                    "it may have been expired"
+                )
+        else:
+            eligible = [
+                s
+                for s in snaps
+                if int(s.get("timestamp-ms") or 0) <= self._pin_as_of_ms
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot at or before as_of_ms="
+                    f"{self._pin_as_of_ms} (earliest is "
+                    f"{min((int(s.get('timestamp-ms') or 0) for s in snaps), default=None)})"
+                )
+            target = max(
+                eligible, key=lambda s: int(s.get("timestamp-ms") or 0)
+            )
+        out = dict(md)
+        out["current-snapshot-id"] = target["snapshot-id"]
+        if target.get("schema-id") is not None and md.get("schemas"):
+            # the snapshot records which schema wrote it — resolve THAT
+            # schema so post-pin column evolution doesn't leak backwards
+            out["current-schema-id"] = target["schema-id"]
+        return out
 
     def _cached_state(self, md: dict) -> dict:
         """Snapshot state memoized on (current-snapshot-id,
@@ -915,11 +982,15 @@ class IcebergSnapshotLake(ParquetLake):
         return st
 
     def _table_metadata(self) -> dict:
-        """The TableMetadata dict every snapshot resolution goes through
-        — storage-resolved here (version-hint / max-version file);
-        catalog-served lakes (REST, Glue) override JUST this, so reads,
-        searches, and merge-on-read state all share the catalog's
-        freshness."""
+        """The TableMetadata dict every snapshot resolution goes
+        through, time-travel pin applied. Catalog-served lakes (REST,
+        Glue) override `_resolve_metadata` ONLY, so catalog freshness
+        and snapshot pinning compose."""
+        return self._pin_metadata(self._resolve_metadata())
+
+    def _resolve_metadata(self) -> dict:
+        """Storage-resolved metadata (version-hint / max-version file) —
+        the override point for catalog-served lakes."""
         return _current_metadata(self._table_path, fs=self.fs)
 
     def _files_and_deletes(self) -> tuple[list[str], list[str]]:

@@ -181,10 +181,11 @@ class IcebergGlueLake(IcebergSnapshotLake):
                 )
         super().__init__(spark, table_path, index_dir, **kw)
 
-    def _table_metadata(self) -> dict:
+    def _resolve_metadata(self) -> dict:
         """Catalog-served freshness: every snapshot resolution (`.files`,
         reads, merge-on-read search state) re-fetches the Glue pointer
-        instead of reading version-hint from storage."""
+        instead of reading version-hint from storage. The base class
+        applies the time-travel pin on top (_table_metadata)."""
         return self.glue_catalog.table_metadata(self.identifier)
 
     def vacuum(

@@ -196,10 +196,11 @@ class IcebergRestLake(IcebergSnapshotLake):
                 )
         super().__init__(spark, table_path, index_dir, **kw)
 
-    def _table_metadata(self) -> dict:
+    def _resolve_metadata(self) -> dict:
         """Catalog-served freshness: every snapshot resolution (`.files`,
         reads, merge-on-read search state) re-fetches the catalog's
-        metadata instead of reading version-hint from storage."""
+        metadata instead of reading version-hint from storage. The base
+        class applies the time-travel pin on top (_table_metadata)."""
         return self.rest_catalog.table_metadata(self.identifier)
 
     def vacuum(
