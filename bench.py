@@ -226,20 +226,16 @@ def main() -> None:
     # A per-entry relative spread is summarized in the jitter metrics so
     # the line itself says how trustworthy its numbers are. Builds above
     # remain single cold-timed runs (cold is the thing being measured).
-    # entries slower than this run ONCE: GC/JIT jitter is an absolute
-    # ±0.3-0.5 s term, so it dominates sub-second entries (where the
-    # median matters) and is noise-level on multi-second ones (where two
-    # extra runs would cost the bench several wall-minutes)
     # sub-second entries get 5 iterations: at that magnitude the jitter
     # term (GC/JIT, absolute ±0.3-0.5 s) exceeds the signal, and round-7's
     # median-of-3 still swung +28-55% on untouched code (event_kpis
     # 0.94→1.46 s with zero diff). Five samples put the median inside the
-    # noise floor; multi-second entries keep 3 (noise is relative-small
-    # there) and >5 s entries run once (cold cost dominates).
-    SINGLE_RUN_ABOVE_SEC = 5.0
+    # noise floor; everything slower runs 3 iterations — a TRUE median
+    # even above 5 s (round-9 finding: min-of-2 on a noisy host let
+    # suffix_build swing 2.1→25.2 s in the driver record; the ~1 extra
+    # wall-minute buys attributability).
     EXTRA_ITERS_BELOW_SEC = 1.0
     spreads: dict[str, float] = {}
-    min_stat_entries: list[str] = []  # 2-sample entries: value = MIN of 2
     for name, fn in ep.QUERIES.items():
         ts = []
         try:
@@ -248,14 +244,6 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 ts.append(time.time() - t0)
-                if it == 1 and min(ts) >= SINGLE_RUN_ABOVE_SEC:
-                    break
-                if it == 1 and ts[0] >= SINGLE_RUN_ABOVE_SEC:
-                    # first iter was slow but the confirm wasn't: the slow
-                    # sample was a hiccup — keep iterating like a normal
-                    # sub-5s entry (round-8: a one-off 7 s first iteration
-                    # recorded range_join at 9x its true cost)
-                    continue
                 if it == 2 and sorted(ts)[1] >= EXTRA_ITERS_BELOW_SEC:
                     break
         except Exception as exc:
@@ -265,16 +253,9 @@ def main() -> None:
             traceback.print_exc(file=sys.stderr)
             continue
         ts.sort()
-        # LOWER median: odd lengths give the true middle. For the
-        # 2-sample >5s entries this IS the minimum — recorded explicitly
-        # below (two_sample_min_entries) so the vs_prev comparison and
-        # the durable record never mistake a best-case sample for a
-        # median (jitter is additive noise, so min is the better
-        # estimate of inherent cost, but it must be LABELED as min).
+        # LOWER median: odd lengths (3 or 5 samples) give the true middle
         med = ts[(len(ts) - 1) // 2]
         timings[name] = round(med, 3)
-        if len(ts) == 2:
-            min_stat_entries.append(name)
         if len(ts) > 1:
             spreads[name] = (ts[-1] - ts[0]) / max(med, 1e-9)
 
@@ -462,10 +443,8 @@ def main() -> None:
     if spreads:
         vals = sorted(spreads.values())
         jitter = {
-            "iters": "5 under 1s, 3 under 5s, 2 above (min of 2, "
-            "labeled in two_sample_min_entries)",
+            "iters": "5 under 1s, 3 above",
             "stat": "median",
-            "two_sample_min_entries": sorted(min_stat_entries),
             "median_rel_spread": round(vals[len(vals) // 2], 4),
             "p90_rel_spread": round(vals[int(len(vals) * 0.9)], 4),
             "max_rel_spread": round(vals[-1], 4),
@@ -489,22 +468,53 @@ def main() -> None:
                 prev["host_calibration_sec"] = parsed["host_calibration_sec"]
             if not prev:
                 # driver records keep only the stdout TAIL — recover the
-                # surviving "name": seconds pairs by regex
+                # surviving "name": seconds pairs by regex, but ONLY from
+                # the text before "warmup_sec" (the queries dict comes
+                # first in key order): scanning the whole tail ingests
+                # vs_prev's own prev/now/delta/allowed pairs and jitter/
+                # metrics scalars as if they were query timings (round-9:
+                # a rerun's vs_prev came out silently empty because the
+                # recovered names were exactly those four keys)
+                tail = rec.get("tail", "")
+                cut = tail.find('"warmup_sec"')
                 for mname, mval in re.findall(
-                    r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
+                    r'"([a-z0-9_]+)": ([0-9.]+)',
+                    tail if cut < 0 else tail[:cut],
                 ):
-                    prev[mname] = float(mval)
+                    if mname not in ("metric", "value", "sf", "prev",
+                                     "now", "delta", "allowed"):
+                        prev[mname] = float(mval)
+                mcal = re.search(
+                    r'"host_calibration_sec": ([0-9.]+)', tail
+                )
+                if mcal:
+                    prev["host_calibration_sec"] = float(mcal.group(1))
+            prev_cal = prev.pop("host_calibration_sec", None)
+            # host-speed normalization: the calibration entry is a fixed
+            # pure-JVM job, so cal_now/cal_prev is the host's speed drift
+            # between the two records. A flag must survive AFTER dividing
+            # this run's time by that ratio — otherwise a slower machine
+            # flags every entry at once and a real regression hides in
+            # the noise (round 9: three same-code runs disagreed on WHICH
+            # entries regressed; the calibration disagreed 10x).
+            cal_ratio = (
+                round(calibration / prev_cal, 3)
+                if prev_cal and prev_cal > 0
+                else None
+            )
             flagged = {}
             ok = 0
             for qn, now in timings.items():
                 if qn not in prev or prev[qn] <= 0:
                     continue
                 allowed = max(0.15, spreads.get(qn, 0.0))
-                delta = (now - prev[qn]) / prev[qn]
+                norm_now = now / cal_ratio if cal_ratio else now
+                delta = (norm_now - prev[qn]) / prev[qn]
                 if delta > allowed:
                     flagged[qn] = {
                         "prev": prev[qn],
                         "now": now,
+                        "now_cal_normalized": round(norm_now, 3),
                         "delta": round(delta, 3),
                         "allowed": round(allowed, 3),
                     }
@@ -515,12 +525,12 @@ def main() -> None:
                 "within_tolerance": ok,
                 "flagged": flagged,
             }
-            prev_cal = prev.get("host_calibration_sec")
             if prev_cal:
                 vs_prev["host_calibration"] = {
                     "prev": prev_cal,
                     "now": calibration,
-                    "ratio": round(calibration / prev_cal, 3),
+                    "ratio": cal_ratio,
+                    "note": "flag deltas are computed on now/ratio",
                 }
     except Exception as exc:  # annotation must never fail the bench line
         vs_prev = {"error": str(exc)[:120]}

@@ -94,6 +94,43 @@ def zorder_write(
 _ZONES_DRIVER_MAX = 64
 
 
+def _stat_enc(v):
+    """JSON-safe encoding of a parquet footer statistic. int/float/str/
+    bool/None pass through; date/timestamp/decimal/binary get a type
+    tag so the distributed footer walk round-trips the SAME native
+    values the driver walk returns (behavior must not flip at the
+    _ZONES_DRIVER_MAX knee)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, bytes):
+        return {"$t": "bytes", "v": v.hex()}
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        return {"$t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$t": "date", "v": v.isoformat()}
+    if isinstance(v, _Dec):
+        return {"$t": "dec", "v": str(v)}
+    return v
+
+
+def _stat_dec(v):
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, dict) and "$t" in v:
+        t, raw = v["$t"], v["v"]
+        if t == "bytes":
+            return bytes.fromhex(raw)
+        if t == "ts":
+            return _dt.datetime.fromisoformat(raw)
+        if t == "date":
+            return _dt.date.fromisoformat(raw)
+        if t == "dec":
+            return _Dec(raw)
+    return v
+
+
 def _zone_of_footer(f: str, cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
@@ -104,9 +141,11 @@ def _zone_of_footer(f: str, cols: list[str]) -> dict:
         lo = hi = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                continue  # empty row group / stats-less writer
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        zones[c] = (lo, hi)
+        zones[c] = (lo, hi)  # (None, None) = unknown, never prunable
     return {"file": f, **{c: zones[c] for c in cols}}
 
 
@@ -129,14 +168,22 @@ def file_zone_maps(
         import pandas as _pd
 
         for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "z": [
-                        _json.dumps(_zone_of_footer(p, cols))
-                        for p in pdf["p"]
-                    ]
-                }
-            )
+            out = []
+            for p in pdf["p"]:
+                z = _zone_of_footer(p, cols)
+                out.append(
+                    _json.dumps(
+                        {
+                            k: (
+                                [_stat_enc(v[0]), _stat_enc(v[1])]
+                                if isinstance(v, tuple)
+                                else v
+                            )
+                            for k, v in z.items()
+                        }
+                    )
+                )
+            yield _pd.DataFrame({"z": out})
 
     import json as _json
 
@@ -150,7 +197,12 @@ def file_zone_maps(
     for r in rows:
         z = _json.loads(r.z)
         by_file[z["file"]] = {
-            k: (tuple(v) if isinstance(v, list) else v) for k, v in z.items()
+            k: (
+                (_stat_dec(v[0]), _stat_dec(v[1]))
+                if isinstance(v, list)
+                else v
+            )
+            for k, v in z.items()
         }
     return [by_file[f] for f in files]
 
@@ -168,7 +220,8 @@ def prunable_files(
     cand, pruned = [], []
     for zinfo in zones:
         ok = all(
-            not (zinfo[c][1] < lo or zinfo[c][0] > hi)
+            zinfo[c][0] is None  # unknown zone: must stay a candidate
+            or not (zinfo[c][1] < lo or zinfo[c][0] > hi)
             for c, (lo, hi) in predicates.items()
         )
         (cand if ok else pruned).append(zinfo["file"])

@@ -45,13 +45,19 @@ def _norm_col(c):
     return F.regexp_replace(c, "^file:/+", "/")
 
 
-def _read_cp_table(fs: LakeFS, path: str):
+def _read_cp_table(fs: LakeFS, path: str, columns=None):
     """Parquet checkpoint read through the FS seam (works on s3a:// —
-    checkpoints are metadata-scale, an in-memory buffer is fine)."""
+    checkpoints are metadata-scale, an in-memory buffer is fine).
+    `columns` restricts decode to the named top-level action columns
+    (intersected with the schema): protocol/metaData recovery must not
+    materialize O(live-files) add/remove structs into Python dicts."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    return pq.read_table(pa.BufferReader(fs.read_bytes(path)))
+    pf = pq.ParquetFile(pa.BufferReader(fs.read_bytes(path)))
+    if columns is not None:
+        columns = [c for c in columns if c in pf.schema_arrow.names]
+    return pf.read(columns=columns)
 
 
 def _log_lines(fs: LakeFS, path: str):
@@ -121,17 +127,15 @@ def _checkpoint_parts(
         fs.glob(os.path.join(log_dir, "*.checkpoint.parquet"))
         + fs.glob(os.path.join(log_dir, "*.checkpoint.*.*.parquet"))
         + [
+            # v2 UUID-named: 4 dot-segments, json OR parquet (the
+            # 5-segment multi-part glob above can't match the parquet
+            # form — this glob is the only path that finds it)
             f
-            for f in fs.glob(os.path.join(log_dir, "*.checkpoint.*.json"))
+            for f in fs.glob(os.path.join(log_dir, "*.checkpoint.*"))
             if _is_v2_checkpoint(f)
+            and os.path.basename(f).split(".")[-1] in ("json", "parquet")
         ]
     )
-    found = [
-        f
-        for f in found
-        if not _is_v2_checkpoint(f)
-        or len(os.path.basename(f).split(".")) == 4
-    ]
     if not found:
         return -1, []
     by_ver: dict[int, list[str]] = {}
@@ -153,7 +157,15 @@ def _checkpoint_parts(
     return v, parts
 
 
-def _checkpoint_actions(fs: LakeFS, log_dir: str, cp_files: list[str]):
+_ALL_CP_ACTIONS = ("add", "remove", "protocol", "metaData")
+
+
+def _checkpoint_actions(
+    fs: LakeFS,
+    log_dir: str,
+    cp_files: list[str],
+    wanted: tuple[str, ...] = _ALL_CP_ACTIONS,
+):
     """Yield plain action dicts ({'add': …} / {'remove': …} /
     {'protocol': …} / {'metaData': …}) from checkpoint files of EITHER
     layout — classic parquet parts or a v2 UUID-named top-level file
@@ -162,20 +174,30 @@ def _checkpoint_actions(fs: LakeFS, log_dir: str, cp_files: list[str]):
     knowing which it got. Checkpoint `remove` rows are retention
     tombstones: liveness consumers must ignore them (a checkpoint's adds
     ARE the live set); they are yielded for the consumers that need the
-    full referenced-ever set."""
+    full referenced-ever set.
+
+    `wanted` restricts which action columns are decoded: protocol/
+    metaData recovery passes ('protocol', 'metaData') so a 10^6-file
+    checkpoint's add/remove structs are never materialized into Python
+    dicts (and v2 sidecars are never fetched) for a one-record lookup."""
     for cp in cp_files:
         if _is_v2_checkpoint(cp):
-            yield from _v2_checkpoint_actions(fs, log_dir, cp)
+            yield from _v2_checkpoint_actions(fs, log_dir, cp, wanted=wanted)
             continue
-        tbl = _read_cp_table(fs, cp)
-        for col in ("add", "remove", "protocol", "metaData"):
+        tbl = _read_cp_table(fs, cp, columns=list(wanted))
+        for col in wanted:
             if col in tbl.column_names:
                 for rec in tbl.column(col).to_pylist():
                     if rec and any(v is not None for v in rec.values()):
                         yield {col: rec}
 
 
-def _v2_checkpoint_actions(fs: LakeFS, log_dir: str, path: str):
+def _v2_checkpoint_actions(
+    fs: LakeFS,
+    log_dir: str,
+    path: str,
+    wanted: tuple[str, ...] = _ALL_CP_ACTIONS,
+):
     """Yield the action dicts of a V2 SPEC CHECKPOINT (Delta
     PROTOCOL.md 'V2 Spec Checkpoints', reader feature `v2Checkpoint`):
     the UUID-named top-level file (json lines or parquet rows) carries
@@ -184,7 +206,11 @@ def _v2_checkpoint_actions(fs: LakeFS, log_dir: str, path: str):
     `_delta_log/_sidecars/` that hold them. Sidecars are resolved and
     their add/remove rows yielded as plain actions, so the replay
     consumes v2 exactly like classic. Missing sidecars raise — an
-    incomplete snapshot must never read as a smaller live set."""
+    incomplete snapshot must never read as a smaller live set.
+    When `wanted` excludes add AND remove, sidecars are neither
+    validated nor read (a protocol/metaData lookup is not a liveness
+    construction)."""
+    want_files = "add" in wanted or "remove" in wanted
     sidecars: list[str] = []
 
     def _rows():
@@ -192,7 +218,11 @@ def _v2_checkpoint_actions(fs: LakeFS, log_dir: str, path: str):
             for ln in _log_lines(fs, path):
                 yield json.loads(ln)
         else:
-            tbl = _read_cp_table(fs, path)
+            tbl = _read_cp_table(
+                fs,
+                path,
+                columns=["checkpointMetadata", "sidecar", *wanted],
+            )
             cols = [
                 c
                 for c in (
@@ -219,12 +249,15 @@ def _v2_checkpoint_actions(fs: LakeFS, log_dir: str, path: str):
         if "sidecar" in action:
             sidecars.append(action["sidecar"]["path"])
             continue
-        yield action
+        if next(iter(action), None) in wanted:
+            yield action
     if not saw_meta:
         raise ValueError(
             f"{path}: v2 checkpoint without a checkpointMetadata action — "
             "not a spec checkpoint; refusing"
         )
+    if not want_files:
+        return
     for sc in sidecars:
         sc_path = (
             sc
@@ -236,9 +269,11 @@ def _v2_checkpoint_actions(fs: LakeFS, log_dir: str, path: str):
                 f"v2 checkpoint sidecar missing: {sc!r} — refusing to "
                 "return a partial snapshot"
             )
-        tbl = _read_cp_table(fs, sc_path)
+        tbl = _read_cp_table(
+            fs, sc_path, columns=[c for c in ("add", "remove") if c in wanted]
+        )
         for col in ("add", "remove"):
-            if col in tbl.column_names:
+            if col in wanted and col in tbl.column_names:
                 for rec in tbl.column(col).to_pylist():
                     if rec and rec.get("path"):
                         yield {col: rec}
@@ -288,7 +323,9 @@ def _delta_live_state(
         # classic parquet parts and v2 (json/parquet + sidecars) both
         # normalize to plain actions; checkpoint removes are retention
         # tombstones and do NOT affect liveness (the adds ARE the set)
-        for action in _checkpoint_actions(fs, log_dir, cp_files):
+        for action in _checkpoint_actions(
+            fs, log_dir, cp_files, wanted=("add", "protocol", "metaData")
+        ):
             if "add" in action and action["add"].get("path"):
                 rec = action["add"]
                 live[rec["path"]] = (
@@ -663,7 +700,9 @@ def _delta_states_range(
         )
     live: dict[str, tuple[dict, dict | None]] = {}
     if cp_files:
-        for action in _checkpoint_actions(fs, log_dir, cp_files):
+        for action in _checkpoint_actions(
+            fs, log_dir, cp_files, wanted=("add",)
+        ):
             if "add" in action and action["add"].get("path"):
                 rec = action["add"]
                 live[rec["path"]] = (
@@ -713,7 +752,9 @@ def delta_protocol(
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     proto = None
     start_version, cp_files = _checkpoint_parts(log_dir, fs)
-    for action in _checkpoint_actions(fs, log_dir, cp_files):
+    for action in _checkpoint_actions(
+        fs, log_dir, cp_files, wanted=("protocol",)
+    ):
         if "protocol" in action:
             proto = action["protocol"]
     for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
@@ -925,7 +966,9 @@ def delta_table_meta(
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     meta = None
     start_version, cp_files = _checkpoint_parts(log_dir, fs)
-    for action in _checkpoint_actions(fs, log_dir, cp_files):
+    for action in _checkpoint_actions(
+        fs, log_dir, cp_files, wanted=("metaData",)
+    ):
         if "metaData" in action and action["metaData"].get("id"):
             meta = action["metaData"]
     for c in sorted(fs.glob(os.path.join(log_dir, "*.json"))):
@@ -969,7 +1012,9 @@ def delta_known_files(
         raise ValueError(f"{table_path} has no _delta_log — not a Delta table")
     known: set[str] = set()
     _, cp_files = _checkpoint_parts(log_dir, fs)
-    for action in _checkpoint_actions(fs, log_dir, cp_files):
+    for action in _checkpoint_actions(
+        fs, log_dir, cp_files, wanted=("add", "remove")
+    ):
         for key in ("add", "remove"):
             if key in action and action[key].get("path"):
                 known.add(action[key]["path"])

@@ -1254,7 +1254,20 @@ class IcebergSnapshotLake(ParquetLake):
         with `history_days`, indexes covering files of any snapshot inside
         the retention window survive even if the current snapshot no longer
         references those files — time-travel reads within the window stay
-        accelerated. Without it, plain current-snapshot liveness."""
+        accelerated. Without it, plain current-snapshot liveness.
+
+        Refuses on a time-travel-pinned lake: liveness would be computed
+        against the PINNED snapshot, so indexes and catalog entries for
+        files added after it would be treated as dead and deleted —
+        pinning is a read-only concern and must never shrink the
+        table's index state."""
+        if self._pin_snapshot_id is not None or self._pin_as_of_ms is not None:
+            raise ValueError(
+                "vacuum() is not allowed on a time-travel-pinned "
+                "IcebergSnapshotLake — the pinned snapshot would define "
+                "liveness and index state for files added after it would "
+                "be destroyed; vacuum from an unpinned lake instead"
+            )
         if history_days is not None:
             live_files = set(
                 iceberg_history_files(self._table_path, history_days, now_ms)

@@ -1528,15 +1528,22 @@ def _v3_tagged_scan(spark, md: dict, table_path: str, files: list[str], fs):
     pcols = partition_columns_from_metadata(md)
     if not pcols:
         return base(files)
-    import pyarrow.parquet as pq
+    from rottnest_spark.sources.iceberg import _missing_defaults_by_file
 
-    physical = set(pq.ParquetFile(files[0]).schema_arrow.names)
-    missing = [c for c in pcols if c not in physical]
-    if not missing:
+    # probe EVERY file's footer (not files[0] — a snapshot can mix
+    # hive-laid files with the partition columns stripped and
+    # engine-written files that carry them physically; classifying
+    # wholesale either nulls the hive files or literal-overwrites the
+    # physical ones). Driver peek for small lists, executor-distributed
+    # past the threshold — same seam as the v3 defaults fill.
+    miss_by_file = _missing_defaults_by_file(spark, list(files), list(pcols))
+    if all(not m for m in miss_by_file.values()):
         return base(files)
     adds = live_adds_from_metadata(md, table_path, fs=fs)
     adds = {canon_path(p): v for p, v in adds.items()}
-    unknown = [f for f in files if canon_path(f) not in adds]
+    unknown = [
+        f for f in files if miss_by_file[f] and canon_path(f) not in adds
+    ]
     if unknown:
         raise ValueError(
             f"files not in the Iceberg snapshot: {unknown[:3]} — "
@@ -1550,18 +1557,27 @@ def _v3_tagged_scan(spark, md: dict, table_path: str, files: list[str], fs):
     casts = {
         f["name"]: _spark_of_iceberg.get(f["type"], "string")
         for f in _current_schema(md).get("fields", [])
-        if f["name"] in missing and isinstance(f.get("type"), str)
+        if isinstance(f.get("type"), str)
     }
+    # group by (which partition cols the footer lacks, their manifest
+    # values) — each group scans uniformly and attaches only ITS
+    # missing columns as literals; files that carry a column physically
+    # keep the physical values
     groups: dict[tuple, list[str]] = {}
     for f in files:
-        key = tuple(adds[canon_path(f)].get(c) for c in missing)
+        missing = tuple(sorted(miss_by_file[f]))
+        key = (
+            missing,
+            tuple(adds.get(canon_path(f), {}).get(c) for c in missing),
+        )
         groups.setdefault(key, []).append(f)
     parts = []
-    for key, fl in sorted(
-        groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+    for (missing, vals), fl in sorted(
+        groups.items(),
+        key=lambda kv: (kv[0][0], tuple(str(v) for v in kv[0][1])),
     ):
         df = base(sorted(fl))
-        for c, v in zip(missing, key):
+        for c, v in zip(missing, vals):
             lit = F.lit(v)
             if c in casts:
                 lit = lit.cast(casts[c])
