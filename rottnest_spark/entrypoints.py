@@ -2613,12 +2613,14 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     V3D_EVOLVED_MOD,
     V3D_NULL_MOD,
     V3P_UPD_MOD,
+    XFORM_DEL_CUT,
     q_delta_change_feed,
     q_delta_dv_read,
     q_delta_mapped_dml_read,
     q_delta_snapshot_diff,
     q_iceberg_mor_read,
     q_iceberg_time_travel,
+    q_iceberg_transform_partitioned_dml,
     q_iceberg_upsert_read,
     q_iceberg_v3_defaults_read,
     q_iceberg_v3_dv_read,
@@ -2681,11 +2683,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_mixture": q_stratified_mixture,
     "sequence_packing": q_sequence_packing,
     "iceberg_mor_read": q_iceberg_mor_read,
-    # round-8 rotation: the new v3 deletion-vector surface gates in the
-    # window; tpch_q9 rotates out (gated green r7, plan untouched —
-    # rotate back in next round per the no-two-rounds-out rule)
-    "iceberg_v3_dv_read": q_iceberg_v3_dv_read,
-    "iceberg_upsert_read": q_iceberg_upsert_read,
+    # round-10 rotation (verdict asks #2 and #3): the Delta side gets a
+    # window seat — delta_dv_read replaces iceberg_upsert_read (its
+    # machinery is half-covered by iceberg_v3_partitioned_dml; the r9
+    # window had four Iceberg entries and ZERO Delta) — and the new
+    # TRANSFORM-partitioned v3 lifecycle gates in, displacing
+    # iceberg_v3_dv_read (its DV read path is exercised inside both
+    # partitioned-DML window queries). Both displaced queries stay in
+    # the full gate below.
+    "iceberg_transform_partitioned_dml": q_iceberg_transform_partitioned_dml,
+    "delta_dv_read": q_delta_dv_read,
     "tpch_q1": q_tpch_q1,
     # round-9 rotation (verdict asks #1 and #2): tpch_q9 RETURNS to the
     # window (displaced in r8 — the only full join-heavy TPC-H besides
@@ -2703,7 +2710,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
     "iceberg_time_travel": q_iceberg_time_travel,
-    "delta_dv_read": q_delta_dv_read,
+    "iceberg_v3_dv_read": q_iceberg_v3_dv_read,
+    "iceberg_upsert_read": q_iceberg_upsert_read,
     "delta_snapshot_diff": q_delta_snapshot_diff,
     "windowed_event_counts": q_windowed_event_counts,
     # --- past the window: variants, second tiers, rows-only paths ---

@@ -347,6 +347,88 @@ def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 V3P_UPD_MOD = 13  # partitioned-v3 UPSERT rewrites keys divisible by this
+XFORM_DEL_CUT = "1995-07-01 00:00:00"  # transform-DML delete boundary
+
+
+def q_iceberg_transform_partitioned_dml(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v3 DML on a TRANSFORM-PARTITIONED table (round 10,
+    sources/iceberg_transforms.py): year(o_orderdate) + bucket(4,
+    o_custkey) partitioning — the spec shapes real tables overwhelmingly
+    use — through the full lifecycle: create via the transform
+    partition_by syntax (staging computes the transform columns, hive
+    lays them out, manifests record r102 transform values, bucket via
+    the spec's murmur3), DELETE mixing a temporal predicate with a
+    physical one, keyed cross-partition UPSERT, DV rewrite back to pure
+    files. Result groups by (year-transform value recomputed in SQL,
+    status) — identical arithmetic both engines can run. Bucket-value
+    correctness (murmur3 vs the spec's Appendix B vectors) is pinned in
+    tests/test_iceberg_transforms.py; the oracle here verifies the
+    logical row content end-to-end. year (not month): the 7x4=28-dir
+    layout keeps the file count bench-sane at sf0.1 while exercising
+    the identical transform machinery."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_v3_delete_rows,
+        iceberg_v3_rewrite_deletes,
+        iceberg_v3_upsert,
+        iceberg_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_xform_")
+    table = os.path.join(work, "t")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+            )
+        )
+        iceberg_write(
+            src.repartition(4),
+            table,
+            partition_by=["year(o_orderdate)", "bucket(4, o_custkey)"],
+        )
+        iceberg_v3_delete_rows(
+            spark,
+            table,
+            f"o_orderdate >= timestamp'{XFORM_DEL_CUT}' "
+            f"AND o_orderkey % {MOR_DEL_MOD} = 0",
+        )
+        changes = src.filter(F.col("o_orderkey") % V3P_UPD_MOD == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_orderkey") * 2.0).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        iceberg_v3_upsert(spark, changes, table, ["o_orderkey"])
+        iceberg_v3_rewrite_deletes(spark, table)
+        lake = IcebergSnapshotLake(spark, table, os.path.join(work, "idx"))
+        pyear = (F.year("o_orderdate") - F.lit(1970)).cast("long")
+        out = (
+            lake.read()
+            .groupBy(pyear.alias("pyear"), "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("pyear", "o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_iceberg_v3_partitioned_dml(

@@ -434,6 +434,37 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # transform-partitioned v3 lifecycle (round 10): same slice
+    # arithmetic in plain SQL, grouped by the year-transform value
+    # recomputed portably (year-1970). Bucket values are
+    # spec-murmur3 (not SQL-expressible) — pinned by unit tests against
+    # the spec's Appendix B vectors; the oracle verifies the logical
+    # rows the transform-partitioned DML cycle produces.
+    "iceberg_transform_partitioned_dml": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        ),
+        final AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+            FROM src
+            WHERE NOT (o_orderdate >= TIMESTAMP '{XFORM_DEL_CUT}'
+                       AND o_orderkey % {MOR_DEL_MOD} = 0)
+              AND o_orderkey % {V3P_UPD_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_orderkey * 2.0 AS o_totalprice, o_orderdate
+            FROM src WHERE o_orderkey % {V3P_UPD_MOD} = 0
+        )
+        SELECT year(o_orderdate) - 1970 AS pyear, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM final
+        GROUP BY pyear, o_orderstatus
+        ORDER BY pyear, o_orderstatus
+    """,
     "delta_mapped_dml_read": f"""
         WITH src AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice

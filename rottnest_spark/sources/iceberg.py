@@ -1209,7 +1209,7 @@ class IcebergSnapshotLake(ParquetLake):
         _spark_of_iceberg = {
             "long": "bigint", "int": "bigint", "double": "double",
             "float": "double", "boolean": "boolean",
-            "timestamp": "timestamp", "string": "string",
+            "timestamp": "timestamp", "date": "date", "string": "string",
         }
         casts = {}
         for f in _current_schema(md).get("fields", []):

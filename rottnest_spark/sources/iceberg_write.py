@@ -219,8 +219,10 @@ def _iceberg_schema_from_spark(spark_schema) -> dict:
             return "double"
         if isinstance(dt, T.BooleanType):
             return "boolean"
-        if isinstance(dt, T.TimestampType):
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             return "timestamp"
+        if isinstance(dt, T.DateType):
+            return "date"
         if isinstance(dt, T.BinaryType):
             return "binary"
         if isinstance(dt, T.ArrayType):
@@ -302,39 +304,28 @@ def _latest_metadata(table_path: str, fs: LakeFS) -> tuple[int, dict | None]:
     return best_v, json.loads(fs.read_text(best_f))
 
 
-def _identity_partition_fields(md: dict | None) -> list[str]:
-    """Identity-transform partition column names from table metadata.
+def _partition_fields(md: dict | None) -> list[dict]:
+    """The default partition spec as evaluable field structs (round 10 —
+    iceberg_transforms.partition_fields_from_spec): identity PLUS
+    year/month/day/hour, bucket[N] (spec murmur3) and truncate[W].
+    Raises on void/unknown transforms — every writer in this module
+    derives r102 partition records from the field values, so silently
+    dropping a declared field would commit manifests missing fields the
+    spec declares (silent metadata corruption for external readers)."""
+    from rottnest_spark.sources.iceberg_transforms import (
+        partition_fields_from_spec,
+    )
 
-    WRITE-path resolver: a default spec carrying a NON-identity
-    transform (bucket/truncate/day/...) refuses loudly — every writer
-    in this module derives r102 partition records from identity values,
-    so silently dropping a bucket field would commit manifests whose
-    partition records are missing fields the spec declares (silent
-    metadata corruption for external readers). READS are unaffected
-    and go through iceberg.partition_columns_from_metadata, which may
+    return partition_fields_from_spec(md or {})
+
+
+def _identity_partition_fields(md: dict | None) -> list[str]:
+    """Identity-transform partition column names, validating the WHOLE
+    spec is writable (transform set above). READS are unaffected and go
+    through iceberg.partition_columns_from_metadata, which may
     legitimately ignore non-identity transforms (their source columns
     stay physical in the data files)."""
-    if not md:
-        return []
-    spec = md.get("partition-spec")
-    if spec is None and md.get("partition-specs"):
-        sid = md.get("default-spec-id", 0)
-        for s in md["partition-specs"]:
-            if s.get("spec-id") == sid:
-                spec = s.get("fields")
-    alien = [
-        (f.get("name"), f.get("transform"))
-        for f in (spec or [])
-        if f.get("transform", "identity") != "identity"
-    ]
-    if alien:
-        raise ValueError(
-            f"partition spec uses non-identity transform(s) {alien} — "
-            "this writer derives partition records from identity values "
-            "only; writing would drop those fields from the manifests. "
-            "Refusing instead of corrupting metadata (reads still work)"
-        )
-    return [f["name"] for f in (spec or [])]
+    return [pf["name"] for pf in _partition_fields(md) if pf["kind"] == "identity"]
 
 
 def _commit_snapshot(
@@ -391,21 +382,27 @@ def _commit_snapshot(
     schema = schema or _current_schema(prior or {}) or (
         _iceberg_schema(live[0]) if live else {"type": "struct", "fields": []}
     )
-    pcols = (
-        list(partition_by)
-        if partition_by is not None
-        else _identity_partition_fields(prior)
-    )
-    field_by_name = {f["name"]: f for f in schema.get("fields", [])}
-    pfields = []
-    for c in pcols:
-        f = field_by_name.get(c)
-        if f is None:
-            raise ValueError(
-                f"partition column {c!r} is not in the table schema"
+    if partition_by is not None:
+        if partition_by and isinstance(partition_by[0], dict):
+            pfs = list(partition_by)  # pre-parsed field structs
+        else:
+            from rottnest_spark.sources.iceberg_transforms import (
+                parse_partition_by,
             )
-        t = f["type"] if isinstance(f["type"], str) else "string"
-        pfields.append((c, t))
+
+            pfs = parse_partition_by(list(partition_by), schema)
+    else:
+        pfs = _partition_fields(prior)
+    field_by_name = {f["name"]: f for f in schema.get("fields", [])}
+    for pf in pfs:
+        if pf["source"] not in field_by_name:
+            raise ValueError(
+                f"partition source column {pf['source']!r} is not in the "
+                "table schema"
+            )
+    # r102 record fields are named after the PARTITION FIELD and typed
+    # by the transform's RESULT type (identity keeps the source type)
+    pfields = [(pf["name"], pf["result_type"]) for pf in pfs]
 
     def entry(
         f: str, status: int, content: int = 0, equality_ids=None
@@ -513,12 +510,12 @@ def _commit_snapshot(
     }
     spec_fields = [
         {
-            "name": c,
-            "transform": "identity",
-            "source-id": field_by_name[c]["id"],
-            "field-id": 1000 + i,
+            "name": pf["name"],
+            "transform": pf["transform"],
+            "source-id": pf["source_id"],
+            "field-id": pf.get("field_id") or 1000 + i,
         }
-        for i, c in enumerate(pcols)
+        for i, pf in enumerate(pfs)
     ]
     md = {
         # row-level deletes require format v2; a table once v2 stays v2
@@ -805,20 +802,37 @@ def iceberg_write(
         raise ValueError(f"{table_path} is already an Iceberg table")
     if mode == "append" and not exists:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    pcols = list(partition_by or [])
+    from rottnest_spark.sources.iceberg_transforms import (
+        parse_partition_by,
+        stage_partitioned,
+    )
+
     prior = None
     if exists:
         _, prior = _latest_metadata(table_path, fs)
-        table_pcols = _identity_partition_fields(prior)
-        if partition_by is not None and pcols != table_pcols:
-            raise ValueError(
-                f"partition_by={pcols} conflicts with the table's "
-                f"partition spec {table_pcols}"
+        pfs = _partition_fields(prior)
+        if partition_by is not None:
+            from rottnest_spark.sources.iceberg import _current_schema
+
+            want = parse_partition_by(
+                list(partition_by), _current_schema(prior)
             )
-        pcols = table_pcols
+            have = [(pf["transform"], pf["source"]) for pf in pfs]
+            if [(w["transform"], w["source"]) for w in want] != have:
+                raise ValueError(
+                    f"partition_by={list(partition_by)} conflicts with "
+                    f"the table's partition spec {have}"
+                )
+    elif partition_by:
+        pfs = parse_partition_by(
+            list(partition_by), _iceberg_schema_from_spark(df.schema)
+        )
+    else:
+        pfs = []
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    if pcols:
-        df.write.partitionBy(*pcols).parquet(stage)
+    staged, pnames = stage_partitioned(df, pfs)
+    if pnames:
+        staged.write.partitionBy(*pnames).parquet(stage)
     else:
         df.write.parquet(stage)
     moved = []
@@ -836,7 +850,7 @@ def iceberg_write(
         moved.append(dst)
     fs.rmtree(stage)
     if not exists:
-        if pcols:
+        if pfs:
             return _commit_snapshot(
                 table_path,
                 sorted(moved),
@@ -845,7 +859,7 @@ def iceberg_write(
                 fs,
                 None,
                 prior=None,
-                partition_by=pcols,
+                partition_by=pfs,
                 schema=_iceberg_schema_from_spark(df.schema),
             )
         return iceberg_convert(table_path, fs=fs)
@@ -1276,8 +1290,14 @@ def iceberg_upsert(
     _, prior = _latest_metadata(table_path, fs)
     if prior is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
-    pcols = _identity_partition_fields(prior)
-    clash = [c for c in key_cols if c in pcols]
+    pfs = _partition_fields(prior)
+    # identity sources are stripped from hive-laid data files; transform
+    # SOURCES stay physical, so they may legitimately be key columns
+    clash = [
+        c
+        for c in key_cols
+        if c in [pf["source"] for pf in pfs if pf["kind"] == "identity"]
+    ]
     if clash:
         raise ValueError(
             f"key columns {clash} are identity partition columns — "
@@ -1299,9 +1319,12 @@ def iceberg_upsert(
         )
     eq_ids = [ids_by_name[c] for c in key_cols]
 
+    from rottnest_spark.sources.iceberg_transforms import stage_partitioned
+
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    if pcols:
-        df.write.partitionBy(*pcols).parquet(stage)
+    staged, pnames = stage_partitioned(df, pfs)
+    if pnames:
+        staged.write.partitionBy(*pnames).parquet(stage)
     else:
         df.write.parquet(stage)
     moved = []
@@ -1357,21 +1380,11 @@ def iceberg_upsert(
 
 
 def _pfields_from_md(md: dict) -> list[tuple[str, str]]:
-    """(name, iceberg type) pairs for the table's identity partition
-    columns, types resolved from the CURRENT schema (engine-canonical
-    `schemas` form included)."""
-    pcols = _identity_partition_fields(md)
-    if not pcols:
-        return []
-    from rottnest_spark.sources.iceberg import _current_schema
-
-    by_name = {f["name"]: f for f in _current_schema(md).get("fields", [])}
-    out = []
-    for c in pcols:
-        f = by_name.get(c)
-        t = f["type"] if f and isinstance(f.get("type"), str) else "string"
-        out.append((c, t))
-    return out
+    """(partition field name, RESULT iceberg type) pairs for ALL fields
+    of the default spec — identity fields keep the source type, transform
+    fields carry the transform's result type (round 10: the r102 record
+    and hive layout cover bucket/truncate/temporal fields too)."""
+    return [(pf["name"], pf["result_type"]) for pf in _partition_fields(md)]
 
 
 def _dv_manifest_schema(pfields: list[tuple[str, str]] | None = None) -> dict:
@@ -1552,7 +1565,7 @@ def _v3_tagged_scan(spark, md: dict, table_path: str, files: list[str], fs):
     _spark_of_iceberg = {
         "long": "bigint", "int": "bigint", "double": "double",
         "float": "double", "boolean": "boolean",
-        "timestamp": "timestamp", "string": "string",
+        "timestamp": "timestamp", "date": "date", "string": "string",
     }
     casts = {
         f["name"]: _spark_of_iceberg.get(f["type"], "string")
@@ -1948,10 +1961,13 @@ def iceberg_v3_upsert(
 
     # stage the change rows as new data files; partitioned tables stage
     # hive-laid so the commit tail can derive r102 values from the path
-    pcols = _identity_partition_fields(md)
+    # (transform fields as DERIVED columns — iceberg_transforms)
+    from rottnest_spark.sources.iceberg_transforms import stage_partitioned
+
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    if pcols:
-        df.write.partitionBy(*pcols).parquet(stage)
+    staged, pnames = stage_partitioned(df, _partition_fields(md))
+    if pnames:
+        staged.write.partitionBy(*pnames).parquet(stage)
     else:
         df.write.parquet(stage)
     moved = []
@@ -2159,9 +2175,22 @@ def _v3_commit_dv_state(
     def _pvals(p: str) -> dict:
         if not pfields:
             return {}
-        if p in prior_parts:
-            return {k: prior_parts[p].get(k) for k, _ in pfields}
-        return _hive_pvals(table_path, p, pfields)
+        rec = prior_parts.get(p)
+        if rec is not None and all(k in rec for k, _ in pfields):
+            # a field PRESENT with value None is an explicit null
+            # partition value (__HIVE_DEFAULT_PARTITION__) — honored
+            return {k: rec.get(k) for k, _ in pfields}
+        # prior record absent or missing a DECLARED field (e.g. a spec
+        # hand-evolved after the file was written): derive from the hive
+        # path — which raises when the file is outside the layout. A
+        # silent null here would let external readers prune the file
+        # out of partition-filtered scans (wrong results, not a crash).
+        hive = _hive_pvals(table_path, p, pfields)
+        if rec:
+            return {
+                k: rec[k] if k in rec else hive[k] for k, _ in pfields
+            }
+        return hive
 
     def data_entry(p: str, seq: int) -> dict:
         added = p in added_set

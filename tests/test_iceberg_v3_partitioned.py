@@ -263,33 +263,14 @@ def test_full_lifecycle_read_after_every_step(spark, tmp_path):
     assert not st["dvs"]
 
 
-def test_non_identity_transform_refuses_writes_not_reads(spark, tmp_path):
-    """A default spec with a bucket transform: every WRITE path refuses
-    loudly (this writer derives r102 records from identity values —
-    silently dropping the bucket field would corrupt the manifests for
-    external readers), while READS still work (the bucket's source
-    column stays physical in the data files)."""
+def _evolve_spec(t, fields):
     import json
 
-    from rottnest_spark.sources.iceberg_write import (
-        iceberg_commit,
-        iceberg_write,
-    )
-
-    t = str(tmp_path / "bkt")
-    iceberg_write(_data(spark, 30), t)
     meta = os.path.join(t, "metadata")
     metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
     md = json.loads(open(os.path.join(meta, metas[-1])).read())
-    md["partition-spec"] = [
-        {
-            "name": "doc_id_bucket",
-            "transform": "bucket[16]",
-            "source-id": 1,
-            "field-id": 1000,
-        }
-    ]
-    md["partition-specs"] = [{"spec-id": 0, "fields": md["partition-spec"]}]
+    md["partition-spec"] = fields
+    md["partition-specs"] = [{"spec-id": 0, "fields": fields}]
     md["default-spec-id"] = 0
     v = len(metas) + 10
     with open(os.path.join(meta, f"v{v}.metadata.json"), "w") as fh:
@@ -297,13 +278,75 @@ def test_non_identity_transform_refuses_writes_not_reads(spark, tmp_path):
     with open(os.path.join(meta, "version-hint.text"), "w") as fh:
         fh.write(str(v))
 
+
+def test_hand_evolved_transform_spec_on_unlaid_files(spark, tmp_path):
+    """bucket[16] is EVALUABLE since round 10, so a hand-evolved bucket
+    spec no longer refuses on sight — but this table's existing files
+    were never bucket-laid, so no honest r102 value exists for them.
+    DML must raise (hive-path derivation) rather than commit silent
+    NULL partition values, which external readers would prune out of
+    partition-filtered scans (wrong results). READS stay unaffected
+    (the bucket's source column is physical in the data files)."""
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_commit,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "bkt")
+    iceberg_write(_data(spark, 30), t)
+    _evolve_spec(
+        t,
+        [
+            {
+                "name": "doc_id_bucket",
+                "transform": "bucket[16]",
+                "source-id": 1,
+                "field-id": 1000,
+            }
+        ],
+    )
+
     assert _rows(spark, t) == _expect(spark, 30)  # reads unaffected
-    with pytest.raises(ValueError, match="non-identity"):
+    with pytest.raises(ValueError, match="hive path segment"):
         iceberg_v3_delete_rows(spark, t, "doc_id < 5")
     import shutil
 
     st = snapshot_state_from_metadata(_current_metadata(t), t)
     extra = os.path.join(t, "extra.parquet")
     shutil.copy(sorted(st["data"])[0], extra)
-    with pytest.raises(ValueError, match="non-identity"):
+    with pytest.raises(ValueError, match="hive path segment"):
+        iceberg_commit(t, add=[extra])
+
+
+def test_void_transform_still_refuses_writes_not_reads(spark, tmp_path):
+    """`void` stays outside the evaluable transform set: every write
+    path refuses loudly instead of dropping the declared field from the
+    manifests; reads are unaffected."""
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_commit,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "vd")
+    iceberg_write(_data(spark, 30), t)
+    _evolve_spec(
+        t,
+        [
+            {
+                "name": "doc_id_null",
+                "transform": "void",
+                "source-id": 1,
+                "field-id": 1000,
+            }
+        ],
+    )
+    assert _rows(spark, t) == _expect(spark, 30)  # reads unaffected
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        iceberg_v3_delete_rows(spark, t, "doc_id < 5")
+    st = snapshot_state_from_metadata(_current_metadata(t), t)
+    import shutil
+
+    extra = os.path.join(t, "extra.parquet")
+    shutil.copy(sorted(st["data"])[0], extra)
+    with pytest.raises(ValueError, match="unsupported partition transform"):
         iceberg_commit(t, add=[extra])
