@@ -289,26 +289,133 @@ def _parse_default(name: str, t: str, raw) -> tuple[object, str]:
     )
 
 
+def _spark_ddl_of_iceberg(t) -> str:
+    """Spark DDL type string for an iceberg type (string primitive or
+    nested dict) — the cast target for nested default fills and the
+    null-fill type for omitted struct fields."""
+    import re as _re
+
+    if isinstance(t, str):
+        prim = {
+            "int": "int", "long": "bigint", "float": "float",
+            "double": "double", "string": "string", "boolean": "boolean",
+            "date": "date", "timestamp": "timestamp_ntz",
+            "timestamptz": "timestamp", "uuid": "string",
+            "binary": "binary",
+        }
+        if t in prim:
+            return prim[t]
+        m = _re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m:
+            return f"decimal({m.group(1)},{m.group(2)})"
+        if _re.fullmatch(r"fixed\[\d+\]", t):
+            return "binary"
+        raise ValueError(f"no spark mapping for iceberg type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        inner = ",".join(
+            f"`{f['name']}`:{_spark_ddl_of_iceberg(f['type'])}"
+            for f in t.get("fields", [])
+        )
+        return f"struct<{inner}>"
+    if kind == "list":
+        return f"array<{_spark_ddl_of_iceberg(t['element'])}>"
+    if kind == "map":
+        return (
+            f"map<{_spark_ddl_of_iceberg(t['key'])},"
+            f"{_spark_ddl_of_iceberg(t['value'])}>"
+        )
+    raise ValueError(f"no spark mapping for iceberg type {t!r}")
+
+
+def _nested_default_column(name: str, t, raw):
+    """pyspark Column for a NESTED (struct/list/map) `initial-default`
+    per the spec's JSON single-value serialization (round 10; spec
+    Appendix D): struct = JSON object keyed by FIELD ID as a string,
+    list = JSON array of element values, map = {"keys": [...],
+    "values": [...]}. Primitives inside recurse through _parse_default
+    (same date/ts/decimal handling as top-level). A struct field id
+    ABSENT from the object fills null of the field's type."""
+    from pyspark.sql import functions as F
+
+    if isinstance(t, str):
+        v, cast_t = _parse_default(name, t, raw)
+        return F.lit(v).cast(cast_t)
+    kind = t.get("type")
+    if kind == "struct":
+        cols = []
+        for f in t.get("fields", []):
+            key = str(f["id"])
+            if isinstance(raw, dict) and key in raw:
+                c = _nested_default_column(
+                    f"{name}.{f['name']}", f["type"], raw[key]
+                )
+            else:
+                c = F.lit(None).cast(_spark_ddl_of_iceberg(f["type"]))
+            cols.append(c.alias(f["name"]))
+        return F.struct(*cols)
+    if kind == "list":
+        elems = [
+            _nested_default_column(f"{name}[]", t["element"], x)
+            for x in (raw or [])
+        ]
+        if elems:
+            return F.array(*elems)
+        return F.array().cast(_spark_ddl_of_iceberg(t))
+    if kind == "map":
+        if not isinstance(raw, dict) or set(raw) != {"keys", "values"}:
+            raise ValueError(
+                f"map initial-default on {name!r} must be the spec's "
+                f'{{"keys": [...], "values": [...]}} object, got {raw!r}'
+            )
+        ks = [
+            _nested_default_column(f"{name}.key", t["key"], k)
+            for k in raw["keys"]
+        ]
+        vs = [
+            _nested_default_column(f"{name}.value", t["value"], v)
+            for v in raw["values"]
+        ]
+        if len(ks) != len(vs):
+            raise ValueError(
+                f"map initial-default on {name!r}: {len(ks)} keys vs "
+                f"{len(vs)} values"
+            )
+        if not ks:
+            return F.map_from_arrays(F.array(), F.array()).cast(
+                _spark_ddl_of_iceberg(t)
+            )
+        return F.map_from_arrays(F.array(*ks), F.array(*vs))
+    raise ValueError(
+        f"Iceberg v3 field {name!r}: unknown nested type {t!r}"
+    )
+
+
 def initial_default_fields(md: dict) -> dict[str, tuple[object, str]]:
-    """{column: (default literal, spark type)} for v3 `initial-default`
-    schema fields (iceberg.apache.org/spec/#default-values): the value a
-    reader must surface for rows whose data file PREDATES the field.
+    """{column: (default literal-or-Column-builder, spark type)} for v3
+    `initial-default` schema fields
+    (iceberg.apache.org/spec/#default-values): the value a reader must
+    surface for rows whose data file PREDATES the field.
     `write-default` is a writer-side concern — readers ignore it.
     Schema resolution goes through _current_schema (spec-canonical
     `schemas` list first) so engine-written v3 metadata — which omits
     the deprecated `schema` key — cannot silently hide its defaults.
-    Defaulted non-primitive / unparsed types refuse loudly."""
+    NESTED (struct/list/map) defaults (round 10) return a zero-arg
+    CALLABLE building the Column (spec Appendix D serialization) —
+    scan_with_initial_defaults resolves either form."""
     out: dict[str, tuple[object, str]] = {}
     for f in _current_schema(md).get("fields", []):
         if "initial-default" not in f:
             continue
         t = f.get("type")
         if not isinstance(t, str):
-            raise ValueError(
-                f"Iceberg v3 field {f.get('name')!r} carries an "
-                f"initial-default of nested type {t!r} — struct/list/map "
-                "fills are not implemented; refusing instead of misreading"
+            name, raw = f["name"], f["initial-default"]
+            ddl = _spark_ddl_of_iceberg(t)  # validates the nested type
+            out[name] = (
+                (lambda n=name, tt=t, r=raw: _nested_default_column(n, tt, r)),
+                ddl,
             )
+            continue
         out[f["name"]] = _parse_default(f["name"], t, f["initial-default"])
     return out
 
@@ -393,7 +500,10 @@ def scan_with_initial_defaults(spark, fl, dmap: dict, tagged: bool):
         df = scan(spark, sorted(groups[missing]))
         for c in sorted(missing):
             v, t = dmap[c]
-            df = df.withColumn(c, F.lit(v).cast(t))
+            # nested defaults carry a Column BUILDER (struct/list/map
+            # literals aren't F.lit-able); primitives stay plain values
+            lit = v() if callable(v) else F.lit(v)
+            df = df.withColumn(c, lit.cast(t))
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:

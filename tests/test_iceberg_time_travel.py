@@ -190,3 +190,44 @@ def test_pinned_partition_predicate(spark, ttable, tmp_path):
         for r in lake.read().filter(F.col("lang") == "p1").collect()
     )
     assert got == [i for i in range(50) if i % 3 == 1]
+
+
+def test_expired_snapshot_pin_raises_specific_error(spark, ttable, tmp_path):
+    """Retention x time travel (round 10): after iceberg_expire_snapshots
+    removes a snapshot (and deletes its exclusive files), pinning it must
+    raise the SPECIFIC 'may have been expired' error from the metadata
+    seam — never a generic missing-file trace from a late manifest read;
+    as_of_ms before the earliest surviving snapshot likewise."""
+    from rottnest_spark.sources.iceberg_write import iceberg_expire_snapshots
+
+    out, snaps = ttable
+    ix = str(tmp_path / "ix")
+    deleted = iceberg_expire_snapshots(out, keep_last=1)
+    assert deleted, "expiry removed nothing"
+    with pytest.raises(ValueError, match="may have been expired"):
+        IcebergSnapshotLake(spark, out, ix, snapshot_id=snaps[0]).read()
+    with pytest.raises(ValueError, match="may have been expired"):
+        IcebergSnapshotLake(spark, out, ix, snapshot_id=snaps[1]).read()
+    # before-earliest as_of on the surviving log: the specific message
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        IcebergSnapshotLake(spark, out, ix, as_of_ms=T0).read()
+    # the survivor still reads exactly
+    assert _rows(
+        IcebergSnapshotLake(spark, out, ix, snapshot_id=snaps[2])
+    ) == _want(10, 80)
+
+
+def test_pinned_vacuum_refuses(spark, ttable, tmp_path):
+    """vacuum() on a pinned lake must refuse (round-10 advice fix): the
+    pinned snapshot would define liveness, so index/catalog state for
+    files added after the pin would be destroyed by a READER."""
+    out, snaps = ttable
+    lake = IcebergSnapshotLake(
+        spark, out, str(tmp_path / "ix"), snapshot_id=snaps[0]
+    )
+    with pytest.raises(ValueError, match="time-travel-pinned"):
+        lake.vacuum()
+    with pytest.raises(ValueError, match="time-travel-pinned"):
+        lake.vacuum(history_days=1.0)
+    # unpinned vacuum on the same table still works
+    IcebergSnapshotLake(spark, out, str(tmp_path / "ix")).vacuum()

@@ -48,7 +48,13 @@ def _upgrade_v3(
     single `schema` key REMOVED — which is the form the round-8 reader
     silently dropped defaults on."""
     meta = os.path.join(table, "metadata")
-    metas = sorted(f for f in os.listdir(meta) if f.endswith(".metadata.json"))
+    # NUMERIC version sort — lexicographic picks v2 over v12, so a
+    # SECOND hand-evolution would silently start from stale metadata
+    # and drop the first one's fields/defaults
+    metas = sorted(
+        (f for f in os.listdir(meta) if f.endswith(".metadata.json")),
+        key=lambda f: int(f.split(".")[0].lstrip("v")),
+    )
     md = json.loads(open(os.path.join(meta, metas[-1])).read())
     md["format-version"] = 3
     schema = md["schema"]
@@ -344,17 +350,114 @@ def test_parse_default_refusals():
         _parse_default("x", "timestamp_ns", "2017-11-16T22:31:08.000000001")
     with pytest.raises(ValueError, match="refusing"):
         _parse_default("x", "time", "22:31:08")
-    md = {
-        "schema": {
-            "fields": [
-                {
-                    "id": 1,
-                    "name": "pt",
-                    "type": {"type": "struct", "fields": []},
-                    "initial-default": {"1": 3},
-                }
-            ]
-        }
-    }
-    with pytest.raises(ValueError, match="struct/list/map"):
-        initial_default_fields(md)
+    # malformed nested serializations refuse (round 10: nested defaults
+    # FILL now — the refusal narrowed from 'any nested' to 'malformed')
+    from rottnest_spark.sources.iceberg import _nested_default_column
+
+    with pytest.raises(ValueError, match="keys"):
+        _nested_default_column(
+            "m",
+            {"type": "map", "key": "string", "value": "int"},
+            {"wrong": []},
+        )
+    with pytest.raises(ValueError, match="keys vs"):
+        _nested_default_column(
+            "m",
+            {"type": "map", "key": "string", "value": "int"},
+            {"keys": ["a"], "values": []},
+        )
+
+
+NESTED_STRUCT = {
+    "id": 110,
+    "name": "meta",
+    "required": False,
+    "type": {
+        "type": "struct",
+        "fields": [
+            {"id": 201, "name": "a", "type": "int", "required": False},
+            {"id": 202, "name": "b", "type": "string", "required": False},
+            {"id": 203, "name": "c", "type": "double", "required": False},
+        ],
+    },
+    # spec Appendix D: struct single-value JSON is keyed by FIELD ID;
+    # id 203 omitted -> that member fills null
+    "initial-default": {"201": 3, "202": "x"},
+}
+NESTED_LIST = {
+    "id": 111,
+    "name": "tags",
+    "required": False,
+    "type": {
+        "type": "list",
+        "element-id": 301,
+        "element": "long",
+        "element-required": False,
+    },
+    "initial-default": [1, 2, 3],
+}
+NESTED_MAP = {
+    "id": 112,
+    "name": "attrs",
+    "required": False,
+    "type": {
+        "type": "map",
+        "key-id": 401,
+        "key": "string",
+        "value-id": 402,
+        "value": "int",
+        "value-required": False,
+    },
+    "initial-default": {"keys": ["p", "q"], "values": [1, 2]},
+}
+
+
+def test_nested_defaults_fill(spark, vtable):
+    """struct/list/map initial-defaults (round 10, spec Appendix D
+    single-value JSON): every row of a table whose files physically lack
+    the nested columns surfaces the default; an omitted struct field id
+    fills null inside the struct."""
+    _upgrade_v3(vtable, NESTED_STRUCT, NESTED_LIST, NESTED_MAP)
+    lake = IcebergSnapshotLake(spark, vtable, vtable + "_in")
+    rows = lake.read().select("doc_id", "meta", "tags", "attrs").collect()
+    assert len(rows) == 110
+    for r in rows:
+        assert (r.meta.a, r.meta.b, r.meta.c) == (3, "x", None)
+        assert list(r.tags) == [1, 2, 3]
+        assert dict(r.attrs) == {"p": 1, "q": 2}
+    # the scalar default on the same table still fills pre-evolution only
+    sc = {r.doc_id: r.score for r in lake.read().select("doc_id", "score").collect()}
+    assert sc[0] == DEFAULT and sc[101] is None and sc[102] == 102
+
+
+def test_nested_default_physical_rows_untouched(spark, tmp_path):
+    """A later file CARRYING the struct physically — including an
+    explicit null member — reads back verbatim while pre-evolution rows
+    fill the default (the footer-grouped scan discipline extends to
+    nested types)."""
+    out = str(tmp_path / "v3n")
+    spark.range(10).selectExpr("id AS doc_id", "concat('d', id) AS body") \
+        .coalesce(1).write.parquet(out)
+    iceberg_convert(out)
+    new = spark.range(10, 14).selectExpr(
+        "id AS doc_id",
+        "concat('n', id) AS body",
+        "named_struct('a', CASE WHEN id % 2 = 0 THEN cast(id AS int) "
+        "ELSE cast(NULL AS int) END, 'b', 'phys', 'c', cast(id AS double)"
+        ") AS meta",
+    ).coalesce(1)
+    stage = os.path.join(out, "evolved")
+    new.write.parquet(stage)
+    files = [
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    ]
+    iceberg_commit(out, add=files)
+    _upgrade_v3(out, NESTED_STRUCT)
+    lake = IcebergSnapshotLake(spark, out, out + "_ix")
+    got = {r.doc_id: r.meta for r in lake.read().select("doc_id", "meta").collect()}
+    for i in range(10):
+        assert (got[i].a, got[i].b, got[i].c) == (3, "x", None)
+    assert (got[10].a, got[10].b, got[10].c) == (10, "phys", 10.0)
+    assert (got[11].a, got[11].b, got[11].c) == (None, "phys", 11.0)
