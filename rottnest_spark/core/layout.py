@@ -87,6 +87,18 @@ def rows_with_rg_provenance(
         arrow_field = arrow_field.with_type(
             pa.timestamp("us", tz=arrow_field.type.tz)
         )
+    # read-schema pin (type-widened Delta tables): the probed file may
+    # carry the NARROW pre-widen type while other files are wide — type
+    # the output by the pinned schema and cast each row-group batch up
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from rottnest_spark.sources.reader import pinned_read_schema
+
+    _pin = pinned_read_schema()
+    target_arrow = None
+    if _pin is not None and column in _pin.fieldNames():
+        target_arrow = to_arrow_type(_pin[column].dataType)
+        arrow_field = arrow_field.with_type(target_arrow)
     col_type = from_arrow_schema(pa.schema([arrow_field]))[0].dataType.simpleString()
     pos_part = "pos int, " if with_pos else ""
     schema = f"file_path string, row_group int, {pos_part}{column} {col_type}"
@@ -112,6 +124,12 @@ def rows_with_rg_provenance(
                     tbl = pf.read_row_group(int(rg), columns=[column])
                     # ns->us truncation (safe=False): matches read_parquet
                     tbl = tbl.cast(us_fields(tbl.schema), safe=False)
+                    if target_arrow is not None:
+                        tbl = tbl.cast(
+                            pa.schema(
+                                [tbl.schema.field(0).with_type(target_arrow)]
+                            )
+                        )
                     out = tbl.to_pandas()
                     if add_pos:
                         out.insert(0, "pos", range(len(out)))

@@ -124,6 +124,25 @@ def read_candidates(
 
             arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
         arrow_schema = _us_schema(arrow_schema)
+        # read-schema pin (type-widened Delta): type the output by the
+        # pinned schema and up-cast each row-group batch — the probed
+        # file may be a narrow pre-widen one while others are wide
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from rottnest_spark.sources.reader import pinned_read_schema
+
+        _pin = pinned_read_schema()
+        pin_arrow = None
+        if _pin is not None:
+            import pyarrow as pa
+
+            pinned_fields = []
+            for f in arrow_schema:
+                if f.name in _pin.fieldNames():
+                    f = f.with_type(to_arrow_type(_pin[f.name].dataType))
+                pinned_fields.append(f)
+            pin_arrow = pa.schema(pinned_fields)
+            arrow_schema = pin_arrow
         spark_schema = from_arrow_schema(arrow_schema)
         if tag_positions:
             from pyspark.sql.types import LongType, StringType, StructField
@@ -162,7 +181,14 @@ def read_candidates(
                         tbl = pf.read_row_group(int(rg), columns=cols)
                         # safe=False: ns->us truncation is intended (matches
                         # read_parquet's div-1000) — safe mode refuses it
-                        out = tbl.cast(us(tbl.schema), safe=False).to_pandas()
+                        tbl = tbl.cast(us(tbl.schema), safe=False)
+                        if pin_arrow is not None:
+                            tbl = tbl.cast(
+                                pa.schema(
+                                    [pin_arrow.field(f.name) for f in tbl.schema]
+                                )
+                            )
+                        out = tbl.to_pandas()
                         if tag:
                             out["__path"] = path
                             out["__pos"] = range(

@@ -633,9 +633,23 @@ def _check_reader_compat(
             set(proto.get("readerFeatures") or []) - _SUPPORTED_READER_FEATURES
         )
         if unsupported:
+            extra = ""
+            if {"variantType", "variantType-preview"} & unsupported:
+                # surveyed + decided 2026-08-16 (COVERAGE.md "variantType
+                # decision"): REFUSE. Reading variant faithfully needs
+                # the Spark VariantType binary decoder (metadata+value
+                # pair) AND shredded-subcolumn reassembly; a partial
+                # reader that surfaces raw binary or drops shredded
+                # fields is silent corruption for downstream SQL.
+                extra = (
+                    " (variantType: the binary variant encoding + "
+                    "shredded-column reassembly are not implemented — "
+                    "see COVERAGE.md 'variantType decision')"
+                )
             raise ValueError(
                 f"{table_path}: unsupported Delta reader features "
                 f"{sorted(unsupported)} — refusing instead of misreading"
+                + extra
             )
         return
     if mrv > 3:
@@ -1149,13 +1163,45 @@ class DeltaSnapshotLake(ParquetLake):
             )
         return sorted(st)
 
+    # -- type widening x indexing (round 10) --------------------------
+    # build_index() and predicate search() now WORK on widened tables:
+    # both wrap in a read-schema pin (sources/reader.py read_schema_pin)
+    # so every scan they construct — whole-file read_parquet, row-group
+    # pyarrow fetches, the refine candidate read — decodes pre-widen
+    # narrow files AT the widened logical type (Spark's parquet up-cast
+    # / arrow cast per batch). Index keys and zone stats then agree with
+    # what read() surfaces. Everything not yet routed through the pin
+    # (top-K via `.files`, lookup/read_rows_at) still refuses loudly.
+
+    def _widen_scope(self):
+        import contextlib
+
+        if not _widening_active(self._table_proto()):
+            return contextlib.nullcontext()
+        from rottnest_spark.sources.reader import read_schema_pin
+
+        return read_schema_pin(self._phys_schema())
+
+    def search(self, *a, **kw):
+        # search() constructs its full plan (index probe + refine scan)
+        # eagerly inside this call; the returned DataFrame's plan has
+        # the pinned schema baked in, so later .collect() is covered
+        with self._widen_scope():
+            return super().search(*a, **kw)
+
     # merge-on-read search contract (core/lake.py hooks): predicate
     # searches stay EXACT on DV-bearing snapshots — plan over the data
     # files (vectors ignored: files stay live, index entries stay valid
     # as supersets), refine anti-joins the decoded deleted positions.
     # Top-K paths still refuse via `.files`.
     def _search_files(self) -> list[str]:
-        self._refuse_widening_for_index("predicate index search")
+        from rottnest_spark.sources.reader import pinned_read_schema
+
+        if pinned_read_schema() is None:
+            # reached from a path NOT yet routed through the widen pin
+            # (search_many/conj/disj, count_matches, ...) — those would
+            # scan raw narrow types; keep refusing there
+            self._refuse_widening_for_index("predicate index search")
         return sorted(self._live_state())
 
     def _search_row_filter(self):
@@ -1220,7 +1266,8 @@ class DeltaSnapshotLake(ParquetLake):
             )
         if self._cm_mode() == "id":
             self._check_id_names_aligned(column)
-        return super().build_index(index, column, *a, **kw)
+        with self._widen_scope():
+            return super().build_index(index, column, *a, **kw)
 
     def _check_id_names_aligned(self, column: str) -> None:
         """ID-mode tables resolve scan columns by parquet FIELD ID — but

@@ -19,6 +19,35 @@ from pyspark.sql import functions as F
 _NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
 _FIELD_ID_FLAG = "spark.sql.parquet.fieldId.read.enabled"
 
+# -- read-schema pin (round 10: index build/search on type-widened
+# Delta tables). A lake that KNOWS the table's schema (Delta
+# typeWidening: files written pre-widen physically carry the narrow
+# type; the log's schemaString is authoritative) scopes a pin around
+# its scan-producing calls; every read_parquet/read_parquet_tagged/
+# row-group fetch inside the scope reads AT the pinned schema (Spark's
+# parquet up-cast widens int32→long, float→double, decimal rescale
+# per file). Plans capture the schema at construction, so the pin only
+# needs to cover DataFrame CONSTRUCTION, not collection.
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_SCHEMA_PIN = _contextvars.ContextVar("rottnest_read_schema_pin", default=None)
+
+
+@_contextlib.contextmanager
+def read_schema_pin(schema):
+    """Scope an explicit read schema over every lake parquet scan built
+    inside the context (no-op when schema is None)."""
+    tok = _SCHEMA_PIN.set(schema)
+    try:
+        yield
+    finally:
+        _SCHEMA_PIN.reset(tok)
+
+
+def pinned_read_schema():
+    return _SCHEMA_PIN.get()
+
 
 def _scan(spark, files, schema, field_id):
     """One shared spark.read entry: optional explicit schema (column-
@@ -69,6 +98,8 @@ def read_parquet(
     NOTE: truncation (not rounding) to µs; pre-1970 nanos would truncate
     toward zero instead of flooring — acceptable for log/event data.
     """
+    if schema is None:
+        schema = _SCHEMA_PIN.get()
     ns_cols = nanos_ts_columns(files[0])
     # Set the flag EXPLICITLY both ways: a stale true from an earlier read
     # would make a later non-ns read silently decode ns columns (present in
@@ -97,6 +128,8 @@ def read_parquet_tagged(
     merge-on-read row filters (delta/iceberg `_base_read`), the
     candidate fetch (core/refine.py) and the snapshot diff
     (sources/changes.py) all build on it."""
+    if schema is None:
+        schema = _SCHEMA_PIN.get()
     ns_cols = nanos_ts_columns(files[0])
     spark.conf.set(_NANOS_FLAG, "true" if ns_cols else "false")
     df = _scan(spark, files, schema, field_id).withColumns(

@@ -387,6 +387,30 @@ def test_reader_refuses_unknown_reader_features(spark, table):
     # test in this file after delta_delete_rows' protocol upgrade)
 
 
+def test_variant_type_refuses_with_survey_pointer(spark, table):
+    """variantType: surveyed and DECIDED refuse (2026-08-16, COVERAGE.md
+    'variantType decision') — faithful reads need the variant binary
+    decoder plus shredded-column reassembly; the refusal names the
+    decision record so a user hitting it finds the rationale."""
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["variantType"],
+                        "writerFeatures": [],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="COVERAGE.md"):
+        delta_live_files(table)
+
+
 def test_iceberg_v3_reads_and_v4_refuses(spark, sf_dir, tmp_path):
     """Format-version 3 READS since round 8 (puffin DVs + field defaults
     have dedicated suites; a bare v3 table must list files like its v2

@@ -148,12 +148,54 @@ def test_diff_feed_carry_widened_values(spark, wtable, tmp_path):
     }
 
 
-def test_index_paths_refuse_loudly(spark, wtable, tmp_path):
+def test_index_build_and_search_on_widened_table(spark, wtable, tmp_path):
+    """Round 10: build_index() and predicate search() WORK on widened
+    tables — the scans route through the read-schema pin
+    (sources/reader.py read_schema_pin), so narrow pre-widen files
+    up-cast to the widened type at build AND refine time. Search on the
+    widened column (keys span narrow and wide files) equals the brute
+    force read() filter."""
     from rottnest_spark.indices.exact import ExactIndex
 
     lake = DeltaSnapshotLake(spark, wtable, str(tmp_path / "ix"))
-    with pytest.raises(ValueError, match="widening"):
-        lake.build_index(ExactIndex(), "k")
+    idx = ExactIndex()
+    created = lake.build_index(idx, "k")
+    assert created, "build produced no index"
+    for key, want in ((2, {(2, 2.5, "b")}), (6, {(6, 6.5, "f")})):
+        got = {(r.k, r.v, r.s) for r in lake.search(idx, "k", key).collect()}
+        brute = {
+            (r.k, r.v, r.s)
+            for r in lake.read().filter(f"k = {key}").collect()
+        }
+        assert got == brute == want, (key, got, brute)
+    # a string-column substring search composes with the widen pin too
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    sidx = SubstringIndex()
+    lake.build_index(sidx, "s")
+    got = {r.s for r in lake.search(sidx, "s", "f").collect()}
+    assert got == {"f"}
+
+
+def test_index_build_search_on_widened_dv_table(spark, wtable, tmp_path):
+    """Widening composes with deletion vectors: after a DV DELETE, the
+    search result applies the delete state AND the widened types."""
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.sources.delta_write import delta_delete_rows
+
+    delta_delete_rows(spark, wtable, "k IN (2, 6)")
+    lake = DeltaSnapshotLake(spark, wtable, str(tmp_path / "ix"))
+    idx = ExactIndex()
+    lake.build_index(idx, "k")
+    assert lake.search(idx, "k", 2).count() == 0  # row-deleted
+    got = {(r.k, r.v) for r in lake.search(idx, "k", 3).collect()}
+    assert got == {(3, 3.5)}
+
+
+def test_unrouted_paths_still_refuse_loudly(spark, wtable, tmp_path):
+    """Paths not yet routed through the widen pin (top-K via `.files`,
+    batched search_many) keep the loud refusal."""
+    lake = DeltaSnapshotLake(spark, wtable, str(tmp_path / "ix"))
     with pytest.raises(ValueError, match="widening"):
         lake.files
     with pytest.raises(ValueError, match="widening"):
