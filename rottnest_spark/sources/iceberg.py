@@ -1224,6 +1224,135 @@ class IcebergSnapshotLake(ParquetLake):
                 )
         return super().build_index(index, column, *a, **kw)
 
+    # -- transform partition pruning (round 10) -----------------------
+    # The planner's side of iceberg_transforms: a predicate value on a
+    # transform SOURCE column determines the partition value its rows
+    # must carry (bucket via the spec murmur3, temporal via the day/
+    # month/year/hour arithmetic), so files whose r102 manifest record
+    # differs are pruned without opening them. A point lookup on a
+    # bucket[N] key then scans 1/N of the table; a date range on a
+    # day()/month() spec scans only the covered partitions — the reason
+    # real tables use these specs, now available to the index layer.
+
+    def _transform_view(self, keep_fn, what: str) -> ParquetLake:
+        md = self._table_metadata()
+        adds = {
+            canon_path(p): v
+            for p, v in live_adds_from_metadata(
+                md, self._table_path, self.fs
+            ).items()
+        }
+        files = self.files  # refuses MOR/default-bearing snapshots
+        sub = [f for f in files if keep_fn(adds.get(canon_path(f)) or {})]
+        if not sub:
+            raise ValueError(
+                f"no lake files match {what} — {len(files)} files total"
+            )
+        return ParquetLake(
+            self.spark, sub, self.index_dir, self.brute_force_threshold,
+            fs=self.fs,
+        )
+
+    def _fields_by_source(self) -> dict[str, list[dict]]:
+        from rottnest_spark.sources.iceberg_transforms import (
+            partition_fields_from_spec,
+        )
+
+        out: dict[str, list[dict]] = {}
+        for pf in partition_fields_from_spec(self._table_metadata()):
+            out.setdefault(pf["source"], []).append(pf)
+        return out
+
+    def transform_pruned(self, **source_values) -> ParquetLake:
+        """View of the lake restricted to files that can contain
+        `source_col == value`, evaluated through the table's partition
+        TRANSFORMS (`lake.transform_pruned(o_custkey=42)` on a
+        bucket[4] spec keeps the one matching bucket). Shares the index
+        dir, so index entries keep covering the restricted files —
+        transform pruning composes with index pruning exactly like
+        `partition_pruned`. Files whose r102 value is unknown (null)
+        are KEPT (sound). Raises on columns that are not transform
+        sources of the default spec."""
+        from rottnest_spark.sources.iceberg_transforms import (
+            transform_value,
+        )
+
+        by_source = self._fields_by_source()
+        unknown = [c for c in source_values if c not in by_source]
+        if unknown:
+            raise ValueError(
+                f"{unknown} are not partition-transform source columns "
+                f"(spec sources: {sorted(by_source)})"
+            )
+        want: dict[str, object] = {}
+        for col, val in source_values.items():
+            for pf in by_source[col]:
+                want[pf["name"]] = transform_value(
+                    pf["kind"], pf["param"], val, pf["source_type"]
+                )
+
+        def keep(rec: dict) -> bool:
+            for name, exp in want.items():
+                got = rec.get(name)
+                if got is not None and got != exp:
+                    return False
+            return True
+
+        return self._transform_view(
+            keep, f"transform_pruned({source_values})"
+        )
+
+    def transform_pruned_range(self, **source_ranges) -> ParquetLake:
+        """Range twin of `transform_pruned` for MONOTONIC transforms:
+        `lake.transform_pruned_range(o_orderdate=(lo, hi))` on a
+        day()/month()/year()/hour() or truncate[W]-int spec keeps files
+        whose partition value lies in [transform(lo), transform(hi)]
+        (inclusive — transforms floor, so the bounds are widened to the
+        containing partitions). bucket[N] is not monotonic and refuses."""
+        from rottnest_spark.sources.iceberg_transforms import (
+            transform_value,
+        )
+
+        by_source = self._fields_by_source()
+        unknown = [c for c in source_ranges if c not in by_source]
+        if unknown:
+            raise ValueError(
+                f"{unknown} are not partition-transform source columns "
+                f"(spec sources: {sorted(by_source)})"
+            )
+        bounds: dict[str, tuple] = {}
+        for col, (lo, hi) in source_ranges.items():
+            for pf in by_source[col]:
+                if pf["kind"] == "bucket" or (
+                    pf["kind"] == "truncate"
+                    and pf["source_type"] == "string"
+                ):
+                    continue  # not usable for a range — skip, stay sound
+                bounds[pf["name"]] = (
+                    transform_value(
+                        pf["kind"], pf["param"], lo, pf["source_type"]
+                    ),
+                    transform_value(
+                        pf["kind"], pf["param"], hi, pf["source_type"]
+                    ),
+                )
+        if not bounds:
+            raise ValueError(
+                "no monotonic transform field covers the given columns "
+                "(bucket[N] cannot serve ranges)"
+            )
+
+        def keep(rec: dict) -> bool:
+            for name, (lo, hi) in bounds.items():
+                got = rec.get(name)
+                if got is not None and not (lo <= got <= hi):
+                    return False
+            return True
+
+        return self._transform_view(
+            keep, f"transform_pruned_range({source_ranges})"
+        )
+
     def _base_read(
         self, fl: list[str], state: dict, location: str, md: dict, pairs=None
     ):

@@ -276,6 +276,72 @@ def _bucket_udf_column(n: int, col, source_type: str):
     raise ValueError(f"bucket on {source_type!r} not supported")
 
 
+def transform_value(kind: str, param, value, source_type: str):
+    """DRIVER-side scalar evaluation of a transform — the planner's side
+    of transform partition pruning: given a predicate value on the
+    SOURCE column, compute the partition value its rows must carry, so
+    files whose r102 record differs are pruned without a scan. Must
+    agree exactly with transform_column (tested both ways)."""
+    import datetime as _dt
+    import struct as _struct
+
+    if value is None:
+        return None
+    result_type(kind, param, source_type)  # validate the pairing
+    if kind == "identity":
+        return value
+
+    def _as_date(v):
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        return _dt.datetime.fromisoformat(str(v)).date()
+
+    def _as_dt(v):
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        return _dt.datetime.fromisoformat(str(v))
+
+    epoch = _dt.date(1970, 1, 1)
+    if kind == "year":
+        return _as_date(value).year - 1970
+    if kind == "month":
+        d = _as_date(value)
+        return (d.year - 1970) * 12 + d.month - 1
+    if kind == "day":
+        return (_as_date(value) - epoch).days
+    if kind == "hour":
+        dt = _as_dt(value)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1_000_000) // 3_600_000_000
+    if kind == "truncate":
+        if source_type == "string":
+            return str(value)[: int(param)]
+        w = int(param)
+        return int(value) - (int(value) % w)  # python % is floor-mod
+    if kind == "bucket":
+        n = int(param)
+        if source_type in ("int", "long"):
+            h = murmur3_32(_struct.pack("<q", int(value)))
+        elif source_type == "date":
+            h = murmur3_32(_struct.pack("<q", (_as_date(value) - epoch).days))
+        elif source_type in ("timestamp", "timestamptz"):
+            dt = _as_dt(value)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            h = murmur3_32(_struct.pack("<q", int(dt.timestamp() * 1_000_000)))
+        elif source_type == "string":
+            h = murmur3_32(str(value).encode("utf-8"))
+        else:
+            raise ValueError(f"bucket on {source_type!r} not supported")
+        return (h & 0x7FFFFFFF) % n
+    raise ValueError(f"unsupported transform {kind!r}")
+
+
 def partition_fields_from_spec(md: dict) -> list[dict]:
     """The default partition spec resolved to evaluable field structs:
     [{name, transform, kind, param, source, source_type, result_type,

@@ -321,3 +321,65 @@ def test_truncate_partitioned_eq_upsert(spark, tmp_path):
         for i in range(60)
     }
     assert got == want
+
+
+# -- transform partition pruning (read-side planner) ---------------------
+
+
+def test_transform_pruned_point(spark, ttable):
+    """A point value on a bucket source keeps exactly the files of its
+    bucket; reads over the view are a SUPERSET of the matching rows and
+    the filtered result equals the full-table filter."""
+    from rottnest_spark.sources.iceberg_transforms import transform_value
+
+    lake = IcebergSnapshotLake(spark, ttable, ttable + "_px")
+    all_files = set(lake.files)
+    view = lake.transform_pruned(grp=3)
+    assert set(view.files) < all_files, "nothing pruned"
+    b = transform_value("bucket", 4, 3, "long")
+    for f in view.files:
+        assert f"grp_bucket={b}" in f
+    full = {
+        (r.doc_id, r.n_chars)
+        for r in _data(spark).filter("grp = 3").select("doc_id", "n_chars").collect()
+    }
+    got = {
+        (r.doc_id, r.n_chars)
+        for r in view.read().filter("grp = 3").select("doc_id", "n_chars").collect()
+    }
+    assert got == full
+
+
+def test_transform_pruned_range_day(spark, ttable):
+    """A date range on the day() source keeps only the covered day
+    partitions; the range filter over the view equals the full scan."""
+    lake = IcebergSnapshotLake(spark, ttable, ttable + "_rx")
+    all_files = set(lake.files)
+    lo, hi = "2024-03-02 00:00:00", "2024-03-03 23:59:59"
+    view = lake.transform_pruned_range(ts=(lo, hi))
+    assert set(view.files) < all_files, "nothing pruned"
+    base_day = (datetime.date(2024, 3, 2) - EPOCH).days
+    for f in view.files:
+        assert any(f"ts_day={base_day + i}" in f for i in (0, 1)), f
+    pred = f"ts >= timestamp'{lo}' AND ts <= timestamp'{hi}'"
+    full = {r.doc_id for r in _data(spark).filter(pred).collect()}
+    got = {r.doc_id for r in view.read().filter(pred).collect()}
+    assert got == full
+
+
+def test_transform_pruned_composes_with_point(spark, ttable):
+    """day + bucket together: both constraints prune."""
+    lake = IcebergSnapshotLake(spark, ttable, ttable + "_cx")
+    v1 = lake.transform_pruned(grp=2)
+    v2 = lake.transform_pruned(
+        grp=2, ts=datetime.datetime(2024, 3, 1, 0, 0, 0)
+    )
+    assert set(v2.files) < set(v1.files) < set(lake.files)
+
+
+def test_transform_pruned_refusals(spark, ttable):
+    lake = IcebergSnapshotLake(spark, ttable, ttable + "_fx")
+    with pytest.raises(ValueError, match="not partition-transform source"):
+        lake.transform_pruned(doc_id=1)
+    with pytest.raises(ValueError, match="cannot serve ranges"):
+        lake.transform_pruned_range(grp=(1, 2))  # bucket only
