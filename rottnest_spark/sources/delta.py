@@ -1189,6 +1189,22 @@ class DeltaSnapshotLake(ParquetLake):
         with self._widen_scope():
             return super().search(*a, **kw)
 
+    def search_many(self, *a, **kw):
+        with self._widen_scope():
+            return super().search_many(*a, **kw)
+
+    def search_conj(self, *a, **kw):
+        with self._widen_scope():
+            return super().search_conj(*a, **kw)
+
+    def search_disj(self, *a, **kw):
+        with self._widen_scope():
+            return super().search_disj(*a, **kw)
+
+    def count_matches(self, *a, **kw):
+        with self._widen_scope():
+            return super().count_matches(*a, **kw)
+
     # merge-on-read search contract (core/lake.py hooks): predicate
     # searches stay EXACT on DV-bearing snapshots — plan over the data
     # files (vectors ignored: files stay live, index entries stay valid

@@ -9,8 +9,10 @@ Contracts pinned:
   across mixed narrow/wide files;
 - DML (deletion-vector DELETE) and snapshot diffs scan through the same
   pinned schema, so predicates on widened columns match;
-- index build / predicate search / top-K paths refuse loudly (they read
-  raw pre-widen bytes) with a pointer at the supported paths;
+- index build + the predicate search family (search / search_many /
+  conj / disj / count_matches) WORK (round 10): their scans route
+  through the read-schema pin, so results equal brute force on the
+  widened types; top-K paths (via `.files`) still refuse loudly;
 - the feature composes with deletionVectors in readerFeatures.
 """
 
@@ -200,3 +202,29 @@ def test_unrouted_paths_still_refuse_loudly(spark, wtable, tmp_path):
         lake.files
     with pytest.raises(ValueError, match="widening"):
         lake._search_files()
+
+
+def test_search_variants_on_widened_table(spark, wtable, tmp_path):
+    """search_many / conj / disj / count_matches route through the widen
+    pin too (round 10) — each equals its brute-force twin."""
+    from rottnest_spark.indices.exact import ExactIndex
+    from rottnest_spark.indices.substring import SubstringIndex
+
+    lake = DeltaSnapshotLake(spark, wtable, str(tmp_path / "ix"))
+    idx = ExactIndex()
+    lake.build_index(idx, "k")
+    assert lake.count_matches(idx, "k", 2) == 1
+    many = lake.search_many(idx, "k", [2, 6, 99])
+    got = {(r["__query__"], r["k"]) for r in many.collect()}
+    assert got == {("2", 2), ("6", 6)} or got == {(2, 2), (6, 6)}
+    sidx = SubstringIndex()
+    lake.build_index(sidx, "s")
+    conj = {r.s for r in lake.search_conj([(sidx, "s", "f")]).collect()}
+    assert conj == {"f"}
+    disj = {
+        r.s
+        for r in lake.search_disj(
+            [(sidx, "s", "f"), (sidx, "s", "b")]
+        ).collect()
+    }
+    assert disj == {"f", "b"}
