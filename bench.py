@@ -400,6 +400,7 @@ def main() -> None:
                 "user_id": (vrow["ulo"], vrow["uhi"]),
                 "value": (vrow["vlo"], vrow["vhi"]),
             },
+            spark=spark,  # the 64-file knee is the ONLY path policy
         )
         metrics["zorder_candidate_ratio"] = round(len(zc) / n_zfiles, 4)
         # copy-on-write CDC merge: key-clustered 16-file lake, 60-key
