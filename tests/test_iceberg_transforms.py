@@ -383,3 +383,30 @@ def test_transform_pruned_refusals(spark, ttable):
         lake.transform_pruned(doc_id=1)
     with pytest.raises(ValueError, match="cannot serve ranges"):
         lake.transform_pruned_range(grp=(1, 2))  # bucket only
+
+
+def test_v2_positional_delete_and_rewrite_day_bucket(spark, ttable):
+    """The v2 merge-on-read path on a transform-partitioned table:
+    positional DELETE leaves data files untouched, reads apply the
+    delete, and iceberg_rewrite_deletes compacts back inside the
+    transform hive dirs (r102 values broadcast-attached by field name —
+    the transform-agnostic single-job rewrite)."""
+    from rottnest_spark.sources.iceberg import (
+        _current_metadata,
+        snapshot_state_from_metadata,
+    )
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_delete_rows,
+        iceberg_rewrite_deletes,
+    )
+
+    iceberg_delete_rows(spark, ttable, "doc_id % 6 = 0")
+    keep = "doc_id % 6 != 0"
+    assert _rows(spark, ttable) == _expect(spark, pred=keep)
+    iceberg_rewrite_deletes(spark, ttable)
+    assert _rows(spark, ttable) == _expect(spark, pred=keep)
+    st = snapshot_state_from_metadata(_current_metadata(ttable), ttable)
+    assert not st["pos_deletes"] and not st.get("dvs")
+    for p, vals in iceberg_live_adds(ttable).items():
+        assert f"ts_day={vals['ts_day']}" in p
+        assert f"grp_bucket={vals['grp_bucket']}" in p
