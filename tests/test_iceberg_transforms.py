@@ -410,3 +410,20 @@ def test_v2_positional_delete_and_rewrite_day_bucket(spark, ttable):
     for p, vals in iceberg_live_adds(ttable).items():
         assert f"ts_day={vals['ts_day']}" in p
         assert f"grp_bucket={vals['grp_bucket']}" in p
+
+
+def test_index_search_composes_with_transform_pruning(spark, ttable):
+    """Index search over a transform-pruned view: the view shares the
+    index dir, so entries built on the FULL lake keep covering the
+    restricted files — transform pruning then index pruning then
+    refine, each stage only narrowing."""
+    from rottnest_spark.indices.exact import ExactIndex
+
+    lake = IcebergSnapshotLake(spark, ttable, ttable + "_qx")
+    idx = ExactIndex()
+    lake.build_index(idx, "doc_id")
+    full = {r.doc_id for r in lake.search(idx, "doc_id", 42).collect()}
+    assert full == {42}
+    view = lake.transform_pruned(grp=42 % 7)
+    got = {r.doc_id for r in view.search(idx, "doc_id", 42).collect()}
+    assert got == {42}
