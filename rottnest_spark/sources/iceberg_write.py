@@ -223,6 +223,8 @@ def _iceberg_schema_from_spark(spark_schema) -> dict:
             return "timestamp"
         if isinstance(dt, T.DateType):
             return "date"
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision},{dt.scale})"
         if isinstance(dt, T.BinaryType):
             return "binary"
         if isinstance(dt, T.ArrayType):
@@ -302,6 +304,66 @@ def _latest_metadata(table_path: str, fs: LakeFS) -> tuple[int, dict | None]:
     if best_f is None:
         return 0, None
     return best_v, json.loads(fs.read_text(best_f))
+
+
+#: change-frame casts accepted silently: equal types plus the LOSSLESS
+#: widenings (never the reverse, never numeric<->decimal/string — a
+#: silent lossy cast is data corruption at commit time). ntz<->ltz is
+#: value-preserving under the repo's pinned UTC session tz.
+_SAFE_CHANGE_CASTS = {
+    ("tinyint", "bigint"), ("smallint", "bigint"), ("int", "bigint"),
+    ("tinyint", "int"), ("smallint", "int"),
+    ("float", "double"),
+    ("timestamp", "timestamp_ntz"), ("timestamp_ntz", "timestamp"),
+}
+
+
+def _align_change_frame(df, schema: dict, what: str):
+    """Validate + align a change DataFrame's column TYPES against the
+    table schema (round 10 — the name-only check let a double change
+    column land under a decimal table column, committing mixed-type
+    data files that crash every later multi-file scan with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH). Equal types pass; lossless
+    widenings cast silently; anything else refuses loudly."""
+    import re as _re
+
+    from rottnest_spark.sources.iceberg import _spark_ddl_of_iceberg
+
+    got = dict(df.dtypes)
+    for f in schema.get("fields", []):
+        name, t = f["name"], f.get("type")
+        if name not in got:
+            continue  # presence is the caller's name check
+        try:
+            want = _spark_ddl_of_iceberg(t)
+        except ValueError:
+            continue  # unmappable table type: leave to the scan layer
+        have = got[name]
+        if have == want:
+            continue
+        if (have, want) in _SAFE_CHANGE_CASTS:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(name, F.col(name).cast(want))
+            continue
+        mw = _re.fullmatch(r"decimal\((\d+),(\d+)\)", want)
+        mh = _re.fullmatch(r"decimal\((\d+),(\d+)\)", have)
+        if mw and mh:
+            pw, sw = int(mw.group(1)), int(mw.group(2))
+            ph, sh = int(mh.group(1)), int(mh.group(2))
+            if sw >= sh and (pw - sw) >= (ph - sh):  # lossless widen
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(name, F.col(name).cast(want))
+                continue
+        raise ValueError(
+            f"{what}: change column {name!r} is {have}, the table "
+            f"column is {want} — only lossless widenings cast "
+            "implicitly; cast the change DataFrame explicitly (a "
+            "silent lossy cast, or committing the mismatched file, "
+            "corrupts the table for every later multi-file scan)"
+        )
+    return df
 
 
 def _partition_fields(md: dict | None) -> list[dict]:
@@ -809,11 +871,17 @@ def iceberg_write(
 
     prior = None
     if exists:
+        from rottnest_spark.sources.iceberg import _current_schema
+
         _, prior = _latest_metadata(table_path, fs)
         pfs = _partition_fields(prior)
+        # appended frames must TYPE-match the table (lossless widenings
+        # cast; anything else refuses — a drifted file poisons every
+        # later multi-file scan)
+        df = _align_change_frame(
+            df, _current_schema(prior), "iceberg_write(append)"
+        )
         if partition_by is not None:
-            from rottnest_spark.sources.iceberg import _current_schema
-
             want = parse_partition_by(
                 list(partition_by), _current_schema(prior)
             )
@@ -1318,6 +1386,7 @@ def iceberg_upsert(
             f"({sorted(ids_by_name)})"
         )
     eq_ids = [ids_by_name[c] for c in key_cols]
+    df = _align_change_frame(df, schema, "iceberg_upsert")
 
     from rottnest_spark.sources.iceberg_transforms import stage_partitioned
 
@@ -1914,6 +1983,7 @@ def iceberg_v3_upsert(
                 f"missing {missing_c}, unexpected {extra_c} "
                 f"(table columns: {tcols})"
             )
+        df = _align_change_frame(df, _current_schema(md), "iceberg_v3_upsert")
     snaps = md.get("snapshots") or []
     by_id = {s["snapshot-id"]: s for s in snaps}
     cur = md.get("current-snapshot-id")

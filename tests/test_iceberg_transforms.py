@@ -427,3 +427,36 @@ def test_index_search_composes_with_transform_pruning(spark, ttable):
     view = lake.transform_pruned(grp=42 % 7)
     got = {r.doc_id for r in view.search(idx, "doc_id", 42).collect()}
     assert got == {42}
+
+
+def test_change_frame_type_alignment(spark, tmp_path):
+    """Round-10 guard: a change/append frame whose column TYPE differs
+    from the table refuses (a mismatched committed file poisons every
+    later multi-file scan with PARQUET_COLUMN_DATA_TYPE_MISMATCH —
+    found live by examples/transforms_tour.py); lossless widenings
+    (int->long, float->double) cast silently instead."""
+    from rottnest_spark.sources.iceberg_write import iceberg_v3_upsert
+
+    t = str(tmp_path / "al")
+    df = spark.range(40).selectExpr(
+        "id AS k", "cast(id * 1.5 AS double) AS amt"
+    )
+    iceberg_write(df, t)
+    bad = spark.range(5).selectExpr(
+        "id AS k", "cast(id AS decimal(10,2)) AS amt"
+    )
+    with pytest.raises(ValueError, match="lossless widenings"):
+        iceberg_v3_upsert(spark, bad, t, ["k"])
+    with pytest.raises(ValueError, match="lossless widenings"):
+        iceberg_write(bad, t, mode="append")
+    # int widens into the long column, float into double — silent cast
+    ok = spark.range(5).selectExpr(
+        "cast(id AS int) AS k", "cast(id * 2.5 AS float) AS amt"
+    )
+    iceberg_v3_upsert(spark, ok, t, ["k"])
+    lake = IcebergSnapshotLake(spark, t, t + "_ix")
+    got = {(r.k, round(r.amt, 2)) for r in lake.read().collect()}
+    want = {(i, i * 1.5) for i in range(5, 40)} | {
+        (i, i * 2.5) for i in range(5)
+    }
+    assert got == want
