@@ -1084,6 +1084,16 @@ def delta_upsert(
     from rottnest_spark.sources.delta import _delta_live_state
 
     fs = fs or LocalFS()
+    from rottnest_spark.sources.delta import delta_schema
+    from rottnest_spark.sources.iceberg_write import _align_frame_types
+
+    tschema = delta_schema(table_path, fs=fs)
+    if tschema is not None:
+        df = _align_frame_types(
+            df,
+            {f.name: f.dataType.simpleString() for f in tschema.fields},
+            "delta_upsert",
+        )
     staged_df = _mapped_write_frame(df, table_path, fs, "UPSERT")
     state = _delta_live_state(table_path, fs=fs)
     if not state:

@@ -318,26 +318,20 @@ _SAFE_CHANGE_CASTS = {
 }
 
 
-def _align_change_frame(df, schema: dict, what: str):
-    """Validate + align a change DataFrame's column TYPES against the
-    table schema (round 10 — the name-only check let a double change
-    column land under a decimal table column, committing mixed-type
-    data files that crash every later multi-file scan with
-    PARQUET_COLUMN_DATA_TYPE_MISMATCH). Equal types pass; lossless
-    widenings cast silently; anything else refuses loudly."""
+def _align_frame_types(df, want_types: dict[str, str], what: str):
+    """Shared core of the change-frame TYPE guard (round 10 — the
+    name-only checks let a double change column land under a decimal
+    table column, committing mixed-type data files that crash every
+    later multi-file scan with PARQUET_COLUMN_DATA_TYPE_MISMATCH).
+    `want_types` maps column → Spark DDL type. Equal types pass;
+    lossless widenings cast silently; anything else refuses loudly.
+    Used by the Iceberg writers here and delta_write's upsert."""
     import re as _re
 
-    from rottnest_spark.sources.iceberg import _spark_ddl_of_iceberg
-
     got = dict(df.dtypes)
-    for f in schema.get("fields", []):
-        name, t = f["name"], f.get("type")
+    for name, want in want_types.items():
         if name not in got:
             continue  # presence is the caller's name check
-        try:
-            want = _spark_ddl_of_iceberg(t)
-        except ValueError:
-            continue  # unmappable table type: leave to the scan layer
         have = got[name]
         if have == want:
             continue
@@ -364,6 +358,21 @@ def _align_change_frame(df, schema: dict, what: str):
             "corrupts the table for every later multi-file scan)"
         )
     return df
+
+
+def _align_change_frame(df, schema: dict, what: str):
+    """Iceberg face of _align_frame_types: want-types from the table's
+    current iceberg schema (unmappable types are left to the scan
+    layer's own guards)."""
+    from rottnest_spark.sources.iceberg import _spark_ddl_of_iceberg
+
+    want: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        try:
+            want[f["name"]] = _spark_ddl_of_iceberg(f.get("type"))
+        except ValueError:
+            pass
+    return _align_frame_types(df, want, what)
 
 
 def _partition_fields(md: dict | None) -> list[dict]:
