@@ -490,6 +490,23 @@ def main() -> None:
                 )
                 if mcal:
                     prev["host_calibration_sec"] = float(mcal.group(1))
+            against = os.path.basename(recs[-1])
+            if len([k for k in prev if k != "host_calibration_sec"]) < 10:
+                # the driver record's tail held (almost) no query
+                # timings — fall back to the COMMITTED bench_last.json,
+                # the previous round's full snapshot (round-10 fix: the
+                # r9 tail was 100% metrics/jitter/vs_prev keys, leaving
+                # the comparison silently empty)
+                last = os.path.join(REPO, "bench_last.json")
+                if os.path.exists(last):
+                    full = json.load(open(last))
+                    if full.get("queries"):
+                        prev = dict(full["queries"])
+                        if full.get("host_calibration_sec"):
+                            prev["host_calibration_sec"] = full[
+                                "host_calibration_sec"
+                            ]
+                        against = "bench_last.json (committed prev round)"
             prev_cal = prev.pop("host_calibration_sec", None)
             # host-speed normalization: the calibration entry is a fixed
             # pure-JVM job, so cal_now/cal_prev is the host's speed drift
@@ -522,7 +539,7 @@ def main() -> None:
                 else:
                     ok += 1
             vs_prev = {
-                "against": os.path.basename(recs[-1]),
+                "against": against,
                 "within_tolerance": ok,
                 "flagged": flagged,
             }
