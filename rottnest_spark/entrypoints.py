@@ -2618,7 +2618,10 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     q_delta_dv_read,
     q_delta_mapped_dml_read,
     q_delta_snapshot_diff,
+    EVOLVE_DEFAULT,
+    EVOLVE_UPD_MOD,
     q_iceberg_mor_read,
+    q_iceberg_schema_evolution,
     q_iceberg_time_travel,
     q_iceberg_transform_partitioned_dml,
     q_iceberg_upsert_read,
@@ -2710,6 +2713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
     "iceberg_time_travel": q_iceberg_time_travel,
+    "iceberg_schema_evolution": q_iceberg_schema_evolution,
     "iceberg_v3_dv_read": q_iceberg_v3_dv_read,
     "iceberg_upsert_read": q_iceberg_upsert_read,
     "delta_snapshot_diff": q_delta_snapshot_diff,

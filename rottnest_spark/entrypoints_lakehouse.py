@@ -250,6 +250,63 @@ def q_delta_mapped_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 V3D_EVOLVED_MOD, V3D_NULL_MOD, V3D_DEFAULT = 11, 5, 7
 
 
+EVOLVE_DEFAULT = 5  # iceberg_add_column's initial-default in the gate
+EVOLVE_UPD_MOD = 9  # post-evolution upsert rewrites keys divisible by
+
+
+def q_iceberg_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Writer-side schema evolution (round 10,
+    sources/iceberg_write.iceberg_add_column): a metadata-only ADD
+    COLUMN with an initial-default on a live table, then a post-
+    evolution v3 upsert supplying real values — pre-evolution rows
+    surface the default, upserted rows their physical values, and the
+    v3 upgrade + automatic v3-append routing keep the table writable.
+    Oracle: the same fill/overlay arithmetic in plain SQL."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_add_column,
+        iceberg_v3_upsert,
+        iceberg_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_evolve_")
+    table = os.path.join(work, "t")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        iceberg_write(src.repartition(4), table)
+        iceberg_add_column(
+            table, "score", "long", initial_default=EVOLVE_DEFAULT
+        )
+        changes = src.filter(
+            F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
+        ).withColumn("score", F.col("o_orderkey") % 100)
+        iceberg_v3_upsert(spark, changes, table, ["o_orderkey"])
+        lake = IcebergSnapshotLake(spark, table, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("score").alias("sum_score"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 FIELD DEFAULTS read (round 8, sources/iceberg.py
     initial_default_fields + scan_with_initial_defaults;

@@ -389,6 +389,30 @@ ORACLES: dict[str, str] = {
     # v3 initial-default fill arithmetic stated directly: pre-evolution
     # rows (the MOR_SRC slice) score the DEFAULT; evolved rows keep their
     # physical value including explicit NULLs (keys % V3D_NULL_MOD = 0)
+    # writer-side schema evolution: add column with default, then a
+    # keyed upsert overlays real values — default for untouched rows,
+    # physical values for upserted ones, in plain SQL
+    "iceberg_schema_evolution": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        ),
+        final AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   {EVOLVE_DEFAULT} AS score
+            FROM src WHERE o_orderkey % {EVOLVE_UPD_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   o_orderkey % 100 AS score
+            FROM src WHERE o_orderkey % {EVOLVE_UPD_MOD} = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               sum(score) AS sum_score,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "iceberg_v3_defaults_read": f"""
         WITH tbl AS (
             SELECT o_orderkey, o_orderstatus,

@@ -408,6 +408,13 @@ def initial_default_fields(md: dict) -> dict[str, tuple[object, str]]:
         if "initial-default" not in f:
             continue
         t = f.get("type")
+        if f["initial-default"] is None:
+            # explicit null default (iceberg_add_column without a value
+            # records it): pre-evolution rows surface null THROUGH the
+            # footer-grouped fill — the marker is what makes mixed
+            # pre/post-evolution scans safe
+            out[f["name"]] = (None, _spark_ddl_of_iceberg(t))
+            continue
         if not isinstance(t, str):
             name, raw = f["name"], f["initial-default"]
             ddl = _spark_ddl_of_iceberg(t)  # validates the nested type

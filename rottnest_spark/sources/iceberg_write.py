@@ -577,6 +577,10 @@ def _commit_snapshot(
         "snapshot-id": snap_id,
         "timestamp-ms": ts,
         "manifest-list": canon_path(ml),
+        # the schema this snapshot was written under (spec field): time
+        # travel resolves THAT schema, so columns added later don't
+        # leak backwards into pinned reads
+        "schema-id": 0,
         "summary": {"operation": op},
     }
     spec_fields = [
@@ -941,7 +945,11 @@ def iceberg_write(
             )
         return iceberg_convert(table_path, fs=fs)
     # a pure-add append commutes with concurrent appends: win through
-    # version races the same way the delta_write path does
+    # version races the same way the delta_write path does. v3 tables
+    # (deletion vectors / initial-defaults upgraded them) take the v3
+    # append commit — the v2 tail correctly refuses them
+    if int((prior or {}).get("format-version") or 1) >= 3:
+        return iceberg_v3_append(table_path, moved, fs=fs)
     return iceberg_commit_retry(table_path, add=moved, fs=fs)
 
 
@@ -1226,6 +1234,144 @@ def iceberg_rewrite_deletes(
         remove_eq_deletes=eq_paths,
         require_delete_state=planned_state,
     )
+
+
+def _walk_field_ids(t) -> list[int]:
+    """Every field/element/key/value id a type carries (spec: ids are
+    table-global and must never be reused)."""
+    out: list[int] = []
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t.get("fields", []):
+                if f.get("id") is not None:
+                    out.append(int(f["id"]))
+                out += _walk_field_ids(f.get("type"))
+        elif kind == "list":
+            if t.get("element-id") is not None:
+                out.append(int(t["element-id"]))
+            out += _walk_field_ids(t.get("element"))
+        elif kind == "map":
+            for k in ("key-id", "value-id"):
+                if t.get(k) is not None:
+                    out.append(int(t[k]))
+            out += _walk_field_ids(t.get("key"))
+            out += _walk_field_ids(t.get("value"))
+    return out
+
+
+def iceberg_add_column(
+    table_path: str,
+    name: str,
+    ice_type,
+    initial_default=None,
+    write_default=None,
+    doc: str | None = None,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """ADD COLUMN as a METADATA-ONLY commit (spec schema evolution: new
+    metadata version, same snapshot — zero data files touched). The new
+    field gets the next unused table-global field id; the schema lands
+    in BOTH forms (spec-canonical `schemas`+`current-schema-id` with a
+    bumped schema-id, plus the deprecated single `schema` key for old
+    readers). Existing rows READ the default — null when none given —
+    through the v3 fill machinery (scan_with_initial_defaults: every
+    pre-evolution file lacks the column physically; the footer-grouped
+    scan is the only mixed-file-safe way to surface it), and the table
+    upgrades to format-version 3 (the spec gates default values on v3;
+    v3 appends/DML take over — iceberg_write(mode='append') routes
+    automatically). `ice_type` is an iceberg type string ('long',
+    'decimal(10,2)', ...) or a nested type dict (struct/list/map —
+    nested defaults follow the Appendix-D single-value JSON). The
+    default VALUE is validated eagerly against the type — a commit that
+    every later read refuses on would brick the table.
+
+    Appends of old-shape frames keep working (files missing the column
+    fill the default at read — exactly Iceberg's evolution semantics);
+    upserts name-check against the NEW schema, so change frames must
+    carry the column from now on. Returns the new metadata version."""
+    from rottnest_spark.sources.iceberg import (
+        _current_schema,
+        _nested_default_column,
+        _parse_default,
+        _spark_ddl_of_iceberg,
+    )
+
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
+    if any(f["name"] == name for f in schema.get("fields", [])):
+        raise ValueError(f"column {name!r} already exists")
+    _spark_ddl_of_iceberg(ice_type)  # validates the type is readable
+    ids = [
+        int(f["id"])
+        for f in schema.get("fields", [])
+        if f.get("id") is not None
+    ]
+    for f in schema.get("fields", []):
+        ids += _walk_field_ids(f.get("type"))
+    new_id = max(ids, default=0) + 1
+    field: dict = {
+        "id": new_id,
+        "name": name,
+        "required": False,  # a required add would break existing rows
+        "type": ice_type,
+    }
+    if doc:
+        field["doc"] = doc
+    if initial_default is not None:
+        # validate the value parses the way every reader will parse it
+        if isinstance(ice_type, str):
+            _parse_default(name, ice_type, initial_default)
+        else:
+            _nested_default_column(name, ice_type, initial_default)
+    # ALWAYS record the initial-default (explicit null when none given):
+    # the marker is what routes reads through the footer-grouped fill,
+    # which is the only mixed-file-safe way to surface the column — a
+    # naive union scan of pre/post-evolution files either drops the
+    # column or types it from whichever footer Spark samples
+    field["initial-default"] = initial_default
+    field["write-default"] = (
+        write_default if write_default is not None else initial_default
+    )
+    schema["fields"] = list(schema.get("fields", [])) + [field]
+
+    out = dict(md)
+    new_sid = (
+        max(
+            [int(s.get("schema-id") or 0) for s in md.get("schemas") or []]
+            + [int(schema.get("schema-id") or 0)],
+            default=0,
+        )
+        + 1
+    )
+    schema["schema-id"] = new_sid
+    out["schemas"] = list(md.get("schemas") or []) + [schema]
+    out["current-schema-id"] = new_sid
+    out["schema"] = schema  # deprecated form, kept in sync
+    out["last-column-id"] = max(
+        int(md.get("last-column-id") or 0), new_id
+    )
+    # default values are a v3 feature (spec) — evolution through this
+    # writer always records one (explicit null included), so the table
+    # upgrades; appends route through iceberg_v3_append automatically
+    out["format-version"] = max(3, int(md.get("format-version") or 1))
+    out["last-updated-ms"] = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    new_version = version + 1
+    md_path = os.path.join(
+        _meta_dir(table_path), f"v{new_version}.metadata.json"
+    )
+    fs.create_exclusive(md_path, json.dumps(out).encode())
+    fs.write_text(
+        os.path.join(_meta_dir(table_path), "version-hint.text"),
+        str(new_version),
+    )
+    return new_version
 
 
 def iceberg_expire_snapshots(
@@ -2373,6 +2519,8 @@ def _v3_commit_dv_state(
             "snapshot-id": snap_id,
             "timestamp-ms": ts,
             "manifest-list": canon_path(ml),
+            # written-under schema id — pinned reads resolve it
+            "schema-id": int(md.get("current-schema-id") or 0),
             "summary": {"operation": operation},
         }
     ]
