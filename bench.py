@@ -76,6 +76,13 @@ def main() -> None:
         return round(sorted(cal)[1], 3)
 
     calibration = _calibrate()
+    # a second calibration runs AFTER the timed entries (see below):
+    # a mid-run load change (another process grabbing the cores) makes
+    # per-query flags unattributable in a way a start-only calibration
+    # cannot see — the start/end disagreement is recorded so the run
+    # SELF-REPORTS contamination instead of flagging 60 phantom
+    # regressions (observed: a probe run concurrent with two pytest
+    # suites flagged 65 entries with a quiet-start calibration)
 
     def drop_persisted() -> None:
         """Unpersist leftover storage blocks (localCheckpoints, persists)
@@ -439,6 +446,17 @@ def main() -> None:
     except Exception as exc:  # metrics must never fail the bench line
         metrics["error"] = str(exc)[:200]
 
+    calibration_end = _calibrate()
+    cal_drift = round(
+        max(calibration, calibration_end)
+        / max(min(calibration, calibration_end), 1e-9),
+        3,
+    )
+    # the vs_prev normalization uses the MEAN of the two anchors; the
+    # drift ratio is the run's self-reported trust signal (>1.5 means
+    # the host's speed changed mid-run — treat every flag as suspect)
+    calibration = round((calibration + calibration_end) / 2, 3)
+
     total = round(sum(timings.values()), 3)
     jitter = {}
     if spreads:
@@ -565,6 +583,7 @@ def main() -> None:
         "warmup_sec": warmup_sec,
         "metrics": metrics,
         "host_calibration_sec": calibration,
+        "host_calibration_drift": cal_drift,
         "jitter": jitter,
         "vs_prev": vs_prev,
         "errors": errors,
