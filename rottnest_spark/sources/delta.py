@@ -1340,6 +1340,31 @@ class DeltaSnapshotLake(ParquetLake):
         from rottnest_spark.sources import reader as _reader
 
         schema = self._phys_schema()
+        if schema is None:
+            # unmapped, unwidened: still pin the log's schemaString (the
+            # TABLE schema per the protocol — round 10, for ADD COLUMN
+            # evolution) minus partition columns (data files lack them;
+            # the partition branch reconstructs). Files missing an
+            # evolved column then read null for it deterministically,
+            # instead of inference typing the table from whichever
+            # footer Spark samples.
+            _meta = self._table_meta() or {}
+            ss = _meta.get("schemaString")
+            parsed = None
+            if ss:
+                try:
+                    parsed = json.loads(ss)
+                except ValueError:
+                    parsed = None
+            if isinstance(parsed, dict) and parsed.get("fields"):
+                from pyspark.sql.types import StructType
+
+                full = StructType.fromJson(parsed)
+                pcols = set(_meta.get("partitionColumns") or [])
+                schema = StructType(
+                    [f for f in full.fields if f.name not in pcols]
+                )
+            # degenerate/absent schemaString: stay on inference
         fid = self._cm_mode() == "id"
         if not dvs:
             return self._to_logical(

@@ -1061,6 +1061,72 @@ def delta_vacuum_table(
     return sorted(victims)
 
 
+def delta_add_column(
+    table_path: str,
+    name: str,
+    spark_type: str,
+    fs: LakeFS | None = None,
+) -> int:
+    """ADD COLUMN as a metaData-only commit (Delta schema evolution:
+    the protocol's table schema is the latest metaData action's
+    schemaString; a new version carrying an updated metaData changes it
+    with ZERO data files touched). Pre-evolution files physically lack
+    the column; reads surface null for their rows — the snapshot scan
+    pins the schemaString, so the fill is deterministic per file rather
+    than left to footer-sample inference. Delta (without the
+    defaultColumns writer feature) has no read-time default values, so
+    null IS the spec's answer — contrast iceberg_add_column's
+    initial-default. `spark_type` is a Spark DDL string ('bigint',
+    'decimal(10,2)', 'struct<a:int>'). Returns the committed version.
+
+    Refuses on column-mapped tables (a new field needs a fresh mapping
+    id + physicalName consistent with the table's columnMapping.maxId
+    bookkeeping, which this writer does not track) and on duplicate
+    names."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from rottnest_spark.sources.delta import (
+        column_mapping_from_meta,
+        delta_table_meta,
+    )
+
+    fs = fs or LocalFS()
+    meta = delta_table_meta(table_path, fs=fs)
+    if not meta or not meta.get("schemaString"):
+        raise ValueError(
+            f"{table_path} has no metaData schemaString — cannot evolve"
+        )
+    if column_mapping_from_meta(meta):
+        raise ValueError(
+            "ADD COLUMN on a column-mapped table needs a fresh mapping "
+            "id/physicalName (columnMapping.maxColumnId bookkeeping) — "
+            "not supported by this writer; evolve with the engine that "
+            "owns the mapping"
+        )
+    schema = json.loads(meta["schemaString"])
+    if any(f["name"] == name for f in schema.get("fields", [])):
+        raise ValueError(f"column {name!r} already exists")
+    try:
+        dtype = _parse_datatype_string(spark_type)
+    except Exception as exc:
+        raise ValueError(
+            f"unparseable Spark type {spark_type!r}: {exc}"
+        ) from None
+    schema["fields"] = list(schema.get("fields", [])) + [
+        {
+            "name": name,
+            "type": dtype.jsonValue(),
+            "nullable": True,  # a required add would break existing rows
+            "metadata": {},
+        }
+    ]
+    new_meta = {**meta, "schemaString": json.dumps(schema)}
+    log_dir = os.path.join(table_path, "_delta_log")
+    return _write_commit(
+        log_dir, _next_version(log_dir, fs), [{"metaData": new_meta}], fs
+    )
+
+
 def delta_upsert(
     spark,
     df,
