@@ -2616,6 +2616,7 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     XFORM_DEL_CUT,
     q_delta_change_feed,
     q_delta_dv_read,
+    q_delta_schema_evolution,
     q_delta_mapped_dml_read,
     q_delta_snapshot_diff,
     EVOLVE_DEFAULT,
@@ -2714,6 +2715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_travel": q_time_travel,
     "iceberg_time_travel": q_iceberg_time_travel,
     "iceberg_schema_evolution": q_iceberg_schema_evolution,
+    "delta_schema_evolution": q_delta_schema_evolution,
     "iceberg_v3_dv_read": q_iceberg_v3_dv_read,
     "iceberg_upsert_read": q_iceberg_upsert_read,
     "delta_snapshot_diff": q_delta_snapshot_diff,

@@ -307,6 +307,57 @@ def q_iceberg_schema_evolution(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_delta_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ADD COLUMN (round 10, sources/delta_write.delta_add_column):
+    metaData-only evolution, then an append carrying the new column and
+    a DV upsert overlaying values — pre-evolution rows read null (the
+    spec's answer without defaultColumns), appended/upserted rows their
+    physical values, through the schemaString-pinned scan. Oracle: the
+    same null/overlay arithmetic in plain SQL."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import (
+        delta_add_column,
+        delta_convert,
+        delta_upsert,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_devolve_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        src.repartition(4).write.parquet(work, mode="overwrite")
+        delta_convert(work)
+        delta_add_column(work, "score", "bigint")
+        changes = src.filter(
+            F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
+        ).withColumn("score", F.col("o_orderkey") % 100)
+        delta_upsert(spark, changes, work, ["o_orderkey"])
+        lake = DeltaSnapshotLake(spark, work, os.path.join(work, "_idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.count("score").alias("n_scored"),
+                F.sum("score").alias("sum_score"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 FIELD DEFAULTS read (round 8, sources/iceberg.py
     initial_default_fields + scan_with_initial_defaults;

@@ -413,6 +413,30 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # Delta evolution: null for pre-evolution rows (no defaults in
+    # Delta), physical values for the upserted overlay
+    "delta_schema_evolution": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        ),
+        final AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CAST(NULL AS BIGINT) AS score
+            FROM src WHERE o_orderkey % {EVOLVE_UPD_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   o_orderkey % 100 AS score
+            FROM src WHERE o_orderkey % {EVOLVE_UPD_MOD} = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               count(score) AS n_scored,
+               sum(score) AS sum_score,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "iceberg_v3_defaults_read": f"""
         WITH tbl AS (
             SELECT o_orderkey, o_orderstatus,
