@@ -75,14 +75,16 @@ def main() -> None:
             cal.append(time.time() - t0)
         return round(sorted(cal)[1], 3)
 
-    calibration = _calibrate()
-    # a second calibration runs AFTER the timed entries (see below):
-    # a mid-run load change (another process grabbing the cores) makes
-    # per-query flags unattributable in a way a start-only calibration
-    # cannot see — the start/end disagreement is recorded so the run
-    # SELF-REPORTS contamination instead of flagging 60 phantom
-    # regressions (observed: a probe run concurrent with two pytest
-    # suites flagged 65 entries with a quiet-start calibration)
+    # NOTE: the start calibration runs AFTER the warmup block below — a
+    # cold-JVM calibration measures first-call JIT, not host speed
+    # (observed: pre-warmup 3.8 s vs post-run 0.11 s on the same quiet
+    # host — a 35x phantom "drift"). A second calibration runs after
+    # the timed entries: a mid-run load change makes per-query flags
+    # unattributable in a way a start-only anchor cannot see — the
+    # start/end disagreement is recorded so the run SELF-REPORTS
+    # contamination instead of flagging 60 phantom regressions
+    # (observed: a probe concurrent with two pytest suites flagged 65
+    # entries off a quiet-start anchor)
 
     def drop_persisted() -> None:
         """Unpersist leftover storage blocks (localCheckpoints, persists)
@@ -149,6 +151,7 @@ def main() -> None:
         pass  # warmup must never fail the bench
     shutil.rmtree(warm_cache, ignore_errors=True)
     warmup_sec = round(time.time() - t_warm, 2)
+    calibration = _calibrate()  # post-warmup: measures the HOST, not JIT
 
     # -- index builds (cold) -------------------------------------------------
     timed(
