@@ -504,7 +504,9 @@ def main() -> None:
                     tail if cut < 0 else tail[:cut],
                 ):
                     if mname not in ("metric", "value", "sf", "prev",
-                                     "now", "delta", "allowed"):
+                                     "now", "delta", "allowed",
+                                     "delta_raw", "delta_normalized",
+                                     "now_cal_normalized"):
                         prev[mname] = float(mval)
                 mcal = re.search(
                     r'"host_calibration_sec": ([0-9.]+)', tail
@@ -548,13 +550,23 @@ def main() -> None:
                     continue
                 allowed = max(0.15, spreads.get(qn, 0.0))
                 norm_now = now / cal_ratio if cal_ratio else now
-                delta = (norm_now - prev[qn]) / prev[qn]
-                if delta > allowed:
+                delta_norm = (norm_now - prev[qn]) / prev[qn]
+                delta_raw = (now - prev[qn]) / prev[qn]
+                # flag only when the regression survives BOTH views: the
+                # calibration anchor is pure-JVM integer throughput, and
+                # mixed JVM/Python/IO entries do not scale with it — on
+                # a host that got 3.5x faster, normalization alone
+                # flagged 133 phantom entries (every raw time FELL); on
+                # one that got slower, raw alone flags everything. A
+                # real code regression is slower in raw seconds AND
+                # after normalization.
+                if min(delta_raw, delta_norm) > allowed:
                     flagged[qn] = {
                         "prev": prev[qn],
                         "now": now,
                         "now_cal_normalized": round(norm_now, 3),
-                        "delta": round(delta, 3),
+                        "delta_raw": round(delta_raw, 3),
+                        "delta_normalized": round(delta_norm, 3),
                         "allowed": round(allowed, 3),
                     }
                 else:
