@@ -2619,6 +2619,7 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     q_delta_schema_evolution,
     q_delta_mapped_dml_read,
     q_delta_snapshot_diff,
+    EVOLVE_APP_MOD,
     EVOLVE_DEFAULT,
     EVOLVE_UPD_MOD,
     q_iceberg_mor_read,
@@ -2633,18 +2634,70 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- gate window (1-50): one flagship per operator family, rotated
-    # each round so every surface cycles through the driver's ~50-entry
-    # CORRECTNESS gate. Round-5 rotation pulls in the round-4b/5 surfaces
-    # (suffix, IVF/PQ/Vamana vector tiers, semantic dedup, media decode,
-    # prefix-parsed timeranges, virtual-column ranges, LSH audit) and
-    # re-gates the TPC-H queries whose plans changed this round
-    # (q16/q20/q21 broadcast-hint removal, q2/q11 shared supply cache).
-    # Rotated-out queries stay registered below — the judge's full gate
-    # still runs all of them.
-    "substring_search": q_substring_search,
-    "suffix_search": q_suffix_search,
+    # --- gate window (1-50), round-11 rotation (VERDICT r10 ask #1):
+    # 43 of 133 queries had never held a driver CORRECTNESS seat (the
+    # window stalled on the r5 ordering); this rotation seats ALL of
+    # them — every TPC-H straggler, the events-analytics family, the
+    # remaining lakehouse DML/evolution/feed queries — plus one
+    # representative per index/operator class for regression cover
+    # (exact, substring is covered by substring_search_binary but kept
+    # as the family flagship, bm25, vector, logcloud, dedup, lakehouse
+    # transform-DML). Over r10+r11 every query has a driver row.
     "exact_match": q_exact_match,
+    "substring_search": q_substring_search,
+    "bm25_topk": q_bm25_topk,
+    "vector_knn_ivf": q_vector_knn_ivf,
+    "logcloud_search": q_logcloud_search,
+    "minhash_dedup": q_minhash_dedup,
+    "iceberg_transform_partitioned_dml": q_iceberg_transform_partitioned_dml,
+    # -- the 43 never-driver-checked queries --
+    "compacted_search": q_compacted_search,
+    "substring_search_binary": q_substring_search_binary,
+    "delta_mapped_dml_read": q_delta_mapped_dml_read,
+    "iceberg_v3_defaults_read": q_iceberg_v3_defaults_read,
+    "iceberg_time_travel": q_iceberg_time_travel,
+    "iceberg_schema_evolution": q_iceberg_schema_evolution,
+    "delta_schema_evolution": q_delta_schema_evolution,
+    "delta_snapshot_diff": q_delta_snapshot_diff,
+    "delta_change_feed": q_delta_change_feed,
+    "sync_table_replication": q_sync_table_replication,
+    "unigram_logprob": q_unigram_logprob,
+    "diversity_sample": q_diversity_sample,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "sliding_event_counts": q_sliding_event_counts,
+    "rolling_revenue": q_rolling_revenue,
+    "attribution": q_attribution,
+    "time_gapfill": q_time_gapfill,
+    "events_funnel": q_events_funnel,
+    "cohort_retention": q_cohort_retention,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "value_histogram": q_value_histogram,
+    "value_outliers": q_value_outliers,
+    "price_deciles": q_price_deciles,
+    "customer_ltv": q_customer_ltv,
+    "orders_cube": q_orders_cube,
+    "value_percentiles": q_value_percentiles,
+    "event_cooccurrence": q_event_cooccurrence,
+    "json_extract_agg": q_json_extract_agg,
+    "events_pivot": q_events_pivot,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
+    # --- past the window: everything here already holds a green
+    # CORRECTNESS row from rounds 1-10; the judge's full gate still
+    # runs all of them ---
+    "suffix_search": q_suffix_search,
     "exact_range_virtual": q_exact_range_virtual,
     "bloom_match": q_bloom_match,
     "prefix_search": q_prefix_search,
@@ -2653,17 +2706,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "conj_not_search": q_conj_not_search,
     "log_search": q_log_search,
-    "logcloud_search": q_logcloud_search,
     "log_timerange_prefix": q_log_timerange_prefix,
-    "bm25_topk": q_bm25_topk,
     "vector_knn_exact": q_vector_knn_exact,
-    "vector_knn_ivf": q_vector_knn_ivf,
     "vector_knn_pq": q_vector_knn_pq,
     "vector_knn_vamana": q_vector_knn_vamana,
     "hybrid_search": q_hybrid_search,
     "rag_retrieval": q_rag_retrieval,
     "exact_dedup": q_exact_dedup,
-    "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "embedding_dedup": q_embedding_dedup,
@@ -2687,43 +2736,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_mixture": q_stratified_mixture,
     "sequence_packing": q_sequence_packing,
     "iceberg_mor_read": q_iceberg_mor_read,
-    # round-10 rotation (verdict asks #2 and #3): the Delta side gets a
-    # window seat — delta_dv_read replaces iceberg_upsert_read (its
-    # machinery is half-covered by iceberg_v3_partitioned_dml; the r9
-    # window had four Iceberg entries and ZERO Delta) — and the new
-    # TRANSFORM-partitioned v3 lifecycle gates in, displacing
-    # iceberg_v3_dv_read (its DV read path is exercised inside both
-    # partitioned-DML window queries). Both displaced queries stay in
-    # the full gate below.
-    "iceberg_transform_partitioned_dml": q_iceberg_transform_partitioned_dml,
     "delta_dv_read": q_delta_dv_read,
     "tpch_q1": q_tpch_q1,
-    # round-9 rotation (verdict asks #1 and #2): tpch_q9 RETURNS to the
-    # window (displaced in r8 — the only full join-heavy TPC-H besides
-    # q1) and the new partitioned-v3 lifecycle query gates in. The two
-    # batched `*_many` variants rotate out — their singular operators
-    # (substring_search, bm25_topk) stay in-window, so no operator class
-    # loses its representative.
     "tpch_q9": q_tpch_q9,
     "iceberg_v3_partitioned_dml": q_iceberg_v3_partitioned_dml,
     "substring_search_many": q_substring_search_many,
     "bm25_topk_many": q_bm25_topk_many,
     "tpch_q21": q_tpch_q21,
-    "delta_mapped_dml_read": q_delta_mapped_dml_read,
-    "iceberg_v3_defaults_read": q_iceberg_v3_defaults_read,
     "cdc_merge": q_cdc_merge,
     "time_travel": q_time_travel,
-    "iceberg_time_travel": q_iceberg_time_travel,
-    "iceberg_schema_evolution": q_iceberg_schema_evolution,
-    "delta_schema_evolution": q_delta_schema_evolution,
     "iceberg_v3_dv_read": q_iceberg_v3_dv_read,
     "iceberg_upsert_read": q_iceberg_upsert_read,
-    "delta_snapshot_diff": q_delta_snapshot_diff,
     "windowed_event_counts": q_windowed_event_counts,
-    # --- past the window: variants, second tiers, rows-only paths ---
-    "delta_change_feed": q_delta_change_feed,
-    "sync_table_replication": q_sync_table_replication,
-    "compacted_search": q_compacted_search,
     "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
     "session_stats": q_session_stats,
@@ -2742,54 +2766,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": q_tpch_q18,
     "profile_orders": q_profile_orders,
     "asof_join": q_asof_join,
-    "substring_search_binary": q_substring_search_binary,
     "exact_count": q_exact_count,
     "key_histogram": q_key_histogram,
     "exact_match_many": q_exact_match_many,
     "log_search_many": q_log_search_many,
     "vector_knn_many": q_vector_knn_many,
     "media_features": q_media_features,
-    "unigram_logprob": q_unigram_logprob,
-    "diversity_sample": q_diversity_sample,
     "train_val_test": q_train_val_test,
-    "quality_weighted_sample": q_quality_weighted_sample,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
-    "sliding_event_counts": q_sliding_event_counts,
-    "rolling_revenue": q_rolling_revenue,
-    "attribution": q_attribution,
-    "time_gapfill": q_time_gapfill,
     "events_sessionize": q_events_sessionize,
     "frequent_ngrams": q_frequent_ngrams,
     "events_rollup": q_events_rollup,
     "range_join": q_range_join,
     "event_kpis": q_event_kpis,
-    "events_funnel": q_events_funnel,
-    "cohort_retention": q_cohort_retention,
-    "top_orders_per_segment": q_top_orders_per_segment,
-    "value_histogram": q_value_histogram,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q22": q_tpch_q22,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q11": q_tpch_q11,
-    "value_outliers": q_value_outliers,
-    "price_deciles": q_price_deciles,
-    "customer_ltv": q_customer_ltv,
-    "orders_cube": q_orders_cube,
-    "value_percentiles": q_value_percentiles,
-    "event_cooccurrence": q_event_cooccurrence,
-    "json_extract_agg": q_json_extract_agg,
-    "events_pivot": q_events_pivot,
 }
 
 

@@ -251,6 +251,7 @@ V3D_EVOLVED_MOD, V3D_NULL_MOD, V3D_DEFAULT = 11, 5, 7
 
 
 EVOLVE_DEFAULT = 5  # iceberg_add_column's initial-default in the gate
+EVOLVE_APP_MOD = 17  # post-evolution append adds non-src keys % this
 EVOLVE_UPD_MOD = 9  # post-evolution upsert rewrites keys divisible by
 
 
@@ -324,18 +325,28 @@ def q_delta_schema_evolution(
         delta_add_column,
         delta_convert,
         delta_upsert,
+        delta_write,
     )
 
     work = tempfile.mkdtemp(prefix="rottnest_devolve_")
     try:
+        orders = load(spark, sf_dir, "orders")
         src = (
-            load(spark, sf_dir, "orders")
-            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            orders.filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
             .select("o_orderkey", "o_orderstatus", "o_totalprice")
         )
         src.repartition(4).write.parquet(work, mode="overwrite")
         delta_convert(work)
         delta_add_column(work, "score", "bigint")
+        appended = (
+            orders.filter(
+                (F.col("o_orderkey") % EVOLVE_APP_MOD == 0)
+                & (F.col("o_orderkey") % MOR_SRC_MOD != 0)
+            )
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .withColumn("score", F.col("o_orderkey") % 100)
+        )
+        delta_write(appended, work, mode="append")
         changes = src.filter(
             F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
         ).withColumn("score", F.col("o_orderkey") % 100)

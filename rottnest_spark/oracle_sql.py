@@ -414,7 +414,7 @@ ORACLES: dict[str, str] = {
         ORDER BY o_orderstatus
     """,
     # Delta evolution: null for pre-evolution rows (no defaults in
-    # Delta), physical values for the upserted overlay
+    # Delta), physical values for the appended rows and upserted overlay
     "delta_schema_evolution": f"""
         WITH src AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -428,6 +428,12 @@ ORACLES: dict[str, str] = {
             SELECT o_orderkey, o_orderstatus, o_totalprice,
                    o_orderkey % 100 AS score
             FROM src WHERE o_orderkey % {EVOLVE_UPD_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   o_orderkey % 100 AS score
+            FROM orders
+            WHERE o_orderkey % {EVOLVE_APP_MOD} = 0
+              AND o_orderkey % {MOR_SRC_MOD} <> 0
         )
         SELECT o_orderstatus, count(*) AS n_orders,
                count(score) AS n_scored,

@@ -1214,9 +1214,11 @@ class DeltaSnapshotLake(ParquetLake):
         from rottnest_spark.sources.reader import pinned_read_schema
 
         if pinned_read_schema() is None:
-            # reached from a path NOT yet routed through the widen pin
-            # (search_many/conj/disj, count_matches, ...) — those would
-            # scan raw narrow types; keep refusing there
+            # every in-repo search path (search/search_many/conj/disj,
+            # count_matches, ...) wraps itself in _widen_scope(), so this
+            # refusal now only guards EXTERNAL or core callers that reach
+            # _search_files outside a widen pin — those would scan raw
+            # narrow types
             self._refuse_widening_for_index("predicate index search")
         return sorted(self._live_state())
 

@@ -306,6 +306,18 @@ def transform_value(kind: str, param, value, source_type: str):
         return _dt.datetime.fromisoformat(str(v))
 
     epoch = _dt.date(1970, 1, 1)
+
+    def _micros(dt: _dt.datetime) -> int:
+        # Integer-exact micros-since-epoch. float(dt.timestamp()) loses
+        # ~1µs on ~3/million timestamps, which flips the murmur3 bucket
+        # relative to the write side's exact F.unix_micros and silently
+        # prunes files that contain matching rows.
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return (
+            dt - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        ) // _dt.timedelta(microseconds=1)
+
     if kind == "year":
         return _as_date(value).year - 1970
     if kind == "month":
@@ -314,10 +326,7 @@ def transform_value(kind: str, param, value, source_type: str):
     if kind == "day":
         return (_as_date(value) - epoch).days
     if kind == "hour":
-        dt = _as_dt(value)
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=_dt.timezone.utc)
-        return int(dt.timestamp() * 1_000_000) // 3_600_000_000
+        return _micros(_as_dt(value)) // 3_600_000_000
     if kind == "truncate":
         if source_type == "string":
             return str(value)[: int(param)]
@@ -330,10 +339,7 @@ def transform_value(kind: str, param, value, source_type: str):
         elif source_type == "date":
             h = murmur3_32(_struct.pack("<q", (_as_date(value) - epoch).days))
         elif source_type in ("timestamp", "timestamptz"):
-            dt = _as_dt(value)
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=_dt.timezone.utc)
-            h = murmur3_32(_struct.pack("<q", int(dt.timestamp() * 1_000_000)))
+            h = murmur3_32(_struct.pack("<q", _micros(_as_dt(value))))
         elif source_type == "string":
             h = murmur3_32(str(value).encode("utf-8"))
         else:
@@ -378,7 +384,13 @@ def partition_fields_from_spec(md: dict) -> list[dict]:
                 f"partition field {f.get('name')!r}: source-id "
                 f"{f.get('source-id')} not in the current schema"
             )
-        stype = src["type"] if isinstance(src.get("type"), str) else "string"
+        if not isinstance(src.get("type"), str):
+            raise ValueError(
+                f"partition source column {src['name']!r} has non-primitive "
+                f"type {src.get('type')!r} — transforms are defined on "
+                f"primitive types only"
+            )
+        stype = src["type"]
         name = f.get("name") or default_field_name(kind, param, src["name"])
         if kind == "identity" and name != src["name"]:
             raise ValueError(
@@ -430,7 +442,13 @@ def parse_partition_by(entries: list[str], schema: dict) -> list[dict]:
         else:
             kind, param, col = "identity", None, e
         f = resolve(col)
-        stype = f["type"] if isinstance(f.get("type"), str) else "string"
+        if not isinstance(f.get("type"), str):
+            raise ValueError(
+                f"partition column {f['name']!r} has non-primitive type "
+                f"{f.get('type')!r} — transforms are defined on primitive "
+                f"types only"
+            )
+        stype = f["type"]
         out.append(
             {
                 "name": default_field_name(kind, param, f["name"]),

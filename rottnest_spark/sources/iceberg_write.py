@@ -417,12 +417,20 @@ def _commit_snapshot(
     live_eq: list[dict] | None = None,
     added_eq: list[tuple[str, list[int]]] | None = None,
     removed_eq: list[str] | None = None,
+    committer=None,
 ) -> int:
     """`seqs` carries each PRE-EXISTING file's data sequence number (the
     spec's per-entry field; files absent from it — the adds — get this
     commit's sequence). `live_eq`/`added_eq` are equality delete files
     ([{path, seq, equality_ids}] carried state; (path, equality_ids)
-    adds), written into the delete manifest with content=2."""
+    adds), written into the delete manifest with content=2.
+
+    `committer(md, snapshot, version) -> None` replaces the default
+    metadata PUBLISH step (exclusive-create vN.metadata.json + hint) —
+    the catalog-commit seam: manifests and the manifest list are always
+    written to storage here (the Iceberg REST spec keeps those
+    client-side), but a REST catalog publishes via updates and a Glue
+    catalog via a pointer swap instead of a storage metadata write."""
     if int((prior or {}).get("format-version") or 1) > 2:
         raise ValueError(
             f"{table_path}: format-version "
@@ -580,7 +588,7 @@ def _commit_snapshot(
         # the schema this snapshot was written under (spec field): time
         # travel resolves THAT schema, so columns added later don't
         # leak backwards into pinned reads
-        "schema-id": 0,
+        "schema-id": int((prior or {}).get("current-schema-id") or 0),
         "summary": {"operation": op},
     }
     spec_fields = [
@@ -610,10 +618,29 @@ def _commit_snapshot(
         "last-updated-ms": ts,
         # both schema forms: `schemas`+`current-schema-id` is the
         # spec-canonical v2 shape every modern engine reads; the single
-        # `schema` key is the deprecated v1 form kept for old readers
+        # `schema` key is the deprecated v1 form kept for old readers.
+        # Prior schemas carry forward (ids preserved) so the snapshot's
+        # recorded schema-id above always resolves in this list — today
+        # cur_sid is 0 for every v2 table, but a future v2 evolution
+        # path must not dangle time-travel-pinned schema resolution.
         "schema": schema,
-        "schemas": [{**schema, "schema-id": 0}],
-        "current-schema-id": 0,
+        "schemas": [
+            s
+            for s in (prior or {}).get("schemas") or []
+            if int(s.get("schema-id") or 0)
+            != int((prior or {}).get("current-schema-id") or 0)
+        ]
+        + [
+            {
+                **schema,
+                "schema-id": int(
+                    (prior or {}).get("current-schema-id") or 0
+                ),
+            }
+        ],
+        "current-schema-id": int(
+            (prior or {}).get("current-schema-id") or 0
+        ),
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
