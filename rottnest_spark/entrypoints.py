@@ -2616,6 +2616,7 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     XFORM_DEL_CUT,
     q_delta_change_feed,
     q_delta_dv_read,
+    q_delta_rename_column,
     q_delta_schema_evolution,
     q_delta_mapped_dml_read,
     q_delta_snapshot_diff,
@@ -2644,7 +2645,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # as the family flagship, bm25, vector, logcloud, dedup, lakehouse
     # transform-DML). Over r10+r11 every query has a driver row.
     "exact_match": q_exact_match,
-    "substring_search": q_substring_search,
     "bm25_topk": q_bm25_topk,
     "vector_knn_ivf": q_vector_knn_ivf,
     "logcloud_search": q_logcloud_search,
@@ -2658,6 +2658,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_time_travel": q_iceberg_time_travel,
     "iceberg_schema_evolution": q_iceberg_schema_evolution,
     "delta_schema_evolution": q_delta_schema_evolution,
+    # round-11 addition, seated directly in the window: RENAME/DROP
+    # COLUMN over an auto-enabled columnMapping (displaces the
+    # substring_search representative — substring_search_binary, already
+    # in-window, covers that index family)
+    "delta_rename_column": q_delta_rename_column,
     "delta_snapshot_diff": q_delta_snapshot_diff,
     "delta_change_feed": q_delta_change_feed,
     "sync_table_replication": q_sync_table_replication,
@@ -2697,6 +2702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- past the window: everything here already holds a green
     # CORRECTNESS row from rounds 1-10; the judge's full gate still
     # runs all of them ---
+    "substring_search": q_substring_search,
     "suffix_search": q_suffix_search,
     "exact_range_virtual": q_exact_range_virtual,
     "bloom_match": q_bloom_match,

@@ -369,6 +369,69 @@ def q_delta_schema_evolution(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RENAME + DROP COLUMN (round 11,
+    sources/delta_write.delta_rename_column/delta_drop_column): the
+    columnMapping upgrade auto-commits (physicalName pinned to the
+    pre-rename names, so no data file is rewritten), o_totalprice
+    renames to `price`, a DV upsert then speaks the NEW logical
+    vocabulary (doubling the slice's price), and o_orderpriority is
+    dropped metaData-only. Oracle: the same rename/overlay arithmetic
+    in plain SQL — the hash match proves old files resolve through the
+    unchanged physical names and the dropped column stays invisible."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import (
+        delta_convert,
+        delta_drop_column,
+        delta_rename_column,
+        delta_upsert,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_drename_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        src.repartition(4).write.parquet(work, mode="overwrite")
+        delta_convert(work)
+        delta_rename_column(work, "o_totalprice", "price")
+        changes = src.filter(
+            F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("price"),
+        )
+        delta_upsert(spark, changes, work, ["o_orderkey"])
+        delta_drop_column(work, "o_orderpriority")
+        lake = DeltaSnapshotLake(spark, work, os.path.join(work, "_idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("price"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 FIELD DEFAULTS read (round 8, sources/iceberg.py
     initial_default_fields + scan_with_initial_defaults;

@@ -443,6 +443,23 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # Delta RENAME+DROP: the renamed column's values ARE the original
+    # physical values (rename is metaData-only), the upserted slice is
+    # doubled, the dropped column simply never appears
+    "delta_rename_column": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(CASE WHEN o_orderkey % {EVOLVE_UPD_MOD} = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM src
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "iceberg_v3_defaults_read": f"""
         WITH tbl AS (
             SELECT o_orderkey, o_orderstatus,

@@ -1096,13 +1096,6 @@ def delta_add_column(
         raise ValueError(
             f"{table_path} has no metaData schemaString — cannot evolve"
         )
-    if column_mapping_from_meta(meta):
-        raise ValueError(
-            "ADD COLUMN on a column-mapped table needs a fresh mapping "
-            "id/physicalName (columnMapping.maxColumnId bookkeeping) — "
-            "not supported by this writer; evolve with the engine that "
-            "owns the mapping"
-        )
     schema = json.loads(meta["schemaString"])
     if any(f["name"] == name for f in schema.get("fields", [])):
         raise ValueError(f"column {name!r} already exists")
@@ -1112,14 +1105,227 @@ def delta_add_column(
         raise ValueError(
             f"unparseable Spark type {spark_type!r}: {exc}"
         ) from None
-    schema["fields"] = list(schema.get("fields", [])) + [
-        {
-            "name": name,
-            "type": dtype.jsonValue(),
-            "nullable": True,  # a required add would break existing rows
-            "metadata": {},
+    new_field = {
+        "name": name,
+        "type": dtype.jsonValue(),
+        "nullable": True,  # a required add would break existing rows
+        "metadata": {},
+    }
+    new_meta = {**meta}
+    if column_mapping_from_meta(meta):
+        # mapped table (round 11): the new field gets a FRESH mapping —
+        # a minted col-<uuid> physicalName (no existing file carries it,
+        # so the name is free) and id = maxColumnId + 1, with the
+        # configuration's maxColumnId bookkeeping advanced past every id
+        # this add consumed (nested struct fields each take one)
+        cfg = dict(meta.get("configuration") or {})
+        counter = [int(cfg.get("delta.columnMapping.maxColumnId") or 0)]
+        new_field = _stamp_mapping(new_field, counter, preserve_names=False)
+        cfg["delta.columnMapping.maxColumnId"] = str(counter[0])
+        new_meta["configuration"] = cfg
+    schema["fields"] = list(schema.get("fields", [])) + [new_field]
+    new_meta["schemaString"] = json.dumps(schema)
+    log_dir = os.path.join(table_path, "_delta_log")
+    return _write_commit(
+        log_dir, _next_version(log_dir, fs), [{"metaData": new_meta}], fs
+    )
+
+
+def _stamp_mapping(field: dict, counter: list[int], preserve_names: bool):
+    """Stamp delta.columnMapping.{id, physicalName} on a schemaString
+    FIELD and (recursively) every struct field nested under its type.
+    `counter` is the running maxColumnId (mutated in place; each field
+    consumes the next id). `preserve_names=True` keeps the current name
+    as the physicalName — the UPGRADE convention: existing data files
+    carry plain column names, so resolution only works if physical ==
+    current logical at upgrade time. False mints col-<uuid> names (new
+    columns have no files, so the fresh name is free — and survives a
+    later rename/drop/re-add without colliding with stale file data)."""
+
+    def walk_type(t):
+        if isinstance(t, str):
+            return t
+        kind = t.get("type")
+        if kind == "struct":
+            return {
+                "type": "struct",
+                "fields": [walk_field(f) for f in t.get("fields", [])],
+            }
+        if kind == "array":
+            return {**t, "elementType": walk_type(t["elementType"])}
+        if kind == "map":
+            return {
+                **t,
+                "keyType": walk_type(t["keyType"]),
+                "valueType": walk_type(t["valueType"]),
+            }
+        return t
+
+    def walk_field(f):
+        counter[0] += 1
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.id"] = counter[0]
+        md["delta.columnMapping.physicalName"] = (
+            f["name"] if preserve_names else f"col-{uuid.uuid4()}"
+        )
+        return {**f, "metadata": md, "type": walk_type(f["type"])}
+
+    return walk_field(field)
+
+
+def _mapping_protocol(proto: dict | None) -> dict:
+    """The protocol action a columnMapping upgrade must commit, MERGED
+    with the table's current protocol (PROTOCOL.md: column mapping needs
+    reader v2 / writer v5 on legacy protocols; on table-features
+    protocols it is the `columnMapping` reader+writer feature)."""
+    proto = dict(proto or PROTOCOL)
+    mrv = int(proto.get("minReaderVersion") or 1)
+    mwv = int(proto.get("minWriterVersion") or 2)
+    if (
+        mrv >= 3
+        or proto.get("readerFeatures") is not None
+        or proto.get("writerFeatures") is not None
+    ):
+        return {
+            "minReaderVersion": max(mrv, 3),
+            "minWriterVersion": max(mwv, 7),
+            "readerFeatures": sorted(
+                set(proto.get("readerFeatures") or []) | {"columnMapping"}
+            ),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or []) | {"columnMapping"}
+            ),
         }
+    return {
+        "minReaderVersion": max(mrv, 2),
+        "minWriterVersion": max(mwv, 5),
+    }
+
+
+def delta_enable_column_mapping(
+    table_path: str, fs: LakeFS | None = None
+) -> int:
+    """Upgrade an unmapped table to columnMapping.mode=name (the
+    precondition for RENAME/DROP COLUMN — PROTOCOL.md column mapping):
+    one commit carrying the merged protocol upgrade and a metaData whose
+    every field (at any nesting depth) is stamped with a mapping id and
+    physicalName == its current name, so every existing data file keeps
+    resolving by name. Idempotent: an already-mapped table returns the
+    current version untouched. `id` mode is refused — existing footers
+    carry no parquet field ids, so an id-mode upgrade could not resolve
+    old files. Partitioned tables are refused (partitionValues key on
+    physical names; the read side refuses that combination too)."""
+    from rottnest_spark.sources.delta import (
+        _cm_mode,
+        delta_partition_columns,
+        delta_protocol,
+        delta_table_meta,
+    )
+
+    fs = fs or LocalFS()
+    meta = delta_table_meta(table_path, fs=fs)
+    if not meta or not meta.get("schemaString"):
+        raise ValueError(
+            f"{table_path} has no metaData schemaString — cannot evolve"
+        )
+    log_dir = os.path.join(table_path, "_delta_log")
+    if _cm_mode(meta):
+        return _next_version(log_dir, fs) - 1  # already mapped: no-op
+    if delta_partition_columns(table_path, fs=fs):
+        raise ValueError(
+            f"{table_path}: enabling column mapping on a PARTITIONED "
+            "table — partitionValues are keyed by physical names; "
+            "unsupported, refusing (matches the DML/read-side refusal)"
+        )
+    schema = json.loads(meta["schemaString"])
+    counter = [0]
+    schema["fields"] = [
+        _stamp_mapping(f, counter, preserve_names=True)
+        for f in schema.get("fields", [])
     ]
+    cfg = dict(meta.get("configuration") or {})
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(counter[0])
+    new_meta = {
+        **meta,
+        "schemaString": json.dumps(schema),
+        "configuration": cfg,
+    }
+    actions = [
+        {"protocol": _mapping_protocol(delta_protocol(table_path, fs=fs))},
+        {"metaData": new_meta},
+    ]
+    return _write_commit(log_dir, _next_version(log_dir, fs), actions, fs)
+
+
+def delta_rename_column(
+    table_path: str, old: str, new: str, fs: LakeFS | None = None
+) -> int:
+    """RENAME COLUMN: a metaData-only commit changing the field's
+    LOGICAL name while its physicalName (what the parquet files carry)
+    stays fixed — which is why column mapping is the protocol's
+    precondition; an unmapped table is upgraded first
+    (delta_enable_column_mapping). Old files keep resolving through the
+    unchanged physical name; DML keeps working through the logical↔
+    physical adapters (_mapped_write_frame / _mapped_tagged_scan).
+    Top-level columns only (nested renames need a path grammar this
+    writer does not speak — refuse, never guess)."""
+    from rottnest_spark.sources.delta import delta_table_meta
+
+    fs = fs or LocalFS()
+    if "." in old or "." in new:
+        raise ValueError(
+            "nested column rename is not supported — top-level names only"
+        )
+    delta_enable_column_mapping(table_path, fs=fs)
+    meta = delta_table_meta(table_path, fs=fs)
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema.get("fields", [])]
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist ({names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in (meta.get("partitionColumns") or []):
+        raise ValueError(f"cannot rename partition column {old!r}")
+    schema["fields"] = [
+        {**f, "name": new} if f["name"] == old else f
+        for f in schema["fields"]
+    ]
+    new_meta = {**meta, "schemaString": json.dumps(schema)}
+    log_dir = os.path.join(table_path, "_delta_log")
+    return _write_commit(
+        log_dir, _next_version(log_dir, fs), [{"metaData": new_meta}], fs
+    )
+
+
+def delta_drop_column(
+    table_path: str, name: str, fs: LakeFS | None = None
+) -> int:
+    """DROP COLUMN: a metaData-only commit removing the field from the
+    schemaString — no data file is rewritten; the physical column stays
+    in old files and mapped reads simply stop projecting it. Column
+    mapping is the precondition (same reason as rename: without it, a
+    later re-ADD of the same name would resurrect the stale file data);
+    an unmapped table is upgraded first. Top-level only; the last
+    remaining column and partition columns are refused."""
+    from rottnest_spark.sources.delta import delta_table_meta
+
+    fs = fs or LocalFS()
+    if "." in name:
+        raise ValueError(
+            "nested column drop is not supported — top-level names only"
+        )
+    delta_enable_column_mapping(table_path, fs=fs)
+    meta = delta_table_meta(table_path, fs=fs)
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema.get("fields", [])]
+    if name not in names:
+        raise ValueError(f"column {name!r} does not exist ({names})")
+    if name in (meta.get("partitionColumns") or []):
+        raise ValueError(f"cannot drop partition column {name!r}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column of a table")
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
     new_meta = {**meta, "schemaString": json.dumps(schema)}
     log_dir = os.path.join(table_path, "_delta_log")
     return _write_commit(

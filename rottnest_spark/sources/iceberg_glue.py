@@ -42,6 +42,13 @@ class IcebergGlueError(RuntimeError):
     """Glue returned an error / a table that is not an Iceberg table."""
 
 
+class IcebergGlueConflict(IcebergGlueError):
+    """The optimistic pointer swap lost — either the metadata_location
+    moved between the planning read and the commit, or Glue rejected the
+    UpdateTable VersionId check (ConcurrentModificationException). The
+    commit was cleanly rejected; re-plan against the fresh pointer."""
+
+
 def _default_client(region: str | None):
     try:
         import boto3  # noqa: F401 — optional, absent in this container
@@ -151,6 +158,72 @@ class IcebergGlueCatalog:
             self.fs.read_text(_norm_uri(self.metadata_location(identifier)))
         )
 
+    def update_metadata_location(
+        self,
+        identifier: str,
+        new_location: str,
+        expected_location: str | None = None,
+    ) -> None:
+        """Commit = pointer swap (the Iceberg/Glue convention the
+        reference rides through pyiceberg's GlueCatalog): UpdateTable
+        with Parameters.metadata_location moved to `new_location` and
+        previous_metadata_location recording the old pointer, OCC'd two
+        ways — `expected_location` guards the pointer read this commit
+        PLANNED against, and the GetTable VersionId is passed to
+        UpdateTable so Glue itself rejects a racing writer with
+        ConcurrentModificationException. Either loss raises
+        IcebergGlueConflict; nothing is applied."""
+        db, name = self._split(identifier)
+        table = self._call("get_table", DatabaseName=db, Name=name).get(
+            "Table", {}
+        )
+        params = dict(table.get("Parameters") or {})
+        cur = params.get("metadata_location")
+        if expected_location is not None and cur != expected_location:
+            raise IcebergGlueConflict(
+                f"{identifier}: metadata_location moved ({cur!r}, planned "
+                f"against {expected_location!r}) — a concurrent commit won"
+            )
+        params["metadata_location"] = new_location
+        if cur:
+            params["previous_metadata_location"] = cur
+        # TableInput accepts a subset of the Table shape; carry what the
+        # existing registration set so the swap touches only the pointer
+        table_input = {
+            k: table[k]
+            for k in (
+                "Name",
+                "Description",
+                "Owner",
+                "TableType",
+                "StorageDescriptor",
+                "PartitionKeys",
+            )
+            if k in table
+        }
+        table_input["Name"] = name
+        table_input["Parameters"] = params
+        kwargs: dict = {
+            "DatabaseName": db,
+            "TableInput": table_input,
+            "SkipArchive": True,
+        }
+        if table.get("VersionId") is not None:
+            kwargs["VersionId"] = table["VersionId"]
+        try:
+            self._call("update_table", **kwargs)
+        except IcebergGlueError:
+            raise
+        except Exception as exc:
+            if "ConcurrentModification" in type(exc).__name__ or (
+                "ConcurrentModification" in str(exc)
+            ):
+                raise IcebergGlueConflict(
+                    f"{identifier}: Glue UpdateTable version check lost "
+                    f"— a concurrent commit won"
+                ) from exc
+            raise
+
 
 class IcebergGlueLake(IcebergSnapshotLake):
     """ParquetLake over the current snapshot of a Glue-cataloged Iceberg
@@ -187,6 +260,70 @@ class IcebergGlueLake(IcebergSnapshotLake):
         instead of reading version-hint from storage. The base class
         applies the time-travel pin on top (_table_metadata)."""
         return self.glue_catalog.table_metadata(self.identifier)
+
+    def commit_files(
+        self,
+        add: list[str] | None = None,
+        remove: list[str] | None = None,
+        timestamp_ms: int | None = None,
+        **kw,
+    ) -> int:
+        """Commit a file change set THROUGH Glue (round 11 — before
+        this, catalog tables were read-only: a storage-side metadata
+        swap left the Glue pointer stale). Glue is a pointer store, so
+        unlike REST the CLIENT writes the new vN.metadata.json to
+        storage (exclusive-create claims the version against racing
+        storage writers), then swaps the catalog pointer with double
+        OCC (expected pointer + UpdateTable VersionId). Order matters:
+        the version-hint advances only AFTER the swap succeeds, so a
+        lost race leaves one orphan metadata file (vacuum-able) and no
+        observable state change. Returns the new snapshot id."""
+        import os
+        import re
+
+        from rottnest_spark.sources.iceberg_write import (
+            _meta_dir,
+            canon_path,
+            iceberg_commit,
+        )
+
+        pointer = self.glue_catalog.metadata_location(self.identifier)
+        md = json.loads(self.glue_catalog.fs.read_text(_norm_uri(pointer)))
+        m = re.match(r"v?(\d+)", pointer.rsplit("/", 1)[-1])
+        version = (
+            int(m.group(1))
+            if m
+            else max(
+                [int(s.get("snapshot-id") or 0) for s in md.get("snapshots") or []]
+                + [0]
+            )
+        )
+        fs = self.fs
+
+        def committer(new_md, snapshot, ver):
+            meta_dir = _meta_dir(self._table_path)
+            fs.makedirs(meta_dir)
+            md_path = os.path.join(meta_dir, f"v{ver}.metadata.json")
+            fs.create_exclusive(md_path, json.dumps(new_md).encode())
+            self.glue_catalog.update_metadata_location(
+                self.identifier,
+                canon_path(md_path),
+                expected_location=pointer,
+            )
+            fs.write_text(
+                os.path.join(meta_dir, "version-hint.text"), str(ver)
+            )
+
+        return iceberg_commit(
+            self._table_path,
+            add=add,
+            remove=remove,
+            fs=fs,
+            timestamp_ms=timestamp_ms,
+            prior_state=(version, md),
+            committer=committer,
+            **kw,
+        )
 
     def vacuum(
         self,

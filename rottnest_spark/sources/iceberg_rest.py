@@ -53,13 +53,50 @@ class IcebergRestError(RuntimeError):
         self.status = status
 
 
-def _default_opener(url: str, headers: dict) -> tuple[int, bytes]:
-    req = urllib.request.Request(url, headers=headers, method="GET")
+class IcebergRestCommitConflict(IcebergRestError):
+    """A commit requirement failed (HTTP 409) — another writer won the
+    optimistic-concurrency race; re-plan against fresh metadata and
+    retry. The spec calls this CommitFailedException: the commit is
+    cleanly REJECTED, nothing was applied."""
+
+
+def _default_opener(
+    url: str, headers: dict, method: str = "GET", data: bytes | None = None
+) -> tuple[int, bytes]:
+    req = urllib.request.Request(url, data=data, headers=headers, method=method)
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
             return resp.status, resp.read()
     except urllib.error.HTTPError as e:  # non-2xx still has a body
         return e.code, e.read()
+
+
+def _normalize_opener(opener):
+    """Accept both opener generations: the original read-only
+    `(url, headers)` signature keeps working for every GET route, and a
+    4-arg `(url, headers, method, data)` opener unlocks commits. A 2-arg
+    opener asked to POST refuses with a clear error instead of a
+    TypeError from inside the transport."""
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(opener).parameters)
+    except (TypeError, ValueError):  # builtins / C callables: assume new
+        n_params = 4
+    if n_params >= 4:
+        return opener
+
+    def wrapped(url, headers, method="GET", data=None):
+        if method != "GET" or data is not None:
+            raise IcebergRestError(
+                0,
+                "this catalog's opener is read-only (legacy 2-arg "
+                "signature) — pass an opener(url, headers, method, data) "
+                "to enable commits",
+            )
+        return opener(url, headers)
+
+    return wrapped
 
 
 class IcebergRestCatalog:
@@ -79,7 +116,7 @@ class IcebergRestCatalog:
     ):
         self.uri = uri.rstrip("/")
         self.warehouse = warehouse
-        self._opener = opener or _default_opener
+        self._opener = _normalize_opener(opener or _default_opener)
         self._headers = {"Accept": "application/json"}
         if token:
             self._headers["Authorization"] = f"Bearer {token}"
@@ -87,20 +124,36 @@ class IcebergRestCatalog:
 
     # -- transport ----------------------------------------------------------
 
-    def _get(self, route: str, query: dict | None = None) -> dict:
+    def _request(
+        self,
+        method: str,
+        route: str,
+        query: dict | None = None,
+        body: dict | None = None,
+    ) -> dict:
         url = f"{self.uri}/v1/{route}"
         if query:
             url += "?" + urllib.parse.urlencode(query)
-        status, body = self._opener(url, dict(self._headers))
+        headers = dict(self._headers)
+        data = None
+        if body is not None:
+            data = json.dumps(body).encode()
+            headers["Content-Type"] = "application/json"
+        status, resp = self._opener(url, headers, method, data)
         if status == 404:
             raise IcebergRestError(404, f"not found: {route}")
         if not 200 <= status < 300:
             try:
-                msg = json.loads(body).get("error", {}).get("message", "")
+                msg = json.loads(resp).get("error", {}).get("message", "")
             except (ValueError, AttributeError):
-                msg = body[:200].decode(errors="replace")
+                msg = resp[:200].decode(errors="replace")
+            if status == 409:
+                raise IcebergRestCommitConflict(409, msg or route)
             raise IcebergRestError(status, msg or route)
-        return json.loads(body) if body else {}
+        return json.loads(resp) if resp else {}
+
+    def _get(self, route: str, query: dict | None = None) -> dict:
+        return self._request("GET", route, query=query)
 
     def _route(self, route: str) -> str:
         if self.prefix:
@@ -162,6 +215,45 @@ class IcebergRestCatalog:
             )
         return md
 
+    def commit_table(
+        self,
+        identifier: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        """CommitTableRequest → CommitTableResponse (the spec's
+        updateTable operation, POST on the table route — the reference
+        commits its index catalog records through exactly this endpoint
+        via pyiceberg transactions, backends/iceberg.py:214-242).
+
+        `requirements` are assert-* structs ("assert-table-uuid",
+        "assert-ref-snapshot-id", ...); `updates` are action structs
+        ("add-snapshot", "set-snapshot-ref", ...). The SERVER owns the
+        metadata file: it validates the requirements atomically, applies
+        the updates, writes the new metadata location and returns
+        {"metadata-location", "metadata"}. A failed requirement is
+        HTTP 409 → IcebergRestCommitConflict (nothing applied; the
+        manifests this commit wrote to storage become orphans, removable
+        by vacuum)."""
+        ns, _, name = identifier.rpartition(".")
+        if not ns:
+            raise ValueError(
+                f"identifier {identifier!r} must be namespace.table"
+            )
+        body = {
+            "identifier": {"namespace": ns.split("."), "name": name},
+            "requirements": list(requirements),
+            "updates": list(updates),
+        }
+        return self._request(
+            "POST",
+            self._route(
+                f"namespaces/{self._ns_path(ns)}/tables/"
+                f"{urllib.parse.quote(name, safe='')}"
+            ),
+            body=body,
+        )
+
 
 class IcebergRestLake(IcebergSnapshotLake):
     """ParquetLake over the current snapshot of a REST-catalog table.
@@ -202,6 +294,77 @@ class IcebergRestLake(IcebergSnapshotLake):
         metadata instead of reading version-hint from storage. The base
         class applies the time-travel pin on top (_table_metadata)."""
         return self.rest_catalog.table_metadata(self.identifier)
+
+    def commit_files(
+        self,
+        add: list[str] | None = None,
+        remove: list[str] | None = None,
+        timestamp_ms: int | None = None,
+        **kw,
+    ) -> int:
+        """Commit a file change set THROUGH the catalog (round 11 —
+        before this, catalog tables were read-only: a storage-side
+        metadata swap left the catalog pointer stale). Plans against the
+        catalog's CURRENT metadata, writes manifests + the manifest list
+        to storage (the REST spec keeps those client-side), then sends
+        add-snapshot + set-snapshot-ref guarded by assert-table-uuid and
+        assert-ref-snapshot-id on `main` — so a concurrent committer
+        loses with IcebergRestCommitConflict and nothing is applied.
+        Returns the new snapshot id."""
+        import re
+
+        from rottnest_spark.sources.iceberg_write import iceberg_commit
+
+        res = self.rest_catalog.load_table(self.identifier)
+        md = res.get("metadata") or {}
+        loc = res.get("metadata-location") or ""
+        m = re.match(r"v?(\d+)", loc.rsplit("/", 1)[-1])
+        # snapshot ids stay unique either way: the location version grows
+        # monotonically under the server, snapshot ids are its successor
+        version = (
+            int(m.group(1))
+            if m
+            else max(
+                [int(s.get("snapshot-id") or 0) for s in md.get("snapshots") or []]
+                + [0]
+            )
+        )
+        cur = md.get("current-snapshot-id")
+        requirements: list[dict] = []
+        if md.get("table-uuid"):
+            requirements.append(
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]}
+            )
+        req_ref: dict = {"type": "assert-ref-snapshot-id", "ref": "main"}
+        if cur is not None and cur != -1:
+            req_ref["snapshot-id"] = cur  # omitted = ref must not exist
+        requirements.append(req_ref)
+
+        def committer(new_md, snapshot, ver):
+            self.rest_catalog.commit_table(
+                self.identifier,
+                requirements,
+                [
+                    {"action": "add-snapshot", "snapshot": snapshot},
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "type": "branch",
+                        "snapshot-id": snapshot["snapshot-id"],
+                    },
+                ],
+            )
+
+        return iceberg_commit(
+            self._table_path,
+            add=add,
+            remove=remove,
+            fs=self.fs,
+            timestamp_ms=timestamp_ms,
+            prior_state=(version, md),
+            committer=committer,
+            **kw,
+        )
 
     def vacuum(
         self,

@@ -647,6 +647,9 @@ def _commit_snapshot(
         "current-snapshot-id": snap_id,
         "snapshots": ((prior or {}).get("snapshots") or []) + [snapshot],
     }
+    if committer is not None:
+        committer(md, snapshot, version)
+        return snap_id
     md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     # exclusive-create version-claim commit THROUGH the FS seam: O_EXCL
     # locally, the store's conditional PUT remotely (same discipline as
@@ -690,10 +693,18 @@ def iceberg_commit(
     remove_deletes: list[str] | None = None,
     add_eq_deletes: list[tuple[str, list[int]]] | None = None,
     remove_eq_deletes: list[str] | None = None,
+    prior_state: tuple[int, dict] | None = None,
+    committer=None,
 ) -> int:
     """Commit a file change set as a new snapshot (prior snapshots
     stay in the log — `iceberg_history_files` time travel works over
     them). Returns the new snapshot id.
+
+    `prior_state` = (version, metadata) overrides the storage-resolved
+    base state — the catalog seam: REST/Glue commits plan against the
+    CATALOG's current metadata (which may be ahead of storage's
+    version-hint) and publish through `committer` (see _commit_snapshot)
+    instead of the vN.metadata.json exclusive-create.
 
     `add_deletes` / `remove_deletes` change the POSITIONAL delete-file
     set (v2 merge-on-read); live delete files of the prior snapshot are
@@ -707,7 +718,10 @@ def iceberg_commit(
     from rottnest_spark.sources.iceberg import _snapshot_state
 
     fs = fs or LocalFS()
-    prior_version, prior = _latest_metadata(table_path, fs)
+    if prior_state is not None:
+        prior_version, prior = prior_state
+    else:
+        prior_version, prior = _latest_metadata(table_path, fs)
     if prior is None:
         raise ValueError(
             f"{table_path} is not an Iceberg table — iceberg_convert first"
@@ -775,6 +789,7 @@ def iceberg_commit(
         removed_deletes=remove_del,
         seqs=seqs, live_eq=live_eq, added_eq=add_eq,
         removed_eq=sorted(remove_eq),
+        committer=committer,
     )
 
 

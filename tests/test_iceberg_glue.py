@@ -32,6 +32,9 @@ class FakeGlueClient:
     class EntityNotFoundException(Exception):
         pass
 
+    class ConcurrentModificationException(Exception):
+        pass
+
     def get_databases(self, NextToken=None, **kw):
         self.calls.append(("get_databases", NextToken))
         # two-page replay to exercise pagination
@@ -58,10 +61,37 @@ class FakeGlueClient:
             f"EntityNotFound {DatabaseName}.{Name}"
         )
 
+    def update_table(
+        self, DatabaseName, TableInput, SkipArchive=None, VersionId=None, **kw
+    ):
+        """Glue UpdateTable semantics: passing VersionId enables the OCC
+        check — a mismatch raises ConcurrentModificationException and
+        applies nothing; a successful update bumps the stored VersionId."""
+        self.calls.append(
+            ("update_table", DatabaseName, TableInput.get("Name"), VersionId)
+        )
+        for i, t in enumerate(self.tables.get(DatabaseName, [])):
+            if t["Name"] == TableInput["Name"]:
+                cur_v = t.get("VersionId", "1")
+                if VersionId is not None and VersionId != cur_v:
+                    raise self.ConcurrentModificationException(
+                        f"version {VersionId} != {cur_v}"
+                    )
+                self.tables[DatabaseName][i] = {
+                    **t,
+                    **TableInput,
+                    "VersionId": str(int(cur_v) + 1),
+                }
+                return {}
+        raise self.EntityNotFoundException(
+            f"EntityNotFound {DatabaseName}.{TableInput['Name']}"
+        )
+
 
 def _glue_table(name, metadata_location, table_type="ICEBERG"):
     return {
         "Name": name,
+        "VersionId": "1",
         "Parameters": {
             "table_type": table_type,
             "metadata_location": metadata_location,
@@ -248,3 +278,84 @@ def test_glue_mor_read_uses_catalog_freshness(spark, glue_table, tmp_path):
     # positions 0,1,2 of the FILE order are gone
     first3 = [r.doc_id for r in part0.limit(3).collect()]
     assert not (set(first3) & set(got))
+
+
+def test_glue_commit_roundtrip(spark, glue_table, tmp_path):
+    """Catalog COMMIT (round 11): commit_files writes the new metadata to
+    storage, then swaps the Glue pointer under double OCC. The pointer
+    re-read sees the new snapshot; a racing writer loses cleanly with
+    nothing applied (neither pointer nor version-hint moved)."""
+    from rottnest_spark.sources.iceberg_glue import IcebergGlueConflict
+
+    table, client, _m1 = glue_table
+    cat = IcebergGlueCatalog(client=client)
+    lake = IcebergGlueLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    assert len(lake.files) == 1  # snapshot 1: only part 0
+    docs = spark.read.parquet(f"{table}/data")
+
+    snap = lake.commit_files(add=[f"{table}/data/part-00001.parquet"])
+    # pointer swapped to v2 and the catalog-read metadata shows it
+    loc = cat.metadata_location("db.evt")
+    assert loc.endswith("v2.metadata.json")
+    md = cat.table_metadata("db.evt")
+    assert md["current-snapshot-id"] == snap
+    prev = client.tables["db"][0]["Parameters"]["previous_metadata_location"]
+    assert prev.endswith("v1.metadata.json")
+    assert len(lake.files) == 2
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    q = "the"
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.contains(F.lower("text"), F.lit(q))).collect()
+    )
+    assert got == want
+
+    # planning-read OCC: the expected pointer moved -> clean refusal
+    with pytest.raises(IcebergGlueConflict, match="moved"):
+        cat.update_metadata_location(
+            "db.evt", "x", expected_location="bogus-old-pointer"
+        )
+    assert cat.metadata_location("db.evt") == loc  # nothing applied
+
+
+def test_glue_commit_version_id_race(spark, glue_table, tmp_path):
+    """Glue's own VersionId check: a racer committing between our
+    GetTable and UpdateTable raises ConcurrentModificationException,
+    surfaced as IcebergGlueConflict — and the commit leaves no
+    observable state change (version-hint never advanced)."""
+    from rottnest_spark.sources.iceberg_glue import IcebergGlueConflict
+
+    table, client, _m1 = glue_table
+
+    class RacingClient(type(client)):
+        """Serves a pre-race snapshot from get_table, then lets the racer
+        win: VersionId bumps underneath before our update_table lands."""
+
+        def get_table(self, DatabaseName, Name, **kw):
+            out = super().get_table(DatabaseName, Name, **kw)
+            snap = {"Table": dict(out["Table"])}
+            for i, t in enumerate(self.tables.get(DatabaseName, [])):
+                if t["Name"] == Name:
+                    self.tables[DatabaseName][i] = {
+                        **t,
+                        "VersionId": str(int(t.get("VersionId", "1")) + 1),
+                    }
+            return snap
+
+    racing = RacingClient(
+        databases=["db"], tables={"db": list(client.tables["db"])}
+    )
+    cat = IcebergGlueCatalog(client=racing)
+    lake = IcebergGlueLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    with open(f"{table}/metadata/version-hint.text") as fh:
+        hint_before = fh.read()
+    with pytest.raises(IcebergGlueConflict, match="concurrent commit won"):
+        lake.commit_files(add=[f"{table}/data/part-00001.parquet"])
+    with open(f"{table}/metadata/version-hint.text") as fh:
+        assert fh.read() == hint_before  # loser never advanced the hint

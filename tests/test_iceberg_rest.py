@@ -77,11 +77,23 @@ def test_errors():
 
 def _serve_catalog(state):
     """In-process REST catalog: serves /v1/config and the load-table route
-    for `db.evt`, reading current metadata from the mutable `state` dict."""
+    for `db.evt`, reading current metadata from the mutable `state` dict.
+    POST on the table route implements the spec's updateTable operation:
+    requirements validated atomically (a failure is 409 and NOTHING is
+    applied), add-snapshot / set-snapshot-ref updates applied to the
+    server-owned metadata, new metadata-location returned."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
+
+        def _send(self, status, body):
+            data = json.dumps(body).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
 
         def do_GET(self):
             path = urllib.parse.unquote(self.path.split("?")[0])
@@ -89,19 +101,64 @@ def _serve_catalog(state):
                 body = {"defaults": {}, "overrides": {}}
             elif path == "/v1/namespaces/db/tables/evt":
                 body = {
-                    "metadata-location": "inmem",
+                    "metadata-location": f"inmem-{state.get('mloc_v', 1)}",
                     "metadata": state["metadata"],
                 }
             else:
                 self.send_response(404)
                 self.end_headers()
                 return
-            data = json.dumps(body).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+            self._send(200, body)
+
+        def do_POST(self):
+            path = urllib.parse.unquote(self.path.split("?")[0])
+            if path != "/v1/namespaces/db/tables/evt":
+                self.send_response(404)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            req = json.loads(self.rfile.read(n))
+            md = state["metadata"]
+            cur = md.get("current-snapshot-id")
+            for r in req.get("requirements", []):
+                ok = True
+                if (
+                    r.get("type") == "assert-ref-snapshot-id"
+                    and r.get("ref") == "main"
+                ):
+                    want = r.get("snapshot-id")
+                    ok = (
+                        want == cur
+                        if want is not None
+                        else cur in (None, -1)
+                    )
+                elif r.get("type") == "assert-table-uuid":
+                    ok = not md.get("table-uuid") or (
+                        r.get("uuid") == md["table-uuid"]
+                    )
+                if not ok:
+                    self._send(
+                        409,
+                        {"error": {"message": f"requirement failed: {r}"}},
+                    )
+                    return
+            new = dict(md)
+            for up in req.get("updates", []):
+                if up.get("action") == "add-snapshot":
+                    new["snapshots"] = list(new.get("snapshots") or []) + [
+                        up["snapshot"]
+                    ]
+                elif up.get("action") == "set-snapshot-ref":
+                    new["current-snapshot-id"] = up["snapshot-id"]
+            state["metadata"] = new
+            state["mloc_v"] = state.get("mloc_v", 1) + 1
+            self._send(
+                200,
+                {
+                    "metadata-location": f"inmem-{state['mloc_v']}",
+                    "metadata": new,
+                },
+            )
 
     srv = HTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -180,6 +237,81 @@ def test_rest_lake_end_to_end(spark, rest_table, tmp_path):
 
 def m1_uri(meta):
     return "file:///warehouse/evt/metadata/m1.avro"
+
+
+def test_rest_commit_roundtrip(spark, rest_table, tmp_path):
+    """Catalog COMMIT (round 11): commit_files plans against the
+    catalog's current metadata, writes manifests to storage, publishes
+    via add-snapshot + set-snapshot-ref with assert requirements — the
+    catalog pointer is never stale, re-reads see the new snapshot, and
+    a stale-requirement commit loses cleanly with NOTHING applied."""
+    table, state, uri = rest_table
+    cat = IcebergRestCatalog(uri)
+    lake = IcebergRestLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    assert len(lake.files) == 1  # snapshot 1: only part 0
+    docs = spark.read.parquet(f"{table}/data")
+
+    snap = lake.commit_files(add=[f"{table}/data/part-00001.parquet"])
+    # the catalog-served metadata advanced: re-read sees the new snapshot
+    md = cat.table_metadata("db.evt")
+    assert md["current-snapshot-id"] == snap
+    assert [s["snapshot-id"] for s in md["snapshots"]][-1] == snap
+    assert len(lake.files) == 2
+    q = "the"
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    got = sorted(r["doc_id"] for r in lake.search(idx, "text", q).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.contains(F.lower("text"), F.lit(q))).collect()
+    )
+    assert got == want
+
+    # OCC: a commit whose requirement was planned against the OLD state
+    # is rejected with 409 and applies nothing
+    from rottnest_spark.sources.iceberg_rest import IcebergRestCommitConflict
+
+    before = json.dumps(cat.table_metadata("db.evt"), sort_keys=True)
+    with pytest.raises(IcebergRestCommitConflict):
+        cat.commit_table(
+            "db.evt",
+            [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 1}],
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": 999,
+                }
+            ],
+        )
+    assert json.dumps(cat.table_metadata("db.evt"), sort_keys=True) == before
+
+    # a REMOVE through the catalog: back to one live file
+    gone = sorted(lake.files)[0]
+    lake.commit_files(remove=[gone])
+    assert len(lake.files) == 1
+
+
+def test_rest_readonly_opener_refuses_commit():
+    """A legacy 2-arg opener keeps every GET route working but refuses
+    POST with a clear error instead of a transport TypeError."""
+    ns = urllib.parse.quote(NS_SEP.join(["a", "b"]), safe="")
+    op = FakeOpener(
+        {
+            "v1/config": {},
+            f"v1/namespaces/{ns}/tables/t": {
+                "metadata-location": "x",
+                "metadata": {"location": "file:///wh/t", "snapshots": []},
+            },
+        }
+    )
+    cat = IcebergRestCatalog("http://cat.example", opener=op)
+    assert cat.table_metadata("a.b.t")["location"] == "file:///wh/t"
+    with pytest.raises(IcebergRestError, match="read-only"):
+        cat.commit_table("a.b.t", [], [])
 
 
 def test_rest_lake_resolves_location(spark, rest_table, tmp_path):
