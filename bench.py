@@ -245,6 +245,12 @@ def main() -> None:
     # suffix_build swing 2.1→25.2 s in the driver record; the ~1 extra
     # wall-minute buys attributability).
     EXTRA_ITERS_BELOW_SEC = 1.0
+    # round-11 (VERDICT r10 ask #2): a 3-sample rel spread above this gets
+    # the 5-iteration treatment REGARDLESS of magnitude — the committed
+    # r10 snapshot published ngram_jaccard_join at 26.7 s with spread 1.06
+    # while the same-code driver run measured 5.07 s; an entry whose own
+    # run flags it 2x-noisy must not settle on 3 samples.
+    HIGH_SPREAD = 0.5
     spreads: dict[str, float] = {}
     for name, fn in ep.QUERIES.items():
         ts = []
@@ -254,8 +260,11 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 ts.append(time.time() - t0)
-                if it == 2 and sorted(ts)[1] >= EXTRA_ITERS_BELOW_SEC:
-                    break
+                if it == 2:
+                    s3 = sorted(ts)
+                    spread3 = (s3[-1] - s3[0]) / max(s3[1], 1e-9)
+                    if s3[1] >= EXTRA_ITERS_BELOW_SEC and spread3 <= HIGH_SPREAD:
+                        break
         except Exception as exc:
             errors[name] = str(exc).splitlines()[-1][:300] if str(exc) else repr(exc)
             import traceback

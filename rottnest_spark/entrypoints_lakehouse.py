@@ -432,6 +432,69 @@ def q_delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_iceberg_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg RENAME + DROP COLUMN (round 11,
+    sources/iceberg_write.iceberg_rename_column/iceberg_drop_column):
+    half the slice is written pre-rename (files physically carry
+    o_totalprice), o_totalprice renames to `price` field-id-preservingly,
+    the other half appends post-rename (files carry `price`), then
+    o_orderpriority drops metaData-only. The scan resolves each file
+    through its adding snapshot's schema (scan_with_schema_resolution) —
+    the hash match proves mixed pre/post-rename files agree and the
+    dropped column stays invisible. Oracle: the same arithmetic in
+    plain SQL."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_drop_column,
+        iceberg_rename_column,
+        iceberg_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_irename_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        table = os.path.join(work, "t")
+        iceberg_write(
+            src.filter(F.col("o_orderkey") % 2 == 0).repartition(2), table
+        )
+        iceberg_rename_column(table, "o_totalprice", "price")
+        iceberg_write(
+            src.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumnRenamed("o_totalprice", "price")
+            .repartition(2),
+            table,
+            mode="append",
+        )
+        iceberg_drop_column(table, "o_orderpriority")
+        lake = IcebergSnapshotLake(spark, table, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("price"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 FIELD DEFAULTS read (round 8, sources/iceberg.py
     initial_default_fields + scan_with_initial_defaults;

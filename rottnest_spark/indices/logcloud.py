@@ -49,6 +49,7 @@ from rottnest_spark.sources.reader import read_parquet
 
 VAR_RUN_RE = "[a-zA-Z0-9]*[0-9][a-zA-Z0-9]*"  # digit-containing alnum run
 PLACEHOLDER = "⟨V⟩"  # ⟨V⟩ — cannot collide with log text
+GRAM = 3  # value-gram tier gram width (matches SubstringIndex's default)
 
 
 def type_bitmask(s: str) -> int:
@@ -97,6 +98,7 @@ class LogIndex(SparkIndex):
         max_templates: int = 10_000,
         dict_frac: float = 0.5,
         granularity: str = "file",
+        gram_tier_min: int = 4096,
     ):
         assert granularity in ("file", "row_group")
         self.granularity = granularity
@@ -108,6 +110,15 @@ class LogIndex(SparkIndex):
         # idea keyed on absolute line count.
         self.max_templates = max_templates
         self.dict_frac = dict_frac
+        # gram_tier_min: vtypes with MORE distinct values than this get a
+        # value-GRAM tier (valgrams/, round 11) — the `.hawaii` analog
+        # (src/lava/logcloud/logcloud.rs:870-885 indexes variable blocks
+        # past a size instead of linear-scanning them). Token probes on
+        # covered vtypes then narrow by gram In-pushdown on a gram-sorted
+        # table + a semi-join back, instead of a contains() scan of every
+        # compatible value. Low-cardinality vtypes stay scan-only: their
+        # (vtype, value)-sorted slice is already small and min/max-pruned.
+        self.gram_tier_min = gram_tier_min
 
     def config(self) -> dict:
         return {
@@ -115,6 +126,7 @@ class LogIndex(SparkIndex):
             "max_templates": self.max_templates,
             "dict_frac": self.dict_frac,
             "granularity": self.granularity,
+            "gram_tier_min": self.gram_tier_min,
         }
 
     def build(
@@ -186,8 +198,102 @@ class LogIndex(SparkIndex):
             self._write_index(
                 variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
             )
+            self._write_gram_tier(spark, variables, out_path)
         finally:
             rows.unpersist()
+
+    def _write_gram_tier(self, spark, variables, out_path: str) -> None:
+        """The value-GRAM tier (round 11): for vtypes whose distinct-value
+        count exceeds gram_tier_min, valgrams/ holds (gram, vtype, value)
+        for every GRAM-gram of every distinct value, SORTED BY GRAM —
+        a token probe is then an `In` pushdown over the gram column
+        (min/max row-group pruning) + an exact contains() verify on the
+        few candidate values, instead of a contains() scan of the whole
+        compatible slice of variables/. gramtypes/ records which vtypes
+        are covered; values shorter than GRAM are excluded soundly (no
+        GRAM-long token can occur inside them)."""
+        vt_counts = variables.groupBy("vtype").agg(
+            F.count_distinct("value").alias("nv")
+        )
+        covered = sorted(
+            int(r["vtype"])
+            for r in vt_counts.filter(
+                F.col("nv") > self.gram_tier_min
+            ).collect()  # bounded: ≤ 63 vtype bitmask values
+        )
+        gramtypes = spark.createDataFrame(
+            [(v,) for v in covered], "vtype int"
+        )
+        self._write_index(gramtypes, f"{out_path}/gramtypes")
+        if covered:
+            src = (
+                variables.filter(
+                    F.col("vtype").isin(covered)
+                    & (F.length("value") >= GRAM)
+                )
+                .select("vtype", "value")
+                .distinct()
+            )
+            valgrams = src.select(
+                "vtype",
+                "value",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(value) - {GRAM - 1}),"
+                        f" i -> substring(value, i, {GRAM}))"
+                    )
+                ).alias("gram"),
+            ).distinct()
+        else:
+            valgrams = spark.createDataFrame(
+                [], "vtype int, value string, gram string"
+            )
+        self._write_index(
+            valgrams, f"{out_path}/valgrams", sort_cols=["gram"]
+        )
+
+    @staticmethod
+    def _covered_types(spark, index_paths: list[str]) -> set[int]:
+        """vtypes the gram tier covers across EVERY entry — intersection,
+        because a token's candidate set is only complete if each entry
+        contributed its grams. Entries without the tier (older builds)
+        yield empty coverage: search falls back to the contains scan."""
+        out: set[int] | None = None
+        for p in index_paths:
+            try:
+                got = {
+                    int(r["vtype"])
+                    for r in spark.read.parquet(f"{p}/gramtypes").collect()
+                }
+            except Exception:
+                return set()
+            out = got if out is None else (out & got)
+        return out or set()
+
+    def _gram_candidate_values(
+        self, spark, index_paths: list[str], t: str, covered: set[int]
+    ):
+        """(vtype, value) pairs of covered vtypes that CONTAIN token `t`,
+        narrowed by the gram tier: every GRAM-gram of t must be a gram
+        of the value (In-pushdown on the gram-sorted table), then the
+        exact contains() verifies the survivors."""
+        grams_t = sorted({t[i : i + GRAM] for i in range(len(t) - GRAM + 1)})
+        tmask = type_bitmask(t)
+        valgrams = spark.read.parquet(
+            *[f"{p}/valgrams" for p in index_paths]
+        )
+        return (
+            valgrams.filter(
+                F.col("gram").isin(grams_t)
+                & F.col("vtype").isin(sorted(covered))
+                & (F.col("vtype").bitwiseAND(F.lit(tmask)) == F.lit(tmask))
+            )
+            .groupBy("vtype", "value")
+            .agg(F.count_distinct("gram").alias("ng"))
+            .filter(F.col("ng") == len(grams_t))
+            .filter(F.contains(F.col("value"), F.lit(t)))
+            .select("vtype", "value")
+        )
 
     def search(self, spark: SparkSession, index_paths: list[str], query: str):
         vtoks = digit_tokens(query)
@@ -197,6 +303,7 @@ class LogIndex(SparkIndex):
             return BRUTE_FORCE
         variables = spark.read.parquet(*[f"{p}/variables" for p in index_paths])
         dicts = spark.read.parquet(*[f"{p}/dict" for p in index_paths])
+        covered = self._covered_types(spark, index_paths)
         cand = None
         for t in vtoks:
             tmask = type_bitmask(t)
@@ -212,11 +319,31 @@ class LogIndex(SparkIndex):
                 # postings were dict-routed — this token cannot prune
                 # (soundness: its units are not fully in variables/)
                 continue
-            units = (
-                variables.filter(type_ok & F.contains(F.col("value"), F.lit(t)))
-                .select("file_path", "row_group")
-                .distinct()
-            )
+            contains_t = F.contains(F.col("value"), F.lit(t))
+            if covered and len(t) >= GRAM:
+                # value-gram tier (round 11): covered vtypes narrow by
+                # gram In-pushdown + semi-join; only UNCOVERED compatible
+                # vtypes still contains()-scan (their sorted slice is
+                # small by the tier's cardinality threshold). Union ==
+                # the plain scan exactly — search ≡ brute force holds.
+                cand_vals = self._gram_candidate_values(
+                    spark, index_paths, t, covered
+                )
+                units_gram = variables.join(
+                    cand_vals, ["vtype", "value"], "leftsemi"
+                ).select("file_path", "row_group")
+                units_scan = variables.filter(
+                    type_ok
+                    & ~F.col("vtype").isin(sorted(covered))
+                    & contains_t
+                ).select("file_path", "row_group")
+                units = units_gram.union(units_scan).distinct()
+            else:
+                units = (
+                    variables.filter(type_ok & contains_t)
+                    .select("file_path", "row_group")
+                    .distinct()
+                )
             cand = units if cand is None else cand.intersect(units)
         if cand is None:
             # every digit token was dict-routed: nothing can prune
@@ -334,6 +461,49 @@ class LogIndex(SparkIndex):
         self._write_index(
             variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
         )
+        # gram tier: REGENERATED from the merged variables table (it
+        # carries full (vtype, value) state, so the merged tier is
+        # complete and re-thresholded on merged cardinalities — entries
+        # whose own slice was below gram_tier_min contribute their
+        # values to a now-covered vtype instead of poisoning coverage)
+        self._write_gram_tier(spark, variables, out_path)
+
+    def narrowing_stats(
+        self, spark: SparkSession, index_paths: list[str], query: str
+    ) -> dict:
+        """Measured gram-tier narrowing for each prunable digit token of
+        `query`: {token: {compatible_values, gram_candidates}} — the
+        pruning-ratio evidence the `.hawaii` tier exists for. Counts are
+        over the DISTINCT values of compatible vtypes (what a contains()
+        scan must examine) vs the gram tier's verified candidates."""
+        variables = spark.read.parquet(
+            *[f"{p}/variables" for p in index_paths]
+        )
+        covered = self._covered_types(spark, index_paths)
+        out = {}
+        for t in digit_tokens(query):
+            if len(t) < GRAM or not covered:
+                continue
+            tmask = type_bitmask(t)
+            type_ok = (
+                F.col("vtype").bitwiseAND(F.lit(tmask)) == F.lit(tmask)
+            )
+            total = (
+                variables.filter(
+                    type_ok & F.col("vtype").isin(sorted(covered))
+                )
+                .select("vtype", "value")
+                .distinct()
+                .count()
+            )
+            cands = self._gram_candidate_values(
+                spark, index_paths, t, covered
+            ).count()
+            out[t] = {
+                "compatible_values": total,
+                "gram_candidates": cands,
+            }
+        return out
 
     # -- introspection (the reference prints tier decisions; we expose them) --
 

@@ -460,6 +460,20 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # Iceberg RENAME+DROP: the renamed column's values are the union of
+    # pre-rename files (old physical name) and post-rename appends
+    "iceberg_rename_column": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM src
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "iceberg_v3_defaults_read": f"""
         WITH tbl AS (
             SELECT o_orderkey, o_orderstatus,

@@ -518,6 +518,254 @@ def scan_with_initial_defaults(spark, fl, dmap: dict, tagged: bool):
     return out
 
 
+def renamed_fields(md: dict) -> dict[str, list[str]]:
+    """current name → FORMER names of the same field id, most recent
+    schema first — the rename history a scan must resolve: a data file
+    carries the name its write-time schema gave the field, while the
+    spec keys field identity on the id, which renames preserve
+    (iceberg.apache.org/spec/#schema-evolution)."""
+    schemas = md.get("schemas") or []
+    if len(schemas) < 2:
+        return {}
+    out: dict[str, list[str]] = {}
+    for f in _current_schema(md).get("fields", []):
+        fid = f.get("id")
+        if fid is None:
+            continue
+        formers: list[str] = []
+        for s in sorted(
+            schemas, key=lambda s: -(int(s.get("schema-id") or 0))
+        ):
+            for g in s.get("fields", []):
+                if (
+                    g.get("id") == fid
+                    and g["name"] != f["name"]
+                    and g["name"] not in formers
+                ):
+                    formers.append(g["name"])
+        if formers:
+            out[f["name"]] = formers
+    return out
+
+
+def _schema_needs_resolution(md: dict) -> bool:
+    """True when the schemas history records a rename or a drop — some
+    data file was then written under a top-level column the CURRENT
+    schema does not carry (by name, or by name under a DIFFERENT field
+    id: a drop-then-re-ADD keeps the name but mints a new id, and a
+    plain union scan would resurrect the dropped file data), so the
+    scan must resolve through each file's write schema."""
+    schemas = md.get("schemas") or []
+    if len(schemas) < 2:
+        return False
+    cur_ids = {
+        f["name"]: f.get("id")
+        for f in _current_schema(md).get("fields", [])
+    }
+    return any(
+        g["name"] not in cur_ids or cur_ids[g["name"]] != g.get("id")
+        for s in schemas
+        for g in s.get("fields", [])
+    )
+
+
+def _footer_present_by_file(
+    spark, fl: list[str], cols: list[str]
+) -> dict[str, frozenset]:
+    """{file: frozenset(cols its footer CARRIES)} over the `cols` of
+    interest — the footer probe behind schema-history resolution. Same
+    driver/executor split as _missing_defaults_by_file: descriptor-scale
+    result rows either way."""
+    import pyarrow.parquet as pq
+
+    want = sorted(set(cols))
+    if len(fl) <= _DEFAULTS_PROBE_DRIVER_MAX:
+        return {
+            f: frozenset(
+                c
+                for c in want
+                if c in set(pq.ParquetFile(f).schema_arrow.names)
+            )
+            for f in fl
+        }
+
+    def probe(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            hit = []
+            for p in pdf["p"]:
+                names = set(_pq.ParquetFile(p).schema_arrow.names)
+                hit.append(",".join(c for c in want if c in names))
+            yield _pd.DataFrame({"p": pdf["p"], "hit": hit})
+
+    paths = spark.createDataFrame([(f,) for f in sorted(fl)], "p string")
+    rows = (
+        paths.repartition(min(len(fl), 64))
+        .mapInPandas(probe, "p string, hit string")
+        .collect()  # one short row per file — descriptor-scale
+    )
+    return {
+        r.p: frozenset(r.hit.split(",")) if r.hit else frozenset()
+        for r in rows
+    }
+
+
+def scan_with_schema_resolution(
+    spark, fl, md: dict, tagged: bool, file_snap: dict | None = None
+):
+    """Snapshot scan honoring the FULL schema history (round 11 —
+    rename/drop evolution): each file resolves through the schema its
+    ADDING snapshot recorded (file → snapshot → schema-id → write
+    schema), mapping every current field BY FIELD ID to the name that
+    file physically carries — the spec's resolution rule, which is what
+    keeps a dropped-then-re-added name from resurrecting stale data (the
+    new field's id never existed in old files). Files land in one scan
+    per distinct write schema; per group the scan renames former→current
+    (rename evolution), fills initial-defaults / typed nulls (add
+    evolution), and PROJECTS to the current schema so dropped columns
+    stay invisible (drop evolution). Tag columns __path/__pos survive
+    when `tagged`. Time-travel pins compose for free because `md`
+    arrives already pinned.
+
+    Files WITHOUT snapshot attribution (foreign manifests that inherit
+    entry snapshot ids, hand-built fixtures) fall back to a footer-name
+    signature — refusing loudly when a name is ambiguous in the history
+    (same name, different field ids: name-based resolution could
+    resurrect dropped data, so guessing is not allowed). Each
+    metadata-attributed group additionally verifies its signature
+    against one real footer and demotes to the fallback on mismatch."""
+    from pyspark.sql import functions as F
+
+    from rottnest_spark.sources.reader import (
+        read_parquet,
+        read_parquet_tagged,
+    )
+
+    dmap = initial_default_fields(md)
+    rmap = renamed_fields(md)
+    schemas = md.get("schemas") or []
+    by_sid = {int(s.get("schema-id") or 0): s for s in schemas}
+    cur_sid = int(md.get("current-schema-id") or 0)
+    snap_schema = {
+        s["snapshot-id"]: s.get("schema-id")
+        for s in md.get("snapshots") or []
+        if s.get("schema-id") is not None
+    }
+    cur = _current_schema(md).get("fields", [])
+    cur_ddl = {f["name"]: _spark_ddl_of_iceberg(f["type"]) for f in cur}
+    #: current names whose HISTORY also carries the same name under a
+    #: DIFFERENT id — footer-name resolution would be a guess there
+    ambiguous = {
+        f["name"]
+        for f in cur
+        for s in schemas
+        for g in s.get("fields", [])
+        if g["name"] == f["name"] and g.get("id") != f.get("id")
+    }
+
+    def sig_from_schema(write_schema: dict) -> tuple:
+        w_by_id = {
+            f["id"]: f["name"]
+            for f in write_schema.get("fields", [])
+            if f.get("id") is not None
+        }
+        sig = []
+        for f in cur:
+            wn = w_by_id.get(f.get("id"))
+            if wn == f["name"]:
+                sig.append((f["name"], "self"))
+            elif wn is not None:
+                sig.append((f["name"], wn))
+            else:
+                sig.append((f["name"], "__fill__"))
+        return tuple(sig)
+
+    def sig_from_footer(pset: frozenset, path: str) -> tuple:
+        sig = []
+        for f in cur:
+            name = f["name"]
+            if name in pset:
+                if name in ambiguous:
+                    raise ValueError(
+                        f"{path}: column {name!r} exists in the schema "
+                        "history under a different field id and the file "
+                        "has no snapshot attribution — name-based "
+                        "resolution could resurrect dropped data; refusing"
+                    )
+                sig.append((name, "self"))
+            else:
+                former = next(
+                    (n for n in rmap.get(name, []) if n in pset), None
+                )
+                sig.append((name, former or "__fill__"))
+        return tuple(sig)
+
+    meta_groups: dict[tuple, list[str]] = {}
+    fallback: list[str] = []
+    for f in fl:
+        sid = snap_schema.get((file_snap or {}).get(f))
+        ws = by_sid.get(int(sid)) if sid is not None else None
+        if ws is not None:
+            meta_groups.setdefault(sig_from_schema(ws), []).append(f)
+        else:
+            fallback.append(f)
+
+    interesting = sorted(
+        set(cur_ddl) | {n for fs_ in rmap.values() for n in fs_}
+    )
+    groups: dict[tuple, list[str]] = {}
+    # verify each metadata signature against ONE real footer (cheap:
+    # one footer per group) — manifests that re-stamped carried entries
+    # with a later snapshot would otherwise mis-attribute the schema
+    for sig, files in meta_groups.items():
+        probe = _footer_present_by_file(spark, files[:1], interesting)
+        pset = probe[files[0]]
+        needed = {
+            (name if src == "self" else src)
+            for name, src in sig
+            if src != "__fill__"
+        }
+        if needed <= pset:
+            groups.setdefault(sig, []).extend(files)
+        else:
+            fallback.extend(files)
+    if fallback:
+        present = _footer_present_by_file(spark, fallback, interesting)
+        for f in fallback:
+            groups.setdefault(sig_from_footer(present[f], f), []).append(f)
+
+    scan = read_parquet_tagged if tagged else read_parquet
+    parts = []
+    for sig in sorted(groups):
+        df = scan(spark, sorted(groups[sig]))
+        cols = []
+        for name, src in sig:
+            if src == "self":
+                cols.append(F.col(name))
+            elif src == "__fill__":
+                if name in dmap:
+                    v, t = dmap[name]
+                    lit = v() if callable(v) else F.lit(v)
+                    cols.append(lit.cast(t).alias(name))
+                else:
+                    # spec: a field absent from the write schema with no
+                    # initial-default reads null
+                    cols.append(
+                        F.lit(None).cast(cur_ddl[name]).alias(name)
+                    )
+            else:  # the write-time name carries the values — rename
+                cols.append(F.col(src).alias(name))
+        if tagged:
+            cols += [F.col("__path"), F.col("__pos")]
+        parts.append(df.select(cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _schema_field_names(md: dict) -> dict[int, str]:
     """field-id → name map from the table's current schema
     (_current_schema: spec-canonical `schemas`+`current-schema-id`
@@ -1372,7 +1620,16 @@ class IcebergSnapshotLake(ParquetLake):
         has_pos = bool(state["pos_deletes"]) or bool(state["dvs"])
         eqs = state["eq_deletes"]
         dmap = initial_default_fields(md)
+        # rename/drop history subsumes the defaults fill (round 11):
+        # the history-resolving scan also fills initial-defaults, so the
+        # two grouped-scan paths never stack
+        hist = _schema_needs_resolution(md)
         if not has_pos and not eqs:
+            if hist:
+                return scan_with_schema_resolution(
+                    self.spark, fl, md, tagged=False,
+                    file_snap=state.get("data_snap"),
+                )
             if dmap:
                 return scan_with_initial_defaults(
                     self.spark, fl, dmap, tagged=False
@@ -1384,11 +1641,15 @@ class IcebergSnapshotLake(ParquetLake):
 
         from rottnest_spark.sources.reader import read_parquet_tagged
 
-        df = (
-            scan_with_initial_defaults(self.spark, fl, dmap, tagged=True)
-            if dmap
-            else read_parquet_tagged(self.spark, fl)
-        )
+        if hist:
+            df = scan_with_schema_resolution(
+                self.spark, fl, md, tagged=True,
+                file_snap=state.get("data_snap"),
+            )
+        elif dmap:
+            df = scan_with_initial_defaults(self.spark, fl, dmap, tagged=True)
+        else:
+            df = read_parquet_tagged(self.spark, fl)
         if has_pos:
             if pairs is None:
                 pairs = position_delete_pairs_df(

@@ -418,8 +418,16 @@ def _commit_snapshot(
     added_eq: list[tuple[str, list[int]]] | None = None,
     removed_eq: list[str] | None = None,
     committer=None,
+    snap_ids: dict[str, int] | None = None,
 ) -> int:
-    """`seqs` carries each PRE-EXISTING file's data sequence number (the
+    """`snap_ids` carries each PRE-EXISTING file's ADDING snapshot id
+    (the spec's manifest-entry semantics: "snapshot id where the file
+    was added" — files absent from it get this commit's id). Preserving
+    it is what keeps write-SCHEMA attribution correct across rewrites:
+    rename/drop resolution maps a file's columns through the schema its
+    adding snapshot recorded.
+
+    `seqs` carries each PRE-EXISTING file's data sequence number (the
     spec's per-entry field; files absent from it — the adds — get this
     commit's sequence). `live_eq`/`added_eq` are equality delete files
     ([{path, seq, equality_ids}] carried state; (path, equality_ids)
@@ -500,7 +508,13 @@ def _commit_snapshot(
             partition = {name: None for name, _ in pfields}
         return {
             "status": status,
-            "snapshot_id": snap_id,
+            # carried files keep the snapshot that ADDED them (spec);
+            # adds and tombstones stamp this commit
+            "snapshot_id": (
+                snap_id
+                if status != 0
+                else (snap_ids or {}).get(canon_path(f), snap_id)
+            ),
             "sequence_number": seqs.get(canon_path(f), commit_seq),
             "data_file": {
                 "content": content,
@@ -751,6 +765,11 @@ def iceberg_commit(
     seqs.update(
         {canon_path(d["path"]): d["seq"] for d in st["eq_deletes"]}
     )
+    # carried files keep their ADDING snapshot id (write-schema
+    # attribution for rename/drop resolution survives the rewrite)
+    snap_ids = {
+        canon_path(k): int(v) for k, v in (st.get("data_snap") or {}).items()
+    }
     add = [canon_path(f) for f in (add or [])]
     remove = [canon_path(f) for f in (remove or [])]
     add_del = [canon_path(f) for f in (add_deletes or [])]
@@ -789,7 +808,7 @@ def iceberg_commit(
         removed_deletes=remove_del,
         seqs=seqs, live_eq=live_eq, added_eq=add_eq,
         removed_eq=sorted(remove_eq),
-        committer=committer,
+        committer=committer, snap_ids=snap_ids,
     )
 
 
@@ -1414,6 +1433,147 @@ def iceberg_add_column(
         str(new_version),
     )
     return new_version
+
+
+def _commit_evolved_schema(
+    table_path: str,
+    fs: LakeFS,
+    md: dict,
+    version: int,
+    schema: dict,
+    timestamp_ms: int | None,
+) -> int:
+    """Shared METADATA-ONLY evolution commit (rename/drop, round 11):
+    append `schema` to the canonical schemas list under a bumped
+    schema-id — field ids inside are PRESERVED by the caller, which is
+    what keeps old files, time-travel pins, and equality-delete field
+    references resolvable — sync the deprecated single `schema` key,
+    and exclusive-create the next metadata version. A legacy metadata
+    without a `schemas` list first seeds it with the prior current
+    schema so the rename history stays reconstructable."""
+    out = dict(md)
+    prior_schemas = list(md.get("schemas") or [])
+    if not prior_schemas:
+        from rottnest_spark.sources.iceberg import _current_schema
+
+        prior = _current_schema(md)
+        if prior.get("fields"):
+            prior_schemas = [
+                {**prior, "schema-id": int(prior.get("schema-id") or 0)}
+            ]
+    new_sid = (
+        max(
+            [int(s.get("schema-id") or 0) for s in prior_schemas]
+            + [int(md.get("current-schema-id") or 0)],
+            default=0,
+        )
+        + 1
+    )
+    schema = {**schema, "schema-id": new_sid}
+    out["schemas"] = prior_schemas + [schema]
+    out["current-schema-id"] = new_sid
+    out["schema"] = schema  # deprecated form, kept in sync
+    out["last-updated-ms"] = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    new_version = version + 1
+    md_path = os.path.join(
+        _meta_dir(table_path), f"v{new_version}.metadata.json"
+    )
+    fs.create_exclusive(md_path, json.dumps(out).encode())
+    fs.write_text(
+        os.path.join(_meta_dir(table_path), "version-hint.text"),
+        str(new_version),
+    )
+    return new_version
+
+
+def iceberg_rename_column(
+    table_path: str,
+    old: str,
+    new: str,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """RENAME COLUMN as a METADATA-ONLY commit (spec schema evolution:
+    renames preserve the FIELD ID, so every existing data file — which
+    carries the name its write-time schema used — keeps resolving
+    through the schema history; scan_with_schema_resolution maps former
+    names back at read, and a time-travel pin at a pre-rename snapshot
+    resolves the OLD schema and surfaces the old name). Top-level
+    columns only; partition source fields are refused (the hive layout
+    addresses identity values by column name). Returns the new metadata
+    version."""
+    from rottnest_spark.sources.iceberg import _current_schema
+
+    fs = fs or LocalFS()
+    if "." in old or "." in new:
+        raise ValueError(
+            "nested column rename is not supported — top-level names only"
+        )
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
+    names = [f["name"] for f in schema.get("fields", [])]
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist ({names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    field = next(f for f in schema["fields"] if f["name"] == old)
+    if field.get("id") is None:
+        raise ValueError(
+            f"column {old!r} has no field id — rename history would be "
+            "unreconstructable; refusing"
+        )
+    if old in {pf["source"] for pf in _partition_fields(md)}:
+        raise ValueError(
+            f"cannot rename partition source column {old!r}"
+        )
+    field["name"] = new  # id, type, defaults — everything else stays
+    return _commit_evolved_schema(
+        table_path, fs, md, version, schema, timestamp_ms
+    )
+
+
+def iceberg_drop_column(
+    table_path: str,
+    name: str,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit: the field leaves the
+    current schema (its id is never reused — last-column-id stands),
+    no data file is rewritten, and reads project the column away
+    (scan_with_schema_resolution). Time-travel pins at pre-drop
+    snapshots resolve their recorded schema and still see the column.
+    Top-level only; partition source fields and the last remaining
+    column are refused. A live equality delete referencing the dropped
+    field fails loudly at read (apply_equality_deletes refuses unknown
+    field ids) rather than silently un-gating. Returns the new metadata
+    version."""
+    from rottnest_spark.sources.iceberg import _current_schema
+
+    fs = fs or LocalFS()
+    if "." in name:
+        raise ValueError(
+            "nested column drop is not supported — top-level names only"
+        )
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
+    names = [f["name"] for f in schema.get("fields", [])]
+    if name not in names:
+        raise ValueError(f"column {name!r} does not exist ({names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column of a table")
+    if name in {pf["source"] for pf in _partition_fields(md)}:
+        raise ValueError(f"cannot drop partition source column {name!r}")
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    return _commit_evolved_schema(
+        table_path, fs, md, version, schema, timestamp_ms
+    )
 
 
 def iceberg_expire_snapshots(

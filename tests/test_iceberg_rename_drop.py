@@ -1,0 +1,177 @@
+"""Iceberg RENAME/DROP COLUMN — metadata-only schema evolution with
+FIELD-ID preservation (round 11, iceberg.apache.org/spec
+#schema-evolution; the rename+drop twin of test_iceberg_add_column).
+
+Contracts pinned:
+- zero data files touched (metadata version +1, same snapshot);
+- renames preserve the field id — old files resolve their write-time
+  name back to the current one (scan_with_schema_resolution maps BY
+  FIELD ID through each file's adding-snapshot schema);
+- mixed pre/post-rename file scans agree with the logical view;
+- drop projects the column away without rewriting files; a later
+  re-ADD of the same name takes a FRESH id and must NOT resurrect the
+  stale physical data;
+- time travel at a pre-evolution snapshot resolves the OLD schema
+  (old name visible, dropped column still there);
+- rewrites (compaction-style commits) carry each file's ADDING
+  snapshot id so write-schema attribution survives;
+- partition source fields, nested paths, last column refuse loudly.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from rottnest_spark.sources.iceberg import (
+    IcebergSnapshotLake,
+    _current_metadata,
+)
+from rottnest_spark.sources.iceberg_write import (
+    iceberg_add_column,
+    iceberg_commit,
+    iceberg_drop_column,
+    iceberg_rename_column,
+    iceberg_write,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _mk(spark, tmp_path, n=40):
+    t = str(tmp_path / "t")
+    df = spark.range(n).selectExpr(
+        "id AS k", "concat('d', id) AS body", "CAST(id * 10 AS bigint) AS v"
+    )
+    iceberg_write(df.repartition(2), t)
+    return t
+
+
+def test_rename_metadata_only_and_resolution(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    md0 = _current_metadata(t)
+    fid0 = next(
+        f["id"]
+        for f in md0["schemas"][-1]["fields"]
+        if f["name"] == "v"
+    )
+    iceberg_rename_column(t, "v", "value")
+    md = _current_metadata(t)
+    assert md["current-snapshot-id"] == md0["current-snapshot-id"]  # no data
+    cur = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    field = next(f for f in cur["fields"] if f["name"] == "value")
+    assert field["id"] == fid0  # the id IS the identity — preserved
+    lake = IcebergSnapshotLake(spark, t, t + "_ix")
+    df = lake.read()
+    assert "value" in df.columns and "v" not in df.columns
+    assert df.agg(F.sum("value")).first()[0] == sum(i * 10 for i in range(40))
+
+
+def test_mixed_pre_post_rename_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    iceberg_rename_column(t, "v", "value")
+    extra = spark.range(40, 60).selectExpr(
+        "id AS k", "concat('d', id) AS body", "CAST(id * 10 AS bigint) AS value"
+    )
+    iceberg_write(extra.repartition(2), t, mode="append")
+    df = IcebergSnapshotLake(spark, t, t + "_ix").read()
+    assert df.count() == 60
+    assert df.agg(F.sum("value")).first()[0] == sum(i * 10 for i in range(60))
+    # every row resolves, whichever physical name its file carries
+    assert df.filter(F.col("value").isNull()).count() == 0
+
+
+def test_drop_then_readd_no_resurrection(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    iceberg_drop_column(t, "body")
+    df = IcebergSnapshotLake(spark, t, t + "_ix").read()
+    assert sorted(df.columns) == ["k", "v"]
+    iceberg_add_column(t, "body", "string")
+    md = _current_metadata(t)
+    ids = {
+        s["schema-id"]: {
+            f["name"]: f["id"] for f in s["fields"]
+        }
+        for s in md["schemas"]
+    }
+    old_id = ids[0]["body"]
+    new_id = ids[md["current-schema-id"]]["body"]
+    assert new_id != old_id  # never reused
+    df2 = IcebergSnapshotLake(spark, t, t + "_ix2").read()
+    assert df2.filter(F.col("body").isNull()).count() == 40
+
+
+def test_time_travel_resolves_pre_evolution_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    snap1 = _current_metadata(t)["current-snapshot-id"]
+    iceberg_rename_column(t, "v", "value")
+    iceberg_drop_column(t, "body")
+    pinned = IcebergSnapshotLake(spark, t, t + "_ix", snapshot_id=snap1)
+    df = pinned.read()
+    assert "v" in df.columns and "body" in df.columns  # the OLD world
+    assert "value" not in df.columns
+
+
+def test_rewrite_preserves_adding_snapshot_attribution(spark, tmp_path):
+    """A post-rename rewrite commit (remove+add, compaction-style) must
+    not re-stamp CARRIED pre-rename files with the new snapshot — their
+    write-schema attribution (old column name) has to survive."""
+    t = _mk(spark, tmp_path)
+    iceberg_rename_column(t, "v", "value")
+    extra = spark.range(40, 60).selectExpr(
+        "id AS k", "concat('d', id) AS body", "CAST(id * 10 AS bigint) AS value"
+    )
+    iceberg_write(extra.repartition(1), t, mode="append")
+    lake = IcebergSnapshotLake(spark, t, t + "_ix")
+    files = sorted(lake.files)
+    # rewrite: drop one POST-rename file, add a replacement (same rows)
+    post = [
+        f
+        for f in files
+        if "value"
+        in __import__("pyarrow.parquet", fromlist=["ParquetFile"])
+        .ParquetFile(f)
+        .schema_arrow.names
+    ]
+    rows = spark.read.parquet(post[0])
+    repl = os.path.join(t, "data", "rewritten.parquet")
+    rows.coalesce(1).write.parquet(repl + "_stage")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(repl + "_stage/*.parquet")[0], repl)
+    shutil.rmtree(repl + "_stage")
+    iceberg_commit(t, add=[repl], remove=[post[0]])
+    df = IcebergSnapshotLake(spark, t, t + "_ix2").read()
+    assert df.count() == 60
+    assert df.agg(F.sum("value")).first()[0] == sum(i * 10 for i in range(60))
+    assert df.filter(F.col("value").isNull()).count() == 0
+
+
+def test_refusals(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="top-level"):
+        iceberg_rename_column(t, "a.b", "c")
+    with pytest.raises(ValueError, match="does not exist"):
+        iceberg_rename_column(t, "nope", "c")
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg_rename_column(t, "v", "body")
+    with pytest.raises(ValueError, match="does not exist"):
+        iceberg_drop_column(t, "nope")
+    iceberg_drop_column(t, "body")
+    iceberg_drop_column(t, "v")
+    with pytest.raises(ValueError, match="last column"):
+        iceberg_drop_column(t, "k")
+    # partition source fields refuse (identity values are addressed by
+    # column name in the hive layout)
+    p = str(tmp_path / "p")
+    df = spark.range(20).selectExpr(
+        "id AS k", "CAST(id % 2 AS bigint) AS bucket", "id * 2 AS v"
+    )
+    iceberg_write(df, p, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition source"):
+        iceberg_rename_column(p, "bucket", "b2")
+    with pytest.raises(ValueError, match="partition source"):
+        iceberg_drop_column(p, "bucket")

@@ -142,3 +142,131 @@ def test_search_many_equals_per_query(spark, sf_dir, tmp_path):
             .collect()
         }
         assert by_q.get(q, set()) == want, q
+
+
+# -- value-gram tier (round 11, the `.hawaii` analog) -----------------------
+# The events fixture's 2-digit values are ubiquitous (all dict-routed,
+# variables/ trivially empty), so the tier needs a log corpus with
+# HIGH-CARDINALITY variables: synthetic lines carrying a per-row session
+# id (~4k distinct type-1 values), a small user id space, and a constant
+# year token that dict-routes.
+
+
+@pytest.fixture(scope="module")
+def synth_log_lake(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lg") / "lake")
+    (
+        spark.range(4000)
+        .selectExpr(
+            "id AS line_id",
+            "concat('ts=2024 lvl=INFO sess_', cast(10000 + id AS string),"
+            " ' user u', cast(id % 37 AS string),"
+            " ' op', cast(id % 1000 AS string)) AS line",
+        )
+        .repartition(6)
+        .write.parquet(out)
+    )
+    return out
+
+
+def _line_oracle(spark, lake_dir, q):
+    return sorted(
+        r[0]
+        for r in spark.read.parquet(lake_dir)
+        .filter(F.contains("line", F.lit(q)))
+        .select("line_id")
+        .collect()
+    )
+
+
+def _line_ids(df):
+    return sorted(r[0] for r in df.select("line_id").collect())
+
+
+def test_gram_tier_search_equals_full_scan(spark, synth_log_lake, tmp_path):
+    """With the tier forced on (gram_tier_min=0 covers every vtype),
+    search stays ≡ the case-sensitive contains oracle across token
+    shapes — rare session ids, multi-token queries, absent values, and
+    sub-GRAM tokens (which bypass the tier)."""
+    lake = ParquetLake(spark, synth_log_lake, str(tmp_path / "idx"))
+    idx = LogIndex(gram_tier_min=0)
+    lake.build_index(idx, "line")
+    for q in ["sess_10107", "u13 op", "sess_19999", "op998", "u7 "]:
+        got = _line_ids(lake.search(idx, "line", q))
+        assert got == _line_oracle(spark, synth_log_lake, q), q
+
+
+def test_gram_tier_narrowing_ratio(spark, synth_log_lake, tmp_path):
+    """The measured pruning-ratio win the tier exists for: on a rare
+    session-id query the gram candidates are a tiny fraction of the
+    compatible values a contains() scan must examine."""
+    lake = ParquetLake(spark, synth_log_lake, str(tmp_path / "idx"))
+    idx = LogIndex(gram_tier_min=0)
+    lake.build_index(idx, "line")
+    entry = lake.catalog.entries_for("logcloud", "line")[0]
+    paths = [entry["index_path"]]
+    covered = idx._covered_types(spark, paths)
+    assert covered  # threshold 0: every vtype with variables is covered
+    stats = idx.narrowing_stats(spark, paths, "sess_10107")
+    assert "10107" in stats
+    s = stats["10107"]
+    # ~4k compatible digit-bearing values; the gram tier narrows to ≤1%
+    assert s["compatible_values"] >= 1000
+    assert s["gram_candidates"] <= max(1, 0.01 * s["compatible_values"]), s
+
+
+def test_gram_tier_default_threshold_uncovered(spark, synth_log_lake, tmp_path):
+    """At the default cardinality threshold (4096) this corpus's vtypes
+    stay UNcovered — coverage is an optimization gate, never a
+    semantics one: search falls back to the contains scan and stays
+    exact."""
+    lake = ParquetLake(spark, synth_log_lake, str(tmp_path / "idx"))
+    idx = LogIndex()  # default gram_tier_min=4096 > every vtype here
+    lake.build_index(idx, "line")
+    entry = lake.catalog.entries_for("logcloud", "line")[0]
+    assert idx._covered_types(spark, [entry["index_path"]]) == set()
+    q = "sess_10107"
+    assert _line_ids(lake.search(idx, "line", q)) == _line_oracle(
+        spark, synth_log_lake, q
+    )
+
+
+def test_gram_tier_multi_entry_coverage_intersects(spark, tmp_path):
+    """Two entries of the SAME config but different data volume: the big
+    entry clears the cardinality threshold, the small one does not —
+    search-time coverage is the INTERSECTION (the small entry's values
+    contributed no grams, so a union would be an incomplete candidate
+    source) and search stays exact. Compaction then REGENERATES the
+    tier from the merged variables, restoring coverage."""
+    out = str(tmp_path / "lake")
+    mk = lambda lo, hi, parts: (  # noqa: E731
+        spark.range(lo, hi)
+        .selectExpr(
+            "id AS line_id",
+            "concat('sess_', cast(10000 + id AS string), ' x') AS line",
+        )
+        .repartition(parts)
+    )
+    mk(0, 3900, 5).write.parquet(out)
+    lake = ParquetLake(spark, out, str(tmp_path / "idx"))
+    idx = LogIndex(gram_tier_min=500)
+    lake.build_index(idx, "line")
+    mk(3900, 4000, 1).write.parquet(out, mode="append")
+    lake.build_index(idx, "line")  # second entry: 100 values < 500
+    entries = lake.catalog.entries_for("logcloud", "line")
+    assert len(entries) == 2
+    paths = [e["index_path"] for e in entries]
+    per_entry = [idx._covered_types(spark, [p]) for p in paths]
+    assert per_entry[0] and not per_entry[1]  # big covered, small not
+    assert idx._covered_types(spark, paths) == set()  # intersection
+    q = "sess_13950"  # lives in the UNcovered entry
+    assert _line_ids(lake.search(idx, "line", q)) == _line_oracle(
+        spark, out, q
+    )
+    comp = str(tmp_path / "compacted")
+    idx.compact(spark, paths, comp)
+    assert idx._covered_types(spark, [comp])  # regenerated: 4000 > 500
+    cand = idx.search(spark, [comp], q)
+    from rottnest_spark.indices import BRUTE_FORCE
+
+    assert cand is not BRUTE_FORCE and cand.count() >= 1
