@@ -282,6 +282,7 @@ class IcebergGlueLake(IcebergSnapshotLake):
         import re
 
         from rottnest_spark.sources.iceberg_write import (
+            _latest_metadata,
             _meta_dir,
             canon_path,
             iceberg_commit,
@@ -290,7 +291,7 @@ class IcebergGlueLake(IcebergSnapshotLake):
         pointer = self.glue_catalog.metadata_location(self.identifier)
         md = json.loads(self.glue_catalog.fs.read_text(_norm_uri(pointer)))
         m = re.match(r"v?(\d+)", pointer.rsplit("/", 1)[-1])
-        version = (
+        pv = (
             int(m.group(1))
             if m
             else max(
@@ -298,6 +299,13 @@ class IcebergGlueLake(IcebergSnapshotLake):
                 + [0]
             )
         )
+        # version allocation takes the MAX of the pointer's version and
+        # storage's newest metadata file: a LOST swap leaves our vN+1 as
+        # an orphan in storage, and re-claiming that same name would
+        # deadlock every retry on its own debris. The metadata CONTENT
+        # still comes from the catalog pointer (authoritative).
+        storage_v, _ = _latest_metadata(self._table_path, self.fs)
+        version = max(pv, storage_v)
         fs = self.fs
 
         def committer(new_md, snapshot, ver):
@@ -324,6 +332,30 @@ class IcebergGlueLake(IcebergSnapshotLake):
             committer=committer,
             **kw,
         )
+
+    def commit_files_retry(
+        self,
+        add: list[str] | None = None,
+        remove: list[str] | None = None,
+        max_retries: int = 20,
+        **kw,
+    ) -> int:
+        """OCC wrapper over commit_files: a lost race surfaces either as
+        IcebergGlueConflict (pointer moved / VersionId rejected) or as
+        FileExistsError (the WINNER already claimed our vN+1 metadata
+        filename before we reached the swap) — both mean re-plan from
+        the fresh pointer and retry. Removals are revalidated by
+        iceberg_commit against the fresh snapshot each attempt."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self.commit_files(add=add, remove=remove, **kw)
+            except (IcebergGlueConflict, FileExistsError) as exc:
+                last = exc
+        raise TimeoutError(
+            f"could not commit through Glue after {max_retries} "
+            "conflict retries"
+        ) from last
 
     def vacuum(
         self,

@@ -366,6 +366,30 @@ class IcebergRestLake(IcebergSnapshotLake):
             **kw,
         )
 
+    def commit_files_retry(
+        self,
+        add: list[str] | None = None,
+        remove: list[str] | None = None,
+        max_retries: int = 20,
+        **kw,
+    ) -> int:
+        """Optimistic-concurrency wrapper over commit_files (the
+        iceberg_commit_retry discipline for catalog commits): a 409 from
+        the catalog means a concurrent writer won — re-plan against the
+        now-fresh catalog metadata and retry. Pure adds retry blindly;
+        removals are revalidated by iceberg_commit against the fresh
+        snapshot (a removal that vanished raises rather than no-ops)."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self.commit_files(add=add, remove=remove, **kw)
+            except IcebergRestCommitConflict as exc:
+                last = exc
+        raise TimeoutError(
+            f"could not commit through the catalog after {max_retries} "
+            "conflict retries"
+        ) from last
+
     def vacuum(
         self,
         live_files: set[str] | None = None,

@@ -359,3 +359,42 @@ def test_glue_commit_version_id_race(spark, glue_table, tmp_path):
         lake.commit_files(add=[f"{table}/data/part-00001.parquet"])
     with open(f"{table}/metadata/version-hint.text") as fh:
         assert fh.read() == hint_before  # loser never advanced the hint
+
+
+def test_glue_commit_retry_wins_after_race(spark, glue_table, tmp_path):
+    """commit_files_retry: the first attempt loses the VersionId race
+    (a racer commits between GetTable and UpdateTable), the retry
+    re-plans from the fresh pointer and lands — and the version number
+    allocation skips the lost attempt's orphan metadata file instead of
+    deadlocking on its own debris."""
+    from rottnest_spark.sources.iceberg_glue import IcebergGlueCatalog
+
+    table, client, _m1 = glue_table
+
+    class RaceOnce(type(client)):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.raced = False
+
+        def update_table(self, DatabaseName, TableInput, **kw):
+            if not self.raced:
+                self.raced = True
+                raise self.ConcurrentModificationException("racer won")
+            return super().update_table(DatabaseName, TableInput, **kw)
+
+    racing = RaceOnce(
+        databases=["db"], tables={"db": list(client.tables["db"])}
+    )
+    cat = IcebergGlueCatalog(client=racing)
+    lake = IcebergGlueLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    snap = lake.commit_files_retry(
+        add=[f"{table}/data/part-00001.parquet"]
+    )
+    assert racing.raced
+    loc = cat.metadata_location("db.evt")
+    # the retry skipped past the lost attempt's orphan: v3, not v2
+    assert loc.endswith("v3.metadata.json")
+    assert cat.table_metadata("db.evt")["current-snapshot-id"] == snap
+    assert len(lake.files) == 2

@@ -329,3 +329,34 @@ def test_rest_lake_resolves_location(spark, rest_table, tmp_path):
     lake = IcebergRestLake(spark, cat, "db.evt", str(tmp_path / "idx2"))
     assert lake._table_path == table
     assert lake.files == []  # empty table: no snapshot yet
+
+
+def test_rest_commit_retry_wins_after_conflict(spark, rest_table, tmp_path):
+    """commit_files_retry: the first POST is rejected with 409 (injected
+    at the transport), the retry re-plans against fresh metadata and
+    lands — the discipline of iceberg_commit_retry, catalog edition."""
+    table, state, uri = rest_table
+    fail_once = {"n": 0}
+
+    def opener(url, headers, method="GET", data=None):
+        import urllib.request
+
+        if method == "POST" and fail_once["n"] == 0:
+            fail_once["n"] += 1
+            return 409, b'{"error": {"message": "injected conflict"}}'
+        req = urllib.request.Request(
+            url, data=data, headers=headers, method=method
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read()
+
+    cat = IcebergRestCatalog(uri, opener=opener)
+    lake = IcebergRestLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    snap = lake.commit_files_retry(
+        add=[f"{table}/data/part-00001.parquet"]
+    )
+    assert fail_once["n"] == 1  # lost exactly once
+    assert cat.table_metadata("db.evt")["current-snapshot-id"] == snap
+    assert len(lake.files) == 2
