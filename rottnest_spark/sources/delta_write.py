@@ -1298,6 +1298,135 @@ def delta_rename_column(
     )
 
 
+#: Delta typeWidening (stable feature) widenings this writer commits:
+#: integer chain, float→double, decimal precision growth at fixed scale
+#: — the value space only widens, so old narrow files read losslessly
+#: through the pinned-schemaString up-cast the reader already does.
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def _widening_legal(old: str, new: str) -> bool:
+    if (old, new) in _WIDENINGS:
+        return True
+    import re as _re
+
+    mo = _re.fullmatch(r"decimal\((\d+),(\d+)\)", old or "")
+    mn = _re.fullmatch(r"decimal\((\d+),(\d+)\)", new or "")
+    if mo and mn:
+        return int(mn.group(2)) == int(mo.group(2)) and int(
+            mn.group(1)
+        ) >= int(mo.group(1))
+    return False
+
+
+def delta_widen_column(
+    table_path: str,
+    name: str,
+    new_spark_type: str,
+    fs: LakeFS | None = None,
+) -> int:
+    """WIDEN a column's type as a metaData-only commit (the Delta
+    `typeWidening` table feature): one commit carries the protocol
+    upgraded with the feature (reader+writer, table-features form) and
+    a metaData whose schemaString holds the wide type — old narrow
+    files keep reading through the pinned-schemaString up-cast the
+    round-9 read side already does; no data file is rewritten. The
+    field records the protocol's `delta.typeChanges` bookkeeping
+    (fromType/toType/tableVersion). Widen-only (integer chain,
+    float→double, decimal precision growth at fixed scale) — anything
+    lossy refuses. Returns the committed version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from rottnest_spark.sources.delta import delta_protocol, delta_table_meta
+
+    fs = fs or LocalFS()
+    if "." in name:
+        raise ValueError(
+            "nested column widening is not supported — top-level only"
+        )
+    meta = delta_table_meta(table_path, fs=fs)
+    if not meta or not meta.get("schemaString"):
+        raise ValueError(
+            f"{table_path} has no metaData schemaString — cannot evolve"
+        )
+    schema = json.loads(meta["schemaString"])
+    field = next(
+        (f for f in schema.get("fields", []) if f["name"] == name), None
+    )
+    if field is None:
+        raise ValueError(
+            f"column {name!r} does not exist "
+            f"({[f['name'] for f in schema.get('fields', [])]})"
+        )
+    old = field.get("type")
+    if not isinstance(old, str):
+        raise ValueError(
+            f"column {name!r} has non-primitive type {old!r} — widening "
+            "is defined on primitive types only"
+        )
+    try:
+        new = _parse_datatype_string(new_spark_type).jsonValue()
+    except Exception as exc:
+        raise ValueError(
+            f"unparseable Spark type {new_spark_type!r}: {exc}"
+        ) from None
+    if not isinstance(new, str):
+        raise ValueError(f"{new_spark_type!r} is not a primitive type")
+    if old == new:
+        raise ValueError(f"column {name!r} is already {new!r}")
+    if not _widening_legal(old, new):
+        raise ValueError(
+            f"{old!r} → {new!r} is not a legal type widening (integer "
+            "chain, float→double, decimal precision growth at fixed "
+            "scale) — refusing; a lossy cast committed to metadata "
+            "corrupts every later read"
+        )
+    log_dir = os.path.join(table_path, "_delta_log")
+    version = _next_version(log_dir, fs)
+    md = dict(field.get("metadata") or {})
+    md["delta.typeChanges"] = list(md.get("delta.typeChanges") or []) + [
+        {"fromType": old, "toType": new, "tableVersion": version}
+    ]
+    field["type"] = new
+    field["metadata"] = md
+    new_meta = {**meta, "schemaString": json.dumps(schema)}
+    proto = dict(delta_protocol(table_path, fs=fs) or PROTOCOL)
+    # lifting a LEGACY protocol to table-features form must carry the
+    # legacy capability over explicitly: reader v2's only capability is
+    # column mapping, which v3 signals via the feature list
+    legacy_cm = (
+        {"columnMapping"}
+        if int(proto.get("minReaderVersion") or 1) == 2
+        and proto.get("readerFeatures") is None
+        else set()
+    )
+    proto = {
+        "minReaderVersion": max(int(proto.get("minReaderVersion") or 1), 3),
+        "minWriterVersion": max(int(proto.get("minWriterVersion") or 2), 7),
+        "readerFeatures": sorted(
+            set(proto.get("readerFeatures") or [])
+            | {"typeWidening"}
+            | legacy_cm
+        ),
+        "writerFeatures": sorted(
+            set(proto.get("writerFeatures") or [])
+            | {"typeWidening"}
+            | legacy_cm
+        ),
+    }
+    return _write_commit(
+        log_dir,
+        version,
+        [{"protocol": proto}, {"metaData": new_meta}],
+        fs,
+    )
+
+
 def delta_drop_column(
     table_path: str, name: str, fs: LakeFS | None = None
 ) -> int:

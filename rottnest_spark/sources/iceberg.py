@@ -549,24 +549,36 @@ def renamed_fields(md: dict) -> dict[str, list[str]]:
 
 
 def _schema_needs_resolution(md: dict) -> bool:
-    """True when the schemas history records a rename or a drop — some
-    data file was then written under a top-level column the CURRENT
-    schema does not carry (by name, or by name under a DIFFERENT field
-    id: a drop-then-re-ADD keeps the name but mints a new id, and a
-    plain union scan would resurrect the dropped file data), so the
-    scan must resolve through each file's write schema."""
+    """True when the schemas history records a rename, a drop, or a
+    type promotion — some data file was then written under a top-level
+    column the CURRENT schema does not carry as-is: by name (rename),
+    by name under a DIFFERENT field id (drop-then-re-ADD keeps the name
+    but mints a new id, and a plain union scan would resurrect the
+    dropped file data), or under a NARROWER type (promotion — a mixed
+    union scan would fail or silently coerce). The scan must then
+    resolve through each file's write schema."""
+    import json as _json
+
     schemas = md.get("schemas") or []
     if len(schemas) < 2:
         return False
-    cur_ids = {
-        f["name"]: f.get("id")
+    cur_by_id = {
+        f.get("id"): f
         for f in _current_schema(md).get("fields", [])
+        if f.get("id") is not None
     }
-    return any(
-        g["name"] not in cur_ids or cur_ids[g["name"]] != g.get("id")
-        for s in schemas
-        for g in s.get("fields", [])
-    )
+    for s in schemas:
+        for g in s.get("fields", []):
+            cf = cur_by_id.get(g.get("id"))
+            if cf is None:
+                return True  # dropped (or re-added under a fresh id)
+            if cf["name"] != g["name"]:
+                return True  # renamed
+            if _json.dumps(cf.get("type"), sort_keys=True) != _json.dumps(
+                g.get("type"), sort_keys=True
+            ):
+                return True  # type-promoted
+    return False
 
 
 def _footer_present_by_file(
@@ -743,7 +755,10 @@ def scan_with_schema_resolution(
         cols = []
         for name, src in sig:
             if src == "self":
-                cols.append(F.col(name))
+                # cast to the CURRENT type: a type-promoted field (int→
+                # long, float→double, decimal widen) reads files written
+                # under the narrower type; same-type casts are no-ops
+                cols.append(F.col(name).cast(cur_ddl[name]).alias(name))
             elif src == "__fill__":
                 if name in dmap:
                     v, t = dmap[name]
@@ -756,7 +771,9 @@ def scan_with_schema_resolution(
                         F.lit(None).cast(cur_ddl[name]).alias(name)
                     )
             else:  # the write-time name carries the values — rename
-                cols.append(F.col(src).alias(name))
+                cols.append(
+                    F.col(src).cast(cur_ddl[name]).alias(name)
+                )
         if tagged:
             cols += [F.col("__path"), F.col("__pos")]
         parts.append(df.select(cols))

@@ -163,18 +163,28 @@ def _current_version(meta_dir: str, fs: LakeFS) -> int:
 
 
 def _iceberg_schema(parquet_file: str) -> dict:
-    """Iceberg JSON schema from the parquet footer (best-effort type map —
-    the reader does not consume it, the spec requires it present)."""
+    """Iceberg JSON schema from the parquet footer. The type map is
+    PRECISE (round 11): the schemas history is now load-bearing —
+    scan_with_schema_resolution casts each file to the current type and
+    type promotion validates against the recorded type, so coarsening
+    int32→long would make a later int→long promotion unrepresentable
+    and mis-state what the files physically hold."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     def map_type(t):
         if pa.types.is_integer(t):
-            return "long"
+            return "int" if t.bit_width <= 32 else "long"
+        if pa.types.is_float32(t):
+            return "float"
         if pa.types.is_floating(t):
             return "double"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
         if pa.types.is_boolean(t):
             return "boolean"
+        if pa.types.is_date(t):
+            return "date"
         if pa.types.is_timestamp(t):
             return "timestamp"
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -213,9 +223,13 @@ def _iceberg_schema_from_spark(spark_schema) -> dict:
     def map_type(dt) -> object:
         from pyspark.sql import types as T
 
-        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        if isinstance(dt, T.LongType):
             return "long"
-        if isinstance(dt, (T.DoubleType, T.FloatType)):
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "int"  # precise — the schemas history is load-bearing
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
             return "double"
         if isinstance(dt, T.BooleanType):
             return "boolean"
@@ -1531,6 +1545,85 @@ def iceberg_rename_column(
             f"cannot rename partition source column {old!r}"
         )
     field["name"] = new  # id, type, defaults — everything else stays
+    return _commit_evolved_schema(
+        table_path, fs, md, version, schema, timestamp_ms
+    )
+
+
+#: spec "Schema Evolution" legal primitive promotions (v2 set): the
+#: value space only WIDENS, so existing files read losslessly under the
+#: new type. decimal handled separately (scale fixed, precision grows).
+_LEGAL_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+_DEC_RE = __import__("re").compile(r"decimal\((\d+),\s*(\d+)\)")
+
+
+def _promotion_legal(old: str, new: str) -> bool:
+    if (old, new) in _LEGAL_PROMOTIONS:
+        return True
+    mo, mn = _DEC_RE.fullmatch(old or ""), _DEC_RE.fullmatch(new or "")
+    if mo and mn:
+        return int(mn.group(2)) == int(mo.group(2)) and int(
+            mn.group(1)
+        ) >= int(mo.group(1))
+    return False
+
+
+def iceberg_update_column_type(
+    table_path: str,
+    name: str,
+    new_type: str,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """TYPE PROMOTION as a METADATA-ONLY commit (spec schema evolution:
+    int→long, float→double, decimal(P,S)→decimal(P'≥P,S) — widen-only,
+    so every existing file's values survive losslessly). The field id
+    is preserved; reads resolve each file through its write schema and
+    cast to the current type (scan_with_schema_resolution), and a
+    time-travel pin at a pre-promotion snapshot reads the OLD type.
+    Anything outside the legal promotion set refuses — a narrowing or
+    cross-family cast is data corruption at commit time. Returns the
+    new metadata version."""
+    from rottnest_spark.sources.iceberg import (
+        _current_schema,
+        _spark_ddl_of_iceberg,
+    )
+
+    fs = fs or LocalFS()
+    if "." in name:
+        raise ValueError(
+            "nested column promotion is not supported — top-level only"
+        )
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
+    field = next(
+        (f for f in schema.get("fields", []) if f["name"] == name), None
+    )
+    if field is None:
+        raise ValueError(
+            f"column {name!r} does not exist "
+            f"({[f['name'] for f in schema.get('fields', [])]})"
+        )
+    old = field.get("type")
+    if not isinstance(old, str):
+        raise ValueError(
+            f"column {name!r} has non-primitive type {old!r} — promotion "
+            "is defined on primitive types only"
+        )
+    if old == new_type:
+        raise ValueError(f"column {name!r} is already {new_type!r}")
+    if not _promotion_legal(old, new_type):
+        raise ValueError(
+            f"{old!r} → {new_type!r} is not a legal Iceberg type "
+            "promotion (int→long, float→double, decimal precision "
+            "widen with fixed scale) — refusing; a lossy cast committed "
+            "to metadata corrupts every later read"
+        )
+    _spark_ddl_of_iceberg(new_type)  # must stay readable
+    field["type"] = new_type
     return _commit_evolved_schema(
         table_path, fs, md, version, schema, timestamp_ms
     )

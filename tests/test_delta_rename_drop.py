@@ -174,3 +174,53 @@ def test_features_protocol_merge(table):
     assert merged["readerFeatures"] == ["columnMapping", "deletionVectors"]
     assert merged["writerFeatures"] == ["columnMapping", "deletionVectors"]
     assert merged["minReaderVersion"] == 3
+
+
+def test_widen_column_reads_mixed_files(spark, table, tmp_path):
+    """delta_widen_column (round 11): metaData-only type widening over a
+    fresh narrow table — pre-widen files stay physical int32/float32,
+    the widened schemaString up-casts them at scan (the round-9 read
+    machinery), post-widen appends carry the wide type natively, the
+    protocol gains the typeWidening feature, and delta.typeChanges
+    bookkeeping is recorded per field."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import delta_widen_column
+
+    work = str(tmp_path / "w")
+    narrow = spark.range(20).selectExpr(
+        "CAST(id AS int) AS k", "CAST(id * 1.5 AS float) AS v"
+    )
+    narrow.repartition(2).write.parquet(work)
+    delta_convert(work)
+    delta_widen_column(work, "k", "bigint")
+    delta_widen_column(work, "v", "double")
+    proto = delta_protocol(work)
+    assert "typeWidening" in proto["readerFeatures"]
+    # typeChanges bookkeeping recorded per field
+    meta = delta_table_meta(work)
+    kf = next(
+        f
+        for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "k"
+    )
+    assert kf["metadata"]["delta.typeChanges"][0]["fromType"] == "integer"
+    wide = spark.range(20, 30).selectExpr(
+        "CAST(id AS bigint) AS k", "CAST(id * 1.5 AS double) AS v"
+    )
+    delta_write(wide, work, mode="append")
+    df = DeltaSnapshotLake(spark, work, str(tmp_path / "idx")).read()
+    assert isinstance(df.schema["k"].dataType, LongType)
+    assert isinstance(df.schema["v"].dataType, DoubleType)
+    assert df.count() == 30
+    assert df.agg(F.sum("k")).first()[0] == sum(range(30))
+    # refusals: narrowing, cross-family, nested, unknown column
+    with pytest.raises(ValueError, match="not a legal"):
+        delta_widen_column(work, "k", "int")
+    with pytest.raises(ValueError, match="not a legal"):
+        delta_widen_column(work, "v", "string")
+    with pytest.raises(ValueError, match="already"):
+        delta_widen_column(work, "k", "bigint")
+    with pytest.raises(ValueError, match="top-level"):
+        delta_widen_column(work, "a.b", "bigint")

@@ -175,3 +175,72 @@ def test_refusals(spark, tmp_path):
         iceberg_rename_column(p, "bucket", "b2")
     with pytest.raises(ValueError, match="partition source"):
         iceberg_drop_column(p, "bucket")
+
+
+def test_type_promotion_reads_and_pins(spark, tmp_path):
+    """int→long promotion (spec widen-only evolution): metadata-only,
+    field id preserved, pre-promotion files cast at scan, post-promotion
+    appends carry the wide type natively, aggregates agree with the
+    logical view; an illegal narrowing/cross-family promotion refuses."""
+    from pyspark.sql.types import LongType
+
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_update_column_type,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(40).selectExpr(
+        "id AS k", "CAST(id * 10 AS int) AS v"
+    )
+    iceberg_write(df.repartition(2), t)
+    snap1 = _current_metadata(t)["current-snapshot-id"]
+    iceberg_update_column_type(t, "v", "long")
+    md = _current_metadata(t)
+    cur = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    f_new = next(f for f in cur["fields"] if f["name"] == "v")
+    f_old = next(
+        f for f in md["schemas"][0]["fields"] if f["name"] == "v"
+    )
+    assert f_new["id"] == f_old["id"] and f_new["type"] == "long"
+    # mixed files: append rows carrying the WIDE type
+    extra = spark.range(40, 60).selectExpr(
+        "id AS k", "CAST(id * 10 AS bigint) AS v"
+    )
+    iceberg_write(extra.repartition(1), t, mode="append")
+    got = IcebergSnapshotLake(spark, t, t + "_ix").read()
+    assert isinstance(got.schema["v"].dataType, LongType)
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(60))
+    assert got.count() == 60
+    # time travel at the pre-promotion snapshot reads the OLD type
+    pinned = IcebergSnapshotLake(
+        spark, t, t + "_ix2", snapshot_id=snap1
+    ).read()
+    assert pinned.schema["v"].dataType.simpleString() == "int"
+    # illegal promotions refuse
+    with pytest.raises(ValueError, match="not a legal"):
+        iceberg_update_column_type(t, "v", "int")
+    with pytest.raises(ValueError, match="not a legal"):
+        iceberg_update_column_type(t, "v", "string")
+    with pytest.raises(ValueError, match="already"):
+        iceberg_update_column_type(t, "v", "long")
+
+
+def test_decimal_precision_promotion(spark, tmp_path):
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_update_column_type,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS decimal(10,2)) AS d"
+    )
+    iceberg_write(df.repartition(1), t)
+    iceberg_update_column_type(t, "d", "decimal(18,2)")
+    got = IcebergSnapshotLake(spark, t, t + "_ix").read()
+    assert got.schema["d"].dataType.simpleString() == "decimal(18,2)"
+    assert got.agg(F.sum("d")).first()[0] == sum(range(10))
+    # scale change refuses (value-shifting, not a widen)
+    with pytest.raises(ValueError, match="not a legal"):
+        iceberg_update_column_type(t, "d", "decimal(20,4)")
