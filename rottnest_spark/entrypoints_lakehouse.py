@@ -495,6 +495,114 @@ def q_iceberg_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_catalog_commit_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog COMMIT lifecycle (round 11, sources/iceberg_glue.py):
+    an Iceberg table registered in a pointer-store catalog (a minimal
+    in-process boto3-shaped Glue fake — the catalog protocol is the
+    thing under test, not the transport) starts with HALF the slice;
+    `commit_files` adds the other half THROUGH the catalog (new
+    metadata written to storage, pointer swapped under VersionId OCC),
+    and the read resolves through the swapped pointer. Oracle: the full
+    slice's aggregate in plain SQL — the hash match proves the catalog
+    pointer was never stale."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg_glue import (
+        IcebergGlueCatalog,
+        IcebergGlueLake,
+    )
+    from rottnest_spark.sources.iceberg_write import iceberg_write
+
+    class _PointerStore:
+        """Minimal Glue-shaped pointer store: get_table / update_table
+        with VersionId optimistic concurrency."""
+
+        class EntityNotFoundException(Exception):
+            pass
+
+        class ConcurrentModificationException(Exception):
+            pass
+
+        def __init__(self, name: str, location: str):
+            self.table = {
+                "Name": name,
+                "VersionId": "1",
+                "Parameters": {
+                    "table_type": "ICEBERG",
+                    "metadata_location": location,
+                },
+            }
+
+        def get_table(self, DatabaseName, Name, **kw):
+            return {"Table": self.table}
+
+        def update_table(
+            self, DatabaseName, TableInput, VersionId=None, **kw
+        ):
+            cur = self.table.get("VersionId", "1")
+            if VersionId is not None and VersionId != cur:
+                raise self.ConcurrentModificationException(cur)
+            self.table = {
+                **self.table,
+                **TableInput,
+                "VersionId": str(int(cur) + 1),
+            }
+            return {}
+
+    work = tempfile.mkdtemp(prefix="rottnest_catcommit_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        table = os.path.join(work, "t")
+        iceberg_write(
+            src.filter(F.col("o_orderkey") % 2 == 0).repartition(2), table
+        )
+        # the second half lands as plain parquet, committed via catalog
+        stage = os.path.join(work, "stage")
+        src.filter(F.col("o_orderkey") % 2 == 1).repartition(2)\
+            .write.parquet(stage)
+        import uuid as _uuid
+
+        adds = []
+        for f in sorted(_glob.glob(os.path.join(stage, "*.parquet"))):
+            dst = os.path.join(
+                table, "data", f"{_uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(f, dst)
+            adds.append(dst)
+        meta = os.path.join(table, "metadata")
+        pointer = sorted(
+            _glob.glob(os.path.join(meta, "v*.metadata.json")),
+            key=lambda p: int(
+                os.path.basename(p).lstrip("v").split(".")[0]
+            ),
+        )[-1]
+        cat = IcebergGlueCatalog(client=_PointerStore("t", pointer))
+        lake = IcebergGlueLake(
+            spark, cat, "db.t", os.path.join(work, "idx"), table_path=table
+        )
+        lake.commit_files_retry(add=adds)
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 FIELD DEFAULTS read (round 8, sources/iceberg.py
     initial_default_fields + scan_with_initial_defaults;

@@ -460,6 +460,17 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # catalog commit: after commit_files through the pointer-store
+    # catalog, reads see the FULL slice (half written at create, half
+    # committed through the catalog)
+    "catalog_commit_read": f"""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     # Iceberg RENAME+DROP: the renamed column's values are the union of
     # pre-rename files (old physical name) and post-rename appends
     "iceberg_rename_column": f"""
