@@ -244,3 +244,35 @@ def test_decimal_precision_promotion(spark, tmp_path):
     # scale change refuses (value-shifting, not a widen)
     with pytest.raises(ValueError, match="not a legal"):
         iceberg_update_column_type(t, "d", "decimal(20,4)")
+
+
+def test_rename_on_partitioned_table_reconstructs(spark, tmp_path):
+    """Renaming a NON-partition-source column of a hive-laid partitioned
+    table: the per-partition reconstruction scans route through the
+    schema-resolution path (the physically-missing partition column
+    null-fills in the projection, then the manifest literal overwrites
+    it), so values resolve across pre/post-rename files and partition
+    columns stay intact."""
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_rename_column,
+    )
+
+    t = str(tmp_path / "p")
+    df = spark.range(30).selectExpr(
+        "id AS k", "CAST(id % 3 AS bigint) AS bucket",
+        "CAST(id * 10 AS bigint) AS v",
+    )
+    iceberg_write(df, t, partition_by=["bucket"])
+    iceberg_rename_column(t, "v", "value")
+    extra = spark.range(30, 45).selectExpr(
+        "id AS k", "CAST(id % 3 AS bigint) AS bucket",
+        "CAST(id * 10 AS bigint) AS value",
+    )
+    iceberg_write(extra, t, mode="append")
+    got = IcebergSnapshotLake(spark, t, t + "_ix").read()
+    assert sorted(got.columns) == ["bucket", "k", "value"]
+    assert got.count() == 45
+    assert got.agg(F.sum("value")).first()[0] == sum(i * 10 for i in range(45))
+    # partition values reconstructed, not null-filled
+    assert got.filter(F.col("bucket").isNull()).count() == 0
+    assert got.filter("bucket = 1").count() == 15
