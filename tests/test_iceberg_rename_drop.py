@@ -276,3 +276,58 @@ def test_rename_on_partitioned_table_reconstructs(spark, tmp_path):
     # partition values reconstructed, not null-filled
     assert got.filter(F.col("bucket").isNull()).count() == 0
     assert got.filter("bucket = 1").count() == 15
+
+
+def test_search_after_rename(spark, sf_dir, tmp_path):
+    """Index × rename interplay: an index built under the OLD name does
+    not cover the NEW name, so a new-name search falls back to the
+    resolution-aware full scan and stays EXACT over mixed
+    pre/post-rename files; an old-name search on a mixed table raises
+    (loud, never silent misses); rebuilding under the new name
+    re-accelerates and stays exact."""
+    from rottnest_spark.indices.substring import SubstringIndex
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    iceberg_write(docs.filter("doc_id % 2 = 0").repartition(2), t)
+    lake = IcebergSnapshotLake(spark, t, str(tmp_path / "ix"))
+    idx = SubstringIndex()
+    lake.build_index(idx, "text")
+    iceberg_rename_column(t, "text", "body")
+    iceberg_write(
+        docs.filter("doc_id % 2 = 1")
+        .withColumnRenamed("text", "body")
+        .repartition(2),
+        t,
+        mode="append",
+    )
+    lake2 = IcebergSnapshotLake(spark, t, str(tmp_path / "ix"))
+    oracle = sorted(
+        r.doc_id
+        for r in docs.filter(
+            F.contains(F.lower("text"), F.lit("merge sort"))
+        ).collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in lake2.search(idx, "body", "merge sort")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == oracle
+    with pytest.raises(Exception, match="text"):
+        lake2.search(idx, "text", "merge sort").collect()
+    # rebuild under the new name: indexed again, still exact
+    lake2.build_index(idx, "body")
+    got = sorted(
+        r.doc_id
+        for r in lake2.search(idx, "body", "merge sort")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == oracle
