@@ -252,6 +252,7 @@ def main() -> None:
     # run flags it 2x-noisy must not settle on 3 samples.
     HIGH_SPREAD = 0.5
     spreads: dict[str, float] = {}
+    noisy_mins: dict[str, float] = {}
     for name, fn in ep.QUERIES.items():
         ts = []
         try:
@@ -277,6 +278,16 @@ def main() -> None:
         timings[name] = round(med, 3)
         if len(ts) > 1:
             spreads[name] = (ts[-1] - ts[0]) / max(med, 1e-9)
+            # entries STILL noisy after 5 samples also record their MIN —
+            # the steady-state floor. Round-11 finding: ngram_jaccard_join
+            # is bimodal in long-lived bench JVMs (17 s vs 5 s; the slow
+            # mode is whole-stage-codegen compile of its very large
+            # generated plan + context GC, not the query — standalone
+            # probes settle at 4.2-5.0 s ≈ the r8 record, ops/dedup.py
+            # unchanged). The min lets a reader separate the two modes
+            # without re-running.
+            if spreads[name] > HIGH_SPREAD:
+                noisy_mins[name] = round(ts[0], 3)
 
     # -- quality metrics promised in BASELINE.md ------------------------------
     # pruning ratio = candidate units the index returns / total units
@@ -615,7 +626,19 @@ def main() -> None:
     }
     try:
         with open(os.path.join(REPO, "bench_last.json"), "w") as fh:
-            json.dump({**line, "spreads": {k: round(v, 4) for k, v in spreads.items()}}, fh, indent=1)
+            json.dump(
+                {
+                    **line,
+                    "spreads": {
+                        k: round(v, 4) for k, v in spreads.items()
+                    },
+                    # steady-state floor of entries still noisy at 5
+                    # samples (bimodality evidence — see the loop note)
+                    "high_spread_min": noisy_mins,
+                },
+                fh,
+                indent=1,
+            )
     except Exception:
         pass
     print(json.dumps(line))
