@@ -198,7 +198,15 @@ class LogIndex(SparkIndex):
             self._write_index(
                 variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
             )
-            self._write_gram_tier(spark, variables, out_path)
+            # derive the gram tier from the WRITTEN variables table, not
+            # the lazy frame — recomputing the explode+distinct+anti-join
+            # pipeline a second time doubled the build (measured
+            # logcloud_build_events 4.5→7.0 s, conj_build 6.8→18.8 s)
+            self._write_gram_tier(
+                spark,
+                spark.read.parquet(f"{out_path}/variables"),
+                out_path,
+            )
         finally:
             rows.unpersist()
 
@@ -465,8 +473,11 @@ class LogIndex(SparkIndex):
         # carries full (vtype, value) state, so the merged tier is
         # complete and re-thresholded on merged cardinalities — entries
         # whose own slice was below gram_tier_min contribute their
-        # values to a now-covered vtype instead of poisoning coverage)
-        self._write_gram_tier(spark, variables, out_path)
+        # values to a now-covered vtype instead of poisoning coverage).
+        # Read the WRITTEN table back — same one-pass discipline as build.
+        self._write_gram_tier(
+            spark, spark.read.parquet(f"{out_path}/variables"), out_path
+        )
 
     def narrowing_stats(
         self, spark: SparkSession, index_paths: list[str], query: str
