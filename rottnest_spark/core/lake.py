@@ -155,6 +155,16 @@ class ParquetLake:
         physical, everything above the scan layer speaks logical)."""
         return column
 
+    def _indexable_files(self, column: str, files: list[str]) -> list[str]:
+        """Files whose DATA physically carries `column` as the build
+        will read it — identity here. Schema-evolved Iceberg snapshots
+        override: a file written before a rename/promotion of `column`
+        carries the old name/narrow type, the raw per-file build cannot
+        extract it, and covering it anyway would mis-prune; those files
+        stay UNCOVERED (the anti-join planner routes them through the
+        exact in-situ scan) until a physical rewrite."""
+        return files
+
     def _read_candidate_units(
         self, cand_list, columns: list[str] | None = None
     ) -> DataFrame:
@@ -192,6 +202,7 @@ class ParquetLake:
         todo = unindexed_files(
             self.catalog, index.index_type, column, self._search_files()
         )
+        todo = self._indexable_files(column, todo)
         if not todo:
             return []
         counts = file_row_counts(self.spark, todo)

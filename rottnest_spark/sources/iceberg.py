@@ -548,6 +548,108 @@ def renamed_fields(md: dict) -> dict[str, list[str]]:
     return out
 
 
+def _resolve_evolved_column(expr, wt, ct, path: str):
+    """Column expression resolving a value WRITTEN under iceberg type
+    `wt` to the CURRENT type `ct` by NESTED FIELD ID (round 11 —
+    nested-path schema evolution). The spec keys field identity on ids
+    at every depth, so a struct subfield renamed/dropped/promoted/added
+    after a file was written resolves the same way top-level fields do:
+
+    - primitives cast to the current (possibly promoted) type;
+    - structs rebuild FIELD BY ID: a current subfield found in the
+      write type reads the name the file carries (rename), one absent
+      fills its `initial-default` (nested add, Appendix-D JSON) or a
+      typed null, and write-side subfields missing from the current
+      type are simply not selected (drop). NULL struct values stay
+      NULL — F.struct would otherwise resurrect them as all-null rows;
+    - lists/maps recurse through transform/transform_keys+values with
+      element/key/value ids required to agree (our writers never remint
+      them; a foreign table that did cannot be resolved faithfully);
+    - a kind mismatch (struct vs primitive, list vs map, ...) refuses
+      loudly — no cast is faithful there.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(wt, str) or isinstance(ct, str):
+        if isinstance(wt, str) != isinstance(ct, str):
+            raise ValueError(
+                f"field {path!r}: write type {wt!r} and current type "
+                f"{ct!r} are different kinds — cannot resolve faithfully"
+            )
+        return expr.cast(_spark_ddl_of_iceberg(ct))
+    wk, ck = wt.get("type"), ct.get("type")
+    if wk != ck:
+        raise ValueError(
+            f"field {path!r}: write type kind {wk!r} vs current kind "
+            f"{ck!r} — cannot resolve faithfully"
+        )
+    if ck == "struct":
+        w_by_id = {
+            f["id"]: f
+            for f in wt.get("fields", [])
+            if f.get("id") is not None
+        }
+        subs = []
+        for cf in ct.get("fields", []):
+            sub_path = f"{path}.{cf['name']}"
+            wf = (
+                w_by_id.get(cf["id"]) if cf.get("id") is not None else None
+            )
+            if wf is not None:
+                sub = _resolve_evolved_column(
+                    expr.getField(wf["name"]), wf["type"], cf["type"],
+                    sub_path,
+                )
+            elif cf.get("initial-default") is not None:
+                sub = _nested_default_column(
+                    sub_path, cf["type"], cf["initial-default"]
+                )
+            else:
+                sub = F.lit(None).cast(_spark_ddl_of_iceberg(cf["type"]))
+            subs.append(sub.alias(cf["name"]))
+        if not subs:
+            raise ValueError(
+                f"field {path!r}: current struct has no fields — refusing"
+            )
+        return F.when(expr.isNull(), F.lit(None)).otherwise(
+            F.struct(*subs)
+        ).cast(_spark_ddl_of_iceberg(ct))
+    if ck == "list":
+        if wt.get("element-id") != ct.get("element-id"):
+            raise ValueError(
+                f"field {path!r}: list element-id changed "
+                f"({wt.get('element-id')} → {ct.get('element-id')}) — "
+                "element identity lost; cannot resolve faithfully"
+            )
+        return F.transform(
+            expr,
+            lambda x: _resolve_evolved_column(
+                x, wt["element"], ct["element"], f"{path}[]"
+            ),
+        )
+    if ck == "map":
+        if wt.get("key-id") != ct.get("key-id") or wt.get(
+            "value-id"
+        ) != ct.get("value-id"):
+            raise ValueError(
+                f"field {path!r}: map key/value ids changed — cannot "
+                "resolve faithfully"
+            )
+        out = F.transform_values(
+            expr,
+            lambda k, v: _resolve_evolved_column(
+                v, wt["value"], ct["value"], f"{path}.value"
+            ),
+        )
+        return F.transform_keys(
+            out,
+            lambda k, v: _resolve_evolved_column(
+                k, wt["key"], ct["key"], f"{path}.key"
+            ),
+        )
+    raise ValueError(f"field {path!r}: unknown nested kind {ck!r}")
+
+
 def _schema_needs_resolution(md: dict) -> bool:
     """True when the schemas history records a rename, a drop, or a
     type promotion — some data file was then written under a top-level
@@ -624,6 +726,47 @@ def _footer_present_by_file(
     }
 
 
+def _footer_field_types(
+    spark, fl: list[str], column: str
+) -> dict[str, str | None]:
+    """{file: str(arrow type) of `column` in its footer, or None when
+    absent} — the build-side evolution probe (_indexable_files). Same
+    driver/executor split as _footer_present_by_file."""
+    import pyarrow.parquet as pq
+
+    def one(path: str):
+        sch = pq.ParquetFile(path).schema_arrow
+        if column not in sch.names:
+            return None
+        return str(sch.field(column).type)
+
+    if len(fl) <= _DEFAULTS_PROBE_DRIVER_MAX:
+        return {f: one(f) for f in fl}
+
+    def probe(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["p"]:
+                sch = _pq.ParquetFile(p).schema_arrow
+                out.append(
+                    str(sch.field(column).type)
+                    if column in sch.names
+                    else ""
+                )
+            yield _pd.DataFrame({"p": pdf["p"], "t": out})
+
+    paths = spark.createDataFrame([(f,) for f in sorted(fl)], "p string")
+    rows = (
+        paths.repartition(min(len(fl), 64))
+        .mapInPandas(probe, "p string, t string")
+        .collect()  # one short row per file — descriptor-scale
+    )
+    return {r.p: (r.t or None) for r in rows}
+
+
 def scan_with_schema_resolution(
     spark, fl, md: dict, tagged: bool, file_snap: dict | None = None
 ):
@@ -667,6 +810,13 @@ def scan_with_schema_resolution(
     }
     cur = _current_schema(md).get("fields", [])
     cur_ddl = {f["name"]: _spark_ddl_of_iceberg(f["type"]) for f in cur}
+    cur_type = {f["name"]: f["type"] for f in cur}
+
+    def tj(t) -> str:
+        import json as _json
+
+        return _json.dumps(t, sort_keys=True)
+
     #: current names whose HISTORY also carries the same name under a
     #: DIFFERENT id — footer-name resolution would be a guess there
     ambiguous = {
@@ -676,22 +826,39 @@ def scan_with_schema_resolution(
         for g in s.get("fields", [])
         if g["name"] == f["name"] and g.get("id") != f.get("id")
     }
+    #: current names whose NESTED shape ever differed in the history
+    #: (nested rename/drop/add/promote) — footer PRESENCE cannot tell
+    #: which shape an unattributed file carries, so resolving by name
+    #: there would be a guess (round 11, nested-path evolution)
+    nested_evolved = {
+        f["name"]
+        for f in cur
+        if not isinstance(f.get("type"), str)
+        for s in schemas
+        for g in s.get("fields", [])
+        if g.get("id") == f.get("id") and tj(g["type"]) != tj(f["type"])
+    }
 
     def sig_from_schema(write_schema: dict) -> tuple:
+        """Per current field: (name, source, write-type-json) — the
+        third slot is "" when the file's write type IS the current
+        type, else the iceberg type JSON the file was written under
+        (what the nested/promotion resolver needs; it also keys the
+        scan groups so every group is footer-homogeneous)."""
         w_by_id = {
-            f["id"]: f["name"]
+            f["id"]: f
             for f in write_schema.get("fields", [])
             if f.get("id") is not None
         }
         sig = []
         for f in cur:
-            wn = w_by_id.get(f.get("id"))
-            if wn == f["name"]:
-                sig.append((f["name"], "self"))
-            elif wn is not None:
-                sig.append((f["name"], wn))
-            else:
-                sig.append((f["name"], "__fill__"))
+            wf = w_by_id.get(f.get("id"))
+            if wf is None:
+                sig.append((f["name"], "__fill__", ""))
+                continue
+            wt = "" if tj(wf["type"]) == tj(f["type"]) else tj(wf["type"])
+            src = "self" if wf["name"] == f["name"] else wf["name"]
+            sig.append((f["name"], src, wt))
         return tuple(sig)
 
     def sig_from_footer(pset: frozenset, path: str) -> tuple:
@@ -706,12 +873,27 @@ def scan_with_schema_resolution(
                         "has no snapshot attribution — name-based "
                         "resolution could resurrect dropped data; refusing"
                     )
-                sig.append((name, "self"))
+                if name in nested_evolved:
+                    raise ValueError(
+                        f"{path}: column {name!r} changed nested shape "
+                        "across the schema history and the file has no "
+                        "snapshot attribution — footer presence cannot "
+                        "pick the write shape; refusing instead of "
+                        "guessing"
+                    )
+                sig.append((name, "self", ""))
             else:
                 former = next(
                     (n for n in rmap.get(name, []) if n in pset), None
                 )
-                sig.append((name, former or "__fill__"))
+                if former is not None and name in nested_evolved:
+                    raise ValueError(
+                        f"{path}: column {name!r} (file name {former!r}) "
+                        "changed nested shape across the schema history "
+                        "and the file has no snapshot attribution — "
+                        "refusing instead of guessing"
+                    )
+                sig.append((name, former or "__fill__", ""))
         return tuple(sig)
 
     meta_groups: dict[tuple, list[str]] = {}
@@ -736,7 +918,7 @@ def scan_with_schema_resolution(
         pset = probe[files[0]]
         needed = {
             (name if src == "self" else src)
-            for name, src in sig
+            for name, src, _wt in sig
             if src != "__fill__"
         }
         if needed <= pset:
@@ -753,13 +935,8 @@ def scan_with_schema_resolution(
     for sig in sorted(groups):
         df = scan(spark, sorted(groups[sig]))
         cols = []
-        for name, src in sig:
-            if src == "self":
-                # cast to the CURRENT type: a type-promoted field (int→
-                # long, float→double, decimal widen) reads files written
-                # under the narrower type; same-type casts are no-ops
-                cols.append(F.col(name).cast(cur_ddl[name]).alias(name))
-            elif src == "__fill__":
+        for name, src, wt_json in sig:
+            if src == "__fill__":
                 if name in dmap:
                     v, t = dmap[name]
                     lit = v() if callable(v) else F.lit(v)
@@ -770,10 +947,22 @@ def scan_with_schema_resolution(
                     cols.append(
                         F.lit(None).cast(cur_ddl[name]).alias(name)
                     )
-            else:  # the write-time name carries the values — rename
+                continue
+            base = F.col(name if src == "self" else src)
+            if wt_json:
+                # the file was written under a DIFFERENT type for this
+                # field id — nested rename/drop/add and primitive
+                # promotions resolve by nested field id (round 11)
+                import json as _json
+
                 cols.append(
-                    F.col(src).cast(cur_ddl[name]).alias(name)
+                    _resolve_evolved_column(
+                        base, _json.loads(wt_json), cur_type[name], name
+                    ).alias(name)
                 )
+            else:
+                # same-type casts are no-ops; renames re-alias
+                cols.append(base.cast(cur_ddl[name]).alias(name))
         if tagged:
             cols += [F.col("__path"), F.col("__pos")]
         parts.append(df.select(cols))
@@ -1477,6 +1666,58 @@ class IcebergSnapshotLake(ParquetLake):
         files = sorted({f for f, _rg in cand_list})
         df = self.read(files)
         return df.select(*columns) if columns else df
+
+    def _indexable_files(self, column: str, files: list[str]) -> list[str]:
+        """Schema-evolution guard for index builds (round 11): once the
+        history records a rename/drop/promotion, a file written under an
+        OLD schema may carry `column` under its former name or a
+        narrower physical type — the raw per-file builders (which read
+        data files directly for row-group provenance) cannot extract it
+        faithfully, and committing coverage anyway would mis-prune
+        searches. Keep only files whose FOOTER carries the current name
+        at the current arrow type; the rest stay uncovered — exact via
+        the anti-join planner's in-situ scan (which resolves the full
+        schema history) — until a physical rewrite re-homogenizes them.
+        Deterministic, unlike letting the builder's one-file schema
+        probe decide by sort order."""
+        md = self._table_metadata()
+        if not files or not _schema_needs_resolution(md):
+            return files
+        cur = next(
+            (
+                f
+                for f in _current_schema(md).get("fields", [])
+                if f["name"] == column
+            ),
+            None,
+        )
+        if cur is None:
+            return files  # let the builder raise its own refusal
+        try:
+            from pyspark.sql.pandas.types import to_arrow_type
+            from pyspark.sql.types import _parse_datatype_string
+
+            want = str(
+                to_arrow_type(
+                    _parse_datatype_string(
+                        _spark_ddl_of_iceberg(cur["type"])
+                    )
+                )
+            )
+        except Exception:
+            return files
+        got = _footer_field_types(self.spark, files, column)
+        keep = [f for f in files if got.get(f) == want]
+        if len(keep) < len(files):
+            import logging
+
+            logging.getLogger(__name__).info(
+                "build_index(%s): %d/%d files predate the schema "
+                "evolution of this column and stay uncovered (exact "
+                "in-situ scan serves them; rewrite to re-index)",
+                column, len(files) - len(keep), len(files),
+            )
+        return keep
 
     def build_index(self, index, column: str, *a, **kw):
         """Identity partition columns of a hive-migrated-style table are

@@ -169,8 +169,16 @@ def _iceberg_schema(parquet_file: str) -> dict:
     type promotion validates against the recorded type, so coarsening
     int32→long would make a later int→long promotion unrepresentable
     and mis-state what the files physically hold."""
+    import itertools
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(parquet_file).schema_arrow
+    # nested ids allocate AFTER the top-level block (round 11 — struct/
+    # map/list fields are typed precisely with table-globally unique
+    # ids, which is what nested-path evolution resolves by)
+    counter = itertools.count(len(schema) + 1)
 
     def map_type(t):
         if pa.types.is_integer(t):
@@ -190,15 +198,38 @@ def _iceberg_schema(parquet_file: str) -> dict:
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
             return "binary"
         if pa.types.is_list(t) or pa.types.is_large_list(t):
+            eid = next(counter)
             return {
                 "type": "list",
-                "element-id": 1000,
+                "element-id": eid,
                 "element": map_type(t.value_type),
                 "element-required": False,
             }
+        if pa.types.is_struct(t):
+            fields = []
+            for f in t:
+                fid = next(counter)
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": False,
+                        "type": map_type(f.type),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if pa.types.is_map(t):
+            kid, vid = next(counter), next(counter)
+            return {
+                "type": "map",
+                "key-id": kid,
+                "value-id": vid,
+                "key": map_type(t.key_type),
+                "value": map_type(t.item_type),
+                "value-required": False,
+            }
         return "string"
 
-    schema = pq.ParquetFile(parquet_file).schema_arrow
     return {
         "type": "struct",
         "schema-id": 0,
@@ -219,6 +250,10 @@ def _iceberg_schema_from_spark(spark_schema) -> dict:
     partitioned creates, where the staged data files physically LACK the
     partition columns (partitionBy semantics) so the footer cannot
     supply the full schema."""
+
+    import itertools
+
+    counter = itertools.count(len(spark_schema.fields) + 1)
 
     def map_type(dt) -> object:
         from pyspark.sql import types as T
@@ -242,11 +277,35 @@ def _iceberg_schema_from_spark(spark_schema) -> dict:
         if isinstance(dt, T.BinaryType):
             return "binary"
         if isinstance(dt, T.ArrayType):
+            eid = next(counter)
             return {
                 "type": "list",
-                "element-id": 1000,
+                "element-id": eid,
                 "element": map_type(dt.elementType),
                 "element-required": False,
+            }
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = next(counter)
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": False,
+                        "type": map_type(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.MapType):
+            kid, vid = next(counter), next(counter)
+            return {
+                "type": "map",
+                "key-id": kid,
+                "value-id": vid,
+                "key": map_type(dt.keyType),
+                "value": map_type(dt.valueType),
+                "value-required": False,
             }
         return "string"
 
@@ -349,6 +408,19 @@ def _align_frame_types(df, want_types: dict[str, str], what: str):
         have = got[name]
         if have == want:
             continue
+        if "<" in have and "<" in want:
+            # nested DDL strings differ cosmetically (backticked field
+            # names from _spark_ddl_of_iceberg vs df.dtypes' bare
+            # simpleString) — compare the PARSED types (round 11)
+            from pyspark.sql.types import _parse_datatype_string
+
+            try:
+                if _parse_datatype_string(have) == _parse_datatype_string(
+                    want
+                ):
+                    continue
+            except Exception:
+                pass
         if (have, want) in _SAFE_CHANGE_CASTS:
             from pyspark.sql import functions as F
 
@@ -1378,20 +1450,28 @@ def iceberg_add_column(
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
-    if any(f["name"] == name for f in schema.get("fields", [])):
+    # `name` may be a DOT PATH ('info.city' — round 11): the new field
+    # lands inside an existing struct, old files resolve it by nested
+    # field id (_resolve_evolved_column fills the default / typed null)
+    siblings, leaf = _walk_to_parent(schema, name)
+    if any(f["name"] == leaf for f in siblings):
         raise ValueError(f"column {name!r} already exists")
     _spark_ddl_of_iceberg(ice_type)  # validates the type is readable
-    ids = [
-        int(f["id"])
-        for f in schema.get("fields", [])
-        if f.get("id") is not None
-    ]
-    for f in schema.get("fields", []):
-        ids += _walk_field_ids(f.get("type"))
+    # ids must be fresh vs the WHOLE schema history + last-column-id
+    # (spec: ids are never reused) — maxing over only the current
+    # schema would re-mint a dropped field's id when the dropped field
+    # held the table maximum, silently resurrecting its stale physical
+    # values in every old file
+    ids = [int(md.get("last-column-id") or 0)]
+    for s in (md.get("schemas") or []) + [schema]:
+        for f in s.get("fields", []):
+            if f.get("id") is not None:
+                ids.append(int(f["id"]))
+            ids += _walk_field_ids(f.get("type"))
     new_id = max(ids, default=0) + 1
     field: dict = {
         "id": new_id,
-        "name": name,
+        "name": leaf,
         "required": False,  # a required add would break existing rows
         "type": ice_type,
     }
@@ -1400,9 +1480,9 @@ def iceberg_add_column(
     if initial_default is not None:
         # validate the value parses the way every reader will parse it
         if isinstance(ice_type, str):
-            _parse_default(name, ice_type, initial_default)
+            _parse_default(leaf, ice_type, initial_default)
         else:
-            _nested_default_column(name, ice_type, initial_default)
+            _nested_default_column(leaf, ice_type, initial_default)
     # ALWAYS record the initial-default (explicit null when none given):
     # the marker is what routes reads through the footer-grouped fill,
     # which is the only mixed-file-safe way to surface the column — a
@@ -1412,7 +1492,7 @@ def iceberg_add_column(
     field["write-default"] = (
         write_default if write_default is not None else initial_default
     )
-    schema["fields"] = list(schema.get("fields", [])) + [field]
+    siblings.append(field)
 
     out = dict(md)
     new_sid = (
@@ -1447,6 +1527,59 @@ def iceberg_add_column(
         str(new_version),
     )
     return new_version
+
+
+def _walk_to_parent(schema: dict, path: str) -> tuple[list, str]:
+    """Navigate a dot path ('a.b.c') through STRUCT types in a schema
+    deep-copy, returning (parent's fields list, leaf name) — the seam
+    every nested-path evolution writer edits in place (round 11).
+    Traversal is struct-only: a path through a list element or map
+    value refuses loudly (the spec addresses those by element/value id,
+    not by name — a name grammar there would be a guess), as does a
+    missing segment or a primitive mid-path."""
+    segs = path.split(".")
+    fields = schema.setdefault("fields", [])
+    for i, seg in enumerate(segs[:-1]):
+        field = next((f for f in fields if f["name"] == seg), None)
+        if field is None:
+            raise ValueError(
+                f"path {path!r}: no column {seg!r} at "
+                f"{'.'.join(segs[:i]) or 'top level'} "
+                f"({[f['name'] for f in fields]})"
+            )
+        t = field.get("type")
+        if isinstance(t, str):
+            raise ValueError(
+                f"path {path!r}: {'.'.join(segs[: i + 1])!r} is a "
+                f"primitive ({t}) — cannot navigate further"
+            )
+        if t.get("type") != "struct":
+            raise ValueError(
+                f"path {path!r}: {'.'.join(segs[: i + 1])!r} is a "
+                f"{t.get('type')} — nested evolution addresses struct "
+                "fields only (list/map element paths are not supported)"
+            )
+        fields = t.setdefault("fields", [])
+    return fields, segs[-1]
+
+
+def _partition_source_ids(md: dict) -> set[int]:
+    """Field ids the default partition spec sources from — renaming,
+    dropping, or retyping one would detach the spec (and the hive
+    layout) from the schema; every evolution writer refuses them."""
+    specs = md.get("partition-specs")
+    if specs:
+        want = md.get("default-spec-id", 0)
+        spec = next(
+            (s for s in specs if s.get("spec-id") == want),
+            specs[0],
+        )
+        pf = spec.get("fields", [])
+    else:
+        pf = md.get("partition-spec") or []
+    return {
+        int(f["source-id"]) for f in pf if f.get("source-id") is not None
+    }
 
 
 def _commit_evolved_schema(
@@ -1514,36 +1647,43 @@ def iceberg_rename_column(
     carries the name its write-time schema used — keeps resolving
     through the schema history; scan_with_schema_resolution maps former
     names back at read, and a time-travel pin at a pre-rename snapshot
-    resolves the OLD schema and surfaces the old name). Top-level
-    columns only; partition source fields are refused (the hive layout
-    addresses identity values by column name). Returns the new metadata
-    version."""
+    resolves the OLD schema and surfaces the old name). `old` may be a
+    DOT PATH into struct fields ('info.city' — round 11, nested
+    evolution; the nested field id is preserved the same way and reads
+    resolve through _resolve_evolved_column); `new` is always a SIMPLE
+    name within the same parent. Partition source fields are refused at
+    any depth (the spec keys the partition spec on source ids; the hive
+    layout additionally addresses identity values by column name).
+    Returns the new metadata version."""
     from rottnest_spark.sources.iceberg import _current_schema
 
     fs = fs or LocalFS()
-    if "." in old or "." in new:
+    if "." in new:
         raise ValueError(
-            "nested column rename is not supported — top-level names only"
+            f"new name {new!r} must be a simple name — a rename cannot "
+            "move a field between structs"
         )
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
-    names = [f["name"] for f in schema.get("fields", [])]
-    if old not in names:
+    siblings, leaf = _walk_to_parent(schema, old)
+    names = [f["name"] for f in siblings]
+    if leaf not in names:
         raise ValueError(f"column {old!r} does not exist ({names})")
     if new in names:
-        raise ValueError(f"column {new!r} already exists")
-    field = next(f for f in schema["fields"] if f["name"] == old)
+        raise ValueError(f"column {new!r} already exists beside {old!r}")
+    field = next(f for f in siblings if f["name"] == leaf)
     if field.get("id") is None:
         raise ValueError(
             f"column {old!r} has no field id — rename history would be "
             "unreconstructable; refusing"
         )
-    if old in {pf["source"] for pf in _partition_fields(md)}:
+    if int(field["id"]) in _partition_source_ids(md):
         raise ValueError(
             f"cannot rename partition source column {old!r}"
         )
+    _partition_fields(md)  # the spec must stay evaluable post-commit
     field["name"] = new  # id, type, defaults — everything else stays
     return _commit_evolved_schema(
         table_path, fs, md, version, schema, timestamp_ms
@@ -1591,21 +1731,24 @@ def iceberg_update_column_type(
     )
 
     fs = fs or LocalFS()
-    if "." in name:
-        raise ValueError(
-            "nested column promotion is not supported — top-level only"
-        )
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
-    field = next(
-        (f for f in schema.get("fields", []) if f["name"] == name), None
-    )
+    siblings, leaf = _walk_to_parent(schema, name)
+    field = next((f for f in siblings if f["name"] == leaf), None)
     if field is None:
         raise ValueError(
             f"column {name!r} does not exist "
-            f"({[f['name'] for f in schema.get('fields', [])]})"
+            f"({[f['name'] for f in siblings]})"
+        )
+    if (
+        field.get("id") is not None
+        and int(field["id"]) in _partition_source_ids(md)
+    ):
+        raise ValueError(
+            f"cannot promote partition source column {name!r} — the "
+            "spec's transform results are typed on the source"
         )
     old = field.get("type")
     if not isinstance(old, str):
@@ -1640,30 +1783,42 @@ def iceberg_drop_column(
     no data file is rewritten, and reads project the column away
     (scan_with_schema_resolution). Time-travel pins at pre-drop
     snapshots resolve their recorded schema and still see the column.
-    Top-level only; partition source fields and the last remaining
-    column are refused. A live equality delete referencing the dropped
+    `name` may be a DOT PATH into struct fields ('info.city' — round
+    11, nested evolution; old files then resolve the struct by nested
+    field id, projecting the dropped subfield away). Partition source
+    fields (at any depth, including ids nested under the dropped
+    field) and the last remaining column/struct-field are refused. A
+    live equality delete referencing the dropped
     field fails loudly at read (apply_equality_deletes refuses unknown
     field ids) rather than silently un-gating. Returns the new metadata
     version."""
     from rottnest_spark.sources.iceberg import _current_schema
 
     fs = fs or LocalFS()
-    if "." in name:
-        raise ValueError(
-            "nested column drop is not supported — top-level names only"
-        )
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
-    names = [f["name"] for f in schema.get("fields", [])]
-    if name not in names:
+    siblings, leaf = _walk_to_parent(schema, name)
+    names = [f["name"] for f in siblings]
+    if leaf not in names:
         raise ValueError(f"column {name!r} does not exist ({names})")
     if len(names) == 1:
-        raise ValueError("cannot drop the last column of a table")
-    if name in {pf["source"] for pf in _partition_fields(md)}:
+        raise ValueError(
+            "cannot drop the last column of a table"
+            if "." not in name
+            else f"cannot drop {name!r} — it is the last field of its "
+            "struct (an empty struct type is unreadable); drop the "
+            "struct column instead"
+        )
+    field = next(f for f in siblings if f["name"] == leaf)
+    dropped_ids = set()
+    if field.get("id") is not None:
+        dropped_ids.add(int(field["id"]))
+    dropped_ids.update(_walk_field_ids(field.get("type")))
+    if dropped_ids & _partition_source_ids(md):
         raise ValueError(f"cannot drop partition source column {name!r}")
-    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    siblings[:] = [f for f in siblings if f["name"] != leaf]
     return _commit_evolved_schema(
         table_path, fs, md, version, schema, timestamp_ms
     )

@@ -152,8 +152,15 @@ def test_rewrite_preserves_adding_snapshot_attribution(spark, tmp_path):
 
 def test_refusals(spark, tmp_path):
     t = _mk(spark, tmp_path)
-    with pytest.raises(ValueError, match="top-level"):
+    # nested paths navigate (round 11) — a missing segment refuses
+    with pytest.raises(ValueError, match="no column 'a'"):
         iceberg_rename_column(t, "a.b", "c")
+    # a rename cannot move a field between structs
+    with pytest.raises(ValueError, match="simple name"):
+        iceberg_rename_column(t, "v", "a.b")
+    # paths through a primitive refuse
+    with pytest.raises(ValueError, match="primitive"):
+        iceberg_rename_column(t, "v.x", "y")
     with pytest.raises(ValueError, match="does not exist"):
         iceberg_rename_column(t, "nope", "c")
     with pytest.raises(ValueError, match="already exists"):
