@@ -465,11 +465,47 @@ def _map_type(t, mode: str):
     return t
 
 
+def _relax_nullability(dt):
+    """Recursively nullable copy of a Spark DataType — the READ/DML-side
+    face of a schemaString (round 11, nested evolution): a struct
+    subfield recorded non-nullable would make the logical↔physical
+    struct CASTS refuse (Spark cannot cast a nullable field to a NOT
+    NULL one), and a nested ADD fills null into old files regardless of
+    what the writer recorded. Committed schemaStrings are built from
+    their own JSON and never pass through here."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    _relax_nullability(f.dataType),
+                    True,
+                    f.metadata,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relax_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _relax_nullability(dt.keyType),
+            _relax_nullability(dt.valueType),
+            True,
+        )
+    return dt
+
+
 def delta_logical_schema(meta: dict):
-    """The table's LOGICAL Spark schema (schemaString names as-is)."""
+    """The table's LOGICAL Spark schema (schemaString names as-is),
+    nullability-relaxed for the scan/cast layer."""
     from pyspark.sql.types import StructType
 
-    return StructType.fromJson(json.loads(meta["schemaString"]))
+    return _relax_nullability(
+        StructType.fromJson(json.loads(meta["schemaString"]))
+    )
 
 
 def delta_physical_schema(meta: dict | None, proto: dict | None = None):
@@ -492,10 +528,14 @@ def delta_physical_schema(meta: dict | None, proto: dict | None = None):
     mode = _cm_mode(meta)
     if not mode:
         if _widening_active(proto) and (meta or {}).get("schemaString"):
-            return StructType.fromJson(json.loads(meta["schemaString"]))
+            return _relax_nullability(
+                StructType.fromJson(json.loads(meta["schemaString"]))
+            )
         return None
-    return StructType.fromJson(
-        _map_type(json.loads(meta["schemaString"]), mode)
+    return _relax_nullability(
+        StructType.fromJson(
+            _map_type(json.loads(meta["schemaString"]), mode)
+        )
     )
 
 

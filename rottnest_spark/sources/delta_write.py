@@ -1097,7 +1097,11 @@ def delta_add_column(
             f"{table_path} has no metaData schemaString — cannot evolve"
         )
     schema = json.loads(meta["schemaString"])
-    if any(f["name"] == name for f in schema.get("fields", [])):
+    # `name` may be a DOT PATH ('info.city' — round 11): the field lands
+    # inside an existing struct; old files lack it physically and the
+    # pinned-schemaString scan surfaces null for their rows
+    siblings, leaf = _walk_delta_parent(schema, name)
+    if any(f["name"] == leaf for f in siblings):
         raise ValueError(f"column {name!r} already exists")
     try:
         dtype = _parse_datatype_string(spark_type)
@@ -1106,7 +1110,7 @@ def delta_add_column(
             f"unparseable Spark type {spark_type!r}: {exc}"
         ) from None
     new_field = {
-        "name": name,
+        "name": leaf,
         "type": dtype.jsonValue(),
         "nullable": True,  # a required add would break existing rows
         "metadata": {},
@@ -1123,12 +1127,45 @@ def delta_add_column(
         new_field = _stamp_mapping(new_field, counter, preserve_names=False)
         cfg["delta.columnMapping.maxColumnId"] = str(counter[0])
         new_meta["configuration"] = cfg
-    schema["fields"] = list(schema.get("fields", [])) + [new_field]
+    siblings.append(new_field)
     new_meta["schemaString"] = json.dumps(schema)
     log_dir = os.path.join(table_path, "_delta_log")
     return _write_commit(
         log_dir, _next_version(log_dir, fs), [{"metaData": new_meta}], fs
     )
+
+
+def _walk_delta_parent(schema: dict, path: str) -> tuple[list, str]:
+    """Navigate a dot path ('a.b.c') through STRUCT types of a Delta
+    schemaString JSON (in place), returning (parent's fields list, leaf
+    name) — the shared seam of the nested-path evolution writers
+    (round 11, mirroring iceberg_write._walk_to_parent). Struct-only:
+    array/map element paths, missing segments, and primitives mid-path
+    refuse loudly."""
+    segs = path.split(".")
+    fields = schema.setdefault("fields", [])
+    for i, seg in enumerate(segs[:-1]):
+        field = next((f for f in fields if f["name"] == seg), None)
+        if field is None:
+            raise ValueError(
+                f"path {path!r}: no column {seg!r} at "
+                f"{'.'.join(segs[:i]) or 'top level'} "
+                f"({[f['name'] for f in fields]})"
+            )
+        t = field.get("type")
+        if isinstance(t, str):
+            raise ValueError(
+                f"path {path!r}: {'.'.join(segs[: i + 1])!r} is a "
+                f"primitive ({t}) — cannot navigate further"
+            )
+        if t.get("type") != "struct":
+            raise ValueError(
+                f"path {path!r}: {'.'.join(segs[: i + 1])!r} is a "
+                f"{t.get('type')} — nested evolution addresses struct "
+                "fields only (array/map element paths are not supported)"
+            )
+        fields = t.setdefault("fields", [])
+    return fields, segs[-1]
 
 
 def _stamp_mapping(field: dict, counter: list[int], preserve_names: bool):
@@ -1268,28 +1305,31 @@ def delta_rename_column(
     (delta_enable_column_mapping). Old files keep resolving through the
     unchanged physical name; DML keeps working through the logical↔
     physical adapters (_mapped_write_frame / _mapped_tagged_scan).
-    Top-level columns only (nested renames need a path grammar this
-    writer does not speak — refuse, never guess)."""
+    `old` may be a DOT PATH into struct fields ('info.city' — round 11;
+    every nesting depth carries its own physicalName, so the same
+    metaData-only mechanics apply); `new` is always a SIMPLE name
+    within the same parent."""
     from rottnest_spark.sources.delta import delta_table_meta
 
     fs = fs or LocalFS()
-    if "." in old or "." in new:
+    if "." in new:
         raise ValueError(
-            "nested column rename is not supported — top-level names only"
+            f"new name {new!r} must be a simple name — a rename cannot "
+            "move a field between structs"
         )
     delta_enable_column_mapping(table_path, fs=fs)
     meta = delta_table_meta(table_path, fs=fs)
     schema = json.loads(meta["schemaString"])
-    names = [f["name"] for f in schema.get("fields", [])]
-    if old not in names:
+    siblings, leaf = _walk_delta_parent(schema, old)
+    names = [f["name"] for f in siblings]
+    if leaf not in names:
         raise ValueError(f"column {old!r} does not exist ({names})")
     if new in names:
-        raise ValueError(f"column {new!r} already exists")
+        raise ValueError(f"column {new!r} already exists beside {old!r}")
     if old in (meta.get("partitionColumns") or []):
         raise ValueError(f"cannot rename partition column {old!r}")
-    schema["fields"] = [
-        {**f, "name": new} if f["name"] == old else f
-        for f in schema["fields"]
+    siblings[:] = [
+        {**f, "name": new} if f["name"] == leaf else f for f in siblings
     ]
     new_meta = {**meta, "schemaString": json.dumps(schema)}
     log_dir = os.path.join(table_path, "_delta_log")
@@ -1345,23 +1385,21 @@ def delta_widen_column(
     from rottnest_spark.sources.delta import delta_protocol, delta_table_meta
 
     fs = fs or LocalFS()
-    if "." in name:
-        raise ValueError(
-            "nested column widening is not supported — top-level only"
-        )
     meta = delta_table_meta(table_path, fs=fs)
     if not meta or not meta.get("schemaString"):
         raise ValueError(
             f"{table_path} has no metaData schemaString — cannot evolve"
         )
     schema = json.loads(meta["schemaString"])
-    field = next(
-        (f for f in schema.get("fields", []) if f["name"] == name), None
-    )
+    # `name` may be a DOT PATH ('info.n' — round 11): the typeChanges
+    # bookkeeping and the pinned-schemaString up-cast both operate on
+    # the full schema tree
+    siblings, leaf = _walk_delta_parent(schema, name)
+    field = next((f for f in siblings if f["name"] == leaf), None)
     if field is None:
         raise ValueError(
             f"column {name!r} does not exist "
-            f"({[f['name'] for f in schema.get('fields', [])]})"
+            f"({[f['name'] for f in siblings]})"
         )
     old = field.get("type")
     if not isinstance(old, str):
@@ -1435,26 +1473,30 @@ def delta_drop_column(
     in old files and mapped reads simply stop projecting it. Column
     mapping is the precondition (same reason as rename: without it, a
     later re-ADD of the same name would resurrect the stale file data);
-    an unmapped table is upgraded first. Top-level only; the last
-    remaining column and partition columns are refused."""
+    an unmapped table is upgraded first. `name` may be a DOT PATH into
+    struct fields (round 11); the last remaining column/struct-field
+    and partition columns are refused."""
     from rottnest_spark.sources.delta import delta_table_meta
 
     fs = fs or LocalFS()
-    if "." in name:
-        raise ValueError(
-            "nested column drop is not supported — top-level names only"
-        )
     delta_enable_column_mapping(table_path, fs=fs)
     meta = delta_table_meta(table_path, fs=fs)
     schema = json.loads(meta["schemaString"])
-    names = [f["name"] for f in schema.get("fields", [])]
-    if name not in names:
+    siblings, leaf = _walk_delta_parent(schema, name)
+    names = [f["name"] for f in siblings]
+    if leaf not in names:
         raise ValueError(f"column {name!r} does not exist ({names})")
     if name in (meta.get("partitionColumns") or []):
         raise ValueError(f"cannot drop partition column {name!r}")
     if len(names) == 1:
-        raise ValueError("cannot drop the last column of a table")
-    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+        raise ValueError(
+            "cannot drop the last column of a table"
+            if "." not in name
+            else f"cannot drop {name!r} — it is the last field of its "
+            "struct (an empty struct type is unreadable); drop the "
+            "struct column instead"
+        )
+    siblings[:] = [f for f in siblings if f["name"] != leaf]
     new_meta = {**meta, "schemaString": json.dumps(schema)}
     log_dir = os.path.join(table_path, "_delta_log")
     return _write_commit(

@@ -132,7 +132,8 @@ def test_add_nested_on_mapped_stamps_whole_tree(table):
 
 def test_refusals(spark, table, tmp_path):
     work, src = table
-    with pytest.raises(ValueError, match="top-level"):
+    # nested paths navigate (round 11) — a missing segment refuses
+    with pytest.raises(ValueError, match="no column 'a'"):
         delta_rename_column(work, "a.b", "c")
     with pytest.raises(ValueError, match="does not exist"):
         delta_rename_column(work, "nope", "c")
@@ -222,5 +223,5 @@ def test_widen_column_reads_mixed_files(spark, table, tmp_path):
         delta_widen_column(work, "v", "string")
     with pytest.raises(ValueError, match="already"):
         delta_widen_column(work, "k", "bigint")
-    with pytest.raises(ValueError, match="top-level"):
+    with pytest.raises(ValueError, match="no column 'a'"):
         delta_widen_column(work, "a.b", "bigint")
