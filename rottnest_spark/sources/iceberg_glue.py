@@ -333,6 +333,101 @@ class IcebergGlueLake(IcebergSnapshotLake):
             **kw,
         )
 
+    # -- schema evolution THROUGH Glue (round 11) ----------------------
+    # Glue is a pointer store, so evolution = the same client-side
+    # metadata write + double-OCC pointer swap as commit_files, carrying
+    # an evolved-schema metadata document (shared surgery with the
+    # storage writers — iceberg_write.evolved_schema_*). A lost swap
+    # leaves one vacuum-able orphan metadata file and no observable
+    # state change.
+
+    def _commit_evolved(self, out_md_fn) -> int:
+        import os
+        import re
+
+        from rottnest_spark.sources.iceberg_write import (
+            _latest_metadata,
+            _meta_dir,
+            canon_path,
+        )
+
+        pointer = self.glue_catalog.metadata_location(self.identifier)
+        md = json.loads(self.glue_catalog.fs.read_text(_norm_uri(pointer)))
+        m = re.match(r"v?(\d+)", pointer.rsplit("/", 1)[-1])
+        pv = int(m.group(1)) if m else 0
+        storage_v, _ = _latest_metadata(self._table_path, self.fs)
+        version = max(pv, storage_v) + 1
+        out = out_md_fn(md)
+        fs = self.fs
+        meta_dir = _meta_dir(self._table_path)
+        fs.makedirs(meta_dir)
+        md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+        fs.create_exclusive(md_path, json.dumps(out).encode())
+        self.glue_catalog.update_metadata_location(
+            self.identifier, canon_path(md_path), expected_location=pointer
+        )
+        fs.write_text(
+            os.path.join(meta_dir, "version-hint.text"), str(version)
+        )
+        return version
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN (dot paths into structs supported) committed
+        through the Glue pointer swap. Returns the metadata version."""
+        from rottnest_spark.sources.iceberg_write import (
+            _evolved_metadata,
+            evolved_schema_rename,
+        )
+
+        return self._commit_evolved(
+            lambda md: _evolved_metadata(
+                md, evolved_schema_rename(md, old, new), None
+            )
+        )
+
+    def drop_column(self, name: str) -> int:
+        from rottnest_spark.sources.iceberg_write import (
+            _evolved_metadata,
+            evolved_schema_drop,
+        )
+
+        return self._commit_evolved(
+            lambda md: _evolved_metadata(
+                md, evolved_schema_drop(md, name), None
+            )
+        )
+
+    def update_column_type(self, name: str, new_type: str) -> int:
+        from rottnest_spark.sources.iceberg_write import (
+            _evolved_metadata,
+            evolved_schema_promote,
+        )
+
+        return self._commit_evolved(
+            lambda md: _evolved_metadata(
+                md, evolved_schema_promote(md, name, new_type), None
+            )
+        )
+
+    def add_column(self, name: str, ice_type, initial_default=None) -> int:
+        from rottnest_spark.sources.iceberg_write import (
+            _evolved_metadata,
+            evolved_schema_add,
+        )
+
+        def build(md):
+            schema, last_id = evolved_schema_add(
+                md, name, ice_type, initial_default
+            )
+            out = _evolved_metadata(md, schema, None)
+            out["last-column-id"] = last_id
+            out["format-version"] = max(
+                3, int(md.get("format-version") or 1)
+            )
+            return out
+
+        return self._commit_evolved(build)
+
     def commit_files_retry(
         self,
         add: list[str] | None = None,

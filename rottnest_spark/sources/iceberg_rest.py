@@ -366,6 +366,106 @@ class IcebergRestLake(IcebergSnapshotLake):
             **kw,
         )
 
+    # -- schema evolution THROUGH the catalog (round 11) ---------------
+    # The REST server owns the metadata document, so evolution is a
+    # CommitTableRequest of spec update actions — add-schema (the new
+    # schema, field ids preserved by the shared surgery in
+    # iceberg_write) + set-current-schema(-1 = last added) — guarded by
+    # assert-current-schema-id so a concurrent evolution loses with 409
+    # and nothing is applied. Storage is never touched: the catalog
+    # pointer can't go stale.
+
+    def _commit_schema(
+        self,
+        surgery,
+        last_column_id: int | None = None,
+        format_version: int | None = None,
+    ) -> dict:
+        from rottnest_spark.sources.iceberg_write import next_schema_id
+
+        md = self.rest_catalog.table_metadata(self.identifier)
+        schema = surgery(md)
+        cur_sid = int(md.get("current-schema-id") or 0)
+        requirements: list[dict] = []
+        if md.get("table-uuid"):
+            requirements.append(
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]}
+            )
+        requirements.append(
+            {
+                "type": "assert-current-schema-id",
+                "current-schema-id": cur_sid,
+            }
+        )
+        updates: list[dict] = []
+        if format_version is not None and format_version > int(
+            md.get("format-version") or 1
+        ):
+            updates.append(
+                {
+                    "action": "upgrade-format-version",
+                    "format-version": format_version,
+                }
+            )
+        add_schema: dict = {
+            "action": "add-schema",
+            "schema": {**schema, "schema-id": next_schema_id(md)},
+        }
+        if last_column_id is not None:
+            add_schema["last-column-id"] = last_column_id
+        updates.append(add_schema)
+        updates.append({"action": "set-current-schema", "schema-id": -1})
+        return self.rest_catalog.commit_table(
+            self.identifier, requirements, updates
+        )
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """RENAME COLUMN (dot paths into structs supported) committed
+        through the catalog. Returns the CommitTableResponse."""
+        from rottnest_spark.sources.iceberg_write import (
+            evolved_schema_rename,
+        )
+
+        return self._commit_schema(
+            lambda md: evolved_schema_rename(md, old, new)
+        )
+
+    def drop_column(self, name: str) -> dict:
+        from rottnest_spark.sources.iceberg_write import evolved_schema_drop
+
+        return self._commit_schema(
+            lambda md: evolved_schema_drop(md, name)
+        )
+
+    def update_column_type(self, name: str, new_type: str) -> dict:
+        from rottnest_spark.sources.iceberg_write import (
+            evolved_schema_promote,
+        )
+
+        return self._commit_schema(
+            lambda md: evolved_schema_promote(md, name, new_type)
+        )
+
+    def add_column(
+        self, name: str, ice_type, initial_default=None
+    ) -> dict:
+        """ADD COLUMN (dot paths supported) committed through the
+        catalog; a default value upgrades format-version to 3 via the
+        spec's upgrade-format-version action (defaults are v3-gated)."""
+        from rottnest_spark.sources.iceberg_write import evolved_schema_add
+
+        md = self.rest_catalog.table_metadata(self.identifier)
+        _schema, last_id = evolved_schema_add(
+            md, name, ice_type, initial_default
+        )
+        return self._commit_schema(
+            lambda m: evolved_schema_add(m, name, ice_type, initial_default)[
+                0
+            ],
+            last_column_id=last_id,
+            format_version=3,
+        )
+
     def commit_files_retry(
         self,
         add: list[str] | None = None,

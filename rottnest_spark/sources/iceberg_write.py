@@ -1438,6 +1438,42 @@ def iceberg_add_column(
     fill the default at read — exactly Iceberg's evolution semantics);
     upserts name-check against the NEW schema, so change frames must
     carry the column from now on. Returns the new metadata version."""
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema, last_id = evolved_schema_add(
+        md, name, ice_type, initial_default, write_default, doc
+    )
+    out = _evolved_metadata(md, schema, timestamp_ms)
+    out["last-column-id"] = last_id
+    # default values are a v3 feature (spec) — evolution through this
+    # writer always records one (explicit null included), so the table
+    # upgrades; appends route through iceberg_v3_append automatically
+    out["format-version"] = max(3, int(md.get("format-version") or 1))
+    new_version = version + 1
+    md_path = os.path.join(
+        _meta_dir(table_path), f"v{new_version}.metadata.json"
+    )
+    fs.create_exclusive(md_path, json.dumps(out).encode())
+    fs.write_text(
+        os.path.join(_meta_dir(table_path), "version-hint.text"),
+        str(new_version),
+    )
+    return new_version
+
+
+def evolved_schema_add(
+    md: dict,
+    name: str,
+    ice_type,
+    initial_default=None,
+    write_default=None,
+    doc: str | None = None,
+) -> tuple[dict, int]:
+    """(evolved schema, new last-column-id) an ADD commits — pure
+    surgery + validation (shared by the storage writer above and the
+    REST/Glue catalog paths)."""
     from rottnest_spark.sources.iceberg import (
         _current_schema,
         _nested_default_column,
@@ -1445,10 +1481,6 @@ def iceberg_add_column(
         _spark_ddl_of_iceberg,
     )
 
-    fs = fs or LocalFS()
-    version, md = _latest_metadata(table_path, fs)
-    if md is None:
-        raise ValueError(f"{table_path} is not an Iceberg table")
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
     # `name` may be a DOT PATH ('info.city' — round 11): the new field
     # lands inside an existing struct, old files resolve it by nested
@@ -1493,40 +1525,8 @@ def iceberg_add_column(
         write_default if write_default is not None else initial_default
     )
     siblings.append(field)
-
-    out = dict(md)
-    new_sid = (
-        max(
-            [int(s.get("schema-id") or 0) for s in md.get("schemas") or []]
-            + [int(schema.get("schema-id") or 0)],
-            default=0,
-        )
-        + 1
-    )
-    schema["schema-id"] = new_sid
-    out["schemas"] = list(md.get("schemas") or []) + [schema]
-    out["current-schema-id"] = new_sid
-    out["schema"] = schema  # deprecated form, kept in sync
-    out["last-column-id"] = max(
-        int(md.get("last-column-id") or 0), new_id
-    )
-    # default values are a v3 feature (spec) — evolution through this
-    # writer always records one (explicit null included), so the table
-    # upgrades; appends route through iceberg_v3_append automatically
-    out["format-version"] = max(3, int(md.get("format-version") or 1))
-    out["last-updated-ms"] = (
-        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
-    )
-    new_version = version + 1
-    md_path = os.path.join(
-        _meta_dir(table_path), f"v{new_version}.metadata.json"
-    )
-    fs.create_exclusive(md_path, json.dumps(out).encode())
-    fs.write_text(
-        os.path.join(_meta_dir(table_path), "version-hint.text"),
-        str(new_version),
-    )
-    return new_version
+    last_id = max([new_id] + _walk_field_ids(ice_type))
+    return schema, last_id
 
 
 def _walk_to_parent(schema: dict, path: str) -> tuple[list, str]:
@@ -1582,6 +1582,51 @@ def _partition_source_ids(md: dict) -> set[int]:
     }
 
 
+def _evolved_metadata(
+    md: dict, schema: dict, timestamp_ms: int | None
+) -> dict:
+    """The full metadata document a schema evolution commits: `schema`
+    appended to the canonical schemas list under a bumped schema-id
+    (field ids preserved by the caller), the deprecated single `schema`
+    key synced, last-updated-ms stamped. Shared by the storage writer
+    (_commit_evolved_schema) and the Glue pointer-swap path."""
+    out = dict(md)
+    prior_schemas = list(md.get("schemas") or [])
+    if not prior_schemas:
+        from rottnest_spark.sources.iceberg import _current_schema
+
+        prior = _current_schema(md)
+        if prior.get("fields"):
+            prior_schemas = [
+                {**prior, "schema-id": int(prior.get("schema-id") or 0)}
+            ]
+    new_sid = next_schema_id(md)
+    schema = {**schema, "schema-id": new_sid}
+    out["schemas"] = prior_schemas + [schema]
+    out["current-schema-id"] = new_sid
+    out["schema"] = schema  # deprecated form, kept in sync
+    out["last-updated-ms"] = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    return out
+
+
+def next_schema_id(md: dict) -> int:
+    """The schema-id the next evolution commit takes (max over the
+    history + the current id, plus one)."""
+    return (
+        max(
+            [
+                int(s.get("schema-id") or 0)
+                for s in md.get("schemas") or []
+            ]
+            + [int(md.get("current-schema-id") or 0)],
+            default=0,
+        )
+        + 1
+    )
+
+
 def _commit_evolved_schema(
     table_path: str,
     fs: LakeFS,
@@ -1598,31 +1643,7 @@ def _commit_evolved_schema(
     and exclusive-create the next metadata version. A legacy metadata
     without a `schemas` list first seeds it with the prior current
     schema so the rename history stays reconstructable."""
-    out = dict(md)
-    prior_schemas = list(md.get("schemas") or [])
-    if not prior_schemas:
-        from rottnest_spark.sources.iceberg import _current_schema
-
-        prior = _current_schema(md)
-        if prior.get("fields"):
-            prior_schemas = [
-                {**prior, "schema-id": int(prior.get("schema-id") or 0)}
-            ]
-    new_sid = (
-        max(
-            [int(s.get("schema-id") or 0) for s in prior_schemas]
-            + [int(md.get("current-schema-id") or 0)],
-            default=0,
-        )
-        + 1
-    )
-    schema = {**schema, "schema-id": new_sid}
-    out["schemas"] = prior_schemas + [schema]
-    out["current-schema-id"] = new_sid
-    out["schema"] = schema  # deprecated form, kept in sync
-    out["last-updated-ms"] = (
-        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
-    )
+    out = _evolved_metadata(md, schema, timestamp_ms)
     new_version = version + 1
     md_path = os.path.join(
         _meta_dir(table_path), f"v{new_version}.metadata.json"
@@ -1655,17 +1676,27 @@ def iceberg_rename_column(
     any depth (the spec keys the partition spec on source ids; the hive
     layout additionally addresses identity values by column name).
     Returns the new metadata version."""
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = evolved_schema_rename(md, old, new)
+    return _commit_evolved_schema(
+        table_path, fs, md, version, schema, timestamp_ms
+    )
+
+
+def evolved_schema_rename(md: dict, old: str, new: str) -> dict:
+    """The evolved schema a RENAME commits — pure surgery + validation
+    over `md`'s current schema (shared by the storage writer above and
+    the REST/Glue catalog-evolution paths, round 11)."""
     from rottnest_spark.sources.iceberg import _current_schema
 
-    fs = fs or LocalFS()
     if "." in new:
         raise ValueError(
             f"new name {new!r} must be a simple name — a rename cannot "
             "move a field between structs"
         )
-    version, md = _latest_metadata(table_path, fs)
-    if md is None:
-        raise ValueError(f"{table_path} is not an Iceberg table")
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
     siblings, leaf = _walk_to_parent(schema, old)
     names = [f["name"] for f in siblings]
@@ -1685,9 +1716,7 @@ def iceberg_rename_column(
         )
     _partition_fields(md)  # the spec must stay evaluable post-commit
     field["name"] = new  # id, type, defaults — everything else stays
-    return _commit_evolved_schema(
-        table_path, fs, md, version, schema, timestamp_ms
-    )
+    return schema
 
 
 #: spec "Schema Evolution" legal primitive promotions (v2 set): the
@@ -1725,15 +1754,24 @@ def iceberg_update_column_type(
     Anything outside the legal promotion set refuses — a narrowing or
     cross-family cast is data corruption at commit time. Returns the
     new metadata version."""
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = evolved_schema_promote(md, name, new_type)
+    return _commit_evolved_schema(
+        table_path, fs, md, version, schema, timestamp_ms
+    )
+
+
+def evolved_schema_promote(md: dict, name: str, new_type: str) -> dict:
+    """The evolved schema a TYPE PROMOTION commits — pure surgery +
+    validation (shared with the REST/Glue catalog paths)."""
     from rottnest_spark.sources.iceberg import (
         _current_schema,
         _spark_ddl_of_iceberg,
     )
 
-    fs = fs or LocalFS()
-    version, md = _latest_metadata(table_path, fs)
-    if md is None:
-        raise ValueError(f"{table_path} is not an Iceberg table")
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
     siblings, leaf = _walk_to_parent(schema, name)
     field = next((f for f in siblings if f["name"] == leaf), None)
@@ -1767,9 +1805,7 @@ def iceberg_update_column_type(
         )
     _spark_ddl_of_iceberg(new_type)  # must stay readable
     field["type"] = new_type
-    return _commit_evolved_schema(
-        table_path, fs, md, version, schema, timestamp_ms
-    )
+    return schema
 
 
 def iceberg_drop_column(
@@ -1792,12 +1828,21 @@ def iceberg_drop_column(
     field fails loudly at read (apply_equality_deletes refuses unknown
     field ids) rather than silently un-gating. Returns the new metadata
     version."""
-    from rottnest_spark.sources.iceberg import _current_schema
-
     fs = fs or LocalFS()
     version, md = _latest_metadata(table_path, fs)
     if md is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = evolved_schema_drop(md, name)
+    return _commit_evolved_schema(
+        table_path, fs, md, version, schema, timestamp_ms
+    )
+
+
+def evolved_schema_drop(md: dict, name: str) -> dict:
+    """The evolved schema a DROP commits — pure surgery + validation
+    (shared with the REST/Glue catalog paths)."""
+    from rottnest_spark.sources.iceberg import _current_schema
+
     schema = json.loads(json.dumps(_current_schema(md)))  # deep copy
     siblings, leaf = _walk_to_parent(schema, name)
     names = [f["name"] for f in siblings]
@@ -1819,9 +1864,7 @@ def iceberg_drop_column(
     if dropped_ids & _partition_source_ids(md):
         raise ValueError(f"cannot drop partition source column {name!r}")
     siblings[:] = [f for f in siblings if f["name"] != leaf]
-    return _commit_evolved_schema(
-        table_path, fs, md, version, schema, timestamp_ms
-    )
+    return schema
 
 
 def iceberg_expire_snapshots(

@@ -398,3 +398,74 @@ def test_glue_commit_retry_wins_after_race(spark, glue_table, tmp_path):
     assert loc.endswith("v3.metadata.json")
     assert cat.table_metadata("db.evt")["current-snapshot-id"] == snap
     assert len(lake.files) == 2
+
+
+def test_glue_schema_evolution_roundtrip(spark, glue_table, tmp_path):
+    """Schema evolution THROUGH Glue (round 11 follow-through): the
+    client writes the evolved vN.metadata.json to storage and swaps the
+    pointer under double OCC — rename + add land, field ids preserved,
+    reads through the catalog see the new schema, version-hint advances
+    only after the swap."""
+    table, client, _m1 = glue_table
+    meta = f"{table}/metadata"
+    with open(f"{meta}/v1.metadata.json") as fh:
+        md = json.load(fh)
+    md["schemas"] = [
+        {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "doc_id", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "text", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "lang", "required": False,
+                 "type": "string"},
+                {"id": 4, "name": "source", "required": False,
+                 "type": "string"},
+                {"id": 5, "name": "n_chars", "required": False,
+                 "type": "long"},
+            ],
+        }
+    ]
+    md["current-schema-id"] = 0
+    md["last-column-id"] = 5
+    with open(f"{meta}/v1.metadata.json", "w") as fh:
+        json.dump(md, fh)
+
+    cat = IcebergGlueCatalog(client=client)
+    lake = IcebergGlueLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    docs = spark.read.parquet(f"{table}/data").filter("doc_id % 2 = 0")
+
+    v = lake.rename_column("lang", "language")
+    assert cat.metadata_location("db.evt").endswith(
+        f"v{v}.metadata.json"
+    )
+    md2 = cat.table_metadata("db.evt")
+    assert md2["current-schema-id"] == 1
+    cur = next(
+        s
+        for s in md2["schemas"]
+        if s["schema-id"] == md2["current-schema-id"]
+    )
+    assert next(
+        g for g in cur["fields"] if g["name"] == "language"
+    )["id"] == 3
+    got = lake.read()
+    assert "language" in got.columns and "lang" not in got.columns
+    assert sorted(r.language for r in got.collect()) == sorted(
+        r.lang for r in docs.collect()
+    )
+
+    v2 = lake.add_column("rev", "int", initial_default=3)
+    md3 = cat.table_metadata("db.evt")
+    assert md3["format-version"] == 3 and md3["last-column-id"] == 6
+    got = IcebergGlueLake(
+        spark, cat, "db.evt", str(tmp_path / "idx2"), table_path=table
+    ).read()
+    assert {r.rev for r in got.collect()} == {3}
+    # version-hint tracks the last successful swap
+    with open(f"{meta}/version-hint.text") as fh:
+        assert int(fh.read()) == v2

@@ -136,6 +136,10 @@ def _serve_catalog(state):
                     ok = not md.get("table-uuid") or (
                         r.get("uuid") == md["table-uuid"]
                     )
+                elif r.get("type") == "assert-current-schema-id":
+                    ok = int(r.get("current-schema-id") or 0) == int(
+                        md.get("current-schema-id") or 0
+                    )
                 if not ok:
                     self._send(
                         409,
@@ -143,6 +147,7 @@ def _serve_catalog(state):
                     )
                     return
             new = dict(md)
+            last_added_sid = None
             for up in req.get("updates", []):
                 if up.get("action") == "add-snapshot":
                     new["snapshots"] = list(new.get("snapshots") or []) + [
@@ -150,6 +155,56 @@ def _serve_catalog(state):
                     ]
                 elif up.get("action") == "set-snapshot-ref":
                     new["current-snapshot-id"] = up["snapshot-id"]
+                elif up.get("action") == "upgrade-format-version":
+                    new["format-version"] = up["format-version"]
+                elif up.get("action") == "add-schema":
+                    sch = dict(up["schema"])
+                    have = list(new.get("schemas") or [])
+                    if not have and new.get("schema", {}).get("fields"):
+                        have = [
+                            {
+                                **new["schema"],
+                                "schema-id": int(
+                                    new["schema"].get("schema-id") or 0
+                                ),
+                            }
+                        ]
+                    sid = int(sch.get("schema-id") or 0)
+                    if any(
+                        int(s.get("schema-id") or 0) == sid for s in have
+                    ):
+                        sid = (
+                            max(
+                                int(s.get("schema-id") or 0) for s in have
+                            )
+                            + 1
+                        )  # server may reassign the id
+                    sch["schema-id"] = sid
+                    new["schemas"] = have + [sch]
+                    last_added_sid = sid
+                    if up.get("last-column-id") is not None:
+                        new["last-column-id"] = up["last-column-id"]
+                elif up.get("action") == "set-current-schema":
+                    sid = up["schema-id"]
+                    if sid == -1:
+                        if last_added_sid is None:
+                            self._send(
+                                409,
+                                {
+                                    "error": {
+                                        "message": "set-current-schema -1 "
+                                        "without add-schema"
+                                    }
+                                },
+                            )
+                            return
+                        sid = last_added_sid
+                    new["current-schema-id"] = sid
+                    new["schema"] = next(
+                        s
+                        for s in new.get("schemas") or []
+                        if int(s.get("schema-id") or 0) == int(sid)
+                    )
             state["metadata"] = new
             state["mloc_v"] = state.get("mloc_v", 1) + 1
             self._send(
@@ -360,3 +415,89 @@ def test_rest_commit_retry_wins_after_conflict(spark, rest_table, tmp_path):
     assert fail_once["n"] == 1  # lost exactly once
     assert cat.table_metadata("db.evt")["current-snapshot-id"] == snap
     assert len(lake.files) == 2
+
+
+DOC_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "text", "required": False, "type": "string"},
+        {"id": 3, "name": "lang", "required": False, "type": "string"},
+        {"id": 4, "name": "source", "required": False, "type": "string"},
+        {"id": 5, "name": "n_chars", "required": False, "type": "long"},
+    ],
+}
+
+
+def test_rest_schema_evolution_roundtrip(spark, rest_table, tmp_path):
+    """Schema evolution THROUGH the catalog (round 11 follow-through —
+    the COVERAGE.md 'evolution on a catalog table goes through storage'
+    limitation removed): rename/add commit as add-schema +
+    set-current-schema update actions guarded by
+    assert-current-schema-id; the server owns the metadata, storage is
+    never touched, and a stale-schema commit loses with 409 applying
+    NOTHING."""
+    table, state, uri = rest_table
+    state["metadata"] = {
+        **state["metadata"],
+        "schemas": [DOC_SCHEMA],
+        "current-schema-id": 0,
+        "table-uuid": "u-evolve",
+        "last-column-id": 5,
+    }
+    cat = IcebergRestCatalog(uri)
+    lake = IcebergRestLake(
+        spark, cat, "db.evt", str(tmp_path / "idx"), table_path=table
+    )
+    docs = spark.read.parquet(f"{table}/data").filter("doc_id % 2 = 0")
+
+    lake.rename_column("lang", "language")
+    md = cat.table_metadata("db.evt")
+    assert md["current-schema-id"] == 1
+    cur = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    f = next(g for g in cur["fields"] if g["name"] == "language")
+    assert f["id"] == 3  # field id preserved
+    got = lake.read()
+    assert "language" in got.columns and "lang" not in got.columns
+    assert sorted(r.language for r in got.collect()) == sorted(
+        r.lang for r in docs.collect()
+    )
+
+    # ADD with a default upgrades format-version via the update action
+    lake.add_column("rev", "int", initial_default=7)
+    md = cat.table_metadata("db.evt")
+    assert md["format-version"] == 3
+    assert md["last-column-id"] == 6
+    got = IcebergRestLake(
+        spark, cat, "db.evt", str(tmp_path / "idx2"), table_path=table
+    ).read()
+    assert {r.rev for r in got.collect()} == {7}
+
+    # OCC: an evolution planned against a STALE schema id loses with
+    # 409 and nothing is applied
+    import json as _json
+
+    from rottnest_spark.sources.iceberg_rest import (
+        IcebergRestCommitConflict,
+    )
+
+    before = _json.dumps(cat.table_metadata("db.evt"), sort_keys=True)
+    with pytest.raises(IcebergRestCommitConflict):
+        cat.commit_table(
+            "db.evt",
+            [{"type": "assert-current-schema-id", "current-schema-id": 0}],
+            [
+                {"action": "add-schema", "schema": DOC_SCHEMA},
+                {"action": "set-current-schema", "schema-id": -1},
+            ],
+        )
+    assert (
+        _json.dumps(cat.table_metadata("db.evt"), sort_keys=True) == before
+    )
+
+    # nested surgery shares the storage writers' validation
+    with pytest.raises(ValueError, match="does not exist"):
+        lake.drop_column("nope")
