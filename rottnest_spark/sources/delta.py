@@ -638,6 +638,32 @@ def column_mapping_from_meta(meta: dict | None) -> dict[str, str]:
     }
 
 
+def check_partition_mapping_aligned(meta: dict | None, what: str) -> None:
+    """Partitioned COLUMN-MAPPED tables are supported exactly when every
+    partition column's physicalName equals its logical name (round 11 —
+    replaces the blanket refusal): partitionValues keys and hive dir
+    segments are PHYSICAL names (PROTOCOL.md), the upgrade convention
+    pins physicalName == current name, and the rename/drop writers
+    refuse partition columns — so on every table this engine evolves,
+    the two vocabularies agree on partition columns forever. A foreign
+    table that renamed a partition column breaks that alignment and
+    refuses loudly here rather than mis-keying partition values."""
+    pcols = list((meta or {}).get("partitionColumns") or [])
+    if not pcols:
+        return
+    cmap = column_mapping_from_meta(meta)
+    if not cmap:
+        return
+    bad = sorted(c for c in pcols if cmap.get(c) != c)
+    if bad:
+        raise ValueError(
+            f"{what}: partition column(s) {bad} have a physicalName "
+            "differing from the logical name — partitionValues and hive "
+            "segments are keyed physically, so the logical view cannot "
+            "be reconstructed faithfully; refusing"
+        )
+
+
 def delta_column_mapping(
     table_path: str, fs: LakeFS | None = None
 ) -> dict[str, str]:
@@ -1456,10 +1482,11 @@ class DeltaSnapshotLake(ParquetLake):
         all_live = sorted(state)
         pcols = list((self._table_meta() or {}).get("partitionColumns") or [])
         if pcols and self._cmap():
-            raise ValueError(
-                f"{self._table_path}: column mapping on a PARTITIONED "
-                "table — partitionValues are keyed by physical names and "
-                "the hive layout cannot be trusted; unsupported, refusing"
+            # supported when partition columns' physical == logical
+            # names (always true for tables this engine upgraded or
+            # evolved — rename/drop refuse partition columns)
+            check_partition_mapping_aligned(
+                self._table_meta(), f"read of {self._table_path}"
             )
         if not pcols:
             use = files or all_live
@@ -1500,8 +1527,12 @@ class DeltaSnapshotLake(ParquetLake):
             return all(got.get(c) == adds[f].get(c) for c in pcols)
 
         if schema is not None and all(hive_consistent(f) for f in use):
+            # mapped tables scan PHYSICAL names (partition columns are
+            # alignment-checked above, so their hive segments type under
+            # the same name) and rename back; unmapped scan the logical
+            # schemaString directly
             df = (
-                self.spark.read.schema(schema)
+                self.spark.read.schema(self._phys_schema() or schema)
                 .option("basePath", self._table_path)
                 .parquet(*use)
             )
@@ -1509,7 +1540,7 @@ class DeltaSnapshotLake(ParquetLake):
                 df = apply_deletion_vectors(
                     self.spark, df, self._table_path, dvs
                 )
-            return df
+            return self._to_logical(df)
         # fallback: group by partition tuple, literal columns, one union
         from pyspark.sql import functions as F
 

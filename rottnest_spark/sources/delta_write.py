@@ -542,11 +542,13 @@ def _mapped_write_frame(df, table_path: str, fs: LakeFS, op: str):
     caller's LOGICAL-named frame becomes the PHYSICAL write frame
     (nested renames via positional struct casts; ID mode stamps
     parquet.field.id into the staged footers). Identity on unmapped
-    tables. Partitioned+mapped stays refused — partitionValues key on
-    physical names and the read side refuses that combination too."""
+    tables. Partitioned+mapped requires the partition columns' physical
+    names to equal their logical names (round 11 — the alignment the
+    upgrade convention pins and the rename/drop writers preserve), so
+    partitionValues keys and hive segments stay correct."""
     from rottnest_spark.sources.delta import (
         _cm_mode,
-        delta_partition_columns,
+        check_partition_mapping_aligned,
         delta_table_meta,
         to_physical_frame,
     )
@@ -554,12 +556,7 @@ def _mapped_write_frame(df, table_path: str, fs: LakeFS, op: str):
     meta = delta_table_meta(table_path, fs=fs)
     if not _cm_mode(meta):
         return df
-    if delta_partition_columns(table_path, fs=fs):
-        raise ValueError(
-            f"{table_path}: {op} on a PARTITIONED column-mapped table — "
-            "partitionValues are keyed by physical names; unsupported, "
-            "refusing (matches the read-side refusal)"
-        )
+    check_partition_mapping_aligned(meta, f"{op} on {table_path}")
     return to_physical_frame(df, meta)
 
 
@@ -1250,11 +1247,13 @@ def delta_enable_column_mapping(
     resolving by name. Idempotent: an already-mapped table returns the
     current version untouched. `id` mode is refused — existing footers
     carry no parquet field ids, so an id-mode upgrade could not resolve
-    old files. Partitioned tables are refused (partitionValues key on
-    physical names; the read side refuses that combination too)."""
+    old files. Partitioned tables upgrade too (round 11): the
+    preserve-names convention keeps every partition column's
+    physicalName equal to its logical name, so partitionValues keys and
+    hive segments stay valid — and the rename/drop writers refuse
+    partition columns, preserving that alignment forever."""
     from rottnest_spark.sources.delta import (
         _cm_mode,
-        delta_partition_columns,
         delta_protocol,
         delta_table_meta,
     )
@@ -1268,12 +1267,6 @@ def delta_enable_column_mapping(
     log_dir = os.path.join(table_path, "_delta_log")
     if _cm_mode(meta):
         return _next_version(log_dir, fs) - 1  # already mapped: no-op
-    if delta_partition_columns(table_path, fs=fs):
-        raise ValueError(
-            f"{table_path}: enabling column mapping on a PARTITIONED "
-            "table — partitionValues are keyed by physical names; "
-            "unsupported, refusing (matches the DML/read-side refusal)"
-        )
     schema = json.loads(meta["schemaString"])
     counter = [0]
     schema["fields"] = [

@@ -145,18 +145,19 @@ def test_refusals(spark, table, tmp_path):
     delta_drop_column(work, "o_totalprice")
     with pytest.raises(ValueError, match="last column"):
         delta_drop_column(work, "o_orderkey")
-    # partitioned tables refuse the mapping upgrade (partitionValues key
-    # on physical names — matches the existing DML/read-side refusal)
+    # partitioned tables UPGRADE now (round 11 — preserve-names keeps
+    # partitionValues keys valid); partition COLUMNS still refuse
+    # rename/drop (tests/test_delta_partitioned_evolution.py covers the
+    # full partitioned-evolution surface)
     part = str(tmp_path / "p")
     delta_write(
         src.withColumn("bucket", F.col("o_orderkey") % 2),
         part,
         partition_by=["bucket"],
     )
-    with pytest.raises(ValueError, match="PARTITIONED"):
-        delta_enable_column_mapping(part)
-    with pytest.raises(ValueError, match="PARTITIONED"):
-        delta_rename_column(part, "o_totalprice", "price")
+    delta_enable_column_mapping(part)
+    with pytest.raises(ValueError, match="partition column"):
+        delta_rename_column(part, "bucket", "b2")
 
 
 def test_features_protocol_merge(table):
