@@ -2617,8 +2617,10 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     XFORM_DEL_CUT,
     q_delta_change_feed,
     q_delta_dv_read,
+    q_delta_partitioned_evolution,
     q_delta_rename_column,
     q_delta_schema_evolution,
+    q_iceberg_nested_evolution,
     q_delta_mapped_dml_read,
     q_delta_snapshot_diff,
     EVOLVE_APP_MOD,
@@ -2792,6 +2794,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "range_join": q_range_join,
     "event_kpis": q_event_kpis,
+    # round-11 additions (post-window: the rotated 1-50 seats stay
+    # untouched; these join the full 135-query local gate)
+    "iceberg_nested_evolution": q_iceberg_nested_evolution,
+    "delta_partitioned_evolution": q_delta_partitioned_evolution,
 }
 
 

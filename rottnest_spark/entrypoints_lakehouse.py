@@ -1199,3 +1199,139 @@ def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and redundant variants (`*_many`, the second TPC-H tier, rows-only
 # approximate paths) come after. Do not alphabetize or regroup without
 # preserving this property.
+
+
+def q_iceberg_nested_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg NESTED-PATH evolution (round 11,
+    iceberg_write.iceberg_rename_column/iceberg_update_column_type/
+    iceberg_add_column with dot paths): an orders slice lands under a
+    struct column, then info.status renames to `state`, info.cnt
+    promotes int->long, and info.src is added with an initial-default —
+    all metadata-only — before the other half appends in the NEW shape.
+    The scan rebuilds each file's struct BY NESTED FIELD ID
+    (iceberg._resolve_evolved_column); the hash match proves mixed
+    pre/post-evolution files agree with plain-SQL arithmetic."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_add_column,
+        iceberg_rename_column,
+        iceberg_update_column_type,
+        iceberg_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_inest_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .selectExpr(
+                "o_orderkey",
+                "named_struct('status', o_orderstatus, "
+                "'cnt', CAST(o_orderkey % 1000 AS int)) AS info",
+            )
+        )
+        table = os.path.join(work, "t")
+        iceberg_write(
+            src.filter(F.col("o_orderkey") % 2 == 0).repartition(2), table
+        )
+        iceberg_rename_column(table, "info.status", "state")
+        iceberg_update_column_type(table, "info.cnt", "long")
+        iceberg_add_column(table, "info.src", "string", initial_default="old")
+        post = (
+            load(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderkey") % MOR_SRC_MOD == 0)
+                & (F.col("o_orderkey") % 2 == 1)
+            )
+            .selectExpr(
+                "o_orderkey",
+                "named_struct('state', o_orderstatus, "
+                "'cnt', CAST(o_orderkey % 1000 AS bigint), "
+                "'src', 'new') AS info",
+            )
+        )
+        iceberg_write(post.repartition(2), table, mode="append")
+        lake = IcebergSnapshotLake(spark, table, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy(
+                F.col("info.state").alias("state"),
+                F.col("info.src").alias("tag"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("info.cnt").alias("sum_cnt"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("state", "tag")
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_delta_partitioned_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta evolution on a PARTITIONED table (round 11 — the
+    partitioned+mapped refusal replaced by the physical-name alignment
+    check): a hive-partitioned orders slice upgrades to columnMapping,
+    o_totalprice renames to `price`, a DV upsert in the NEW vocabulary
+    doubles a key slice, and o_orderpriority drops metaData-only. The
+    one-scan hive read path scans PHYSICAL names and renames back
+    (sources/delta.py read). Oracle: the same arithmetic in plain
+    SQL."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import (
+        delta_drop_column,
+        delta_rename_column,
+        delta_upsert,
+        delta_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_dpart_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        table = os.path.join(work, "t")
+        delta_write(src, table, partition_by=["o_orderstatus"])
+        delta_rename_column(table, "o_totalprice", "price")
+        ch = (
+            src.filter(F.col("o_orderkey") % EVOLVE_UPD_MOD == 0)
+            .withColumnRenamed("o_totalprice", "price")
+            .withColumn("price", F.col("price") * 2)
+        )
+        delta_upsert(spark, ch, table, ["o_orderkey"])
+        delta_drop_column(table, "o_orderpriority")
+        lake = DeltaSnapshotLake(spark, table, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("price"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -460,6 +460,40 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # Iceberg NESTED evolution: nested rename/promote keep the physical
+    # values (metadata-only), the nested add fills its default into
+    # pre-evolution rows ('old') while appends carry 'new'
+    "iceberg_nested_evolution": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus,
+                   o_orderkey % 1000 AS cnt,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'old'
+                        ELSE 'new' END AS tag
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        )
+        SELECT o_orderstatus AS state, tag, count(*) AS n_orders,
+               sum(cnt) AS sum_cnt, max(o_orderkey) AS max_key
+        FROM src
+        GROUP BY state, tag
+        ORDER BY state, tag
+    """,
+    # Delta evolution on a PARTITIONED table: rename is metaData-only
+    # (values are the originals), the upserted slice is doubled, the
+    # dropped column never appears
+    "delta_partitioned_evolution": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(CASE WHEN o_orderkey % {EVOLVE_UPD_MOD} = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM src
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     # catalog commit: after commit_files through the pointer-store
     # catalog, reads see the FULL slice (half written at create, half
     # committed through the catalog)
