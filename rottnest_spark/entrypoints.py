@@ -2628,6 +2628,7 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     EVOLVE_UPD_MOD,
     q_iceberg_mor_read,
     q_iceberg_rename_column,
+    q_iceberg_spec_evolution,
     q_iceberg_schema_evolution,
     q_iceberg_time_travel,
     q_iceberg_transform_partitioned_dml,
@@ -2798,6 +2799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # untouched; these join the full 135-query local gate)
     "iceberg_nested_evolution": q_iceberg_nested_evolution,
     "delta_partitioned_evolution": q_delta_partitioned_evolution,
+    "iceberg_spec_evolution": q_iceberg_spec_evolution,
 }
 
 

@@ -1335,3 +1335,70 @@ def q_delta_partitioned_evolution(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_iceberg_spec_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PARTITION SPEC EVOLUTION (round 11,
+    iceberg_write.iceberg_evolve_partition_spec / _rewrite_partition_
+    spec): half the slice lands partitioned by o_orderstatus, the spec
+    evolves to identity(o_orderpriority) metadata-only, the other half
+    appends under the NEW layout — the mixed-spec read reconstructs
+    each file's identity columns through ITS OWN spec (per-spec
+    manifests + manifest-list partition_spec_id). The rewrite then
+    migrates old-spec files (row-mutating DML refuses until it runs)
+    and a positional delete drops a key slice. Oracle: the same
+    arithmetic in plain SQL."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_delete_rows,
+        iceberg_evolve_partition_spec,
+        iceberg_rewrite_partition_spec,
+        iceberg_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_ispec_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        table = os.path.join(work, "t")
+        iceberg_write(
+            src.filter(F.col("o_orderkey") % 2 == 0),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        iceberg_evolve_partition_spec(table, ["o_orderpriority"])
+        iceberg_write(
+            src.filter(F.col("o_orderkey") % 2 == 1), table, mode="append"
+        )
+        iceberg_rewrite_partition_spec(spark, table)
+        iceberg_delete_rows(
+            spark, table, F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
+        )
+        lake = IcebergSnapshotLake(spark, table, os.path.join(work, "idx"))
+        out = (
+            lake.read()
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -42,8 +42,13 @@ from rottnest_spark.sources.reader import read_parquet
 
 
 def provenance_file_col():
-    """Normalized data-file path of each row (native reader provenance)."""
-    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    """Normalized data-file path of each row (native reader provenance):
+    scheme stripped AND percent-decoded (sources/reader.uri_path_col —
+    Spark tags a URI, so escaped dir names would otherwise never match
+    the file lists indexes are keyed by)."""
+    from rottnest_spark.sources.reader import uri_path_col
+
+    return uri_path_col(F.col("_metadata.file_path"))
 
 
 def char_ngrams(col, n: int):

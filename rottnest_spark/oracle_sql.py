@@ -494,6 +494,18 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # Iceberg partition-spec evolution: the mixed-spec read + rewrite
+    # preserve every row; the positional delete then drops a key slice
+    "iceberg_spec_evolution": f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               max(o_orderkey) AS max_key
+        FROM orders
+        WHERE o_orderkey % {MOR_SRC_MOD} = 0
+          AND o_orderkey % {EVOLVE_UPD_MOD} <> 0
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
     # catalog commit: after commit_files through the pointer-store
     # catalog, reads see the FULL slice (half written at create, half
     # committed through the catalog)

@@ -36,6 +36,7 @@ import json
 import os
 
 from rottnest_spark.core.fs import LakeFS, LocalFS
+from rottnest_spark.sources.reader import uri_path_col as _uri_path
 from rottnest_spark.core.lake import ParquetLake
 
 
@@ -1024,7 +1025,7 @@ def apply_deletion_vectors(
     )
     tagged = df.withColumns(
         {
-            "__del_path": norm(F.col("_metadata.file_path")),
+            "__del_path": _uri_path(F.col("_metadata.file_path")),
             "__del_pos": F.col("_metadata.row_index"),
         }
     )

@@ -32,6 +32,7 @@ import time
 import uuid
 
 from rottnest_spark.core.fs import LakeFS, LocalFS
+from rottnest_spark.sources.reader import uri_path_col as _uri_path
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -588,7 +589,7 @@ def _mapped_tagged_scan(spark, table_path: str, data_files, fs: LakeFS):
         _cm_mode(meta) == "id",
     ).withColumns(
         {
-            "file_path": norm(F.col("_metadata.file_path")),
+            "file_path": _uri_path(F.col("_metadata.file_path")),
             "pos": F.col("_metadata.row_index"),
         }
     )

@@ -48,6 +48,7 @@ import os
 import re
 
 from rottnest_spark.core.fs import canon_path
+from rottnest_spark.sources.reader import uri_path_col as _uri_path
 from rottnest_spark.core.lake import ParquetLake
 from rottnest_spark.sources.avro_lite import read_ocf
 
@@ -206,7 +207,7 @@ def snapshot_state_from_metadata(md: dict, table_path: str, fs=None) -> dict:
     snap_id = md.get("current-snapshot-id")
     snaps = md.get("snapshots", [])
     if snap_id in (None, -1) or not snaps:
-        return {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}, "data_info": {}}
+        return {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}, "data_info": {}, "data_spec": {}}
     by_id = {s["snapshot-id"]: s for s in snaps}
     if snap_id not in by_id:
         raise ValueError(
@@ -1057,9 +1058,7 @@ def _eq_delete_rows_df(spark, dels: list[dict], cols: list[str]):
         spark.read.parquet(*paths)
         .select(
             *[F.col(c).alias(f"__eq_{c}") for c in cols],
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("__dfile"),
+            _uri_path(F.col("_metadata.file_path")).alias("__dfile"),
         )
         .join(F.broadcast(seq_map), "__dfile", "inner")
         .drop("__dfile")
@@ -1201,7 +1200,7 @@ def apply_position_deletes(
     )
     tagged = df.withColumns(
         {
-            "__del_path": norm(F.col("_metadata.file_path")),
+            "__del_path": _uri_path(F.col("_metadata.file_path")),
             "__del_pos": F.col("_metadata.row_index"),
         }
     )
@@ -1239,8 +1238,8 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
     # defaulted TYPES refuse at scan time inside initial_default_fields.
     location = md.get("location", "")
 
-    # (path, content, ml_seq, ml_added_snap)
-    manifests: list[tuple[str, int, int, int | None]] = []
+    # (path, content, ml_seq, ml_added_snap, ml_spec_id)
+    manifests: list[tuple[str, int, int, int | None, int]] = []
     if "manifest-list" in snap:
         ml_path = _rebase(snap["manifest-list"], location, table_path)
         _, entries = read_ocf(ml_path, fs=fs)
@@ -1251,10 +1250,11 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
                     int(e.get("content") or 0),
                     int(e.get("sequence_number") or 0),
                     e.get("added_snapshot_id"),
+                    int(e.get("partition_spec_id") or 0),
                 )
             )
     else:  # v1 tables may inline "manifests"
-        manifests = [(p, 0, 0, None) for p in snap.get("manifests", [])]
+        manifests = [(p, 0, 0, None, 0) for p in snap.get("manifests", [])]
 
     state = {
         "data": {},
@@ -1270,8 +1270,13 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
         # manifests — commit tails reuse these for EXISTING files
         # instead of re-opening O(files) footers on the driver
         "data_info": {},
+        # {data file path: partition-spec-id of its manifest} — spec
+        # EVOLUTION attribution (round 11): each file's r102 partition
+        # record is keyed/typed by the spec it was written under, and
+        # reconstruction/pruning must follow THAT spec, not the default
+        "data_spec": {},
     }
-    for mpath, list_content, ml_seq, ml_snap in manifests:
+    for mpath, list_content, ml_seq, ml_snap, ml_spec in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
         for e in entries:
             status = int(e.get("status") or 0)  # 0 existing, 1 added, 2 deleted
@@ -1295,6 +1300,7 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
                 state["data"][p] = seq
                 if e_snap is not None:
                     state["data_snap"][p] = e_snap
+                state["data_spec"][p] = ml_spec
                 rc, fsz = df.get("record_count"), df.get("file_size_in_bytes")
                 if rc is not None and fsz is not None:
                     state["data_info"][p] = (int(rc), int(fsz))
@@ -1748,15 +1754,34 @@ class IcebergSnapshotLake(ParquetLake):
     # real tables use these specs, now available to the index layer.
 
     def _transform_view(self, keep_fn, what: str) -> ParquetLake:
+        """`keep_fn(rec, spec_id)` — each file's r102 record is
+        evaluated against the spec THAT FILE was written under (round
+        11, spec evolution): two specs can share a field name with
+        different transform params (bucket[4] vs bucket[8] both name
+        `col_bucket`), so name-only matching across specs would prune
+        wrongly."""
         md = self._table_metadata()
+        state = self._cached_state(md)
         adds = {
             canon_path(p): v
             for p, v in live_adds_from_metadata(
                 md, self._table_path, self.fs
             ).items()
         }
+        default_sid = int(md.get("default-spec-id") or 0)
+        fspec = {
+            canon_path(p): int(v)
+            for p, v in (state.get("data_spec") or {}).items()
+        }
         files = self.files  # refuses MOR/default-bearing snapshots
-        sub = [f for f in files if keep_fn(adds.get(canon_path(f)) or {})]
+        sub = [
+            f
+            for f in files
+            if keep_fn(
+                adds.get(canon_path(f)) or {},
+                fspec.get(canon_path(f), default_sid),
+            )
+        ]
         if not sub:
             raise ValueError(
                 f"no lake files match {what} — {len(files)} files total"
@@ -1766,15 +1791,45 @@ class IcebergSnapshotLake(ParquetLake):
             fs=self.fs,
         )
 
-    def _fields_by_source(self) -> dict[str, list[dict]]:
+    def _fields_by_source(
+        self, spec_id: int | None = None
+    ) -> dict[str, list[dict]]:
         from rottnest_spark.sources.iceberg_transforms import (
             partition_fields_from_spec,
         )
 
+        md = self._table_metadata()
+        if spec_id is not None:
+            md = {
+                **md,
+                "partition-spec": None,
+                "default-spec-id": spec_id,
+            }
         out: dict[str, list[dict]] = {}
-        for pf in partition_fields_from_spec(self._table_metadata()):
+        for pf in partition_fields_from_spec(md):
             out.setdefault(pf["source"], []).append(pf)
         return out
+
+    def partition_pruned(self, **partition_values) -> ParquetLake:
+        """Hive-path pruning is DEFAULT-SPEC addressing: files written
+        under an older spec lack the `col=value` segments and would be
+        silently dropped — refuse on mixed-spec snapshots (use the
+        spec-aware transform_pruned, or iceberg_rewrite_partition_spec
+        to migrate)."""
+        md = self._table_metadata()
+        state = self._cached_state(md)
+        default_sid = int(md.get("default-spec-id") or 0)
+        sids = {
+            int(v) for v in (state.get("data_spec") or {}).values()
+        }
+        if sids - {default_sid}:
+            raise ValueError(
+                "partition_pruned addresses the default spec's hive "
+                f"layout, but live files span specs {sorted(sids)} — "
+                "use transform_pruned (spec-aware per file) or "
+                "iceberg_rewrite_partition_spec first"
+            )
+        return super().partition_pruned(**partition_values)
 
     def transform_pruned(self, **source_values) -> ParquetLake:
         """View of the lake restricted to files that can contain
@@ -1797,15 +1852,25 @@ class IcebergSnapshotLake(ParquetLake):
                 f"{unknown} are not partition-transform source columns "
                 f"(spec sources: {sorted(by_source)})"
             )
-        want: dict[str, object] = {}
-        for col, val in source_values.items():
-            for pf in by_source[col]:
-                want[pf["name"]] = transform_value(
-                    pf["kind"], pf["param"], val, pf["source_type"]
-                )
 
-        def keep(rec: dict) -> bool:
-            for name, exp in want.items():
+        # per-SPEC want maps (round 11): each file prunes only through
+        # transforms its OWN spec declares — a spec without one simply
+        # keeps the file (sound)
+        _want_cache: dict[int, dict[str, object]] = {}
+
+        def want_for(sid: int) -> dict[str, object]:
+            if sid not in _want_cache:
+                w: dict[str, object] = {}
+                for col, val in source_values.items():
+                    for pf in self._fields_by_source(sid).get(col, []):
+                        w[pf["name"]] = transform_value(
+                            pf["kind"], pf["param"], val, pf["source_type"]
+                        )
+                _want_cache[sid] = w
+            return _want_cache[sid]
+
+        def keep(rec: dict, sid: int) -> bool:
+            for name, exp in want_for(sid).items():
                 got = rec.get(name)
                 if got is not None and got != exp:
                     return False
@@ -1833,30 +1898,40 @@ class IcebergSnapshotLake(ParquetLake):
                 f"{unknown} are not partition-transform source columns "
                 f"(spec sources: {sorted(by_source)})"
             )
-        bounds: dict[str, tuple] = {}
-        for col, (lo, hi) in source_ranges.items():
-            for pf in by_source[col]:
-                if pf["kind"] == "bucket" or (
-                    pf["kind"] == "truncate"
-                    and pf["source_type"] == "string"
-                ):
-                    continue  # not usable for a range — skip, stay sound
-                bounds[pf["name"]] = (
-                    transform_value(
-                        pf["kind"], pf["param"], lo, pf["source_type"]
-                    ),
-                    transform_value(
-                        pf["kind"], pf["param"], hi, pf["source_type"]
-                    ),
-                )
-        if not bounds:
+
+        def bounds_for_spec(sid: int) -> dict[str, tuple]:
+            out: dict[str, tuple] = {}
+            src = (
+                by_source if sid is None else self._fields_by_source(sid)
+            )
+            for col, (lo, hi) in source_ranges.items():
+                for pf in src.get(col, []):
+                    if pf["kind"] == "bucket" or (
+                        pf["kind"] == "truncate"
+                        and pf["source_type"] == "string"
+                    ):
+                        continue  # not usable for a range — stay sound
+                    out[pf["name"]] = (
+                        transform_value(
+                            pf["kind"], pf["param"], lo, pf["source_type"]
+                        ),
+                        transform_value(
+                            pf["kind"], pf["param"], hi, pf["source_type"]
+                        ),
+                    )
+            return out
+
+        if not bounds_for_spec(None):
             raise ValueError(
                 "no monotonic transform field covers the given columns "
                 "(bucket[N] cannot serve ranges)"
             )
+        _bounds_cache: dict[int, dict[str, tuple]] = {}
 
-        def keep(rec: dict) -> bool:
-            for name, (lo, hi) in bounds.items():
+        def keep(rec: dict, sid: int) -> bool:
+            if sid not in _bounds_cache:
+                _bounds_cache[sid] = bounds_for_spec(sid)
+            for name, (lo, hi) in _bounds_cache[sid].items():
                 got = rec.get(name)
                 if got is not None and not (lo <= got <= hi):
                     return False
@@ -1940,26 +2015,26 @@ class IcebergSnapshotLake(ParquetLake):
         md = self._table_metadata()
         state = self._cached_state(md)
         data = sorted(state["data"])
-        pcols = partition_columns_from_metadata(md)
-        if not pcols:
-            use = files or data
-            if not use:
-                raise ValueError(
-                    f"Iceberg table at {self._table_path!r} has no live "
-                    "data files"
-                )
-            return self._base_read(use, state, md.get("location", ""), md)
         use = files or data
         if not use:
             raise ValueError(
-                f"Iceberg table at {self._table_path!r} has no live data files"
+                f"Iceberg table at {self._table_path!r} has no live "
+                "data files"
             )
+        default_sid = int(md.get("default-spec-id") or 0)
+        fspec = state.get("data_spec") or {}
+        sids = {int(fspec.get(f, default_sid)) for f in use}
+        pcols = partition_columns_from_metadata(md)
+        if not pcols and sids <= {default_sid}:
+            return self._base_read(use, state, md.get("location", ""), md)
         import pyarrow.parquet as pq
 
-        physical = set(pq.ParquetFile(use[0]).schema_arrow.names)
-        missing = [c for c in pcols if c not in physical]
-        if not missing:
-            return self._base_read(use, state, md.get("location", ""), md)
+        if sids <= {default_sid}:
+            physical = set(pq.ParquetFile(use[0]).schema_arrow.names)
+            if all(c in physical for c in pcols):
+                return self._base_read(
+                    use, state, md.get("location", ""), md
+                )
         adds = live_adds_from_metadata(md, self._table_path, fs=self.fs)
         unknown = [f for f in use if f not in adds]
         if unknown:
@@ -1968,6 +2043,36 @@ class IcebergSnapshotLake(ParquetLake):
                 "partition values unknown"
             )
         from pyspark.sql import functions as F
+
+        # identity columns PER SPEC (round 11, spec evolution): a file
+        # fills exactly the identity columns ITS spec moved out of the
+        # data; columns another spec moved out are physical in this
+        # file. Group key = (spec, that spec's partition tuple); plan
+        # stays bounded by specs × partition tuples, not file count.
+        def idcols(sid: int) -> list[str]:
+            if sid == default_sid:
+                return pcols
+            return partition_columns_from_metadata(
+                {**md, "partition-spec": None, "default-spec-id": sid}
+            )
+
+        # per-spec physical probe (one footer per spec): hive-migrated
+        # tables whose files CARRY the identity columns physically need
+        # no reconstruction for that spec
+        missing_by_sid: dict[int, list[str]] = {}
+        groups: dict[tuple, list[str]] = {}
+        for f in use:
+            sid = int(fspec.get(f, default_sid))
+            if sid not in missing_by_sid:
+                phys = set(pq.ParquetFile(f).schema_arrow.names)
+                missing_by_sid[sid] = [
+                    c for c in idcols(sid) if c not in phys
+                ]
+            key = (
+                sid,
+                tuple(adds[f].get(c) for c in missing_by_sid[sid]),
+            )
+            groups.setdefault(key, []).append(f)
 
         # literal types follow the table schema (F.lit would narrow a
         # long partition value to IntegerType)
@@ -1978,26 +2083,23 @@ class IcebergSnapshotLake(ParquetLake):
         }
         casts = {}
         for f in _current_schema(md).get("fields", []):
-            if f["name"] in missing and isinstance(f.get("type"), str):
+            if isinstance(f.get("type"), str):
                 casts[f["name"]] = _spark_of_iceberg.get(f["type"], "string")
 
-        groups: dict[tuple, list[str]] = {}
-        for f in use:
-            key = tuple(adds[f].get(c) for c in missing)
-            groups.setdefault(key, []).append(f)
         parts = []
         shared = None
         if (state["pos_deletes"] or state["dvs"]) and len(groups) > 1:
             shared = position_delete_pairs_df(
                 self.spark, state, md.get("location", ""), self._table_path
             ).localCheckpoint(eager=True)
-        for key, fl in sorted(
-            groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+        for (sid, key), fl in sorted(
+            groups.items(),
+            key=lambda kv: (kv[0][0], tuple(str(k) for k in kv[0][1])),
         ):
             df = self._base_read(
                 fl, state, md.get("location", ""), md, pairs=shared
             )
-            for c, v in zip(missing, key):
+            for c, v in zip(missing_by_sid[sid], key):
                 lit = F.lit(v)
                 if c in casts:
                     lit = lit.cast(casts[c])
@@ -2139,9 +2241,7 @@ def equality_delete_positions(spark, state: dict, md: dict):
         return spark.createDataFrame([], "__path string, __pos long")
     df = spark.read.parquet(*cands).withColumns(
         {
-            "__path": F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ),
+            "__path": _uri_path(F.col("_metadata.file_path")),
             "__pos": F.col("_metadata.row_index"),
         }
     )

@@ -47,6 +47,7 @@ import uuid
 
 from rottnest_spark.core.fs import LakeFS, LocalFS, canon_path
 from rottnest_spark.sources.avro_lite import write_ocf
+from rottnest_spark.sources.reader import uri_path_col as _uri_path
 
 #: manifest-list entry schema (spec fields the ecosystem expects; our
 #: reader consumes manifest_path + content)
@@ -505,8 +506,16 @@ def _commit_snapshot(
     removed_eq: list[str] | None = None,
     committer=None,
     snap_ids: dict[str, int] | None = None,
+    spec_ids: dict[str, int] | None = None,
 ) -> int:
-    """`snap_ids` carries each PRE-EXISTING file's ADDING snapshot id
+    """`spec_ids` carries each PRE-EXISTING file's PARTITION-SPEC id
+    (round 11 — spec evolution): a file written under an older spec
+    keeps its r102 record keyed/typed by THAT spec, lands in a
+    per-spec data manifest whose manifest-list entry records the
+    partition_spec_id, and reconstruction/pruning follow it. Files
+    absent from the map (the adds) take the default spec.
+
+    `snap_ids` carries each PRE-EXISTING file's ADDING snapshot id
     (the spec's manifest-entry semantics: "snapshot id where the file
     was added" — files absent from it get this commit's id). Preserving
     it is what keeps write-SCHEMA attribution correct across rewrites:
@@ -555,7 +564,15 @@ def _commit_snapshot(
     schema = schema or _current_schema(prior or {}) or (
         _iceberg_schema(live[0]) if live else {"type": "struct", "fields": []}
     )
+    prior_specs = list((prior or {}).get("partition-specs") or [])
+    default_sid = int((prior or {}).get("default-spec-id") or 0)
     if partition_by is not None:
+        if len(prior_specs) > 1:
+            raise ValueError(
+                "explicit partition_by on a spec-EVOLVED table — the "
+                "spec history would be overwritten; use "
+                "iceberg_evolve_partition_spec instead"
+            )
         if partition_by and isinstance(partition_by[0], dict):
             pfs = list(partition_by)  # pre-parsed field structs
         else:
@@ -576,9 +593,31 @@ def _commit_snapshot(
     # r102 record fields are named after the PARTITION FIELD and typed
     # by the transform's RESULT type (identity keeps the source type)
     pfields = [(pf["name"], pf["result_type"]) for pf in pfs]
+    # per-spec evaluable fields for CARRIED files under older specs
+    spec_ids = {canon_path(k): int(v) for k, v in (spec_ids or {}).items()}
+    _pf_cache: dict[int, list] = {default_sid: pfields}
+
+    def pfields_for(sid: int) -> list:
+        if sid not in _pf_cache:
+            from rottnest_spark.sources.iceberg_transforms import (
+                partition_fields_from_spec,
+            )
+
+            pseudo = {
+                **(prior or {}),
+                "partition-spec": None,
+                "partition-specs": prior_specs,
+                "default-spec-id": sid,
+            }
+            _pf_cache[sid] = [
+                (pf["name"], pf["result_type"])
+                for pf in partition_fields_from_spec(pseudo)
+            ]
+        return _pf_cache[sid]
 
     def entry(
-        f: str, status: int, content: int = 0, equality_ids=None
+        f: str, status: int, content: int = 0, equality_ids=None,
+        pfields: list = pfields,
     ) -> dict:
         if pfields and content == 0:
             try:
@@ -615,15 +654,38 @@ def _commit_snapshot(
             },
         }
 
-    entries = [
-        entry(f, 1 if f in added_set else 0) for f in sorted(live)
-    ] + [entry(f, 2) for f in sorted(removed_set)]
-    manifest = os.path.join(meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
-    write_ocf(manifest, _manifest_schema(pfields), entries, fs=fs)
+    # one data manifest PER PARTITION SPEC (spec: a manifest describes
+    # files of a single spec; the manifest-list entry records which) —
+    # single-spec tables keep exactly one, as before
+    by_spec: dict[int, list[tuple[str, int]]] = {}
+    for f in sorted(live):
+        sid = spec_ids.get(canon_path(f), default_sid)
+        by_spec.setdefault(sid, []).append((f, 1 if f in added_set else 0))
+    for f in sorted(removed_set):
+        sid = spec_ids.get(canon_path(f), default_sid)
+        by_spec.setdefault(sid, []).append((f, 2))
+    if not by_spec:
+        by_spec[default_sid] = []
     # metadata records CANONICAL paths (spec: full location URIs) — a
     # relative table_path would otherwise store relative manifest paths
     # that _rebase doubles against the absolute `location`
-    ml_entries = [{"manifest_path": canon_path(manifest), "content": 0}]
+    ml_entries = []
+    for sid in sorted(by_spec):
+        pf_s = pfields_for(sid)
+        entries = [
+            entry(f, status, pfields=pf_s) for f, status in by_spec[sid]
+        ]
+        manifest = os.path.join(
+            meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        write_ocf(manifest, _manifest_schema(pf_s), entries, fs=fs)
+        ml_entries.append(
+            {
+                "manifest_path": canon_path(manifest),
+                "content": 0,
+                "spec_id": sid,
+            }
+        )
 
     # v2 merge-on-read: positional delete files live in their OWN manifest,
     # flagged content=1 in the manifest list (Iceberg spec "Delete
@@ -656,7 +718,11 @@ def _commit_snapshot(
         # always listed — status-2 tombstones are skipped by readers, the
         # same full-manifest-per-snapshot convention as the data manifest
         ml_entries.append(
-            {"manifest_path": canon_path(del_manifest), "content": 1}
+            {
+                "manifest_path": canon_path(del_manifest),
+                "content": 1,
+                "spec_id": default_sid,
+            }
         )
 
     ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
@@ -667,7 +733,7 @@ def _commit_snapshot(
             {
                 "manifest_path": m["manifest_path"],
                 "manifest_length": fs.getsize(m["manifest_path"]),
-                "partition_spec_id": 0,
+                "partition_spec_id": int(m.get("spec_id") or 0),
                 "content": m["content"],
                 "sequence_number": commit_seq,
                 "min_sequence_number": min(
@@ -741,9 +807,16 @@ def _commit_snapshot(
         "current-schema-id": int(
             (prior or {}).get("current-schema-id") or 0
         ),
+        # spec evolution (round 11): an evolved table's spec history
+        # carries forward verbatim; unevolved/create paths record the
+        # single default spec (spec-id 0), as before
         "partition-spec": spec_fields,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
+        "partition-specs": (
+            prior_specs
+            if len(prior_specs) > 1
+            else [{"spec-id": default_sid, "fields": spec_fields}]
+        ),
+        "default-spec-id": default_sid,
         "current-snapshot-id": snap_id,
         "snapshots": ((prior or {}).get("snapshots") or []) + [snapshot],
     }
@@ -832,7 +905,7 @@ def iceberg_commit(
     if cur in by_id:
         st = _snapshot_state(prior, by_id[cur], table_path, fs)
     else:
-        st = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}, "data_info": {}}
+        st = {"data": {}, "pos_deletes": {}, "eq_deletes": [], "dvs": {}, "data_snap": {}, "data_info": {}, "data_spec": {}}
     # canon the live sets: callers pass canon'd (often _metadata-derived
     # absolute) paths while _rebase outputs are relative whenever
     # table_path is — unnormalized membership checks either reject valid
@@ -855,6 +928,10 @@ def iceberg_commit(
     # attribution for rename/drop resolution survives the rewrite)
     snap_ids = {
         canon_path(k): int(v) for k, v in (st.get("data_snap") or {}).items()
+    }
+    # ... and their PARTITION SPEC id (spec-evolution attribution)
+    spec_ids = {
+        canon_path(k): int(v) for k, v in (st.get("data_spec") or {}).items()
     }
     add = [canon_path(f) for f in (add or [])]
     remove = [canon_path(f) for f in (remove or [])]
@@ -894,7 +971,7 @@ def iceberg_commit(
         removed_deletes=remove_del,
         seqs=seqs, live_eq=live_eq, added_eq=add_eq,
         removed_eq=sorted(remove_eq),
-        committer=committer, snap_ids=snap_ids,
+        committer=committer, snap_ids=snap_ids, spec_ids=spec_ids,
     )
 
 
@@ -1100,6 +1177,27 @@ def iceberg_write(
     return iceberg_commit_retry(table_path, add=moved, fs=fs)
 
 
+def _adopt_staged(table_path: str, stage: str, fs: LakeFS) -> list[str]:
+    """Move a staged write's parquet files (hive dirs preserved) under
+    <table>/data/ with fresh uuid leaf names; returns the moved paths.
+    The stage dir is removed."""
+    moved = []
+    fs.makedirs(os.path.join(table_path, "data"))
+    for f in fs.list_files(stage):
+        segs = os.path.relpath(f, stage).split(os.sep)
+        leaf = segs[-1]
+        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+            continue
+        dst = os.path.join(
+            table_path, "data", *segs[:-1], f"{uuid.uuid4().hex}.parquet"
+        )
+        fs.makedirs(os.path.dirname(dst))
+        fs.rename(f, dst)
+        moved.append(dst)
+    fs.rmtree(stage)
+    return moved
+
+
 def iceberg_delete_rows(
     spark,
     table_path: str,
@@ -1134,9 +1232,9 @@ def iceberg_delete_rows(
     # COMPOSE with equality state (positions computed for rows an eq
     # delete already hides are harmless duplicates; the commit carries
     # the eq files forward)
-    _st = snapshot_state_from_metadata(
-        _current_metadata(table_path, fs), table_path, fs
-    )
+    _md_guard = _current_metadata(table_path, fs)
+    check_single_spec(_md_guard, table_path, fs, "iceberg_delete_rows")
+    _st = snapshot_state_from_metadata(_md_guard, table_path, fs)
     data, dels = sorted(_st["data"]), sorted(_st["pos_deletes"])
     if not data:
         raise ValueError(f"{table_path} has no live data files")
@@ -1145,7 +1243,7 @@ def iceberg_delete_rows(
         spark.read.parquet(*data)
         .filter(predicate if not isinstance(predicate, str) else F.expr(predicate))
         .select(
-            norm(F.col("_metadata.file_path")).alias("file_path"),
+            _uri_path(F.col("_metadata.file_path")).alias("file_path"),
             F.col("_metadata.row_index").alias("pos"),
         )
     )
@@ -1228,6 +1326,7 @@ def iceberg_rewrite_deletes(
 
     fs = fs or LocalFS()
     md = _current_metadata(table_path, fs)
+    check_single_spec(md, table_path, fs, "iceberg_rewrite_deletes")
     state = snapshot_state_from_metadata(md, table_path, fs)
     data = sorted(state["data"])
     dels = sorted(state["pos_deletes"])
@@ -1242,7 +1341,7 @@ def iceberg_rewrite_deletes(
     def _tagged(files):
         return spark.read.parquet(*files).withColumns(
             {
-                "__path": norm(F.col("_metadata.file_path")),
+                "__path": _uri_path(F.col("_metadata.file_path")),
                 "__pos": F.col("_metadata.row_index"),
             }
         )
@@ -1867,6 +1966,211 @@ def evolved_schema_drop(md: dict, name: str) -> dict:
     return schema
 
 
+def iceberg_evolve_partition_spec(
+    table_path: str,
+    partition_by: list[str],
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """PARTITION SPEC EVOLUTION as a METADATA-ONLY commit (spec
+    "Partition Evolution": a new spec under a fresh spec-id becomes the
+    default; existing data files keep their old spec — zero files
+    touched). New appends lay out and record r102 values under the NEW
+    spec; reads/pruning resolve each file through ITS OWN spec
+    (per-spec manifests + manifest-list partition_spec_id). Partition
+    FIELD ids are reused when an existing spec already has the same
+    (source-id, transform) pair (the spec's recommendation — keeps the
+    field identity stable) and minted past the table max otherwise.
+    Row-mutating DML on a mixed-spec table refuses until
+    iceberg_rewrite_partition_spec migrates old files. Returns the new
+    metadata version."""
+    from rottnest_spark.sources.iceberg import _current_schema
+    from rottnest_spark.sources.iceberg_transforms import (
+        parse_partition_by,
+    )
+
+    fs = fs or LocalFS()
+    version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    schema = _current_schema(md)
+    pfs = parse_partition_by(list(partition_by), schema)
+    prior_specs = list(md.get("partition-specs") or [])
+    if not prior_specs:
+        prior_specs = [
+            {"spec-id": 0, "fields": list(md.get("partition-spec") or [])}
+        ]
+    #: (source-id, transform) → existing field-id, for stable reuse
+    seen: dict[tuple, int] = {}
+    max_fid = 999
+    for s in prior_specs:
+        for f in s.get("fields", []):
+            fid = int(f.get("field-id") or 0)
+            max_fid = max(max_fid, fid)
+            if f.get("source-id") is not None:
+                seen.setdefault(
+                    (int(f["source-id"]), f.get("transform", "identity")),
+                    fid,
+                )
+    new_fields = []
+    for pf in pfs:
+        key = (pf["source_id"], pf["transform"])
+        if key in seen:
+            fid = seen[key]
+        else:
+            max_fid += 1
+            fid = max_fid
+        new_fields.append(
+            {
+                "name": pf["name"],
+                "transform": pf["transform"],
+                "source-id": pf["source_id"],
+                "field-id": fid,
+            }
+        )
+    shape = json.dumps(new_fields, sort_keys=True)
+    existing = next(
+        (
+            s
+            for s in prior_specs
+            if json.dumps(s.get("fields"), sort_keys=True) == shape
+        ),
+        None,
+    )
+    out = dict(md)
+    if existing is not None:
+        # evolving BACK to an earlier spec: it becomes the default
+        # again — no new spec-id (the spec keeps spec identity stable)
+        if int(existing.get("spec-id") or 0) == int(
+            md.get("default-spec-id") or 0
+        ):
+            raise ValueError(
+                f"partition spec {partition_by} is already the default "
+                "— nothing to evolve"
+            )
+        new_sid = int(existing["spec-id"])
+        out["partition-specs"] = prior_specs
+    else:
+        new_sid = (
+            max(int(s.get("spec-id") or 0) for s in prior_specs) + 1
+        )
+        out["partition-specs"] = prior_specs + [
+            {"spec-id": new_sid, "fields": new_fields}
+        ]
+    out["default-spec-id"] = new_sid
+    out["partition-spec"] = new_fields  # legacy key tracks the default
+    out["last-updated-ms"] = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    new_version = version + 1
+    md_path = os.path.join(
+        _meta_dir(table_path), f"v{new_version}.metadata.json"
+    )
+    fs.create_exclusive(md_path, json.dumps(out).encode())
+    fs.write_text(
+        os.path.join(_meta_dir(table_path), "version-hint.text"),
+        str(new_version),
+    )
+    return new_version
+
+
+def _live_spec_ids(md: dict, table_path: str, fs: LakeFS) -> set[int]:
+    """Distinct partition-spec ids among the current snapshot's live
+    data files (metadata-scale — one manifest walk)."""
+    from rottnest_spark.sources.iceberg import _snapshot_state
+
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+    cur = md.get("current-snapshot-id")
+    if cur not in snaps:
+        return set()
+    st = _snapshot_state(md, snaps[cur], table_path, fs)
+    return {
+        int((st.get("data_spec") or {}).get(p, 0)) for p in st["data"]
+    }
+
+
+def check_single_spec(md: dict, table_path: str, fs: LakeFS, op: str):
+    """Row-mutating DML guard for spec-evolved tables: the delete/
+    upsert/rewrite paths address files through the DEFAULT spec's hive
+    layout and r102 fields, so a table whose live files span multiple
+    specs (or sit under a non-default one) refuses loudly with the
+    migration pointer instead of committing wrong partition records."""
+    sids = _live_spec_ids(md, table_path, fs)
+    default_sid = int(md.get("default-spec-id") or 0)
+    if sids - {default_sid}:
+        raise ValueError(
+            f"{op}: live data files span partition specs "
+            f"{sorted(sids)} (default {default_sid}) — row-mutating DML "
+            "addresses the default spec's layout only; run "
+            "iceberg_rewrite_partition_spec(spark, table_path) to "
+            "migrate old-spec files first"
+        )
+
+
+def iceberg_rewrite_partition_spec(
+    spark,
+    table_path: str,
+    fs: LakeFS | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Migrate every live data file written under an OLD partition spec
+    into the DEFAULT spec's hive layout — ONE staged write job over
+    exactly the old-spec files (new-spec files are untouched), one
+    commit (add staged + remove old). After this the table is
+    single-spec and row-mutating DML un-gates. Returns the new
+    snapshot id."""
+    from rottnest_spark.sources.iceberg import (
+        IcebergSnapshotLake,
+        _snapshot_state,
+    )
+    from rottnest_spark.sources.iceberg_transforms import (
+        stage_partitioned,
+    )
+
+    fs = fs or LocalFS()
+    _version, md = _latest_metadata(table_path, fs)
+    if md is None:
+        raise ValueError(f"{table_path} is not an Iceberg table")
+    default_sid = int(md.get("default-spec-id") or 0)
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+    cur = md.get("current-snapshot-id")
+    if cur not in snaps:
+        raise ValueError(f"{table_path} has no current snapshot")
+    st = _snapshot_state(md, snaps[cur], table_path, fs)
+    old = sorted(
+        p
+        for p in st["data"]
+        if int((st.get("data_spec") or {}).get(p, 0)) != default_sid
+    )
+    if not old:
+        return int(cur)  # already single-spec: no-op
+    if st["pos_deletes"] or st["eq_deletes"] or st["dvs"]:
+        raise ValueError(
+            "spec rewrite over a delete-bearing snapshot — compact the "
+            "deletes first (iceberg_rewrite_deletes / v3 rewrite); a "
+            "naive file rewrite would un-gate position deletes"
+        )
+    lake = IcebergSnapshotLake(
+        spark, table_path, os.path.join(table_path, "_specrw_idx"), fs=fs
+    )
+    df = lake.read(files=old)  # raw state keys — read() resolves them
+    pfs = _partition_fields(md)
+    staged, pnames = stage_partitioned(df, pfs)
+    stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+    if pnames:
+        staged.write.partitionBy(*pnames).parquet(stage)
+    else:
+        staged.write.parquet(stage)
+    new_files = _adopt_staged(table_path, stage, fs)
+    return iceberg_commit(
+        table_path,
+        add=new_files,
+        remove=[canon_path(p) for p in old],
+        fs=fs,
+        timestamp_ms=timestamp_ms,
+    )
+
+
 def iceberg_expire_snapshots(
     table_path: str,
     keep_last: int | None = None,
@@ -2006,6 +2310,7 @@ def iceberg_upsert(
     _, prior = _latest_metadata(table_path, fs)
     if prior is None:
         raise ValueError(f"{table_path} is not an Iceberg table")
+    check_single_spec(prior, table_path, fs, "iceberg_upsert")
     pfs = _partition_fields(prior)
     # identity sources are stripped from hive-laid data files; transform
     # SOURCES stay physical, so they may legitimately be key columns
@@ -2842,7 +3147,12 @@ def _v3_commit_dv_state(
     file_info: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Shared v3 DV commit tail: write the data + delete manifests and
-    the v3 metadata for a new snapshot whose DV state is `new_blobs`
+    the v3 metadata for a new snapshot whose DV state is `new_blobs`.
+
+    Spec-evolved tables: every v3 mutation funnels here, and this tail
+    rebuilds manifests under the DEFAULT spec's r102 fields — so a
+    mixed-spec snapshot refuses up front (check_single_spec) instead of
+    committing wrong partition records for old-spec files.
     (this commit's blobs — {data file: {puffin, offset, size,
     cardinality}}, already ON DISK) plus `carried` (prior DVs of
     untouched files, pointing at their original puffin files). `adds`
@@ -2862,6 +3172,7 @@ def _v3_commit_dv_state(
     from rottnest_spark.core.fs import canon_path as _canon
     from rottnest_spark.sources.iceberg import live_adds_from_metadata
 
+    check_single_spec(md, table_path, fs, "v3 DML commit")
     snaps = md.get("snapshots") or []
     commit_seq = int(md.get("last-sequence-number") or 0) + 1
     new_version = version + 1

@@ -114,6 +114,44 @@ def read_parquet(
     return df
 
 
+def uri_path_col(c):
+    """OS path from a `_metadata.file_path` URI Column (round 11): strip
+    the file: scheme and PERCENT-DECODE byte-exactly. Spark tags rows
+    with a URI — a dir Spark itself laid out as `p=NOT%20SPECIFIED`
+    (its escaping of a space in a partition VALUE) tags as
+    `...%2520SPECIFIED...`, so the un-decoded tag never matches the
+    manifest/log path and every join against it silently (or loudly)
+    misses. `url_decode()` is NOT usable: it speaks
+    x-www-form-urlencoded and would eat literal '+' path chars. Pure
+    JVM: split on '%', rebuild as BINARY (unhex each escape, UTF-8
+    bytes between), decode once — multibyte sequences survive."""
+    p = F.regexp_replace(c, "^file:/+", "/")
+    parts = F.split(p, "%")
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    decoded = F.decode(
+        F.aggregate(
+            tail,
+            F.encode(F.element_at(parts, 1), "UTF-8"),
+            lambda acc, x: F.concat(
+                acc,
+                F.unhex(F.substring(x, 1, 2)),
+                F.encode(F.substring(x, 3, 2147483647), "UTF-8"),
+            ),
+        ),
+        "UTF-8",
+    )
+    return F.when(p.contains("%"), decoded).otherwise(p)
+
+
+def uri_path_str(p: str) -> str:
+    """Driver-side twin of uri_path_col for collected tag values."""
+    import re as _re
+    from urllib.parse import unquote
+
+    out = _re.sub(r"^file:/+", "/", p)
+    return unquote(out) if "%" in out else out
+
+
 def read_parquet_tagged(
     spark: SparkSession,
     files: list[str],
@@ -134,9 +172,7 @@ def read_parquet_tagged(
     spark.conf.set(_NANOS_FLAG, "true" if ns_cols else "false")
     df = _scan(spark, files, schema, field_id).withColumns(
         {
-            "__path": F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ),
+            "__path": uri_path_col(F.col("_metadata.file_path")),
             "__pos": F.col("_metadata.row_index"),
         }
     )
