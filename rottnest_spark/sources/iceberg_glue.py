@@ -225,6 +225,49 @@ class IcebergGlueCatalog:
             raise
 
 
+    def create_table(
+        self,
+        identifier: str,
+        metadata_location: str,
+    ) -> None:
+        """Register an Iceberg table in Glue pointing at an existing
+        metadata JSON (the Glue convention: CreateTable with
+        table_type=ICEBERG + Parameters.metadata_location — how every
+        engine registers Glue Iceberg tables; the metadata document
+        itself is written by the storage writers first). A name clash
+        surfaces as IcebergGlueConflict."""
+        db, name = self._split(identifier)
+        try:
+            self._call(
+                "create_table",
+                DatabaseName=db,
+                TableInput={
+                    "Name": name,
+                    "TableType": "EXTERNAL_TABLE",
+                    "Parameters": {
+                        "table_type": "ICEBERG",
+                        "metadata_location": metadata_location,
+                    },
+                },
+            )
+        except IcebergGlueError:
+            raise
+        except Exception as exc:
+            if "AlreadyExists" in type(exc).__name__ or (
+                "AlreadyExists" in str(exc)
+            ):
+                raise IcebergGlueConflict(
+                    f"{identifier}: table already exists in Glue"
+                ) from exc
+            raise
+
+    def drop_table(self, identifier: str) -> None:
+        """Remove the Glue registration (DeleteTable) — storage is
+        untouched; vacuum/fs cleanup is the caller's policy."""
+        db, name = self._split(identifier)
+        self._call("delete_table", DatabaseName=db, Name=name)
+
+
 class IcebergGlueLake(IcebergSnapshotLake):
     """ParquetLake over the current snapshot of a Glue-cataloged Iceberg
     table — the Glue twin of IcebergRestLake: `.files` re-fetches the

@@ -215,6 +215,63 @@ class IcebergRestCatalog:
             )
         return md
 
+    def create_table(
+        self,
+        identifier: str,
+        schema: dict,
+        location: str | None = None,
+        partition_spec: list[dict] | None = None,
+        properties: dict | None = None,
+    ) -> dict:
+        """CreateTableRequest → LoadTableResult (the spec's createTable
+        operation, POST on the namespace's tables route — completes the
+        catalog lifecycle: create → commit_files → evolve → drop).
+        `schema` is an iceberg struct JSON; `partition_spec` the spec's
+        fields list (identity/bucket/truncate/temporal — the same
+        structs iceberg_write commits). A name clash is HTTP 409 →
+        IcebergRestCommitConflict."""
+        ns, _, name = identifier.rpartition(".")
+        if not ns:
+            raise ValueError(
+                f"identifier {identifier!r} must be namespace.table"
+            )
+        body: dict = {
+            "name": name,
+            "schema": {**schema, "schema-id": 0},
+        }
+        if location:
+            body["location"] = location
+        if partition_spec is not None:
+            body["partition-spec"] = {
+                "spec-id": 0,
+                "fields": list(partition_spec),
+            }
+        if properties:
+            body["properties"] = dict(properties)
+        return self._request(
+            "POST",
+            self._route(f"namespaces/{self._ns_path(ns)}/tables"),
+            body=body,
+        )
+
+    def drop_table(self, identifier: str, purge: bool = False) -> None:
+        """dropTable (DELETE on the table route); `purge` forwards the
+        spec's purgeRequested flag — whether DATA is deleted is the
+        server's policy, the catalog entry is gone either way."""
+        ns, _, name = identifier.rpartition(".")
+        if not ns:
+            raise ValueError(
+                f"identifier {identifier!r} must be namespace.table"
+            )
+        self._request(
+            "DELETE",
+            self._route(
+                f"namespaces/{self._ns_path(ns)}/tables/"
+                f"{urllib.parse.quote(name, safe='')}"
+            ),
+            query={"purgeRequested": "true"} if purge else None,
+        )
+
     def commit_table(
         self,
         identifier: str,

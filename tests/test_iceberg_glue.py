@@ -12,9 +12,11 @@ import pytest
 from rottnest_spark.indices.substring import SubstringIndex
 from rottnest_spark.sources.iceberg_glue import (
     IcebergGlueCatalog,
+    IcebergGlueConflict,
     IcebergGlueError,
     IcebergGlueLake,
 )
+from rottnest_spark.sources.iceberg_write import iceberg_write
 
 # reuse the spec-shaped table builders from the storage-backend tests
 from test_iceberg import _mk_manifest, _mk_manifest_list, _write_metadata
@@ -34,6 +36,31 @@ class FakeGlueClient:
 
     class ConcurrentModificationException(Exception):
         pass
+
+    class AlreadyExistsException(Exception):
+        pass
+
+    def create_table(self, DatabaseName, TableInput, **kw):
+        self.calls.append(("create_table", DatabaseName, TableInput["Name"]))
+        if any(
+            t["Name"] == TableInput["Name"]
+            for t in self.tables.get(DatabaseName, [])
+        ):
+            raise self.AlreadyExistsException(TableInput["Name"])
+        self.tables.setdefault(DatabaseName, []).append(
+            {**TableInput, "VersionId": "1"}
+        )
+        return {}
+
+    def delete_table(self, DatabaseName, Name, **kw):
+        self.calls.append(("delete_table", DatabaseName, Name))
+        before = len(self.tables.get(DatabaseName, []))
+        self.tables[DatabaseName] = [
+            t for t in self.tables.get(DatabaseName, []) if t["Name"] != Name
+        ]
+        if len(self.tables[DatabaseName]) == before:
+            raise self.EntityNotFoundException(f"{DatabaseName}.{Name}")
+        return {}
 
     def get_databases(self, NextToken=None, **kw):
         self.calls.append(("get_databases", NextToken))
@@ -469,3 +496,38 @@ def test_glue_schema_evolution_roundtrip(spark, glue_table, tmp_path):
     # version-hint tracks the last successful swap
     with open(f"{meta}/version-hint.text") as fh:
         assert int(fh.read()) == v2
+
+
+def test_glue_create_and_drop_table(spark, tmp_path):
+    """Full Glue lifecycle (round 11): storage writers create the
+    table, create_table registers the pointer, the lake reads/searches
+    through the catalog, commit_files advances it, drop_table removes
+    the registration (storage untouched)."""
+    work = str(tmp_path / "t")
+    df = spark.range(40).selectExpr("id AS k", "concat('d', id) AS body")
+    iceberg_write(df.repartition(2), work)
+    with open(f"{work}/metadata/version-hint.text") as fh:
+        v = int(fh.read())
+    client = FakeGlueClient(databases=["db"], tables={"db": []})
+    cat = IcebergGlueCatalog(client=client)
+    cat.create_table("db.t2", f"{work}/metadata/v{v}.metadata.json")
+    assert cat.list_tables("db") == ["t2"]
+    lake = IcebergGlueLake(
+        spark, cat, "db.t2", str(tmp_path / "ix"), table_path=work
+    )
+    assert lake.read().count() == 40
+    # name clash refuses through the typed conflict
+    with pytest.raises(IcebergGlueConflict, match="already exists"):
+        cat.create_table("db.t2", "x")
+    cat.drop_table("db.t2")
+    assert cat.list_tables("db") == []
+    # storage untouched — a re-register round-trips
+    cat.create_table("db.t2", f"{work}/metadata/v{v}.metadata.json")
+    assert (
+        IcebergGlueLake(
+            spark, cat, "db.t2", str(tmp_path / "ix2"), table_path=work
+        )
+        .read()
+        .count()
+        == 40
+    )

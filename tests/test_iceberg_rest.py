@@ -104,14 +104,68 @@ def _serve_catalog(state):
                     "metadata-location": f"inmem-{state.get('mloc_v', 1)}",
                     "metadata": state["metadata"],
                 }
+            elif path.startswith("/v1/namespaces/db/tables/") and path.rsplit(
+                "/", 1
+            )[-1] in state.get("extra", {}):
+                name = path.rsplit("/", 1)[-1]
+                body = {
+                    "metadata-location": f"inmem-{name}",
+                    "metadata": state["extra"][name],
+                }
             else:
                 self.send_response(404)
                 self.end_headers()
                 return
             self._send(200, body)
 
+        def do_DELETE(self):
+            path = urllib.parse.unquote(self.path.split("?")[0])
+            name = path.rsplit("/", 1)[-1]
+            if name in state.get("extra", {}):
+                del state["extra"][name]
+                self.send_response(204)
+                self.end_headers()
+                return
+            self.send_response(404)
+            self.end_headers()
+
         def do_POST(self):
             path = urllib.parse.unquote(self.path.split("?")[0])
+            if path == "/v1/namespaces/db/tables":
+                # createTable: materialize minimal metadata server-side
+                n = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(n))
+                name = req["name"]
+                if name == "evt" or name in state.get("extra", {}):
+                    self._send(
+                        409,
+                        {"error": {"message": f"{name} already exists"}},
+                    )
+                    return
+                md = {
+                    "format-version": 2,
+                    "location": req.get("location", f"inmem://{name}"),
+                    "schemas": [req["schema"]],
+                    "current-schema-id": int(
+                        req["schema"].get("schema-id") or 0
+                    ),
+                    "schema": req["schema"],
+                    "current-snapshot-id": -1,
+                    "snapshots": [],
+                    "properties": req.get("properties", {}),
+                }
+                if req.get("partition-spec"):
+                    md["partition-specs"] = [req["partition-spec"]]
+                    md["default-spec-id"] = int(
+                        req["partition-spec"].get("spec-id") or 0
+                    )
+                    md["partition-spec"] = req["partition-spec"]["fields"]
+                state.setdefault("extra", {})[name] = md
+                self._send(
+                    200,
+                    {"metadata-location": f"inmem-{name}", "metadata": md},
+                )
+                return
             if path != "/v1/namespaces/db/tables/evt":
                 self.send_response(404)
                 self.end_headers()
@@ -501,3 +555,45 @@ def test_rest_schema_evolution_roundtrip(spark, rest_table, tmp_path):
     # nested surgery shares the storage writers' validation
     with pytest.raises(ValueError, match="does not exist"):
         lake.drop_column("nope")
+
+
+def test_rest_create_and_drop_table(spark, rest_table, tmp_path):
+    """Catalog lifecycle completion (round 11): createTable registers a
+    new table (CreateTableRequest with schema + optional spec), loads
+    round-trip, a name clash is a 409 conflict, dropTable removes it."""
+    table, state, uri = rest_table
+    cat = IcebergRestCatalog(uri)
+    res = cat.create_table(
+        "db.t9",
+        DOC_SCHEMA,
+        location=f"file://{table}",
+        partition_spec=[
+            {
+                "name": "lang",
+                "transform": "identity",
+                "source-id": 3,
+                "field-id": 1000,
+            }
+        ],
+        properties={"owner": "tests"},
+    )
+    md = res["metadata"]
+    assert md["schemas"][0]["fields"][0]["name"] == "doc_id"
+    assert md["default-spec-id"] == 0
+    # loadable after create
+    got = cat.table_metadata("db.t9")
+    assert got["properties"] == {"owner": "tests"}
+    # clash → typed conflict, nothing changed
+    from rottnest_spark.sources.iceberg_rest import (
+        IcebergRestCommitConflict,
+    )
+
+    with pytest.raises(IcebergRestCommitConflict):
+        cat.create_table("db.t9", DOC_SCHEMA)
+    with pytest.raises(IcebergRestCommitConflict):
+        cat.create_table("db.evt", DOC_SCHEMA)
+    cat.drop_table("db.t9")
+    from rottnest_spark.sources.iceberg_rest import IcebergRestError
+
+    with pytest.raises(IcebergRestError, match="not found"):
+        cat.load_table("db.t9")
