@@ -1275,6 +1275,10 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
         # record is keyed/typed by the spec it was written under, and
         # reconstruction/pruning must follow THAT spec, not the default
         "data_spec": {},
+        # {data file path: first_row_id} — v3 ROW LINEAGE: _row_id of
+        # row `pos` in the file is first_row_id + pos (read surface:
+        # IcebergSnapshotLake.read_with_lineage)
+        "data_first_row": {},
     }
     for mpath, list_content, ml_seq, ml_snap, ml_spec in manifests:
         _, entries = read_ocf(_rebase(mpath, location, table_path), fs=fs)
@@ -1301,6 +1305,8 @@ def _snapshot_state(md: dict, snap: dict, table_path: str, fs=None) -> dict:
                 if e_snap is not None:
                     state["data_snap"][p] = e_snap
                 state["data_spec"][p] = ml_spec
+                if df.get("first_row_id") is not None:
+                    state["data_first_row"][p] = int(df["first_row_id"])
                 rc, fsz = df.get("record_count"), df.get("file_size_in_bytes")
                 if rc is not None and fsz is not None:
                     state["data_info"][p] = (int(rc), int(fsz))
@@ -1942,7 +1948,8 @@ class IcebergSnapshotLake(ParquetLake):
         )
 
     def _base_read(
-        self, fl: list[str], state: dict, location: str, md: dict, pairs=None
+        self, fl: list[str], state: dict, location: str, md: dict,
+        pairs=None, keep_tags: bool = False,
     ):
         """Scan `fl`, applying the snapshot's positional AND equality
         delete files when present. Rows are tagged from `_metadata`
@@ -1957,7 +1964,7 @@ class IcebergSnapshotLake(ParquetLake):
         # the history-resolving scan also fills initial-defaults, so the
         # two grouped-scan paths never stack
         hist = _schema_needs_resolution(md)
-        if not has_pos and not eqs:
+        if not has_pos and not eqs and not keep_tags:
             if hist:
                 return scan_with_schema_resolution(
                     self.spark, fl, md, tagged=False,
@@ -1995,7 +2002,7 @@ class IcebergSnapshotLake(ParquetLake):
             df = df.join(pairs, ["__path", "__pos"], "left_anti")
         if eqs:
             df = apply_equality_deletes(self.spark, df, state, md)
-        return df.drop("__path", "__pos")
+        return df if keep_tags else df.drop("__path", "__pos")
 
     def read(self, files: list[str] | None = None):
         """Snapshot read with identity-partition-column reconstruction
@@ -2109,6 +2116,64 @@ class IcebergSnapshotLake(ParquetLake):
         for df in parts[1:]:
             out = out.unionByName(df)
         return out
+
+    def read_with_lineage(self):
+        """Snapshot read carrying the v3 ROW-LINEAGE column `_row_id`
+        (spec "Row Lineage": a stable per-row id = the file's
+        first_row_id + the row's position — survives DV deletes and
+        upserts because positions never move; a physical rewrite
+        re-mints, the documented seam until _row_id materialization).
+        Requires a v3 table whose live files all carry first_row_id
+        (any v3 DML commit assigns it, including to legacy files);
+        identity-partitioned hive-laid tables refuse (the
+        reconstruction path drops row positions)."""
+        from pyspark.sql import functions as F
+
+        md = self._table_metadata()
+        if int(md.get("format-version") or 1) < 3:
+            raise ValueError(
+                "row lineage is an Iceberg v3 feature — this table is "
+                f"format-version {md.get('format-version') or 1}; any "
+                "v3 DML commit upgrades and assigns lineage"
+            )
+        state = self._cached_state(md)
+        data = sorted(state["data"])
+        if not data:
+            raise ValueError(
+                f"Iceberg table at {self._table_path!r} has no live "
+                "data files"
+            )
+        fr = state.get("data_first_row") or {}
+        missing = [p for p in data if p not in fr]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} live file(s) have no first_row_id "
+                "(written before row lineage) — run any v3 DML commit "
+                "(e.g. iceberg_v3_append) to assign ranges, then re-read"
+            )
+        pcols = partition_columns_from_metadata(md)
+        if pcols:
+            import pyarrow.parquet as pq
+
+            phys = set(pq.ParquetFile(data[0]).schema_arrow.names)
+            if any(c not in phys for c in pcols):
+                raise ValueError(
+                    "read_with_lineage on a hive-laid identity-"
+                    "partitioned table — partition reconstruction drops "
+                    "row positions; rewrite to physical columns first"
+                )
+        df = self._base_read(
+            data, state, md.get("location", ""), md, keep_tags=True
+        )
+        rows = [(canon_path(p), int(fr[p])) for p in data]
+        m = self.spark.createDataFrame(
+            rows, "__path string, __first long"
+        )
+        return (
+            df.join(F.broadcast(m), "__path", "left")
+            .withColumn("_row_id", F.col("__first") + F.col("__pos"))
+            .drop("__path", "__pos", "__first")
+        )
 
     def vacuum(
         self,

@@ -2432,6 +2432,9 @@ def _dv_manifest_schema(pfields: list[tuple[str, str]] | None = None) -> dict:
             "type": ["null", "long"],
             "default": None,
         },
+        # v3 ROW LINEAGE (spec field 142): the first row id this data
+        # file's rows occupy — _row_id of row `pos` = first_row_id + pos
+        {"name": "first_row_id", "type": ["null", "long"], "default": None},
     ]
     out = json.loads(json.dumps(base))
     next(f for f in out["fields"] if f["name"] == "data_file")[
@@ -2530,6 +2533,7 @@ def iceberg_v3_dv_commit(
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live, new_blobs, carried,
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
+        first_rows=st.get("data_first_row"),
     )
 
 
@@ -2700,6 +2704,7 @@ def iceberg_v3_delete_rows(
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live, new_blobs, carried,
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
+        first_rows=st.get("data_first_row"),
     )
 
 
@@ -2748,6 +2753,7 @@ def iceberg_v3_append(
         table_path, fs, md, version, ts, live,
         new_blobs={}, carried=carried, adds=list(add), operation="append",
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
+        first_rows=st.get("data_first_row"),
     )
 
 
@@ -2878,6 +2884,7 @@ def iceberg_v3_rewrite_deletes(
         table_path, fs, md, version, ts, untouched,
         new_blobs={}, carried={}, adds=moved, operation="replace",
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
+        first_rows=st.get("data_first_row"),
     )
 
 
@@ -3013,6 +3020,7 @@ def iceberg_v3_upsert(
     return _v3_commit_dv_state(
         table_path, fs, md, version, ts, live, new_blobs, carried,
         adds=moved, operation="overwrite", snap_of=st.get("data_snap"), file_info=st.get("data_info"),
+        first_rows=st.get("data_first_row"),
     )
 
 
@@ -3145,6 +3153,7 @@ def _v3_commit_dv_state(
     operation: str = "delete",
     snap_of: dict[str, int] | None = None,
     file_info: dict[str, tuple[int, int]] | None = None,
+    first_rows: dict[str, int] | None = None,
 ) -> int:
     """Shared v3 DV commit tail: write the data + delete manifests and
     the v3 metadata for a new snapshot whose DV state is `new_blobs`.
@@ -3200,6 +3209,24 @@ def _v3_commit_dv_state(
     # (record_count, file_size) the prior manifests recorded — reused for
     # EXISTING files so a commit never re-opens O(files) footers driver-side
     file_info = {_canon(p): v for p, v in (file_info or {}).items()}
+    # v3 ROW LINEAGE (spec "Row Lineage"): carried files keep their
+    # recorded first_row_id; adds — and legacy files a pre-lineage
+    # writer committed without one (the v2→v3 upgrade path) — claim
+    # fresh disjoint ranges from the table's next-row-id counter.
+    # Stable across DV deletes/upserts by construction (positions never
+    # move); a physical REWRITE re-mints (materializing _row_id before
+    # rewriting is the documented seam).
+    first_rows = {_canon(p): int(v) for p, v in (first_rows or {}).items()}
+    next_row = int(md.get("next-row-id") or 0)
+    assigned_first: dict[str, int] = {}
+    for p in sorted(live):
+        if p in first_rows and p not in added_set:
+            assigned_first[p] = first_rows[p]
+        else:
+            info = file_info.get(p)
+            n = info[0] if info else _record_count(p)
+            assigned_first[p] = next_row
+            next_row += int(n)
 
     def _pvals(p: str) -> dict:
         if not pfields:
@@ -3239,6 +3266,7 @@ def _v3_commit_dv_state(
                 "referenced_data_file": None,
                 "content_offset": None,
                 "content_size_in_bytes": None,
+                "first_row_id": assigned_first.get(p),
             },
         }
 
@@ -3260,6 +3288,7 @@ def _v3_commit_dv_state(
                 "record_count": int(card),
                 "file_size_in_bytes": fs.getsize(puffin),
                 "equality_ids": None,
+                "first_row_id": None,
                 "referenced_data_file": ref,
                 "content_offset": None if off is None else int(off),
                 "content_size_in_bytes": None if size is None else int(size),
@@ -3316,6 +3345,7 @@ def _v3_commit_dv_state(
     out = dict(md)
     out["format-version"] = 3
     out["last-sequence-number"] = commit_seq
+    out["next-row-id"] = next_row  # v3 row lineage counter
     out["last-updated-ms"] = ts
     out["current-snapshot-id"] = snap_id
     out["snapshots"] = snaps + [
