@@ -2534,6 +2534,7 @@ def iceberg_v3_dv_commit(
         table_path, fs, md, version, ts, live, new_blobs, carried,
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
         first_rows=st.get("data_first_row"),
+        file_specs=st.get("data_spec"),
     )
 
 
@@ -2705,6 +2706,7 @@ def iceberg_v3_delete_rows(
         table_path, fs, md, version, ts, live, new_blobs, carried,
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
         first_rows=st.get("data_first_row"),
+        file_specs=st.get("data_spec"),
     )
 
 
@@ -2754,6 +2756,7 @@ def iceberg_v3_append(
         new_blobs={}, carried=carried, adds=list(add), operation="append",
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
         first_rows=st.get("data_first_row"),
+        file_specs=st.get("data_spec"),
     )
 
 
@@ -2885,6 +2888,7 @@ def iceberg_v3_rewrite_deletes(
         new_blobs={}, carried={}, adds=moved, operation="replace",
         snap_of=st.get("data_snap"), file_info=st.get("data_info"),
         first_rows=st.get("data_first_row"),
+        file_specs=st.get("data_spec"),
     )
 
 
@@ -3021,6 +3025,7 @@ def iceberg_v3_upsert(
         table_path, fs, md, version, ts, live, new_blobs, carried,
         adds=moved, operation="overwrite", snap_of=st.get("data_snap"), file_info=st.get("data_info"),
         first_rows=st.get("data_first_row"),
+        file_specs=st.get("data_spec"),
     )
 
 
@@ -3154,6 +3159,7 @@ def _v3_commit_dv_state(
     snap_of: dict[str, int] | None = None,
     file_info: dict[str, tuple[int, int]] | None = None,
     first_rows: dict[str, int] | None = None,
+    file_specs: dict[str, int] | None = None,
 ) -> int:
     """Shared v3 DV commit tail: write the data + delete manifests and
     the v3 metadata for a new snapshot whose DV state is `new_blobs`.
@@ -3181,7 +3187,19 @@ def _v3_commit_dv_state(
     from rottnest_spark.core.fs import canon_path as _canon
     from rottnest_spark.sources.iceberg import live_adds_from_metadata
 
-    check_single_spec(md, table_path, fs, "v3 DML commit")
+    if file_specs is not None:
+        # callers thread the already-walked state — no second manifest
+        # walk just for the guard
+        default_sid = int(md.get("default-spec-id") or 0)
+        sids = {int(v) for v in file_specs.values()}
+        if sids - {default_sid}:
+            raise ValueError(
+                "v3 DML commit: live data files span partition specs "
+                f"{sorted(sids)} (default {default_sid}) — run "
+                "iceberg_rewrite_partition_spec(spark, table_path) first"
+            )
+    else:
+        check_single_spec(md, table_path, fs, "v3 DML commit")
     snaps = md.get("snapshots") or []
     commit_seq = int(md.get("last-sequence-number") or 0) + 1
     new_version = version + 1
