@@ -35,7 +35,7 @@ from __future__ import annotations
 import json
 import os
 
-from rottnest_spark.core.fs import LakeFS, LocalFS
+from rottnest_spark.core.fs import LakeFS, LocalFS, canon_path
 from rottnest_spark.sources.reader import uri_path_col as _uri_path
 from rottnest_spark.core.lake import ParquetLake
 
@@ -401,9 +401,7 @@ def _widening_active(proto: dict | None) -> bool:
 def _cm_mode(meta: dict | None) -> str | None:
     """'name' | 'id' | None (unmapped). Unknown modes raise — forward
     compat means refusing, never guessing resolution semantics."""
-    mode = ((meta or {}).get("configuration") or {}).get(
-        "delta.columnMapping.mode"
-    )
+    mode = _table_configuration(meta).get("delta.columnMapping.mode")
     if not mode or mode == "none":
         return None
     if mode not in ("name", "id"):
@@ -663,6 +661,95 @@ def check_partition_mapping_aligned(meta: dict | None, what: str) -> None:
             "segments are keyed physically, so the logical view cannot "
             "be reconstructed faithfully; refusing"
         )
+
+
+def _table_configuration(meta: dict | None) -> dict:
+    """metaData `configuration` as a dict — pyarrow deserializes the
+    checkpoint's map-typed column as a LIST of (key, value) pairs, so
+    a metaData recovered from a checkpoint (post log-vacuum) carries
+    that shape."""
+    cfg = (meta or {}).get("configuration") or {}
+    if isinstance(cfg, list):
+        cfg = dict(cfg)
+    return cfg
+
+
+def delta_row_tracking_enabled(meta: dict | None) -> bool:
+    """The `delta.enableRowTracking` table property (PROTOCOL.md Row
+    Tracking — the Delta twin of Iceberg v3 row lineage)."""
+    return (
+        str(_table_configuration(meta).get("delta.enableRowTracking"))
+        .lower()
+        == "true"
+    )
+
+
+def delta_row_id_state(
+    table_path: str, fs: LakeFS | None = None
+) -> tuple[dict[str, tuple[int, int | None]], int | None]:
+    """Row-tracking replay: ({absolute data-file path: (baseRowId,
+    defaultRowCommitVersion)}, rowIdHighWaterMark-or-None). Base row
+    ids come from the live add actions (a re-add REPLACES, preserving
+    semantics rides on writers carrying the id forward — which
+    _stamp_row_tracking does); the high-water mark from the
+    `delta.rowTracking` domainMetadata action. Checkpoints carry both
+    (delta_checkpoint writes baseRowId columns + the domainMetadata
+    row), so vacuumed logs keep lineage."""
+    fs = fs or LocalFS()
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not fs.isdir(log_dir):
+        raise ValueError(f"{table_path} has no _delta_log")
+    commits = sorted(fs.glob(os.path.join(log_dir, "*.json")))
+    start_version, cp_files = _checkpoint_parts(log_dir, fs)
+    live: dict[str, tuple[int, int | None]] = {}
+    hwm: int | None = None
+    if cp_files:
+        for action in _checkpoint_actions(
+            fs, log_dir, cp_files, wanted=("add", "domainMetadata")
+        ):
+            if "add" in action and action["add"].get("path"):
+                rec = action["add"]
+                if rec.get("baseRowId") is not None:
+                    live[rec["path"]] = (
+                        int(rec["baseRowId"]),
+                        rec.get("defaultRowCommitVersion"),
+                    )
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm and dm.get("domain") == "delta.rowTracking" and not dm.get(
+                    "removed"
+                ):
+                    cfg = json.loads(dm.get("configuration") or "{}")
+                    if cfg.get("rowIdHighWaterMark") is not None:
+                        hwm = int(cfg["rowIdHighWaterMark"])
+    for c in commits:
+        if int(os.path.basename(c).split(".")[0]) <= start_version:
+            continue
+        for line in _log_lines(fs, c):
+            action = json.loads(line)
+            if "add" in action:
+                rec = action["add"]
+                if rec.get("baseRowId") is not None:
+                    live[rec["path"]] = (
+                        int(rec["baseRowId"]),
+                        rec.get("defaultRowCommitVersion"),
+                    )
+                else:
+                    live.pop(rec["path"], None)  # re-add without an id
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("domain") == "delta.rowTracking" and not dm.get(
+                    "removed"
+                ):
+                    cfg = json.loads(dm.get("configuration") or "{}")
+                    if cfg.get("rowIdHighWaterMark") is not None:
+                        hwm = int(cfg["rowIdHighWaterMark"])
+    out = {
+        os.path.join(table_path, p): v for p, v in live.items()
+    }
+    return out, hwm
 
 
 def delta_column_mapping(
@@ -1456,6 +1543,69 @@ class DeltaSnapshotLake(ParquetLake):
             df.join(pairs, ["__path", "__pos"], "left_anti").drop(
                 "__path", "__pos"
             )
+        )
+
+    def read_with_lineage(self):
+        """Snapshot read carrying the ROW-TRACKING column `_row_id`
+        (PROTOCOL.md Row Tracking — the Delta twin of Iceberg v3 row
+        lineage): _row_id = the file's baseRowId + the row's position,
+        stable across DV deletes/upserts because positions never move;
+        physical rewrites re-mint (materialization-before-rewrite is
+        the documented seam). Requires delta_enable_row_tracking (which
+        assigns ids to existing files); partitioned tables refuse (the
+        reconstruction path drops row positions)."""
+        from pyspark.sql import functions as F
+
+        from rottnest_spark.sources.reader import read_parquet_tagged
+
+        meta = self._table_meta()
+        if not delta_row_tracking_enabled(meta):
+            raise ValueError(
+                "row tracking is not enabled on this table — run "
+                "delta_enable_row_tracking(table_path) first"
+            )
+        if (meta or {}).get("partitionColumns"):
+            raise ValueError(
+                "read_with_lineage on a partitioned table — partition "
+                "reconstruction drops row positions; unsupported"
+            )
+        state = self._live_state()
+        if not state:
+            raise ValueError(
+                f"Delta table at {self._table_path!r} has no live files"
+            )
+        ids, _hwm = delta_row_id_state(self._table_path, fs=self.fs)
+        missing = [p for p in state if p not in ids]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} live file(s) have no baseRowId — "
+                "re-run delta_enable_row_tracking to assign, then "
+                "re-read"
+            )
+        df = read_parquet_tagged(
+            self.spark,
+            sorted(state),
+            schema=self._phys_schema(),
+            field_id=self._cm_mode() == "id",
+        )
+        dvs = {p: dv for p, (_, dv) in state.items() if dv}
+        if dvs:
+            pairs = dv_positions_df(
+                self.spark, self._table_path, dvs
+            ).select(
+                _norm_col(F.col("file_path")).alias("__path"),
+                F.col("pos").alias("__pos"),
+            )
+            df = df.join(pairs, ["__path", "__pos"], "left_anti")
+        df = self._to_logical(df)
+        rows = [
+            (canon_path(p), int(ids[p][0])) for p in sorted(state)
+        ]
+        m = self.spark.createDataFrame(rows, "__path string, __base long")
+        return (
+            df.join(F.broadcast(m), "__path", "left")
+            .withColumn("_row_id", F.col("__base") + F.col("__pos"))
+            .drop("__path", "__pos", "__base")
         )
 
     def read(self, files: list[str] | None = None):

@@ -123,12 +123,94 @@ def _add_action(
     }
 
 
+def _num_rows(path: str, fs: LakeFS) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        pa.BufferReader(fs.read_bytes(path))
+    ).metadata.num_rows
+
+
+def _stamp_row_tracking(
+    log_dir: str, version: int, actions: list[dict], fs: LakeFS
+) -> list[dict]:
+    """ROW TRACKING hook on every commit (PROTOCOL.md Row Tracking):
+    when `delta.enableRowTracking` is set, each add action carries a
+    baseRowId — PRESERVED for re-adds of a live file (DV attachments
+    re-commit the same path; losing the id there would re-mint every
+    row on every delete) and freshly assigned past the
+    rowIdHighWaterMark for new files — plus defaultRowCommitVersion,
+    and the `delta.rowTracking` domainMetadata action advances the
+    mark in the SAME commit. No-op (zero extra log reads beyond the
+    metaData lookup) when the property is off."""
+    from rottnest_spark.sources.delta import (
+        delta_row_id_state,
+        delta_row_tracking_enabled,
+        delta_table_meta,
+    )
+
+    table_path = os.path.dirname(log_dir)
+    has_adds = any("add" in a for a in actions)
+    if not has_adds:
+        return actions
+    try:
+        meta = delta_table_meta(table_path, fs=fs)
+    except ValueError:
+        return actions  # commit 0 of a fresh table — no prior metaData
+    if not meta or not delta_row_tracking_enabled(meta):
+        return actions
+    state, hwm = delta_row_id_state(table_path, fs=fs)
+    by_rel = {
+        os.path.relpath(p, table_path): v for p, v in state.items()
+    }
+    if hwm is None:
+        hwm = -1
+        for p, (base, _v) in state.items():
+            hwm = max(hwm, base + _num_rows(p, fs) - 1)
+    next_id = hwm + 1
+    out = []
+    for a in actions:
+        if "add" not in a:
+            out.append(a)
+            continue
+        rec = dict(a["add"])
+        prior = by_rel.get(rec["path"])
+        if rec.get("baseRowId") is not None:
+            pass  # already stamped (retry loops re-submit actions)
+        elif prior is not None:
+            rec["baseRowId"] = prior[0]
+            if prior[1] is not None:
+                rec["defaultRowCommitVersion"] = prior[1]
+        else:
+            rec["baseRowId"] = next_id
+            rec["defaultRowCommitVersion"] = version
+            next_id += _num_rows(
+                os.path.join(table_path, rec["path"]), fs
+            )
+        out.append({"add": rec})
+    if next_id - 1 != hwm:
+        out.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": next_id - 1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    return out
+
+
 def _write_commit(
     log_dir: str, version: int, actions: list[dict], fs: LakeFS
 ) -> int:
     """Exclusive-create the commit file — the Delta single-version-wins
     contract. Raises FileExistsError on a concurrent writer's win."""
     fs.makedirs(log_dir)
+    actions = _stamp_row_tracking(log_dir, version, actions, fs)
     path = os.path.join(log_dir, f"{version:020d}.json")
     body = "".join(json.dumps(a) + "\n" for a in actions)
     # put-if-absent through the FS seam: O_CREAT|O_EXCL locally, the
@@ -343,6 +425,18 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
                             else:
                                 proto = proto or rec
     live_pvals = {p: pv for p, (pv, _) in live_state.items()}
+    # row tracking must SURVIVE the checkpoint the same way DVs do —
+    # baseRowId columns + the domainMetadata high-water-mark row
+    from rottnest_spark.sources.delta import (
+        delta_row_id_state,
+        delta_row_tracking_enabled,
+        delta_table_meta,
+    )
+
+    row_ids: dict = {}
+    row_hwm = None
+    if delta_row_tracking_enabled(delta_table_meta(table_path, fs=fs)):
+        row_ids, row_hwm = delta_row_id_state(table_path, fs=fs)
     adds = [
         {
             "path": os.path.relpath(f, table_path),
@@ -356,6 +450,8 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
             # would resurrect its deleted rows once the pre-checkpoint
             # commits are vacuumed
             "deletionVector": live_state[f][1],
+            "baseRowId": row_ids.get(f, (None, None))[0],
+            "defaultRowCommitVersion": row_ids.get(f, (None, None))[1],
         }
         for f in live
     ]
@@ -421,6 +517,8 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("deletionVector", dv_t),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     remove_t = pa.struct(
@@ -446,6 +544,32 @@ def delta_checkpoint(table_path: str, fs: LakeFS | None = None) -> int:
     if tombs:
         arrays["remove"] = pa.array(
             [None] * (2 + len(adds)) + tombs, type=remove_t
+        )
+    if row_hwm is not None:
+        # one domainMetadata row carries the row-tracking high-water
+        # mark through the checkpoint (protocol: checkpoints must
+        # include live domain metadata)
+        dm_t = pa.struct(
+            [
+                ("domain", pa.string()),
+                ("configuration", pa.string()),
+                ("removed", pa.bool_()),
+            ]
+        )
+        dm = {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": row_hwm}),
+            "removed": False,
+        }
+        n += 1
+        arrays = {
+            k: pa.concat_arrays(
+                [v, pa.array([None], type=v.type)]
+            )
+            for k, v in arrays.items()
+        }
+        arrays["domainMetadata"] = pa.array(
+            [None] * (n - 1) + [dm], type=dm_t
         )
     tbl = pa.table(arrays)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
@@ -1287,6 +1411,109 @@ def delta_enable_column_mapping(
         {"metaData": new_meta},
     ]
     return _write_commit(log_dir, _next_version(log_dir, fs), actions, fs)
+
+
+def delta_enable_row_tracking(
+    table_path: str, fs: LakeFS | None = None
+) -> int:
+    """Enable ROW TRACKING (PROTOCOL.md — the Delta twin of Iceberg v3
+    row lineage): ONE commit carrying the protocol upgraded with the
+    `rowTracking` + `domainMetadata` writer features (legacy writer
+    capabilities carried into the feature list), the metaData with
+    `delta.enableRowTracking=true`, a re-ADD of every live file with
+    its assigned baseRowId range (dataChange=false — partitionValues
+    and deletionVector descriptors carried verbatim; zero data files
+    touched), and the `delta.rowTracking` domainMetadata high-water
+    mark. Idempotent. Partitioned tables are refused (the lineage read
+    needs physical row positions). Returns the committed version."""
+    from rottnest_spark.sources.delta import (
+        _delta_live_state,
+        delta_protocol,
+        delta_row_tracking_enabled,
+        delta_table_meta,
+    )
+
+    fs = fs or LocalFS()
+    log_dir = _log_dir(table_path)
+    meta = delta_table_meta(table_path, fs=fs)
+    if not meta or not meta.get("schemaString"):
+        raise ValueError(
+            f"{table_path} has no metaData schemaString — cannot enable"
+        )
+    if delta_row_tracking_enabled(meta):
+        return _next_version(log_dir, fs) - 1  # already on: no-op
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            f"{table_path}: row tracking on a PARTITIONED table — the "
+            "lineage read needs physical row positions; unsupported"
+        )
+    proto = dict(delta_protocol(table_path, fs=fs) or PROTOCOL)
+    legacy_writer = (
+        {"appendOnly", "invariants"}
+        if int(proto.get("minWriterVersion") or 2) >= 2
+        and proto.get("writerFeatures") is None
+        else set()
+    )
+    new_proto: dict = {
+        "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+        "minWriterVersion": max(
+            7, int(proto.get("minWriterVersion") or 2)
+        ),
+        "writerFeatures": sorted(
+            set(proto.get("writerFeatures") or [])
+            | {"rowTracking", "domainMetadata"}
+            | legacy_writer
+        ),
+    }
+    if proto.get("readerFeatures") is not None or int(
+        proto.get("minReaderVersion") or 1
+    ) >= 3:
+        new_proto["minReaderVersion"] = max(
+            3, int(proto.get("minReaderVersion") or 1)
+        )
+        new_proto["readerFeatures"] = sorted(
+            set(proto.get("readerFeatures") or [])
+        )
+    cfg = dict(meta.get("configuration") or {})
+    cfg["delta.enableRowTracking"] = "true"
+    new_meta = {**meta, "configuration": cfg}
+    version = _next_version(log_dir, fs)
+    state = _delta_live_state(table_path, fs=fs)
+    actions: list[dict] = [
+        {"protocol": new_proto},
+        {"metaData": new_meta},
+    ]
+    next_id = 0
+    for f in sorted(state):
+        pvals, dv = state[f]
+        rel = os.path.relpath(f, table_path)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(pvals or {}),
+                    "size": fs.getsize(f),
+                    "modificationTime": int(fs.getmtime(f) * 1000),
+                    "dataChange": False,
+                    "deletionVector": dv,
+                    "baseRowId": next_id,
+                    "defaultRowCommitVersion": version,
+                }
+            }
+        )
+        next_id += _num_rows(f, fs)
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": next_id - 1}
+                ),
+                "removed": False,
+            }
+        }
+    )
+    return _write_commit(log_dir, version, actions, fs)
 
 
 def delta_rename_column(
