@@ -2619,6 +2619,8 @@ from rottnest_spark.entrypoints_lakehouse import (  # noqa: E402
     q_delta_dv_read,
     q_delta_partitioned_evolution,
     q_delta_rename_column,
+    q_delta_row_tracking,
+    q_iceberg_row_lineage,
     q_delta_schema_evolution,
     q_iceberg_nested_evolution,
     q_delta_mapped_dml_read,
@@ -2800,6 +2802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_nested_evolution": q_iceberg_nested_evolution,
     "delta_partitioned_evolution": q_delta_partitioned_evolution,
     "iceberg_spec_evolution": q_iceberg_spec_evolution,
+    "iceberg_row_lineage": q_iceberg_row_lineage,
+    "delta_row_tracking": q_delta_row_tracking,
 }
 
 

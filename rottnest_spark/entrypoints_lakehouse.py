@@ -1402,3 +1402,144 @@ def q_iceberg_spec_evolution(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE (round 11, iceberg.read_with_lineage):
+    a DV delete upgrades the slice to v3 and assigns first_row_id
+    ranges; an upsert re-inserts a key slice. The output counts prove
+    id uniqueness and SURVIVOR STABILITY (ids compared across the two
+    reads) — values themselves depend on file order, so the oracle
+    pins the deterministic arithmetic."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.iceberg import IcebergSnapshotLake
+    from rottnest_spark.sources.iceberg_write import (
+        iceberg_v3_delete_rows,
+        iceberg_v3_upsert,
+        iceberg_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_ilin_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        table = os.path.join(work, "t")
+        iceberg_write(src.repartition(2), table)
+        iceberg_v3_delete_rows(
+            spark, table, F.col("o_orderkey") % MOR_DEL_MOD == 0
+        )
+        before = {
+            r.o_orderkey: r._row_id
+            for r in IcebergSnapshotLake(
+                spark, table, os.path.join(work, "a")
+            )
+            .read_with_lineage()
+            .select("o_orderkey", "_row_id")
+            .collect()
+        }
+        ch = src.filter(
+            F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        iceberg_v3_upsert(spark, ch, table, ["o_orderkey"])
+        after = {
+            r.o_orderkey: r._row_id
+            for r in IcebergSnapshotLake(
+                spark, table, os.path.join(work, "b")
+            )
+            .read_with_lineage()
+            .select("o_orderkey", "_row_id")
+            .collect()
+        }
+        stable = sum(
+            1
+            for k, rid in before.items()
+            if k % EVOLVE_UPD_MOD != 0 and after.get(k) == rid
+        )
+        out = spark.createDataFrame(
+            [
+                (
+                    len(after),
+                    len(set(after.values())),
+                    stable,
+                    sum(1 for k in after if k % EVOLVE_UPD_MOD == 0),
+                )
+            ],
+            "n_rows bigint, n_ids bigint, n_stable bigint, n_upserted bigint",
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING (round 11, delta.read_with_lineage): enable
+    assigns baseRowId ranges, a DV upsert re-inserts a key slice; the
+    counts prove uniqueness + survivor stability, same shape as the
+    Iceberg twin."""
+    import shutil
+    import tempfile
+
+    from rottnest_spark.sources.delta import DeltaSnapshotLake
+    from rottnest_spark.sources.delta_write import (
+        delta_convert,
+        delta_enable_row_tracking,
+        delta_upsert,
+    )
+
+    work = tempfile.mkdtemp(prefix="rottnest_dlin_")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MOR_SRC_MOD == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        table = os.path.join(work, "t")
+        src.repartition(2).write.parquet(table)
+        delta_convert(table)
+        delta_enable_row_tracking(table)
+        before = {
+            r.o_orderkey: r._row_id
+            for r in DeltaSnapshotLake(
+                spark, table, os.path.join(work, "a")
+            )
+            .read_with_lineage()
+            .select("o_orderkey", "_row_id")
+            .collect()
+        }
+        ch = src.filter(
+            F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        delta_upsert(spark, ch, table, ["o_orderkey"])
+        after = {
+            r.o_orderkey: r._row_id
+            for r in DeltaSnapshotLake(
+                spark, table, os.path.join(work, "b")
+            )
+            .read_with_lineage()
+            .select("o_orderkey", "_row_id")
+            .collect()
+        }
+        stable = sum(
+            1
+            for k, rid in before.items()
+            if k % EVOLVE_UPD_MOD != 0 and after.get(k) == rid
+        )
+        out = spark.createDataFrame(
+            [
+                (
+                    len(after),
+                    len(set(after.values())),
+                    stable,
+                    sum(1 for k in after if k % EVOLVE_UPD_MOD == 0),
+                )
+            ],
+            "n_rows bigint, n_ids bigint, n_stable bigint, n_upserted bigint",
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -494,6 +494,40 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    # Row lineage twins: id VALUES depend on file ordering, so the gate
+    # pins the deterministic arithmetic — row/id counts, survivor
+    # stability, upserted-slice size
+    "iceberg_row_lineage": f"""
+        WITH src AS (
+            SELECT o_orderkey AS k FROM orders
+            WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        )
+        SELECT
+            (SELECT count(*) FROM src
+             WHERE k % {MOR_DEL_MOD} <> 0 OR k % {EVOLVE_UPD_MOD} = 0
+            ) AS n_rows,
+            (SELECT count(*) FROM src
+             WHERE k % {MOR_DEL_MOD} <> 0 OR k % {EVOLVE_UPD_MOD} = 0
+            ) AS n_ids,
+            (SELECT count(*) FROM src
+             WHERE k % {MOR_DEL_MOD} <> 0 AND k % {EVOLVE_UPD_MOD} <> 0
+            ) AS n_stable,
+            (SELECT count(*) FROM src
+             WHERE k % {EVOLVE_UPD_MOD} = 0) AS n_upserted
+    """,
+    "delta_row_tracking": f"""
+        WITH src AS (
+            SELECT o_orderkey AS k FROM orders
+            WHERE o_orderkey % {MOR_SRC_MOD} = 0
+        )
+        SELECT
+            (SELECT count(*) FROM src) AS n_rows,
+            (SELECT count(*) FROM src) AS n_ids,
+            (SELECT count(*) FROM src
+             WHERE k % {EVOLVE_UPD_MOD} <> 0) AS n_stable,
+            (SELECT count(*) FROM src
+             WHERE k % {EVOLVE_UPD_MOD} = 0) AS n_upserted
+    """,
     # Iceberg partition-spec evolution: the mixed-spec read + rewrite
     # preserve every row; the positional delete then drops a key slice
     "iceberg_spec_evolution": f"""
