@@ -225,18 +225,14 @@ LOG_T_LO, LOG_T_HI = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
 def conj_events_lake(spark: SparkSession, sf_dir: str):
     """The two-index events lake used by the conjunctive search: LogIndex on
     props + ExactIndex zone maps on ts, built idempotently into one cached
-    catalog (bench pre-warms this exactly like the single-index lakes)."""
+    catalog. Round 11: the lake IS the logcloud indexed_lake (same cache
+    key), so the LogIndex built for q_logcloud_search is reused and this
+    call only adds the ExactIndex(ts) — one catalog holding two indexes is
+    the designed multi-index shape; building the same gram/variable tables
+    twice into two dirs was pure duplicate work (measured: the conj build
+    paid a full second LogIndex build, ~5-9 s at sf0.1)."""
     lidx, tidx = LogIndex(), ExactIndex()
-    key = hashlib.md5(
-        f"{table_path(sf_dir, 'events')}|conj|{sorted(lidx.config().items())}"
-        f"|{sorted(tidx.config().items())}|{__import__('rottnest_spark').__version__}".encode()
-    ).hexdigest()[:16]
-    lake = ParquetLake(
-        spark,
-        [table_path(sf_dir, "events")],
-        os.path.join(INDEX_CACHE_ROOT, key),
-    )
-    lake.build_index(lidx, "props")
+    lake = indexed_lake(spark, sf_dir, "events", "props", lidx)
     lake.build_index(tidx, "ts")
     return lake, lidx, tidx
 

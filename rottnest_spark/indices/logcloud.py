@@ -155,6 +155,14 @@ class LogIndex(SparkIndex):
                 .agg(F.count(F.lit(1)).alias("n"))
             )
             self._write_index(templates, f"{out_path}/templates")
+            # pin the distinct (value, unit) table ONCE: five derived
+            # outputs (dict, variables, gramtypes, valgrams + the range
+            # writes' sampling passes) would otherwise each re-run the
+            # explode+distinct chain (round-11 profile: the build was 28
+            # jobs / 19 s wall, most of them recomputations of this frame).
+            # localCheckpoint is executor-disk-backed and metadata-scale
+            # (|distinct (value, unit)| rows, the same order as the index
+            # tables themselves).
             all_vars = (
                 rows.select(
                     "file_path",
@@ -172,9 +180,14 @@ class LogIndex(SparkIndex):
                     "file_path",
                     "row_group",
                 )
+                .localCheckpoint(eager=True)
             )
-            total_units = (
-                rows.select("file_path", "row_group").distinct().count()
+            # unit count from parquet FOOTERS (metadata-only, no data
+            # job): a unit is a non-empty file (file granularity) or a
+            # non-empty row group — exactly the units the provenance
+            # readers emit rows for.
+            total_units = self._total_units_from_footers(
+                files, self.granularity
             )
             cap = max(1, int(self.dict_frac * total_units))
             unit_counts = all_vars.groupBy("vtype", "value").agg(
@@ -198,17 +211,38 @@ class LogIndex(SparkIndex):
             self._write_index(
                 variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
             )
-            # derive the gram tier from the WRITTEN variables table, not
-            # the lazy frame — recomputing the explode+distinct+anti-join
-            # pipeline a second time doubled the build (measured
-            # logcloud_build_events 4.5→7.0 s, conj_build 6.8→18.8 s)
-            self._write_gram_tier(
-                spark,
-                spark.read.parquet(f"{out_path}/variables"),
-                out_path,
-            )
+            # the gram tier derives from the checkpointed frame (one
+            # cheap anti-join re-derivation), not a read-back of the
+            # written table — same content, no extra table scan
+            self._write_gram_tier(spark, variables, out_path)
         finally:
             rows.unpersist()
+
+    @staticmethod
+    def _total_units_from_footers(files: list[str], granularity: str) -> int:
+        """Indexable-unit count from parquet footers — the metadata-only
+        equivalent of rows.select(unit).distinct().count() (a unit emits
+        rows iff it is non-empty: a file at file granularity, a row group
+        at row_group granularity). One footer read per file; falls back
+        to treating every file as one unit if a footer is unreadable."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            try:
+                md = pq.ParquetFile(f).metadata
+            except Exception:
+                total += 1
+                continue
+            if granularity == "row_group":
+                total += sum(
+                    1
+                    for i in range(md.num_row_groups)
+                    if md.row_group(i).num_rows > 0
+                )
+            else:
+                total += 1 if md.num_rows > 0 else 0
+        return total
 
     def _write_gram_tier(self, spark, variables, out_path: str) -> None:
         """The value-GRAM tier (round 11): for vtypes whose distinct-value

@@ -258,10 +258,17 @@ class VamanaIndex(VectorIndex):
                 dtype=np.float64,
             )
         cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
-        spark.createDataFrame(
+        from rottnest_spark.core.smalldf import local_df
+
+        # single-slice local relation (core/smalldf.py): the coalesce(1)
+        # write of a default-sliced local df paid one Python round trip
+        # per slice
+        local_df(
+            spark,
             [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
             "centroid_id int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
+            slices=1,
+        ).write.mode("overwrite").parquet(f"{out_path}/centroids")
 
         bc = spark.sparkContext.broadcast(cents)
         R, L, alpha, seed = self.R, self.L, self.alpha, self.seed

@@ -289,9 +289,14 @@ class VectorIndex(SparkIndex):
             )
         cents = _lloyd_gemm(x, k, iters=10, seed=self.seed)
         centers = [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
-        spark.createDataFrame(
-            centers, "centroid_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
+        # single-slice local relation: the coalesce(1) write of a
+        # default-sliced local df paid one Python round trip per slice
+        # (core/smalldf.py — measured 3.9 s vs 0.3 s at local[32])
+        from rottnest_spark.core.smalldf import local_df
+
+        local_df(
+            spark, centers, "centroid_id int, centroid array<double>", slices=1
+        ).write.mode("overwrite").parquet(f"{out_path}/centroids")
 
         if self.pq_m:
             # PQ mode: the encode pass computes the same coarse
@@ -377,14 +382,18 @@ class VectorIndex(SparkIndex):
                 for j in range(m)
             ]
         )  # (m, k', dsub)
-        spark.createDataFrame(
+        from rottnest_spark.core.smalldf import local_df
+
+        local_df(
+            spark,
             [
                 (j, c, [float(x) for x in books[j, c]])
                 for j in range(books.shape[0])
                 for c in range(books.shape[1])
             ],
             "sub int, code int, center array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/pq_codebook")
+            slices=1,
+        ).write.mode("overwrite").parquet(f"{out_path}/pq_codebook")
 
         coarse = np.array([c for _, c in sorted((i, v) for i, v in centers)])
         sc = spark.sparkContext
