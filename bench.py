@@ -147,8 +147,64 @@ def main() -> None:
         _lake = _PL(spark, [ep.table_path(warm_dir, "documents")], warm_cache)
         _lake.build_index(SubstringIndex(), "text")
         _lake.search(SubstringIndex(), "text", "the").collect()
+        # round 11: the OTHER build shapes get the same treatment — the
+        # build entries are single cold-timed runs ("cold" = fresh index
+        # dir, per the note on the timed block below), and without a
+        # small-SF warmup each one ALSO measured its shape's first-call
+        # codegen/JIT + Python-worker spin-up, which repeat builds don't
+        # pay (measured at sf0.1: logcloud first build 14.4 s vs 3.2 s
+        # steady; pq 19.3 vs 3.7; bm25 8.6 vs 2.1). One tiny build per
+        # index family at sf0.001 compiles the pipeline shapes; the cost
+        # is reported in warmup_sec, nothing hidden.
+        from rottnest_spark.indices.bloom import BloomIndex as _BL
+        from rottnest_spark.indices.fuzzy import FuzzyIndex as _FZ
+        from rottnest_spark.indices.suffix import SuffixArrayIndex as _SX
+        from rottnest_spark.indices.vamana import VamanaIndex as _VM
+
+        for _tbl, _col, _idx in (
+            ("documents", "text", _SX()),
+            ("documents", "text", BM25Index()),
+            ("orders", "o_orderkey", ExactIndex()),
+            ("customer", "c_name", _BL()),
+            ("customer", "c_name", _FZ()),
+            ("events", "props", LogIndex()),
+            ("events", "props", SubstringIndex(granularity="row_group")),
+            ("embeddings", "embedding", VectorIndex(rows_per_centroid=64, nprobes=8)),
+            ("embeddings", "embedding",
+             VectorIndex(rows_per_centroid=64, nprobes=8, pq_m=8, pq_k=16, refine=32)),
+            ("embeddings", "embedding", _VM(rows_per_cluster=256, nprobes=4, refine=16)),
+        ):
+            _wdir = os.path.join(warm_cache, f"w_{_idx.index_type}_{_tbl}_{_col}"[:80])
+            _PL(spark, [ep.table_path(warm_dir, _tbl)], _wdir).build_index(
+                _idx, _col
+            )
+        # the two single-shot op entries (zorder rewrite, CDC merge) get
+        # the same one-small-run shape warmup
+        from rottnest_spark.ops.zorder import zorder_write as _zw
+
+        _zdir = os.path.join(warm_cache, "w_zorder")
+        _zw(ep.load(spark, warm_dir, "events"), ["user_id", "value"], _zdir, 4)
+        from pyspark.sql import functions as _F
+
+        _mdir = os.path.join(warm_cache, "w_merge")
+        _od = ep.load(spark, warm_dir, "orders")
+        _od.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ).write.parquet(_mdir)
+        _ml = _PL(spark, _mdir, os.path.join(warm_cache, "w_merge_idx"))
+        _ml.merge_into(
+            _od.limit(40)
+            .withColumn("seq", _F.lit(1))
+            .withColumn("op", _F.lit("U")),
+            "o_orderkey",
+        )
     except Exception:
-        pass  # warmup must never fail the bench
+        # warmup must never fail the bench — but a silently skipped
+        # warmup makes cold-JIT costs reappear in the build entries, so
+        # report it on stderr (not in the JSON line)
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
     shutil.rmtree(warm_cache, ignore_errors=True)
     warmup_sec = round(time.time() - t_warm, 2)
     calibration = _calibrate()  # post-warmup: measures the HOST, not JIT

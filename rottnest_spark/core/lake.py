@@ -207,9 +207,9 @@ class ParquetLake:
             return []
         counts = file_row_counts(self.spark, todo)
         groups = binpack([(f, counts[f]) for f in todo], binpack_row_threshold)
-        created = []
         base = name or f"{index.index_type}_{column}"
-        for group in groups:
+
+        def build_group(group) -> str | None:
             gfiles = [f for f, _ in group]
             index_name = f"{base}_{uuid.uuid4().hex[:8]}"
             index_path = os.path.join(self.index_dir, index_name)
@@ -244,8 +244,27 @@ class ParquetLake:
                     "config": IndexCatalog.config_json(**index.config()),
                 }
             )
-            if committed:
-                created.append(index_name)
+            return index_name if committed else None
+
+        # Overlap independent group builds (optimization guide §2.6):
+        # each group is its own chain of small Spark jobs, and a
+        # sequential loop leaves the cluster idle in every chain's
+        # driver-side gaps and stage tails. Spark's scheduler runs
+        # concurrent jobs FIFO (later jobs back-fill freed executors),
+        # and commit_build already resolves concurrent commits to
+        # disjoint coverage under the catalog lock. A small pool is
+        # enough to fill the tail; results keep group order.
+        if len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(len(groups), int(
+                os.environ.get("ROTTNEST_BUILD_GROUP_PARALLELISM", "3")
+            ))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(build_group, groups))
+        else:
+            results = [build_group(g) for g in groups]
+        created = [r for r in results if r]
         self.catalog.validate()
         return created
 
@@ -757,9 +776,13 @@ class ParquetLake:
                     "file_path", "row_group", F.lit(i).alias("spec")
                 )
                 tagged = t if tagged is None else tagged.unionByName(t)
+            from rottnest_spark.core.smalldf import local_df
+
             k_df = F.broadcast(
-                self.spark.createDataFrame(
-                    list(n_specs.items()), "file_path string, n_specs int"
+                local_df(
+                    self.spark,
+                    list(n_specs.items()),
+                    "file_path string, n_specs int",
                 )
             )
             # drop stale (dead-file) candidates + attach the per-file number
@@ -1086,7 +1109,10 @@ class ParquetLake:
             keys = self.spark.read.parquet(*[f"{p}/keys" for p in paths])
             entry_files = {f for e in plan.entries for f in e["file_paths"]}
             if entry_files - set(plan.covered_files):
-                live_df = self.spark.createDataFrame(
+                from rottnest_spark.core.smalldf import local_df
+
+                live_df = local_df(
+                    self.spark,
                     [(f,) for f in sorted(plan.covered_files)],
                     "file_path string",
                 )
@@ -1428,8 +1454,10 @@ class ParquetLake:
                 slot_dst[off + s] = gdir
             off += g_out
         all_small = [f for _, gf, _ in plan for f in gf]
-        map_df = self.spark.createDataFrame(
-            file_rows, "__mf__ string, __off__ int, __n__ int"
+        from rottnest_spark.core.smalldf import local_df
+
+        map_df = local_df(
+            self.spark, file_rows, "__mf__ string, __off__ int, __n__ int"
         )
         cid = uuid.uuid4().hex[:12]
         stage = os.path.join(lake_dir, f"_compact_stage_{cid}")
@@ -1875,8 +1903,10 @@ class ParquetLake:
                 # rewrites are per-FILE: dedupe units to files BEFORE the
                 # collect, so a row-group-granular index with many units
                 # still ships only a file list to the driver
-                live_df = self.spark.createDataFrame(
-                    [(f,) for f in files], "file_path string"
+                from rottnest_spark.core.smalldf import local_df
+
+                live_df = local_df(
+                    self.spark, [(f,) for f in files], "file_path string"
                 )
                 file_rows = (
                     cands.select("file_path")
@@ -1899,8 +1929,12 @@ class ParquetLake:
         src = read_parquet(self.spark, touched)
         n_before = {f: c for f, c in file_row_counts(self.spark, touched).items()}
         kept = src.filter(~F.coalesce(pred, F.lit(False)))
-        map_df = self.spark.createDataFrame(
-            [(f, i) for i, f in enumerate(touched)], "__mf__ string, __sidx__ int"
+        from rottnest_spark.core.smalldf import local_df
+
+        map_df = local_df(
+            self.spark,
+            [(f, i) for i, f in enumerate(touched)],
+            "__mf__ string, __sidx__ int",
         )
         cid = uuid.uuid4().hex[:12]
         stage = os.path.join(lake_dir, f"_compact_stage_{cid}")

@@ -59,10 +59,16 @@ def extract_layout(spark: SparkSession, files: list[str]) -> DataFrame:
                 rows, columns=["file_path", "row_group", "num_rows", "row_start"]
             )
 
-    files_df = spark.createDataFrame([(f,) for f in files], "file_path string")
-    # Spread files across tasks; footer reads are tiny and IO-bound.
+    # Parallelize straight into the task count (footer reads are tiny and
+    # IO-bound): a default-sliced local relation plus a repartition paid
+    # one Python round trip per slice AND a shuffle (core/smalldf.py).
+    from rottnest_spark.core.smalldf import local_df
+
     n_part = max(1, min(len(files), 64))
-    return files_df.repartition(n_part).mapInPandas(layout_batches, LAYOUT_SCHEMA)
+    files_df = local_df(
+        spark, [(f,) for f in files], "file_path string", slices=n_part
+    )
+    return files_df.mapInPandas(layout_batches, LAYOUT_SCHEMA)
 
 
 def rows_with_rg_provenance(
@@ -221,9 +227,13 @@ def footer_zone_candidates(
                         rows.append((path, rg))
             yield pd.DataFrame(rows, columns=["file_path", "row_group"])
 
-    files_df = spark.createDataFrame([(f,) for f in files], "file_path string")
+    from rottnest_spark.core.smalldf import local_df
+
     n_part = max(1, min(len(files), 64))
-    return files_df.repartition(n_part).mapInPandas(
+    files_df = local_df(
+        spark, [(f,) for f in files], "file_path string", slices=n_part
+    )
+    return files_df.mapInPandas(
         zone_batches, "file_path string, row_group int"
     )
 

@@ -66,8 +66,12 @@ def collect_candidates_bounded(
     from pyspark.sql import functions as F
 
     if entry_files - covered:
-        covered_df = cands.sparkSession.createDataFrame(
-            [(f,) for f in sorted(covered)], "file_path string"
+        from rottnest_spark.core.smalldf import local_df
+
+        covered_df = local_df(
+            cands.sparkSession,
+            [(f,) for f in sorted(covered)],
+            "file_path string",
         )
         cands = cands.join(F.broadcast(covered_df), "file_path", "semi")
     if threshold is None:
@@ -197,9 +201,17 @@ def read_candidates(
                             )
                         yield out
 
-        cand_df = spark.createDataFrame(
-            rg_cands, "file_path string, row_group int"
-        ).repartition(max(1, min(len(rg_cands), 64)))
+        # parallelize straight into the fetch partition count — a
+        # default-sliced local df costs one Python round trip per slice
+        # on the repartition's map side (core/smalldf.py)
+        from rottnest_spark.core.smalldf import local_df
+
+        cand_df = local_df(
+            spark,
+            rg_cands,
+            "file_path string, row_group int",
+            slices=max(1, min(len(rg_cands), 64)),
+        )
         parts.append(cand_df.mapInPandas(fetch, spark_schema))
 
     out = parts[0]
@@ -252,7 +264,12 @@ def read_rows_at(
                 take = tbl.take(sorted(int(p) for p in grp["pos"]))
                 yield take.cast(us(take.schema), safe=False).to_pandas()
 
-    tri_df = spark.createDataFrame(
-        triples, "file_path string, row_group int, pos int"
+    from rottnest_spark.core.smalldf import local_df
+
+    tri_df = local_df(
+        spark,
+        triples,
+        "file_path string, row_group int, pos int",
+        slices=1,
     ).repartition(max(1, min(len(triples) // 64 + 1, 64)), "file_path", "row_group")
     return tri_df.mapInPandas(fetch, spark_schema)

@@ -160,7 +160,9 @@ class BloomIndex(SparkIndex):
         rows collected; there is no driver-side xxhash64)."""
         if isinstance(query, (bytes, bytearray)):
             query = bytes(query).hex().upper()  # matches F.hex at build
-        one = spark.createDataFrame([(str(query),)], ["key"])
+        from rottnest_spark.core.smalldf import local_df
+
+        one = local_df(spark, [(str(query),)], "key string", slices=1)
         word, mask = self._lane("__pos__")
         rows = (
             self._positions(one, "key")
@@ -186,7 +188,9 @@ class BloomIndex(SparkIndex):
 
         lanes = self._query_lanes(spark, query)
         words = [w for w, _ in lanes]
-        req = spark.createDataFrame(lanes, ["word", "req"])
+        from rottnest_spark.core.smalldf import local_df
+
+        req = local_df(spark, lanes, "word bigint, req bigint", slices=1)
         idx = spark.read.parquet(*[f"{p}/words" for p in index_paths])
         # static IN-list reaches the scan; word-sorted layout prunes row
         # groups; then a broadcast join of ≤k rows checks full lane masks

@@ -132,8 +132,10 @@ class ExactIndex(SparkIndex):
         keys = spark.read.parquet(*[f"{p}/keys" for p in index_paths])
         hits = keys.filter(F.col("key") == F.lit(_hex_query(query)))
         if live_files is not None:
-            live_df = spark.createDataFrame(
-                [(f,) for f in sorted(live_files)], "file_path string"
+            from rottnest_spark.core.smalldf import local_df
+
+            live_df = local_df(
+                spark, [(f,) for f in sorted(live_files)], "file_path string"
             )
             hits = hits.join(F.broadcast(live_df), "file_path", "semi")
         row = hits.agg(F.sum("cnt").alias("n")).collect()[0]

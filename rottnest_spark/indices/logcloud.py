@@ -263,8 +263,10 @@ class LogIndex(SparkIndex):
                 F.col("nv") > self.gram_tier_min
             ).collect()  # bounded: ≤ 63 vtype bitmask values
         )
-        gramtypes = spark.createDataFrame(
-            [(v,) for v in covered], "vtype int"
+        from rottnest_spark.core.smalldf import local_df
+
+        gramtypes = local_df(
+            spark, [(v,) for v in covered], "vtype int", slices=1
         )
         self._write_index(gramtypes, f"{out_path}/gramtypes")
         if covered:

@@ -314,8 +314,25 @@ class VamanaIndex(VectorIndex):
                 }
             )
 
-        graph = assigned.groupBy("cluster_id").applyInPandas(
-            graph_per_cluster, GRAPH_SCHEMA
+        # Pre-shuffle with an EXPLICIT partition count: graph construction
+        # is Python-CPU-bound but tiny in bytes, and AQE's small-partition
+        # coalescing (keyed on bytes, minPartitionSize=1m) merges every
+        # cluster into ONE post-shuffle task — measured: the whole graph
+        # stage ran serially in a single Python worker (6-8.6 s) while 31
+        # cores idled, vs ~0.7 s of per-cluster kernel time in parallel.
+        # A user repartition with explicit numPartitions satisfies the
+        # groupBy's ClusteredDistribution (no second exchange) and AQE
+        # does not re-coalesce it. Partition count is scale-adaptive:
+        # the parallelism floor locally, bytes/64MB on real data volumes.
+        d = cents.shape[1]
+        n_parts = max(
+            spark.sparkContext.defaultParallelism,
+            int(n * d * 16 / (64 << 20)) + 1,
+        )
+        graph = (
+            assigned.repartition(n_parts, "cluster_id")
+            .groupBy("cluster_id")
+            .applyInPandas(graph_per_cluster, GRAPH_SCHEMA)
         )
         # materialize once: the sorted write's repartitionByRange runs a
         # range-boundary sampling pass first, which would otherwise
@@ -435,13 +452,17 @@ class VamanaIndex(VectorIndex):
         # one multi-entry scan + broadcast semi-join on (entry, cluster_id)
         # — same shape as VectorIndex.search
         all_cids = sorted({cid for cids in by_path.values() for cid in cids})
-        pairs = spark.createDataFrame(
+        from rottnest_spark.core.smalldf import local_df
+
+        pairs = local_df(
+            spark,
             [
                 (re.sub("^file:/+", "/", p), int(cid))
                 for p, cids in by_path.items()
                 for cid in cids
             ],
             "__entry string, cluster_id int",
+            slices=1,
         )
         return (
             spark.read.parquet(*[f"{p}/graph" for p in sorted(by_path)])

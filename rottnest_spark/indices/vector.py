@@ -534,13 +534,17 @@ class VectorIndex(SparkIndex):
         # row groups (centroid_id-sorted tables), the broadcast semi-join on
         # (entry, centroid_id) enforces per-entry probe membership exactly
         all_cids = sorted({cid for cids in by_path.values() for cid in cids})
-        pairs = spark.createDataFrame(
+        from rottnest_spark.core.smalldf import local_df
+
+        pairs = local_df(
+            spark,
             [
                 (re.sub("^file:/+", "/", p), int(cid))
                 for p, cids in by_path.items()
                 for cid in cids
             ],
             "__entry string, centroid_id int",
+            slices=1,
         )
         return (
             spark.read.parquet(*[f"{p}/postings" for p in by_path])
