@@ -63,10 +63,49 @@ def _restrict(spark, pos_df, files):
     (metadata-scale) file list, not an isin over thousands of literals."""
     if pos_df is None:
         return None
-    fl = spark.createDataFrame(
-        [(str(f),) for f in sorted(files)], "__path string"
-    )
+    from rottnest_spark.core.smalldf import local_df
+
+    fl = local_df(spark, [(str(f),) for f in sorted(files)], "__path string")
     return pos_df.join(F.broadcast(fl), "__path", "left_semi")
+
+
+def _pin_pos(pos_df):
+    """Pin a deleted-positions frame (delete-scale rows). snapshot_diff
+    references each side's positions from up to four plan branches (the
+    only-side anti-join and both exceptAll directions), and the equality
+    /DV position projections embed a data-file scan — left lazy, that
+    scan re-executes once per branch. One eager localCheckpoint makes it
+    run exactly once (the same pinning replicate_changes applies to the
+    whole feed, measured 3x there)."""
+    return None if pos_df is None else pos_df.localCheckpoint(eager=True)
+
+
+def _changed_from_pos(spark, pos_a, pos_b) -> set[str]:
+    """EXACT common-file bound for snapshot_diff, from the two PINNED
+    position frames: a common file can contribute change rows only if
+    its (path, pos) multiset differs between the sides, i.e. its path
+    appears in the symmetric exceptAll difference. Replaces the
+    metadata-walk bound (_iceberg_changed_common), which re-scanned data
+    files to project delta equality deletes — with the sides already
+    materialized, the difference is a delete-scale job, and the set it
+    returns is tighter (a delete file replaced by an identical re-coding
+    of the same positions no longer forces a scan of its data file).
+    The collect is bounded by the number of files with changed delete
+    state — metadata scale."""
+    if pos_a is None and pos_b is None:
+        return set()
+    if pos_a is None or pos_b is None:
+        # one side has no delete state: every pair on the other side IS
+        # a difference — skip the exceptAll shuffles
+        delta = (pos_b if pos_a is None else pos_a).select("__path").distinct()
+    else:
+        delta = (
+            pos_a.exceptAll(pos_b)
+            .unionByName(pos_b.exceptAll(pos_a))
+            .select("__path")
+            .distinct()
+        )
+    return {canon_path(r["__path"]) for r in delta.collect()}
 
 
 def snapshot_diff(
@@ -188,7 +227,7 @@ def delta_snapshot_diff(
             if dvs
             else None
         )
-        return files, pos, dvs
+        return files, _pin_pos(pos), dvs
 
     files_a, pos_a, dvs_a = state(from_version)
     files_b, pos_b, dvs_b = state(to_version)
@@ -272,10 +311,16 @@ def _iceberg_pos_side(spark, md, st, table_path):
         else None
     )
     if st["eq_deletes"]:
+        # the eq projection embeds a DATA-FILE scan — pin it so the
+        # branches of snapshot_diff don't re-run the scan (pure
+        # positional pairs stay lazy: their decode is delete-file-scale
+        # and an eager pin would only add action latency)
         eqpos = equality_delete_positions(spark, st, md).select(
             F.col("__path"), F.col("__pos")
         )
-        pos = (eqpos if pos is None else pos.unionByName(eqpos)).distinct()
+        pos = _pin_pos(
+            (eqpos if pos is None else pos.unionByName(eqpos)).distinct()
+        )
     return pos
 
 
@@ -331,11 +376,9 @@ def iceberg_snapshot_diff(
 
     files_a, pos_a, st_a = state(from_snapshot_id)
     files_b, pos_b, st_b = state(to_snapshot_id)
-    # bound the common-file scan when only POSITIONAL state changed:
-    # position diffs can come only from delete files present on exactly
-    # one side (carried files contribute identical pairs). Equality
-    # changes are value-addressed — no metadata bound, full common scan.
-    changed = _iceberg_changed_common(spark, md, st_a, st_b, table_path)
+    # bound the common-file scan to files whose pinned position state
+    # actually differs (exact — see _changed_from_pos)
+    changed = _changed_from_pos(spark, pos_a, pos_b)
     return snapshot_diff(
         spark, files_a, pos_a, files_b, pos_b, net=net,
         changed_common=changed,
@@ -393,6 +436,10 @@ def delta_changes_feed(
             if dvs
             else None
         )
+        # NOT pinned: dv decode is delete-scale with no data-file scan,
+        # and an eager pin per version side would serialize K blocking
+        # jobs at feed construction (measured: first delta_change_feed
+        # run 16 s pinned vs 5 s lazy)
         return files, pos, dvs
 
     parts = []
@@ -603,9 +650,7 @@ def iceberg_changes_feed(
         if not prev[0] and not cur[0]:
             prev = cur
             continue  # both sides file-less: an empty step, not an error
-        changed = _iceberg_changed_common(
-            spark, md, prev[2], cur[2], table_path
-        )
+        changed = _changed_from_pos(spark, prev[1], cur[1])
         step = snapshot_diff(
             spark, prev[0], prev[1], cur[0], cur[1],
             changed_common=changed,
@@ -639,70 +684,6 @@ def iceberg_changes_feed(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-def _iceberg_changed_common(spark, md, st_a, st_b, table_path):
-    """Bound on the common-file scan between two snapshot states (None =
-    no bound; see iceberg_snapshot_diff). Positional-delete changes are
-    bounded by the delta delete files' recorded paths (metadata-scale).
-    EQUALITY-delete changes are bounded by the positional PROJECTION of
-    just the DELTA delete files (added on B's state, removed on A's) —
-    one footer-pruned scan per changed side instead of an unbounded
-    common scan; a 400-key CDC upsert on the sf10 table polled at 11.5 s
-    before this bound (tools/feed_scale_probe.py eq-upsert row)."""
-    if st_a is None or st_b is None:
-        return None
-    from rottnest_spark.sources.iceberg import (
-        delete_pairs_df,
-        equality_delete_positions,
-    )
-
-    changed: set[str] = set()
-    eq_a = {(d["path"], d["seq"]) for d in st_a["eq_deletes"]}
-    eq_b = {(d["path"], d["seq"]) for d in st_b["eq_deletes"]}
-    if eq_a != eq_b:
-        for st, other in ((st_b, eq_a), (st_a, eq_b)):
-            delta = [
-                d
-                for d in st["eq_deletes"]
-                if (d["path"], d["seq"]) not in other
-            ]
-            if not delta:
-                continue
-            sub = {
-                "data": st["data"],
-                "pos_deletes": {},
-                "eq_deletes": delta,
-                "dvs": {},
-            }
-            changed |= {
-                canon_path(r["__path"])
-                for r in equality_delete_positions(spark, sub, md)
-                .select("__path")
-                .distinct()
-                .collect()  # metadata-scale: bounded by file count
-            }
-    dvs_a, dvs_b = st_a.get("dvs", {}), st_b.get("dvs", {})
-    changed |= {
-        canon_path(ref)
-        for ref in set(dvs_a) | set(dvs_b)
-        if dvs_a.get(ref) != dvs_b.get(ref)
-    }
-    delta_files = sorted(
-        set(st_a["pos_deletes"]) ^ set(st_b["pos_deletes"])
-    )
-    if delta_files:
-        changed |= {
-            canon_path(r["__del_path"])
-            for r in delete_pairs_df(
-                spark, delta_files, location=md.get("location", ""),
-                table_path=table_path,
-            )
-            .select("__del_path")
-            .distinct()
-            .collect()  # metadata-scale: bounded by file count
-        }
-    return changed
 
 
 class IcebergChangesCursor:
