@@ -1758,6 +1758,10 @@ def delta_upsert(
             {f.name: f.dataType.simpleString() for f in tschema.fields},
             "delta_upsert",
         )
+    # pin the change batch: the staged write and the key semi-join build
+    # side both consume it — one scan of the caller's source instead of
+    # two (batch-scale rows)
+    df = df.localCheckpoint(eager=True)
     staged_df = _mapped_write_frame(df, table_path, fs, "UPSERT")
     state = _delta_live_state(table_path, fs=fs)
     if not state:

@@ -2340,6 +2340,10 @@ def iceberg_upsert(
         )
     eq_ids = [ids_by_name[c] for c in key_cols]
     df = _align_change_frame(df, schema, "iceberg_upsert")
+    # pin the change batch: both the staged data write and the equality
+    # delete key write consume it — one scan of the caller's source
+    # instead of two (batch-scale rows)
+    df = df.localCheckpoint(eager=True)
 
     from rottnest_spark.sources.iceberg_transforms import stage_partitioned
 
@@ -2970,6 +2974,12 @@ def iceberg_v3_upsert(
             "position-matching on a filled column is supported for "
             "DELETE predicates but key identity must be physical"
         )
+    # pin the change batch: it feeds three consumers (dup check, the key
+    # semi-join build side, the staged write) and each would otherwise
+    # recompute the caller's source plan — at scale, three scans of the
+    # change source instead of one (batch-scale rows, the same pinning
+    # replicate_changes applies to feeds)
+    df = df.localCheckpoint(eager=True)
     dup = (
         df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
     ).count()
