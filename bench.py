@@ -665,7 +665,9 @@ def main() -> None:
     # key order matters: the driver keeps only the stdout TAIL, so the
     # compact high-value keys (jitter, vs_prev, errors, sf) go LAST and
     # the big queries dict first (its head is what truncation eats). The
-    # COMPLETE record also lands in bench_last.json for the repo history.
+    # printed line carries only a COMPACT vs_prev summary (flag names,
+    # not the per-entry detail) so the mandatory keys survive tail
+    # truncation; the COMPLETE record lands in bench_last.json.
     line = {
         "metric": "bench_total_wall",
         "value": total,
@@ -697,6 +699,17 @@ def main() -> None:
             )
     except Exception:
         pass
+    if isinstance(vs_prev, dict) and isinstance(
+        vs_prev.get("flagged"), dict
+    ):
+        line = {
+            **line,
+            "vs_prev": {
+                **{k: v for k, v in vs_prev.items() if k != "flagged"},
+                "n_flagged": len(vs_prev["flagged"]),
+                "flagged_names": sorted(vs_prev["flagged"]),
+            },
+        }
     print(json.dumps(line))
     spark.stop()
 
