@@ -314,34 +314,34 @@ class VamanaIndex(VectorIndex):
                 }
             )
 
-        # Pre-shuffle with an EXPLICIT partition count: graph construction
-        # is Python-CPU-bound but tiny in bytes, and AQE's small-partition
-        # coalescing (keyed on bytes, minPartitionSize=1m) merges every
-        # cluster into ONE post-shuffle task — measured: the whole graph
-        # stage ran serially in a single Python worker (6-8.6 s) while 31
-        # cores idled, vs ~0.7 s of per-cluster kernel time in parallel.
-        # A user repartition with explicit numPartitions satisfies the
-        # groupBy's ClusteredDistribution (no second exchange) and AQE
-        # does not re-coalesce it. Partition count is scale-adaptive:
-        # the parallelism floor locally, bytes/64MB on real data volumes.
+        # ONE payload shuffle, not two (guide §8 — move heavy rows once):
+        # the graph table's sorted layout wants RANGE partitioning by
+        # cluster_id, and the graph stage's groupBy wants CLUSTERED
+        # distribution on the same key — RangePartitioning satisfies
+        # ClusteredDistribution, so a single explicit repartitionByRange
+        # BEFORE the groupBy serves both, and the write needs only a
+        # partition-local sort (files stay range-disjoint in cluster_id —
+        # the same min/max probe-pruning property as _write_index's own
+        # range exchange, now without re-shuffling the vectors a second
+        # time). The EXPLICIT partition count also keeps AQE's
+        # small-partition coalescing from serializing the Python-CPU-bound
+        # graph kernels into one task (measured: 6-8.6 s serial vs ~0.7 s
+        # parallel). `assigned` is checkpointed first so the range
+        # exchange's boundary-sampling pass reads materialized rows
+        # instead of re-running the scan→assign pipeline.
         d = cents.shape[1]
         n_parts = max(
             spark.sparkContext.defaultParallelism,
             int(n * d * 16 / (64 << 20)) + 1,
         )
+        assigned = assigned.localCheckpoint(eager=True)
         graph = (
-            assigned.repartition(n_parts, "cluster_id")
+            assigned.repartitionByRange(n_parts, "cluster_id")
             .groupBy("cluster_id")
             .applyInPandas(graph_per_cluster, GRAPH_SCHEMA)
+            .sortWithinPartitions("cluster_id")
         )
-        # materialize once: the sorted write's repartitionByRange runs a
-        # range-boundary sampling pass first, which would otherwise
-        # recompute the whole read→assign→graph pipeline a second time
-        # (graph construction is the expensive stage). localCheckpoint is
-        # executor-disk-backed — the same order of transient storage the
-        # range exchange's shuffle files need anyway.
-        graph = graph.localCheckpoint(eager=True)
-        self._write_index(graph, f"{out_path}/graph", sort_cols=["cluster_id"])
+        self._write_index(graph, f"{out_path}/graph", sort_cols=None)
 
     # -- search ---------------------------------------------------------------
 
