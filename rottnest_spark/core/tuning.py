@@ -42,6 +42,25 @@ def exclude_generate_filter_inference(spark) -> None:
         spark.conf.set(_CONF, _INFER_FROM_GENERATE)
 
 
+def cluster_for_hive_write(df: DataFrame, pcols: list[str]) -> DataFrame:
+    """Cluster rows by the hive partition-dir columns before a
+    `partitionBy` staged write — the Iceberg `write.distribution-mode=hash`
+    discipline (guide §6). Without it every upstream slice opens a writer
+    for every partition dir it touches, so a staged write lands
+    O(slices x dirs) tiny files, and every later step (scans, manifest
+    entries, footer probes, renames, DV packs) pays per file. With it a
+    dir's rows are contiguous, so the stage writes ~one file per dir.
+
+    The AQE REBALANCE hint (not `repartition(cols)`) is deliberate:
+    rebalance both coalesces small output partitions AND SPLITS a hot
+    partition dir across tasks at `advisoryPartitionSizeInBytes`, so a
+    skewed dir still parallelizes at 100 TB. Without AQE it degrades to a
+    plain hash shuffle — still one file per dir. No-op on empty pcols."""
+    if not pcols:
+        return df
+    return df.hint("rebalance", *pcols)
+
+
 def tuned_for_lambda_explode(df: DataFrame) -> DataFrame:
     """Mark a DataFrame whose plan explodes lambda-built arrays: applies the
     session-level rule exclusion (see module docstring) and returns the

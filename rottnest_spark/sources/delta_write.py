@@ -32,6 +32,7 @@ import time
 import uuid
 
 from rottnest_spark.core.fs import LakeFS, LocalFS
+from rottnest_spark.core.tuning import cluster_for_hive_write
 from rottnest_spark.sources.reader import uri_path_col as _uri_path
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -625,7 +626,9 @@ def delta_write(
         pcols = table_pcols
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     if pcols:
-        df.write.partitionBy(*pcols).parquet(stage)
+        cluster_for_hive_write(df, pcols).write.partitionBy(
+            *pcols
+        ).parquet(stage)
     else:
         df.write.parquet(stage)
     moved = []
@@ -1781,7 +1784,9 @@ def delta_upsert(
         )
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     if pcols:
-        staged_df.write.partitionBy(*pcols).parquet(stage)
+        cluster_for_hive_write(staged_df, pcols).write.partitionBy(
+            *pcols
+        ).parquet(stage)
     else:
         staged_df.write.parquet(stage)
     moved = []

@@ -46,6 +46,7 @@ import time
 import uuid
 
 from rottnest_spark.core.fs import LakeFS, LocalFS, canon_path
+from rottnest_spark.core.tuning import cluster_for_hive_write
 from rottnest_spark.sources.avro_lite import write_ocf
 from rottnest_spark.sources.reader import uri_path_col as _uri_path
 
@@ -1137,7 +1138,9 @@ def iceberg_write(
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     staged, pnames = stage_partitioned(df, pfs)
     if pnames:
-        staged.write.partitionBy(*pnames).parquet(stage)
+        cluster_for_hive_write(staged, pnames).write.partitionBy(
+            *pnames
+        ).parquet(stage)
     else:
         df.write.parquet(stage)
     moved = []
@@ -1448,7 +1451,10 @@ def iceberg_rewrite_deletes(
     df = df.drop("__path", "__pos")
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     if pfields:
-        df.write.partitionBy(*[c for c, _ in pfields]).parquet(stage)
+        pdirs = [c for c, _ in pfields]
+        cluster_for_hive_write(df, pdirs).write.partitionBy(
+            *pdirs
+        ).parquet(stage)
     else:
         df.write.parquet(stage)
     fs.makedirs(os.path.join(table_path, "data"))
@@ -2158,7 +2164,9 @@ def iceberg_rewrite_partition_spec(
     staged, pnames = stage_partitioned(df, pfs)
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     if pnames:
-        staged.write.partitionBy(*pnames).parquet(stage)
+        cluster_for_hive_write(staged, pnames).write.partitionBy(
+            *pnames
+        ).parquet(stage)
     else:
         staged.write.parquet(stage)
     new_files = _adopt_staged(table_path, stage, fs)
@@ -2350,7 +2358,9 @@ def iceberg_upsert(
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     staged, pnames = stage_partitioned(df, pfs)
     if pnames:
-        staged.write.partitionBy(*pnames).parquet(stage)
+        cluster_for_hive_write(staged, pnames).write.partitionBy(
+            *pnames
+        ).parquet(stage)
     else:
         df.write.parquet(stage)
     moved = []
@@ -2867,7 +2877,10 @@ def iceberg_v3_rewrite_deletes(
 
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     if pfields:
-        survivors.write.partitionBy(*[c for c, _ in pfields]).parquet(stage)
+        pdirs = [c for c, _ in pfields]
+        cluster_for_hive_write(survivors, pdirs).write.partitionBy(
+            *pdirs
+        ).parquet(stage)
     else:
         survivors.write.parquet(stage)
     moved = []
@@ -3011,7 +3024,9 @@ def iceberg_v3_upsert(
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
     staged, pnames = stage_partitioned(df, _partition_fields(md))
     if pnames:
-        staged.write.partitionBy(*pnames).parquet(stage)
+        cluster_for_hive_write(staged, pnames).write.partitionBy(
+            *pnames
+        ).parquet(stage)
     else:
         df.write.parquet(stage)
     moved = []

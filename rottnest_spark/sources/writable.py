@@ -85,7 +85,11 @@ class _FormatDML:
         pcols = self._partition_columns()
         cid = _uuid.uuid4().hex[:12]
         stage = os.path.join(self.data_dir, f"_compact_stage_{cid}")
-        df.write.partitionBy(*pcols).parquet(stage)
+        from rottnest_spark.core.tuning import cluster_for_hive_write
+
+        cluster_for_hive_write(df, pcols).write.partitionBy(*pcols).parquet(
+            stage
+        )
         moves = []
         for f in self.fs.list_files(stage):
             segs = os.path.relpath(f, stage).split(os.sep)
