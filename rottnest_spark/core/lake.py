@@ -2012,8 +2012,24 @@ class ParquetLake:
         from rottnest_spark.core.layout import footer_key_ranges
 
         key_rows = final.select(key_col).limit(max_change_keys + 1).collect()
+        # NULL-key detection rides the same bounded collect (a NULL key
+        # forms its own group in `final`, so it is visible here) — one
+        # change-batch pass instead of a separate isNull action per merge
+        if any(r[0] is None for r in key_rows):
+            raise ValueError(
+                f"merge_into: changeset contains NULL values in key "
+                f"column {key_col!r}; a CDC row must carry a non-null key"
+            )
         if len(key_rows) > max_change_keys:
-            return list(files)  # fall back: rewrite everything
+            # fall back: rewrite everything — but the bounded collect no
+            # longer proves null-freedom, so check explicitly here
+            if not final.filter(F.col(key_col).isNull()).isEmpty():
+                raise ValueError(
+                    f"merge_into: changeset contains NULL values in key "
+                    f"column {key_col!r}; a CDC row must carry a non-null "
+                    f"key"
+                )
+            return list(files)
         keys = sorted(r[0] for r in key_rows)
         touched = []
         for f, (lo, hi) in footer_key_ranges(
@@ -2071,13 +2087,9 @@ class ParquetLake:
 
         lake_dir = self.data_dir
         # NULL merge keys have no row identity: they would sort-crash the
-        # driver-side prune below and silently join nothing in
-        # merge_changes — reject them up front with a clear error.
-        if not changes.filter(F.col(key_col).isNull()).isEmpty():
-            raise ValueError(
-                f"merge_into: changeset contains NULL values in key "
-                f"column {key_col!r}; a CDC row must carry a non-null key"
-            )
+        # driver-side prune and silently join nothing in merge_changes —
+        # rejected inside _merge_touched, whose bounded key collect sees
+        # every distinct key (no separate isNull pass over the batch).
         final = latest_changes(changes, [key_col], seq_col, op_col)
         files = self.files
         touched = self._merge_touched(final, key_col, max_change_keys, files)

@@ -305,6 +305,20 @@ def test_merge_into_empty_changes_is_noop(spark, keyed_lake):
     assert keyed_lake.read().count() == 400
 
 
+def test_merge_into_null_key_rejected(spark, keyed_lake):
+    """A NULL merge key has no row identity — merge_into must refuse it
+    (the check rides the prune's bounded key collect, so both the
+    bounded path and the oversized fall-back path must raise)."""
+    ch = _mk_changes(spark, [(1, "x", 1, "U"), (None, "y", 1, "U")])
+    with pytest.raises(ValueError, match="NULL values in key"):
+        keyed_lake.merge_into(ch, "k")
+    # oversized batch: the fall-back path re-checks nulls explicitly
+    with pytest.raises(ValueError, match="NULL values in key"):
+        keyed_lake.merge_into(ch, "k", max_change_keys=1)
+    # lake unchanged by the refused merges
+    assert keyed_lake.read().count() == 400
+
+
 def test_merge_into_all_deletes_removes_file(spark, keyed_lake):
     """Deleting every key of one file leaves 3 files and 300 rows."""
     ch = _mk_changes(spark, [(k, None, 1, "D") for k in range(100, 200)])
