@@ -443,7 +443,9 @@ class ParquetLake:
             if len(rows) >= k:
                 break
         self._insitu_files_scanned = scanned
-        return self.spark.createDataFrame(rows, schema)
+        from rottnest_spark.core.smalldf import local_df
+
+        return local_df(self.spark, rows, schema)
 
     def search_many(
         self,

@@ -187,10 +187,14 @@ def file_zone_maps(
 
     import json as _json
 
-    paths = spark.createDataFrame([(f,) for f in sorted(files)], "p string")
+    from rottnest_spark.core.smalldf import local_df
+
+    paths = local_df(
+        spark, [(f,) for f in sorted(files)], "p string",
+        slices=min(len(files), 64),
+    )
     rows = (
-        paths.repartition(min(len(files), 64))
-        .mapInPandas(probe, "z string")
+        paths.mapInPandas(probe, "z string")
         .collect()  # one short row per file — descriptor-scale
     )
     by_file = {}

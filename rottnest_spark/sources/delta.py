@@ -1040,9 +1040,14 @@ def dv_positions_df(spark, table_path: str, dvs: dict[str, dict]):
     out_schema = "file_path string, pos long"
     parts = []
     if inline:
-        desc = spark.createDataFrame(
-            inline, "file_path string, inline string"
-        ).repartition(max(1, min(len(inline), 32)))
+        from rottnest_spark.core.smalldf import local_df
+
+        # slices ARE the decode partitioning — no round-robin shuffle of
+        # a 32-slice pickled relation (guide §4)
+        desc = local_df(
+            spark, inline, "file_path string, inline string",
+            slices=max(1, min(len(inline), 32)),
+        )
 
         def gen_inline(batches):
             import pandas as _pd
@@ -1598,10 +1603,12 @@ class DeltaSnapshotLake(ParquetLake):
             )
             df = df.join(pairs, ["__path", "__pos"], "left_anti")
         df = self._to_logical(df)
+        from rottnest_spark.core.smalldf import local_df
+
         rows = [
             (canon_path(p), int(ids[p][0])) for p in sorted(state)
         ]
-        m = self.spark.createDataFrame(rows, "__path string, __base long")
+        m = local_df(self.spark, rows, "__path string, __base long")
         return (
             df.join(F.broadcast(m), "__path", "left")
             .withColumn("_row_id", F.col("__base") + F.col("__pos"))

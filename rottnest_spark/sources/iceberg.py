@@ -468,10 +468,16 @@ def _missing_defaults_by_file(
                 missing.append(",".join(c for c in cols if c not in names))
             yield _pd.DataFrame({"p": pdf["p"], "missing": missing})
 
-    paths = spark.createDataFrame([(f,) for f in sorted(fl)], "p string")
+    from rottnest_spark.core.smalldf import local_df
+
+    # slices ARE the probe partitioning: one boundary crossing per task,
+    # no round-robin shuffle of a 32-slice pickled relation (guide §4)
+    paths = local_df(
+        spark, [(f,) for f in sorted(fl)], "p string",
+        slices=min(len(fl), 64),
+    )
     rows = (
-        paths.repartition(min(len(fl), 64))
-        .mapInPandas(probe, "p string, missing string")
+        paths.mapInPandas(probe, "p string, missing string")
         .collect()  # one short row per file — descriptor-scale
     )
     return {
@@ -715,10 +721,14 @@ def _footer_present_by_file(
                 hit.append(",".join(c for c in want if c in names))
             yield _pd.DataFrame({"p": pdf["p"], "hit": hit})
 
-    paths = spark.createDataFrame([(f,) for f in sorted(fl)], "p string")
+    from rottnest_spark.core.smalldf import local_df
+
+    paths = local_df(
+        spark, [(f,) for f in sorted(fl)], "p string",
+        slices=min(len(fl), 64),
+    )
     rows = (
-        paths.repartition(min(len(fl), 64))
-        .mapInPandas(probe, "p string, hit string")
+        paths.mapInPandas(probe, "p string, hit string")
         .collect()  # one short row per file — descriptor-scale
     )
     return {
@@ -759,10 +769,14 @@ def _footer_field_types(
                 )
             yield _pd.DataFrame({"p": pdf["p"], "t": out})
 
-    paths = spark.createDataFrame([(f,) for f in sorted(fl)], "p string")
+    from rottnest_spark.core.smalldf import local_df
+
+    paths = local_df(
+        spark, [(f,) for f in sorted(fl)], "p string",
+        slices=min(len(fl), 64),
+    )
     rows = (
-        paths.repartition(min(len(fl), 64))
-        .mapInPandas(probe, "p string, t string")
+        paths.mapInPandas(probe, "p string, t string")
         .collect()  # one short row per file — descriptor-scale
     )
     return {r.p: (r.t or None) for r in rows}
@@ -1001,11 +1015,13 @@ def apply_equality_deletes(spark, df, state: dict, md: dict):
     # unmatched join would null __seq and silently unapply every delete.
     # canon_path, NOT os.path.abspath: a URI-schemed key (s3a://...)
     # would be mangled to <cwd>/s3a:/... and miss the same way
+    from rottnest_spark.core.smalldf import local_df
+
     seq_rows = [
         (canon_path(p), int(s))
         for p, s in sorted(state["data"].items())
     ]
-    seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
+    seq_df = local_df(spark, seq_rows, "__path string, __seq long")
     df = df.join(F.broadcast(seq_df), "__path", "left")
 
     dmap = initial_default_fields(md)
@@ -1049,8 +1065,11 @@ def _eq_delete_rows_df(spark, dels: list[dict], cols: list[str]):
     thousands of commits before data size matters."""
     from pyspark.sql import functions as F
 
+    from rottnest_spark.core.smalldf import local_df
+
     paths = [d["path"] for d in sorted(dels, key=lambda d: d["path"])]
-    seq_map = spark.createDataFrame(
+    seq_map = local_df(
+        spark,
         [(canon_path(d["path"]), int(d["seq"])) for d in dels],
         "__dfile string, __dseq long",
     )
@@ -2165,10 +2184,10 @@ class IcebergSnapshotLake(ParquetLake):
         df = self._base_read(
             data, state, md.get("location", ""), md, keep_tags=True
         )
+        from rottnest_spark.core.smalldf import local_df
+
         rows = [(canon_path(p), int(fr[p])) for p in data]
-        m = self.spark.createDataFrame(
-            rows, "__path string, __first long"
-        )
+        m = local_df(self.spark, rows, "__path string, __first long")
         return (
             df.join(F.broadcast(m), "__path", "left")
             .withColumn("_row_id", F.col("__first") + F.col("__pos"))
@@ -2310,11 +2329,13 @@ def equality_delete_positions(spark, state: dict, md: dict):
             "__pos": F.col("_metadata.row_index"),
         }
     )
+    from rottnest_spark.core.smalldf import local_df
+
     seq_rows = [
         (canon_path(p), int(s))
         for p, s in sorted(state["data"].items())
     ]
-    seq_df = spark.createDataFrame(seq_rows, "__path string, __seq long")
+    seq_df = local_df(spark, seq_rows, "__path string, __seq long")
     df = df.join(F.broadcast(seq_df), "__path", "left")
 
     by_ids: dict[tuple, list[dict]] = {}

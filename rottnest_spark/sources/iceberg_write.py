@@ -1434,7 +1434,10 @@ def iceberg_rewrite_deletes(
             ["__path string"]
             + [f"`{c}` {_spark_of.get(t, 'string')}" for c, t in pfields]
         )
-        pv_df = spark.createDataFrame(
+        from rottnest_spark.core.smalldf import local_df
+
+        pv_df = local_df(
+            spark,
             [
                 tuple(
                     [canon_path(f)]
@@ -2871,7 +2874,9 @@ def iceberg_v3_rewrite_deletes(
             tuple([f] + [adds[f].get(c) for c, _ in pfields])
             for f in doomed_files
         ]
-        pv_df = spark.createDataFrame(pv_rows, pv_schema)
+        from rottnest_spark.core.smalldf import local_df
+
+        pv_df = local_df(spark, pv_rows, pv_schema)
         survivors = survivors.join(F.broadcast(pv_df), "__path")
     survivors = survivors.drop("__path", "__pos")
 
