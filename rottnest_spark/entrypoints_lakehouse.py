@@ -1404,6 +1404,36 @@ def q_iceberg_spec_evolution(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _lineage_counts(after: DataFrame, before: DataFrame, mod: int) -> DataFrame:
+    """Distributed twin of the collected-map lineage arithmetic:
+    n_rows / distinct-id / survivor-stability / re-upserted counts from
+    the post-DML lineage frame plus the PINNED pre-DML (key, id) frame.
+    Stability = keys outside the upsert slice whose _row_id is unchanged
+    (an inner join: a key absent after the DML cannot be stable, exactly
+    like the old dict's after.get(k) == rid with a missing key). The
+    distinct-id count mirrors set() semantics — NULL, if one ever
+    appeared, is one distinct value (count_distinct drops nulls, so a
+    null-presence flag is added back)."""
+    # before's keys are unique (post-delete table state), so the left
+    # join is 1:1 and every per-after count is preserved under it — all
+    # four counts come out of ONE join + ONE aggregate (single action)
+    joined = after.join(before, "o_orderkey", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.count_distinct(F.col("_row_id"))
+            + F.coalesce(
+                F.max(F.col("_row_id").isNull().cast("long")), F.lit(0)
+            )
+        ).alias("n_ids"),
+        F.count_if(
+            (F.col("o_orderkey") % mod != 0)
+            & (F.col("_row_id") == F.col("__rid_before"))
+        ).alias("n_stable"),
+        F.count_if(F.col("o_orderkey") % mod == 0).alias("n_upserted"),
+    ).select("n_rows", "n_ids", "n_stable", "n_upserted")
+
+
 def q_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 ROW LINEAGE (round 11, iceberg.read_with_lineage):
     a DV delete upgrades the slice to v3 and assigns first_row_id
@@ -1430,48 +1460,31 @@ def q_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         table = os.path.join(work, "t")
         iceberg_write(src.repartition(2), table)
-        iceberg_v3_delete_rows(
+        snap_del = iceberg_v3_delete_rows(
             spark, table, F.col("o_orderkey") % MOR_DEL_MOD == 0
         )
-        before = {
-            r.o_orderkey: r._row_id
-            for r in IcebergSnapshotLake(
-                spark, table, os.path.join(work, "a")
+        # the pre-upsert side stays LAZY: pinned to the delete's snapshot
+        # id, it reads the historical state after the mutation — no
+        # data-scale driver collect (guide §5), no extra materialization
+        before = (
+            IcebergSnapshotLake(
+                spark, table, os.path.join(work, "a"), snapshot_id=snap_del
             )
             .read_with_lineage()
-            .select("o_orderkey", "_row_id")
-            .collect()
-        }
+            .select("o_orderkey", F.col("_row_id").alias("__rid_before"))
+        )
         ch = src.filter(
             F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
         ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
         iceberg_v3_upsert(spark, ch, table, ["o_orderkey"])
-        after = {
-            r.o_orderkey: r._row_id
-            for r in IcebergSnapshotLake(
-                spark, table, os.path.join(work, "b")
-            )
+        after = (
+            IcebergSnapshotLake(spark, table, os.path.join(work, "b"))
             .read_with_lineage()
             .select("o_orderkey", "_row_id")
-            .collect()
-        }
-        stable = sum(
-            1
-            for k, rid in before.items()
-            if k % EVOLVE_UPD_MOD != 0 and after.get(k) == rid
         )
-        out = spark.createDataFrame(
-            [
-                (
-                    len(after),
-                    len(set(after.values())),
-                    stable,
-                    sum(1 for k in after if k % EVOLVE_UPD_MOD == 0),
-                )
-            ],
-            "n_rows bigint, n_ids bigint, n_stable bigint, n_upserted bigint",
-        )
-        return out
+        out = _lineage_counts(after, before, EVOLVE_UPD_MOD)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1501,45 +1514,28 @@ def q_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = os.path.join(work, "t")
         src.repartition(2).write.parquet(table)
         delta_convert(table)
-        delta_enable_row_tracking(table)
-        before = {
-            r.o_orderkey: r._row_id
-            for r in DeltaSnapshotLake(
-                spark, table, os.path.join(work, "a")
+        v_enable = delta_enable_row_tracking(table)
+        # lazy pre-upsert side pinned at the enable commit's version —
+        # the Delta twin of the Iceberg snapshot pin
+        before = (
+            DeltaSnapshotLake(
+                spark, table, os.path.join(work, "a"),
+                version_as_of=v_enable,
             )
             .read_with_lineage()
-            .select("o_orderkey", "_row_id")
-            .collect()
-        }
+            .select("o_orderkey", F.col("_row_id").alias("__rid_before"))
+        )
         ch = src.filter(
             F.col("o_orderkey") % EVOLVE_UPD_MOD == 0
         ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
         delta_upsert(spark, ch, table, ["o_orderkey"])
-        after = {
-            r.o_orderkey: r._row_id
-            for r in DeltaSnapshotLake(
-                spark, table, os.path.join(work, "b")
-            )
+        after = (
+            DeltaSnapshotLake(spark, table, os.path.join(work, "b"))
             .read_with_lineage()
             .select("o_orderkey", "_row_id")
-            .collect()
-        }
-        stable = sum(
-            1
-            for k, rid in before.items()
-            if k % EVOLVE_UPD_MOD != 0 and after.get(k) == rid
         )
-        out = spark.createDataFrame(
-            [
-                (
-                    len(after),
-                    len(set(after.values())),
-                    stable,
-                    sum(1 for k in after if k % EVOLVE_UPD_MOD == 0),
-                )
-            ],
-            "n_rows bigint, n_ids bigint, n_stable bigint, n_upserted bigint",
-        )
-        return out
+        out = _lineage_counts(after, before, EVOLVE_UPD_MOD)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
