@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rottnest_spark.core.lake import ParquetLake
+from rottnest_spark.core.smalldf import local_df
 from rottnest_spark.indices.bm25 import BM25Index, bm25_topk, tokenize_query
 from rottnest_spark.indices.exact import ExactIndex
 from rottnest_spark.indices.logcloud import LogIndex
@@ -129,7 +130,7 @@ def q_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -175,7 +176,7 @@ def q_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ExactIndex()
     lake = indexed_lake(spark, sf_dir, "lineitem", "l_orderkey", idx)
     n = lake.count_matches(idx, "l_orderkey", EXACT_KEY)
-    return spark.createDataFrame([(int(n),)], "n_rows long")
+    return local_df(spark, [(int(n),)], "n_rows long")
 
 
 HIST_K = 25
@@ -878,8 +879,8 @@ def q_media_quality_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype(_np.uint8)
         enc = encode_jpeg_progressive if mid % 2 else encode_jpeg
         rows.append((mid, "image", bytearray(enc(px, quality=90))))
-    media = spark.createDataFrame(
-        rows, "media_id long, kind string, payload binary"
+    media = local_df(
+        spark, rows, "media_id long, kind string, payload binary"
     ).repartition(8, "media_id")
     return multimodal.media_quality(media).select(
         "media_id",
@@ -908,8 +909,8 @@ def q_mp4_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for mid in range(64)
     ]
-    media = spark.createDataFrame(
-        rows, "media_id long, kind string, payload binary"
+    media = local_df(
+        spark, rows, "media_id long, kind string, payload binary"
     ).repartition(8, "media_id")
     return multimodal.mp4_meta(media).select(
         "media_id", "brand", "duration_sec", "width", "height", "n_tracks"
@@ -943,8 +944,8 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (mid, bytearray(multimodal.encode_mjpeg_mp4(frames, 16, 16)))
         )
-    media = spark.createDataFrame(
-        rows, "media_id long, payload binary"
+    media = local_df(
+        spark, rows, "media_id long, payload binary"
     ).repartition(8, "media_id")
     return multimodal.video_frame_stats(media, every_n=2).select(
         "media_id", "codec", "n_frames", "n_sampled", "all_decoded"
@@ -1331,7 +1332,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced into irregular bands, then per-band rollup."""
     from rottnest_spark.ops.analytics import range_join_binned
 
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    bands = local_df(spark, PRICE_BANDS, "band string, lo double, hi double")
     joined = range_join_binned(
         load(spark, sf_dir, "orders"), bands,
         "o_totalprice", "lo", "hi", RANGE_BIN_WIDTH,
@@ -2592,7 +2593,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize before the scratch dir vanishes
     rows = out.collect()
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 # --- lakehouse-DML contract queries (round-9 split): the scratch-table

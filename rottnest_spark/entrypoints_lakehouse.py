@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rottnest_spark.sources.reader import read_parquet
+from rottnest_spark.core.smalldf import local_df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,7 +83,7 @@ def q_iceberg_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -131,7 +132,7 @@ def q_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -238,7 +239,7 @@ def q_delta_mapped_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -303,7 +304,7 @@ def q_iceberg_schema_evolution(
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -364,7 +365,7 @@ def q_delta_schema_evolution(
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -427,7 +428,7 @@ def q_delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -490,7 +491,7 @@ def q_iceberg_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -598,7 +599,7 @@ def q_catalog_commit_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -694,7 +695,7 @@ def q_iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -779,7 +780,7 @@ def q_iceberg_transform_partitioned_dml(
             .orderBy("pyear", "o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -846,7 +847,7 @@ def q_iceberg_v3_partitioned_dml(
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -899,7 +900,7 @@ def q_delta_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("_change_type", "o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -960,7 +961,7 @@ def q_iceberg_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1022,7 +1023,8 @@ def q_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             )
             cur.ack(latest)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             sorted(rows),
             "_commit_version long, _change_type string, "
             "o_orderstatus string, n_rows bigint, sum_price double",
@@ -1075,7 +1077,7 @@ def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1139,7 +1141,7 @@ def q_sync_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
@@ -1187,7 +1189,7 @@ def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1271,7 +1273,7 @@ def q_iceberg_nested_evolution(
             .orderBy("state", "tag")
         )
         rows = out.collect()  # materialize before the scratch dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1332,7 +1334,7 @@ def q_delta_partitioned_evolution(
             .orderBy("o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1399,7 +1401,7 @@ def q_iceberg_spec_evolution(
             .orderBy("o_orderstatus", "o_orderpriority")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1484,7 +1486,7 @@ def q_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = _lineage_counts(after, before, EVOLVE_UPD_MOD)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1536,6 +1538,6 @@ def q_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = _lineage_counts(after, before, EVOLVE_UPD_MOD)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rottnest_spark.core.smalldf import local_df
+
 
 def time_rollup(
     df: DataFrame,
@@ -464,7 +466,8 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 row[f"{c}__maxs"] if f"{c}__maxs" in row.asDict() else None,
             )
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         out,
         "column string, n_rows long, n_nulls long, n_distinct long, "
         "min_num double, max_num double, min_str string, max_str string",

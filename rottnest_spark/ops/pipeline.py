@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from rottnest_spark.ops import dedup, textstats
 
+from rottnest_spark.core.smalldf import local_df
+
 
 #: pipeline default for the LSH bucket skew guard: one boilerplate band key
 #: shared by B docs emits B² candidate pairs, so at corpus scale a single
@@ -97,7 +99,8 @@ def curation_report(
         deduped, id_col, text_col, max_bucket=max_bucket
     ).collect()[0]
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 n_input,
