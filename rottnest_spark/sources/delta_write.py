@@ -26,6 +26,8 @@ Scope notes, stated rather than hidden:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import json
 import os
 import time
@@ -772,7 +774,7 @@ def _delta_commit_dvs(
     table_path: str,
     new_pairs,
     fs: LakeFS,
-    extra_adds: list[str] | None = None,
+    extra_adds: list[str] | Callable[[], list[str]] | None = None,
 ) -> int:
     """Shared DV-commit tail: merge `new_pairs` (file_path, pos) with any
     existing vectors, encode one roaring bitmap per affected file
@@ -924,6 +926,12 @@ def _delta_commit_dvs(
         "file_path string, storage string, path_or_inline string, "
         "offset int, size int, cardinality long",
     ).collect()  # descriptor-scale: one small row per affected file
+
+    if callable(extra_adds):
+        # late-resolved adds: the caller staged its insert files on a
+        # worker thread CONCURRENT with the DV pipeline above (guide
+        # §2.6); join it here, before anything commits
+        extra_adds = extra_adds()
 
     descriptors: dict[str, dict] = {}
     for r in desc_rows:
@@ -1783,27 +1791,32 @@ def delta_upsert(
             "lack for partitions; key on a physical column instead"
         )
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    if pcols:
-        cluster_for_hive_write(staged_df, pcols).write.partitionBy(
-            *pcols
-        ).parquet(stage)
-    else:
-        staged_df.write.parquet(stage)
-    moved = []
-    for f in fs.list_files(stage):
-        segs = os.path.relpath(f, stage).split(os.sep)
-        leaf = segs[-1]
-        if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
-            continue
-        dst = os.path.join(
-            table_path, *segs[:-1], f"upserted_{uuid.uuid4().hex}.parquet"
-        )
-        fs.makedirs(os.path.dirname(dst))
-        fs.rename(f, dst)
-        moved.append(dst)
-    fs.rmtree(stage)
-    if not moved:
-        raise ValueError("empty upsert — the change DataFrame has no rows")
+
+    def _stage_and_publish() -> list[str]:
+        if pcols:
+            cluster_for_hive_write(staged_df, pcols).write.partitionBy(
+                *pcols
+            ).parquet(stage)
+        else:
+            staged_df.write.parquet(stage)
+        moved = []
+        for f in fs.list_files(stage):
+            segs = os.path.relpath(f, stage).split(os.sep)
+            leaf = segs[-1]
+            if not leaf.endswith(".parquet") or leaf.startswith(("_", ".")):
+                continue
+            dst = os.path.join(
+                table_path, *segs[:-1], f"upserted_{uuid.uuid4().hex}.parquet"
+            )
+            fs.makedirs(os.path.dirname(dst))
+            fs.rename(f, dst)
+            moved.append(dst)
+        fs.rmtree(stage)
+        if not moved:
+            raise ValueError(
+                "empty upsert — the change DataFrame has no rows"
+            )
+        return moved
 
     keys = df.select(*key_cols).distinct()
     # tagged scan with LOGICAL names (mapped tables translate at the
@@ -1812,7 +1825,26 @@ def delta_upsert(
     matched = tagged.join(F.broadcast(keys), key_cols, "left_semi").select(
         "file_path", "pos"
     )
-    return _delta_commit_dvs(spark, table_path, matched, fs, extra_adds=moved)
+    # the staged write reads only the PINNED batch; the DV pipeline reads
+    # the (immutable) current table state — run them as concurrent jobs
+    # (guide §2.6), joined inside _delta_commit_dvs before the commit.
+    # Published-but-uncommitted files on a DV failure stay invisible to
+    # the log and are reclaimed by delta_vacuum_table, the same
+    # crash-window semantics the sequential order already had.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _fut = _pool.submit(_stage_and_publish)
+        try:
+            return _delta_commit_dvs(
+                spark, table_path, matched, fs, extra_adds=_fut.result
+            )
+        except Exception:
+            try:
+                _fut.result()
+            except Exception:
+                pass
+            raise
 
 
 def delta_cleanup_log(

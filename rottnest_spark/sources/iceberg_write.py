@@ -2359,13 +2359,41 @@ def iceberg_upsert(
     from rottnest_spark.sources.iceberg_transforms import stage_partitioned
 
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    staged, pnames = stage_partitioned(df, pfs)
-    if pnames:
-        cluster_for_hive_write(staged, pnames).write.partitionBy(
-            *pnames
-        ).parquet(stage)
-    else:
-        df.write.parquet(stage)
+    kstage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
+
+    # the staged data write and the equality-key write both read only the
+    # PINNED batch and write to disjoint stage dirs — run them as
+    # concurrent jobs (guide §2.6); the renames below stay sequential
+    # (publish order is the crash-recovery contract)
+    def _stage_data() -> None:
+        staged, pnames = stage_partitioned(df, pfs)
+        if pnames:
+            cluster_for_hive_write(staged, pnames).write.partitionBy(
+                *pnames
+            ).parquet(stage)
+        else:
+            df.write.parquet(stage)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _kfut = _pool.submit(
+            lambda: df.select(*key_cols)
+            .distinct()
+            .coalesce(1)
+            .write.parquet(kstage)
+        )
+        try:
+            _stage_data()
+            _kfut.result()
+        except Exception:
+            try:
+                _kfut.result()
+            except Exception:
+                pass
+            fs.rmtree(stage)
+            fs.rmtree(kstage)
+            raise
     moved = []
     fs.makedirs(os.path.join(table_path, "data"))
     for f in fs.list_files(stage):
@@ -2381,10 +2409,9 @@ def iceberg_upsert(
         moved.append(dst)
     fs.rmtree(stage)
     if not moved:
+        fs.rmtree(kstage)
         raise ValueError("empty upsert — the change DataFrame has no rows")
 
-    kstage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    df.select(*key_cols).distinct().coalesce(1).write.parquet(kstage)
     eq_path = None
     for f in fs.list_files(kstage):
         leaf = os.path.basename(f)
@@ -3017,23 +3044,47 @@ def iceberg_v3_upsert(
     fresh = scan.join(
         df.select(*key_cols).distinct(), key_cols, "left_semi"
     ).select(F.col("__path").alias("ref"), F.col("__pos").alias("pos"))
-    new_blobs, carried = _v3_pack_dvs(
-        spark, md, st, table_path, fresh, snap_id, commit_seq
-    )
 
     # stage the change rows as new data files; partitioned tables stage
     # hive-laid so the commit tail can derive r102 values from the path
-    # (transform fields as DERIVED columns — iceberg_transforms)
+    # (transform fields as DERIVED columns — iceberg_transforms). The
+    # staged write and the DV-pack pipeline both read only the PINNED
+    # batch / table state and write to disjoint places, so they run as
+    # concurrent jobs (guide §2.6): the write's tail back-fills the DV
+    # semi-join's idle executors. A failure on either side aborts before
+    # the commit; the stage dir is removed on error (uncommitted puffins
+    # are unreferenced and reclaimed like any crash-window orphan).
+    from concurrent.futures import ThreadPoolExecutor
+
     from rottnest_spark.sources.iceberg_transforms import stage_partitioned
 
     stage = os.path.join(table_path, f"_staged_{uuid.uuid4().hex[:12]}")
-    staged, pnames = stage_partitioned(df, _partition_fields(md))
-    if pnames:
-        cluster_for_hive_write(staged, pnames).write.partitionBy(
-            *pnames
-        ).parquet(stage)
-    else:
-        df.write.parquet(stage)
+
+    def _stage_write() -> None:
+        staged, pnames = stage_partitioned(df, _partition_fields(md))
+        if pnames:
+            cluster_for_hive_write(staged, pnames).write.partitionBy(
+                *pnames
+            ).parquet(stage)
+        else:
+            df.write.parquet(stage)
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _stage_fut = _pool.submit(_stage_write)
+        try:
+            new_blobs, carried = _v3_pack_dvs(
+                spark, md, st, table_path, fresh, snap_id, commit_seq
+            )
+            _stage_fut.result()
+        except Exception:
+            # join the write first (rmtree under a live writer is racy),
+            # then drop the uncommitted stage
+            try:
+                _stage_fut.result()
+            except Exception:
+                pass
+            fs.rmtree(stage)
+            raise
     moved = []
     fs.makedirs(os.path.join(table_path, "data"))
     for f in fs.list_files(stage):
