@@ -156,6 +156,12 @@ class BM25Index(SparkIndex):
             )
         rows = rows.repartition(spark.sparkContext.defaultParallelism)
         rows = rows.persist()
+        # postings, stats and meta all derive from the persisted rows and
+        # write to disjoint subdirs — run the three chains as concurrent
+        # jobs so each one's stage tail back-fills the others (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=3)
         try:
             per_row = rows.select(
                 "file_path",
@@ -163,15 +169,28 @@ class BM25Index(SparkIndex):
                 F.explode(F.array_distinct("toks")).alias("token"),
             )
             postings = per_row.select("token", "file_path", "row_group").distinct()
-            self._write_index(postings, f"{out_path}/postings", sort_cols=["token"])
+            fut_postings = pool.submit(
+                self._write_index,
+                postings,
+                f"{out_path}/postings",
+                sort_cols=["token"],
+            )
             stats = per_row.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-            self._write_index(stats, f"{out_path}/stats", sort_cols=["token"])
+            fut_stats = pool.submit(
+                self._write_index,
+                stats,
+                f"{out_path}/stats",
+                sort_cols=["token"],
+            )
             meta = rows.agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("total_len"),
             )
             meta.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")
+            fut_postings.result()
+            fut_stats.result()
         finally:
+            pool.shutdown(wait=True)
             rows.unpersist()
 
     def search(self, spark: SparkSession, index_paths: list[str], query: str):

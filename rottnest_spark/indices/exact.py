@@ -91,8 +91,17 @@ class ExactIndex(SparkIndex):
         zone = df.groupBy("file_path", "row_group").agg(
             F.min("key").alias("min_key"), F.max("key").alias("max_key")
         )
-        self._write_index(zone, f"{out_path}/zone")
-        if self.store_keys:
+        if not self.store_keys:
+            self._write_index(zone, f"{out_path}/zone")
+            return
+        # zone and keys are independent scan+agg+write chains over the
+        # same on-disk source — run them as concurrent jobs (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_zone = pool.submit(
+                self._write_index, zone, f"{out_path}/zone"
+            )
             # per-(key, unit) row COUNTS make the key table a covering
             # index: count-style queries are answered from the index alone
             # (count_key / ParquetLake.count_matches), no data fetch
@@ -100,6 +109,7 @@ class ExactIndex(SparkIndex):
                 F.count(F.lit(1)).alias("cnt")
             )
             self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])
+            fut_zone.result()
 
     def search(self, spark: SparkSession, index_paths: list[str], query):
         if isinstance(query, tuple):  # (lo, hi) range probe → zone maps

@@ -146,6 +146,14 @@ class LogIndex(SparkIndex):
             )
         rows = rows.repartition(spark.sparkContext.defaultParallelism)
         rows = rows.persist()
+        # the four output chains (templates, dict, variables, gram tier)
+        # are independent once their shared inputs are pinned — run them
+        # as concurrent jobs so each chain's stage tails back-fill the
+        # others' idle executors (guide §2.6). Writes land in disjoint
+        # subdirs; a failure in any chain propagates from result().
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=3)
         try:
             templates = (
                 rows.select(
@@ -154,7 +162,9 @@ class LogIndex(SparkIndex):
                 .groupBy("template")
                 .agg(F.count(F.lit(1)).alias("n"))
             )
-            self._write_index(templates, f"{out_path}/templates")
+            fut_templates = pool.submit(
+                self._write_index, templates, f"{out_path}/templates"
+            )
             # pin the distinct (value, unit) table ONCE: five derived
             # outputs (dict, variables, gramtypes, valgrams + the range
             # writes' sampling passes) would otherwise each re-run the
@@ -198,24 +208,39 @@ class LogIndex(SparkIndex):
             dict_vals = unit_counts.filter(F.col("n_units") > cap).select(
                 "vtype", "value"
             )
-            self._write_index(dict_vals, f"{out_path}/dict", sort_cols=["value"])
+            fut_dict = pool.submit(
+                self._write_index,
+                dict_vals,
+                f"{out_path}/dict",
+                sort_cols=["value"],
+            )
             dv = dict_vals.select(
                 F.col("vtype").alias("d_vtype"), F.col("value").alias("d_value")
             )
+            # the anti-join re-derives the (metadata-scale) dict agg
+            # inside its own plan, so this chain never waits on the dict
+            # WRITE above — only on the pinned all_vars
             variables = all_vars.join(
                 dv,
                 (all_vars["vtype"] == dv["d_vtype"])
                 & (all_vars["value"] == dv["d_value"]),
                 "left_anti",
             )
-            self._write_index(
-                variables, f"{out_path}/variables", sort_cols=["vtype", "value"]
+            fut_vars = pool.submit(
+                self._write_index,
+                variables,
+                f"{out_path}/variables",
+                sort_cols=["vtype", "value"],
             )
             # the gram tier derives from the checkpointed frame (one
             # cheap anti-join re-derivation), not a read-back of the
             # written table — same content, no extra table scan
             self._write_gram_tier(spark, variables, out_path)
+            fut_templates.result()
+            fut_dict.result()
+            fut_vars.result()
         finally:
+            pool.shutdown(wait=True)
             rows.unpersist()
 
     @staticmethod
