@@ -77,12 +77,6 @@ def _verify_jaccard(
         n,
         distinct=True,
     )
-    # pin the candidate shingle arrays: sh_a and sh_b are the TWO branches
-    # of the pair join below, and without this the candidate semi-join +
-    # shingling transform runs twice inside the final job (candidate-scale
-    # rows only — the corpus-wide array-serialization concern in the
-    # module note does not apply to this bounded set)
-    cand_sh = cand_sh.localCheckpoint(eager=True)
     sh_a = cand_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = cand_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
