@@ -407,7 +407,7 @@ ORACLES: dict[str, str] = {
             FROM src WHERE o_orderkey % {EVOLVE_UPD_MOD} = 0
         )
         SELECT o_orderstatus, count(*) AS n_orders,
-               sum(score) AS sum_score,
+               CAST(sum(score) AS BIGINT) AS sum_score,
                round(sum(o_totalprice), 2) AS sum_price
         FROM final
         GROUP BY o_orderstatus
@@ -437,7 +437,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT o_orderstatus, count(*) AS n_orders,
                count(score) AS n_scored,
-               sum(score) AS sum_score,
+               CAST(sum(score) AS BIGINT) AS sum_score,
                round(sum(o_totalprice), 2) AS sum_price
         FROM final
         GROUP BY o_orderstatus
@@ -472,7 +472,8 @@ ORACLES: dict[str, str] = {
             FROM orders WHERE o_orderkey % {MOR_SRC_MOD} = 0
         )
         SELECT o_orderstatus AS state, tag, count(*) AS n_orders,
-               sum(cnt) AS sum_cnt, max(o_orderkey) AS max_key
+               CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+               max(o_orderkey) AS max_key
         FROM src
         GROUP BY state, tag
         ORDER BY state, tag
@@ -580,7 +581,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT o_orderstatus, count(*) AS n_orders,
                count(score) AS n_scored,
-               sum(score) AS sum_score,
+               CAST(sum(score) AS BIGINT) AS sum_score,
                max(o_orderkey) AS max_key
         FROM tbl
         GROUP BY o_orderstatus
