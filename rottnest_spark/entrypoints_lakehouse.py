@@ -1093,7 +1093,7 @@ def q_sync_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from rottnest_spark.sources.changes import IcebergChangesCursor, sync_table
+    from rottnest_spark.sources.changes import IcebergChangesCursor, sync_all
     from rottnest_spark.sources.delta_write import delta_convert
     from rottnest_spark.sources.iceberg_write import (
         iceberg_convert,
@@ -1129,8 +1129,10 @@ def q_sync_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = IcebergChangesCursor(
             spark, src, os.path.join(src, "cursor.ckpt")
         )
-        while sync_table(cur, dlake, "o_orderkey", max_versions=1) is not None:
-            pass
+        # the pipelined drain (changes.sync_all): step N+1's poll + feed
+        # pin prefetch on a worker thread while step N merges — same
+        # per-step merges/acks in the same order as the sync_table loop
+        sync_all(cur, dlake, "o_orderkey", max_versions=1)
         out = (
             dlake.read()
             .groupBy("o_orderstatus")

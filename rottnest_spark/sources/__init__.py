@@ -16,6 +16,7 @@ __all__ = [
     "delta_snapshot_diff",
     "iceberg_snapshot_diff",
     "sync_table",
+    "sync_all",
 ]
 
 _LAZY = {
@@ -40,6 +41,7 @@ _LAZY = {
     "delta_snapshot_diff": "changes",
     "iceberg_snapshot_diff": "changes",
     "sync_table": "changes",
+    "sync_all": "changes",
     "delta_column_mapping": "delta",
 }
 

@@ -572,19 +572,36 @@ class DeltaChangesCursor:
         cursor that slept through 10⁴ commits would otherwise assemble a
         10⁴-branch union plan in a single poll; capped, plan width stays
         constant and progress is still monotone through the loop."""
+        return self._poll_from(self.position(), max_versions)
+
+    def _poll_from(self, pos: int, max_versions: int | None = None):
+        """`poll` from an EXPLICIT position (no checkpoint read): the
+        pipelined consumer loop (`sync_all`) prefetches step N+1's feed
+        from step N's returned end version before step N is acked."""
+        b = self._bounds_from(pos, max_versions)
+        if b is None:
+            return None, pos
+        return self._feed(*b), b[1]
+
+    def _bounds_from(self, pos: int, max_versions: int | None = None):
+        """(from, to) version bounds of the next consumer step, or None
+        when caught up — the METADATA-ONLY half of a poll (one log-dir
+        listing, no DataFrame construction), so `sync_all` can discover
+        every pending step's bounds up front and build/pin the feeds
+        concurrently."""
         from rottnest_spark.sources.delta_write import _log_dir, _next_version
 
-        pos = self.position()
         latest = _next_version(_log_dir(self.table_path), self.fs) - 1
         if max_versions is not None:
             latest = min(latest, pos + max(1, int(max_versions)))
         if latest <= pos:
-            return None, pos
-        return (
-            delta_changes_feed(
-                self.spark, self.table_path, pos, latest, fs=self.fs
-            ),
-            latest,
+            return None
+        return pos, latest
+
+    def _feed(self, pos: int, latest: int):
+        """Construct the feed for explicit `_bounds_from` bounds."""
+        return delta_changes_feed(
+            self.spark, self.table_path, pos, latest, fs=self.fs
         )
 
     def ack(self, version: int) -> None:
@@ -711,31 +728,45 @@ class IcebergChangesCursor:
         or (None, position) when caught up. `max_versions` bounds one
         poll to that many snapshot steps (see DeltaChangesCursor.poll —
         same constant-plan-width catch-up loop)."""
+        return self._poll_from(self.position(), max_versions)
+
+    def _poll_from(self, pos, max_versions: int | None = None):
+        """`poll` from an EXPLICIT position — see
+        DeltaChangesCursor._poll_from."""
+        b = self._bounds_from(pos, max_versions)
+        if b is None:
+            return None, pos
+        return self._feed(*b), b[1]
+
+    def _bounds_from(self, pos, max_versions: int | None = None):
+        """(from, to) snapshot-id bounds of the next consumer step, or
+        None when caught up — the metadata-only half of a poll (see
+        DeltaChangesCursor._bounds_from)."""
         from rottnest_spark.sources.iceberg import _current_metadata
 
-        pos = self.position()
         md = _current_metadata(self.table_path, self.fs)
         latest = md.get("current-snapshot-id")
         if latest in (None, -1) or latest == pos:
-            return None, pos
+            return None
         ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
         if pos is not None and (
             pos in ids and latest in ids and ids.index(latest) <= ids.index(pos)
         ):
             # the table rolled back behind our acked position — report
             # caught-up until it moves forward again, never crash
-            return None, pos
+            return None
         if max_versions is not None and latest in ids:
             start = ids.index(pos) if pos in ids else -1
             end = min(ids.index(latest), start + max(1, int(max_versions)))
             latest = ids[end]
             if end <= start:
-                return None, pos
-        return (
-            iceberg_changes_feed(
-                self.spark, self.table_path, pos, latest, fs=self.fs
-            ),
-            latest,
+                return None
+        return pos, latest
+
+    def _feed(self, pos, latest):
+        """Construct the feed for explicit `_bounds_from` bounds."""
+        return iceberg_changes_feed(
+            self.spark, self.table_path, pos, latest, fs=self.fs
         )
 
     def ack(self, snapshot_id: int) -> None:
@@ -753,6 +784,21 @@ def replicate_changes(feed, lake, key_col: str, version_col: str) -> dict:
     The feed's per-commit granularity collapses to final-state-per-key
     inside merge_into (latest `version_col` wins; a delete followed by a
     re-insert at a higher version lands as the re-insert)."""
+    return lake.merge_into(
+        _stage_feed(feed, version_col),
+        key_col,
+        seq_col="__seq__",
+        op_col="__op__",
+    )
+
+
+def _stage_feed(feed, version_col: str):
+    """Tag a change feed with `__op__`/`__seq__` and PIN it (eager
+    localCheckpoint): merge_into walks the change set several times
+    (latest-wins collapse, touched-file pruning, the rewrite itself),
+    and each walk would otherwise recompute the whole snapshot-diff
+    chain — measured 3x the poll cost per decade in
+    tools/feed_scale_probe.py before pinning."""
     from pyspark.sql import functions as F
 
     seq_src = (
@@ -775,15 +821,7 @@ def replicate_changes(feed, lake, key_col: str, version_col: str) -> dict:
         "__seq__",
         F.col("__seq__") * 2 + (F.col("__op__") == "I").cast("long"),
     ).drop(*drop_cols)
-    # pin the materialized feed: merge_into walks the change set several
-    # times (latest-wins collapse, touched-file pruning, the rewrite
-    # itself), and each walk would otherwise recompute the whole
-    # snapshot-diff chain — measured 3x the poll cost per decade in
-    # tools/feed_scale_probe.py before pinning
-    changes = changes.localCheckpoint(eager=True)
-    return lake.merge_into(
-        changes, key_col, seq_col="__seq__", op_col="__op__"
-    )
+    return changes.localCheckpoint(eager=True)
 
 
 def sync_table(
@@ -807,3 +845,84 @@ def sync_table(
     stats = replicate_changes(feed, lake, key_col, version_col)
     cursor.ack(latest)
     return stats
+
+
+def sync_all(
+    cursor, lake, key_col: str, max_versions: int | None = None
+) -> list[dict]:
+    """Drain the cursor: poll + MERGE + ack repeatedly until caught up —
+    `while sync_table(...)` as one call, with the consumer steps
+    PIPELINED (guide §2.6): step N+1's poll (a driver metadata walk)
+    and feed pin (the eager localCheckpoint `_stage_feed` takes — the
+    expensive source-scan jobs of a step) run on a worker thread while
+    step N's merge runs on the caller's thread.
+
+    Correctness is the sequential loop's, by construction:
+    - the feed depends only on the SOURCE table (already committed when
+      the poll observes it) and the start position, which is known the
+      moment step N's poll returns — never on the destination merge;
+    - merges still apply strictly in order, each `ack` lands only after
+      its own merge, and a failed merge discards the prefetched feed
+      without acking anything (at-least-once, like the plain loop).
+
+    Reader-flag caveat (sources/reader._scan): the prefetch constructs
+    and EXECUTES source scans concurrently with the merge's destination
+    scans, and the nanos/field-id parquet flags are session-wide. Every
+    supported sync pairing reads plain Spark-written parquet on both
+    sides (both flags false on both threads), so the overlap is safe;
+    a nanosecond-timestamped or column-mapped SOURCE would need the
+    sequential loop (`while sync_table(...)`) instead.
+
+    Shape: step BOUNDS come from `_bounds_from` (metadata-only, one
+    listing per step, main thread); feed construction + pin go to a
+    2-worker pool with at most 3 steps in flight (constant memory on a
+    10⁴-commit catch-up, exactly like max_versions' constant plan
+    width), because the expensive halves of consecutive steps — the
+    eq-delete position pins inside feed construction and the
+    `_stage_feed` checkpoint — are independent of each other once the
+    bounds are known."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(lo, hi):
+        feed = cursor._feed(lo, hi)
+        version_col = (
+            "_commit_snapshot_id"
+            if "_commit_snapshot_id" in feed.columns
+            else "_commit_version"
+        )
+        return _stage_feed(feed, version_col)
+
+    out: list[dict] = []
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pending: deque = deque()  # [(pinned-changes future, end position)]
+        pos = cursor.position()
+        caught_up = False
+
+        def discover() -> None:
+            nonlocal pos, caught_up
+            while not caught_up and len(pending) < 3:
+                b = cursor._bounds_from(pos, max_versions=max_versions)
+                if b is None:
+                    caught_up = True
+                    return
+                pending.append((pool.submit(prep, *b), b[1]))
+                pos = b[1]
+
+        discover()
+        try:
+            while pending:
+                fut, latest = pending.popleft()
+                changes = fut.result()
+                discover()  # top up so later pins overlap this merge
+                stats = lake.merge_into(
+                    changes, key_col, seq_col="__seq__", op_col="__op__"
+                )
+                cursor.ack(latest)
+                out.append(stats)
+        finally:
+            # a failed merge/prep must not leave workers running into a
+            # half-acked cursor state: drop everything not yet merged
+            for fut, _ in pending:
+                fut.cancel()
+    return out

@@ -608,6 +608,51 @@ def test_sync_table_capped_loop(spark, itable, tmp_path):
     assert got == want
 
 
+def test_sync_all_matches_sequential_loop(spark, itable, tmp_path):
+    """sync_all (round 12: the PIPELINED drain — step N+1's poll + feed
+    pin prefetch while step N merges) lands byte-identical destination
+    state, the same number of per-step merges, and the same final cursor
+    position as the sequential sync_table loop."""
+    from rottnest_spark.sources.changes import (
+        IcebergChangesCursor,
+        sync_all,
+        sync_table,
+    )
+    from rottnest_spark.sources.delta_write import delta_convert as _dc
+    from rottnest_spark.sources.writable import DeltaWritableLake
+
+    dsts = {}
+    for mode in ("seq", "pipe"):
+        dst = str(tmp_path / f"dst_{mode}")
+        spark.createDataFrame(
+            [], "doc_id long, lang string, n_chars long"
+        ).coalesce(1).write.parquet(dst)
+        _dc(dst)
+        dsts[mode] = DeltaWritableLake(spark, dst, dst + "_idx")
+
+    cur_seq = IcebergChangesCursor(spark, itable, str(tmp_path / "ck_seq"))
+    seq_stats = []
+    while True:
+        s = sync_table(cur_seq, dsts["seq"], "doc_id", max_versions=1)
+        if s is None:
+            break
+        seq_stats.append(s)
+
+    cur_pipe = IcebergChangesCursor(spark, itable, str(tmp_path / "ck_pipe"))
+    pipe_stats = sync_all(cur_pipe, dsts["pipe"], "doc_id", max_versions=1)
+
+    assert len(pipe_stats) == len(seq_stats) == 3
+    assert cur_pipe.position() == cur_seq.position()
+    assert sync_all(cur_pipe, dsts["pipe"], "doc_id") == []  # caught up
+    rows = {
+        m: sorted(
+            tuple(r) for r in dsts[m].read().select("doc_id", "n_chars").collect()
+        )
+        for m in dsts
+    }
+    assert rows["pipe"] == rows["seq"]
+
+
 def test_v3_source_fails_replication_at_poll_not_midstream(
     spark, itable, tmp_path
 ):
