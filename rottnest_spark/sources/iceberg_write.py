@@ -3025,14 +3025,16 @@ def iceberg_v3_upsert(
     # change source instead of one (batch-scale rows, the same pinning
     # replicate_changes applies to feeds)
     df = df.localCheckpoint(eager=True)
-    dup = (
-        df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
-    ).count()
-    if dup:
-        raise ValueError(
-            "change batch carries duplicate keys — one version per key "
-            "per commit"
-        )
+
+    def _dup_check() -> None:
+        dup = (
+            df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+        ).count()
+        if dup:
+            raise ValueError(
+                "change batch carries duplicate keys — one version per "
+                "key per commit"
+            )
 
     commit_seq = int(md.get("last-sequence-number") or 0) + 1
     snap_id = version + 1
@@ -3069,20 +3071,30 @@ def iceberg_v3_upsert(
         else:
             df.write.parquet(stage)
 
-    with ThreadPoolExecutor(max_workers=1) as _pool:
+    # three independent pre-commit job chains off the PINNED batch
+    # (guide §2.6): the dup-check (reads only the batch), the staged
+    # write (batch → stage dir) and the DV pack (table state + batch
+    # keys → puffins). Any failure — including a duplicate-key batch —
+    # aborts BEFORE the publish moves and the commit; the stage dir is
+    # dropped, and puffins written by an aborted pack stay unreferenced
+    # (crash-window orphans, reclaimed by vacuum).
+    with ThreadPoolExecutor(max_workers=2) as _pool:
         _stage_fut = _pool.submit(_stage_write)
+        _dup_fut = _pool.submit(_dup_check)
         try:
             new_blobs, carried = _v3_pack_dvs(
                 spark, md, st, table_path, fresh, snap_id, commit_seq
             )
+            _dup_fut.result()
             _stage_fut.result()
         except Exception:
             # join the write first (rmtree under a live writer is racy),
             # then drop the uncommitted stage
-            try:
-                _stage_fut.result()
-            except Exception:
-                pass
+            for _f in (_stage_fut, _dup_fut):
+                try:
+                    _f.result()
+                except Exception:
+                    pass
             fs.rmtree(stage)
             raise
     moved = []
@@ -3316,13 +3328,19 @@ def _v3_commit_dv_state(
     # move); a physical REWRITE re-mints (materializing _row_id before
     # rewriting is the documented seam).
     first_rows = {_canon(p): int(v) for p, v in (first_rows or {}).items()}
+    # one footer open + stat per ADDED file, shared by the row-lineage
+    # assignment below and the manifest data_file entries (each used to
+    # re-open the footer independently — two driver-side opens per add)
+    added_info = {
+        p: (_record_count(p), fs.getsize(p)) for p in sorted(added_set)
+    }
     next_row = int(md.get("next-row-id") or 0)
     assigned_first: dict[str, int] = {}
     for p in sorted(live):
         if p in first_rows and p not in added_set:
             assigned_first[p] = first_rows[p]
         else:
-            info = file_info.get(p)
+            info = added_info.get(p) or file_info.get(p)
             n = info[0] if info else _record_count(p)
             assigned_first[p] = next_row
             next_row += int(n)
@@ -3349,7 +3367,7 @@ def _v3_commit_dv_state(
 
     def data_entry(p: str, seq: int) -> dict:
         added = p in added_set
-        info = None if added else file_info.get(p)
+        info = added_info.get(p) if added else file_info.get(p)
         return {
             "status": 1 if added else 0,
             "snapshot_id": snap_id if added else snap_of.get(p, snap_id),
