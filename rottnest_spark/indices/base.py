@@ -91,6 +91,7 @@ class SparkIndex(ABC):
         out_path: str,
         sort_cols: list[str] | None = None,
         unit_meta: bool = False,
+        pre_clustered: bool = False,
     ):
         """Persist an index table sorted by its probe key so Parquet row-group
         min/max stats prune probe lookups (the analog of the reference's
@@ -99,8 +100,16 @@ class SparkIndex(ABC):
         With unit_meta=True, also writes `_unit_meta.json` {"n_units": N}
         beside the table (N = distinct indexed (file_path, row_group) units),
         so search-time selectivity decisions don't need a full index scan.
-        Underscore-prefixed files are invisible to Spark's Parquet reader."""
-        if sort_cols:
+        Underscore-prefixed files are invisible to Spark's Parquet reader.
+
+        pre_clustered=True: the caller's frame is ALREADY range-partitioned
+        on sort_cols (e.g. the build fused its dedup into one range
+        exchange, guide §2.4) — only the partition-local sort runs here, no
+        second exchange. Files stay range-disjoint in the probe key either
+        way, so min/max pruning is unchanged."""
+        if sort_cols and pre_clustered:
+            df = df.sortWithinPartitions(*sort_cols)
+        elif sort_cols:
             df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
         # zstd, matching the reference's zstd-compressed index blobs
         # (X10, src/lava/merge.rs bincode+zstd): index tables are

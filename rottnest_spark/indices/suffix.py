@@ -177,9 +177,22 @@ class SuffixArrayIndex(SparkIndex):
                 "file_path",
                 "row_group",
             )
-            .distinct()
+            # ONE exchange serves both the dedup and the sorted layout
+            # (guide §2.4): RangePartitioning(suffix) co-locates equal
+            # (suffix, file, rg) triples, so the dedup aggregate runs
+            # partition-local with no second exchange — `.distinct()`
+            # before `_write_index`'s range exchange shuffled the full
+            # suffix payload TWICE. Unlike the gram indexes (substring:
+            # heavy gram repetition makes the pre-shuffle partial dedup
+            # the bigger lever), prefix_len-suffixes of text are
+            # near-unique, so map-side dedup bought ~nothing here.
+            .repartitionByRange("suffix")
+            .dropDuplicates(["suffix", "file_path", "row_group"])
         )
-        self._write_index(index_df, out_path, sort_cols=["suffix"], unit_meta=True)
+        self._write_index(
+            index_df, out_path, sort_cols=["suffix"], unit_meta=True,
+            pre_clustered=True,
+        )
 
     # -- search ---------------------------------------------------------------
 
