@@ -206,6 +206,12 @@ class SubstringIndex(SparkIndex):
         self.sort_cols = (
             ["gram", "file_path", "row_group"] if salt_write else ["gram"]
         )
+        # per-instance auto-salt probe memo (see build): one probe per
+        # corpus/column, shared across concurrent binpack-group builds
+        import threading as _threading
+
+        self._salt_memo: dict = {}
+        self._salt_memo_lock = _threading.Lock()
         # F7 skip-char normalization (reference SKIP set,
         # src/lava/substring/constants.rs:2): characters stripped from the
         # text at BUILD and from the query at PROBE/refine, so punctuation
@@ -336,18 +342,31 @@ class SubstringIndex(SparkIndex):
         if salt == "auto":
             # probe the RAW column (plain one-file scan + limit), not the
             # provenance-tagged `rows` chain — the row-group reader is a
-            # pandas pass that would cost more than the salt decision saves
+            # pandas pass that would cost more than the salt decision saves.
+            # Memoized per (column, n, step) on the instance: binpack-group
+            # builds call build() once PER GROUP over the same corpus, and
+            # the skew decision is a corpus/column property — 3 groups were
+            # paying 3 identical probe jobs (guide §2.4). The lock keeps
+            # concurrent group threads from racing the first probe; layout
+            # is the only thing salt changes, so even a stale decision on a
+            # reused instance stays result-correct.
             import time as _time
 
-            _t0 = _time.time()
-            salt = self._gram_skew_needs_salt(
-                read_parquet(spark, files[:1]).select(
-                    self._norm_col(F.col(column)).alias("__norm__")
-                ),
-                n,
-                step,
-            )
-            probe_sec = _time.time() - _t0
+            key = (column, n, step)
+            with self._salt_memo_lock:
+                if key in self._salt_memo:
+                    salt = self._salt_memo[key]
+                else:
+                    _t0 = _time.time()
+                    salt = self._gram_skew_needs_salt(
+                        read_parquet(spark, files[:1]).select(
+                            self._norm_col(F.col(column)).alias("__norm__")
+                        ),
+                        n,
+                        step,
+                    )
+                    probe_sec = _time.time() - _t0
+                    self._salt_memo[key] = salt
         # build stats: the auto-salt decision and its cost, on the
         # instance AND as a sidecar in the index dir — a bench regression
         # on the build entry must be attributable without re-running
