@@ -508,7 +508,7 @@ def ngram_jaccard_pairs(
         )
     )
     prefix = ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
-        "id", "sz", "g"
+        "id", "sz", "g", "pos"
     )
     cands = (
         prefix.alias("a")
@@ -519,6 +519,24 @@ def ngram_jaccard_pairs(
         .filter(
             (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+        )
+        # positional filter (PPJoin, lossless): every shared shingle of a
+        # true pair sits at position >= this occurrence's (pa, pb) in the
+        # shared global (freq, g) order at the pair's FIRST shared gram, so
+        # |A∩B| <= 1 + min(|A|-pa, |B|-pb); jaccard >= t needs |A∩B| >=
+        # ceil(t/(1+t)·(|A|+|B|)). A pair survives if ANY occurrence
+        # passes, and its first shared prefix gram always does — measured
+        # at sf0.1: candidate pairs 309,803 -> 124,979 before the verify
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("a.sz") - F.col("a.pos"),
+                F.col("b.sz") - F.col("b.pos"),
+            )
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("a.sz") + F.col("b.sz"))
+            )
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
