@@ -13,6 +13,12 @@ crosses the JVM↔Python boundary).
 `local_df` keeps tiny lists in ONE slice and scales slices up only for
 genuinely large lists. Schemas must be explicit (DDL string or StructType)
 — schema inference over an RDD would itself run a Spark job.
+
+NOTE (r11 ADVICE): routing rows through sc.parallelize skips
+createDataFrame's eager driver-side type verification — a row/schema
+type mismatch surfaces as an executor-side task failure at first action
+time, not at construction. Accepted trade-off: callers here build rows
+from already-typed collects or fixture literals.
 """
 
 from __future__ import annotations

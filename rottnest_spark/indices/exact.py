@@ -108,7 +108,18 @@ class ExactIndex(SparkIndex):
             keys = df.groupBy("file_path", "row_group", "key").agg(
                 F.count(F.lit(1)).alias("cnt")
             )
-            self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])
+            try:
+                self._write_index(keys, f"{out_path}/keys", sort_cols=["key"])
+            except Exception as exc:
+                # join the zone chain so its failure is noted, not lost
+                # behind the keys write's error at pool shutdown
+                try:
+                    fut_zone.result()
+                except Exception as side:
+                    exc.add_note(
+                        f"concurrent zone write also failed: {side!r}"
+                    )
+                raise
             fut_zone.result()
 
     def search(self, spark: SparkSession, index_paths: list[str], query):

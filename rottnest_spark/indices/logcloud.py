@@ -151,6 +151,11 @@ class LogIndex(SparkIndex):
         # as concurrent jobs so each chain's stage tails back-fill the
         # others' idle executors (guide §2.6). Writes land in disjoint
         # subdirs; a failure in any chain propagates from result().
+        # LIMITATION (r11 ADVICE): jobs submitted from plain pool threads
+        # do not inherit Spark local properties (job group/description,
+        # scheduler pool), so a caller's setJobGroup cancellation will not
+        # cover the pooled chains; use pyspark.InheritableThread semantics
+        # if group cancellation ever matters here.
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=3)

@@ -1839,11 +1839,16 @@ def delta_upsert(
             return _delta_commit_dvs(
                 spark, table_path, matched, fs, extra_adds=_fut.result
             )
-        except Exception:
+        except Exception as exc:
             try:
                 _fut.result()
-            except Exception:
-                pass
+            except Exception as side:
+                # keep the stage+publish chain's failure diagnosable
+                # instead of swallowing it behind the DV pipeline's error
+                if side is not exc:
+                    exc.add_note(
+                        f"concurrent stage+publish also failed: {side!r}"
+                    )
             raise
 
 

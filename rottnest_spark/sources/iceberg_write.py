@@ -2386,11 +2386,16 @@ def iceberg_upsert(
         try:
             _stage_data()
             _kfut.result()
-        except Exception:
+        except Exception as exc:
             try:
                 _kfut.result()
-            except Exception:
-                pass
+            except Exception as side:
+                # keep the concurrent chain's failure diagnosable
+                # instead of swallowing it behind the primary error
+                if side is not exc:
+                    exc.add_note(
+                        f"concurrent equality-key write also failed: {side!r}"
+                    )
             fs.rmtree(stage)
             fs.rmtree(kstage)
             raise
@@ -3087,14 +3092,18 @@ def iceberg_v3_upsert(
             )
             _dup_fut.result()
             _stage_fut.result()
-        except Exception:
+        except Exception as exc:
             # join the write first (rmtree under a live writer is racy),
-            # then drop the uncommitted stage
-            for _f in (_stage_fut, _dup_fut):
+            # then drop the uncommitted stage; secondary failures are
+            # noted on the primary so neither side's error is swallowed
+            for _what, _f in (("staged write", _stage_fut), ("dup check", _dup_fut)):
                 try:
                     _f.result()
-                except Exception:
-                    pass
+                except Exception as side:
+                    if side is not exc:
+                        exc.add_note(
+                            f"concurrent {_what} also failed: {side!r}"
+                        )
             fs.rmtree(stage)
             raise
     moved = []

@@ -56,7 +56,18 @@ def _scan(spark, files, schema, field_id):
     carries parquet.field.id metadata and Spark matches by id, erroring
     on files without ids rather than falling back to names). Both flags
     set explicitly BOTH ways, like the nanos flag: stale session state
-    must never change how an unrelated later read resolves columns."""
+    must never change how an unrelated later read resolves columns.
+
+    CONCURRENCY (r11 ADVICE / r12 measurement): both flags are
+    session-wide AND captured at EXECUTION time (the scan's hadoopConf
+    is built at first action; verified empirically — a flag flipped
+    between construction and collect changes the resolution, and the
+    per-read `.option(...)` form is ignored by Spark 4.1). Scans that
+    need a non-default value (field_id=True mapped tables, nanos
+    sources) must therefore not EXECUTE concurrently with another
+    thread setting the flags — the engine's threaded sections
+    (sync_all prefetch, build/upsert overlaps) all read plain
+    Spark-written parquet where both flags are false on every thread."""
     spark.conf.set(_FIELD_ID_FLAG, "true" if field_id else "false")
     r = spark.read.schema(schema) if schema is not None else spark.read
     return r.parquet(*files)
